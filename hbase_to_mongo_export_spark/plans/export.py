@@ -1,0 +1,172 @@
+"""The export pipeline — the reference's one real "query", Spark-first.
+
+Reference dataflow (JobConfiguration.kt:31-76):
+    partition → scan → envelope parse → decrypt → validate/normalize
+    → sanitise → transform → byte-capped encrypted JSONL + manifest CSV
+
+Spark expression: a single narrow (shuffle-free, except optional
+latest-per-key) DataFrame pipeline. The whole HTME dataflow has no
+join/agg, so at 100 TB it scales linearly with input splits; the only
+Python stages are the decrypt and normalize pandas UDFs (Arrow-batched),
+everything else is whole-stage-codegen column work.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import crypto, sanitise
+from ..functions.normalize import normalize_udf
+from ..sources import envelope as env
+
+
+@dataclass
+class ExportConfig:
+    """Parameter surface mirroring the reference's Spring properties
+    (README.md:37-109 of the reference)."""
+
+    topic: str
+    output_dir: str
+    manifest_dir: str | None = None
+    blocked_topics: str | None = None           # blocked.topics
+    ts_start: int | None = None                 # scan.time.range.start (epoch ms)
+    ts_end: int | None = None                   # scan.time.range.end
+    snapshot_type: str = "full"                 # snapshot.type: full|incremental
+    compression: str = "gzip"                   # bzip2|gzip|lz4 (S6)
+    max_batch_bytes: int = 100_000_000          # output.batch.size.max.bytes
+    strict_sink: bool = False                   # HTME naming + byte-cap + encryption
+    scan_width: int = 5                         # scan.width (split naming in strict mode)
+    encrypt_output: bool = False                # S7 (strict sink only)
+    plaintext_payloads: bool = False            # fixture mode: dbObject is raw JSON
+    assume_unique_keys: bool = True             # HBase already returns latest cell
+    key_service: Callable[[str, str], bytes] = field(
+        default=crypto.local_key_service, repr=False
+    )
+
+
+@dataclass
+class ExportResult:
+    topic: str
+    status: str                 # Exported | Export_Failed | Blocked_Topic | ...
+    records: int
+    quarantined: int
+    files: list[str]
+    manifest_files: list[str]
+
+
+def build_export(
+    source: DataFrame, cfg: ExportConfig
+) -> tuple[DataFrame, DataFrame]:
+    """Build (records, quarantine) DataFrames for an export; no actions run.
+
+    ``records`` columns: record (final output line, string), manifest_id,
+    manifest_ts, db, collection, manifest_source, outer_type, inner_type,
+    manifest_original_id, key.
+    """
+    env.check_blocked_topic(cfg.topic, cfg.blocked_topics)
+
+    df = env.latest_per_key(
+        source,
+        ts_start=cfg.ts_start,
+        ts_end=cfg.ts_end,
+        assume_unique_keys=cfg.assume_unique_keys,
+    )
+    df = env.parse_envelope(df, topic=cfg.topic)
+    good, quarantine_env = env.split_mandatory(df)
+
+    if cfg.plaintext_payloads:
+        good = good.withColumn("decrypted", F.col("db_object"))
+    else:
+        decrypt = crypto.make_decrypt_udf(cfg.key_service)
+        good = good.withColumn(
+            "decrypted",
+            decrypt(
+                F.col("db_object"), F.col("encrypted_key"), F.col("kek_id"), F.col("iv")
+            ),
+        )
+
+    # rowkey id = UTF-8 of the key minus its 4-byte spreading checksum
+    # (Validator.kt:32-33).
+    rowkey_id = F.decode(F.expr("substring(key, 5, length(key) - 4)"), "UTF-8")
+    good = good.withColumn(
+        "norm",
+        normalize_udf(
+            F.col("decrypted"),
+            rowkey_id,
+            F.col("db"),
+            F.col("collection"),
+            F.col("last_modified"),
+        ),
+    )
+
+    # Quarantine: decrypt failure (null decrypted) or normalization error.
+    # norm.record_json null with null error = the reference's silent drop
+    # (gson "null" payload) — excluded from both outputs.
+    bad = good.filter(
+        F.col("decrypted").isNull() | F.col("norm.error").isNotNull()
+    ).select(
+        "key",
+        "ts",
+        "db",
+        "collection",
+        F.coalesce(F.col("norm.error"), F.lit("decryption failure")).alias("error"),
+    )
+    quarantine = quarantine_env.select(
+        "key", "ts", "db", "collection", F.lit("missing mandatory field").alias("error")
+    ).unionByName(bad)
+
+    ok = good.filter(
+        F.col("decrypted").isNotNull()
+        & F.col("norm.error").isNull()
+        & F.col("norm.record_json").isNotNull()
+    )
+
+    record = sanitise.sanitise(
+        F.col("norm.record_json"), F.col("db"), F.col("collection")
+    )
+    record = sanitise.apply_topic_transform(record, F.col("inner_type"), cfg.topic)
+
+    records = ok.select(
+        record.alias("record"),
+        F.col("norm.manifest_id").alias("manifest_id"),
+        F.col("ts").alias("manifest_ts"),
+        "db",
+        "collection",
+        F.lit("EXPORT").alias("manifest_source"),
+        "outer_type",
+        "inner_type",
+        F.col("norm.manifest_original_id").alias("manifest_original_id"),
+        "key",
+    )
+    return records, quarantine
+
+
+def run_export(spark: SparkSession, source: DataFrame, cfg: ExportConfig) -> ExportResult:
+    """Execute an export end-to-end: build, write snapshot + manifest,
+    return the control-plane status (reference afterJob semantics,
+    JobCompletionNotificationListener.kt:47-97)."""
+    from . import sink  # local import to avoid a cycle
+
+    try:
+        records, quarantine = build_export(source, cfg)
+    except env.BlockedTopicError:
+        return ExportResult(cfg.topic, "Blocked_Topic", 0, 0, [], [])
+
+    try:
+        written = sink.write_snapshot(records, cfg)
+        n_quarantined = quarantine.count()
+        status = "Exported"
+        return ExportResult(
+            cfg.topic,
+            status,
+            written.records,
+            n_quarantined,
+            written.files,
+            written.manifest_files,
+        )
+    except Exception:
+        return ExportResult(cfg.topic, "Export_Failed", 0, 0, [], [])

@@ -1,0 +1,47 @@
+"""Table catalog over the driver-generated parquet fixtures.
+
+The reference addresses data by "topic" name mapped to an HBase table
+(``src/main/kotlin/app/utils/TextUtils.kt:7-8`` in the reference); here the
+analogous surface is a named-table catalog over a directory of parquet
+files, registered as temp views so the full Spark SQL surface applies.
+
+Scale note: ``spark.read.parquet`` gives Catalyst the native vectorized
+scan with predicate pushdown and column pruning; partition count follows
+``spark.sql.files.maxPartitionBytes`` (128 MB default), which is the right
+knob at 100 TB — never ``repartition()`` right after a scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every table and register it as a temp view (idempotent)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,189 @@
+"""HBase-shaped source + Kafka-envelope parsing.
+
+Source model (reference §1.1): one row per (rowkey, latest cell) with
+  key: binary   — 4-byte CRC32 of the JSON ``_id`` ++ UTF-8 of the ``_id``
+  ts: long      — cell version timestamp (epoch millis)
+  value: string — JSON envelope (reference ``images/hbase/hbase_data.py:72-96``)
+
+This module turns that into a typed DataFrame:
+
+- ``latest_per_key``   — reference scan semantics "newest cell version in
+  [start, end)" (``HBaseReader.kt:131-150``; maxVersions=1 default) as a
+  time-range filter + window dedup.
+- ``parse_envelope``   — the envelope projection done record-at-a-time in
+  ``HBaseResultProcessor.kt:22-94``, expressed as one ``from_json`` +
+  struct-field selects so Catalyst prunes unparsed fields.
+- ``split_mandatory``  — the skip-not-fail semantics of
+  ``HBaseResultProcessor.kt:44-49,97-102`` + ``JobConfiguration.kt:57-61``
+  as a (good, quarantine) DataFrame pair instead of exceptions.
+
+Scale: everything here is narrow (filter/project) except the latest-per-key
+window, which shuffles once on ``key`` — unavoidable when the source keeps
+history, skipped entirely when ``assume_unique_keys`` (the HBase connector
+already returns one latest cell per row, as the reference relies on).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Envelope schema — reference generator images/hbase/hbase_data.py:72-96,
+# consumed at HBaseResultProcessor.kt:24-42. dbObject stays a string
+# (ciphertext or raw JSON); the payload is schema-less by design.
+ENCRYPTION_SCHEMA = T.StructType(
+    [
+        T.StructField("encryptionKeyId", T.StringType()),
+        T.StructField("keyEncryptionKeyId", T.StringType()),
+        T.StructField("encryptedEncryptionKey", T.StringType()),
+        T.StructField("initialisationVector", T.StringType()),
+    ]
+)
+
+MESSAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("db", T.StringType()),
+        T.StructField("collection", T.StringType()),
+        T.StructField("_id", T.StringType()),  # parsed leniently; kept raw
+        T.StructField("@type", T.StringType()),
+        T.StructField("_lastModifiedDateTime", T.StringType()),
+        T.StructField("encryption", ENCRYPTION_SCHEMA),
+        T.StructField("dbObject", T.StringType()),
+    ]
+)
+
+ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("traceId", T.StringType()),
+        T.StructField("unitOfWorkId", T.StringType()),
+        T.StructField("@type", T.StringType()),
+        T.StructField("message", MESSAGE_SCHEMA),
+        T.StructField("version", T.StringType()),
+        T.StructField("timestamp", T.StringType()),
+    ]
+)
+
+# Topic "db.database.collection" → (database, collection); `-` → `_`
+# (reference TextUtils.kt:7-8).
+TOPIC_RE = re.compile(r"^(?:\w+\.)?([-\w]+)\.([-\w]+)$")
+
+
+def topic_to_db_collection(topic: str) -> tuple[str, str]:
+    m = TOPIC_RE.match(topic)
+    if not m:
+        raise ValueError(f"invalid topic name: {topic!r}")
+    return m.group(1).replace("-", "_"), m.group(2).replace("-", "_")
+
+
+class BlockedTopicError(Exception):
+    """Reference BlockedTopicException (FilterBlockedTopicsUtils.kt:14-25)."""
+
+
+def check_blocked_topic(topic: str, blocked_topics: str | list[str] | None) -> None:
+    """Driver-side guard: abort before building any plan for a blocked topic."""
+    if not blocked_topics:
+        return
+    if isinstance(blocked_topics, str):
+        blocked = [t.strip() for t in blocked_topics.split(",") if t.strip()]
+    else:
+        blocked = list(blocked_topics)
+    if topic in blocked:
+        raise BlockedTopicError(f"topic {topic!r} is blocked")
+
+
+def latest_per_key(
+    df: DataFrame,
+    ts_start: int | None = None,
+    ts_end: int | None = None,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    assume_unique_keys: bool = False,
+) -> DataFrame:
+    """Time-range filter + newest-version-per-key.
+
+    Mirrors HBase ``Scan.setTimeRange(start, end)`` with default
+    maxVersions=1 (reference HBaseReader.kt:131-150): only cells in
+    [start, end) are visible, and the newest visible cell wins.
+    """
+    if ts_start is not None:
+        df = df.filter(F.col(ts_col) >= F.lit(ts_start))
+    if ts_end is not None:
+        df = df.filter(F.col(ts_col) < F.lit(ts_end))
+    if assume_unique_keys:
+        return df
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def parse_envelope(df: DataFrame, topic: str | None = None) -> DataFrame:
+    """Shred the JSON envelope into typed columns.
+
+    Output columns: key, ts, db, collection, outer_type, inner_type,
+    last_modified, kek_id, encrypted_key, iv, db_object, id_raw.
+
+    db/collection fall back to the topic name when absent from the message
+    (reference HBaseResultProcessor.kt:64-74).
+    """
+    env = F.from_json(F.col("value"), ENVELOPE_SCHEMA)
+    out = df.select(
+        F.col("key"),
+        F.col("ts"),
+        env["message"]["db"].alias("_msg_db"),
+        env["message"]["collection"].alias("_msg_collection"),
+        env["@type"].alias("outer_type"),
+        env["message"]["@type"].alias("inner_type"),
+        env["message"]["_lastModifiedDateTime"].alias("last_modified"),
+        env["message"]["encryption"]["keyEncryptionKeyId"].alias("kek_id"),
+        env["message"]["encryption"]["encryptedEncryptionKey"].alias("encrypted_key"),
+        env["message"]["encryption"]["initialisationVector"].alias("iv"),
+        env["message"]["dbObject"].alias("db_object"),
+        # _id parsed leniently as string: from_json stringifies nested
+        # objects only in permissive paths, so re-extract raw via
+        # get_json_object to preserve the original JSON text exactly.
+        F.get_json_object(F.col("value"), "$.message._id").alias("id_raw"),
+    )
+    db_fallback: Column = F.lit(None).cast("string")
+    coll_fallback: Column = F.lit(None).cast("string")
+    if topic is not None:
+        t_db, t_coll = topic_to_db_collection(topic)
+        db_fallback, coll_fallback = F.lit(t_db), F.lit(t_coll)
+    nonblank = lambda c: F.when(F.length(F.trim(c)) > 0, c)  # noqa: E731
+    return out.select(
+        "key",
+        "ts",
+        F.coalesce(nonblank(F.col("_msg_db")), db_fallback).alias("db"),
+        F.coalesce(nonblank(F.col("_msg_collection")), coll_fallback).alias("collection"),
+        "outer_type",
+        "inner_type",
+        "last_modified",
+        "kek_id",
+        "encrypted_key",
+        "iv",
+        "db_object",
+        "id_raw",
+    )
+
+
+# Mandatory fields — missing any ⇒ record is skipped, not failed
+# (HBaseResultProcessor.kt:44-49,97-102; skip policy JobConfiguration.kt:57-61).
+_MANDATORY = ("db_object", "kek_id", "encrypted_key", "iv", "db", "collection")
+
+
+def mandatory_predicate() -> Column:
+    pred = F.lit(True)
+    for c in _MANDATORY:
+        pred = pred & F.col(c).isNotNull() & (F.length(F.col(c)) > 0)
+    return pred
+
+
+def split_mandatory(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantine) — the Spark-native form of skip-record semantics."""
+    pred = mandatory_predicate()
+    return df.filter(pred), df.filter(~pred)

@@ -1,0 +1,210 @@
+"""End-to-end export pipeline tests — mirrors the reference integration
+scenarios (UberTestSpec.kt / SURVEY §5, FIXTURES.md §F5)."""
+
+import gzip
+import json
+import os
+
+import pytest
+
+from hbase_to_mongo_export_spark.plans.export import ExportConfig, build_export, run_export
+from hbase_to_mongo_export_spark.sources import envelope as env
+from hbase_to_mongo_export_spark.sources import fixtures
+
+N = 1000  # scaled-down from the reference's 10k for test speed
+
+
+@pytest.fixture(scope="module")
+def source(spark):
+    return fixtures.source_records(spark, n=N).cache()
+
+
+def cfg(tmp_path, **kw) -> ExportConfig:
+    base = dict(
+        topic="db.database.collection",
+        output_dir=str(tmp_path / "out"),
+        manifest_dir=str(tmp_path / "manifest"),
+    )
+    base.update(kw)
+    return ExportConfig(**base)
+
+
+class TestBuild:
+    def test_counts_and_oid_split(self, spark, source, tmp_path):
+        records, quarantine = build_export(source, cfg(tmp_path))
+        rows = records.collect()
+        assert len(rows) == N
+        assert quarantine.count() == 0
+        # UberTestSpec.kt:171-178,416-423: even i keeps object id, odd i
+        # becomes $oid — sanitised to d_oid, 50/50 split.
+        with_oid = [r for r in rows if '"d_oid"' in r.record]
+        assert len(with_oid) == N // 2
+        for r in rows:
+            assert "$" not in r.record
+            assert '"d_date"' in r.record  # wrapped + sanitised dates
+
+    def test_record_normalization_content(self, spark, source, tmp_path):
+        records, _ = build_export(source, cfg(tmp_path))
+        r = records.filter("manifest_original_id = '00001'").collect()[0]
+        rec = json.loads(r.record)
+        assert rec["_id"] == {"d_oid": "00001"}
+        assert rec["createdDateTime"] == {"d_date": "2015-03-20T12:23:25.183Z"}
+        assert rec["_lastModifiedDateTime"] == {"d_date": "2018-12-14T15:01:02.000Z"}
+        assert r.manifest_id == '{"$oid":"00001"}'
+        assert r.manifest_ts == 1000
+        assert r.db == "database" and r.collection == "collection"
+
+    def test_manifest_even_record(self, spark, source, tmp_path):
+        records, _ = build_export(source, cfg(tmp_path))
+        r = records.filter("manifest_id like '%record_id%'").orderBy("manifest_id").first()
+        assert r.manifest_id == '{"record_id":"00000"}'
+        assert r.manifest_original_id == r.manifest_id
+
+    def test_time_range_excludes_all(self, spark, source, tmp_path):
+        records, _ = build_export(source, cfg(tmp_path, ts_start=2000, ts_end=3000))
+        assert records.count() == 0
+
+    def test_blocked_topic_aborts(self, spark, source, tmp_path):
+        with pytest.raises(env.BlockedTopicError):
+            build_export(
+                source,
+                cfg(tmp_path, topic="db.blocked.topic", blocked_topics="db.blocked.topic,x.y"),
+            )
+
+    def test_missing_mandatory_fields_quarantined(self, spark, tmp_path):
+        bad = json.loads(fixtures.envelope_row(0)[2])
+        bad["message"]["dbObject"] = ""
+        rows = [
+            fixtures.envelope_row(1),
+            (b"\x00\x00\x00\x00xx", 1000, json.dumps(bad)),
+        ]
+        df = spark.createDataFrame(rows, fixtures.SOURCE_SCHEMA)
+        records, quarantine = build_export(df, cfg(tmp_path))
+        assert records.count() == 1
+        q = quarantine.collect()
+        assert len(q) == 1 and q[0].error == "missing mandatory field"
+
+    def test_corrupt_ciphertext_quarantined(self, spark, tmp_path):
+        bad = json.loads(fixtures.envelope_row(0)[2])
+        bad["message"]["dbObject"] = "!!!not-base64!!!"
+        df = spark.createDataFrame(
+            [(b"\x00\x00\x00\x00yy", 1000, json.dumps(bad))], fixtures.SOURCE_SCHEMA
+        )
+        records, quarantine = build_export(df, cfg(tmp_path))
+        assert records.count() == 0
+        assert quarantine.count() == 1
+
+    def test_latest_per_key_dedup(self, spark, tmp_path):
+        k1, _, v1 = fixtures.envelope_row(0)
+        _, _, v1b = fixtures.envelope_row(0)
+        k2, _, v2 = fixtures.envelope_row(2)
+        df = spark.createDataFrame(
+            [(k1, 1000, v1), (k1, 2000, v1b), (k2, 1000, v2)], fixtures.SOURCE_SCHEMA
+        )
+        records, _ = build_export(df, cfg(tmp_path, assume_unique_keys=False))
+        rows = records.collect()
+        assert len(rows) == 2
+        assert {r.manifest_ts for r in rows} == {2000, 1000}
+
+    def test_equality_topic_wrap(self, spark, tmp_path):
+        df = fixtures.source_records(spark, n=4, database="data", collection="equality")
+        records, _ = build_export(df, cfg(tmp_path, topic="data.equality"))
+        rows = records.collect()
+        assert len(rows) == 4
+        for r in rows:
+            rec = json.loads(r.record)
+            assert set(rec.keys()) == {"message"}
+            assert rec["message"]["@type"] == "INNER_TYPE"
+            assert "_id" in rec["message"]
+
+    def test_plaintext_mode(self, spark, tmp_path):
+        df = fixtures.source_records(spark, n=4, plaintext=True)
+        records, _ = build_export(df, cfg(tmp_path, plaintext_payloads=True))
+        assert records.count() == 4
+
+
+class TestSinks:
+    def test_native_sink_roundtrip(self, spark, source, tmp_path):
+        result = run_export(spark, source, cfg(tmp_path, compression="gzip"))
+        assert result.status == "Exported"
+        assert result.records == N
+        assert result.files
+        lines = []
+        for f in result.files:
+            with gzip.open(f, "rt", encoding="utf-8") as fh:
+                lines.extend(fh.read().splitlines())
+        assert len(lines) == N
+        parsed = [json.loads(ln) for ln in lines]
+        assert sum(1 for p in parsed if "d_oid" in json.dumps(p)) == N // 2
+        manifest_lines = []
+        for f in result.manifest_files:
+            with open(f, encoding="utf-8") as fh:
+                manifest_lines.extend(fh.read().splitlines())
+        assert len(manifest_lines) == N
+        sample = [ln for ln in manifest_lines if ln.startswith('"{""record_id"":""00000""}"')]
+        assert sample, manifest_lines[:3]
+        parts = sample[0].split("|")
+        assert parts[1] == "1000" and parts[2] == "database" and parts[4] == "EXPORT"
+
+    def test_strict_sink_byte_cap_and_naming(self, spark, source, tmp_path):
+        c = cfg(
+            tmp_path,
+            strict_sink=True,
+            max_batch_bytes=10_000,
+            scan_width=64,
+            compression="gzip",
+            encrypt_output=False,
+        )
+        result = run_export(spark, source, c)
+        assert result.status == "Exported"
+        assert result.records == N
+        # numbering starts at -000001; split bounds from first key byte / 64
+        names = [os.path.basename(f) for f in result.files]
+        assert all(n.startswith("db.database.collection-") for n in names)
+        assert any(n.endswith("-000001.txt.gz") for n in names)
+        total = []
+        for f in result.files:
+            with gzip.open(f, "rt", encoding="utf-8") as fh:
+                content = fh.read()
+            assert len(content) <= 10_000 + max(len(l) + 1 for l in content.splitlines())
+            total.extend(content.splitlines())
+        assert len(total) == N
+        # per-batch manifests: first batch of each split is -000000.csv
+        mnames = [os.path.basename(f) for f in result.manifest_files]
+        assert any(m.endswith("-000000.csv") for m in mnames)
+        mlines = []
+        for f in result.manifest_files:
+            with open(f, encoding="utf-8") as fh:
+                mlines.extend(fh.read().splitlines())
+        assert len(mlines) == N
+
+    def test_strict_sink_encrypted(self, spark, tmp_path):
+        from hbase_to_mongo_export_spark.functions.crypto import aes_ctr
+        import base64
+
+        df = fixtures.source_records(spark, n=50)
+        c = cfg(
+            tmp_path,
+            strict_sink=True,
+            max_batch_bytes=100_000,
+            scan_width=64,
+            compression="gzip",
+            encrypt_output=True,
+        )
+        result = run_export(spark, df, c)
+        assert result.files
+        lines = []
+        for f in result.files:
+            assert f.endswith(".enc")
+            meta = json.load(open(f + ".meta.json"))
+            payload = open(f, "rb").read()
+            plain = gzip.decompress(
+                aes_ctr(
+                    base64.b64decode(meta["dataKey"]),
+                    base64.b64decode(meta["iv"]),
+                    payload,
+                )
+            )
+            lines.extend(plain.decode("utf-8").splitlines())
+        assert len(lines) == 50
+        json.loads(lines[0])
