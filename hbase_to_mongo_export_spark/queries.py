@@ -1,0 +1,798 @@
+"""Query registry: every operator exposed as (spark callable, oracle SQL).
+
+This is the engine's public correctness surface. Each entry maps a name to
+a Spark implementation ``(spark, sf_dir) -> DataFrame`` plus (where SQL-
+expressible) an ANSI-SQL string DuckDB runs on the same parquet tables.
+Column names are aliased identically on both sides — the driver's compare
+sorts columns by name and hashes values.
+
+Determinism rules used throughout:
+- money aggregates go through DECIMAL (exact, associative) and are cast
+  back to DOUBLE at the end — float sum order can't perturb the hash;
+- every ratio/score is rounded; ranking windows always carry a unique
+  tiebreaker column;
+- timestamps stay in UTC (session timezone pinned in session.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import text as tx
+from .operators import asof as asof_mod
+from .operators import dedup as dedup_mod
+from .operators import similarity as sim_mod
+from .sources.catalog import load_table
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, SparkQuery] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, SparkQuery]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY §2.8 — supplied by Spark, verified vs DuckDB)
+# ---------------------------------------------------------------------------
+
+_DEC = "DECIMAL(18,2)"
+_DEC4 = "DECIMAL(18,4)"
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS {_DEC})) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS {_DEC})) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS {_DEC}) * CAST(1 - l_discount AS {_DEC4})) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS {_DEC}) * CAST(1 - l_discount AS {_DEC4}) * CAST(1 + l_tax AS {_DEC4})) AS DOUBLE) AS sum_charge,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: scan + filter + hash aggregate.
+    Filter pushes to the parquet scan; partial aggregation is map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast(_DEC)  # noqa: E731
+    dec4 = lambda e: e.cast(_DEC4)  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * dec4(F.lit(1) - F.col("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                dec("l_extendedprice")
+                * dec4(F.lit(1) - F.col("l_discount"))
+                * dec4(F.lit(1) + F.col("l_tax"))
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS {_DEC}) * CAST(1 - l_discount AS {_DEC4})) AS DOUBLE) AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: selective dim filter → joins → agg → top-k.
+    customer is small relative to lineitem — broadcast it; lineitem↔orders
+    is the one real shuffle."""
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    dec = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast(_DEC4)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(dec).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS {_DEC}) * CAST(1 - l_discount AS {_DEC4})) AS DOUBLE) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style six-way join. All dims broadcast; the only large
+    shuffle is lineitem↔orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dec = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast(_DEC4)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(dec).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@register(
+    "join_semi_customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_outer_order_lineitem_counts",
+    oracle="""
+    SELECT o_orderkey, COUNT(l_orderkey) AS n_items
+    FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderkey ORDER BY o_orderkey
+    """,
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("n_items"))
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "agg_rollup_nation_region",
+    oracle=f"""
+    SELECT COALESCE(r_name, 'ALL') AS region_name,
+           COALESCE(CASE WHEN GROUPING(n_name) = 1 THEN NULL ELSE n_name END, 'ALL') AS nation_name,
+           CAST(SUM(CAST(c_acctbal AS {_DEC})) AS DOUBLE) AS total_acctbal,
+           COUNT(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY region_name, nation_name
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias("total_acctbal"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "total_acctbal",
+            "n_customers",
+        )
+        .orderBy("region_name", "nation_name")
+    )
+
+
+@register(
+    "agg_cube_priority_status",
+    oracle=f"""
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS {_DEC})) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    ORDER BY priority, status
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("priority", "status")
+    )
+
+
+@register(
+    "set_ops_nations",
+    oracle="""
+    WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+         sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+    SELECT 'both' AS which, nationkey FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn)
+    UNION ALL
+    SELECT 'customer_only' AS which, nationkey FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)
+    ORDER BY which, nationkey
+    """,
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    ).distinct()
+    sn = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    ).distinct()
+    both = cn.intersect(sn).select(F.lit("both").alias("which"), "nationkey")
+    conly = cn.exceptAll(sn).select(
+        F.lit("customer_only").alias("which"), "nationkey"
+    )
+    return both.unionAll(conly).orderBy("which", "nationkey")
+
+
+@register(
+    "window_topk_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders) t
+    WHERE rk <= 3 ORDER BY o_custkey, rk
+    """,
+)
+def window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rk")
+        )
+        .filter(F.col("rk") <= 3)
+        .orderBy("o_custkey", "rk")
+    )
+
+
+@register(
+    "window_running_total",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS {_DEC}))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+    FROM orders ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double").alias("running_total"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "window_lag_lead_order_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day', prev_date, o_orderdate) AS BIGINT) AS days_since_prev
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_date
+      FROM orders) t
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+            ).cast("bigint").alias("days_since_prev"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, event_type, value FROM (
+      SELECT user_id, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's latest-version-per-key semantics (SURVEY §2.2 P5) as
+    a general operator."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_json_extraction",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON shredding (the envelope-projection operator P1 generalized):
+    get_json_object stays JVM-side."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.get_json_object("props", "$.k").cast("bigint"))
+            .cast("bigint")
+            .alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events)
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions
+    FROM flagged GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via gap detection — lag + conditional sum."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_session = F.when(
+        prev.isNull()
+        | (F.col("ts").cast("long") - prev.cast("long") > 30 * 60),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").cast("bigint").alias("n_sessions"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the streaming tumbling-window aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "pivot_event_counts",
+    oracle="""
+    SELECT user_id,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        F.coalesce("click", F.lit(0)).cast("bigint").alias("click"),
+        F.coalesce("purchase", F.lit(0)).cast("bigint").alias("purchase"),
+        F.coalesce("view", F.lit(0)).cast("bigint").alias("view"),
+    ).orderBy("user_id")
+
+
+@register(
+    "asof_join_purchase_before_click",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts, p.ts AS purchase_ts, p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    ORDER BY c.event_id
+    """,
+)
+def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click gets the user's most recent purchase at or
+    before it. Union+window formulation (operators.asof) — one shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_mod.asof_join(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"], suffix="_p",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_p").alias("purchase_ts"),
+        F.col("value_p").alias("purchase_value"),
+    ).orderBy("event_id")
+
+
+@register(
+    "range_join_events_within_hour",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    ORDER BY click_id, purchase_id
+    """,
+)
+def range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-interval join, equi-blocked on user_id (hash join + filter,
+    no cross product)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    out = asof_mod.range_join_within(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        lower_seconds=0, upper_seconds=3600,
+    )
+    return out.select(
+        F.col("l.event_id").alias("click_id"), F.col("r.event_id").alias("purchase_id")
+    ).orderBy("click_id", "purchase_id")
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY 1 ORDER BY fp
+    """,
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_mod.exact_dedup(docs, "doc_id", "text").orderBy("fp")
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, lang,
+             list_distinct([list_aggregate(words[i:i+2], 'string_agg', ' ')
+                            FOR i IN range(1, len(words) - 1)]) AS shingles
+      FROM (SELECT doc_id, lang,
+                   string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS words
+            FROM documents)
+      WHERE len(words) >= 3)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+                 len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+          len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.2
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs, blocked by language."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_mod.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.2, block_col="lang"
+    ).orderBy("id_a", "id_b")
+
+
+@register("dedup_minhash_lsh_pairs")  # non-SQL-expressible: rows-only check
+def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_mod.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.2
+    ).orderBy("id_a", "id_b")
+
+
+@register("dedup_simhash_pairs")  # non-SQL-expressible: rows-only check
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_mod.simhash_pairs(docs, "doc_id", "text", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_bpe_tokens,
+           ROUND(CASE WHEN len(text) = 0 THEN 0.0
+                 ELSE CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / len(text) END, 6) AS punct_ratio,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        tx.bpe_token_estimate(F.col("text")).cast("bigint").alias("n_bpe_tokens"),
+        F.round(tx.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        tx.fingerprint(F.col("text")).alias("fp"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             [lower(w) FOR w IN (CASE WHEN trim(text) = '' THEN []
+                                 ELSE string_split_regex(trim(text), '\\s+') END)] AS words
+      FROM documents),
+    hits AS (
+      SELECT doc_id,
+             len(list_filter(words, w -> list_contains(['der','die','und','das','ein'], w))) AS h_de,
+             len(list_filter(words, w -> list_contains(['the','and','of','to','a'], w))) AS h_en,
+             len(list_filter(words, w -> list_contains(['el','la','de','que','y'], w))) AS h_es,
+             len(list_filter(words, w -> list_contains(['le','la','de','et','un'], w))) AS h_fr
+      FROM toks)
+    SELECT doc_id,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                ELSE 'fr' END AS lang_guess
+    FROM hits ORDER BY doc_id
+    """,
+)
+def text_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", tx.lang_id(F.col("text")).alias("lang_guess")
+    ).orderBy("doc_id")
+
+
+@register(
+    "similarity_bruteforce_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_dot_product([CAST(x AS DOUBLE) FOR x IN q.q_vec],
+                              [CAST(x AS DOUBLE) FOR x IN e.embedding]) /
+             (sqrt(list_dot_product([CAST(x AS DOUBLE) FOR x IN q.q_vec],
+                                    [CAST(x AS DOUBLE) FOR x IN q.q_vec])) *
+              sqrt(list_dot_product([CAST(x AS DOUBLE) FOR x IN e.embedding],
+                                    [CAST(x AS DOUBLE) FOR x IN e.embedding]))) AS cos
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cosine FROM (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored) t
+    WHERE rank <= 3 ORDER BY query_id, rank
+    """,
+)
+def similarity_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    return sim_mod.cosine_topk(emb, qs, k=3).orderBy("query_id", "rank")
+
+
+@register("similarity_lsh_topk")  # approximate: rows-only check
+def similarity_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    qs = emb.filter(F.col("vec_id") < 5)
+    return sim_mod.lsh_topk(emb, qs, dim=dim, k=3).orderBy("query_id", "rank")
+
+
+@register("embedding_near_dup_pairs")  # approximate: rows-only check
+def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return sim_mod.embedding_near_dup_pairs(emb, dim=dim, threshold=0.9).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming (Structured Streaming; oracle = equivalent batch SQL)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+)
+def streaming_tumbling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real Structured Streaming execution (availableNow drain into a
+    memory sink); result equals the batch tumbling-window query."""
+    import os as _os
+
+    from .streaming import windowed_event_counts
+
+    out = windowed_event_counts(
+        spark, _os.path.join(sf_dir, "events.parquet"), window_duration="1 hour"
+    )
+    return out.orderBy("window_start", "event_type")

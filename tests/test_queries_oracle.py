@@ -1,0 +1,73 @@
+"""Local mirror of the driver's correctness gate: run every registered
+query on Spark AND its DuckDB oracle at sf0.001, compare row counts,
+column names, and order-insensitive values."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from hbase_to_mongo_export_spark import queries as registry
+from hbase_to_mongo_export_spark.sources.catalog import TABLES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+ALL = sorted(registry.queries())
+WITH_ORACLE = sorted(registry.oracle_sql())
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(SF_DIR, t + '.parquet')}'"
+        )
+    yield con
+    con.close()
+
+
+def _canon(value):
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "nan"
+        return f"{value:.6g}"
+    if isinstance(value, (list, tuple)):
+        return tuple(_canon(v) for v in value)
+    return str(value)
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_query_matches_oracle(spark, duck, name):
+    sdf = registry.queries()[name](spark, SF_DIR)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    res = duck.execute(registry.oracle_sql()[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    s, d = _rowset(spark_cols, spark_rows), _rowset(duck_cols, duck_rows)
+    mismatch = [i for i, (a, b) in enumerate(zip(s, d)) if a != b][:5]
+    assert s == d, f"{name}: first diffs at {mismatch}: " + "; ".join(
+        f"spark={s[i]} duck={d[i]}" for i in mismatch
+    )
+
+
+@pytest.mark.parametrize("name", [n for n in ALL if n not in WITH_ORACLE])
+def test_query_runs_rows_only(spark, name):
+    sdf = registry.queries()[name](spark, SF_DIR)
+    assert sdf.count() >= 0
+    assert sdf.columns
