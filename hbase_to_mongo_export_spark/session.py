@@ -47,8 +47,18 @@ def get_spark(
         "spark.sql.session.timeZone": "UTC",
         # Parquet scans: keep pushdown + vectorized reader on (defaults, but
         # pinned here so a misconfigured environment can't silently regress).
+        # Scan split size: 16 MB suits a single-node many-core box reading
+        # modest files (32-way parallelism instead of 1 task per small
+        # file); cluster deployments at 100 TB should override to the
+        # 128-256 MB range via SPARK_GRAFT_MAX_PARTITION_BYTES.
+        "spark.sql.files.maxPartitionBytes": os.environ.get(
+            "SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"
+        ),
         "spark.sql.parquet.filterPushdown": "true",
         "spark.sql.parquet.enableVectorizedReader": "true",
+        # Driver testdata uses TIMESTAMP(NANOS); read as long + convert
+        # (sources.catalog truncates to microseconds, DuckDB-compatible).
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
         # Local mode is a single JVM: cap the UI off for speed/quiet.
         "spark.ui.enabled": "false",
     }
