@@ -124,27 +124,47 @@ def lsh_topk(
     vec_col: str = "embedding",
     k: int = 3,
     n_planes: int = 6,
+    n_tables: int = 8,
     multiprobe: int = 1,
     exclude_self: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's hyperplane bucket
-    (plus buckets within ``multiprobe`` flipped bits), then exact cosine +
-    window top-k on the candidate set only."""
-    planes = _hyperplanes(dim, n_planes)
+    """Approximate top-k via ``n_tables`` independent hyperplane hash
+    tables: candidates share the query's bucket in ANY table (plus buckets
+    within ``multiprobe`` flipped bits), then exact cosine + window top-k
+    on the candidate set only.
+
+    Recall ≈ 1-(1-p^planes)^tables for per-plane agreement p — one table
+    alone has poor recall in high dimension; independent tables are the
+    standard remedy and cost a linear factor in candidate generation
+    (corpus rows × tables in the bucket join, still no O(n²) stage)."""
+    tables = [
+        _hyperplanes(dim, n_planes, seed=f"lsh{t}") for t in range(n_tables)
+    ]
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    ).withColumn("bucket", bucket_id(F.col("c_vec"), planes))
+    ).withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                *[
+                    # table id folded into the bucket id's high bits
+                    bucket_id(F.col("c_vec"), tp) + F.lit(t << n_planes)
+                    for t, tp in enumerate(tables)
+                ]
+            )
+        ),
+    )
 
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    ).withColumn("q_bucket", bucket_id(F.col("q_vec"), planes))
-    # multi-probe: also search buckets at Hamming distance <= multiprobe
-    probes = [F.col("q_bucket")]
-    if multiprobe >= 1:
-        probes += [
-            F.col("q_bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
-        ]
+    )
+    probes = []
+    for t, tp in enumerate(tables):
+        base = bucket_id(F.col("q_vec"), tp) + F.lit(t << n_planes)
+        probes.append(base)
+        if multiprobe >= 1:
+            probes += [base.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
     q = q.withColumn("bucket", F.explode(F.array(*probes)))
 
     joined = c.join(F.broadcast(q), "bucket")

@@ -1,0 +1,259 @@
+"""Correctness tests for the operator layer: as-of joins, dedup family
+(verified against brute force), similarity search (recall vs exact),
+multimodal plumbing, and control-plane aggregation."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_to_mongo_export_spark.operators import asof, dedup, multimodal, similarity
+from hbase_to_mongo_export_spark.plans.status import (
+    LocalStatusStore,
+    completion_status,
+)
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+class TestAsof:
+    def test_backward_inclusive(self, spark):
+        left = spark.createDataFrame(
+            [(1, ts("2024-01-01T10:00:00"), "a"),
+             (1, ts("2024-01-01T12:00:00"), "b"),
+             (2, ts("2024-01-01T10:00:00"), "c")],
+            "k int, t timestamp, tag string",
+        )
+        right = spark.createDataFrame(
+            [(1, ts("2024-01-01T09:00:00"), 10.0),
+             (1, ts("2024-01-01T10:00:00"), 20.0),
+             (1, ts("2024-01-01T11:00:00"), 30.0),
+             (2, ts("2024-01-01T11:00:00"), 99.0)],
+            "k int, t timestamp, v double",
+        )
+        out = {
+            (r.tag): (r.v_right, r.t_right)
+            for r in asof.asof_join(
+                left, right, key="k", left_ts="t", right_ts="t", value_cols=["v"]
+            ).collect()
+        }
+        # inclusive: equal timestamp matches
+        assert out["a"] == (20.0, ts("2024-01-01T10:00:00"))
+        assert out["b"] == (30.0, ts("2024-01-01T11:00:00"))
+        # no right row at or before ⇒ nulls
+        assert out["c"] == (None, None)
+
+    def test_exclusive(self, spark):
+        left = spark.createDataFrame(
+            [(1, ts("2024-01-01T10:00:00"))], "k int, t timestamp"
+        )
+        right = spark.createDataFrame(
+            [(1, ts("2024-01-01T10:00:00"), 1.0),
+             (1, ts("2024-01-01T09:00:00"), 2.0)],
+            "k int, t timestamp, v double",
+        )
+        r = asof.asof_join(
+            left, right, key="k", left_ts="t", right_ts="t",
+            value_cols=["v"], inclusive=False,
+        ).collect()[0]
+        assert r.v_right == 2.0  # equal-ts right row excluded
+
+    def test_matches_duckdb_asof_semantics_on_random(self, spark):
+        import random
+
+        rnd = random.Random(7)
+        lrows = [(rnd.randint(1, 5), ts("2024-01-01T00:00:00")
+                  + dt.timedelta(minutes=rnd.randint(0, 500)), i) for i in range(80)]
+        rrows = [(rnd.randint(1, 5), ts("2024-01-01T00:00:00")
+                  + dt.timedelta(minutes=rnd.randint(0, 500)), float(i)) for i in range(60)]
+        left = spark.createDataFrame(lrows, "k int, t timestamp, lid int")
+        right = spark.createDataFrame(rrows, "k int, t timestamp, v double")
+        got = {
+            r.lid: r.v_right
+            for r in asof.asof_join(
+                left, right, key="k", left_ts="t", right_ts="t", value_cols=["v"]
+            ).collect()
+        }
+        # brute-force expectation (ties on right ts: max v among latest ts
+        # is not defined — make rrows unique per (k,t))
+        latest = {}
+        for lk, lt, lid in lrows:
+            cands = [(rt, v) for (rk, rt, v) in rrows if rk == lk and rt <= lt]
+            latest[lid] = max(cands)[1] if cands else None
+        # drop lids where two right rows share the winning (k, ts)
+        for lk, lt, lid in lrows:
+            winners = [
+                (rt, v) for (rk, rt, v) in rrows if rk == lk and rt <= lt
+            ]
+            if winners:
+                best_t = max(w[0] for w in winners)
+                if sum(1 for w in winners if w[0] == best_t) > 1:
+                    latest.pop(lid, None)
+        for lid, expect in latest.items():
+            assert got[lid] == expect
+
+
+class TestDedup:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        rows = [
+            (0, "the quick brown fox jumps over the lazy dog today"),
+            (1, "the quick brown fox jumps over the lazy dog tonight"),  # near-dup of 0
+            (2, "completely different text about spark execution engines"),
+            (3, "the quick brown fox jumps over the lazy dog today"),     # exact dup of 0
+            (4, "Spark   Execution ENGINES  "),
+            (5, "totally unrelated words describing benchmark results"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_exact_dedup(self, spark, docs):
+        out = {r.fp: (r.doc_id, r.dup_count) for r in
+               dedup.exact_dedup(docs, "doc_id", "text").collect()}
+        assert len(out) == 5  # 0 and 3 merge
+        assert (0, 2) in out.values()
+
+    def test_ngram_jaccard_finds_near_dup(self, spark, docs):
+        pairs = dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+        got = {(r.id_a, r.id_b) for r in pairs}
+        assert (0, 1) in got and (0, 3) in got and (1, 3) in got
+        assert all(a in (0, 1, 3) and b in (0, 1, 3) for a, b in got)
+        exact = [r for r in pairs if (r.id_a, r.id_b) == (0, 3)][0]
+        assert exact.jaccard == 1.0
+
+    def test_minhash_lsh_agrees_with_exact_on_high_jaccard(self, spark, docs):
+        lsh = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5
+        ).collect()}
+        # exact dup pair must always survive banding; high-sim pairs should too
+        assert (0, 3) in lsh
+        assert (0, 1) in lsh and (1, 3) in lsh
+
+    def test_simhash_exact_dup_distance_zero(self, spark, docs):
+        pairs = {(r.id_a, r.id_b): r.hamming for r in dedup.simhash_pairs(
+            docs, "doc_id", "text", max_hamming=10
+        ).collect()}
+        assert pairs[(0, 3)] == 0
+        assert pairs[(0, 1)] <= 10
+
+    def test_shingles_edge_cases(self, spark):
+        df = spark.createDataFrame(
+            [(0, ""), (1, "one two"), (2, "one two three")],
+            "doc_id long, text string",
+        )
+        rows = df.select(
+            "doc_id", F.size(dedup.word_shingles(F.col("text"), 3)).alias("n")
+        ).collect()
+        got = {r.doc_id: r.n for r in rows}
+        assert got == {0: 0, 1: 0, 2: 1}
+
+
+class TestSimilarity:
+    def test_bruteforce_matches_numpy(self, spark, tables, sf_dir):
+        import numpy as np
+
+        emb = tables["embeddings"]
+        out = similarity.cosine_topk(emb, emb.filter("vec_id < 3"), k=3).collect()
+        data = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+                for r in emb.collect()}
+        for qid in range(3):
+            q = data[qid]
+            sims = sorted(
+                ((float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v))), -vid), vid)
+                for vid, v in data.items() if vid != qid
+            )[::-1][:3]
+            expect = [vid for _, vid in sims]
+            got = [r.neighbor_id for r in sorted(
+                (x for x in out if x.query_id == qid), key=lambda r: r.rank)]
+            assert got == expect
+
+    def test_lsh_recall_reasonable(self, spark, tables):
+        emb = tables["embeddings"]
+        qs = emb.filter("vec_id < 20")
+        exact = similarity.cosine_topk(emb, qs, k=3).collect()
+        approx = similarity.lsh_topk(
+            emb, qs, dim=len(emb.first().embedding), k=3, n_planes=6, multiprobe=1
+        ).collect()
+        exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+        approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+        recall = len(exact_set & approx_set) / len(exact_set)
+        assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+    def test_embedding_near_dup_self_consistency(self, spark, tables):
+        emb = tables["embeddings"]
+        dup = emb.select(
+            (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+        ).limit(5)
+        with_dups = emb.select("vec_id", "embedding").unionByName(dup)
+        pairs = similarity.embedding_near_dup_pairs(
+            with_dups, dim=len(emb.first().embedding), threshold=0.999
+        ).collect()
+        found = {(r.id_a, r.id_b) for r in pairs}
+        for r in dup.collect():
+            assert (r.vec_id - 10000, r.vec_id) in found
+
+
+class TestMultimodal:
+    def test_image_features_plumbing(self, spark):
+        media = multimodal.synthetic_media(spark, n=30)
+        out = multimodal.image_features(media, fake=True).collect()
+        assert len(out) == 30
+        for r in out:
+            assert r.n_bytes > 0 and len(r.features) == 8
+            assert all(0.0 <= f <= 1.0 for f in r.features)
+        # determinism
+        again = multimodal.image_features(media, fake=True).collect()
+        assert sorted(map(str, out)) == sorted(map(str, again))
+
+    def test_strict_mode_raises(self, spark):
+        media = multimodal.synthetic_media(spark, n=4)
+        with pytest.raises(Exception):
+            multimodal.image_features(media, fake=False).collect()
+
+    def test_frame_sample(self, spark):
+        media = multimodal.synthetic_media(spark, n=12)
+        frames = multimodal.frame_sample(media, every_ms=1000, fake=True)
+        rows = frames.collect()
+        assert rows and all(r.frame_ts_ms % 1000 == 0 for r in rows)
+        videos = {r["media_id"]: r for r in media.collect() if r.meta.media_type == "video"}
+        per_video = {}
+        for r in rows:
+            per_video.setdefault(r.media_id, 0)
+            per_video[r.media_id] += 1
+        for mid, n in per_video.items():
+            assert n == -(-videos[mid].meta.duration_ms // 1000)
+
+    def test_media_repartition(self, spark):
+        media = multimodal.synthetic_media(spark, n=30)
+        out = multimodal.media_repartition(media, target_bytes=1024)
+        assert out.count() == 30
+        assert out.rdd.getNumPartitions() >= 2
+
+
+class TestStatus:
+    def test_completion_fold(self, spark, tmp_path):
+        store = LocalStatusStore(str(tmp_path / "status.jsonl"))
+        store.set_status("run1", "coll_a", "Exported", 3)
+        store.set_status("run1", "coll_b", "Exported", 2)
+        store.set_status("run2", "coll_a", "Exporting", 0)
+        store.set_status("run3", "coll_a", "Export_Failed", 0)
+        store.set_status("run3", "coll_b", "Exported", 1)
+        store.set_status("run4", "coll_a", "Blocked_Topic", 0)
+        df = completion_status(store.to_df(spark))
+        got = {r.correlation_id: r.run_status for r in df.collect()}
+        assert got == {
+            "run1": "COMPLETED_SUCCESSFULLY",
+            "run2": "IN_PROGRESS",
+            "run3": "COMPLETED_UNSUCCESSFULLY",
+            "run4": "COMPLETED_UNSUCCESSFULLY",
+        }
+
+    def test_increment_exported_count(self, spark, tmp_path):
+        store = LocalStatusStore(str(tmp_path / "status.jsonl"))
+        store.increment_exported_count("run1", "c")
+        store.increment_exported_count("run1", "c")
+        df = store.to_df(spark)
+        assert df.collect()[0].files_exported == 2
