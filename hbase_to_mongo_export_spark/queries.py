@@ -804,3 +804,232 @@ def streaming_tumbling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _os.path.join(sf_dir, "events.parquet"), window_duration="1 hour"
     )
     return out.orderBy("window_start", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Additional relational coverage (round 1 widening)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q6_revenue_forecast",
+    oracle=f"""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS {_DEC}) * CAST(l_discount AS {_DEC4})), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: pure scan + conjunctive filter + single aggregate —
+    the filters all push to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount").between(0.03, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast(_DEC) * F.col("l_discount").cast(_DEC4)),
+            2,
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@register(
+    "agg_stats_per_status",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price,
+           ROUND(AVG(o_totalprice), 4) AS avg_price,
+           ROUND(STDDEV_SAMP(o_totalprice), 4) AS sd_price
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def agg_stats_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "percentiles_order_price",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def percentiles_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) — Spark `percentile` and
+    DuckDB `quantile_cont` share the interpolation rule."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "count_distinct_users",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "orders_per_month",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, COUNT(*) AS n_orders
+    FROM orders GROUP BY 1 ORDER BY month
+    """,
+)
+def orders_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("month")
+    )
+
+
+@register(
+    "string_functions_parts",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN lower(p_name) LIKE '%green%' THEN 1 ELSE 0 END) AS BIGINT) AS n_green,
+           MIN(upper(substr(p_type, 1, 5))) AS first_type
+    FROM part GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def string_functions_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.lower("p_name").like("%green%"), 1).otherwise(0)
+            ).cast("bigint").alias("n_green"),
+            F.min(F.upper(F.substring("p_type", 1, 5))).alias("first_type"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+    ORDER BY priority, status
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               COUNT(*) AS n
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        ORDER BY priority, status
+        """
+    )
+
+
+@register(
+    "word_count_top20",
+    oracle="""
+    SELECT w AS word, COUNT(*) AS n
+    FROM (SELECT unnest(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+          FROM documents) t
+    WHERE w <> ''
+    GROUP BY w ORDER BY n DESC, word LIMIT 20
+    """,
+)
+def word_count_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic: explode → count → top-k with deterministic tiebreak."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+        ).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(20)
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE [lower(w) FOR w IN string_split_regex(trim(text), '\\s+')] END AS words
+      FROM documents),
+    feats AS (
+      SELECT doc_id,
+             CASE WHEN len(words) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(words, w -> list_contains(['the','and','of','to','a'], w))) AS DOUBLE) / len(words) END AS sw,
+             CASE WHEN len(words) = 0 THEN 0.0
+                  ELSE CAST(list_sum([CAST(len(w) AS BIGINT) FOR w IN words]) AS DOUBLE) / len(words) END AS mwl,
+             CASE WHEN len(text) = 0 THEN 0.0
+                  ELSE CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / len(text) END AS punct,
+             CASE WHEN len(text) = 0 THEN 0.0
+                  ELSE CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / len(text) END AS dig
+      FROM base)
+    SELECT doc_id,
+           ROUND(0.4 * least(sw * 4.0, 1.0)
+               + 0.4 * (1.0 - least(abs(mwl - 5.0) / 5.0, 1.0))
+               + 0.2 * (1.0 - least(punct + dig, 1.0)), 6) AS quality
+    FROM feats ORDER BY doc_id
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", tx.quality_score(F.col("text")).alias("quality")
+    ).orderBy("doc_id")
