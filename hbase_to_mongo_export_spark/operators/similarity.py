@@ -211,3 +211,75 @@ def embedding_near_dup_pairs(
         F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-style approximate top-k: vectors are assigned to their nearest
+    centroid (inverted lists); queries probe the ``nprobe`` nearest
+    centroids and run exact cosine only inside those lists.
+
+    Centroids are hash-sampled deterministically from the corpus (the
+    ``n_centroids`` smallest xxhash64(id) rows) — no iterative k-means, no
+    RNG, reproducible across runs. At 100 TB the assignment is a narrow
+    projection against broadcast centroid literals and candidate
+    generation is an equi-join on centroid id; quality tracks how well the
+    sampled centroids cover the distribution (plug in trained centroids
+    for production-grade recall).
+    """
+    sampled = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("__h", F.xxhash64(F.col(id_col).cast("string")))
+        .orderBy("__h")
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [list(r[1]) for r in sampled]
+
+    def nearest(vec, topn: int):
+        """Array of the ``topn`` nearest centroid ids for a vector column."""
+        dists = F.array(
+            *[
+                F.struct(
+                    (-cosine(vec, F.array(*[F.lit(float(x)) for x in c]))).alias("d"),
+                    F.lit(i).alias("cid"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        return F.transform(
+            F.slice(F.array_sort(dists), 1, topn), lambda s: s["cid"]
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).withColumn("cid", nearest(F.col("c_vec"), 1)[0])
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("cid", F.explode(nearest(F.col("q_vec"), nprobe)))
+
+    joined = c.join(F.broadcast(q), "cid")
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("__cos")
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("__cos", 6).alias("cosine")
+        )
+    )

@@ -145,28 +145,56 @@ def build_export(
     return records, quarantine
 
 
-def run_export(spark: SparkSession, source: DataFrame, cfg: ExportConfig) -> ExportResult:
+def run_export(
+    spark: SparkSession,
+    source: DataFrame,
+    cfg: ExportConfig,
+    correlation_id: str = "run",
+    status_store=None,
+    notifier=None,
+) -> ExportResult:
     """Execute an export end-to-end: build, write snapshot + manifest,
-    return the control-plane status (reference afterJob semantics,
-    JobCompletionNotificationListener.kt:47-97)."""
+    record status and emit notifications (reference afterJob semantics,
+    JobCompletionNotificationListener.kt:47-97; per-file A2 increments at
+    S3StreamingWriter.kt:131-132).
+
+    ``status_store``/``notifier`` follow plans.status.LocalStatusStore /
+    LocalNotifier; pass AWS-backed implementations in production."""
     from . import sink  # local import to avoid a cycle
+
+    collection = cfg.topic.rsplit(".", 1)[-1]
+
+    def set_status(status: str, files: int = 0) -> None:
+        if status_store is not None:
+            status_store.set_status(correlation_id, collection, status, files)
 
     try:
         records, quarantine = build_export(source, cfg)
     except env.BlockedTopicError:
+        set_status("Blocked_Topic")
         return ExportResult(cfg.topic, "Blocked_Topic", 0, 0, [], [])
 
+    set_status("Exporting")
     try:
         written = sink.write_snapshot(records, cfg)
         n_quarantined = quarantine.count()
-        status = "Exported"
+        if status_store is not None:
+            for _ in written.files:
+                status_store.increment_exported_count(correlation_id, collection)
+        if notifier is not None:
+            for f in written.files:
+                notifier.notify_snapshot_sender(cfg.topic, f)
+            if not written.files:
+                notifier.notify_no_files_exported(cfg.topic)
+        set_status("Exported", len(written.files))
         return ExportResult(
             cfg.topic,
-            status,
+            "Exported",
             written.records,
             n_quarantined,
             written.files,
             written.manifest_files,
         )
     except Exception:
+        set_status("Export_Failed")
         return ExportResult(cfg.topic, "Export_Failed", 0, 0, [], [])

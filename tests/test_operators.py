@@ -257,3 +257,82 @@ class TestStatus:
         store.increment_exported_count("run1", "c")
         df = store.to_df(spark)
         assert df.collect()[0].files_exported == 2
+
+
+class TestIVF:
+    def test_ivf_recall_reasonable(self, spark, tables):
+        from hbase_to_mongo_export_spark.operators import similarity as sim
+
+        emb = tables["embeddings"]
+        qs = emb.filter("vec_id < 20")
+        exact = sim.cosine_topk(emb, qs, k=3).collect()
+        approx = sim.ivf_topk(emb, qs, k=3, n_centroids=8, nprobe=4).collect()
+        exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+        approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+        recall = len(exact_set & approx_set) / len(exact_set)
+        assert recall >= 0.4, f"IVF recall too low: {recall}"
+
+    def test_ivf_deterministic(self, spark, tables):
+        from hbase_to_mongo_export_spark.operators import similarity as sim
+
+        emb = tables["embeddings"]
+        qs = emb.filter("vec_id < 5")
+        a = sorted(map(str, sim.ivf_topk(emb, qs, k=3).collect()))
+        b = sorted(map(str, sim.ivf_topk(emb, qs, k=3).collect()))
+        assert a == b
+
+
+class TestControlPlaneWiring:
+    def test_run_export_records_status_and_messages(self, spark, tmp_path):
+        from hbase_to_mongo_export_spark.plans.export import ExportConfig, run_export
+        from hbase_to_mongo_export_spark.plans.status import (
+            LocalNotifier,
+            LocalStatusStore,
+            completion_status,
+        )
+        from hbase_to_mongo_export_spark.sources import fixtures
+        import json as _json
+
+        store = LocalStatusStore(str(tmp_path / "status.jsonl"))
+        notifier = LocalNotifier(str(tmp_path / "messages.jsonl"))
+        src = fixtures.source_records(spark, n=50)
+        cfg = ExportConfig(
+            topic="db.database.collection",
+            output_dir=str(tmp_path / "out"),
+            manifest_dir=str(tmp_path / "manifest"),
+        )
+        res = run_export(
+            spark, src, cfg, correlation_id="corr1",
+            status_store=store, notifier=notifier,
+        )
+        assert res.status == "Exported"
+        df = store.to_df(spark)
+        row = df.filter("collection = 'collection'").collect()[0]
+        assert row.status == "Exported"
+        assert row.files_exported == len(res.files) > 0
+        msgs = [_json.loads(l) for l in open(tmp_path / "messages.jsonl")]
+        snapshot_msgs = [m for m in msgs if m["kind"] == "snapshot_file"]
+        assert len(snapshot_msgs) == len(res.files)
+        assert snapshot_msgs[0]["message_group"] == "db_database_collection"
+        comp = completion_status(store.to_df(spark)).collect()[0]
+        assert comp.run_status == "COMPLETED_SUCCESSFULLY"
+
+    def test_run_export_blocked_records_status(self, spark, tmp_path):
+        from hbase_to_mongo_export_spark.plans.export import ExportConfig, run_export
+        from hbase_to_mongo_export_spark.plans.status import (
+            LocalStatusStore,
+            completion_status,
+        )
+        from hbase_to_mongo_export_spark.sources import fixtures
+
+        store = LocalStatusStore(str(tmp_path / "status.jsonl"))
+        src = fixtures.source_records(spark, n=5)
+        cfg = ExportConfig(
+            topic="db.blocked.topic",
+            output_dir=str(tmp_path / "out"),
+            blocked_topics="db.blocked.topic",
+        )
+        res = run_export(spark, src, cfg, correlation_id="c2", status_store=store)
+        assert res.status == "Blocked_Topic"
+        comp = completion_status(store.to_df(spark)).collect()[0]
+        assert comp.run_status == "COMPLETED_UNSUCCESSFULLY"
