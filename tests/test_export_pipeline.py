@@ -208,3 +208,59 @@ class TestSinks:
             lines.extend(plain.decode("utf-8").splitlines())
         assert len(lines) == 50
         json.loads(lines[0])
+
+
+class TestConnectors:
+    def test_unavailable_connectors_raise_clearly(self, spark, source):
+        from hbase_to_mongo_export_spark.sources import connectors
+
+        with pytest.raises(connectors.ConnectorUnavailable, match="classpath"):
+            connectors.read_hbase(spark, "database:collection")
+        with pytest.raises(connectors.ConnectorUnavailable, match="classpath"):
+            connectors.write_mongo(
+                source, "mongodb://localhost", "db", "coll", fmt="mongodb-missing"
+            )
+
+
+class TestGolden10k:
+    """Full-scale golden test mirroring the reference integration suite
+    (UberTestSpec.kt): 10k records, 100 KB byte cap, bz2, strict naming."""
+
+    def test_uber_scenario(self, spark, tmp_path):
+        src = fixtures.source_records(spark, n=10_000)
+        c = cfg(
+            tmp_path,
+            strict_sink=True,
+            max_batch_bytes=100_000,
+            scan_width=40,
+            compression="bzip2",
+        )
+        result = run_export(spark, src, c)
+        assert result.status == "Exported"
+        assert result.records == 10_000
+
+        import bz2 as bz2mod
+
+        lines = []
+        for f in result.files:
+            assert "/db.database.collection-" in f and f.endswith(".bz2")
+            lines += bz2mod.decompress(open(f, "rb").read()).decode().splitlines()
+        assert len(lines) == 10_000
+        # UberTestSpec.kt:171-178: 50/50 split of $oid-normalized (→ d_oid)
+        oid = [ln for ln in lines if '"d_oid"' in ln]
+        assert len(oid) == 5_000
+        for ln in lines[:100]:
+            rec = json.loads(ln)
+            assert "$" not in ln
+            assert rec["_lastModifiedDateTime"] == {"d_date": "2018-12-14T15:01:02.000Z"}
+
+        manifest_lines = []
+        for f in result.manifest_files:
+            manifest_lines += open(f, encoding="utf-8").read().splitlines()
+        assert len(manifest_lines) == 10_000
+        ids = set()
+        for ln in manifest_lines:
+            parts = ln.split("|")
+            assert parts[1] == "1000" and parts[4] == "EXPORT"
+            ids.add(parts[0])
+        assert len(ids) == 10_000
