@@ -1033,3 +1033,98 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", tx.quality_score(F.col("text")).alias("quality")
     ).orderBy("doc_id")
+
+
+@register(
+    "q17_correlated_subquery",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0, 2) AS DOUBLE) AS avg_yearly
+    FROM lineitem l1
+    WHERE l_quantity < (SELECT 0.2 * AVG(l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+    """,
+)
+def q17_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style correlated scalar subquery — Catalyst decorrelates
+    it into an aggregate + join; expressed through the SQL surface to
+    exercise the subquery planner."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__q17_lineitem")
+    return spark.sql(
+        """
+        SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0, 2) AS DOUBLE) AS avg_yearly
+        FROM __q17_lineitem l1
+        WHERE l_quantity < (SELECT 0.2 * AVG(l_quantity)
+                            FROM __q17_lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+        """
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS cust_nation, CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS {_DEC}) * CAST(1 - l_discount AS {_DEC4})), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE n2.n_name <> n1.n_name
+    GROUP BY n1.n_name, year(l_shipdate)
+    ORDER BY cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-style cross-nation volume: fact-fact shuffle join + broadcast
+    dims + date-part grouping."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    dec = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast(_DEC4)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == n1.c_nkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), supp.s_nationkey == n2.s_nkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year"))
+        .agg(F.round(F.sum(dec), 2).cast("double").alias("revenue"))
+        .orderBy("cust_nation", "l_year")
+    )
+
+
+@register(
+    "null_ordering_last_purchase",
+    oracle="""
+    SELECT c_custkey, last_purchase
+    FROM (
+      SELECT c_custkey, MAX(o_orderdate) AS last_purchase
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey)
+    ORDER BY last_purchase DESC NULLS LAST, c_custkey
+    LIMIT 50
+    """,
+)
+def null_ordering_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit null ordering — Spark and DuckDB have opposite defaults
+    (nulls first vs nulls last on DESC), so the direction is pinned."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.max("o_orderdate").alias("last_purchase"))
+        .orderBy(F.col("last_purchase").desc_nulls_last(), "c_custkey")
+        .limit(50)
+    )
