@@ -223,34 +223,27 @@ def minhash_lsh_pairs(
         F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
     ).select(F.col(id_col), F.xxhash64("shingle").alias("h"))
     masks = _xor_params(num_hashes)
+    # expression STRINGS, not Column chains: building 64 aggregates +
+    # 16 band structs through per-call py4j Columns costs >1s of driver
+    # time per invocation; F.expr parses each JVM-side in one hop.
     sig = exploded.groupBy(id_col).agg(
         *[
-            F.min(F.col("h").bitwiseXOR(F.lit(m).cast("long"))).alias(f"m{i}")
+            F.expr(f"min(h ^ CAST({m} AS BIGINT))").alias(f"m{i}")
             for i, m in enumerate(masks)
         ]
     )
 
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bucket', xxhash64(concat_ws(',', {cols})))".format(
+            b=b,
+            cols=", ".join(
+                f"m{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
     banded = sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"m{b * rows_per_band + r}").cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        id_col, F.explode(F.expr(f"array({band_structs})")).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
 
     a = banded.alias("a")

@@ -1128,3 +1128,28 @@ def null_ordering_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("last_purchase").desc_nulls_last(), "c_custkey")
         .limit(50)
     )
+
+
+@register(
+    "streaming_stateful_user_stats",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value,
+           MAX(ts) AS last_ts
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): the
+    drained per-user running aggregates equal the batch groupBy answer."""
+    import os as _os
+
+    from .streaming.stateful import running_user_stats
+
+    out = running_user_stats(spark, _os.path.join(sf_dir, "events.parquet"))
+    return out.select(
+        "user_id",
+        F.col("n_events"),
+        F.col("sum_value"),
+        F.col("last_ts"),
+    ).orderBy("user_id")
