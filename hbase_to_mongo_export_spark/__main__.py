@@ -1,0 +1,114 @@
+"""CLI: the export job as a parameterized Spark application.
+
+Mirrors the reference's property-driven entrypoint (HBaseToMongoExport.kt
++ ~60 Spring properties, README.md:37-109 of the reference) as argparse
+flags over the same capability surface::
+
+    python -m hbase_to_mongo_export_spark export \
+        --topic db.database.collection --source /data/source_records \
+        --output /data/out --manifest /data/manifest \
+        --compression gzip --strict --max-batch-bytes 100000 \
+        --ts-start 0 --ts-end 253402300800000 \
+        --status-file /data/status.jsonl --correlation-id run42
+
+    python -m hbase_to_mongo_export_spark completion-status \
+        --status-file /data/status.jsonl
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="hbase_to_mongo_export_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    e = sub.add_parser("export", help="run a snapshot export for one topic")
+    e.add_argument("--topic", required=True)
+    e.add_argument("--source", required=True, help="parquet dir/file of (key, ts, value)")
+    e.add_argument("--output", required=True)
+    e.add_argument("--manifest")
+    e.add_argument("--blocked-topics", default=None)
+    e.add_argument("--ts-start", type=int, default=None)
+    e.add_argument("--ts-end", type=int, default=None)
+    e.add_argument("--snapshot-type", choices=["full", "incremental"], default="full")
+    e.add_argument("--compression", default="gzip", choices=["gzip", "bzip2", "none"])
+    e.add_argument("--strict", action="store_true", help="HTME naming/byte-cap sink")
+    e.add_argument("--encrypt-output", action="store_true")
+    e.add_argument("--max-batch-bytes", type=int, default=100_000_000)
+    e.add_argument("--scan-width", type=int, default=5)
+    e.add_argument("--plaintext-payloads", action="store_true")
+    e.add_argument("--correlation-id", default="run")
+    e.add_argument("--status-file", default=None)
+    e.add_argument("--messages-file", default=None)
+
+    c = sub.add_parser("completion-status", help="fold run statuses (A3)")
+    c.add_argument("--status-file", required=True)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    from .session import get_spark
+
+    spark = get_spark("hbase-to-mongo-export-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cmd == "export":
+        from .plans.export import ExportConfig, run_export
+        from .plans.status import LocalNotifier, LocalStatusStore
+
+        cfg = ExportConfig(
+            topic=args.topic,
+            output_dir=args.output,
+            manifest_dir=args.manifest,
+            blocked_topics=args.blocked_topics,
+            ts_start=args.ts_start,
+            ts_end=args.ts_end,
+            snapshot_type=args.snapshot_type,
+            compression=args.compression,
+            strict_sink=args.strict,
+            encrypt_output=args.encrypt_output,
+            max_batch_bytes=args.max_batch_bytes,
+            scan_width=args.scan_width,
+            plaintext_payloads=args.plaintext_payloads,
+        )
+        source = spark.read.parquet(args.source)
+        store = LocalStatusStore(args.status_file) if args.status_file else None
+        notifier = LocalNotifier(args.messages_file) if args.messages_file else None
+        result = run_export(
+            spark, source, cfg,
+            correlation_id=args.correlation_id,
+            status_store=store, notifier=notifier,
+        )
+        print(
+            json.dumps(
+                {
+                    "topic": result.topic,
+                    "status": result.status,
+                    "records": result.records,
+                    "quarantined": result.quarantined,
+                    "files": len(result.files),
+                    "manifest_files": len(result.manifest_files),
+                }
+            )
+        )
+        return 0 if result.status in ("Exported",) else 1
+
+    if args.cmd == "completion-status":
+        from .plans.status import LocalStatusStore, completion_status
+
+        store = LocalStatusStore(args.status_file)
+        rows = completion_status(store.to_df(spark)).collect()
+        for r in rows:
+            print(json.dumps(r.asDict()))
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

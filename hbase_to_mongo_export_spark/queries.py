@@ -1267,3 +1267,31 @@ def session_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "events_variant_shredding",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_variant_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads via Spark 4's VARIANT type: parse_json once,
+    then binary-encoded field access (no per-access JSON re-parse — the
+    scale path for dynamic-schema columns, cf. the reference's schema-less
+    dbObject payloads)."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select("user_id", F.parse_json("props").alias("v")).select(
+        "user_id", F.try_variant_get("v", "$.k", "bigint").alias("k")
+    )
+    return (
+        v.groupBy("user_id")
+        .agg(
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+        .orderBy("user_id")
+    )

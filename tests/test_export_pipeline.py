@@ -264,3 +264,39 @@ class TestGolden10k:
             assert parts[1] == "1000" and parts[4] == "EXPORT"
             ids.add(parts[0])
         assert len(ids) == 10_000
+
+
+class TestCLI:
+    def test_export_and_completion_status(self, spark, tmp_path):
+        import subprocess, sys
+
+        src_dir = str(tmp_path / "src")
+        fixtures.source_records(spark, n=30).write.mode("overwrite").parquet(src_dir)
+        out = subprocess.run(
+            [
+                sys.executable, "-m", "hbase_to_mongo_export_spark", "export",
+                "--topic", "db.database.collection",
+                "--source", src_dir,
+                "--output", str(tmp_path / "out"),
+                "--manifest", str(tmp_path / "manifest"),
+                "--status-file", str(tmp_path / "status.jsonl"),
+                "--messages-file", str(tmp_path / "messages.jsonl"),
+                "--correlation-id", "cli-run",
+            ],
+            capture_output=True, text=True, timeout=300,
+            cwd="/root/repo",
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        result = json.loads(out.stdout.strip().splitlines()[-1])
+        assert result["status"] == "Exported" and result["records"] == 30
+
+        out2 = subprocess.run(
+            [
+                sys.executable, "-m", "hbase_to_mongo_export_spark",
+                "completion-status", "--status-file", str(tmp_path / "status.jsonl"),
+            ],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+        assert out2.returncode == 0, out2.stderr[-2000:]
+        st = json.loads(out2.stdout.strip().splitlines()[-1])
+        assert st["run_status"] == "COMPLETED_SUCCESSFULLY"

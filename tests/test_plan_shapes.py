@@ -1,0 +1,94 @@
+"""Plan-shape regression tests: the physical plans we rely on for the
+100 TB posture — filter pushdown to parquet, broadcast joins for dims,
+shuffle-free bucketed joins — must not silently regress."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_to_mongo_export_spark import queries as registry
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+class TestPushdownAndBroadcast:
+    def test_time_filters_pushed_to_scan(self, spark, sf_dir):
+        df = registry.queries()["q1_pricing_summary"](spark, sf_dir)
+        plan = plan_of(df)
+        assert re.search(r"PushedFilters:.*LessThanOrEqual\(l_shipdate", plan), plan
+
+    def test_dim_joins_broadcast(self, spark, sf_dir):
+        for q in ["q3_shipping_priority", "q5_local_supplier_volume"]:
+            plan = plan_of(registry.queries()[q](spark, sf_dir))
+            assert "BroadcastHashJoin" in plan, q
+            # no sort-merge join should survive at these dim sizes
+            assert "SortMergeJoin" not in plan, q
+
+    def test_envelope_projection_prunes_columns(self, spark, sf_dir):
+        df = registry.queries()["events_json_extraction"](spark, sf_dir)
+        plan = plan_of(df)
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m, plan
+        read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert "user_id" not in read_cols  # untouched columns not scanned
+        assert {"event_type", "props"} <= read_cols
+
+    def test_asof_join_single_shuffle(self, spark, sf_dir):
+        df = registry.queries()["asof_join_purchase_before_click"](spark, sf_dir)
+        plan = plan_of(df)
+        # exactly one Exchange for the window partitioning plus one for
+        # the final orderBy; never a join explosion
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
+        n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+        assert n_exchanges <= 2, plan
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_shuffle(self, spark, sf_dir, tmp_path):
+        """bucketBy co-located join: both sides bucketed on the key ⇒ the
+        join plans with zero Exchange — the 100 TB fact-fact join answer."""
+        orders = registry._t(spark, sf_dir, "orders")
+        li = registry._t(spark, sf_dir, "lineitem")
+        (
+            orders.write.mode("overwrite")
+            .bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", str(tmp_path / "orders_b"))
+            .saveAsTable("orders_b")
+        )
+        (
+            li.write.mode("overwrite")
+            .bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", str(tmp_path / "lineitem_b"))
+            .saveAsTable("lineitem_b")
+        )
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            j = spark.table("lineitem_b").join(
+                spark.table("orders_b"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            ).groupBy("o_orderstatus").count()
+            plan = plan_of(j)
+            # no Exchange may feed the join (bucket layout co-locates);
+            # the aggregate after it may still shuffle
+            join_pos = plan.find("SortMergeJoin")
+            assert join_pos != -1, plan
+            tree = plan.split("\n\n")[0]
+            join_line = [l for l in tree.splitlines() if "SortMergeJoin" in l][0]
+            depth = len(join_line) - len(join_line.lstrip(" +-:"))
+            below = tree[tree.index(join_line):]
+            assert "Exchange" not in below, plan
+            assert j.count() > 0
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.sql("DROP TABLE IF EXISTS orders_b")
+            spark.sql("DROP TABLE IF EXISTS lineitem_b")
