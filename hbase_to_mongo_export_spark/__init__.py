@@ -21,3 +21,26 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Ship executor-side kernels BY VALUE: Spark pickles module-level functions
+# by reference, so pandas UDFs / mapInPandas / stateful callables would
+# require this package to be importable on every executor's Python worker.
+# Registering the kernel modules for by-value pickling makes every UDF
+# self-contained — the engine works under any driver (e.g. a harness
+# running from another cwd) without addPyFile/packaging steps.
+def _register_executor_modules() -> None:
+    try:
+        import pyspark.cloudpickle as _cp
+
+        from .functions import crypto as _crypto
+        from .functions import normalize as _normalize
+        from .operators import multimodal as _multimodal
+        from .streaming import stateful as _stateful
+
+        for _m in (_crypto, _normalize, _multimodal, _stateful):
+            _cp.register_pickle_by_value(_m)
+    except Exception:  # pragma: no cover - never block import on this
+        pass
+
+
+_register_executor_modules()

@@ -29,17 +29,17 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-try:
-    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
-
-    HAVE_CRYPTOGRAPHY = True
-except ImportError:  # pragma: no cover - baked into the target image
-    HAVE_CRYPTOGRAPHY = False
-
-
 def aes_ctr(key: bytes, iv: bytes, data: bytes) -> bytes:
-    """AES/CTR/NoPadding — symmetric, so encrypt == decrypt."""
-    if not HAVE_CRYPTOGRAPHY:  # pragma: no cover
+    """AES/CTR/NoPadding — symmetric, so encrypt == decrypt.
+
+    The cryptography import happens at CALL time: this module is
+    registered for by-value pickling (see package __init__) so executor
+    UDFs are self-contained, and module-level third-party imports would
+    be captured into the pickle (cryptography's module objects aren't
+    picklable)."""
+    try:
+        from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+    except ImportError:  # pragma: no cover - baked into the target image
         raise NotImplementedError("cryptography library unavailable")
     cipher = Cipher(algorithms.AES(key), modes.CTR(iv))
     enc = cipher.encryptor()
