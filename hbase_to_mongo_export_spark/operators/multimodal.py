@@ -156,3 +156,52 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("rms", T.FloatType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def decode_audio(payload: bytes, fake: bool) -> tuple[float, int]:
+    """STUB: real implementation decodes WAV/FLAC via soundfile/librosa.
+    The deterministic fake treats bytes as a crude PCM stream so the
+    distributed plumbing (schema, batching, aggregation) is exercised."""
+    if not fake:
+        raise NotImplementedError(
+            "audio decode requires soundfile/librosa — not in this container"
+        )
+    if not payload:
+        return 0.0, 0
+    samples = [b - 128 for b in payload[:2048]]
+    rms = (sum(s * s for s in samples) / len(samples)) ** 0.5 / 128.0
+    zc = sum(
+        1 for a, b in zip(samples, samples[1:]) if (a >= 0) != (b >= 0)
+    )
+    return float(rms), zc
+
+
+def audio_features(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Per-clip audio features via mapInPandas (same Arrow-batched shape
+    as image_features; only the codec is stubbed)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_audio(p, fake) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)),
+                    "rms": [f[0] for f in feats],
+                    "zero_crossings": [f[1] for f in feats],
+                }
+            )
+
+    return df.filter(F.col("meta.media_type") == "audio").mapInPandas(
+        run, AUDIO_FEATURES_SCHEMA
+    )

@@ -145,3 +145,30 @@ class LocalNotifier:
         self._emit(
             "completion", {"correlation_id": correlation_id, "run_status": run_status}
         )
+
+    def notify_adg_trigger(self, correlation_id: str, s3_prefix: str,
+                           snapshot_type: str, export_date: str) -> None:
+        """ADG-trigger payload on successful completion
+        (SnsServiceImpl.kt:22-37 in the reference)."""
+        self._emit(
+            "adg_trigger",
+            {
+                "correlation_id": correlation_id,
+                "s3_prefix": s3_prefix,
+                "snapshot_type": snapshot_type,
+                "export_date": export_date,
+            },
+        )
+
+    def notify_monitoring(self, correlation_id: str, status: str,
+                          severity: str = "Critical") -> None:
+        """Completion/failure monitoring payload (SnsServiceImpl.kt:50-115)."""
+        self._emit(
+            "monitoring",
+            {"correlation_id": correlation_id, "status": status,
+             "severity": severity},
+        )
+
+    def notify_data_egress(self, object_key: str) -> None:
+        """S3-event-shaped data-egress message (SQSMessagingService.kt:87-99)."""
+        self._emit("data_egress", {"object_key": object_key})

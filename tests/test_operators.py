@@ -372,3 +372,35 @@ class TestSkew:
         s = sorted(map(str, salted.select("c_custkey", "n_name").collect()))
         p = sorted(map(str, plain.select("c_custkey", "n_name").collect()))
         assert s == p
+
+
+class TestAudio:
+    def test_audio_features_plumbing(self, spark):
+        out = multimodal.audio_features(
+            multimodal.synthetic_media(spark, n=30), fake=True
+        ).collect()
+        assert out and all(r.n_bytes > 0 and 0 <= r.rms <= 1 for r in out)
+        again = multimodal.audio_features(
+            multimodal.synthetic_media(spark, n=30), fake=True
+        ).collect()
+        assert sorted(map(str, out)) == sorted(map(str, again))
+
+
+class TestNotifierParity:
+    def test_all_message_kinds(self, spark, tmp_path):
+        import json as _json
+
+        from hbase_to_mongo_export_spark.plans.status import LocalNotifier
+
+        n = LocalNotifier(str(tmp_path / "m.jsonl"))
+        n.notify_snapshot_sender("db.a.b", "k1")
+        n.notify_no_files_exported("db.a.b")
+        n.notify_completion("c1", "COMPLETED_SUCCESSFULLY")
+        n.notify_adg_trigger("c1", "s3://x/prefix", "full", "2026-08-13")
+        n.notify_monitoring("c1", "Export failed", severity="High")
+        n.notify_data_egress("s3://x/prefix/file1")
+        kinds = [_json.loads(l)["kind"] for l in open(tmp_path / "m.jsonl")]
+        assert kinds == [
+            "snapshot_file", "no_files_exported", "completion",
+            "adg_trigger", "monitoring", "data_egress",
+        ]
