@@ -9,7 +9,7 @@ This module turns that into a typed DataFrame:
 
 - ``latest_per_key``   — reference scan semantics "newest cell version in
   [start, end)" (``HBaseReader.kt:131-150``; maxVersions=1 default) as a
-  time-range filter + window dedup.
+  time-range filter + max_by-per-key aggregation.
 - ``parse_envelope``   — the envelope projection done record-at-a-time in
   ``HBaseResultProcessor.kt:22-94``, expressed as one ``from_json`` +
   struct-field selects so Catalyst prunes unparsed fields.
@@ -17,17 +17,18 @@ This module turns that into a typed DataFrame:
   ``HBaseResultProcessor.kt:44-49,97-102`` + ``JobConfiguration.kt:57-61``
   as a (good, quarantine) DataFrame pair instead of exceptions.
 
-Scale: everything here is narrow (filter/project) except the latest-per-key
-window, which shuffles once on ``key`` — unavoidable when the source keeps
-history, skipped entirely when ``assume_unique_keys`` (the HBase connector
-already returns one latest cell per row, as the reference relies on).
+Scale: everything here is narrow (filter/project) except latest-per-key,
+which is one partial-aggregated shuffle on ``key`` — unavoidable when the
+source keeps history, skipped entirely when ``assume_unique_keys`` (the
+HBase connector already returns one latest cell per row, as the reference
+relies on).
 """
 
 from __future__ import annotations
 
 import re
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -114,11 +115,16 @@ def latest_per_key(
         df = df.filter(F.col(ts_col) < F.lit(ts_end))
     if assume_unique_keys:
         return df
-    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).desc())
+    # max_by aggregation, not a row_number window: a hash aggregate gets
+    # map-side partial aggregation (the shuffle carries one row per key
+    # per input partition), while a window needs the full rows sorted
+    # through the shuffle — the difference that matters at 100 TB.
+    # Ties on ts are impossible for HBase cells (one cell per version).
+    row = F.struct(*[F.col(c) for c in df.columns])
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        df.groupBy(key_col)
+        .agg(F.max_by(row, F.col(ts_col)).alias("__row"))
+        .select("__row.*")
     )
 
 
