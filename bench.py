@@ -71,6 +71,24 @@ def main() -> None:
         run(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # The HTME export pipeline itself (decrypt + normalize UDFs + sanitise)
+    # over a 10k-record envelope fixture — the reference's integration
+    # workload size (hbase_data.py: 10,000 records/table).
+    import tempfile
+
+    from hbase_to_mongo_export_spark.plans.export import ExportConfig, build_export
+    from hbase_to_mongo_export_spark.sources import fixtures
+
+    with tempfile.TemporaryDirectory() as td:
+        src_path = f"{td}/src"
+        fixtures.source_records(spark, n=10_000).write.parquet(src_path)
+        src = spark.read.parquet(src_path)
+        cfg = ExportConfig(topic="db.database.collection", output_dir=f"{td}/out")
+        run(build_export(src, cfg)[0].select("record"))  # warm-up
+        t0 = time.perf_counter()
+        run(build_export(src, cfg)[0].select("record"))
+        timings["export_pipeline_10k"] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
