@@ -76,9 +76,20 @@ def main(argv: list[str] | None = None) -> int:
             scan_width=args.scan_width,
             plaintext_payloads=args.plaintext_payloads,
         )
-        source = spark.read.parquet(args.source)
         store = LocalStatusStore(args.status_file) if args.status_file else None
         notifier = LocalNotifier(args.messages_file) if args.messages_file else None
+        try:
+            source = spark.read.parquet(args.source)
+        except Exception:
+            # missing source table → Table_Unavailable, not a crash
+            # (reference JobCompletionNotificationListener.kt:69-91)
+            collection = args.topic.rsplit(".", 1)[-1]
+            if store is not None:
+                store.set_status(args.correlation_id, collection, "Table_Unavailable")
+            print(json.dumps({"topic": args.topic, "status": "Table_Unavailable",
+                              "records": 0, "quarantined": 0, "files": 0,
+                              "manifest_files": 0}))
+            return 1
         result = run_export(
             spark, source, cfg,
             correlation_id=args.correlation_id,

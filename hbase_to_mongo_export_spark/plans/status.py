@@ -172,3 +172,36 @@ class LocalNotifier:
     def notify_data_egress(self, object_key: str) -> None:
         """S3-event-shaped data-egress message (SQSMessagingService.kt:87-99)."""
         self._emit("data_egress", {"object_key": object_key})
+
+
+def finish_run(
+    spark: SparkSession,
+    correlation_id: str,
+    store: LocalStatusStore,
+    notifier: LocalNotifier | None = None,
+    s3_prefix: str = "",
+    snapshot_type: str = "full",
+    export_date: str = "",
+) -> str:
+    """Reference afterJob tail (JobCompletionNotificationListener.kt:47-67):
+    fold per-collection statuses into the run status, emit the completion
+    monitoring message, and the ADG trigger when fully successful.
+    Returns the folded run status."""
+    rows = completion_status(store.to_df(spark)).filter(
+        F.col("correlation_id") == correlation_id
+    ).collect()
+    run_status = rows[0].run_status if rows else "NOT_COMPLETED"
+    if notifier is not None:
+        notifier.notify_completion(correlation_id, run_status)
+        notifier.notify_monitoring(
+            correlation_id,
+            "Export completed successfully"
+            if run_status == "COMPLETED_SUCCESSFULLY"
+            else f"Export finished: {run_status}",
+            severity="Critical" if run_status != "COMPLETED_SUCCESSFULLY" else "Low",
+        )
+        if run_status == "COMPLETED_SUCCESSFULLY":
+            notifier.notify_adg_trigger(
+                correlation_id, s3_prefix, snapshot_type, export_date
+            )
+    return run_status

@@ -404,3 +404,49 @@ class TestNotifierParity:
             "snapshot_file", "no_files_exported", "completion",
             "adg_trigger", "monitoring", "data_egress",
         ]
+
+
+class TestFinishRun:
+    def test_finish_run_messages(self, spark, tmp_path):
+        import json as _json
+
+        from hbase_to_mongo_export_spark.plans.status import (
+            LocalNotifier, LocalStatusStore, finish_run,
+        )
+
+        store = LocalStatusStore(str(tmp_path / "s.jsonl"))
+        notifier = LocalNotifier(str(tmp_path / "m.jsonl"))
+        store.set_status("c1", "a", "Exported", 2)
+        store.set_status("c1", "b", "Exported", 1)
+        st = finish_run(spark, "c1", store, notifier,
+                        s3_prefix="s3://x/p", export_date="2026-08-13")
+        assert st == "COMPLETED_SUCCESSFULLY"
+        kinds = [_json.loads(l)["kind"] for l in open(tmp_path / "m.jsonl")]
+        assert kinds == ["completion", "monitoring", "adg_trigger"]
+
+        store.set_status("c2", "a", "Export_Failed")
+        st2 = finish_run(spark, "c2", store, notifier)
+        assert st2 == "COMPLETED_UNSUCCESSFULLY"
+        kinds = [_json.loads(l)["kind"] for l in open(tmp_path / "m.jsonl")]
+        assert kinds == ["completion", "monitoring", "adg_trigger",
+                         "completion", "monitoring"]
+
+
+class TestTableUnavailable:
+    def test_cli_missing_source(self, spark, tmp_path):
+        import json as _json
+        import subprocess, sys
+
+        out = subprocess.run(
+            [sys.executable, "-m", "hbase_to_mongo_export_spark", "export",
+             "--topic", "does.not.exist",
+             "--source", str(tmp_path / "nope"),
+             "--output", str(tmp_path / "out"),
+             "--status-file", str(tmp_path / "status.jsonl")],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+        assert out.returncode == 1
+        res = _json.loads(out.stdout.strip().splitlines()[-1])
+        assert res["status"] == "Table_Unavailable"
+        lines = [_json.loads(l) for l in open(tmp_path / "status.jsonl")]
+        assert lines[-1]["status"] == "Table_Unavailable"
