@@ -119,17 +119,21 @@ def _write_native(records: DataFrame, cfg: ExportConfig) -> WrittenOutput:
         n = records.count()
     finally:
         records.unpersist()
-    files = sorted(
-        os.path.join(cfg.output_dir, f)
-        for f in os.listdir(cfg.output_dir)
-        if f.startswith("part-")
+    return WrittenOutput(n, _list_parts(cfg.output_dir), _list_parts(manifest_dir))
+
+
+def _list_parts(path: str) -> list[str]:
+    """Output-file listing for local paths; remote URIs (s3a://, hdfs://)
+    are enumerated by the object store's lister downstream — return empty
+    rather than pretending os.listdir works there."""
+    if "://" in path and not path.startswith("file://"):
+        return []
+    local = path[len("file://"):] if path.startswith("file://") else path
+    if not os.path.isdir(local):
+        return []
+    return sorted(
+        os.path.join(local, f) for f in os.listdir(local) if f.startswith("part-")
     )
-    manifest_files = sorted(
-        os.path.join(manifest_dir, f)
-        for f in os.listdir(manifest_dir)
-        if f.startswith("part-")
-    )
-    return WrittenOutput(n, files, manifest_files)
 
 
 _COMPRESSORS = {
