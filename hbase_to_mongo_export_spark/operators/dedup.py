@@ -351,3 +351,52 @@ def simhash_pairs(
     return cand.select(
         "id_a", "id_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's MOSS
+    scheme): hash every k-gram shingle, slide a window of ``window``
+    consecutive hashes, keep each window's minimum — the classic
+    rolling-hash fingerprint selection whose density is guaranteed
+    (~2/(window+1)) while still catching any match of length k+window-1.
+
+    Output: (id, fingerprint) distinct pairs. Plan: explode shingles with
+    position → one window-min pass partitioned per document → distinct.
+    At 100 TB the window function partitions by document (bounded state),
+    and the distinct is the only shuffle after it."""
+    from pyspark.sql import Window as W
+
+    words = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    n_sh = F.size(words) - (k - 1)
+    shingled = (
+        _fan_out(df)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.when(n_sh <= 0, F.array().cast("array<string>")).otherwise(
+                    F.transform(
+                        F.sequence(F.lit(0), n_sh - 1),
+                        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+                    )
+                )
+            ).alias("pos", "shingle"),
+        )
+        .select(F.col(id_col), F.col("pos"), F.xxhash64("shingle").alias("h"))
+    )
+    w = (
+        W.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, window - 1)
+    )
+    return (
+        shingled.select(F.col(id_col), F.min("h").over(w).alias("fingerprint"))
+        .distinct()
+    )

@@ -1423,3 +1423,13 @@ def window_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first("o_totalprice").over(w), 2).alias("top_price"),
         F.lead("o_orderkey").over(w).cast("bigint").alias("next_orderkey"),
     ).orderBy("o_custkey", "rnk", "o_orderkey")
+
+
+@register("winnowing_fingerprints")  # xxhash64-valued: rows-only check;
+# exact semantics verified in tests/test_operators.py vs a Python model
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint selection over the documents table."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_mod.winnow_fingerprints(docs, "doc_id", "text").orderBy(
+        "doc_id", "fingerprint"
+    )

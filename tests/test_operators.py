@@ -450,3 +450,36 @@ class TestTableUnavailable:
         assert res["status"] == "Table_Unavailable"
         lines = [_json.loads(l) for l in open(tmp_path / "status.jsonl")]
         assert lines[-1]["status"] == "Table_Unavailable"
+
+
+class TestWinnowing:
+    def test_matches_python_model(self, spark):
+        rows = [
+            (0, "a b c d e f g h i j"),
+            (1, "one two"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {}
+        for r in dedup.winnow_fingerprints(df, "doc_id", "text", k=5, window=4).collect():
+            got.setdefault(r.doc_id, set()).add(r.fingerprint)
+
+        # Python model using Spark's own xxhash64 for hash parity
+        from pyspark.sql import Row
+
+        for doc_id, text in rows:
+            words = " ".join(text.lower().split()).split(" ")
+            shingles = [
+                " ".join(words[i : i + 5]) for i in range(len(words) - 4)
+            ] if len(words) >= 5 else []
+            if not shingles:
+                assert doc_id not in got
+                continue
+            hdf = spark.createDataFrame([Row(s=s) for s in shingles])
+            hashes = [
+                r.h for r in hdf.select(F.xxhash64("s").alias("h")).collect()
+            ]
+            expect = set()
+            for i in range(len(hashes)):
+                expect.add(min(hashes[i : i + 4]))
+            assert got[doc_id] == expect, doc_id
