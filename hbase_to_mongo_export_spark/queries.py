@@ -1433,3 +1433,54 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_mod.winnow_fingerprints(docs, "doc_id", "text").orderBy(
         "doc_id", "fingerprint"
     )
+
+
+@register(
+    "profile_lineitem",
+    oracle="""
+    SELECT 'l_quantity' AS col, COUNT(*) AS n,
+           CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS nulls,
+           COUNT(DISTINCT l_quantity) AS n_distinct,
+           ROUND(MIN(l_quantity), 4) AS min_val, ROUND(MAX(l_quantity), 4) AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*),
+           CAST(COUNT(*) - COUNT(l_discount) AS BIGINT),
+           COUNT(DISTINCT l_discount),
+           ROUND(MIN(l_discount), 4), ROUND(MAX(l_discount), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(*),
+           CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
+           COUNT(DISTINCT l_extendedprice),
+           ROUND(MIN(l_extendedprice), 4), ROUND(MAX(l_extendedprice), 4)
+    FROM lineitem
+    ORDER BY col
+    """,
+)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling: per-column null/distinct/min/max in ONE scan —
+    aggregates for all profiled columns computed together, then unpivoted
+    (the multi-scan UNION the oracle uses would read the table N times)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_discount", "l_extendedprice"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.round(F.min(c), 4).alias(f"{c}__min"),
+            F.round(F.max(c), 4).alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    parts = [
+        f"named_struct('col', '{c}', 'n', {c}__n, 'nulls', {c}__nulls, "
+        f"'n_distinct', {c}__nd, 'min_val', {c}__min, 'max_val', {c}__max)"
+        for c in cols
+    ]
+    return (
+        wide.select(F.explode(F.expr(f"array({', '.join(parts)})")).alias("p"))
+        .select("p.col", "p.n", "p.nulls", "p.n_distinct", "p.min_val", "p.max_val")
+        .orderBy("col")
+    )
