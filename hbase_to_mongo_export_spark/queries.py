@@ -1769,3 +1769,43 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
+
+
+@register(
+    "streaming_session_timeout",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, value, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM sess
+    GROUP BY user_id, sid
+    HAVING MAX(ts) + INTERVAL 30 MINUTE < (SELECT MAX(ts) FROM events)
+    ORDER BY user_id, session_start
+    """,
+)
+def streaming_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time-timeout session windows (applyInPandasWithState +
+    EventTimeTimeout): state holds one open session per user; closed
+    sessions emit in-batch, the trailing session emits when the no-data
+    micro-batch advances the watermark past session_end + gap. With a
+    0-second watermark delay the drained result is exactly the sessions
+    whose end + 30min precedes the stream's max timestamp."""
+    import os as _os
+
+    from .streaming.stateful import session_windows_timeout
+
+    out = session_windows_timeout(spark, _os.path.join(sf_dir, "events.parquet"))
+    return out.select(
+        "user_id", "session_start", "session_end", "n_events", "sum_value"
+    ).orderBy("user_id", "session_start")

@@ -129,3 +129,132 @@ def running_user_stats(
         .filter("__rn = 1")
         .drop("__rn")
     )
+
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+# open session carried across micro-batches: start/end in epoch micros
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+
+def _make_sessionizer(gap_ms: int):
+    """Event-time-timeout session operator. Per key the state holds the one
+    trailing OPEN session; events in a batch are gap-split in pandas and all
+    closed sessions are emitted immediately. The open session registers an
+    event-time timeout at session_end + gap: when the watermark passes it,
+    the no-data batch fires hasTimedOut and the session is emitted + evicted
+    — bounded state per key regardless of stream length."""
+
+    def sessionize(key, pdfs, state: GroupState):
+        import pandas as _pd
+
+        (user_id,) = key
+        gap_us = gap_ms * 1000
+
+        def emit(rows):
+            return _pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(rows),
+                    "session_start": [_pd.Timestamp(r[0], unit="us") for r in rows],
+                    "session_end": [_pd.Timestamp(r[1], unit="us") for r in rows],
+                    "n_events": [r[2] for r in rows],
+                    "sum_value": [round(r[3], 4) for r in rows],
+                }
+            )
+
+        if state.hasTimedOut:
+            if state.exists:
+                s, e, n, v = state.get
+                state.remove()
+                yield emit([(s, e, n, v)])
+            return
+
+        events = []
+        for pdf in pdfs:
+            for ts, val in zip(pdf["ts"], pdf["value"]):
+                events.append((int(_pd.Timestamp(ts).value // 1_000), float(val)))
+        events.sort()
+
+        cur = list(state.get) if state.exists else None  # [start,end,n,sum]
+        closed = []
+        for ts_us, val in events:
+            if cur is None:
+                cur = [ts_us, ts_us, 1, val]
+            elif ts_us - cur[1] > gap_us:
+                closed.append(tuple(cur))
+                cur = [ts_us, ts_us, 1, val]
+            else:
+                cur[1] = ts_us
+                cur[2] += 1
+                cur[3] += val
+        if cur is not None:
+            state.update(tuple(cur))
+            timeout_ms = cur[1] // 1000 + gap_ms
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(timeout_ms, wm + 1))
+        if closed:
+            yield emit(closed)
+
+    return sessionize
+
+
+def session_windows_timeout(
+    spark: SparkSession,
+    events_path: str,
+    gap_minutes: int = 30,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Gap-based session windows over the events stream via
+    applyInPandasWithState + EventTimeTimeout (watermark delay 0)."""
+    from ..sources.catalog import _read_parquet_nanos_safe
+
+    batch_df = _read_parquet_nanos_safe(spark, events_path)
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("pathGlobFilter", os.path.basename(events_path))
+        .parquet(os.path.dirname(events_path))
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":  # TIMESTAMP(NANOS) source
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    sessions = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_sessionizer(gap_minutes * 60 * 1000),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+    sink_table = f"sessions_out_{uuid.uuid4().hex[:8]}"
+    ckpt = checkpoint_dir or os.path.join(
+        tempfile.gettempdir(), f"ckpt_{uuid.uuid4().hex[:8]}"
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)

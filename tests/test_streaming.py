@@ -86,3 +86,45 @@ def test_stateful_running_user_stats_equals_batch(spark, sf_dir, tables):
     got = sorted(map(str, out.collect()))
     expect = sorted(map(str, batch.collect()))
     assert got == expect
+
+
+def test_session_timeout_windows_match_batch_sessionize(spark, sf_dir, tables):
+    """Emitted sessions = gap-split sessions whose end+gap < max(ts):
+    in-batch closures plus event-time-timeout evictions from the no-data
+    micro-batch."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hbase_to_mongo_export_spark.streaming.stateful import (
+        session_windows_timeout,
+    )
+
+    out = session_windows_timeout(spark, os.path.join(sf_dir, "events.parquet"))
+
+    ev = tables["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull() | (F.col("ts").cast("long") - prev.cast("long") > 1800), 1
+    ).otherwise(0)
+    sid = F.sum("new_s").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    batch = (
+        ev.withColumn("new_s", new_s)
+        .withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .filter(F.col("session_end") + F.expr("INTERVAL 30 MINUTE") < F.lit(max_ts))
+        .drop("sid")
+    )
+    got = sorted(map(str, out.select(*batch.columns).collect()))
+    expect = sorted(map(str, batch.collect()))
+    assert len(got) > 0 and got == expect
