@@ -56,23 +56,26 @@ def exact_dedup(
     )
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of lowercased text (empty-safe).
-
-    Built by zipping the word array with its n-1 shifted copies
-    (``arrays_zip`` + one ``transform``) — ~3× faster than the
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Word n-grams of lowercased text in document order, duplicates kept
+    (empty-safe). Built by zipping the word array with its n-1 shifted
+    copies (``arrays_zip`` + one ``transform``) — ~3× faster than the
     slice-per-position formulation because each element does one struct
     concat instead of an array slice + copy."""
     words = F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " ")
-    k = F.size(words) - (n - 1)  # number of shingles
+    k = F.size(words) - (n - 1)  # number of n-grams
     shifted = [
         F.slice(words, j + 1, F.greatest(k, F.lit(0))) for j in range(n)
     ]
     zipped = F.arrays_zip(*shifted)
-    sh = F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
         F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)]))
     )
-    return F.array_distinct(sh)
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of lowercased text (empty-safe)."""
+    return F.array_distinct(word_ngrams(text, n))
 
 
 def jaccard(a: Column, b: Column) -> Column:

@@ -1809,3 +1809,186 @@ def streaming_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "session_start", "session_end", "n_events", "sum_value"
     ).orderBy("user_id", "session_start")
+
+
+@register(
+    "dataset_split_hash",
+    oracle="""
+    SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM (
+      SELECT n_chars,
+             CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM (SELECT n_chars,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS b
+            FROM documents) h) s
+    GROUP BY split ORDER BY split
+    """,
+)
+def dataset_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test assignment by md5(doc_id) bucket —
+    the standard leakage-free dataset split: stable under reprocessing,
+    no shuffle (a narrow projection), works identically at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "doc_repetition_3gram",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+      FROM documents),
+    g AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+      FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) AS t(i))
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           1.0 - CAST(COUNT(DISTINCT gram) AS DOUBLE) / COUNT(*) AS dup_ratio
+    FROM g GROUP BY doc_id
+    ORDER BY dup_ratio DESC, doc_id LIMIT 20
+    """,
+)
+def doc_repetition_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: fraction of duplicate word 3-grams
+    per document, top-20 most repetitive. The ratio is a pure int/int
+    double division (no rounding needed — bit-exact in any engine)."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(dedup_mod.word_ngrams(F.col("text"), 3)).alias("gram")
+    )
+    return (
+        grams.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            (
+                F.lit(1.0)
+                - F.countDistinct("gram").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("dup_ratio"),
+        )
+        .orderBy(F.col("dup_ratio").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "pii_scrub_stats",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS s
+      FROM documents),
+    scrub AS (
+      SELECT doc_id, s,
+             regexp_replace(
+               regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\\+1-555-[0-9]{4}', '[PHONE]', 'g') AS clean
+      FROM aug)
+    SELECT CAST(SUM(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS BIGINT) AS emails_found,
+           CAST(SUM(len(regexp_extract_all(s, '\\+1-555-[0-9]{4}'))) AS BIGINT) AS phones_found,
+           CAST(SUM(len(clean)) AS BIGINT) AS scrubbed_len,
+           CAST(SUM(CASE WHEN clean LIKE '%[EMAIL]%' AND clean LIKE '%[PHONE]%' THEN 1 ELSE 0 END) AS BIGINT) AS fully_scrubbed
+    FROM scrub
+    """,
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents: email/phone regex scrub (JVM-side
+    regexp_replace — codegen'd, no UDF). The fixture text has no PII, so
+    deterministic synthetic contact strings are appended per doc and the
+    scrub is verified to find and redact every one."""
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\+1-555-[0-9]{4}"
+    docs = _t(spark, sf_dir, "documents")
+    s = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    aug = docs.select("doc_id", s.alias("s"))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("s"), email_re, "[EMAIL]"), phone_re, "[PHONE]"
+    )
+    return aug.select(
+        "s", clean.alias("clean")
+    ).agg(
+        F.sum(F.regexp_count("s", F.lit(email_re))).cast("bigint").alias("emails_found"),
+        F.sum(F.regexp_count("s", F.lit(phone_re))).cast("bigint").alias("phones_found"),
+        F.sum(F.length("clean")).cast("bigint").alias("scrubbed_len"),
+        F.sum(
+            F.when(
+                F.col("clean").contains("[EMAIL]") & F.col("clean").contains("[PHONE]"),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("fully_scrubbed"),
+    )
+
+
+@register(
+    "c4_quality_filter",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE [lower(w) FOR w IN string_split_regex(trim(text), '\\s+')] END AS words
+      FROM documents),
+    feats AS (
+      SELECT doc_id, len(words) AS nw,
+             CASE WHEN len(words) = 0 THEN 0.0
+                  ELSE CAST(list_sum([CAST(len(w) AS BIGINT) FOR w IN words]) AS DOUBLE) / len(words) END AS mwl,
+             CASE WHEN len(words) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(words, w -> list_contains(['the','and','of','to','a'], w))) AS DOUBLE) / len(words) END AS sw
+      FROM base),
+    labeled AS (
+      SELECT CASE WHEN nw < 20 THEN 'too_short'
+                  WHEN sw < 0.02 THEN 'low_stopword'
+                  WHEN mwl > 5.0 THEN 'long_words'
+                  ELSE 'keep' END AS verdict
+      FROM feats)
+    SELECT verdict, COUNT(*) AS n_docs FROM labeled
+    GROUP BY verdict ORDER BY verdict
+    """,
+)
+def c4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality filter cascade: first failing rule labels
+    the document (too_short → low_stopword → long_words → keep). All
+    signals are built-in column expressions — a narrow, shuffle-free
+    projection until the tiny per-verdict count."""
+    docs = _t(spark, sf_dir, "documents")
+    low = F.transform(tx.tokens(F.col("text")), lambda w: F.lower(w))
+    nw = F.size(low)
+    mwl = tx.mean_word_len(F.col("text"))
+    sw = tx.stopword_ratio(F.col("text"), "en")
+    verdict = (
+        F.when(nw < 20, "too_short")
+        .when(sw < 0.02, "low_stopword")
+        .when(mwl > 5.0, "long_words")
+        .otherwise("keep")
+    )
+    return (
+        docs.select(verdict.alias("verdict"))
+        .groupBy("verdict")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("verdict")
+    )
