@@ -40,6 +40,23 @@ class TestPushdownAndBroadcast:
         assert "user_id" not in read_cols  # untouched columns not scanned
         assert {"event_type", "props"} <= read_cols
 
+    def test_q8_snowflake_broadcasts_all_dims(self, spark, sf_dir):
+        """Q8's 8-table snowflake: every dimension join broadcasts; at most
+        the lineitem-orders fact join may shuffle — one shuffled join max."""
+        plan = plan_of(registry.queries()["q8_market_share"](spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+        assert len(re.findall(r"SortMergeJoin", plan)) <= 1, plan
+
+    def test_q21_single_fact_shuffle(self, spark, sf_dir):
+        """Q21 rewrite: the groupBy(l_orderkey) replaces the classic
+        EXISTS/NOT-EXISTS double self-join — no more than one shuffled
+        join of the fact table, supplier/nation joins broadcast."""
+        plan = plan_of(registry.queries()["q21_waiting_suppliers"](spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+        assert len(re.findall(r"SortMergeJoin", plan)) <= 1, plan
+
     def test_asof_join_single_shuffle(self, spark, sf_dir):
         df = registry.queries()["asof_join_purchase_before_click"](spark, sf_dir)
         plan = plan_of(df)
