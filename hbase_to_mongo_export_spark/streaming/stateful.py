@@ -258,3 +258,39 @@ def session_windows_timeout(
     )
     q.awaitTermination()
     return spark.table(sink_table)
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+class rocksdb_state:
+    """Context manager that switches streaming state to the RocksDB
+    provider for queries started inside it. The default HDFS-backed
+    provider keeps all state on the executor heap — fine for small key
+    spaces, but at 100 TB-scale (hundreds of millions of session/user
+    keys) state must spill to local disk; RocksDB bounds executor memory
+    to the block cache while keys live in SST files. Changelog
+    checkpointing keeps commit latency flat as state grows."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._prev: str | None = None
+
+    KEY = "spark.sql.streaming.stateStore.providerClass"
+
+    def __enter__(self):
+        try:
+            self._prev = self.spark.conf.get(self.KEY)
+        except Exception:
+            self._prev = None
+        self.spark.conf.set(self.KEY, ROCKSDB_PROVIDER)
+        return self.spark
+
+    def __exit__(self, *exc):
+        if self._prev is None:
+            self.spark.conf.unset(self.KEY)
+        else:
+            self.spark.conf.set(self.KEY, self._prev)
+        return False

@@ -128,3 +128,32 @@ def test_session_timeout_windows_match_batch_sessionize(spark, sf_dir, tables):
     got = sorted(map(str, out.select(*batch.columns).collect()))
     expect = sorted(map(str, batch.collect()))
     assert len(got) > 0 and got == expect
+
+
+def test_stateful_user_stats_under_rocksdb_state_store(spark, sf_dir, tables):
+    """The stateful aggregation produces identical results when the state
+    store is RocksDB-backed (the at-scale configuration)."""
+    from pyspark.sql import functions as F
+
+    from hbase_to_mongo_export_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        rocksdb_state,
+        running_user_stats,
+    )
+
+    with rocksdb_state(spark) as s:
+        assert s.conf.get(
+            "spark.sql.streaming.stateStore.providerClass"
+        ) == ROCKSDB_PROVIDER
+        out = running_user_stats(s, os.path.join(sf_dir, "events.parquet"))
+        got = sorted(map(str, out.collect()))
+    batch = (
+        tables["events"]
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    assert got == sorted(map(str, batch.collect()))
