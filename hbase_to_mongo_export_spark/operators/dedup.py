@@ -403,3 +403,62 @@ def winnow_fingerprints(
         shingled.select(F.col(id_col), F.min("h").over(w).alias("fingerprint"))
         .distinct()
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    nodes: DataFrame | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by min-label propagation (Pregel-lite on
+    DataFrames): every node starts labeled with its own id; each round a
+    node takes the min of its label and its neighbors' labels; fixpoint
+    in O(component diameter) rounds. Near-dup components are small and
+    dense, so this converges in a handful of rounds.
+
+    Returns (id, component) with component = min node id reachable.
+
+    Scale posture: each round is one shuffle of the (undirected) edge
+    list keyed by node id — the same key every round, so at cluster
+    scale a pre-`repartition` on id keeps rounds co-partitioned. Labels
+    are cached per round and the previous round unpersisted; lineage is
+    cut so 25 rounds don't build a 25-deep plan.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    if nodes is None:
+        node_df = und.select(F.col("u").alias("id")).distinct()
+    else:
+        node_df = nodes.select(F.col(nodes.columns[0]).alias("id")).distinct()
+    labels = node_df.withColumn("component", F.col("id"))
+    labels.cache()
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und.v == labels.id)
+            .groupBy("u")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.u, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

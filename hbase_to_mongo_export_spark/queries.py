@@ -1992,3 +1992,51 @@ def c4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("verdict")
     )
+
+
+@register(
+    "dedup_cluster_components",
+    oracle="""
+    WITH RECURSIVE
+    sh AS (
+      SELECT doc_id, lang,
+             list_distinct([list_aggregate(words[i:i+2], 'string_agg', ' ')
+                            FOR i IN range(1, len(words) - 1)]) AS shingles
+      FROM (SELECT doc_id, lang,
+                   string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS words
+            FROM documents)
+      WHERE len(words) >= 3),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+            len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.2),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+    SELECT component AS cluster_id, COUNT(*) AS size
+    FROM comp GROUP BY component
+    ORDER BY size DESC, cluster_id
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: ngram-Jaccard pairs (>= 0.2, lang-blocked) fed
+    into min-label-propagation connected components. Integer-only labels
+    make the result bit-exact against DuckDB's recursive-CTE transitive
+    closure. This is the dedup end-game: pick one representative per
+    cluster instead of dropping pairwise."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_mod.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.2, block_col="lang"
+    )
+    comp = dedup_mod.connected_components(pairs, "id_a", "id_b")
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .select(F.col("component").alias("cluster_id"), "size")
+        .orderBy(F.col("size").desc(), "cluster_id")
+    )

@@ -483,3 +483,20 @@ class TestWinnowing:
             for i in range(len(hashes)):
                 expect.add(min(hashes[i : i + 4]))
             assert got[doc_id] == expect, doc_id
+
+
+def test_connected_components_chain_triangle_singleton(spark):
+    from hbase_to_mongo_export_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4, triangle 10-11-12, isolated node 20 (via nodes df)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        ["id_a", "id_b"],
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 20]], ["id"])
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
+                   (10, 10), (11, 10), (12, 10), (20, 20)}
