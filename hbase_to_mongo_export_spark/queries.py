@@ -2040,3 +2040,30 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("component").alias("cluster_id"), "size")
         .orderBy(F.col("size").desc(), "cluster_id")
     )
+
+
+@register(
+    "events_sliding_window",
+    oracle="""
+    SELECT window_start, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM (
+      SELECT make_timestamp(CAST((floor(epoch(ts) / 1200) * 1200 - k * 1200) * 1000000 AS BIGINT)) AS window_start,
+             value
+      FROM events, UNNEST([0, 1, 2]) AS t(k)) w
+    GROUP BY window_start ORDER BY window_start
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the streaming sliding-window aggregation: 1-hour
+    windows every 20 minutes (each event lands in exactly 3 overlapping
+    windows — the oracle materializes them via UNNEST of the 3 offsets)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "20 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+        .orderBy("window_start")
+    )
