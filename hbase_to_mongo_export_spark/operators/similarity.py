@@ -283,3 +283,46 @@ def ivf_topk(
             "query_id", "neighbor_id", "rank", F.round("__cos", 6).alias("cosine")
         )
     )
+
+
+def sq_l2(a, b):
+    """Squared L2 distance between two float arrays, accumulated left-to-
+    right in double — the element order is the array order, so the result
+    is bit-deterministic."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def centroid_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (squared L2, ties by
+    lowest centroid id) — the inner step of Lloyd's k-means and of IVF
+    list assignment. The centroid table broadcasts; the scan side never
+    shuffles, so this scales linearly with the corpus."""
+    c = centroids.select(
+        F.col(centroid_id_col), F.col(vec_col).alias("__c_vec")
+    )
+    scored = emb.join(F.broadcast(c)).select(
+        F.col(id_col),
+        F.col(centroid_id_col),
+        sq_l2(F.col(vec_col), F.col("__c_vec")).alias("dist"),
+    )
+    w = Window.partitionBy(id_col).orderBy("dist", centroid_id_col)
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, centroid_id_col, "dist")
+    )

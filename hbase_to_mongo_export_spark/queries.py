@@ -2067,3 +2067,82 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
         .orderBy("window_start")
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS xs
+      FROM embeddings),
+    m AS (
+      SELECT vec_id, xs, list_max([abs(x) FOR x IN xs]) AS maxabs FROM v)
+    SELECT vec_id, maxabs,
+           list_max([abs(x - round(x * (127.0 / maxabs)) / (127.0 / maxabs))
+                     FOR x IN xs]) AS max_err
+    FROM m WHERE maxabs > 0 ORDER BY vec_id LIMIT 50
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization round-trip: per-vector scale =
+    127/max|x|, reconstruction error = max|x - round(x*scale)/scale|.
+    Every arithmetic step is an element-wise IEEE double op (max is
+    order-free), so the doubles compare bit-exact with no rounding."""
+    emb = _t(spark, sf_dir, "embeddings")
+    xs = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(F.col("xs"), F.abs))
+    scale = F.lit(127.0) / F.col("maxabs")
+    err = F.array_max(
+        F.transform(
+            F.col("xs"),
+            lambda x: F.abs(x - F.round(x * scale) / scale),
+        )
+    )
+    return (
+        emb.select("vec_id", xs.alias("xs"))
+        .withColumn("maxabs", maxabs)
+        .filter(F.col("maxabs") > 0)
+        .select("vec_id", "maxabs", err.alias("max_err"))
+        .orderBy("vec_id")
+        .limit(50)
+    )
+
+
+@register(
+    "embedding_centroid_assign",
+    oracle="""
+    WITH c AS (SELECT vec_id AS centroid_id,
+                      [CAST(x AS DOUBLE) FOR x IN embedding] AS cs
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT e.vec_id, c.centroid_id,
+             list_sum([(xs[i] - cs[i]) * (xs[i] - cs[i])
+                       FOR i IN range(1, len(xs) + 1)]) AS dist
+      FROM (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS xs
+            FROM embeddings) e
+      CROSS JOIN c),
+    assigned AS (
+      SELECT vec_id, centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dist, centroid_id) AS rn
+      FROM scored)
+    SELECT centroid_id, COUNT(*) AS n_assigned
+    FROM assigned WHERE rn = 1
+    GROUP BY centroid_id ORDER BY centroid_id
+    """,
+)
+def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (the Lloyd's/IVF inner step): 8 seed
+    centroids broadcast against the full corpus, per-centroid population
+    counts. Argmin is robust to sub-ULP distance differences, so the
+    counts are engine-exact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = sim_mod.centroid_assign(emb, cents)
+    return (
+        assigned.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_assigned"))
+        .orderBy("centroid_id")
+    )
