@@ -2146,3 +2146,77 @@ def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_assigned"))
         .orderBy("centroid_id")
     )
+
+
+@register(
+    "fuzzy_match_part_names",
+    oracle="""
+    SELECT levenshtein(a.p_name, b.p_name) AS dist, COUNT(*) AS n_pairs
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4
+    GROUP BY dist ORDER BY dist
+    """,
+)
+def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy match (entity resolution): Levenshtein distance over
+    same-brand part-name pairs, histogrammed by distance. Brand blocking
+    keeps the pairwise join quadratic only within blocks — the standard
+    trick that makes edit-distance matching feasible at scale."""
+    part = _t(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("ka"),
+        F.col("p_name").alias("na"),
+        F.col("p_brand").alias("brand"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("kb"),
+        F.col("p_name").alias("nb"),
+        F.col("p_brand").alias("brand"),
+    )
+    dist = F.levenshtein("na", "nb")
+    return (
+        a.join(b, ["brand"])
+        .filter(F.col("ka") < F.col("kb"))
+        .select(dist.alias("dist"))
+        .filter(F.col("dist").between(1, 4))
+        .groupBy("dist")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("dist")
+    )
+
+
+@register(
+    "full_outer_nation_reconciliation",
+    oracle="""
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(n_supp, 0) AS n_supp
+    FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+      ON c.nk = s.nk
+    ORDER BY nationkey
+    """,
+)
+def full_outer_nation_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer reconciliation of two aggregates (the classic 'compare
+    two systems' report): per-nation customer vs supplier counts, nulls
+    zero-filled on both sides."""
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    c = cust.groupBy(F.col("c_nationkey").alias("nk_c")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    s = supp.groupBy(F.col("s_nationkey").alias("nk_s")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    return (
+        c.join(s, c.nk_c == s.nk_s, "full_outer")
+        .select(
+            F.coalesce("nk_c", "nk_s").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
