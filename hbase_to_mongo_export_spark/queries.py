@@ -2029,11 +2029,18 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     make the result bit-exact against DuckDB's recursive-CTE transitive
     closure. This is the dedup end-game: pick one representative per
     cluster instead of dropping pairwise."""
+    from .streaming.stateful import _scoped_shuffle_partitions
+
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup_mod.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.2, block_col="lang"
     )
-    comp = dedup_mod.connected_components(pairs, "id_a", "id_b")
+    # the label-propagation rounds execute eagerly inside the call; scope
+    # the shuffle width so each round doesn't pay 200-partition overhead
+    # on a gate-sized graph
+    with _scoped_shuffle_partitions(spark, 32):
+        comp = dedup_mod.connected_components(pairs, "id_a", "id_b")
+        comp = comp.localCheckpoint(eager=True)
     return (
         comp.groupBy("component")
         .agg(F.count(F.lit(1)).alias("size"))

@@ -78,6 +78,27 @@ def _make_update_user_stats():
     return update_user_stats
 
 
+class _scoped_shuffle_partitions:
+    """Temporarily pin spark.sql.shuffle.partitions while a streaming drain
+    runs. Stateful operators create one state-store instance per shuffle
+    partition per micro-batch; under a default 200-partition session the
+    store setup dominates small drains. The partition count is baked into
+    each query's (fresh) checkpoint, so scoping it here is safe."""
+
+    KEY = "spark.sql.shuffle.partitions"
+
+    def __init__(self, spark: SparkSession, n: int):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self._prev = self.spark.conf.get(self.KEY)
+        self.spark.conf.set(self.KEY, str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set(self.KEY, self._prev)
+        return False
+
+
 def running_user_stats(
     spark: SparkSession,
     events_path: str,
@@ -109,15 +130,16 @@ def running_user_stats(
     ckpt = checkpoint_dir or os.path.join(
         tempfile.gettempdir(), f"ckpt_{uuid.uuid4().hex[:8]}"
     )
-    q = (
-        updated.writeStream.format("memory")
-        .queryName(sink_table)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_shuffle_partitions(spark, 32):
+        q = (
+            updated.writeStream.format("memory")
+            .queryName(sink_table)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     out = spark.table(sink_table)
     # update-mode memory sink appends one row per state update; keep the
     # final row per user (max n_events is monotonically the latest)
@@ -248,15 +270,16 @@ def session_windows_timeout(
     ckpt = checkpoint_dir or os.path.join(
         tempfile.gettempdir(), f"ckpt_{uuid.uuid4().hex[:8]}"
     )
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(sink_table)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_shuffle_partitions(spark, 32):
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(sink_table)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink_table)
 
 
