@@ -109,3 +109,25 @@ class TestBucketedJoin:
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
             spark.sql("DROP TABLE IF EXISTS orders_b")
             spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+class TestPartitionPruning:
+    def test_partitioned_write_prunes_on_read(self, spark, sf_dir, tmp_path):
+        """Hive-style partitioned layout: a filter on the partition column
+        becomes a PartitionFilters entry — non-matching directories are
+        never opened, the scan-side contract that matters most at 100 TB."""
+        from hbase_to_mongo_export_spark.sources.catalog import load_table
+
+        out = str(tmp_path / "events_by_type")
+        load_table(spark, sf_dir, "events").write.partitionBy(
+            "event_type"
+        ).parquet(out)
+        df = spark.read.parquet(out).filter(F.col("event_type") == "click")
+        plan = plan_of(df)
+        assert re.search(r"PartitionFilters: \[.*event_type.*click", plan), plan
+        # the data filter must NOT degrade to a post-scan Filter on all rows
+        n_read = df.count()
+        n_click = load_table(spark, sf_dir, "events").filter(
+            F.col("event_type") == "click"
+        ).count()
+        assert n_read == n_click
