@@ -25,6 +25,7 @@ from .functions import text as tx
 from .operators import asof as asof_mod
 from .operators import dedup as dedup_mod
 from .operators import similarity as sim_mod
+from .operators import skew as skew_mod
 from .sources.catalog import load_table
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -2226,4 +2227,87 @@ def full_outer_nation_reconciliation(spark: SparkSession, sf_dir: str) -> DataFr
             F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
         )
         .orderBy("nationkey")
+    )
+
+
+@register(
+    "skew_salted_event_counts",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def skew_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation (the hot-key answer at 100 TB): salt →
+    partial agg → merge. The oracle is the plain GROUP BY — proving the
+    salted rewrite computes the identical result."""
+    ev = _t(spark, sf_dir, "events")
+    out = skew_mod.salted_agg(
+        ev,
+        "user_id",
+        {"n_events": ("count", "*"), "sum_value": ("sum", "value")},
+    )
+    return out.select(
+        "user_id",
+        F.col("n_events"),
+        F.round("sum_value", 4).alias("sum_value"),
+    ).orderBy("user_id")
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lower(w) AS term
+      FROM (SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents WHERE trim(text) <> '')),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * (ln((n_docs + 1.0) / (df.df + 1.0)) + 1.0), 4) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tfidf FROM (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rn
+      FROM scored WHERE doc_id < 30) t
+    WHERE rn <= 3 ORDER BY doc_id, tfidf DESC, term
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with smoothed idf (ln((N+1)/(df+1))+1), top-3 terms for the
+    first 30 docs. Document frequency is computed over the WHOLE corpus
+    before restricting output — the part people get wrong. All counting
+    is JVM-side; one shuffle for tf, one for df (both map-side combined),
+    idf joins back as a broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.filter(F.trim("text") != "").select(
+        "doc_id",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("w"),
+    ).select("doc_id", F.lower("w").alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.filter(F.col("doc_id") < 30)
+        .join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+        .orderBy("doc_id", F.col("tfidf").desc(), "term")
     )
