@@ -2311,3 +2311,32 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tfidf")
         .orderBy("doc_id", F.col("tfidf").desc(), "term")
     )
+
+
+@register(
+    "events_date_dimensions",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM ts) AS INTEGER) AS y,
+           CAST(EXTRACT(quarter FROM ts) AS INTEGER) AS q,
+           CAST(EXTRACT(dow FROM ts) AS INTEGER) AS dow,
+           CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hr,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4
+    """,
+)
+def events_date_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension extraction breadth: year/quarter/day-of-week/
+    hour rollup. Day-of-week conventions differ between engines (Spark
+    dayofweek is 1=Sunday, DuckDB dow is 0=Sunday) — pinned by shifting
+    Spark's to the 0-based convention."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.year("ts").alias("y"),
+            F.quarter("ts").alias("q"),
+            (F.dayofweek("ts") - 1).alias("dow"),
+            F.hour("ts").alias("hr"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("y", "q", "dow", "hr")
+    )
