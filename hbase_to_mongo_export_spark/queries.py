@@ -2172,24 +2172,24 @@ def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the pairwise join quadratic only within blocks — the standard
     trick that makes edit-distance matching feasible at scale."""
     part = _t(spark, sf_dir, "part")
-    a = part.select(
-        F.col("p_partkey").alias("ka"),
-        F.col("p_name").alias("na"),
-        F.col("p_brand").alias("brand"),
-    )
-    b = part.select(
-        F.col("p_partkey").alias("kb"),
-        F.col("p_name").alias("nb"),
-        F.col("p_brand").alias("brand"),
-    )
+    # collapse to distinct (brand, name) with multiplicities first: the
+    # quadratic comparison then runs over distinct names per brand, not
+    # rows, and each name-pair contributes c_a * c_b row-pairs. Distance
+    # is symmetric, so ordering by name (not key) dedupes pairs; same-name
+    # pairs have distance 0 and fall outside the [1, 4] band.
+    g = part.groupBy(
+        F.col("p_brand").alias("brand"), F.col("p_name").alias("name")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a = g.select("brand", F.col("name").alias("na"), F.col("c").alias("ca"))
+    b = g.select("brand", F.col("name").alias("nb"), F.col("c").alias("cb"))
     dist = F.levenshtein("na", "nb")
     return (
         a.join(b, ["brand"])
-        .filter(F.col("ka") < F.col("kb"))
-        .select(dist.alias("dist"))
+        .filter(F.col("na") < F.col("nb"))
+        .select(dist.alias("dist"), (F.col("ca") * F.col("cb")).alias("m"))
         .filter(F.col("dist").between(1, 4))
         .groupBy("dist")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .agg(F.sum("m").cast("bigint").alias("n_pairs"))
         .orderBy("dist")
     )
 
