@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from .functions import text as tx
 from .operators import asof as asof_mod
 from .operators import dedup as dedup_mod
+from .operators import multimodal as mm_mod
 from .operators import similarity as sim_mod
 from .operators import skew as skew_mod
 from .sources.catalog import load_table
@@ -2339,4 +2340,146 @@ def events_date_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("y", "q", "dow", "hr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate sketches (SURVEY §2.8 "approx_count_distinct"; mergeable
+# summaries are the only way distinct-counting survives 100 TB)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "approx_sketches_events",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS hll_ok,
+           TRUE AS ds_hll_ok,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           TRUE AS p50_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def approx_sketches_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch breadth: HyperLogLog++ (approx_count_distinct), Apache
+    DataSketches HLL (hll_sketch_agg → hll_sketch_estimate, the mergeable
+    cross-system format), and approx_percentile, each checked against the
+    exact answer *inside the query* — the output carries a boolean
+    "estimate within 5%" flag that the oracle pins to TRUE. Estimates are
+    deterministic for fixed input, so the flag is hash-stable, while the
+    query still fails loudly if a sketch drifts out of its error bound.
+    At 100 TB the exact columns are dropped and only the sketches run:
+    both are single-pass, mergeable, map-side-combinable aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("hll_est"),
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("ds_est"),
+        F.expr("percentile(value, 0.5D)").alias("p50_exact"),
+        F.expr("approx_percentile(value, 0.5D, 10000)").alias("p50_est"),
+    )
+    tol = F.col("exact_users") * 0.05
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (F.abs(F.col("hll_est") - F.col("exact_users")) <= tol).alias("hll_ok"),
+        (F.abs(F.col("ds_est") - F.col("exact_users")) <= tol).alias("ds_hll_ok"),
+        F.round("p50_exact", 6).alias("p50"),
+        (
+            F.abs(F.col("p50_est") - F.col("p50_exact"))
+            <= F.greatest(F.abs(F.col("p50_exact")) * 0.05, F.lit(1e-9))
+        ).alias("p50_ok"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns as first-class queries (operators/multimodal.py):
+# binary payload + typed metadata, decoded via Arrow-batched mapInPandas.
+# ---------------------------------------------------------------------------
+
+
+def _media_from_documents(spark: SparkSession, sf_dir: str, media_type: str,
+                          fmt: str, modulus: int, residue: int) -> DataFrame:
+    """Deterministic media table derived from `documents`: text bytes act
+    as the opaque payload (real pipelines carry JPEG/WAV bytes here), and
+    the metadata struct is computed from doc_id so oracles can reproduce
+    it. duration_ms = ((doc_id % 5) + 1) * 3000 for video rows."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % modulus) == residue
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(fmt).alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (((F.col("doc_id") % 5) + 1) * 3000).cast("long").alias("duration_ms"),
+            F.lit(None).cast("string").alias("uri"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(UNNEST(range(0, ((doc_id % 5) + 1) * 3000, 1000)) AS BIGINT)
+             AS frame_ts_ms
+    FROM documents WHERE doc_id % 3 = 0 ORDER BY 1, 2
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-timestamp sampling through the stubbed demuxer
+    (operators/multimodal.frame_sample, mapInPandas). The fake demux emits
+    a frame every 1000 ms across meta.duration_ms, which the oracle
+    reproduces with range()+UNNEST — a full value-level check that the
+    Arrow batch plumbing (struct access, row explosion, schema) is right,
+    even though the real ffmpeg call is stubbed."""
+    media = _media_from_documents(spark, sf_dir, "video", "mp4", 3, 0)
+    return mm_mod.frame_sample(media, every_ms=1000).orderBy(
+        "media_id", "frame_ts_ms"
+    )
+
+
+@register("multimodal_image_features")
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image feature extraction over binary payloads (stubbed decoder, real
+    mapInPandas plumbing): byte-budget repartition sizes decode tasks by
+    payload bytes, then each Arrow batch yields an 8-float feature vector
+    per image. No SQL oracle — the fake decode's byte loop is not
+    SQL-expressible; the driver's rows-only check applies. Output is a
+    per-bucket rollup so the result is small and schema-stable."""
+    media = mm_mod.media_repartition(
+        _media_from_documents(spark, sf_dir, "image", "jpeg", 3, 1),
+        target_bytes=8 * 1024 * 1024,
+    )
+    feats = mm_mod.image_features(media, fake=True)
+    return (
+        feats.groupBy((F.col("media_id") % 8).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.sum(F.element_at("features", 1)), 3).alias("f0_sum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register("multimodal_audio_features")
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio RMS / zero-crossing extraction (stubbed codec, real Arrow
+    batch plumbing). Rows-only check, as for image features."""
+    media = _media_from_documents(spark, sf_dir, "audio", "wav", 3, 2)
+    feats = mm_mod.audio_features(media, fake=True)
+    return (
+        feats.groupBy((F.col("media_id") % 8).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("zero_crossings").alias("zc_total"),
+        )
+        .orderBy("bucket")
     )
