@@ -2483,3 +2483,119 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming widening: stream-stream join, streaming dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+    FROM events p JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    ORDER BY 1, 2, 3
+    """,
+)
+def streaming_stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (purchase ← clicks within the
+    previous hour), drained availableNow; equals the batch range join."""
+    import os as _os
+
+    from .streaming.incremental import stream_stream_join
+
+    out = stream_stream_join(spark, _os.path.join(sf_dir, "events.parquet"))
+    return out.orderBy("user_id", "purchase_id", "click_id")
+
+
+@register(
+    "streaming_dedup_distinct_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events ORDER BY 1, 2",
+)
+def streaming_dedup_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DISTINCT via dropDuplicatesWithinWatermark — bounded
+    per-key state instead of forever-growing dedup state."""
+    import os as _os
+
+    from .streaming.incremental import stream_dedup_keys
+
+    out = stream_dedup_keys(spark, _os.path.join(sf_dir, "events.parquet"))
+    return out.orderBy("user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Window frames + calendar arithmetic widening
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_frames_breadth",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER
+                 (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                  RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS sum_1h,
+           ROUND(PERCENT_RANK() OVER wv, 6) AS pr,
+           ROUND(CUME_DIST() OVER wv, 6) AS cd
+    FROM events
+    WINDOW wv AS (PARTITION BY user_id ORDER BY value, event_id)
+    ORDER BY user_id, event_id
+    """,
+)
+def window_frames_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event-time (trailing 1-hour sum) plus
+    percent_rank/cume_dist. The trailing sum runs on DECIMAL so both
+    engines accumulate exactly regardless of frame iteration order; the
+    frame bound is epoch-millis RANGE, the sliding-window idiom that
+    needs no self-join."""
+    ev = _t(spark, sf_dir, "events")
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis("ts"))
+        .rangeBetween(-3600000, 0)
+    )
+    w_rank = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")).over(w_range), 4)
+        .cast("double")
+        .alias("sum_1h"),
+        F.round(F.percent_rank().over(w_rank), 6).alias("pr"),
+        F.round(F.cume_dist().over(w_rank), 6).alias("cd"),
+    ).orderBy("user_id", "event_id")
+
+
+@register(
+    "orders_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_ts,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+                AS INTEGER) AS days_to_eoy,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus3mo
+    FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey
+    """,
+)
+def orders_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar/interval arithmetic breadth: day/month interval addition
+    (with end-of-month clamping), last_day, ISO week truncation (Monday
+    start in both engines), and day diffs. All pure column expressions —
+    codegen'd, no shuffle beyond the final sort."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return orders.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
+        F.last_day(F.to_date("o_orderdate")).alias("month_end"),
+        F.date_trunc("week", "o_orderdate").alias("week_start"),
+        F.datediff(F.lit("1998-12-31").cast("date"), F.to_date("o_orderdate"))
+        .cast("int")
+        .alias("days_to_eoy"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTHS")).alias("plus3mo"),
+    ).orderBy("o_orderkey")

@@ -114,3 +114,101 @@ def incremental_export(
         .start()
     )
     q.awaitTermination()
+
+
+def _event_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    """readStream over the events parquet (single-file glob), with the
+    TIMESTAMP(NANOS) fallback mirrored from sources/catalog.py."""
+    from ..sources.catalog import _read_parquet_nanos_safe
+
+    batch_df = _read_parquet_nanos_safe(spark, events_path)
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("pathGlobFilter", os.path.basename(events_path))
+        .parquet(os.path.dirname(events_path))
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def _drain(df: DataFrame, output_mode: str) -> DataFrame:
+    """Run a streaming plan to completion (availableNow) into a memory
+    sink and return the final result table."""
+    sink_table = f"stream_out_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{uuid.uuid4().hex[:8]}")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(sink_table)
+
+
+def stream_stream_join(
+    spark: SparkSession,
+    events_path: str,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    max_lag: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each LEFT event (purchase)
+    pairs with RIGHT events (clicks) by the same user in the preceding
+    ``max_lag``.
+
+    The time-range join condition plus watermarks is what bounds the join
+    state at scale — Spark evicts buffered rows older than
+    ``watermark + max_lag``, so state is O(arrival rate × horizon), not
+    O(stream length). Under an availableNow drain the watermark starts at
+    epoch so no rows are evicted mid-batch and the result equals the
+    batch range join (how the oracle checks it)."""
+    ev = _event_stream(spark, events_path)
+    left = (
+        ev.filter(F.col("event_type") == left_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    right = (
+        ev.filter(F.col("event_type") == right_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_lag}"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "inner",
+    ).select("user_id", "purchase_id", "click_id")
+    return _drain(joined, "append")
+
+
+def stream_dedup_keys(
+    spark: SparkSession,
+    events_path: str,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming deduplication via ``dropDuplicatesWithinWatermark``: emit
+    each distinct key combination once. State holds one entry per key seen
+    within the watermark horizon — the bounded-memory form of streaming
+    DISTINCT (plain ``dropDuplicates`` on a stream retains state forever).
+    Only the key columns are projected so the surviving-row choice can't
+    make the result nondeterministic."""
+    keys = keys or ["user_id", "event_type"]
+    ev = _event_stream(spark, events_path).withWatermark("ts", watermark)
+    deduped = ev.select("ts", *keys).dropDuplicatesWithinWatermark(keys).select(*keys)
+    return _drain(deduped, "append")
