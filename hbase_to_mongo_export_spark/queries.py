@@ -2599,3 +2599,101 @@ def orders_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("days_to_eoy"),
         (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTHS")).alias("plus3mo"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "array_agg_user_event_types",
+    oracle="""
+    SELECT user_id,
+           list_sort(list_distinct(list(event_type))) AS types_seen,
+           CAST(len(list_distinct(list(event_type))) AS INTEGER) AS n_types,
+           list_sort(list_intersect(list_distinct(list(event_type)),
+                                    ['click', 'purchase'])) AS funnel_types
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def array_agg_user_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-aggregate breadth: collect_set → sorted array, cardinality,
+    array_intersect against a literal set. Arrays are sorted before
+    emission so the value hash is order-stable; collect_set is a map-side
+    combinable aggregate (no row explosion survives the shuffle)."""
+    ev = _t(spark, sf_dir, "events")
+    types = F.sort_array(F.collect_set("event_type"))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            types.alias("types_seen"),
+            F.size(F.collect_set("event_type")).cast("int").alias("n_types"),
+            F.sort_array(
+                F.array_intersect(
+                    F.collect_set("event_type"),
+                    F.array(F.lit("click"), F.lit("purchase")),
+                )
+            ).alias("funnel_types"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "agg_regression_lineitem",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+           ROUND(covar_samp(l_extendedprice, l_quantity), 4) AS price_qty_covar,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_regression_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate breadth: Pearson correlation, sample
+    covariance, least-squares slope/intercept per group — all single-pass
+    mergeable aggregates (Spark uses numerically-stable co-moment updates,
+    so partial aggregation still applies at 100 TB)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+            F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias(
+                "price_qty_covar"
+            ),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+                "intercept"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_SQL_CTE_TOP_CUSTOMERS = """
+WITH revenue AS (
+    SELECT o_custkey,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_spend,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+), ranked AS (
+    SELECT o_custkey, total_spend, n_orders,
+           ROW_NUMBER() OVER (ORDER BY total_spend DESC, o_custkey) AS rn
+    FROM revenue
+)
+SELECT r.rn, r.o_custkey, c.c_name, r.total_spend, r.n_orders
+FROM ranked r JOIN customer c ON c.c_custkey = r.o_custkey
+WHERE r.rn <= 25
+ORDER BY r.rn
+"""
+
+
+@register("sql_cte_top_customers", oracle=_SQL_CTE_TOP_CUSTOMERS)
+def sql_cte_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ad-hoc SQL surface itself (SURVEY §2.8 'SQL / expression
+    language'): tables registered as temp views, then one multi-CTE ANSI
+    query through spark.sql — the exact string DuckDB runs as the oracle.
+    Catalyst plans the window top-k before the customer join, so the join
+    input is 25 rows (broadcast), not the full customer table."""
+    for t in ("orders", "customer"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_CTE_TOP_CUSTOMERS)
