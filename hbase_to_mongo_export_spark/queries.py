@@ -2697,3 +2697,270 @@ def sql_cte_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "customer"):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_SQL_CTE_TOP_CUSTOMERS)
+
+
+# ---------------------------------------------------------------------------
+# Densification, bucketing, sampling, gap-fill (SURVEY §2.8 breadth +
+# training-pipeline reproducibility ops)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_month_densify",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+               CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+        FROM orders
+    ), cal AS (
+        SELECT CAST(m AS DATE) AS month
+        FROM b, UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 MONTH)) AS t(m)
+    ), mo AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               COUNT(*) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders WHERE o_totalprice > 450000 GROUP BY 1
+    )
+    SELECT cal.month, COALESCE(mo.n_orders, 0) AS n_orders,
+           CAST(ROUND(COALESCE(mo.rev, 0), 2) AS DOUBLE) AS revenue
+    FROM cal LEFT JOIN mo USING (month)
+    ORDER BY cal.month
+    """,
+)
+def orders_month_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification (gap-filling): generate every month between
+    the data's min/max order date with ``sequence`` + ``explode`` and
+    left-join the (sparse) high-value monthly rollup, zero-filling months
+    with no qualifying orders. Scale shape: the fact table is reduced by a
+    map-side-combinable groupBy FIRST; the calendar axis is O(months) rows,
+    so the final left join is a broadcast of two tiny dimensions — the 100
+    TB scan happens exactly once."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = (
+        orders.filter(F.col("o_totalprice") > 450000)
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_DEC)).alias("rev"),
+        )
+    )
+    cal = (
+        orders.agg(
+            F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("lo"),
+            F.date_trunc("month", F.max("o_orderdate")).cast("date").alias("hi"),
+        )
+        .select(
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 month"))
+            ).alias("month")
+        )
+    )
+    return (
+        cal.join(monthly, "month", "left")
+        .select(
+            "month",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.round(F.coalesce(F.col("rev"), F.lit(0)), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("month")
+    )
+
+
+@register(
+    "ntile_customer_spend_deciles",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        FROM orders GROUP BY o_custkey
+    ), tiled AS (
+        SELECT spend,
+               NTILE(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
+        FROM spend
+    )
+    SELECT decile, COUNT(*) AS n_customers,
+           CAST(ROUND(SUM(spend), 2) AS DOUBLE) AS decile_spend,
+           CAST(ROUND(MIN(spend), 2) AS DOUBLE) AS min_spend,
+           CAST(ROUND(MAX(spend), 2) AS DOUBLE) AS max_spend
+    FROM tiled GROUP BY decile ORDER BY decile
+    """,
+)
+def ntile_customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth bucketing with NTILE over exact decimal spend (unique
+    tiebreak on custkey keeps the tile assignment deterministic). The
+    global-ORDER window is the demonstration; at 100 TB the same deciles
+    come from approx_percentile boundaries + a width_bucket-style map-only
+    assignment — no global sort."""
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(_DEC)).alias("spend")
+    )
+    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("spend"), 2).cast("double").alias("decile_spend"),
+            F.round(F.min("spend"), 2).cast("double").alias("min_spend"),
+            F.round(F.max("spend"), 2).cast("double").alias("max_spend"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "histogram_order_totals",
+    oracle="""
+    -- DuckDB has no width_bucket; all values lie inside [0, 500000) so the
+    -- PostgreSQL bucket rule reduces to floor(v / width) + 1.
+    SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) + 1 AS bucket,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_price
+    FROM orders GROUP BY 1 ORDER BY bucket
+    """,
+)
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket — a pure map-side expression
+    followed by an 11-group aggregate: the cheapest possible distribution
+    profile of a 100 TB column (single scan, partial agg, no sort). The
+    average goes through an exact decimal sum so both engines divide the
+    same quantity."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn(
+            "bucket",
+            F.expr("width_bucket(o_totalprice, 0, 500000, 10)").cast("bigint"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast(_DEC)).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("avg_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "deterministic_sample_orders",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_sampled,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS sum_total
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def deterministic_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~12.5% sample by content hash (first hex digit of
+    md5(key)) — the sampling pattern a training pipeline needs: stable
+    across runs, engines, partitionings, and cluster sizes, unlike
+    ``df.sample`` whose output depends on partition layout. Map-only
+    filter + partial agg; at 100 TB nothing shuffles but 5 groups."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).isin(
+                "0", "1"
+            )
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2)
+            .cast("double")
+            .alias("sum_total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "events_locf_gap_fill",
+    oracle="""
+    WITH c AS (
+        SELECT event_type,
+               LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
+                          IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS last_purchase_value
+        FROM events
+    )
+    SELECT event_type, COUNT(*) AS n_events,
+           COUNT(last_purchase_value) AS n_with_carry,
+           ROUND(SUM(last_purchase_value), 4) AS sum_carried
+    FROM c GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward: every event sees the most recent
+    purchase value of its user (NULL before the first purchase) via
+    ``last(..., ignorenulls=True)`` over a running ROWS frame with a
+    deterministic (ts, event_id) order. The window partitions by user_id —
+    one shuffle on the natural key, state bounded per user, no global
+    sort; the standard time-series imputation shape."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = ev.withColumn(
+        "last_purchase_value",
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("value")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        carried.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("last_purchase_value").alias("n_with_carry"),
+            F.round(F.sum("last_purchase_value"), 4).alias("sum_carried"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "similarity_ivf_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_dot_product([CAST(x AS DOUBLE) FOR x IN q.q_vec],
+                              [CAST(x AS DOUBLE) FOR x IN e.embedding]) /
+             (sqrt(list_dot_product([CAST(x AS DOUBLE) FOR x IN q.q_vec],
+                                    [CAST(x AS DOUBLE) FOR x IN q.q_vec])) *
+              sqrt(list_dot_product([CAST(x AS DOUBLE) FOR x IN e.embedding],
+                                    [CAST(x AS DOUBLE) FOR x IN e.embedding]))) AS cos
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cosine FROM (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored) t
+    WHERE rank <= 3 ORDER BY query_id, rank
+    """,
+)
+def similarity_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN with nprobe = n_centroids, which makes the
+    candidate set exhaustive — so the exact brute-force oracle applies and
+    the whole IVF machinery (centroid sampling, list assignment, probe
+    join, per-list rescoring) is verified end-to-end. Production recall/
+    cost trades down by lowering nprobe; see ``similarity_lsh_topk`` for
+    the rows-only approximate variant."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    return sim_mod.ivf_topk(
+        emb, qs, k=3, n_centroids=16, nprobe=16
+    ).orderBy("query_id", "rank")
