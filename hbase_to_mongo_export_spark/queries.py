@@ -2964,3 +2964,188 @@ def similarity_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_mod.ivf_topk(
         emb, qs, k=3, n_centroids=16, nprobe=16
     ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Product-analytics shapes: funnel, cohort retention, per-user array algebra,
+# LATERAL top-1 (SURVEY §2.8 breadth)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS first_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, v.first_view, MIN(e.ts) AS first_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.first_view
+        GROUP BY e.user_id, v.first_view
+    ), p AS (
+        SELECT e.user_id, c.first_view, c.first_click, MIN(e.ts) AS first_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+        GROUP BY e.user_id, c.first_view, c.first_click
+    )
+    SELECT user_id, first_view, first_click, first_purchase
+    FROM p ORDER BY user_id
+    """,
+)
+def events_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: users who did view -> click -> purchase in
+    strict timestamp order, with the earliest qualifying time of each
+    stage. Three filtered min-aggregates chained by user_id equi-joins —
+    every shuffle is on the same key, so at 100 TB the stages co-partition
+    (one exchange, reused) and each MIN is map-side partial; no window, no
+    sort, no fact-sized intermediate."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id", "first_view")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id", "first_view", "first_click")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return p.select(
+        "user_id", "first_view", "first_click", "first_purchase"
+    ).orderBy("user_id")
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH fm AS (
+        SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+        FROM events GROUP BY user_id
+    ), act AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS act_day
+        FROM events
+    )
+    SELECT f.cohort_day,
+           CAST(datediff('day', f.cohort_day, a.act_day) AS BIGINT)
+             AS day_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM act a JOIN fm f ON a.user_id = f.user_id
+    GROUP BY 1, 2 ORDER BY cohort_day, day_offset
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active day,
+    counted on each later day they return. The (user, day) activity set is
+    deduped FIRST (shuffle carries one row per user-day, not per event),
+    then joined to the per-user cohort on user_id — co-partitioned with
+    the dedup — and the final distinct-count groups by the tiny (cohort,
+    offset) key. day_offset is an exact integer date difference."""
+    ev = _t(spark, sf_dir, "events")
+    fm = ev.groupBy("user_id").agg(F.min("ts").cast("date").alias("cohort_day"))
+    act = ev.select("user_id", F.col("ts").cast("date").alias("act_day")).distinct()
+    return (
+        act.join(fm, "user_id")
+        .withColumn(
+            "day_offset", F.datediff("act_day", "cohort_day").cast("bigint")
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@register(
+    "array_set_ops_user_event_types",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               list_sort(list_distinct(COALESCE(
+                   list(event_type) FILTER (WHERE event_id % 2 = 0), [])))
+                 AS even_types,
+               list_sort(list_distinct(COALESCE(
+                   list(event_type) FILTER (WHERE event_id % 2 = 1), [])))
+                 AS odd_types
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, even_types, odd_types,
+           list_sort(list_intersect(even_types, odd_types)) AS common_types,
+           list_sort(list_filter(even_types,
+                                 x -> NOT list_contains(odd_types, x)))
+             AS even_only_types
+    FROM s ORDER BY user_id
+    """,
+)
+def array_set_ops_user_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra per key: the distinct event-type vocabularies of
+    two deterministic halves of each user's stream (even/odd event_id) and
+    their intersection / difference, all sorted so the array values are
+    order-stable. One groupBy on the natural key; the set ops are JVM
+    array expressions on already-aggregated rows — nothing re-shuffles."""
+    ev = _t(spark, sf_dir, "events")
+    even = F.array_sort(
+        F.array_distinct(
+            F.collect_list(
+                F.when(F.col("event_id") % 2 == 0, F.col("event_type"))
+            )
+        )
+    )
+    odd = F.array_sort(
+        F.array_distinct(
+            F.collect_list(
+                F.when(F.col("event_id") % 2 == 1, F.col("event_type"))
+            )
+        )
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(even.alias("even_types"), odd.alias("odd_types"))
+        .select(
+            "user_id",
+            "even_types",
+            "odd_types",
+            F.array_sort(
+                F.array_intersect("even_types", "odd_types")
+            ).alias("common_types"),
+            F.array_sort(F.array_except("even_types", "odd_types")).alias(
+                "even_only_types"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+_LATERAL_TOP_ORDER = """
+SELECT c.c_custkey, c.c_name, t.o_orderkey, t.top_price
+FROM customer c, LATERAL (
+    SELECT o_orderkey, o_totalprice AS top_price
+    FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 1
+) t
+WHERE c.c_custkey < 100
+ORDER BY c.c_custkey
+"""
+
+
+@register("lateral_top_order_per_customer", oracle=_LATERAL_TOP_ORDER)
+def lateral_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL-surface breadth): per customer,
+    the single most expensive order, written as a lateral ORDER BY/LIMIT 1
+    — the same ANSI text runs on both engines. Catalyst rewrites the
+    lateral into a ranked join rather than executing per-row subqueries,
+    so the plan is one shuffle + window, not N scans; semantically
+    identical to the `window_topk_orders_per_customer` DataFrame variant."""
+    for t in ("customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_TOP_ORDER)
