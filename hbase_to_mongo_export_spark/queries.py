@@ -3149,3 +3149,163 @@ def lateral_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFram
     for t in ("customer", "orders"):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_LATERAL_TOP_ORDER)
+
+
+# ---------------------------------------------------------------------------
+# Co-occurrence, quantile bucket-join (the scale path of NTILE), rolling
+# distinct window (SURVEY §2.8 breadth)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "market_basket_brand_pairs",
+    oracle="""
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), pairs AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               COUNT(*) AS n_orders
+        FROM ob a JOIN ob b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, n_orders FROM (
+        SELECT brand_a, brand_b, n_orders,
+               ROW_NUMBER() OVER (ORDER BY n_orders DESC, brand_a, brand_b) AS rn
+        FROM pairs) t
+    WHERE rn <= 20 ORDER BY n_orders DESC, brand_a, brand_b
+    """,
+)
+def market_basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the 20 brand pairs most often bought
+    in the same order. The part dimension broadcasts into the fact scan,
+    (order, brand) is deduped before the self-join so the pair fanout is
+    bounded by brands-per-order (≤25), and the self-join co-partitions on
+    l_orderkey — the one shuffle the fact pays. Top-20 is a tie-broken
+    row_number so the result set is deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.alias("a")
+    b = ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
+    w = Window.orderBy(F.col("n_orders").desc(), "brand_a", "brand_b")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("brand_a", "brand_b", "n_orders")
+        .orderBy(F.col("n_orders").desc(), "brand_a", "brand_b")
+    )
+
+
+@register(
+    "bucket_join_spend_quartiles",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        FROM orders GROUP BY o_custkey
+    ), q AS (
+        SELECT quantile_cont(spend, 0.25) AS q1,
+               quantile_cont(spend, 0.50) AS q2,
+               quantile_cont(spend, 0.75) AS q3
+        FROM spend
+    )
+    SELECT CASE WHEN s.spend <= q.q1 THEN 1
+                WHEN s.spend <= q.q2 THEN 2
+                WHEN s.spend <= q.q3 THEN 3
+                ELSE 4 END AS quartile,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(s.spend), 2) AS total_spend
+    FROM spend s CROSS JOIN q
+    GROUP BY 1 ORDER BY quartile
+    """,
+)
+def bucket_join_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile bucketing the way it scales: compute the three quartile
+    boundaries once (a tiny all-reduce), broadcast them against the
+    per-customer spend, and assign buckets with a map-only CASE — no
+    global sort, unlike NTILE (`ntile_customer_spend_deciles`). Spend is
+    an exact decimal sum cast to double (< 2^53 cents, so the cast is
+    exact) and both engines share the linear-interpolation percentile
+    rule, so the boundaries are bit-identical."""
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("spend")
+    )
+    q = spend.agg(
+        F.expr("percentile(spend, 0.25)").alias("q1"),
+        F.expr("percentile(spend, 0.50)").alias("q2"),
+        F.expr("percentile(spend, 0.75)").alias("q3"),
+    )
+    return (
+        spend.crossJoin(F.broadcast(q))
+        .withColumn(
+            "quartile",
+            F.when(F.col("spend") <= F.col("q1"), 1)
+            .when(F.col("spend") <= F.col("q2"), 2)
+            .when(F.col("spend") <= F.col("q3"), 3)
+            .otherwise(4)
+            .cast("int"),
+        )
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("spend"), 2).alias("total_spend"),
+        )
+        .orderBy("quartile")
+    )
+
+
+@register(
+    "events_rolling_7day_distinct_users",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), days AS (
+        SELECT DISTINCT day FROM ud
+    )
+    SELECT d.day, COUNT(DISTINCT u.user_id) AS n_users_7d
+    FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day ORDER BY d.day
+    """,
+)
+def events_rolling_7day_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users — COUNT(DISTINCT) over a sliding range,
+    which no window frame supports directly. The stream collapses to one
+    row per (user, day) FIRST (the only fact-sized shuffle), then a tiny
+    broadcast day-spine range-joins the deduped set; each day re-counts
+    distinct users over its 7-day slice. At 100 TB the user-day dedup is
+    the working set (~users x days), orders of magnitude smaller than
+    events."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    days = ud.select("day").distinct()
+    d = days.alias("d")
+    u = ud.alias("u")
+    return (
+        d.join(
+            u,
+            (F.col("u.day") >= F.date_sub(F.col("d.day"), 6))
+            & (F.col("u.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("u.user_id").alias("n_users_7d"))
+        .orderBy("day")
+    )
