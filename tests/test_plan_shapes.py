@@ -131,3 +131,28 @@ class TestPartitionPruning:
             F.col("event_type") == "click"
         ).count()
         assert n_read == n_click
+
+
+class TestNewBreadthShapes:
+    def test_market_basket_broadcasts_part_dim(self, spark, sf_dir):
+        """Brand co-occurrence: the part dimension must broadcast into the
+        lineitem scan; only the self-join on l_orderkey may shuffle."""
+        plan = plan_of(registry.queries()["market_basket_brand_pairs"](spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan, plan
+
+    def test_quartile_boundaries_broadcast(self, spark, sf_dir):
+        """Bucket-join quartiles: the 1-row boundary frame broadcasts; the
+        per-customer spend side must NOT globally sort (no NTILE-style
+        single-partition Window in the plan)."""
+        plan = plan_of(registry.queries()["bucket_join_spend_quartiles"](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+        assert "Window" not in plan, plan
+
+    def test_densify_scans_fact_once_per_branch(self, spark, sf_dir):
+        """Calendar densification: the calendar side collapses to a 1-row
+        aggregate before explode — the join itself must broadcast, never
+        sort-merge two tiny frames."""
+        plan = plan_of(registry.queries()["orders_month_densify"](spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan, plan
