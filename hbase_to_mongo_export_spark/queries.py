@@ -3309,3 +3309,80 @@ def events_rolling_7day_distinct_users(spark: SparkSession, sf_dir: str) -> Data
         .agg(F.countDistinct("u.user_id").alias("n_users_7d"))
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# String aggregation + window-over-aggregate composition (final breadth)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "listagg_nations_per_region",
+    oracle="""
+    SELECT r.r_name AS region,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name ORDER BY region
+    """,
+)
+def listagg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG/string_agg parity: comma-joined nation names per region,
+    made order-deterministic by sorting inside the aggregate
+    (array_sort(collect_list) -> array_join — Spark's collect order is
+    partition-dependent, so the sort is mandatory, not cosmetic)."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count("*").alias("n_nations"),
+        )
+        .orderBy("region")
+    )
+
+
+@register(
+    "orders_mom_revenue_growth",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+                 AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           LAG(revenue) OVER (ORDER BY month) AS prev_revenue,
+           ROUND((revenue - LAG(revenue) OVER (ORDER BY month))
+                 / LAG(revenue) OVER (ORDER BY month) * 100, 4) AS pct_change
+    FROM m ORDER BY month
+    """,
+)
+def orders_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: window-over-aggregate composition
+    — the fact collapses to one row per month first (map-side partial
+    agg), then LAG runs on the O(months) series, so the 'global' window
+    orders ~80 rows, not 100 TB. The percent change divides exact
+    decimal-derived doubles, rounded on both engines."""
+    orders = _t(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2)
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return (
+        m.withColumn("prev_revenue", prev)
+        .withColumn(
+            "pct_change",
+            F.round((F.col("revenue") - prev) / prev * 100, 4),
+        )
+        .orderBy("month")
+    )
