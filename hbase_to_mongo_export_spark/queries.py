@@ -3386,3 +3386,288 @@ def orders_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes 2/9/11/16/20 — adapted to this schema (no partsupp table:
+# the part-supplier relationship is derived from lineitem, which preserves
+# each query's characteristic operator shape: correlated argmin, profit
+# expression over a snowflake, scalar-subquery threshold, NOT IN with
+# grouped distinct counts, nested correlated quantity threshold).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH eursupp AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ), cost AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             ROUND(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+                   / SUM(l_quantity), 4) AS supply_cost
+      FROM lineitem JOIN eursupp ON s_suppkey = l_suppkey
+      GROUP BY 1, 2
+    ), mc AS (
+      SELECT partkey, MIN(supply_cost) AS min_cost FROM cost GROUP BY 1
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+    FROM cost
+    JOIN mc ON cost.partkey = mc.partkey AND cost.supply_cost = mc.min_cost
+    JOIN part ON p_partkey = cost.partkey
+    JOIN eursupp ON s_suppkey = cost.suppkey
+    WHERE p_size <= 15 AND p_type = 'STANDARD'
+    ORDER BY s_acctbal DESC, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-style min-cost supplier (partsupp derived from lineitem: supply
+    cost = per-(part,supplier) average unit price). The correlated
+    MIN-subquery becomes a window MIN over partkey on the already-reduced
+    (part,supplier) aggregate — lineitem shuffles once on the pair key;
+    the window input is |part|x|supp-per-part|, orders of magnitude
+    smaller than the fact. Part/supplier/nation/region filters broadcast
+    into the scan before the aggregate so only qualifying rows shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    part_f = part.filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_name")
+    supp_eur = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        li.join(F.broadcast(part_f), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp_eur), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.round(F.sum(F.col("l_extendedprice").cast(_DEC)), 2).cast("double")
+                / F.sum("l_quantity"),
+                4,
+            ).alias("supply_cost")
+        )
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cost.withColumn("min_cost", F.min("supply_cost").over(w))
+        .filter(F.col("supply_cost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost")
+        .orderBy(F.col("s_acctbal").desc(), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    oracle="""
+    SELECT nation, o_year,
+           CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             EXTRACT(year FROM o_orderdate) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))
+               - CAST(l_quantity AS DECIMAL(18,2)) * CAST(p_retailprice AS DECIMAL(18,2))
+                 * CAST(0.1 AS DECIMAL(3,1)) AS amount
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9-style product-type profit (supply cost proxied as 10% of
+    p_retailprice since there is no partsupp). Snowflake with one fact-fact
+    shuffle (lineitem-orders); part and supplier+nation broadcast. All
+    money arithmetic stays in DECIMAL so the profit sum is exact and
+    partition-order-independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    part_red = part.filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp_nat = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    amount = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast(_DEC4) - F.col("l_quantity").cast(_DEC) * F.col("p_retailprice").cast(
+        _DEC
+    ) * F.lit(0.1).cast("decimal(3,1)")
+    return (
+        li.join(F.broadcast(part_red), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp_nat), li.l_suppkey == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              li.l_orderkey == F.col("o_orderkey"))
+        .select(
+            "nation",
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "q11_important_inventory",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey AS partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_dec
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY 1
+    )
+    SELECT partkey, CAST(value_dec AS DOUBLE) AS part_value
+    FROM pv
+    WHERE value_dec > (SELECT SUM(value_dec) * 0.001 FROM pv)
+    ORDER BY part_value DESC, partkey
+    """,
+)
+def q11_important_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11-style important inventory: per-part value for one nation's
+    suppliers, kept only when above a fraction of the global total (the
+    scalar subquery). The global total re-aggregates the per-part result
+    (tiny) and broadcasts back — the fact table shuffles once. The
+    threshold comparison runs in DECIMAL on both engines, so the > cut is
+    exact — no float-boundary flakiness."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    supp_n7 = supp.join(
+        F.broadcast(nation.filter(F.col("n_name") == "NATION_7")),
+        supp.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey")
+    pv = (
+        li.join(F.broadcast(supp_n7), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(F.col("l_extendedprice").cast(_DEC)).alias("value_dec"))
+    )
+    total = pv.agg(
+        (F.sum("value_dec") * F.lit(0.001).cast("decimal(4,3)")).alias("threshold")
+    )
+    return (
+        pv.join(F.broadcast(total), F.col("value_dec") > F.col("threshold"))
+        .select("partkey", F.col("value_dec").cast("double").alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "partkey")
+    )
+
+
+@register(
+    "q16_supplier_part_count",
+    oracle="""
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16-style supplier counts per part descriptor (the 'complaints'
+    exclusion becomes negative-balance suppliers). NOT IN compiles to a
+    broadcast left-anti join (the excluded set is tiny); the part filter
+    broadcasts into the lineitem scan; one shuffle for the distinct
+    count."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    part_f = part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == F.col("s_suppkey"),
+                "left_anti")
+        .join(F.broadcast(part_f), li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q20_excess_shippers",
+    oracle="""
+    WITH per AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk, SUM(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT pk, SUM(qty) AS total_qty FROM per GROUP BY 1
+    )
+    SELECT DISTINCT s_suppkey, s_name
+    FROM per
+    JOIN tot ON per.pk = tot.pk
+    JOIN part ON p_partkey = per.pk AND p_name LIKE 'b%'
+    JOIN supplier ON s_suppkey = per.sk
+    JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_2'
+    WHERE qty > 0.3 * total_qty
+    ORDER BY s_suppkey
+    """,
+)
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20-style excess shippers: suppliers in one nation that shipped
+    >30% of a qualifying part's 1996 volume (the classic nested
+    correlated '0.5 * sum(qty)' threshold, with availqty replaced by the
+    supplier's own shipped share). The correlated subquery becomes a
+    window SUM over partkey on the (part,supplier) aggregate; the fact
+    shuffles once on the pair key, the window reshuffles only the
+    reduced aggregate. Part/supplier filters broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    part_b = part.filter(F.col("p_name").like("b%")).select("p_partkey")
+    supp_n2 = supp.join(
+        F.broadcast(nation.filter(F.col("n_name") == "NATION_2")),
+        supp.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey", "s_name")
+    per = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(part_b), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        per.withColumn("total_qty", F.sum("qty").over(w))
+        .filter(F.col("qty") > F.lit(0.3) * F.col("total_qty"))
+        .join(F.broadcast(supp_n2), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )
