@@ -3671,3 +3671,147 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sub-document dedup + corpus statistics (training-pipeline breadth)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chunk_dedup_20word",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+               AS words
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             md5(list_aggregate(words[i * 20 + 1 : i * 20 + 20], 'string_agg', ' '))
+               AS chunk_hash
+      FROM w, LATERAL (SELECT UNNEST(range(0, len(words) // 20)) AS i) g
+    )
+    SELECT chunk_hash, COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM chunks
+    GROUP BY chunk_hash
+    HAVING COUNT(*) > 1
+    ORDER BY n_occurrences DESC, chunk_hash
+    LIMIT 50
+    """,
+)
+def chunk_dedup_20word(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup (the Spark-expressible variant of
+    suffix-array substring dedup a la Lee et al. 2022): documents are cut
+    into complete non-overlapping 20-word chunks, each chunk is hashed,
+    and chunks occurring more than once corpus-wide are surfaced. The
+    chunking is a narrow projection (sequence + transform + slice, all
+    codegen); only (hash, doc_id) pairs shuffle — 24 bytes per chunk
+    regardless of document size, so the agg holds at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    k = F.floor(F.size(words) / F.lit(20)).cast("int")
+    chunk_hashes = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i * 20 + 1, 20))),
+    )
+    return (
+        docs.filter(k > 0)
+        .select(F.col("doc_id"), F.explode(chunk_hashes).alias("chunk_hash"))
+        .groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+        .orderBy(F.col("n_occurrences").desc(), "chunk_hash")
+        .limit(50)
+    )
+
+
+@register(
+    "lexical_diversity_by_lang",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      FROM documents WHERE trim(text) <> ''
+    )
+    SELECT lang,
+           COUNT(*) AS total_tokens,
+           COUNT(DISTINCT w) AS distinct_tokens,
+           ROUND(CAST(COUNT(DISTINCT w) AS DOUBLE) / COUNT(*), 6) AS type_token_ratio
+    FROM tok
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def lexical_diversity_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level type/token ratio per language: explode to one row per
+    token, then count + distinct-count per lang. The explode is the
+    scale hazard (tokens ~ 200x documents) but each row is (lang, word)
+    — two short strings — and countDistinct rewrites to a two-stage
+    partial aggregate, so the wide stage shuffles only distinct
+    (lang, word) pairs, which is bounded by vocabulary size, not corpus
+    size."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.trim(F.col("text")) != "")
+        .select(
+            F.col("lang"),
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.countDistinct("w").alias("distinct_tokens"),
+        )
+        .withColumn(
+            "type_token_ratio",
+            F.round(
+                F.col("distinct_tokens").cast("double") / F.col("total_tokens"), 6
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+             AS n_unique,
+           ROUND(1.0 - CAST(COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_rate
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication-rate report (the go/no-go metric a crawl
+    pipeline computes before choosing dedup strategy): docs vs distinct
+    normalized fingerprints per source. Single hash-aggregate; the
+    distinct count is again two-stage partial agg on (source, md5) —
+    128 bits per distinct doc on the wire."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = tx.fingerprint(F.col("text"))
+    return (
+        docs.select("source", fp.alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(
+                F.lit(1.0) - F.col("n_unique").cast("double") / F.col("n_docs"), 6
+            ),
+        )
+        .orderBy("source")
+    )
