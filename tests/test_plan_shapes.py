@@ -156,3 +156,53 @@ class TestNewBreadthShapes:
         plan = plan_of(registry.queries()["orders_month_densify"](spark, sf_dir))
         assert "CartesianProduct" not in plan
         assert "BroadcastHashJoin" in plan, plan
+
+
+class TestAdaptedTpchPlans:
+    """Scale pins for the adapted q2/q9/q11/q16/q20: dimensions broadcast,
+    the fact table shuffles at most once before the reduced aggregate."""
+
+    def test_q2_broadcasts_dims_single_fact_shuffle(self, spark, sf_dir):
+        plan = plan_of(registry.queries()["q2_min_cost_supplier"](spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+        # the only allowed sort-merge join would be a fact-fact join; here
+        # everything joining lineitem broadcasts, so none should appear
+        assert "SortMergeJoin" not in plan, plan
+
+    def test_q9_snowflake_one_fact_join(self, spark, sf_dir):
+        plan = plan_of(registry.queries()["q9_product_type_profit"](spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+        # lineitem-orders is the one permitted shuffled join
+        assert len(re.findall(r"SortMergeJoin", plan)) <= 1, plan
+
+    def test_q11_threshold_broadcasts(self, spark, sf_dir):
+        plan = plan_of(registry.queries()["q11_important_inventory"](spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan, plan
+
+    def test_q16_anti_join_broadcasts(self, spark, sf_dir):
+        plan = plan_of(registry.queries()["q16_supplier_part_count"](spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert re.search(r"BroadcastHashJoin.*LeftAnti", plan), plan
+        assert "SortMergeJoin" not in plan, plan
+
+    def test_q20_window_over_reduced_aggregate(self, spark, sf_dir):
+        df = registry.queries()["q20_excess_shippers"](spark, sf_dir)
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan, plan
+        # ship-date range must push to the parquet scan
+        assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(l_shipdate", plan), plan
+
+    def test_chunk_dedup_narrow_until_agg(self, spark, sf_dir):
+        """chunk_dedup reads only text+doc_id (column pruning) and has no
+        join at all — one hash-aggregate shuffle."""
+        df = registry.queries()["chunk_dedup_20word"](spark, sf_dir)
+        plan = plan_of(df)
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m, plan
+        read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert read_cols <= {"doc_id", "text"}, read_cols
+        assert "Join" not in plan
