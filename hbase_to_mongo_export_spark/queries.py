@@ -3815,3 +3815,58 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "events_state_islands",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), grp AS (
+      SELECT user_id, event_type, ts,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    )
+    SELECT user_id, event_type, island,
+           MIN(ts) AS island_start, MAX(ts) AS island_end,
+           COUNT(*) AS run_length
+    FROM grp
+    GROUP BY user_id, event_type, island
+    HAVING COUNT(*) >= 3
+    ORDER BY user_id, island_start
+    """,
+)
+def events_state_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands / run-length encoding of per-user state: each
+    change of event_type starts a new island; islands are the SCD2-style
+    [start, end] validity intervals. Both windows and the final groupBy
+    partition on user_id, so after the first shuffle every later stage is
+    shuffle-free (same-key partitioning reused) — the plan holds at
+    billions of users because state never leaves its partition."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    grp = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("chg", chg)
+        .withColumn(
+            "island",
+            F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        grp.groupBy("user_id", "event_type", "island")
+        .agg(
+            F.min("ts").alias("island_start"),
+            F.max("ts").alias("island_end"),
+            F.count(F.lit(1)).alias("run_length"),
+        )
+        .filter(F.col("run_length") >= 3)
+        .orderBy("user_id", "island_start")
+    )

@@ -63,3 +63,49 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+# ---------------------------------------------------------------------------
+# Multi-format IO: the engine's generic source/sink surface beyond parquet.
+# The reference's only output format is JSONL-with-manifest (SURVEY §2.1
+# S4-S6); re-reading those snapshots with spark.read.json makes exports
+# directly queryable, and CSV/ORC round out interchange formats.
+# ---------------------------------------------------------------------------
+
+_FORMATS = ("parquet", "json", "csv", "orc")
+
+
+def read_any(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Format-dispatched read. CSV defaults to header+inferSchema unless a
+    schema is given (at 100 TB always pass a schema: inference scans the
+    data twice). JSON likewise: with an explicit schema the reader is a
+    single streaming pass with full predicate/column pruning on the
+    projected columns."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; expected one of {_FORMATS}")
+    reader = spark.read
+    if fmt == "csv":
+        # header must be skipped whether or not a schema is supplied
+        options.setdefault("header", "true")
+        if schema is None:
+            options.setdefault("inferSchema", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.options(**options).format(fmt).load(path)
+
+
+def write_any(df: DataFrame, path: str, fmt: str = "parquet", **options) -> None:
+    """Format-dispatched write (overwrite). CSV writes a header so the
+    output is self-describing for read_any."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; expected one of {_FORMATS}")
+    writer = df.write.mode("overwrite")
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    writer.options(**options).format(fmt).save(path)

@@ -6,6 +6,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from hbase_to_mongo_export_spark.plans.export import ExportConfig, build_export, run_export
 from hbase_to_mongo_export_spark.sources import envelope as env
@@ -300,3 +301,42 @@ class TestCLI:
         assert out2.returncode == 0, out2.stderr[-2000:]
         st = json.loads(out2.stdout.strip().splitlines()[-1])
         assert st["run_status"] == "COMPLETED_SUCCESSFULLY"
+
+
+class TestMultiFormatIO:
+    """read_any/write_any: the generic source/sink surface, plus the
+    'snapshots are queryable' guarantee — exported JSONL re-reads as a
+    typed DataFrame Spark SQL can query."""
+
+    def test_format_round_trips(self, spark, sf_dir, tmp_path):
+        from hbase_to_mongo_export_spark.sources.catalog import (
+            load_table, read_any, write_any,
+        )
+
+        nation = load_table(spark, sf_dir, "nation")
+        expected = sorted(tuple(r) for r in nation.collect())
+        for fmt in ("parquet", "json", "csv", "orc"):
+            path = str(tmp_path / f"nation_{fmt}")
+            write_any(nation, path, fmt)
+            back = read_any(spark, path, fmt, schema=nation.schema)
+            assert sorted(tuple(r) for r in back.collect()) == expected, fmt
+
+    def test_unknown_format_rejected(self, spark, tmp_path):
+        from hbase_to_mongo_export_spark.sources.catalog import read_any
+
+        with pytest.raises(ValueError, match="unsupported format"):
+            read_any(spark, str(tmp_path), "avro")
+
+    def test_exported_snapshot_is_queryable(self, spark, source, tmp_path):
+        """Query the export output with Spark SQL: read the JSONL snapshot
+        back, shred the message envelope, count ids — the 'switching user'
+        workflow (their snapshots remain first-class tables)."""
+        from hbase_to_mongo_export_spark.plans.export import build_export
+        from hbase_to_mongo_export_spark.plans.sink import write_snapshot
+
+        records, _ = build_export(source, cfg(tmp_path))
+        write_snapshot(records, cfg(tmp_path))
+        snap = spark.read.json(str(tmp_path / "out"))
+        assert snap.count() == N
+        ids = snap.select(F.col("_id")).dropna()
+        assert ids.count() == N
