@@ -212,3 +212,29 @@ def stream_dedup_keys(
     ev = _event_stream(spark, events_path).withWatermark("ts", watermark)
     deduped = ev.select("ts", *keys).dropDuplicatesWithinWatermark(keys).select(*keys)
     return _drain(deduped, "append")
+
+
+def stream_static_enrichment(
+    spark: SparkSession,
+    events_path: str,
+    dim: DataFrame,
+    on: str = "user_id",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static join: enrich the event stream with a static (batch)
+    dimension. The static side is broadcast into every micro-batch — no
+    streaming state at all, which makes this the cheapest enrichment shape
+    at scale (the dimension is re-resolved per batch, so slowly-changing
+    dims pick up updates between batches for free). Aggregates the
+    enriched stream per dimension attribute under the event-time
+    watermark."""
+    from pyspark.sql.functions import broadcast
+
+    ev = _event_stream(spark, events_path).withWatermark("ts", watermark)
+    enriched = ev.join(broadcast(dim), on=on, how="inner")
+    dim_cols = [c for c in dim.columns if c != on]
+    agg = enriched.groupBy(dim_cols[0]).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    return _drain(agg, "complete")

@@ -157,3 +157,35 @@ def test_stateful_user_stats_under_rocksdb_state_store(spark, sf_dir, tables):
         )
     )
     assert got == sorted(map(str, batch.collect()))
+
+
+def test_stream_static_enrichment_equals_batch(spark, sf_dir, tables):
+    """Stream-static broadcast join + aggregate == the same plan in batch."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from hbase_to_mongo_export_spark.sources.catalog import load_table
+    from hbase_to_mongo_export_spark.streaming.incremental import (
+        stream_static_enrichment,
+    )
+
+    events_path = _os.path.join(sf_dir, "events.parquet")
+    # synthetic dimension: user cohort = user_id % 5
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id").distinct()
+        .withColumn("cohort", (F.col("user_id") % 5).cast("int"))
+    )
+    got = stream_static_enrichment(spark, events_path, dim).collect()
+    ev = load_table(spark, sf_dir, "events")
+    want = (
+        ev.join(dim, "user_id")
+        .groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
