@@ -47,6 +47,21 @@ def _build_parser() -> argparse.ArgumentParser:
 
     c = sub.add_parser("completion-status", help="fold run statuses (A3)")
     c.add_argument("--status-file", required=True)
+
+    s = sub.add_parser("sql", help="ad-hoc SQL over the table catalog")
+    s.add_argument("statement", help="SQL to run (tables pre-registered as views)")
+    s.add_argument("--sf-dir", required=True, help="directory of <table>.parquet files")
+    s.add_argument("--limit", type=int, default=100, help="max rows to print")
+    s.add_argument("--output", default=None, help="write full result here instead")
+    s.add_argument("--format", default="parquet",
+                   choices=["parquet", "json", "csv", "orc"])
+
+    q = sub.add_parser("query", help="run a named query from the registry")
+    q.add_argument("name", help="registry key (see 'query --list')")
+    q.add_argument("--sf-dir", default=None)
+    q.add_argument("--limit", type=int, default=100)
+    q.add_argument("--list", action="store_true", dest="list_queries",
+                   help="list available query names")
     return p
 
 
@@ -108,6 +123,35 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
         return 0 if result.status in ("Exported",) else 1
+
+    if args.cmd == "sql":
+        from .sources.catalog import register_views, write_any
+
+        register_views(spark, args.sf_dir)
+        df = spark.sql(args.statement)
+        if args.output:
+            write_any(df, args.output, args.format)
+            print(json.dumps({"written": args.output, "format": args.format}))
+        else:
+            for r in df.limit(args.limit).collect():
+                print(json.dumps(r.asDict(), default=str))
+        return 0
+
+    if args.cmd == "query":
+        from . import queries as registry
+
+        qmap = registry.queries()
+        if args.list_queries or args.name == "list":
+            for name in sorted(qmap):
+                print(name)
+            return 0
+        if args.name not in qmap:
+            print(f"unknown query {args.name!r}; try 'query list'", file=sys.stderr)
+            return 2
+        sf_dir = args.sf_dir or "/root/testdata/sf0.001"
+        for r in qmap[args.name](spark, sf_dir).limit(args.limit).collect():
+            print(json.dumps(r.asDict(), default=str))
+        return 0
 
     if args.cmd == "completion-status":
         from .plans.status import LocalStatusStore, completion_status

@@ -1,0 +1,46 @@
+"""CLI surface: the sql / query subcommands (ad-hoc SQL is the engine's
+query language — SURVEY §2.8's last row)."""
+
+import json
+
+from hbase_to_mongo_export_spark.__main__ import main
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_sql_subcommand_prints_rows(capsys, spark):
+    rc = main(["sql", "SELECT COUNT(*) AS n FROM nation", "--sf-dir", SF])
+    assert rc == 0
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert out == [{"n": 25}]
+
+
+def test_sql_subcommand_writes_output(tmp_path, capsys, spark):
+    dest = str(tmp_path / "out_csv")
+    rc = main([
+        "sql", "SELECT r_regionkey, r_name FROM region",
+        "--sf-dir", SF, "--output", dest, "--format", "csv",
+    ])
+    assert rc == 0
+    from hbase_to_mongo_export_spark.sources.catalog import read_any
+
+    back = read_any(spark, dest, "csv")
+    assert back.count() == 5
+
+
+def test_query_subcommand_runs_registry_entry(capsys, spark):
+    rc = main(["query", "count_distinct_users", "--sf-dir", SF])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rows and "n_users" in rows[0] or rows
+
+
+def test_query_subcommand_unknown_name(capsys, spark):
+    assert main(["query", "no_such_query"]) == 2
+
+
+def test_query_list(capsys, spark):
+    rc = main(["query", "list"])
+    assert rc == 0
+    names = capsys.readouterr().out.split()
+    assert "q1_pricing_summary" in names
