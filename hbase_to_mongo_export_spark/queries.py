@@ -3870,3 +3870,82 @@ def events_state_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("run_length") >= 3)
         .orderBy("user_id", "island_start")
     )
+
+
+@register(
+    "udtf_bigram_top20",
+    oracle="""
+    WITH w AS (
+      SELECT string_split_regex(lower(trim(text)), '\\s+') AS words
+      FROM documents WHERE trim(text) <> ''
+    ), b AS (
+      SELECT UNNEST([words[i] || ' ' || words[i + 1]
+                     FOR i IN range(1, len(words))]) AS bigram
+      FROM w
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM b GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+)
+def udtf_bigram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top bigrams via a Python UDTF (table function) — the user-facing
+    UDTF surface of SURVEY §2.8. CAPABILITY DEMO: a UDTF runs row-at-a-
+    time in Python workers; the hot-path formulation of this exact query
+    is the codegen explode in word_count_top20 / chunk_dedup. Use a UDTF
+    when per-row logic genuinely needs imperative Python AND yields a
+    variable number of rows (parsers, tokenizers with state)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="bigram: string")
+    class Bigrams:
+        def eval(self, text: str):
+            words = (text or "").lower().split()
+            for a, b in zip(words, words[1:]):
+                yield (a + " " + b,)
+
+    spark.udtf.register("bigrams", Bigrams)
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT b.bigram, COUNT(*) AS n
+        FROM _udtf_docs d, LATERAL bigrams(d.text) b
+        GROUP BY b.bigram
+        ORDER BY n DESC, bigram
+        LIMIT 20
+        """
+    )
+
+
+@register(
+    "streaming_static_enrichment",
+    oracle="""
+    SELECT CAST(user_id % 5 AS INT) AS cohort,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1 ORDER BY cohort
+    """,
+)
+def streaming_static_enrichment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join: the event stream enriched with a
+    static cohort dimension, aggregated per cohort under the event-time
+    watermark. Zero streaming state for the join itself (the static side
+    broadcasts into each micro-batch); the DECIMAL sum makes incremental
+    accumulation equal the batch/oracle answer exactly."""
+    import os as _os
+
+    from .streaming.incremental import stream_static_enrichment
+
+    dim = (
+        _t(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("cohort", (F.col("user_id") % 5).cast("int"))
+    )
+    out = stream_static_enrichment(
+        spark, _os.path.join(sf_dir, "events.parquet"), dim
+    )
+    return out.select("cohort", "n_events", "sum_value").orderBy("cohort")

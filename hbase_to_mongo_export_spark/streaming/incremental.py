@@ -233,8 +233,12 @@ def stream_static_enrichment(
     ev = _event_stream(spark, events_path).withWatermark("ts", watermark)
     enriched = ev.join(broadcast(dim), on=on, how="inner")
     dim_cols = [c for c in dim.columns if c != on]
+    # DECIMAL sum: incremental micro-batch accumulation must commute with
+    # batch order, and double addition does not — decimal is exact.
     agg = enriched.groupBy(dim_cols[0]).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+        .cast("double")
+        .alias("sum_value"),
     )
     return _drain(agg, "complete")

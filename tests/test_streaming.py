@@ -184,7 +184,9 @@ def test_stream_static_enrichment_equals_batch(spark, sf_dir, tables):
         .groupBy("cohort")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
         )
         .collect()
     )
