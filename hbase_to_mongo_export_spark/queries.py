@@ -3949,3 +3949,53 @@ def streaming_static_enrichment_q(spark: SparkSession, sf_dir: str) -> DataFrame
         spark, _os.path.join(sf_dir, "events.parquet"), dim
     )
     return out.select("cohort", "n_events", "sum_value").orderBy("cohort")
+
+
+@register(
+    "unigram_logprob_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      FROM documents WHERE trim(text) <> ''
+    ), vocab AS (
+      SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w
+    ), tot AS (
+      SELECT SUM(cnt) AS n FROM vocab
+    ), scored AS (
+      SELECT t.doc_id,
+             AVG(-ln(CAST(v.cnt AS DOUBLE) / (SELECT n FROM tot))) AS nll
+      FROM tok t JOIN vocab v ON t.w = v.w
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, ROUND(nll, 6) AS mean_nll
+    FROM scored
+    ORDER BY mean_nll DESC, doc_id
+    LIMIT 25
+    """,
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring with a corpus-trained unigram LM:
+    pass 1 aggregates corpus word counts (the 'training' job), pass 2
+    scores each document by mean negative log-probability of its tokens
+    — the standard 'surprising documents' filter when no neural LM is in
+    the loop. The vocabulary broadcasts back into the scoring join
+    (vocab is bounded, corpus is not), so the fact-side explode never
+    shuffles: score = one broadcast-join + one doc_id aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.filter(F.trim(F.col("text")) != "").select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    )
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n"))
+    vocab_p = vocab.join(F.broadcast(total)).select(
+        "w", (-F.log(F.col("cnt").cast("double") / F.col("n"))).alias("nll_w")
+    )
+    return (
+        tok.join(F.broadcast(vocab_p), "w")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg("nll_w"), 6).alias("mean_nll"))
+        .orderBy(F.col("mean_nll").desc(), "doc_id")
+        .limit(25)
+    )

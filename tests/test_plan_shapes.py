@@ -206,3 +206,81 @@ class TestAdaptedTpchPlans:
         read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
         assert read_cols <= {"doc_id", "text"}, read_cols
         assert "Join" not in plan
+
+
+class TestRuntimeOptimizations:
+    """Runtime re-planning the 100 TB posture leans on: AQE skew-join
+    splitting and runtime bloom-filter pruning. Thresholds are lowered so
+    the behaviors trigger at test scale — production uses the defaults."""
+
+    def _with_confs(self, spark, confs):
+        saved = {}
+        for k, v in confs.items():
+            try:
+                saved[k] = spark.conf.get(k)
+            except Exception:
+                saved[k] = None
+            spark.conf.set(k, v)
+        return saved
+
+    def _restore(self, spark, saved):
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    def test_aqe_splits_skewed_join(self, spark):
+        """One hot key dominating the left side: AQE's skew-join rule must
+        split the oversized partition (skew=true in the final plan)."""
+        from pyspark.sql import functions as F
+
+        confs = {
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.shuffle.partitions": "8",
+        }
+        saved = self._with_confs(spark, confs)
+        try:
+            left = spark.range(200_000).select(
+                F.when(F.col("id") % 10 == 0, F.lit(7))
+                .otherwise(F.col("id")).alias("k"),
+                F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pad"),
+            )
+            right = spark.range(50_000).select(F.col("id").alias("k"))
+            j = left.join(right, "k").groupBy().count()
+            j.collect()
+            final_plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "skew=true" in final_plan, final_plan[:4000]
+        finally:
+            self._restore(spark, saved)
+
+    def test_runtime_bloom_filter_prunes_fact_scan(self, spark, sf_dir):
+        """Selective dim filter + SMJ fact join: the runtime row-level
+        filter rule should inject a bloom filter on the fact side."""
+        from pyspark.sql import functions as F
+
+        confs = {
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        saved = self._with_confs(spark, confs)
+        try:
+            li = registry._t(spark, sf_dir, "lineitem")
+            orders = registry._t(spark, sf_dir, "orders").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            )
+            j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            plan = j._jdf.queryExecution().optimizedPlan().toString()
+            assert "might_contain" in plan and "bloom_filter_agg" in plan, (
+                plan[:4000]
+            )
+        finally:
+            self._restore(spark, saved)
