@@ -3999,3 +3999,43 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("mean_nll").desc(), "doc_id")
         .limit(25)
     )
+
+
+def _rp_weight_sql(d: int) -> str:
+    # deterministic pseudo-random weight: exact integer arithmetic then one
+    # division — bit-identical across engines
+    return f"(CAST((({d} * 64 + (j - 1)) * 37) % 7 - 3 AS DOUBLE) / CAST(3 AS DOUBLE))"
+
+
+_RP_ORACLE = "SELECT vec_id, " + ", ".join(
+    f"""ROUND(list_reduce([CAST(embedding[j] AS DOUBLE) * {_rp_weight_sql(d)}
+                 FOR j IN range(1, 65)], (a, b) -> a + b), 6) AS p{d}"""
+    for d in range(4)
+) + " FROM embeddings ORDER BY vec_id"
+
+
+@register("embedding_random_projection", oracle=_RP_ORACLE)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss-style dimensionality reduction: project the
+    64-dim embeddings onto 4 pseudo-random axes (deterministic integer-
+    derived weights so the oracle reproduces them exactly). The whole
+    projection is a narrow per-row fold (sequence → transform →
+    aggregate, codegen'd) — no shuffle, no UDF; at 100 TB this is a
+    map-only pass whose cost is the scan itself. The left-to-right fold
+    order matches DuckDB's list_reduce, keeping the doubles bit-equal."""
+    emb = _t(spark, sf_dir, "embeddings")
+    projs = [
+        F.round(
+            F.expr(
+                f"""aggregate(
+                      transform(sequence(0, 63),
+                        j -> CAST(element_at(embedding, j + 1) AS DOUBLE)
+                             * (CAST(((({d} * 64 + j) * 37) % 7 - 3) AS DOUBLE)
+                                / CAST(3 AS DOUBLE))),
+                      0.0D, (a, x) -> a + x)"""
+            ),
+            6,
+        ).alias(f"p{d}")
+        for d in range(4)
+    ]
+    return emb.select("vec_id", *projs).orderBy("vec_id")
