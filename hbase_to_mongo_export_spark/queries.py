@@ -4039,3 +4039,62 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         for d in range(4)
     ]
     return emb.select("vec_id", *projs).orderBy("vec_id")
+
+
+@register(
+    "events_ewma_per_user",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, ts, value,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vs,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, ts AS last_ts,
+           ROUND(
+             list_reduce([vs[i + 1] * power(0.5, len(vs) - 1 - i)
+                          FOR i IN range(0, len(vs))], (a, b) -> a + b)
+             / list_reduce([power(0.5, len(vs) - 1 - i)
+                            FOR i IN range(0, len(vs))], (a, b) -> a + b),
+             6) AS ewma
+    FROM w WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def events_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (finite 10-row window form,
+    alpha = 0.5) of each user's value series, reported at their latest
+    event. collect_list over the ordered frame keeps arrival order; the
+    weighted fold is a codegen higher-order function. alpha = 0.5 makes
+    every weight a power of two — exact in binary floating point — so the
+    result is bit-identical across engines and partitionings. One
+    user_id shuffle serves both windows."""
+    ev = _t(spark, sf_dir, "events")
+    wf = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-9, 0)
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ewma = F.expr(
+        """
+        aggregate(transform(sequence(0, size(vs) - 1),
+                    i -> element_at(vs, i + 1)
+                         * power(0.5D, CAST(size(vs) - 1 - i AS DOUBLE))),
+                  0.0D, (a, x) -> a + x)
+        / aggregate(transform(sequence(0, size(vs) - 1),
+                      i -> power(0.5D, CAST(size(vs) - 1 - i AS DOUBLE))),
+                    0.0D, (a, x) -> a + x)
+        """
+    )
+    return (
+        ev.select(
+            "user_id",
+            "ts",
+            F.collect_list("value").over(wf).alias("vs"),
+            F.row_number().over(wr).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", F.col("ts").alias("last_ts"), F.round(ewma, 6).alias("ewma")
+        )
+        .orderBy("user_id")
+    )
