@@ -56,6 +56,7 @@ class ExportResult:
     quarantined: int
     files: list[str]
     manifest_files: list[str]
+    metrics: dict = field(default_factory=dict)  # in-flight observe() counters
 
 
 def build_export(
@@ -176,6 +177,22 @@ def run_export(
 
     set_status("Exporting")
     try:
+        # In-flight counters via observe(): the reference keeps running
+        # record/byte counters during the scan (A1, HBaseReader counters);
+        # Spark's observation metrics ride the write action itself — no
+        # second pass over the data. Observation only completes for
+        # DataFrame actions, so the strict sink (which drives an RDD
+        # mapPartitions) reports its own counters instead.
+        obs = None
+        if not cfg.strict_sink:
+            from pyspark.sql import Observation
+
+            obs = Observation("export_metrics")
+            records = records.observe(
+                obs,
+                F.count(F.lit(1)).alias("rows_exported"),
+                F.sum(F.length("record")).alias("uncompressed_bytes"),
+            )
         written = sink.write_snapshot(records, cfg)
         n_quarantined = quarantine.count()
         if status_store is not None:
@@ -194,6 +211,10 @@ def run_export(
             n_quarantined,
             written.files,
             written.manifest_files,
+            metrics=dict(obs.get) if obs is not None else {
+                "rows_exported": written.records,
+                "uncompressed_bytes": written.uncompressed_bytes,
+            },
         )
     except Exception:
         set_status("Export_Failed")

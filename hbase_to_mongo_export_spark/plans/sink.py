@@ -91,6 +91,7 @@ class WrittenOutput:
     records: int
     files: list[str]
     manifest_files: list[str]
+    uncompressed_bytes: int = 0  # record bytes excl. newlines (strict sink)
 
 
 def write_snapshot(records: DataFrame, cfg: ExportConfig) -> WrittenOutput:
@@ -213,6 +214,7 @@ def _write_strict(records: DataFrame, cfg: ExportConfig) -> WrittenOutput:
                     "file": path,
                     "manifest_file": st["manifest_path"],
                     "records": st["n"],
+                    "bytes": st["size"] - st["n"],  # minus one newline/record
                 }
             )
 
@@ -242,4 +244,5 @@ def _write_strict(records: DataFrame, cfg: ExportConfig) -> WrittenOutput:
         records=sum(r["records"] for r in out),
         files=sorted(r["file"] for r in out),
         manifest_files=sorted(r["manifest_file"] for r in out),
+        uncompressed_bytes=sum(r["bytes"] for r in out),
     )

@@ -340,3 +340,36 @@ class TestMultiFormatIO:
         assert snap.count() == N
         ids = snap.select(F.col("_id")).dropna()
         assert ids.count() == N
+
+
+class TestObservedMetrics:
+    def test_export_reports_inflight_counters(self, spark, source, tmp_path):
+        """observe() counters ride the write action (reference A1 running
+        counters) — no extra pass; they must agree with the final counts."""
+        from hbase_to_mongo_export_spark.plans.export import run_export
+
+        res = run_export(spark, source, cfg(tmp_path))
+        assert res.status == "Exported"
+        assert res.metrics["rows_exported"] == res.records == N
+        # every record is a JSON line; bytes observed = sum of line lengths
+        total = 0
+        for f in res.files:
+            with gzip.open(f, "rt", encoding="utf-8") as fh:
+                total += sum(len(l) for l in fh.read().splitlines())
+        assert res.metrics["uncompressed_bytes"] == total
+
+    def test_strict_sink_reports_counters_without_observe(self, spark, source, tmp_path):
+        """The strict sink drives an RDD action (no Observation support) —
+        its counters come from the writer's own batch state."""
+        from hbase_to_mongo_export_spark.plans.export import run_export
+
+        res = run_export(
+            spark, source, cfg(tmp_path, strict_sink=True, compression="none")
+        )
+        assert res.status == "Exported"
+        assert res.metrics["rows_exported"] == res.records == N
+        total = 0
+        for f in res.files:
+            with open(f, encoding="utf-8") as fh:
+                total += sum(len(l) for l in fh.read().splitlines())
+        assert res.metrics["uncompressed_bytes"] == total
