@@ -4098,3 +4098,57 @@ def events_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "stratified_sample_orders",
+    oracle="""
+    WITH h AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) % 100
+               AS b
+      FROM orders
+    ), kept AS (
+      SELECT * FROM h
+      WHERE b < CASE o_orderpriority
+                  WHEN '1-URGENT' THEN 50
+                  WHEN '2-HIGH' THEN 25
+                  ELSE 10 END
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_sampled,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS sampled_revenue
+    FROM kept
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-class keep rates (50% urgent
+    / 25% high / 10% rest) by md5(key) bucket — the class-rebalancing
+    primitive of training-data pipelines. Unlike sampleBy(), the hash
+    gate is reproducible across runs and engines, survives reprocessing
+    without leakage, and is a pure narrow filter (pushdown-friendly, no
+    RNG state per partition)."""
+    orders = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+    rate = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 50)
+        .when(F.col("o_orderpriority") == "2-HIGH", 25)
+        .otherwise(10)
+    )
+    return (
+        orders.filter(bucket < rate)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2)
+            .cast("double")
+            .alias("sampled_revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

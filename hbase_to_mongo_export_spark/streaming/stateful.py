@@ -317,3 +317,103 @@ class rocksdb_state:
         else:
             self.spark.conf.set(self.KEY, self._prev)
         return False
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4.x): the typed-state successor to
+# applyInPandasWithState. Composite state (ValueState counter + ListState
+# of seen values, optional TTL) lives in named state variables the state
+# store tracks independently — finer-grained than the single GroupState
+# tuple, and the API Spark is consolidating stateful streaming on.
+# ---------------------------------------------------------------------------
+
+
+def transform_with_state_available() -> bool:
+    """transformWithState speaks protobuf to the JVM state server; the
+    PySpark API exists without it, but every query crashes at init if
+    google.protobuf is not importable (this container ships none)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def distinct_types_per_user(spark: SparkSession, events_path: str) -> DataFrame:
+    """Per-user running (n_events, n_event_types) via
+    ``transformWithStateInPandas``: a ValueState row counter plus a
+    ListState of distinct event types seen so far. Counters are integers,
+    so the drained result equals the batch groupBy answer exactly under
+    any micro-batch split. State per user is O(|event-type vocabulary|);
+    with the RocksDB provider this scales to billions of keys.
+
+    Requires the protobuf runtime (see transform_with_state_available);
+    the applyInPandasWithState operators above cover the same semantics
+    where it is absent."""
+    if not transform_with_state_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the google-protobuf runtime, "
+            "which is not installed in this environment; use "
+            "running_user_stats (applyInPandasWithState) instead"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from .incremental import _drain, _event_stream
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("n_event_types", T.LongType()),
+        ]
+    )
+
+    class DistinctTypes(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState("n_events", "n BIGINT")
+            self._types = handle.getListState("types", "t STRING")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as _pd
+
+            (user_id,) = key
+            n = (self._count.get() or (0,))[0]
+            seen = {t for (t,) in self._types.get()}
+            for pdf in rows:
+                n += len(pdf)
+                new = set(pdf["event_type"].unique()) - seen
+                if new:
+                    self._types.appendList([(t,) for t in sorted(new)])
+                    seen |= new
+            self._count.update((n,))
+            yield _pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "n_event_types": [len(seen)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = _event_stream(spark, events_path).select("user_id", "event_type")
+    updates = ev.groupBy("user_id").transformWithStateInPandas(
+        DistinctTypes(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+    # transformWithState requires the RocksDB state-store provider
+    with rocksdb_state(spark), _scoped_shuffle_partitions(spark, 32):
+        drained = _drain(updates, "update")
+    # counters are monotone; the max per user is the final state even if
+    # availableNow split the input into several micro-batches
+    return drained.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("n_event_types").alias("n_event_types"),
+    )

@@ -191,3 +191,46 @@ def test_stream_static_enrichment_equals_batch(spark, sf_dir, tables):
         .collect()
     )
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_transform_with_state_distinct_types_equals_batch(spark, sf_dir, tables):
+    """transformWithStateInPandas (ValueState + ListState) == batch
+    groupBy countDistinct. Skips where the protobuf runtime (required by
+    the TWS state-server protocol) is absent."""
+    import os as _os
+
+    import pytest
+
+    from hbase_to_mongo_export_spark.streaming.stateful import (
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            from hbase_to_mongo_export_spark.streaming.stateful import (
+                distinct_types_per_user,
+            )
+
+            distinct_types_per_user(spark, _os.path.join(sf_dir, "events.parquet"))
+        pytest.skip("google-protobuf runtime not installed in this container")
+
+    from pyspark.sql import functions as F
+
+    from hbase_to_mongo_export_spark.sources.catalog import load_table
+    from hbase_to_mongo_export_spark.streaming.stateful import (
+        distinct_types_per_user,
+    )
+
+    got = distinct_types_per_user(
+        spark, _os.path.join(sf_dir, "events.parquet")
+    ).collect()
+    ev = load_table(spark, sf_dir, "events")
+    want = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_event_types"),
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
