@@ -4152,3 +4152,51 @@ def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "robust_stats_orders",
+    oracle="""
+    WITH med AS (
+      SELECT o_orderpriority, median(o_totalprice) AS med_price,
+             quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT m.o_orderpriority,
+           ROUND(m.med_price, 4) AS median_price,
+           ROUND(m.q3 - m.q1, 4) AS iqr,
+           ROUND(median(abs(o.o_totalprice - m.med_price)), 4) AS mad
+    FROM orders o JOIN med m ON o.o_orderpriority = m.o_orderpriority
+    GROUP BY m.o_orderpriority, m.med_price, m.q1, m.q3
+    ORDER BY m.o_orderpriority
+    """,
+)
+def robust_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion statistics per group: median, IQR, and median
+    absolute deviation. MAD is inherently two-pass (the deviations need
+    the group median first); the per-group medians are a tiny aggregate
+    that broadcasts back onto the fact scan, so the second pass adds no
+    fact shuffle beyond the final per-group percentile. Exact
+    percentiles (not approx) to stay bit-equal with the oracle —
+    swap in percentile_approx at 100 TB when exactness isn't required."""
+    orders = _t(spark, sf_dir, "orders")
+    med = orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5D)").alias("med_price"),
+        F.expr("percentile(o_totalprice, 0.25D)").alias("q1"),
+        F.expr("percentile(o_totalprice, 0.75D)").alias("q3"),
+    )
+    return (
+        orders.join(F.broadcast(med), "o_orderpriority")
+        .groupBy("o_orderpriority", "med_price", "q1", "q3")
+        .agg(
+            F.expr("percentile(abs(o_totalprice - med_price), 0.5D)").alias("mad_raw")
+        )
+        .select(
+            "o_orderpriority",
+            F.round("med_price", 4).alias("median_price"),
+            F.round(F.col("q3") - F.col("q1"), 4).alias("iqr"),
+            F.round("mad_raw", 4).alias("mad"),
+        )
+        .orderBy("o_orderpriority")
+    )
