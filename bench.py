@@ -40,6 +40,10 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh_pairs",
     "text_stats",
     "similarity_bruteforce_topk",
+    # round 2: training-pipeline heavies
+    "chunk_dedup_20word",
+    "unigram_logprob_score",
+    "lexical_diversity_by_lang",
 ]
 
 

@@ -4200,3 +4200,40 @@ def robust_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "set_ops_multiset_event_types",
+    oracle="""
+    WITH l AS (SELECT event_type FROM events WHERE user_id % 2 = 0),
+         r AS (SELECT event_type FROM events WHERE user_id % 2 = 1),
+    i AS (SELECT event_type FROM l INTERSECT ALL SELECT event_type FROM r),
+    e AS (SELECT event_type FROM l EXCEPT ALL SELECT event_type FROM r)
+    SELECT 'common' AS which, event_type, COUNT(*) AS n FROM i GROUP BY 2
+    UNION ALL
+    SELECT 'left_surplus' AS which, event_type, COUNT(*) AS n FROM e GROUP BY 2
+    ORDER BY which, event_type
+    """,
+)
+def set_ops_multiset_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations (INTERSECT ALL / EXCEPT ALL): per-type
+    overlap between the even- and odd-user event streams with
+    multiplicities preserved — intersectAll keeps min(countL, countR)
+    copies, exceptAll keeps the left surplus. Both compile to a single
+    aggregate-style shuffle on the compared columns (no join explosion)."""
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("user_id") % 2 == 0).select("event_type")
+    right = ev.filter(F.col("user_id") % 2 == 1).select("event_type")
+    common = (
+        left.intersectAll(right)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("common").alias("which"), "event_type", "n")
+    )
+    surplus = (
+        left.exceptAll(right)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("left_surplus").alias("which"), "event_type", "n")
+    )
+    return common.unionAll(surplus).orderBy("which", "event_type")
