@@ -4237,3 +4237,35 @@ def set_ops_multiset_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("left_surplus").alias("which"), "event_type", "n")
     )
     return common.unionAll(surplus).orderBy("which", "event_type")
+
+
+@register(
+    "argmax_customer_per_nation",
+    oracle="""
+    SELECT c_nationkey, c_name AS top_customer, c_acctbal AS top_acctbal
+    FROM (
+      SELECT c_nationkey, c_name, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer) t
+    WHERE rn = 1
+    ORDER BY c_nationkey
+    """,
+)
+def argmax_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation argmax via the max_by aggregate with a composite
+    (acctbal, -custkey) ordering struct — deterministic under ties. As an
+    aggregate this is a single hash-shuffle with map-side partial
+    combine; the equivalent row_number window (the oracle formulation)
+    must SORT every partition, which at 100 TB is strictly more work for
+    a top-1-per-group answer."""
+    cust = _t(spark, sf_dir, "customer")
+    key = F.struct(F.col("c_acctbal"), (-F.col("c_custkey")).alias("tb"))
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(
+            F.max_by(F.col("c_name"), key).alias("top_customer"),
+            F.max(key).getField("c_acctbal").alias("top_acctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

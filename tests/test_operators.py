@@ -500,3 +500,29 @@ def test_connected_components_chain_triangle_singleton(spark):
     }
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
                    (10, 10), (11, 10), (12, 10), (20, 20)}
+
+
+class TestChunkEdgeCases:
+    """Edge behavior of chunk_dedup_20word on the real query path: only
+    COMPLETE 20-word chunks count; short/empty docs contribute none."""
+
+    def test_chunk_counts(self, spark, tmp_path):
+        from hbase_to_mongo_export_spark import queries as registry
+
+        rows = [
+            (1, "", "en", "s", 0),               # empty → no chunks
+            (2, ("w " * 19).strip(), "en", "s", 0),   # 19 words → none
+            (3, ("w " * 20).strip(), "en", "s", 0),   # 20 words → 1 chunk
+            (4, ("w " * 41).strip(), "en", "s", 0),   # 41 → 2, trailing dropped
+            (5, ("w " * 20).strip(), "en", "s", 0),   # duplicate of doc 3's chunk
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        out = registry.queries()["chunk_dedup_20word"](spark, str(tmp_path)).collect()
+        # docs 3, 4, 5 all produce the same all-'w' 20-gram: 4 occurrences
+        # ("w"*20 appears once in docs 3/5 and twice in doc 4), 3 docs
+        assert len(out) == 1
+        assert out[0].n_occurrences == 4
+        assert out[0].n_docs == 3
