@@ -1,0 +1,71 @@
+"""Data-layout jobs: compaction narrows per-file key ranges; Morton
+clustering narrows BOTH dimensions simultaneously."""
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from hbase_to_mongo_export_spark.plans.layout import compact, morton_cluster
+from hbase_to_mongo_export_spark.sources.catalog import load_table
+
+
+def _per_file_spans(spark, path, col):
+    spans = []
+    for f in sorted(glob.glob(os.path.join(path, "part-*.parquet"))):
+        r = spark.read.parquet(f).agg(
+            F.min(col).alias("lo"), F.max(col).alias("hi")
+        ).first()
+        spans.append((r.lo, r.hi))
+    return spans
+
+
+class TestCompaction:
+    def test_compact_produces_target_files_with_disjoint_ranges(
+        self, spark, sf_dir, tmp_path
+    ):
+        orders = load_table(spark, sf_dir, "orders")
+        out = str(tmp_path / "orders_compact")
+        compact(orders, out, sort_col="o_orderkey", target_files=4)
+        files = glob.glob(os.path.join(out, "part-*.parquet"))
+        assert len(files) == 4
+        spans = sorted(_per_file_spans(spark, out, "o_orderkey"))
+        # range partitioning ⇒ files cover non-overlapping key intervals
+        for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+            assert hi1 <= lo2
+        # and nothing was lost
+        assert spark.read.parquet(out).count() == orders.count()
+
+    def test_max_records_per_file_splits(self, spark, sf_dir, tmp_path):
+        nation = load_table(spark, sf_dir, "nation")
+        out = str(tmp_path / "nation_split")
+        compact(nation, out, target_files=1, max_records_per_file=10)
+        files = glob.glob(os.path.join(out, "part-*.parquet"))
+        assert len(files) >= 3  # 25 rows / 10 per file
+
+
+class TestMortonClustering:
+    def test_zorder_narrows_both_dimensions(self, spark, sf_dir, tmp_path):
+        """After Z-ordering on (o_custkey, o_totalprice), a typical file
+        spans a small fraction of BOTH value domains — the property that
+        lets parquet min/max stats prune scans on either predicate."""
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        out = str(tmp_path / "orders_z")
+        morton_cluster(orders, "o_custkey", "o_totalprice", out, target_files=16)
+
+        assert spark.read.parquet(out).count() == orders.count()
+        glob_c = orders.agg(
+            (F.max("o_custkey") - F.min("o_custkey")).alias("c"),
+            (F.max("o_totalprice") - F.min("o_totalprice")).alias("p"),
+        ).first()
+        spans_c = _per_file_spans(spark, out, "o_custkey")
+        spans_p = _per_file_spans(spark, out, "o_totalprice")
+        avg_c = sum(hi - lo for lo, hi in spans_c) / len(spans_c)
+        avg_p = sum(hi - lo for lo, hi in spans_p) / len(spans_p)
+        # 16 files: an unclustered layout gives avg span ≈ full domain in
+        # at least one dimension; Z-order keeps the mean span of EACH
+        # dimension well under the full domain.
+        assert avg_c < 0.6 * glob_c.c
+        assert avg_p < 0.6 * glob_c.p
