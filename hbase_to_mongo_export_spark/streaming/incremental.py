@@ -242,3 +242,59 @@ def stream_static_enrichment(
         .alias("sum_value"),
     )
     return _drain(agg, "complete")
+
+
+def upsert_serving_table(
+    spark: SparkSession,
+    source_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    key_col: str = "key",
+    version_col: str = "ts",
+) -> None:
+    """Maintain a one-row-per-key 'serving table' from a stream of
+    versioned records: per micro-batch, merge the batch into the current
+    table keeping the highest version per key (latest-wins upsert — the
+    MongoDB-replica behavior the reference's export feeds; SURVEY §1.1
+    latest-cell semantics applied continuously).
+
+    Without a table format there is no atomic MERGE, so the rewrite goes
+    to a staging directory that replaces the live one on commit —
+    crash-safe because the checkpoint replays the batch against the
+    surviving directory. On Delta/Iceberg this whole function collapses
+    into a MERGE INTO statement; the plan shape is identical: the batch
+    (small) broadcasts into a latest-per-key window over
+    current ∪ batch."""
+    import shutil
+
+    from ..sources.fixtures import SOURCE_SCHEMA
+
+    stream = spark.readStream.schema(SOURCE_SCHEMA).parquet(source_dir)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window as W
+
+        if os.path.isdir(table_path):
+            current = spark.read.parquet(table_path)
+            merged = current.unionByName(batch_df.select(*current.columns))
+        else:
+            merged = batch_df
+        w = W.partitionBy(key_col).orderBy(F.col(version_col).desc())
+        latest = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        staging = table_path + ".staging"
+        latest.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(table_path):
+            shutil.rmtree(table_path)
+        os.rename(staging, table_path)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -234,3 +234,44 @@ def test_transform_with_state_distinct_types_equals_batch(spark, sf_dir, tables)
         .collect()
     )
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_upsert_serving_table_keeps_latest_version(spark, tmp_path):
+    """foreachBatch latest-wins upsert == batch latest-per-key over the
+    full history, regardless of micro-batch boundaries."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from hbase_to_mongo_export_spark.sources import fixtures
+    from hbase_to_mongo_export_spark.streaming.incremental import (
+        upsert_serving_table,
+    )
+
+    src_dir = str(tmp_path / "src")
+    # two generations of the same keys with different timestamps
+    gen1 = fixtures.source_records(spark, n=50)
+    gen2 = fixtures.source_records(spark, n=30).withColumn(
+        "ts", F.col("ts") + 1000
+    )
+    gen1.write.mode("overwrite").parquet(src_dir)
+    gen2.write.mode("append").parquet(src_dir)
+
+    table = str(tmp_path / "serving")
+    upsert_serving_table(
+        spark, src_dir, table, str(tmp_path / "ckpt"), key_col="key",
+        version_col="ts",
+    )
+
+    got = spark.read.parquet(table)
+    full = spark.read.parquet(src_dir)
+    w = W.partitionBy("key").orderBy(F.col("ts").desc())
+    want = (
+        full.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    assert got.count() == want.count()
+    joined = got.alias("g").join(
+        want.alias("w"), F.col("g.key") == F.col("w.key")
+    )
+    assert joined.filter(F.col("g.ts") != F.col("w.ts")).count() == 0
