@@ -44,3 +44,41 @@ def test_query_list(capsys, spark):
     assert rc == 0
     names = capsys.readouterr().out.split()
     assert "q1_pricing_summary" in names
+
+
+def test_export_subcommand_end_to_end(tmp_path, capsys, spark):
+    """CLI export: source parquet → snapshot + manifest + status + messages."""
+    from hbase_to_mongo_export_spark.sources import fixtures
+
+    src = str(tmp_path / "src")
+    fixtures.source_records(spark, n=40).write.parquet(src)
+    status = str(tmp_path / "status.jsonl")
+    messages = str(tmp_path / "messages.jsonl")
+    rc = main([
+        "export", "--topic", "db.database.collection",
+        "--source", src, "--output", str(tmp_path / "out"),
+        "--manifest", str(tmp_path / "manifest"),
+        "--status-file", status, "--messages-file", messages,
+        "--correlation-id", "cli-test",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert out["status"] == "Exported"
+    assert out["records"] == 40
+    assert out["files"] >= 1 and out["manifest_files"] >= 1
+    status_lines = [json.loads(l) for l in open(status)]
+    assert any(s.get("status") == "Exported" for s in status_lines)
+    msg_lines = [json.loads(l) for l in open(messages)]
+    assert any(m.get("kind") == "snapshot_file" for m in msg_lines)
+
+
+def test_export_subcommand_missing_source(tmp_path, capsys, spark):
+    rc = main([
+        "export", "--topic", "does.not.exist",
+        "--source", str(tmp_path / "nope"),
+        "--output", str(tmp_path / "out"),
+        "--status-file", str(tmp_path / "status.jsonl"),
+    ])
+    assert rc == 1
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"] == "Table_Unavailable"
