@@ -4269,3 +4269,49 @@ def argmax_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "lineitem_unpivot_measures",
+    oracle="""
+    WITH u AS (
+      UNPIVOT (SELECT l_quantity, l_extendedprice, l_discount, l_tax
+               FROM lineitem)
+      ON l_quantity, l_extendedprice, l_discount, l_tax
+      INTO NAME measure VALUE v
+    )
+    SELECT measure,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(v AS DECIMAL(18,4))), 4) AS DOUBLE) AS total,
+           ROUND(MIN(v), 6) AS min_v,
+           ROUND(MAX(v), 6) AS max_v
+    FROM u
+    GROUP BY measure
+    ORDER BY measure
+    """,
+)
+def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshaping with the native unpivot/melt operator, then
+    per-measure profiling. Unpivot is a zero-shuffle row-local transform
+    (each input row yields |measures| output rows); the only shuffle is
+    the 4-group aggregate. The DECIMAL(18,4) sum keeps the mixed-scale
+    measures (quantities vs prices vs rates) exact on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="v",
+    )
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("v").cast("decimal(18,4)")), 4)
+            .cast("double")
+            .alias("total"),
+            F.round(F.min("v"), 6).alias("min_v"),
+            F.round(F.max("v"), 6).alias("max_v"),
+        )
+        .orderBy("measure")
+    )
