@@ -4315,3 +4315,66 @@ def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("measure")
     )
+
+
+@register(
+    "decontamination_8gram_overlap",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+               AS b,
+             string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+               AS words
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, b,
+             UNNEST(list_distinct([list_aggregate(words[i:i+7], 'string_agg', ' ')
+                                   FOR i IN range(1, len(words) - 6)])) AS g
+      FROM d WHERE len(words) >= 8
+    ),
+    test_g AS (SELECT DISTINCT g FROM grams WHERE b < 5),
+    hits AS (
+      SELECT t.doc_id, t.g
+      FROM grams t JOIN test_g ON t.g = test_g.g
+      WHERE t.b >= 5
+    )
+    SELECT doc_id, COUNT(DISTINCT g) AS shared_8grams
+    FROM hits
+    GROUP BY doc_id
+    HAVING COUNT(DISTINCT g) >= 3
+    ORDER BY shared_8grams DESC, doc_id
+    """,
+)
+def decontamination_8gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/Lee-et-al. n-gram protocol):
+    flag training documents sharing >= 3 distinct 8-grams with the held-
+    out slice (a deterministic 5% md5-bucket split, so the 'test set' is
+    reproducible). The test side's distinct 8-grams are a bounded set
+    that joins against the training side's inverted 8-gram index — the
+    same Σ df² cost model as n-gram dedup, with AQE handling hot
+    boilerplate grams. Swap the equi-join for a bloom-filter prefilter
+    when the test set outgrows broadcast range."""
+    docs = _t(spark, sf_dir, "documents")
+    from .operators.dedup import word_ngrams
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+    grams = (
+        docs.select(
+            "doc_id",
+            bucket.alias("b"),
+            F.explode(F.array_distinct(word_ngrams(F.col("text"), 8))).alias("g"),
+        )
+    )
+    test_g = grams.filter(F.col("b") < 5).select("g").distinct()
+    return (
+        grams.filter(F.col("b") >= 5)
+        .join(test_g, "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("shared_8grams"))
+        .filter(F.col("shared_8grams") >= 3)
+        .orderBy(F.col("shared_8grams").desc(), "doc_id")
+    )
