@@ -4378,3 +4378,59 @@ def decontamination_8gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("shared_8grams") >= 3)
         .orderBy(F.col("shared_8grams").desc(), "doc_id")
     )
+
+
+@register(
+    "domain_mixture_weights",
+    oracle="""
+    WITH tok AS (
+      SELECT source, SUM(len(string_split_regex(lower(trim(text)), '\\s+'))) AS n_tokens
+      FROM documents WHERE trim(text) <> ''
+      GROUP BY source
+    ), tot AS (SELECT SUM(n_tokens) AS total FROM tok),
+    w AS (
+      SELECT source, n_tokens,
+             ROUND(CAST(n_tokens AS DOUBLE) / (SELECT total FROM tot), 6) AS share,
+             sqrt(CAST(n_tokens AS DOUBLE) / (SELECT total FROM tot)) AS raw_w
+      FROM tok
+    )
+    SELECT source, n_tokens, share,
+           ROUND(raw_w / (SELECT SUM(raw_w) FROM w), 6) AS mix_weight
+    FROM w
+    ORDER BY source
+    """,
+)
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed domain sampling weights (alpha = 0.5, i.e.
+    sqrt-share renormalized — the static mixture baseline from
+    multilingual/DoReMi-style training): upweights small sources,
+    downweights dominant ones. Per-source token totals are one partial-
+    aggregated shuffle; the two scalar denominators broadcast back, so
+    corpus size never concentrates on the driver."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = (
+        docs.filter(F.trim(F.col("text")) != "")
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")))
+            .alias("n_tokens")
+        )
+    )
+    total = tok.agg(F.sum("n_tokens").alias("total"))
+    w = tok.join(F.broadcast(total)).select(
+        "source",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("total"), 6).alias("share"),
+        F.sqrt(F.col("n_tokens").cast("double") / F.col("total")).alias("raw_w"),
+    )
+    denom = w.agg(F.sum("raw_w").alias("denom"))
+    return (
+        w.join(F.broadcast(denom))
+        .select(
+            "source",
+            "n_tokens",
+            "share",
+            F.round(F.col("raw_w") / F.col("denom"), 6).alias("mix_weight"),
+        )
+        .orderBy("source")
+    )
