@@ -4434,3 +4434,25 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register("sequence_packing_stats")  # imperative per-partition op: rows-only check
+def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack-level summary of first-fit-decreasing sequence packing
+    (operators/packing.py): per pack, total fill and document count.
+    Pack assignment depends on partition boundaries (packs never span
+    partitions by design), so there is no engine-independent oracle —
+    the invariants (every doc packed once, no pack over budget,
+    determinism) are pinned by TestSequencePacking instead."""
+    from .operators.packing import pack_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_documents(docs, budget=256)
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("fill"),
+        )
+        .orderBy(F.col("fill").desc(), "pack_id")
+    )

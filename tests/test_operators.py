@@ -526,3 +526,47 @@ class TestChunkEdgeCases:
         assert len(out) == 1
         assert out[0].n_occurrences == 4
         assert out[0].n_docs == 3
+
+
+class TestSequencePacking:
+    def test_packing_invariants(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from hbase_to_mongo_export_spark.operators.packing import pack_documents
+        from hbase_to_mongo_export_spark.sources.catalog import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        budget = 128
+        packed = pack_documents(docs, budget=budget).cache()
+        try:
+            eligible = docs.filter(
+                (F.size(F.split(F.trim("text"), r"\s+")) <= budget)
+                & (F.trim("text") != "")
+            ).count()
+            # every eligible doc packed exactly once
+            assert packed.count() == eligible
+            assert packed.select("doc_id").distinct().count() == eligible
+            # no pack exceeds the budget
+            over = (
+                packed.groupBy("pack_id")
+                .agg(F.sum("n_tokens").alias("fill"))
+                .filter(F.col("fill") > budget)
+                .count()
+            )
+            assert over == 0
+            # packs are meaningfully full (first-fit-decreasing, not 1 doc/pack)
+            stats = packed.groupBy("pack_id").agg(
+                F.sum("n_tokens").alias("fill")
+            ).agg(F.avg("fill").alias("avg_fill")).first()
+            assert stats.avg_fill > budget * 0.5
+        finally:
+            packed.unpersist()
+
+    def test_packing_deterministic(self, spark, sf_dir):
+        from hbase_to_mongo_export_spark.operators.packing import pack_documents
+        from hbase_to_mongo_export_spark.sources.catalog import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        a = sorted(map(tuple, pack_documents(docs, budget=128).collect()))
+        b = sorted(map(tuple, pack_documents(docs, budget=128).collect()))
+        assert a == b
