@@ -4456,3 +4456,43 @@ def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("fill").desc(), "pack_id")
     )
+
+
+@register(
+    "ansi_safe_arithmetic",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(AVG(l_extendedprice / nullif(l_quantity - 1, 0)), 4)
+             AS avg_unit_price_excl_first,
+           SUM(CASE WHEN l_quantity - 1 = 0 THEN 1 ELSE 0 END) AS div_by_zero_rows,
+           SUM(CASE WHEN TRY_CAST(l_returnflag AS INT) IS NULL THEN 1 ELSE 0 END)
+             AS uncastable_flags
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def ansi_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic under ANSI semantics: try_divide yields NULL
+    (not an exception, not Inf) on zero denominators and try_cast NULL on
+    malformed input — the production posture for dirty data at scale,
+    where one poisoned row must not kill a 1000-executor stage. NULLs
+    then flow through AVG/COUNT with standard skip semantics, and the
+    poisoned-row counts are surfaced alongside."""
+    li = _t(spark, sf_dir, "lineitem")
+    denom = F.col("l_quantity") - 1
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.avg(F.try_divide(F.col("l_extendedprice"), denom)), 4
+            ).alias("avg_unit_price_excl_first"),
+            F.sum(F.when(denom == 0, 1).otherwise(0)).alias("div_by_zero_rows"),
+            F.sum(
+                F.when(F.expr("try_cast(l_returnflag AS INT)").isNull(), 1).otherwise(0)
+            ).alias("uncastable_flags"),
+        )
+        .orderBy("l_returnflag")
+    )
