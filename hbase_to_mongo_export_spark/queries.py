@@ -4496,3 +4496,47 @@ def ansi_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "events_topk_per_window",
+    oracle="""
+    WITH w AS (
+      SELECT time_bucket(INTERVAL 1 DAY, ts) AS day, event_type,
+             COUNT(*) AS n,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day, event_type, n, sum_value, rk FROM (
+      SELECT day, event_type, n, sum_value,
+             row_number() OVER (PARTITION BY day ORDER BY n DESC, event_type) AS rk
+      FROM w) t
+    WHERE rk <= 2
+    ORDER BY day, rk
+    """,
+)
+def events_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k dimension values per tumbling time window (the dashboard
+    staple): a day-bucket aggregate followed by a ranking window over the
+    already-reduced (day, type) table — the rank input is |days|x|types|,
+    so the sort is negligible no matter how large the raw stream. The
+    window-start day bucket matches DuckDB's time_bucket exactly."""
+    ev = _t(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy(
+            F.window("ts", "1 day").start.alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    w = Window.partitionBy("day").orderBy(F.col("n").desc(), "event_type")
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .orderBy("day", "rk")
+    )
