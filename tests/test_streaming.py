@@ -275,3 +275,41 @@ def test_upsert_serving_table_keeps_latest_version(spark, tmp_path):
         want.alias("w"), F.col("g.key") == F.col("w.key")
     )
     assert joined.filter(F.col("g.ts") != F.col("w.ts")).count() == 0
+
+
+def test_streaming_observed_metrics(spark, sf_dir, tables):
+    """observe() on a streaming DataFrame: per-batch row counters arrive
+    via the query progress (the streaming face of the reference's A1
+    running counters)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from hbase_to_mongo_export_spark.streaming.incremental import _event_stream
+
+    ev = _event_stream(spark, _os.path.join(sf_dir, "events.parquet")).observe(
+        "a1_counters", F.count(F.lit(1)).alias("rows_read")
+    )
+    import tempfile
+    import uuid
+
+    sink = f"obs_{uuid.uuid4().hex[:8]}"
+    q = (
+        ev.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            _os.path.join(tempfile.gettempdir(), f"ckpt_{uuid.uuid4().hex[:8]}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    observed = sum(
+        p.observedMetrics["a1_counters"].rows_read
+        for p in q.recentProgress
+        if "a1_counters" in (p.observedMetrics or {})
+    )
+    total = spark.table(sink).count()
+    assert observed == total > 0
