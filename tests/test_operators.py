@@ -570,3 +570,48 @@ class TestSequencePacking:
         a = sorted(map(tuple, pack_documents(docs, budget=128).collect()))
         b = sorted(map(tuple, pack_documents(docs, budget=128).collect()))
         assert a == b
+
+
+class TestEwmaProperty:
+    def test_ewma_matches_pandas_reference(self, spark):
+        """The windowed EWMA fold (alpha=0.5, 10-row window) equals a
+        straightforward pandas implementation on random series."""
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        rng = np.random.RandomState(7)
+        rows = []
+        for uid in range(5):
+            n = int(rng.randint(1, 25))
+            for i in range(n):
+                rows.append((uid, i, float(rng.rand()) * 100))
+        df = spark.createDataFrame(rows, "user_id long, seq long, value double")
+
+        wf = Window.partitionBy("user_id").orderBy("seq").rowsBetween(-9, 0)
+        ewma = F.expr(
+            """
+            aggregate(transform(sequence(0, size(vs) - 1),
+                        i -> element_at(vs, i + 1)
+                             * power(0.5D, CAST(size(vs) - 1 - i AS DOUBLE))),
+                      0.0D, (a, x) -> a + x)
+            / aggregate(transform(sequence(0, size(vs) - 1),
+                          i -> power(0.5D, CAST(size(vs) - 1 - i AS DOUBLE))),
+                        0.0D, (a, x) -> a + x)
+            """
+        )
+        got = {
+            (r.user_id, r.seq): r.e
+            for r in df.select(
+                "user_id", "seq", F.collect_list("value").over(wf).alias("vs")
+            ).select("user_id", "seq", ewma.alias("e")).collect()
+        }
+
+        pdf = pd.DataFrame(rows, columns=["user_id", "seq", "value"])
+        for (uid, seq), spark_val in got.items():
+            s = pdf[pdf.user_id == uid].sort_values("seq")
+            window = s[s.seq <= seq].tail(10)["value"].to_numpy()
+            weights = 0.5 ** np.arange(len(window) - 1, -1, -1)
+            want = float(np.dot(window, weights) / weights.sum())
+            assert abs(spark_val - want) < 1e-9, (uid, seq)
