@@ -4540,3 +4540,65 @@ def events_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 2)
         .orderBy("day", "rk")
     )
+
+
+@register(
+    "graph_weighted_path_counts",
+    oracle="""
+    WITH edges AS (
+      SELECT cn.n_nationkey AS src, sn.n_nationkey AS dst, COUNT(*) AS w
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation cn ON cn.n_nationkey = c_nationkey
+      JOIN nation sn ON sn.n_nationkey = s_nationkey
+      GROUP BY 1, 2
+    ),
+    v0 AS (SELECT 0 AS node, CAST(1 AS BIGINT) AS paths),
+    v1 AS (SELECT dst AS node, SUM(paths * w) AS paths
+           FROM v0 JOIN edges ON v0.node = edges.src GROUP BY dst),
+    v2 AS (SELECT dst AS node, SUM(paths * w) AS paths
+           FROM v1 JOIN edges ON v1.node = edges.src GROUP BY dst),
+    v3 AS (SELECT dst AS node, SUM(paths * w) AS paths
+           FROM v2 JOIN edges ON v2.node = edges.src GROUP BY dst)
+    SELECT node, paths FROM v3 ORDER BY paths DESC, node
+    """,
+)
+def graph_weighted_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph computation: trade-weighted path counts of length 3
+    from NATION_0 over the customer-nation → supplier-nation graph (the
+    join-aggregate iteration underlying PageRank / Katz centrality,
+    kept in exact BIGINT so the result is order-independent). The edge
+    list is built once (the only fact-scale work); each iteration joins
+    the 25-row frontier vector against it — at real graph scale the
+    frontier broadcasts and each step is one partial-aggregated shuffle
+    of the edge partitions, state never returns to the driver."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    edges = (
+        li.select("l_orderkey", "l_suppkey")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").cast("long").alias("src"),
+            F.col("s_nationkey").cast("long").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    v = spark.createDataFrame([(0, 1)], "node long, paths long")
+    for _ in range(3):
+        v = (
+            F.broadcast(v)
+            .join(edges, F.col("node") == F.col("src"))
+            .groupBy(F.col("dst").alias("next_node"))
+            .agg(F.sum(F.col("paths") * F.col("w")).alias("paths"))
+            .select(F.col("next_node").alias("node"), "paths")
+        )
+    return v.orderBy(F.col("paths").desc(), "node")
