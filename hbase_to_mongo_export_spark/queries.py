@@ -4602,3 +4602,58 @@ def graph_weighted_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("next_node").alias("node"), "paths")
         )
     return v.orderBy(F.col("paths").desc(), "node")
+
+
+@register(
+    "null_safe_dim_lookup",
+    oracle="""
+    WITH dim(prio_key, label, rate) AS (
+      VALUES ('1-URGENT', 'expedite', 0.02),
+             ('2-HIGH',   'priority', 0.01),
+             (NULL,       'standard', 0.0)
+    ), keyed AS (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN o_orderpriority END AS prio_key,
+             o_totalprice
+      FROM orders
+    )
+    SELECT label,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM keyed JOIN dim ON keyed.prio_key IS NOT DISTINCT FROM dim.prio_key
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def null_safe_dim_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe dimension lookup: un-mapped priorities carry a NULL key
+    that must still match the dimension's NULL 'default' row — the <=>
+    (eqNullSafe) join, vs a plain equi-join silently dropping them. The
+    three-row dimension broadcasts; null-safe equality keeps the join a
+    hash join (it is still an equality predicate to Catalyst)."""
+    orders = _t(spark, sf_dir, "orders")
+    dim = spark.createDataFrame(
+        [("1-URGENT", "expedite", 0.02), ("2-HIGH", "priority", 0.01),
+         (None, "standard", 0.0)],
+        "prio_key string, label string, rate double",
+    )
+    keyed = orders.select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            F.col("o_orderpriority"),
+        ).alias("prio_key"),
+        "o_totalprice",
+    )
+    return (
+        keyed.join(F.broadcast(dim),
+                   keyed.prio_key.eqNullSafe(dim.prio_key))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("label")
+    )
