@@ -258,24 +258,38 @@ def upsert_serving_table(
     MongoDB-replica behavior the reference's export feeds; SURVEY §1.1
     latest-cell semantics applied continuously).
 
-    Without a table format there is no atomic MERGE, so the rewrite goes
-    to a staging directory that replaces the live one on commit —
-    crash-safe because the checkpoint replays the batch against the
-    surviving directory. On Delta/Iceberg this whole function collapses
-    into a MERGE INTO statement; the plan shape is identical: the batch
-    (small) broadcasts into a latest-per-key window over
-    current ∪ batch."""
+    Without a table format there is no atomic MERGE, so the rewrite uses
+    a staging + backup rotation: write staging, rotate live → backup,
+    staging → live, drop backup. Every crash window leaves either the
+    live or the backup directory intact, and foreachBatch only marks the
+    batch committed after the swap, so replay always finds the pre-batch
+    state. On Delta/Iceberg this whole function collapses into a MERGE
+    INTO statement; the plan shape is identical: the batch (small)
+    broadcasts into a latest-per-key window over current ∪ batch."""
     import shutil
 
     from ..sources.fixtures import SOURCE_SCHEMA
 
     stream = spark.readStream.schema(SOURCE_SCHEMA).parquet(source_dir)
+    backup_path = table_path + ".backup"
+
+    def current_table_dir() -> str | None:
+        if os.path.isdir(table_path):
+            # crash between live-swap and backup-drop leaves both; live wins
+            if os.path.isdir(backup_path):
+                shutil.rmtree(backup_path)
+            return table_path
+        if os.path.isdir(backup_path):
+            # crash between rotate-out and swap-in: backup holds the state
+            return backup_path
+        return None
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql.window import Window as W
 
-        if os.path.isdir(table_path):
-            current = spark.read.parquet(table_path)
+        live = current_table_dir()
+        if live is not None:
+            current = spark.read.parquet(live)
             merged = current.unionByName(batch_df.select(*current.columns))
         else:
             merged = batch_df
@@ -287,9 +301,11 @@ def upsert_serving_table(
         )
         staging = table_path + ".staging"
         latest.write.mode("overwrite").parquet(staging)
-        if os.path.isdir(table_path):
-            shutil.rmtree(table_path)
+        if live == table_path:
+            os.rename(table_path, backup_path)
         os.rename(staging, table_path)
+        if os.path.isdir(backup_path):
+            shutil.rmtree(backup_path)
 
     q = (
         stream.writeStream.foreachBatch(merge_batch)

@@ -313,3 +313,36 @@ def test_streaming_observed_metrics(spark, sf_dir, tables):
     )
     total = spark.table(sink).count()
     assert observed == total > 0
+
+
+def test_upsert_serving_table_recovers_from_backup(spark, tmp_path):
+    """Crash window between rotate-out and swap-in leaves only the backup
+    dir; the next merge must treat it as the current state."""
+    import os as _os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hbase_to_mongo_export_spark.sources import fixtures
+    from hbase_to_mongo_export_spark.streaming.incremental import (
+        upsert_serving_table,
+    )
+
+    src_dir = str(tmp_path / "src")
+    fixtures.source_records(spark, n=20).write.parquet(src_dir)
+    table = str(tmp_path / "serving")
+    upsert_serving_table(spark, src_dir, table, str(tmp_path / "ckpt1"))
+    assert spark.read.parquet(table).count() == 20
+
+    # simulate the crash: live rotated to backup, swap-in never happened
+    shutil.move(table, table + ".backup")
+    fixtures.source_records(spark, n=5).withColumn(
+        "ts", F.col("ts") + 100_000
+    ).write.mode("append").parquet(src_dir)
+    upsert_serving_table(spark, src_dir, table, str(tmp_path / "ckpt2"))
+
+    got = spark.read.parquet(table)
+    assert got.count() == 20  # one row per key, prior state recovered
+    assert not _os.path.isdir(table + ".backup")
+    # the 5 re-versioned keys carry the new timestamp
+    assert got.filter(F.col("ts") >= 100_000).count() == 5
