@@ -4657,3 +4657,69 @@ def null_safe_dim_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "revenue_concentration_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+      FROM orders GROUP BY 1
+    ), c AS (
+      SELECT r,
+             SUM(r) OVER (ORDER BY r DESC, o_custkey ROWS UNBOUNDED PRECEDING)
+               AS cum,
+             ROW_NUMBER() OVER (ORDER BY r DESC, o_custkey) AS rn
+      FROM rev
+    ), t AS (SELECT SUM(r) AS total, COUNT(*) AS n FROM rev)
+    SELECT CAST(th.threshold AS DOUBLE) AS threshold, MIN(c.rn) AS n_customers,
+           ROUND(CAST(MIN(c.rn) AS DOUBLE) / (SELECT n FROM t) * 100, 4)
+             AS pct_customers
+    FROM (VALUES (0.50), (0.80), (0.95)) th(threshold)
+    JOIN c ON c.cum >= (SELECT total FROM t) * th.threshold
+    GROUP BY th.threshold
+    ORDER BY th.threshold
+    """,
+)
+def revenue_concentration_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto): the smallest customer count whose
+    cumulative revenue reaches 50/80/95% of the total. The fact collapses
+    to one row per customer first, so the global cumulative window
+    orders |customers| rows, not raw orders; the cumulative sum stays in
+    DECIMAL so the threshold crossings are exact. The threshold table
+    (3 rows) broadcast-joins against the cumulative curve."""
+    orders = _t(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(_DEC)).alias("r")
+    )
+    w = Window.orderBy(F.col("r").desc(), "o_custkey")
+    c = rev.select(
+        "r",
+        F.sum("r").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.row_number().over(w).alias("rn"),
+    )
+    t = rev.agg(F.sum("r").alias("total"), F.count(F.lit(1)).alias("n"))
+    from decimal import Decimal
+
+    th = spark.createDataFrame(
+        [(Decimal("0.50"),), (Decimal("0.80"),), (Decimal("0.95"),)],
+        "threshold decimal(3,2)",
+    )
+    return (
+        c.join(F.broadcast(t))
+        .join(
+            F.broadcast(th),
+            # both sides DECIMAL: the crossing comparison is exact, like
+            # the oracle's DECIMAL literal arithmetic
+            F.col("cum") >= F.col("total") * F.col("threshold"),
+        )
+        .groupBy("threshold", "n")
+        .agg(F.min("rn").alias("n_customers"))
+        .select(
+            F.col("threshold").cast("double").alias("threshold"),
+            "n_customers",
+            F.round(F.col("n_customers").cast("double") / F.col("n") * 100, 4)
+            .alias("pct_customers"),
+        )
+        .orderBy("threshold")
+    )
