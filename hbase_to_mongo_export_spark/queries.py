@@ -4723,3 +4723,47 @@ def revenue_concentration_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+@register(
+    "rollup_with_grouping_ids",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS gid,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY gid, status, priority
+    """,
+)
+def rollup_with_grouping_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() indicator columns: the indicators
+    disambiguate 'real NULL value' from 'subtotal row' — required for any
+    consumer of hierarchical aggregates. One shuffle: Spark expands the
+    rollup map-side and partially aggregates every grouping level before
+    the exchange."""
+    orders = _t(spark, sf_dir, "orders")
+    gid = (
+        F.grouping("o_orderstatus") + F.lit(2) * F.grouping("o_orderpriority")
+    ).cast("int")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            gid.alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("gid", "status", "priority")
+    )
