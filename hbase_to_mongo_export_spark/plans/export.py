@@ -153,6 +153,7 @@ def run_export(
     correlation_id: str = "run",
     status_store=None,
     notifier=None,
+    metrics=None,
 ) -> ExportResult:
     """Execute an export end-to-end: build, write snapshot + manifest,
     record status and emit notifications (reference afterJob semantics,
@@ -160,7 +161,9 @@ def run_export(
     S3StreamingWriter.kt:131-132).
 
     ``status_store``/``notifier`` follow plans.status.LocalStatusStore /
-    LocalNotifier; pass AWS-backed implementations in production."""
+    LocalNotifier; ``metrics`` is a plans.metrics.MetricsRegistry whose
+    counters mirror the reference's pushgateway metrics. Pass AWS/
+    Prometheus-backed implementations in production."""
     from . import sink  # local import to avoid a cycle
 
     collection = cfg.topic.rsplit(".", 1)[-1]
@@ -204,6 +207,10 @@ def run_export(
             if not written.files:
                 notifier.notify_no_files_exported(cfg.topic)
         set_status("Exported", len(written.files))
+        if metrics is not None:
+            metrics.inc("records_processed", written.records)
+            metrics.inc("records_failed", n_quarantined)
+            metrics.inc("files_written", len(written.files))
         return ExportResult(
             cfg.topic,
             "Exported",
@@ -218,4 +225,6 @@ def run_export(
         )
     except Exception:
         set_status("Export_Failed")
+        if metrics is not None:
+            metrics.inc("export_failures")
         return ExportResult(cfg.topic, "Export_Failed", 0, 0, [], [])

@@ -73,3 +73,25 @@ class TestMetricsLifecycle:
             "files_written": 3.0,
         }
         assert lines[-1].get("deleted") is True
+
+
+class TestExportMetricsIntegration:
+    def test_run_export_populates_registry(self, spark, tmp_path):
+        from hbase_to_mongo_export_spark.plans.export import (
+            ExportConfig, run_export,
+        )
+        from hbase_to_mongo_export_spark.sources import fixtures
+
+        src = fixtures.source_records(spark, n=30)
+        reg = MetricsRegistry(job="export")
+        res = run_export(
+            spark, src,
+            ExportConfig(topic="db.database.collection",
+                         output_dir=str(tmp_path / "out")),
+            metrics=reg,
+        )
+        assert res.status == "Exported"
+        snap = reg.snapshot()
+        assert snap["records_processed"] == 30
+        assert snap["records_failed"] == 0
+        assert snap["files_written"] == len(res.files) >= 1
