@@ -44,6 +44,8 @@ def _build_parser() -> argparse.ArgumentParser:
     e.add_argument("--correlation-id", default="run")
     e.add_argument("--status-file", default=None)
     e.add_argument("--messages-file", default=None)
+    e.add_argument("--metrics-file", default=None,
+                   help="pushgateway-style metrics JSONL (final push + delete)")
 
     c = sub.add_parser("completion-status", help="fold run statuses (A3)")
     c.add_argument("--status-file", required=True)
@@ -93,6 +95,17 @@ def main(argv: list[str] | None = None) -> int:
         )
         store = LocalStatusStore(args.status_file) if args.status_file else None
         notifier = LocalNotifier(args.messages_file) if args.messages_file else None
+        registry = pusher_cm = None
+        if args.metrics_file:
+            from .plans.metrics import (
+                LocalPushGateway, MetricsRegistry, PeriodicPusher,
+            )
+
+            registry = MetricsRegistry(job="export", instance=args.correlation_id)
+            pusher_cm = PeriodicPusher(
+                registry, LocalPushGateway(args.metrics_file), interval_s=20.0
+            )
+            pusher_cm.__enter__()
         try:
             source = spark.read.parquet(args.source)
         except Exception:
@@ -105,11 +118,16 @@ def main(argv: list[str] | None = None) -> int:
                               "records": 0, "quarantined": 0, "files": 0,
                               "manifest_files": 0}))
             return 1
-        result = run_export(
-            spark, source, cfg,
-            correlation_id=args.correlation_id,
-            status_store=store, notifier=notifier,
-        )
+        try:
+            result = run_export(
+                spark, source, cfg,
+                correlation_id=args.correlation_id,
+                status_store=store, notifier=notifier,
+                metrics=registry,
+            )
+        finally:
+            if pusher_cm is not None:
+                pusher_cm.__exit__(None, None, None)
         print(
             json.dumps(
                 {

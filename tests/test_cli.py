@@ -82,3 +82,21 @@ def test_export_subcommand_missing_source(tmp_path, capsys, spark):
     assert rc == 1
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["status"] == "Table_Unavailable"
+
+
+def test_export_subcommand_metrics_file(tmp_path, capsys, spark):
+    from hbase_to_mongo_export_spark.sources import fixtures
+
+    src = str(tmp_path / "src")
+    fixtures.source_records(spark, n=10).write.parquet(src)
+    metrics = str(tmp_path / "metrics.jsonl")
+    rc = main([
+        "export", "--topic", "db.database.collection",
+        "--source", src, "--output", str(tmp_path / "out"),
+        "--metrics-file", metrics,
+    ])
+    assert rc == 0
+    lines = [json.loads(l) for l in open(metrics)]
+    final = [l for l in lines if l.get("final")]
+    assert final and final[-1]["metrics"]["records_processed"] == 10
+    assert lines[-1].get("deleted") is True
