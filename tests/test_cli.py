@@ -100,3 +100,20 @@ def test_export_subcommand_metrics_file(tmp_path, capsys, spark):
     final = [l for l in lines if l.get("final")]
     assert final and final[-1]["metrics"]["records_processed"] == 10
     assert lines[-1].get("deleted") is True
+
+
+def test_spark_entry_contract(spark):
+    """The driver contract: entry(spark) returns a DataFrame with a stable
+    schema and >= 0 rows; queries()/oracle_sql() keys line up."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == E.entry(spark).columns  # schema stable across calls
+    qs, os_ = E.queries(), E.oracle_sql()
+    assert set(os_) <= set(qs)  # every oracle belongs to a query
+    assert all(callable(fn) for fn in qs.values())
