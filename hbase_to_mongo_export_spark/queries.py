@@ -4767,3 +4767,321 @@ def rollup_with_grouping_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "status", "priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3: relational breadth + training-data pipeline additions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "recursive_cte_supplier_chain",
+    oracle="""
+    WITH RECURSIVE chain(suppkey, root, depth) AS (
+        SELECT s_suppkey, s_suppkey, 0 FROM supplier WHERE s_suppkey < 4
+        UNION ALL
+        SELECT s.s_suppkey, c.root, c.depth + 1
+        FROM supplier s JOIN chain c ON CAST(FLOOR(s.s_suppkey / 2) AS BIGINT) = c.suppkey
+        WHERE s.s_suppkey >= 4
+    )
+    SELECT root, depth, COUNT(*) AS n_nodes, MIN(suppkey) AS min_key,
+           MAX(suppkey) AS max_key
+    FROM chain GROUP BY root, depth ORDER BY root, depth
+    """,
+)
+def recursive_cte_supplier_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): transitive closure over an
+    implicit binary-tree hierarchy (parent = suppkey/2). The reference has
+    no hierarchy operator at all (SURVEY §2.8); this exercises Spark's
+    iterative plan expansion — each recursion step is a self-join the
+    optimizer plans independently, so depth scales without a driver loop."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_rc")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(suppkey, root, depth) AS (
+            SELECT s_suppkey, s_suppkey, 0 FROM supplier_rc WHERE s_suppkey < 4
+            UNION ALL
+            SELECT s.s_suppkey, c.root, c.depth + 1
+            FROM supplier_rc s JOIN chain c ON CAST(FLOOR(s.s_suppkey / 2) AS BIGINT) = c.suppkey
+            WHERE s.s_suppkey >= 4
+        )
+        SELECT root, depth, COUNT(*) AS n_nodes, MIN(suppkey) AS min_key,
+               MAX(suppkey) AS max_key
+        FROM chain GROUP BY root, depth ORDER BY root, depth
+        """
+    )
+
+
+@register(
+    "bitwise_agg_line_flags",
+    oracle="""
+    WITH per_order AS (
+        SELECT l_orderkey,
+               BIT_OR(CASE WHEN l_linenumber <= 62 THEN CAST(POW(2, l_linenumber) AS BIGINT) ELSE 0 END) AS line_mask,
+               BIT_AND(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS all_n,
+               BIT_XOR(l_linenumber) AS parity
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT line_mask, all_n, COUNT(*) AS n_orders,
+           SUM(parity) AS parity_sum
+    FROM per_order GROUP BY line_mask, all_n ORDER BY line_mask, all_n
+    """,
+)
+def bitwise_agg_line_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (bit_or/bit_and/bit_xor): per-order line-number
+    bitmask + all-returnflag-N indicator, then a distribution over masks.
+    Bitmask aggregation is the classic compact-set encoding for feature
+    flags at scale — associative, so map-side partial agg applies and the
+    shuffle carries one long per order."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.bit_or(
+            F.when(F.col("l_linenumber") <= 62, F.pow(F.lit(2), F.col("l_linenumber")).cast("bigint")).otherwise(F.lit(0))
+        ).alias("line_mask"),
+        F.bit_and(F.when(F.col("l_returnflag") == "N", 1).otherwise(0)).alias("all_n"),
+        F.bit_xor("l_linenumber").alias("parity"),
+    )
+    return (
+        per_order.groupBy("line_mask", "all_n")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("parity").alias("parity_sum"))
+        .orderBy("line_mask", "all_n")
+    )
+
+
+@register(
+    "global_shuffle_deterministic",
+    oracle="""
+    WITH shuffled AS (
+        SELECT doc_id, n_chars,
+               ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) - 1 AS pos
+        FROM documents
+    )
+    SELECT CAST(pos % 8 AS INT) AS shard,
+           COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM shuffled GROUP BY shard ORDER BY shard
+    """,
+)
+def global_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-data ordering: every doc
+    gets a reproducible pseudo-random position (md5 of id + seed), then
+    round-robin sharding. At 100 TB the md5 sort is a single range-
+    partitioned sort (Spark samples boundaries); no driver-side state, and
+    re-running with the same seed reproduces the exact epoch order —
+    the property training pipelines need for resumable data loading."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.orderBy(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42"))), "doc_id")
+    shuffled = docs.select(
+        "doc_id", "n_chars", (F.row_number().over(w) - 1).alias("pos")
+    )
+    return (
+        shuffled.groupBy((F.col("pos") % 8).cast("int").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+@register(
+    "curriculum_quality_bins",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, n_chars,
+               LEN(string_split(text, ' ')) AS wc
+        FROM documents WHERE text IS NOT NULL AND text <> ''
+    ),
+    binned AS (
+        SELECT doc_id, n_chars, wc,
+               NTILE(4) OVER (ORDER BY wc, doc_id) AS stage
+        FROM scored
+    )
+    SELECT stage, COUNT(*) AS n_docs,
+           MIN(wc) AS min_wc, MAX(wc) AS max_wc,
+           SUM(n_chars) AS total_chars
+    FROM binned GROUP BY stage ORDER BY stage
+    """,
+)
+def curriculum_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: order documents by a difficulty proxy (word
+    count) and split into 4 curriculum stages with NTILE. Training
+    pipelines feed stages in order (easy→hard). The global NTILE is one
+    range-partitioned sort; per-stage stats are a cheap reshuffle on the
+    4-value stage key (AQE coalesces)."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("text") != "")
+    )
+    scored = docs.select(
+        "doc_id", "n_chars", F.size(F.split(F.col("text"), " ")).alias("wc")
+    )
+    binned = scored.withColumn(
+        "stage", F.ntile(4).over(Window.orderBy("wc", "doc_id"))
+    )
+    return (
+        binned.groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("wc").alias("min_wc"),
+            F.max("wc").alias("max_wc"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("stage")
+    )
+
+
+@register(
+    "token_length_histogram",
+    oracle="""
+    WITH wc AS (
+        SELECT doc_id, LEN(string_split(text, ' ')) AS n_tokens
+        FROM documents WHERE text IS NOT NULL AND text <> ''
+    )
+    SELECT CAST(FLOOR(LOG2(n_tokens)) AS INT) AS log2_bin,
+           COUNT(*) AS n_docs,
+           MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
+    FROM wc WHERE n_tokens > 0
+    GROUP BY log2_bin ORDER BY log2_bin
+    """,
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram in log2 bins — the standard first look at a
+    pretraining corpus (sequence-length budget planning). Entirely map-side
+    until the tiny per-bin aggregate."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("text") != "")
+    )
+    wc = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    return (
+        wc.groupBy(F.floor(F.log2("n_tokens")).cast("int").alias("log2_bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("log2_bin")
+    )
+
+
+@register(
+    "filter_funnel_stats",
+    oracle="""
+    WITH staged AS (
+        SELECT doc_id,
+               (text IS NOT NULL AND text <> '') AS s1_nonempty,
+               (text IS NOT NULL AND text <> '' AND LEN(string_split(text, ' ')) >= 20) AS s2_minlen,
+               (text IS NOT NULL AND text <> '' AND LEN(string_split(text, ' ')) >= 20
+                AND n_chars <= 10000) AS s3_maxchars,
+               (text IS NOT NULL AND text <> '' AND LEN(string_split(text, ' ')) >= 20
+                AND n_chars <= 10000
+                AND CAST(n_chars AS DOUBLE) / LEN(string_split(text, ' ')) < 12.0) AS s4_avgwordlen
+        FROM documents
+    )
+    SELECT COUNT(*) AS total,
+           SUM(CASE WHEN s1_nonempty THEN 1 ELSE 0 END) AS pass_nonempty,
+           SUM(CASE WHEN s2_minlen THEN 1 ELSE 0 END) AS pass_minlen,
+           SUM(CASE WHEN s3_maxchars THEN 1 ELSE 0 END) AS pass_maxchars,
+           SUM(CASE WHEN s4_avgwordlen THEN 1 ELSE 0 END) AS pass_avgwordlen,
+           ROUND(SUM(CASE WHEN s4_avgwordlen THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS final_pass_rate
+    FROM staged
+    """,
+)
+def filter_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-funnel observability: how many documents survive each
+    successive quality gate (nonempty → min length → max chars → avg word
+    length). One pass, conditional aggregates — no per-stage rescans, which
+    is the difference between 1× and 4× the 100 TB scan cost."""
+    docs = _t(spark, sf_dir, "documents")
+    wc = F.size(F.split(F.col("text"), " "))
+    s1 = F.col("text").isNotNull() & (F.col("text") != "")
+    s2 = s1 & (wc >= 20)
+    s3 = s2 & (F.col("n_chars") <= 10000)
+    s4 = s3 & ((F.col("n_chars").cast("double") / wc) < 12.0)
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return docs.agg(
+        F.count(F.lit(1)).alias("total"),
+        cnt(s1).alias("pass_nonempty"),
+        cnt(s2).alias("pass_minlen"),
+        cnt(s3).alias("pass_maxchars"),
+        cnt(s4).alias("pass_avgwordlen"),
+        F.round(cnt(s4) * F.lit(1.0) / F.count(F.lit(1)), 6).alias("final_pass_rate"),
+    )
+
+
+@register(
+    "pretokenize_top_tokens",
+    oracle="""
+    WITH toks AS (
+        SELECT UNNEST(regexp_extract_all(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS tok
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT tok, COUNT(*) AS n
+    FROM toks GROUP BY tok
+    ORDER BY n DESC, tok LIMIT 20
+    """,
+)
+def pretokenize_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization (runs of letters / digits / single
+    punctuation) + global token frequency top-20 — the first step of
+    tokenizer training. explode + groupBy with map-side partial agg; at
+    100 TB the token vocabulary is tiny relative to the corpus so the
+    shuffle is the distinct-token set, not the corpus."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        F.explode(
+            F.expr(r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+        ).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(20)
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               AVG(value) AS mu,
+               STDDEV_SAMP(value) AS sigma,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           MAX(s.n) AS n_events,
+           SUM(CASE WHEN ABS((e.value - s.mu) / s.sigma) > 2.0 THEN 1 ELSE 0 END) AS n_outliers,
+           ROUND(MAX(ABS((e.value - s.mu) / s.sigma)), 4) AS max_abs_z
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly counts per event type: two-pass (stats then score)
+    expressed as an aggregate + broadcast-join back — the per-group stats
+    table is tiny, so the second pass is shuffle-free. Rounding the max |z|
+    keeps the hash stable across summation orders."""
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    z = F.abs((F.col("e.value") - F.col("s.mu")) / F.col("s.sigma"))
+    return (
+        ev.alias("e")
+        .join(F.broadcast(stats.alias("s")), F.col("e.event_type") == F.col("s.event_type"))
+        .groupBy(F.col("e.event_type").alias("event_type"))
+        .agg(
+            F.max("s.n").alias("n_events"),
+            F.sum(F.when(z > 2.0, 1).otherwise(0)).alias("n_outliers"),
+            F.round(F.max(z), 4).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )
