@@ -27,6 +27,24 @@ from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint
 
+# 60-bit integer hash derived from md5 — reproducible in any engine with
+# md5 + hex conversion (DuckDB: CAST(concat('0x', substring(md5(x),1,15))
+# AS BIGINT)), which makes the full MinHash/SimHash/winnowing pipelines
+# oracle-checkable. xxhash64 stays the default: it's one JVM codegen call
+# vs md5's digest + hex + conv chain (~3× cheaper in the shingle hot loop).
+PORTABLE_HASH_SQL = "CAST(conv(substring(md5({col}),1,15),16,10) AS BIGINT)"
+
+
+def hash64(col_name: str, hash_fn: str = "xxhash64") -> Column:
+    """64-bit (xxhash64) or 60-bit (md5-portable) integer hash of a string
+    column, selected by name so callers can trade speed for cross-engine
+    reproducibility."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col_name)
+    if hash_fn == "md5":
+        return F.expr(PORTABLE_HASH_SQL.format(col=col_name))
+    raise ValueError(f"unknown hash_fn {hash_fn!r}; expected xxhash64|md5")
+
 
 def _fan_out(df: DataFrame) -> DataFrame:
     """Spread compute-bound per-row kernels across all cores.
@@ -206,9 +224,15 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH, verified with exact
     Jaccard. Returns (id_a, id_b, jaccard >= threshold).
+
+    ``hash_fn="md5"`` swaps the shingle hash for the md5-portable variant
+    and keys bands by the joined min-value string instead of an xxhash64
+    bucket — equality on the value tuple is equality on the bucket, and
+    every step becomes reproducible in ANSI SQL (the DuckDB oracle).
 
     Plan shape: narrow shingle/signature projection → explode to one row
     per band (×bands) → shuffle on (band, band_hash) self-join → distinct
@@ -224,7 +248,7 @@ def minhash_lsh_pairs(
     exploded = _fan_out(df).select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
-    ).select(F.col(id_col), F.xxhash64("shingle").alias("h"))
+    ).select(F.col(id_col), hash64("shingle", hash_fn).alias("h"))
     masks = _xor_params(num_hashes)
     # expression STRINGS, not Column chains: building 64 aggregates +
     # 16 band structs through per-call py4j Columns costs >1s of driver
@@ -236,8 +260,13 @@ def minhash_lsh_pairs(
         ]
     )
 
+    bucket_tpl = (
+        "xxhash64(concat_ws(',', {cols}))"
+        if hash_fn == "xxhash64"
+        else "concat_ws(',', {cols})"
+    )
     band_structs = ", ".join(
-        "named_struct('band', {b}, 'bucket', xxhash64(concat_ws(',', {cols})))".format(
+        ("named_struct('band', {b}, 'bucket', " + bucket_tpl + ")").format(
             b=b,
             cols=", ".join(
                 f"m{b * rows_per_band + r}" for r in range(rows_per_band)
@@ -278,18 +307,25 @@ def minhash_lsh_pairs(
     return verified
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document: per-token xxhash64, each bit votes
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """64-bit SimHash per document: per-token hash, each bit votes
     +1/-1 weighted by token frequency; signature bit b = sign of the vote.
 
     Implemented as explode → groupBy(doc) with ``bits`` conditional sums —
-    one shuffle, all JVM-side."""
+    one shuffle, all JVM-side. With ``hash_fn="md5"`` the top 4 signature
+    bits are always 0 (60-bit hash) — harmless for Hamming comparisons."""
     toks = _fan_out(df).select(
         F.col(id_col),
         F.explode(
             F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
         ).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", hash64("tok", hash_fn))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -309,12 +345,13 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 3,
     bands: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs whose SimHash Hamming distance <= max_hamming.
     Blocking: split the 64-bit signature into ``bands`` chunks — any pair
     within distance (bands-1) shares at least one exact chunk (pigeonhole),
     so candidates come from equi-joins on (chunk index, chunk value)."""
-    sigs = simhash(df, id_col, text_col)
+    sigs = simhash(df, id_col, text_col, hash_fn=hash_fn)
     chunk_bits = 64 // bands
     chunked = sigs.select(
         id_col,
@@ -362,6 +399,7 @@ def winnow_fingerprints(
     text_col: str,
     k: int = 5,
     window: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's MOSS
     scheme): hash every k-gram shingle, slide a window of ``window``
@@ -392,7 +430,7 @@ def winnow_fingerprints(
                 )
             ).alias("pos", "shingle"),
         )
-        .select(F.col(id_col), F.col("pos"), F.xxhash64("shingle").alias("h"))
+        .select(F.col(id_col), F.col("pos"), hash64("shingle", hash_fn).alias("h"))
     )
     w = (
         W.partitionBy(id_col)

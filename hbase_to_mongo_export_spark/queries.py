@@ -773,11 +773,62 @@ def similarity_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_mod.lsh_topk(emb, qs, dim=dim, k=3).orderBy("query_id", "rank")
 
 
-@register("embedding_near_dup_pairs")  # approximate: rows-only check
+def _neardup_oracle(dim: int = 64, n_planes: int = 8, threshold: float = 0.9) -> str:
+    """Full DuckDB oracle for hyperplane-bucketed embedding near-dup: the
+    md5-derived hyperplanes are deterministic Python lists, so they embed
+    as SQL literals; dot products are left-to-right ``list_reduce`` folds,
+    which match Spark's ``F.aggregate`` fold bit-for-bit."""
+    planes = sim_mod._hyperplanes(dim, n_planes, seed="neardup")
+    plane_cols = ",\n             ".join(
+        "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[] AS p" + str(i)
+        for i, p in enumerate(planes)
+    )
+
+    def dot(vec: str, plane: str) -> str:
+        return (
+            f"list_reduce([CAST({vec}[i] AS DOUBLE) * {plane}[i] "
+            f"FOR i IN range(1, len({vec})+1)], (acc, x) -> acc + x)"
+        )
+
+    def vdot(va: str, vb: str) -> str:
+        return (
+            f"list_reduce([CAST({va}[i] AS DOUBLE) * CAST({vb}[i] AS DOUBLE) "
+            f"FOR i IN range(1, len({va})+1)], (acc, x) -> acc + x)"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot('v', f'p{i}')} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    return f"""
+    WITH planes AS (
+      SELECT {plane_cols}),
+    base AS (
+      SELECT vec_id, embedding AS v,
+             {bucket} AS bucket
+      FROM embeddings, planes),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND({vdot('a.v', 'b.v')} /
+                   (sqrt({vdot('a.v', 'a.v')}) * sqrt({vdot('b.v', 'b.v')})),
+                   6) AS cosine
+      FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cosine FROM pairs
+    WHERE cosine >= CAST({threshold} AS DOUBLE)
+    ORDER BY id_a, id_b
+    """
+
+
+@register("embedding_near_dup_pairs", oracle=_neardup_oracle(threshold=0.2))
 def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH-bucketed cosine near-dup pairs, fully value-checked:
+    the deterministic hyperplanes make the bucketing — not just the verify
+    step — reproducible in the DuckDB oracle. Threshold 0.2 (not a
+    production 0.9) because the synthetic embeddings are near-orthogonal —
+    at 0.9 both engines return zero rows and the check proves nothing."""
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
-    return sim_mod.embedding_near_dup_pairs(emb, dim=dim, threshold=0.9).orderBy(
+    return sim_mod.embedding_near_dup_pairs(emb, dim=dim, threshold=0.2).orderBy(
         "id_a", "id_b"
     )
 
@@ -5085,3 +5136,165 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable-hash dedup twins: the MinHash-LSH / SimHash / winnowing pipelines
+# re-run with the md5-derived 60-bit hash (operators/dedup.py::hash64) so the
+# ENTIRE pipeline — shingling, signature, banding, candidate join, verify —
+# is reproducible in ANSI SQL and gets a full DuckDB value-hash oracle
+# instead of a rows-only check. xxhash64 remains the production fast path;
+# these twins pin the algorithm, the fast path pins the plan.
+# ---------------------------------------------------------------------------
+
+_MD5H = "CAST(concat('0x', substring(md5({col}), 1, 15)) AS BIGINT)"
+_WORDS_SQL = (
+    "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
+)
+
+
+def _minhash_portable_oracle(
+    num_hashes: int = 64, bands: int = 16, threshold: float = 0.2
+) -> str:
+    rows = num_hashes // bands
+    masks = dedup_mod._xor_params(num_hashes)
+    mins = ",\n             ".join(
+        f"MIN(xor(h, CAST({m} AS BIGINT))) AS m{i}" for i, m in enumerate(masks)
+    )
+    buckets = ",\n                     ".join(
+        "concat_ws(',', " + ", ".join(f"m{b * rows + r}" for r in range(rows)) + ")"
+        for b in range(bands)
+    )
+    return f"""
+    WITH docs_sh AS (
+      SELECT doc_id,
+             list_distinct([list_aggregate(words[i:i+2], 'string_agg', ' ')
+                            FOR i IN range(1, len(words) - 1)]) AS sh
+      FROM (SELECT doc_id, {_WORDS_SQL} AS words FROM documents)
+      WHERE len(words) >= 3),
+    hashes AS (
+      SELECT doc_id, {_MD5H.format(col="s")} AS h
+      FROM (SELECT doc_id, unnest(sh) AS s FROM docs_sh)),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM hashes GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, unnest(range(0, {bands})) AS band,
+             unnest([{buckets}]) AS bucket
+      FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                   (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))),
+                   6) AS jaccard
+      FROM cand c
+      JOIN docs_sh sa ON sa.doc_id = c.id_a
+      JOIN docs_sh sb ON sb.doc_id = c.id_b)
+    SELECT id_a, id_b, jaccard FROM scored
+    WHERE jaccard >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
+@register("dedup_minhash_lsh_pairs_portable", oracle=_minhash_portable_oracle())
+def dedup_minhash_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with the md5-portable hash — every stage
+    (shingle hash, 64 XOR-permutation mins, 16-band bucketing, candidate
+    self-join, exact-Jaccard verify) value-checked against DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_mod.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.2,
+        hash_fn="md5",
+    ).orderBy("id_a", "id_b")
+
+
+def _simhash_portable_oracle(max_hamming: int = 3, bands: int = 4) -> str:
+    # md5-derived hashes are 60-bit, so signature bits 60..63 are always 0
+    # (votes are all -1) — only bits 0..59 are generated here.
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(60)
+    )
+    sig = " +\n                 ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE 0 END)"
+        for b in range(60)
+    )
+    chunk_bits = 64 // bands
+    cvs = ", ".join(
+        f"((simhash >> {i * chunk_bits}) & {(1 << chunk_bits) - 1})"
+        for i in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_WORDS_SQL}) AS tok FROM documents),
+    hashed AS (
+      SELECT doc_id, {_MD5H.format(col="tok")} AS h FROM toks),
+    votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM hashed GROUP BY doc_id),
+    sig AS (
+      SELECT doc_id,
+             {sig} AS simhash
+      FROM votes),
+    chunked AS (
+      SELECT doc_id, simhash, unnest(range(0, {bands})) AS ci,
+             unnest([{cvs}]) AS cv
+      FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sig_a, b.simhash AS sig_b
+      FROM chunked a JOIN chunked b
+        ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+    ORDER BY id_a, id_b
+    """
+
+
+@register("dedup_simhash_pairs_portable", oracle=_simhash_portable_oracle())
+def dedup_simhash_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the md5-portable hash — per-token bit
+    votes, 60-bit signature, 4-band pigeonhole blocking, and Hamming
+    verification all value-checked against DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_mod.simhash_pairs(
+        docs, "doc_id", "text", max_hamming=3, hash_fn="md5"
+    ).orderBy("id_a", "id_b")
+
+
+def _winnow_portable_oracle(k: int = 5, window: int = 4) -> str:
+    return f"""
+    WITH words AS (
+      SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(range(0, greatest(len(ws) - {k - 1}, 0))) AS pos,
+             unnest([list_aggregate(ws[i+1:i+{k}], 'string_agg', ' ')
+                     FOR i IN range(0, greatest(len(ws) - {k - 1}, 0))]) AS shingle
+      FROM words),
+    hashed AS (
+      SELECT doc_id, pos, {_MD5H.format(col="shingle")} AS h FROM sh)
+    SELECT DISTINCT doc_id,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING)
+             AS fingerprint
+    FROM hashed
+    ORDER BY doc_id, fingerprint
+    """
+
+
+@register("winnowing_fingerprints_portable", oracle=_winnow_portable_oracle())
+def winnowing_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints with the md5-portable hash — k-gram
+    rolling selection value-checked against a DuckDB window-min."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_mod.winnow_fingerprints(
+        docs, "doc_id", "text", hash_fn="md5"
+    ).orderBy("doc_id", "fingerprint")

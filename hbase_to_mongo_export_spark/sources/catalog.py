@@ -34,12 +34,23 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = _read_parquet_nanos_safe(spark, path)
-    # TIMESTAMP(NANOS) columns (the events table) arrive as long nanos —
-    # truncate to microseconds, matching DuckDB's TIMESTAMP semantics.
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
+    if name == "events":
+        df = normalize_event_ts(df)
+    return df
 
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """The events.ts column has shipped as TIMESTAMP(NANOS) (read as long
+    nanos under the legacy flag) and as TIMESTAMP_NTZ(micros) across
+    testdata generations; normalize both to session-zone TIMESTAMP
+    (UTC session ⇒ value-identical to DuckDB's TIMESTAMP)."""
+    from pyspark.sql import functions as F
+
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -35,7 +35,7 @@ def windowed_event_counts(
     Returns the final (batch) result table after draining available input —
     identical to the batch ``groupBy(window(...))`` answer, which is how
     it's oracle-checked."""
-    from ..sources.catalog import _read_parquet_nanos_safe
+    from ..sources.catalog import _read_parquet_nanos_safe, normalize_event_ts
 
     batch_df = _read_parquet_nanos_safe(spark, events_path)
     # file source needs a directory; point at the single file via glob
@@ -44,8 +44,7 @@ def windowed_event_counts(
         .option("pathGlobFilter", os.path.basename(events_path))
         .parquet(os.path.dirname(events_path))
     )
-    if dict(stream.dtypes).get("ts") == "bigint":  # TIMESTAMP(NANOS) source
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(stream)  # nanos-long / NTZ / LTZ sources
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window_duration).alias("w"), F.col("event_type"))
@@ -117,9 +116,9 @@ def incremental_export(
 
 
 def _event_stream(spark: SparkSession, events_path: str) -> DataFrame:
-    """readStream over the events parquet (single-file glob), with the
-    TIMESTAMP(NANOS) fallback mirrored from sources/catalog.py."""
-    from ..sources.catalog import _read_parquet_nanos_safe
+    """readStream over the events parquet (single-file glob), with ts
+    normalization mirrored from sources/catalog.py."""
+    from ..sources.catalog import _read_parquet_nanos_safe, normalize_event_ts
 
     batch_df = _read_parquet_nanos_safe(spark, events_path)
     stream = (
@@ -127,9 +126,7 @@ def _event_stream(spark: SparkSession, events_path: str) -> DataFrame:
         .option("pathGlobFilter", os.path.basename(events_path))
         .parquet(os.path.dirname(events_path))
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return normalize_event_ts(stream)
 
 
 def _drain(df: DataFrame, output_mode: str) -> DataFrame:

@@ -107,7 +107,7 @@ def running_user_stats(
     """Drain the events stream through a stateful per-user aggregator and
     return the final per-user stats table (one row per user — the last
     update emitted for each)."""
-    from ..sources.catalog import _read_parquet_nanos_safe
+    from ..sources.catalog import _read_parquet_nanos_safe, normalize_event_ts
 
     batch_df = _read_parquet_nanos_safe(spark, events_path)
     stream = (
@@ -115,8 +115,7 @@ def running_user_stats(
         .option("pathGlobFilter", os.path.basename(events_path))
         .parquet(os.path.dirname(events_path))
     )
-    if dict(stream.dtypes).get("ts") == "bigint":  # TIMESTAMP(NANOS) source
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(stream)  # nanos-long / NTZ / LTZ sources
 
     updated = stream.groupBy("user_id").applyInPandasWithState(
         _make_update_user_stats(),
@@ -243,7 +242,7 @@ def session_windows_timeout(
 ) -> DataFrame:
     """Gap-based session windows over the events stream via
     applyInPandasWithState + EventTimeTimeout (watermark delay 0)."""
-    from ..sources.catalog import _read_parquet_nanos_safe
+    from ..sources.catalog import _read_parquet_nanos_safe, normalize_event_ts
 
     batch_df = _read_parquet_nanos_safe(spark, events_path)
     stream = (
@@ -251,8 +250,7 @@ def session_windows_timeout(
         .option("pathGlobFilter", os.path.basename(events_path))
         .parquet(os.path.dirname(events_path))
     )
-    if dict(stream.dtypes).get("ts") == "bigint":  # TIMESTAMP(NANOS) source
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(stream)  # nanos-long / NTZ / LTZ sources
 
     sessions = (
         stream.withWatermark("ts", "0 seconds")
