@@ -216,6 +216,80 @@ def minhash_from_hashes(hashes: Column, num_hashes: int = 64) -> Column:
     return F.array(*mins)
 
 
+def _minhash_sig_cols(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    hash_fn: str,
+) -> DataFrame:
+    """Per-document MinHash signature as ``num_hashes`` BIGINT columns
+    m0..m{k-1}.
+
+    explode → hash each shingle ONCE → 64 min-aggregates. The mins are
+    plain codegen'd aggregates with map-side partial aggregation, so the
+    shuffle carries 64 longs per document — the formulation that holds at
+    100 TB (higher-order-function transforms are interpreted and 10×
+    slower; see git history)."""
+    exploded = _fan_out(df).select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    ).select(F.col(id_col), hash64("shingle", hash_fn).alias("h"))
+    masks = _xor_params(num_hashes)
+    # expression STRINGS, not Column chains: building 64 aggregates +
+    # 16 band structs through per-call py4j Columns costs >1s of driver
+    # time per invocation; F.expr parses each JVM-side in one hop.
+    return exploded.groupBy(id_col).agg(
+        *[
+            F.expr(f"min(h ^ CAST({m} AS BIGINT))").alias(f"m{i}")
+            for i, m in enumerate(masks)
+        ]
+    )
+
+
+def _lsh_candidates(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int, hash_fn: str
+) -> DataFrame:
+    """Distinct (id_a, id_b) candidate pairs from banded LSH over a
+    m0..m{k-1} signature frame: explode to one row per band, equi-join on
+    (band, bucket)."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    bucket_tpl = (
+        "xxhash64(concat_ws(',', {cols}))"
+        if hash_fn == "xxhash64"
+        else "concat_ws(',', {cols})"
+    )
+    band_structs = ", ".join(
+        ("named_struct('band', {b}, 'bucket', " + bucket_tpl + ")").format(
+            b=b,
+            cols=", ".join(
+                f"m{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    banded = sig.select(
+        id_col, F.explode(F.expr(f"array({band_structs})")).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -237,60 +311,12 @@ def minhash_lsh_pairs(
     Plan shape: narrow shingle/signature projection → explode to one row
     per band (×bands) → shuffle on (band, band_hash) self-join → distinct
     candidate pairs → one more join back to shingles → exact verify."""
-    assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
-
-    # explode → hash each shingle ONCE → 64 min-aggregates. The mins are
-    # plain codegen'd aggregates with map-side partial aggregation, so the
-    # shuffle carries 64 longs per document — the formulation that holds at
-    # 100 TB (higher-order-function transforms are interpreted and 10×
-    # slower; see git history).
-    exploded = _fan_out(df).select(
-        F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
-    ).select(F.col(id_col), hash64("shingle", hash_fn).alias("h"))
-    masks = _xor_params(num_hashes)
-    # expression STRINGS, not Column chains: building 64 aggregates +
-    # 16 band structs through per-call py4j Columns costs >1s of driver
-    # time per invocation; F.expr parses each JVM-side in one hop.
-    sig = exploded.groupBy(id_col).agg(
-        *[
-            F.expr(f"min(h ^ CAST({m} AS BIGINT))").alias(f"m{i}")
-            for i, m in enumerate(masks)
-        ]
-    )
-
-    bucket_tpl = (
-        "xxhash64(concat_ws(',', {cols}))"
-        if hash_fn == "xxhash64"
-        else "concat_ws(',', {cols})"
-    )
-    band_structs = ", ".join(
-        ("named_struct('band', {b}, 'bucket', " + bucket_tpl + ")").format(
-            b=b,
-            cols=", ".join(
-                f"m{b * rows_per_band + r}" for r in range(rows_per_band)
-            ),
-        )
-        for b in range(bands)
-    )
-    banded = sig.select(
-        id_col, F.explode(F.expr(f"array({band_structs})")).alias("bb")
-    ).select(id_col, "bb.band", "bb.bucket")
-
-    a = banded.alias("a")
-    b = banded.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
+    candidates = _lsh_candidates(
+        _minhash_sig_cols(df, id_col, text_col, n, num_hashes, hash_fn),
+        id_col,
+        num_hashes,
+        bands,
+        hash_fn,
     )
 
     sh = df.select(F.col(id_col), word_shingles(F.col(text_col), n).alias("sh"))
@@ -440,6 +466,121 @@ def winnow_fingerprints(
     return (
         shingled.select(F.col(id_col), F.min("h").over(w).alias("fingerprint"))
         .distinct()
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Document-pair overlap scored by shared winnowing fingerprints — the
+    MOSS plagiarism-detection use-case end-to-end. Output
+    (id_a, id_b, shared_fps, overlap) with
+    overlap = shared / min(|fps_a|, |fps_b|) (the overlap coefficient, so
+    a short document fully contained in a long one scores ~1.0).
+
+    Plan: fingerprint selection (one window pass per doc) → inverted-index
+    self-join on fingerprint → pair-count aggregate → two broadcast-sized
+    joins for per-doc totals. Cost ∝ Σ_fp df(fp)² like any inverted-index
+    join; boilerplate fingerprints are the skew hazard and AQE skew-join
+    splits them."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, window, hash_fn)
+    counts = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a, b = fps.alias("a"), fps.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+    na = counts.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = counts.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "shared_fps",
+            F.round(
+                F.col("shared_fps").cast("double")
+                / F.least("n_a", "n_b").cast("double"),
+                6,
+            ).alias("overlap"),
+        )
+    )
+
+
+def minhash_estimate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Sketch-calibration view of MinHash: for every LSH candidate pair,
+    the signature-agreement Jaccard ESTIMATE (fraction of equal mins)
+    side-by-side with the exact shingle-set Jaccard and the absolute
+    error. Output (id_a, id_b, est_jaccard, jaccard, abs_err).
+
+    This is the scale-tuning tool: at 100 TB you pick num_hashes/bands by
+    looking at exactly this error distribution on a sample."""
+    sig = _minhash_sig_cols(df, id_col, text_col, n, num_hashes, hash_fn)
+    candidates = _lsh_candidates(sig, id_col, num_hashes, bands, hash_fn)
+    matches = F.expr(
+        " + ".join(
+            f"IF(a.m{i} = b.m{i}, 1, 0)" for i in range(num_hashes)
+        )
+    )
+    est = (
+        candidates.join(
+            sig.alias("a"), F.col("id_a") == F.col(f"a.{id_col}")
+        )
+        .join(sig.alias("b"), F.col("id_b") == F.col(f"b.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                matches.cast("double") / F.lit(float(num_hashes)), 6
+            ).alias("est_jaccard"),
+        )
+    )
+    sh = df.select(F.col(id_col), word_shingles(F.col(text_col), n).alias("sh"))
+    return (
+        est.join(
+            sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"),
+            "id_a",
+        )
+        .join(
+            sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+            F.round(
+                F.abs(
+                    F.col("est_jaccard")
+                    - F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6)
+                ),
+                6,
+            ).alias("abs_err"),
+        )
     )
 
 

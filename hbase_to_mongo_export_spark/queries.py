@@ -5153,9 +5153,10 @@ _WORDS_SQL = (
 )
 
 
-def _minhash_portable_oracle(
-    num_hashes: int = 64, bands: int = 16, threshold: float = 0.2
-) -> str:
+def _minhash_oracle_ctes(num_hashes: int = 64, bands: int = 16) -> str:
+    """Shared CTE prefix for the md5-portable MinHash oracles: shingling,
+    per-shingle hash, 64 XOR-permutation min signature columns, band
+    bucketing, and distinct LSH candidate pairs."""
     rows = num_hashes // bands
     masks = dedup_mod._xor_params(num_hashes)
     mins = ",\n             ".join(
@@ -5165,8 +5166,7 @@ def _minhash_portable_oracle(
         "concat_ws(',', " + ", ".join(f"m{b * rows + r}" for r in range(rows)) + ")"
         for b in range(bands)
     )
-    return f"""
-    WITH docs_sh AS (
+    return f"""docs_sh AS (
       SELECT doc_id,
              list_distinct([list_aggregate(words[i:i+2], 'string_agg', ' ')
                             FOR i IN range(1, len(words) - 1)]) AS sh
@@ -5186,12 +5186,23 @@ def _minhash_portable_oracle(
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM banded a JOIN banded b
-        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)"""
+
+
+_JACCARD_SQL = (
+    "ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /"
+    " (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6)"
+)
+
+
+def _minhash_portable_oracle(
+    num_hashes: int = 64, bands: int = 16, threshold: float = 0.2
+) -> str:
+    return f"""
+    WITH {_minhash_oracle_ctes(num_hashes, bands)},
     scored AS (
       SELECT c.id_a, c.id_b,
-             ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-                   (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))),
-                   6) AS jaccard
+             {_JACCARD_SQL} AS jaccard
       FROM cand c
       JOIN docs_sh sa ON sa.doc_id = c.id_a
       JOIN docs_sh sb ON sb.doc_id = c.id_b)
@@ -5298,3 +5309,92 @@ def winnowing_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_mod.winnow_fingerprints(
         docs, "doc_id", "text", hash_fn="md5"
     ).orderBy("doc_id", "fingerprint")
+
+
+def _minhash_estimate_oracle(num_hashes: int = 64, bands: int = 16) -> str:
+    matches = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH {_minhash_oracle_ctes(num_hashes, bands)},
+    est AS (
+      SELECT c.id_a, c.id_b,
+             ROUND(CAST({matches} AS DOUBLE) /
+                   CAST({num_hashes} AS DOUBLE), 6) AS est_jaccard
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b),
+    scored AS (
+      SELECT e.id_a, e.id_b, e.est_jaccard,
+             {_JACCARD_SQL} AS jaccard
+      FROM est e
+      JOIN docs_sh sa ON sa.doc_id = e.id_a
+      JOIN docs_sh sb ON sb.doc_id = e.id_b)
+    SELECT id_a, id_b, est_jaccard, jaccard,
+           ROUND(ABS(est_jaccard - jaccard), 6) AS abs_err
+    FROM scored
+    ORDER BY id_a, id_b
+    """
+
+
+@register("dedup_minhash_estimate_pairs", oracle=_minhash_estimate_oracle())
+def dedup_minhash_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch calibration: signature-agreement Jaccard estimate vs exact
+    Jaccard (+ absolute error) for every LSH candidate pair, md5-portable
+    so the whole comparison is value-checked against DuckDB. This is the
+    query you run on a sample to pick num_hashes/bands before a 100 TB
+    dedup pass."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_mod.minhash_estimate_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, hash_fn="md5"
+    ).orderBy("id_a", "id_b")
+
+
+def _winnow_overlap_oracle(
+    k: int = 5, window: int = 4, min_shared: int = 2
+) -> str:
+    return f"""
+    WITH words AS (
+      SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(range(0, greatest(len(ws) - {k - 1}, 0))) AS pos,
+             unnest([list_aggregate(ws[i+1:i+{k}], 'string_agg', ' ')
+                     FOR i IN range(0, greatest(len(ws) - {k - 1}, 0))]) AS shingle
+      FROM words),
+    hashed AS (
+      SELECT doc_id, pos, {_MD5H.format(col="shingle")} AS h FROM sh),
+    fps AS (
+      SELECT DISTINCT doc_id, fingerprint FROM (
+        SELECT doc_id,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING)
+                 AS fingerprint
+        FROM hashed)),
+    counts AS (
+      SELECT doc_id, COUNT(*) AS n FROM fps GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fps
+      FROM fps a JOIN fps b
+        ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {min_shared})
+    SELECT s.id_a, s.id_b, s.shared_fps,
+           ROUND(CAST(s.shared_fps AS DOUBLE) /
+                 CAST(least(ca.n, cb.n) AS DOUBLE), 6) AS overlap
+    FROM shared s
+    JOIN counts ca ON ca.doc_id = s.id_a
+    JOIN counts cb ON cb.doc_id = s.id_b
+    ORDER BY id_a, id_b
+    """
+
+
+@register("winnow_overlap_pairs", oracle=_winnow_overlap_oracle())
+def winnow_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style document-pair overlap via shared winnowing fingerprints
+    (overlap coefficient), md5-portable and fully value-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_mod.winnow_overlap_pairs(
+        docs, "doc_id", "text", min_shared=2, hash_fn="md5"
+    ).orderBy("id_a", "id_b")
