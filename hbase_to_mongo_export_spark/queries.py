@@ -5398,3 +5398,182 @@ def winnow_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_mod.winnow_overlap_pairs(
         docs, "doc_id", "text", min_shared=2, hash_fn="md5"
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "bigram_lm_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w,
+             unnest(range(1, len(string_split_regex(lower(trim(text)), '\\s+')) + 1)) AS pos
+      FROM documents WHERE trim(text) <> ''),
+    big AS (
+      SELECT doc_id, w, w2 FROM (
+        SELECT doc_id, w, pos,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM tok)
+      WHERE w2 IS NOT NULL),
+    c12 AS (SELECT w, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+    c1 AS (SELECT w, COUNT(*) AS c1 FROM tok GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT w) AS v FROM tok),
+    scored AS (
+      SELECT b.doc_id,
+             -ln((CAST(c12.c12 AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+                 (CAST(c1.c1 AS DOUBLE) +
+                  CAST(0.5 AS DOUBLE) * CAST((SELECT v FROM v) AS DOUBLE))) AS nll
+      FROM big b
+      JOIN c12 ON b.w = c12.w AND b.w2 = c12.w2
+      JOIN c1 ON b.w = c1.w)
+    SELECT doc_id, ROUND(AVG(nll), 6) AS mean_nll, COUNT(*) AS n_bigrams
+    FROM scored GROUP BY doc_id
+    ORDER BY mean_nll DESC, doc_id
+    LIMIT 25
+    """,
+)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-k-smoothed bigram LM quality scoring: train bigram/context
+    counts over the corpus (two hash aggregates), then score each doc by
+    mean negative log P(w2|w1) with k=0.5 — the next step up from the
+    unigram filter, catching locally-incoherent text the unigram model
+    scores as fluent. Count tables broadcast into the scoring join
+    (bounded vocab); the per-doc window for bigram formation partitions
+    by doc_id so state stays bounded at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.filter(F.trim(F.col("text")) != "").select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("pos", "w"),
+    )
+    w_ = Window.partitionBy("doc_id").orderBy("pos")
+    big = tok.withColumn("w2", F.lead("w").over(w_)).filter(
+        F.col("w2").isNotNull()
+    )
+    c12 = big.groupBy("w", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    vsize = tok.select("w").distinct().agg(F.count(F.lit(1)).alias("v"))
+    nll = -F.log(
+        (F.col("c12").cast("double") + F.lit(0.5))
+        / (F.col("c1").cast("double") + F.lit(0.5) * F.col("v").cast("double"))
+    )
+    return (
+        big.join(c12, ["w", "w2"])
+        .join(F.broadcast(c1), "w")
+        .join(F.broadcast(vsize))
+        .withColumn("nll", nll)
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg("nll"), 6).alias("mean_nll"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+        .orderBy(F.col("mean_nll").desc(), "doc_id")
+        .limit(25)
+    )
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      FROM documents),
+    pairs AS (
+      SELECT unnest([substring(w, i, 2) FOR i IN range(1, len(w))]) AS pair
+      FROM tok WHERE len(w) >= 2)
+    SELECT pair, COUNT(*) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 20
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge-scoring round: corpus-wide adjacent character-pair
+    frequencies inside words, top 20 — the aggregate a tokenizer-training
+    pipeline computes once per merge. One explode + one hash aggregate
+    with map-side partial aggregation; the pair key space is bounded
+    (alphabet²), so the shuffle is tiny no matter the corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = tok.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )
+
+
+@register(
+    "events_rolling_corr_click_purchase",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1),
+    roll AS (
+      SELECT day, clicks, purchases,
+             COUNT(*) OVER w AS n,
+             SUM(clicks) OVER w AS sx, SUM(purchases) OVER w AS sy,
+             SUM(clicks * purchases) OVER w AS sxy,
+             SUM(clicks * clicks) OVER w AS sxx,
+             SUM(purchases * purchases) OVER w AS syy
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT day, clicks, purchases,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+                           sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                                CAST(n * syy - sy * sy AS DOUBLE)), 6)
+           END AS corr7
+    FROM roll ORDER BY day
+    """,
+)
+def events_rolling_corr_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day Pearson correlation between daily click and purchase
+    volumes, computed from exact integer moment sums (n, Σx, Σy, Σxy,
+    Σx², Σy²) with one final double division — bit-stable across
+    partitionings, unlike a floating corr() fold. The single global
+    window is fine at daily grain (one row per day); a per-entity variant
+    would add partitionBy and keep state bounded."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+                "clicks"
+            ),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("purchases"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum("clicks").over(w)
+    sy = F.sum("purchases").over(w)
+    sxy = F.sum(F.col("clicks") * F.col("purchases")).over(w)
+    sxx = F.sum(F.col("clicks") * F.col("clicks")).over(w)
+    syy = F.sum(F.col("purchases") * F.col("purchases")).over(w)
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    corr = F.when(
+        (varx > 0) & (vary > 0),
+        F.round(
+            (n * sxy - sx * sy).cast("double")
+            / F.sqrt(varx.cast("double") * vary.cast("double")),
+            6,
+        ),
+    )
+    return daily.select(
+        "day", "clicks", "purchases", corr.alias("corr7")
+    ).orderBy("day")
