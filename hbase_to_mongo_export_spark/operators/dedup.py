@@ -641,3 +641,75 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def jaccard_prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT Jaccard pair join with PPJoin/All-Pairs prefix filtering: a
+    pair with Jaccard >= t must share at least one shingle among each
+    side's first (|S| - ceil(t*|S|) + 1) shingles under a single global
+    ordering (rarest-first by document frequency). Only those prefixes
+    enter the inverted index, so the candidate join touches
+    Σ_prefix-shingle df² instead of Σ_all-shingle df² — the classic way
+    to keep an exact similarity join feasible when boilerplate shingles
+    would otherwise dominate. Candidates are then exact-verified on the
+    full shingle sets; output is identical to ``ngram_jaccard_pairs``
+    without blocking.
+
+    The overlap bound uses ceil(t*|S| - 1e-9): the epsilon guards against
+    a float product landing epsilon ABOVE an integer (which would shorten
+    the prefix and lose recall); erring low only lengthens the prefix,
+    never drops a pair."""
+    assert threshold > 0.0
+    base = _fan_out(df).select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    dfreq = (
+        base.select(F.explode("sh").alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    from pyspark.sql import Window as W
+
+    exploded = base.select(
+        F.col(id_col), F.size("sh").alias("sz"), F.explode("sh").alias("s")
+    ).join(dfreq, "s")
+    rn = F.row_number().over(
+        W.partitionBy(id_col).orderBy(F.col("df"), F.col("s"))
+    )
+    overlap_bound = F.ceil(
+        F.col("sz").cast("double") * F.lit(threshold) - F.lit(1e-9)
+    )
+    prefix = exploded.withColumn("rn", rn).filter(
+        F.col("rn") <= F.col("sz") - overlap_bound + 1
+    )
+    a = prefix.select(F.col(id_col).alias("id_a"), F.col("s"))
+    b = prefix.select(F.col(id_col).alias("id_b"), F.col("s"))
+    candidates = (
+        a.join(b, (a.s == b.s) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh = base
+    verified = (
+        candidates.join(
+            sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"),
+            "id_a",
+        )
+        .join(
+            sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified

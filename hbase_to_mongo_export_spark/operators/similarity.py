@@ -326,3 +326,86 @@ def centroid_assign(
         .filter(F.col("__rn") == 1)
         .select(id_col, centroid_id_col, "dist")
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity join via an inverted index, with
+    EXACT-DECIMAL dot products so the result is bit-stable across
+    partitionings (a plain double sum over a shuffled term join would
+    differ run-to-run in the last ulp).
+
+    Weights: w(d, t) = tf * round(ln(N / df), 6) rounded to DECIMAL(18,6)
+    — the round-then-cast freezes the one libm-dependent value (ln), after
+    which every product and sum is exact decimal arithmetic. Cosine =
+    dot / (||a||·||b||) computed once per candidate pair in DOUBLE at the
+    very end.
+
+    Plan: tokenize → (doc, term, tf) aggregate → df/idf broadcast join →
+    inverted-index self-join on term (cost ∝ Σ_term df(term)², the skew
+    hazard; stop-list near-universal terms upstream at scale) → pair-sum
+    decimal aggregate → two joins to per-doc norms."""
+    tok = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("t"),
+    )
+    tf = tok.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.filter(F.trim(F.col(text_col)) != "").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    weights = (
+        tf.join(F.broadcast(dfreq), "t")
+        .join(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("t"),
+            F.round(
+                F.col("tf").cast("double")
+                * F.round(
+                    F.log(F.col("n").cast("double") / F.col("df").cast("double")),
+                    6,
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("w"),
+        )
+    )
+    norms = weights.groupBy(id_col).agg(
+        F.sum(F.col("w") * F.col("w")).alias("norm_sq")
+    )
+    a, b = weights.alias("a"), weights.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("norm_sq").alias("nsq_a"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("norm_sq").alias("nsq_b"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(
+                    F.col("nsq_a").cast("double") * F.col("nsq_b").cast("double")
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -5577,3 +5577,80 @@ def events_rolling_corr_click_purchase(spark: SparkSession, sf_dir: str) -> Data
     return daily.select(
         "day", "clicks", "purchases", corr.alias("corr7")
     ).orderBy("day")
+
+
+@register(
+    "dedup_jaccard_prefix_filter",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([list_aggregate(words[i:i+2], 'string_agg', ' ')
+                            FOR i IN range(1, len(words) - 1)]) AS sh
+      FROM (SELECT doc_id,
+                   string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS words
+            FROM documents)
+      WHERE len(words) >= 3),
+    scored AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                   6) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b, jaccard FROM scored
+    WHERE jaccard >= 0.2
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_jaccard_prefix_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered exact Jaccard join. The oracle is the
+    EXHAUSTIVE all-pairs computation, so this check proves the prefix
+    filter loses no qualifying pair — the property that makes it safe to
+    deploy at 100 TB where the exhaustive join is impossible."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_mod.jaccard_prefix_filter_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.2
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "tfidf_cosine_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+      FROM documents WHERE trim(text) <> ''),
+    tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT COUNT(*) AS n FROM documents WHERE trim(text) <> ''),
+    weights AS (
+      SELECT tf.doc_id, tf.t,
+             CAST(ROUND(CAST(tf.tf AS DOUBLE) *
+                        ROUND(ln(CAST((SELECT n FROM nd) AS DOUBLE) /
+                                 CAST(dfreq.df AS DOUBLE)), 6),
+                        6) AS DECIMAL(18,6)) AS w
+      FROM tf JOIN dfreq ON tf.t = dfreq.t),
+    norms AS (SELECT doc_id, SUM(w * w) AS norm_sq FROM weights GROUP BY 1),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS dot
+      FROM weights a JOIN weights b ON a.t = b.t AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT d.id_a, d.id_b,
+             ROUND(CAST(d.dot AS DOUBLE) /
+                   sqrt(CAST(na.norm_sq AS DOUBLE) *
+                        CAST(nb.norm_sq AS DOUBLE)), 6) AS cosine
+      FROM dots d
+      JOIN norms na ON na.doc_id = d.id_a
+      JOIN norms nb ON nb.doc_id = d.id_b)
+    SELECT id_a, id_b, cosine FROM scored
+    WHERE cosine >= CAST(0.85 AS DOUBLE)
+    ORDER BY id_a, id_b
+    """,
+)
+def tfidf_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine pair join with exact-decimal dot products —
+    the sum order can't perturb the hash, so the whole IR-style
+    similarity pipeline is value-checked against DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    return sim_mod.tfidf_cosine_pairs(
+        docs, "doc_id", "text", threshold=0.85
+    ).orderBy("id_a", "id_b")
