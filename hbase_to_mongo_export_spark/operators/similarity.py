@@ -333,6 +333,8 @@ def tfidf_cosine_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.3,
+    max_df_ratio: float = 0.5,
+    n: int = 1,
 ) -> DataFrame:
     """Sparse TF-IDF cosine similarity join via an inverted index, with
     EXACT-DECIMAL dot products so the result is bit-stable across
@@ -346,12 +348,25 @@ def tfidf_cosine_pairs(
     very end.
 
     Plan: tokenize → (doc, term, tf) aggregate → df/idf broadcast join →
-    inverted-index self-join on term (cost ∝ Σ_term df(term)², the skew
-    hazard; stop-list near-universal terms upstream at scale) → pair-sum
-    decimal aggregate → two joins to per-doc norms."""
+    inverted-index self-join on term (cost ∝ Σ_term df(term)²) → pair-sum
+    decimal aggregate → two joins to per-doc norms.
+
+    ``max_df_ratio`` is the stop-list that makes the join feasible: terms
+    appearing in more than that fraction of documents are EXCLUDED from
+    the weight table (their idf ≈ 0 contributes almost nothing to cosine
+    but their df² dominates the join cost — a single term in half the
+    corpus yields (N/2)² join rows). This is scikit-learn's ``max_df``;
+    norms are computed AFTER the cut so the cosine stays a true cosine of
+    the pruned vectors.
+
+    ``n`` sets the term granularity: n=1 scores shared vocabulary, n>=2
+    scores shared phrasing (and keeps dfs small when the base vocabulary
+    is tiny, which also keeps the index join cheap)."""
+    from .dedup import word_ngrams
+
     tok = df.filter(F.trim(F.col(text_col)) != "").select(
         F.col(id_col),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("t"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("t"),
     )
     tf = tok.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
@@ -361,6 +376,10 @@ def tfidf_cosine_pairs(
     weights = (
         tf.join(F.broadcast(dfreq), "t")
         .join(F.broadcast(n_docs))
+        .filter(
+            F.col("df").cast("double")
+            <= F.lit(max_df_ratio) * F.col("n").cast("double")
+        )
         .select(
             F.col(id_col),
             F.col("t"),

@@ -5616,8 +5616,13 @@ def dedup_jaccard_prefix_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame
     "tfidf_cosine_pairs",
     oracle="""
     WITH tok AS (
-      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
-      FROM documents WHERE trim(text) <> ''),
+      SELECT doc_id,
+             unnest([list_aggregate(ws[i:i+2], 'string_agg', ' ')
+                     FOR i IN range(1, len(ws) - 1)]) AS t
+      FROM (SELECT doc_id,
+                   string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+            FROM documents WHERE trim(text) <> '')
+      WHERE len(ws) >= 3),
     tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
     dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
     nd AS (SELECT COUNT(*) AS n FROM documents WHERE trim(text) <> ''),
@@ -5627,7 +5632,9 @@ def dedup_jaccard_prefix_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame
                         ROUND(ln(CAST((SELECT n FROM nd) AS DOUBLE) /
                                  CAST(dfreq.df AS DOUBLE)), 6),
                         6) AS DECIMAL(18,6)) AS w
-      FROM tf JOIN dfreq ON tf.t = dfreq.t),
+      FROM tf JOIN dfreq ON tf.t = dfreq.t
+      WHERE CAST(dfreq.df AS DOUBLE) <=
+            CAST(0.5 AS DOUBLE) * CAST((SELECT n FROM nd) AS DOUBLE)),
     norms AS (SELECT doc_id, SUM(w * w) AS norm_sq FROM weights GROUP BY 1),
     dots AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS dot
@@ -5649,8 +5656,11 @@ def dedup_jaccard_prefix_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame
 def tfidf_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF cosine pair join with exact-decimal dot products —
     the sum order can't perturb the hash, so the whole IR-style
-    similarity pipeline is value-checked against DuckDB."""
+    similarity pipeline is value-checked against DuckDB. Terms are word
+    3-grams (phrase overlap): the synthetic corpus has a ~31-word base
+    vocabulary, so unigram dfs approach N and the inverted-index join
+    degenerates to all-pairs; 3-gram dfs stay small (max 25 at sf0.1)."""
     docs = _t(spark, sf_dir, "documents")
     return sim_mod.tfidf_cosine_pairs(
-        docs, "doc_id", "text", threshold=0.85
+        docs, "doc_id", "text", threshold=0.85, n=3
     ).orderBy("id_a", "id_b")
