@@ -5664,3 +5664,169 @@ def tfidf_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_mod.tfidf_cosine_pairs(
         docs, "doc_id", "text", threshold=0.85, n=3
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "scd2_user_history",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM events
+    WHERE user_id < 100
+    ORDER BY user_id, valid_from, event_id
+    """,
+)
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from a change log: each
+    event opens a validity interval closed by the next event's timestamp
+    (lead window, per-user partitions so state stays bounded), with the
+    open-ended row flagged current. This is the standard
+    changelog-to-dimension materialization a warehouse engine must own;
+    event_id breaks timestamp ties deterministically."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    valid_to = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        F.when(valid_to.isNull(), 1).otherwise(0).alias("is_current"),
+    ).orderBy("user_id", "valid_from", "event_id")
+
+
+@register(
+    "dq_expectations",
+    oracle="""
+    SELECT 'orders_rowcount_positive' AS check_name,
+           CAST(0 AS BIGINT) AS violations, COUNT(*) AS total,
+           CASE WHEN COUNT(*) > 0 THEN 1 ELSE 0 END AS pass
+    FROM orders
+    UNION ALL
+    SELECT 'orders_custkey_not_null',
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(*),
+           CASE WHEN SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+                THEN 1 ELSE 0 END
+    FROM orders
+    UNION ALL
+    SELECT 'orders_totalprice_positive',
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(*),
+           CASE WHEN SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) = 0
+                THEN 1 ELSE 0 END
+    FROM orders
+    UNION ALL
+    SELECT 'orders_orderkey_unique',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+           COUNT(*),
+           CASE WHEN COUNT(*) = COUNT(DISTINCT o_orderkey) THEN 1 ELSE 0 END
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+           (SELECT COUNT(*) FROM lineitem),
+           CASE WHEN (SELECT COUNT(*) FROM lineitem l
+                      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                        WHERE o.o_orderkey = l.l_orderkey)) = 0
+                THEN 1 ELSE 0 END
+    ORDER BY check_name
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite (rowcount, not-null, domain,
+    uniqueness, referential integrity) evaluated as one unioned report —
+    the contract-check pass a pipeline runs before promoting a snapshot.
+    Each check is a single aggregate over one scan; the FK check is a
+    left-anti join that broadcasts the key side when small and shuffles
+    both sides on the key otherwise (AQE decides)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+
+    def chk(name, violations, total, passed):
+        return (
+            F.lit(name).alias("check_name"),
+            violations.cast("bigint").alias("violations"),
+            total.cast("bigint").alias("total"),
+            passed.cast("int").alias("pass"),
+        )
+
+    n = F.count(F.lit(1))
+    c1 = orders.agg(*chk("orders_rowcount_positive", F.lit(0), n,
+                         F.when(n > 0, 1).otherwise(0)))
+    null_ck = F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+    c2 = orders.agg(*chk("orders_custkey_not_null", null_ck, n,
+                         F.when(null_ck == 0, 1).otherwise(0)))
+    dom = F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+    c3 = orders.agg(*chk("orders_totalprice_positive", dom, n,
+                         F.when(dom == 0, 1).otherwise(0)))
+    dup = F.count(F.lit(1)) - F.countDistinct("o_orderkey")
+    c4 = orders.agg(*chk("orders_orderkey_unique", dup, n,
+                         F.when(dup == 0, 1).otherwise(0)))
+    orphans = li.join(
+        orders.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("v"))
+    li_total = li.agg(F.count(F.lit(1)).alias("t"))
+    c5 = orphans.join(li_total).select(
+        F.lit("lineitem_orderkey_fk").alias("check_name"),
+        F.col("v").cast("bigint").alias("violations"),
+        F.col("t").cast("bigint").alias("total"),
+        F.when(F.col("v") == 0, 1).otherwise(0).cast("int").alias("pass"),
+    )
+    return c1.union(c2).union(c3).union(c4).union(c5).orderBy("check_name")
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    pairs AS (
+      SELECT event_type, next_type FROM seq WHERE next_type IS NOT NULL),
+    counts AS (
+      SELECT event_type, next_type, COUNT(*) AS n FROM pairs GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, SUM(n) AS row_total FROM counts GROUP BY 1)
+    SELECT c.event_type, c.next_type, c.n,
+           ROUND(CAST(c.n AS DOUBLE) / CAST(t.row_total AS DOUBLE), 6) AS p
+    FROM counts c JOIN tot t ON c.event_type = t.event_type
+    ORDER BY c.event_type, c.next_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    lead window (per-user partitions) → pair counts → row-normalized
+    probabilities. The divisor stays integer until one final double
+    division, so p is bit-stable."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.groupBy("event_type").agg(F.sum("n").alias("row_total"))
+    return (
+        counts.join(tot, "event_type")
+        .select(
+            "event_type",
+            "next_type",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("row_total").cast("double"), 6
+            ).alias("p"),
+        )
+        .orderBy("event_type", "next_type")
+    )
