@@ -615,3 +615,126 @@ class TestEwmaProperty:
             weights = 0.5 ** np.arange(len(window) - 1, -1, -1)
             want = float(np.dot(window, weights) / weights.sum())
             assert abs(spark_val - want) < 1e-9, (uid, seq)
+
+
+class TestPrefixFilterJoin:
+    """jaccard_prefix_filter_pairs must equal the exhaustive inverted-index
+    join (ngram_jaccard_pairs) — the recall property that justifies the
+    prefix filter at scale."""
+
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        rows = [
+            (0, "the quick brown fox jumps over the lazy dog today"),
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely different text about spark execution engines"),
+            (3, "the quick brown fox jumps over the lazy dog today"),
+            (4, "a b c d e f g h i j"),
+            (5, "a b c d e f g h i k"),
+            (6, "one two"),  # < n words: no shingles, must not appear
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    @pytest.mark.parametrize("threshold", [0.2, 0.5, 0.8])
+    def test_equals_exhaustive(self, spark, docs, threshold):
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.jaccard_prefix_filter_pairs(
+                docs, "doc_id", "text", n=3, threshold=threshold
+            ).collect()
+        }
+        want = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(
+                docs, "doc_id", "text", n=3, threshold=threshold
+            ).collect()
+        }
+        assert got == want
+
+    def test_exact_dup_jaccard_one(self, spark, docs):
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.jaccard_prefix_filter_pairs(
+                docs, "doc_id", "text", n=3, threshold=0.9
+            ).collect()
+        }
+        assert got[(0, 3)] == 1.0
+
+
+class TestMinhashEstimate:
+    def test_estimate_close_to_exact_and_exact_dup_is_one(self, spark):
+        rows = [
+            (0, "the quick brown fox jumps over the lazy dog today"),
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "the quick brown fox jumps over the lazy dog today"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            (r.id_a, r.id_b): r
+            for r in dedup.minhash_estimate_pairs(
+                docs, "doc_id", "text", n=3
+            ).collect()
+        }
+        r = out[(0, 3)]
+        assert r.est_jaccard == 1.0 and r.jaccard == 1.0 and r.abs_err == 0.0
+        for r in out.values():
+            assert round(abs(r.est_jaccard - r.jaccard), 6) == pytest.approx(
+                r.abs_err, abs=1e-9
+            )
+            # 64 hashes: estimator std ~ sqrt(j(1-j)/64) <= 0.0625; allow 4 sigma
+            assert r.abs_err <= 0.25
+
+
+class TestWinnowOverlap:
+    def test_contained_doc_scores_full_overlap(self, spark):
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [
+            (0, base + " lambda mu nu xi omicron pi rho sigma tau upsilon"),
+            (1, base),  # fully contained prefix of 0
+            (2, "unrelated words entirely distinct from anything else here"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            (r.id_a, r.id_b): r.overlap
+            for r in dedup.winnow_overlap_pairs(
+                docs, "doc_id", "text", min_shared=1
+            ).collect()
+        }
+        assert (0, 1) in out
+        # every fingerprint of the short doc that reflects shared text should
+        # appear in the long doc; boundary windows may differ, so allow slack
+        assert out[(0, 1)] >= 0.5
+        assert (0, 2) not in out and (1, 2) not in out
+
+
+class TestTfidfCosine:
+    def test_identical_docs_cosine_one_and_stoplist(self, spark):
+        rows = [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma delta"),
+            (2, "epsilon zeta eta theta"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            (r.id_a, r.id_b): r.cosine
+            for r in similarity.tfidf_cosine_pairs(
+                docs, "doc_id", "text", threshold=0.0, max_df_ratio=0.9
+            ).collect()
+        }
+        assert out[(0, 1)] == 1.0
+        assert (0, 2) not in out  # no shared surviving terms
+        # max_df: a term in every doc is cut; with ratio 0.9 and a term in
+        # 3/3 docs the pair list must not include cross-group pairs
+        rows2 = rows + [(3, "alpha epsilon")]
+        docs2 = spark.createDataFrame(rows2, "doc_id long, text string")
+        out2 = {
+            (r.id_a, r.id_b)
+            for r in similarity.tfidf_cosine_pairs(
+                docs2, "doc_id", "text", threshold=0.0, max_df_ratio=0.5
+            ).collect()
+        }
+        # 'alpha' is now in 3/4 docs (df ratio 0.75 > 0.5) so it is cut and
+        # cannot link doc 3 to docs 0/1; 'epsilon' (df ratio 0.5) survives
+        # and still links docs 2 and 3
+        assert (0, 3) not in out2 and (1, 3) not in out2
+        assert (2, 3) in out2
