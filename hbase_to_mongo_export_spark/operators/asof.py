@@ -105,3 +105,30 @@ def range_join_within(
         & (rts <= lts + F.expr(f"INTERVAL {upper_seconds} SECONDS"))
     )
     return left.alias("l").join(right.alias("r"), cond, how)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+) -> DataFrame:
+    """Pairs of intervals that OVERLAP (a.start <= b.end AND
+    b.start <= a.end), equi-blocked on ``key`` so the physical plan is a
+    hash join on the key plus a residual filter — never a cross product.
+    Returns the aliased join ('l', 'r'); callers project/aggregate.
+
+    Scale notes: per-key interval sets are the blocking unit, so skewed
+    keys (one entity with millions of intervals) are the hazard — AQE
+    skew-join splits the probe side. For keyless interval joins, bucket
+    time into coarse grains and join on the grain (each interval lands in
+    ceil(span/grain) buckets) — the standard interval-bucketing trick."""
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"l.{left_start}") <= F.col(f"r.{right_end}"))
+        & (F.col(f"r.{right_start}") <= F.col(f"l.{left_end}"))
+    )
+    return left.alias("l").join(right.alias("r"), cond)

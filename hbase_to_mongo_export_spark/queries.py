@@ -5830,3 +5830,53 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "next_type")
     )
+
+
+@register(
+    "events_interval_overlap",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+      FROM events),
+    pairs AS (
+      SELECT a.user_id,
+             least(epoch_us(a.e), epoch_us(b.e)) -
+             greatest(epoch_us(a.s), epoch_us(b.s)) AS overlap_us
+      FROM iv a JOIN iv b
+        ON a.user_id = b.user_id
+       AND a.s <= b.e AND b.s <= a.e
+       AND a.event_id < b.event_id)
+    SELECT user_id, COUNT(*) AS n_overlaps,
+           MAX(overlap_us) AS max_overlap_us
+    FROM pairs GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: each event becomes a 30-minute activity
+    interval; per user, count overlapping pairs and the longest overlap
+    (exact microseconds — epoch integers, no float). The join equi-blocks
+    on user_id with the overlap predicate as a residual filter."""
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    joined = asof_mod.interval_overlap_join(
+        iv, iv, key="user_id", left_start="s", left_end="e",
+        right_start="s", right_end="e",
+    ).filter(F.col("l.event_id") < F.col("r.event_id"))
+    overlap_us = F.least(
+        F.unix_micros("l.e"), F.unix_micros("r.e")
+    ) - F.greatest(F.unix_micros("l.s"), F.unix_micros("r.s"))
+    return (
+        joined.select(F.col("l.user_id").alias("user_id"), overlap_us.alias("o"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlaps"),
+            F.max("o").alias("max_overlap_us"),
+        )
+        .orderBy("user_id")
+    )

@@ -284,3 +284,32 @@ class TestRuntimeOptimizations:
             )
         finally:
             self._restore(spark, saved)
+
+
+class TestNewSimilarityPlans:
+    def test_tfidf_broadcasts_count_tables(self, spark, sf_dir):
+        """The df/N count tables broadcast into the weight projection; the
+        only sort-merge joins allowed are the inverted-index self-join and
+        the norm joins (fact-fact)."""
+        plan = plan_of(registry.queries()["tfidf_cosine_pairs"](spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_prefix_filter_no_cartesian_and_partial_agg(self, spark, sf_dir):
+        plan = plan_of(
+            registry.queries()["dedup_jaccard_prefix_filter"](spark, sf_dir)
+        )
+        assert "CartesianProduct" not in plan
+        assert "partial_count" in plan or "HashAggregate" in plan
+
+    def test_interval_overlap_is_hash_join_not_cross(self, spark, sf_dir):
+        """The overlap predicate must ride as a residual on a key equi-join
+        — a cross product here would be quadratic in events."""
+        plan = plan_of(registry.queries()["events_interval_overlap"](spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_transition_matrix_partial_agg(self, spark, sf_dir):
+        plan = plan_of(registry.queries()["event_transition_matrix"](spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "HashAggregate" in plan
