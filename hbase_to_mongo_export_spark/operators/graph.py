@@ -1,0 +1,77 @@
+"""Iterative graph algorithms as DataFrame compositions.
+
+``connected_components`` (min-label propagation) lives in
+``operators/dedup.py`` next to its near-dup-clustering use-case; this
+module holds the general graph operators.
+
+PageRank here runs in EXACT SCALED-INTEGER arithmetic: ranks are
+BIGINTs scaled by 10^12, per-edge contributions use integer division,
+and sums are exact — so the result is bit-identical across partition
+counts, shuffle orders, and engines (the DuckDB oracle reproduces every
+iteration). A float PageRank would drift in the last ulp per shuffle
+order and could never be value-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**12
+DAMPING_NUM = 85  # damping 0.85 as an exact rational 85/100
+DAMPING_DEN = 100
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+) -> DataFrame:
+    """Undirected PageRank over the distinct edge list, ``iterations``
+    synchronous rounds, returning (node, rank_scaled) with ranks scaled
+    by 10^12.
+
+    r_{t+1}(v) = (15·SCALE) div (100·N) + Σ_{u~v} (r_t(u)·85) div (100·deg(u))
+
+    Undirecting the graph removes dangling nodes (every node in the edge
+    list has degree ≥ 1), so no leaked-mass correction is needed.
+
+    Scale posture: each round is one shuffle — the contribution aggregate
+    keyed by destination; the degree table rides along pre-joined. The
+    same key partitions every round, so at cluster scale a persisted
+    pre-partitioned edge list makes rounds co-partitioned. Plan depth
+    grows linearly with iterations; for tens of rounds insert
+    localCheckpoint every ~10 to cut lineage (components does this) —
+    at 5 rounds the straight-line plan is cheaper.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    und_deg = und.join(deg, "u")
+    nodes = und.select(F.col("u").alias("node")).distinct()
+    n = nodes.count()  # one scalar action at build time
+    base = (SCALE * 15) // (DAMPING_DEN * n)
+
+    r = nodes.withColumn("rank", F.lit(SCALE // n).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            und_deg.join(r, und_deg.u == r.node)
+            .select(
+                F.col("v"),
+                F.expr(f"(rank * {DAMPING_NUM}) div ({DAMPING_DEN} * deg)").alias(
+                    "c"
+                ),
+            )
+            .groupBy("v")
+            .agg(F.sum("c").alias("s"))
+        )
+        r = nodes.join(contrib, nodes.node == contrib.v, "left").select(
+            "node",
+            (F.lit(base).cast("long") + F.coalesce(F.col("s"), F.lit(0))).alias(
+                "rank"
+            ),
+        )
+    return r.select("node", F.col("rank").alias("rank_scaled"))

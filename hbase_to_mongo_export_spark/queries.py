@@ -5880,3 +5880,60 @@ def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def _pagerank_oracle(iterations: int = 5) -> str:
+    from .operators.graph import DAMPING_DEN, DAMPING_NUM, SCALE
+
+    prev = "pr0"
+    iters = []
+    for i in range(1, iterations + 1):
+        iters.append(f"""pr{i} AS (
+      SELECT nd.node,
+             CAST(({SCALE} * 15) // ({DAMPING_DEN} * (SELECT n FROM n)) +
+                  COALESCE(c.s, 0) AS BIGINT) AS rank
+      FROM nodes nd LEFT JOIN (
+        SELECT u.dst AS node,
+               SUM((p.rank * {DAMPING_NUM}) // ({DAMPING_DEN} * d.deg)) AS s
+        FROM und u
+        JOIN {prev} p ON u.src = p.node
+        JOIN deg d ON d.src = u.src
+        GROUP BY u.dst) c ON c.node = nd.node)""")
+        prev = f"pr{i}"
+    chain = ",\n    ".join(iters)
+    return f"""
+    WITH edges0 AS (
+      SELECT DISTINCT o.o_custkey AS src, 1000000 + l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    und AS (SELECT src, dst FROM edges0 UNION SELECT dst, src FROM edges0),
+    deg AS (SELECT src, COUNT(*) AS deg FROM und GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM und),
+    n AS (SELECT COUNT(*) AS n FROM nodes),
+    pr0 AS (
+      SELECT node, CAST({SCALE} // (SELECT n FROM n) AS BIGINT) AS rank
+      FROM nodes),
+    {chain}
+    SELECT node, rank AS rank_scaled FROM {prev} ORDER BY node
+    """
+
+
+@register("pagerank_customer_supplier", oracle=_pagerank_oracle())
+def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer-supplier purchase graph (undirected
+    bipartite; suppliers offset to 1000000+suppkey), 5 synchronous rounds
+    in exact scaled-integer arithmetic — every iteration value-checked
+    against a DuckDB unrolled-CTE replica. The iterative-join-aggregate
+    shape is the Pregel pattern ported to DataFrames."""
+    from .operators import graph as graph_mod
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return graph_mod.pagerank(edges, iterations=5).orderBy("node")

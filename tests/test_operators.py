@@ -738,3 +738,20 @@ class TestTfidfCosine:
         # and still links docs 2 and 3
         assert (0, 3) not in out2 and (1, 3) not in out2
         assert (2, 3) in out2
+
+
+class TestPagerank:
+    def test_star_graph_center_dominates_and_mass_conserved(self, spark):
+        from hbase_to_mongo_export_spark.operators import graph
+
+        edges = spark.createDataFrame(
+            [(0, i) for i in range(1, 6)] + [(10, 11)],
+            "src long, dst long",
+        )
+        out = {r.node: r.rank_scaled for r in graph.pagerank(edges).collect()}
+        # star center collects mass from 5 leaves; isolated pair splits evenly
+        assert out[0] > out[1] == out[2] == out[3] == out[4] == out[5]
+        assert out[10] == out[11]
+        # total mass stays within integer-truncation loss of SCALE
+        total = sum(out.values())
+        assert graph.SCALE * 0.97 <= total <= graph.SCALE
