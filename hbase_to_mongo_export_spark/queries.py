@@ -6036,3 +6036,94 @@ def kmeans_lloyd_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "orders_benford_first_digit",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS INT) AS d
+      FROM orders WHERE o_totalprice > 0),
+    n AS (SELECT COUNT(*) AS n FROM digits),
+    obs AS (SELECT d, COUNT(*) AS observed FROM digits GROUP BY d)
+    SELECT o.d AS first_digit, o.observed,
+           ROUND(CAST((SELECT n FROM n) AS DOUBLE) *
+                 log10(1 + CAST(1 AS DOUBLE) / o.d), 2) AS expected,
+           ROUND(CAST(o.observed AS DOUBLE) /
+                 CAST((SELECT n FROM n) AS DOUBLE), 6) AS observed_p
+    FROM obs o
+    ORDER BY first_digit
+    """,
+)
+def orders_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the forensic DQ
+    check for fabricated monetary data. Digit extraction goes through an
+    exact DECIMAL(18,2) string so float formatting can't flip a leading
+    digit; expected counts use the Benford distribution log10(1 + 1/d)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digits = orders.select(
+        F.substring(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    n = digits.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        digits.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("observed"))
+        .join(F.broadcast(n))
+        .select(
+            F.col("d").alias("first_digit"),
+            "observed",
+            F.round(
+                F.col("n").cast("double")
+                * F.log10(F.lit(1) + F.lit(1).cast("double") / F.col("d")),
+                2,
+            ).alias("expected"),
+            F.round(
+                F.col("observed").cast("double") / F.col("n").cast("double"), 6
+            ).alias("observed_p"),
+        )
+        .orderBy("first_digit")
+    )
+
+
+@register(
+    "orders_revenue_max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1),
+    dd AS (
+      SELECT day, rev,
+             MAX(rev) OVER (ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS peak
+      FROM daily)
+    SELECT CAST(MIN(day) AS DATE) AS first_day,
+           CAST(MAX(day) AS DATE) AS last_day,
+           CAST(MAX(peak) AS DOUBLE) AS peak_revenue,
+           CAST(MAX(peak - rev) AS DOUBLE) AS max_drawdown
+    FROM dd
+    """,
+)
+def orders_revenue_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the daily revenue series: running peak minus
+    current value, maximized — entirely in exact DECIMAL so the windowed
+    fold is bit-stable; one final DOUBLE cast for the report. A daily
+    pre-aggregate bounds the window input to one row per day at any
+    scale."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    dd = daily.withColumn("peak", F.max("rev").over(w))
+    return dd.agg(
+        F.min("day").alias("first_day"),
+        F.max("day").alias("last_day"),
+        F.max("peak").cast("double").alias("peak_revenue"),
+        F.max(F.col("peak") - F.col("rev")).cast("double").alias("max_drawdown"),
+    )
