@@ -765,7 +765,7 @@ def similarity_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_mod.cosine_topk(emb, qs, k=3).orderBy("query_id", "rank")
 
 
-@register("similarity_lsh_topk")  # approximate: rows-only check
+@register("similarity_lsh_topk")  # oracle attached below (_lsh_topk_oracle)
 def similarity_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
@@ -6127,3 +6127,94 @@ def orders_revenue_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("peak").cast("double").alias("peak_revenue"),
         F.max(F.col("peak") - F.col("rev")).cast("double").alias("max_drawdown"),
     )
+
+
+def _lsh_topk_oracle(
+    k: int = 3, n_planes: int = 6, n_tables: int = 8, dim: int = 64
+) -> str:
+    """DuckDB replica of operators/similarity.py::lsh_topk — every stage
+    (48 deterministic hyperplanes, per-table sign buckets, multiprobe
+    bit-flip probing, candidate dedup, exact-cosine window top-k) is
+    reproduced, so the APPROXIMATE index is value-checked exactly."""
+    tables = [
+        sim_mod._hyperplanes(dim, n_planes, seed=f"lsh{t}")
+        for t in range(n_tables)
+    ]
+    plane_cols = ",\n             ".join(
+        "[" + ", ".join(repr(x) for x in p) + f"]::DOUBLE[] AS p{t}_{i}"
+        for t, tp in enumerate(tables)
+        for i, p in enumerate(tp)
+    )
+
+    def dot(vec: str, plane: str) -> str:
+        return (
+            f"list_reduce([CAST({vec}[i] AS DOUBLE) * {plane}[i] "
+            f"FOR i IN range(1, len({vec})+1)], (acc, x) -> acc + x)"
+        )
+
+    def vdot(va: str, vb: str) -> str:
+        return (
+            f"list_reduce([CAST({va}[i] AS DOUBLE) * CAST({vb}[i] AS DOUBLE) "
+            f"FOR i IN range(1, len({va})+1)], (acc, x) -> acc + x)"
+        )
+
+    def bucket(vec: str, t: int) -> str:
+        bits = " + ".join(
+            f"(CASE WHEN {dot(vec, f'p{t}_{i}')} >= 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(n_planes)
+        )
+        return f"({bits} + {t << n_planes})"
+
+    corpus_buckets = ",\n                     ".join(
+        bucket("v", t) for t in range(n_tables)
+    )
+    qb_cols = ",\n             ".join(
+        f"{bucket('v', t)} AS b{t}" for t in range(n_tables)
+    )
+    probe_list = []
+    for t in range(n_tables):
+        probe_list.append(f"b{t}")
+        probe_list += [f"xor(b{t}, {1 << i})" for i in range(n_planes)]
+    probes = ", ".join(probe_list)
+    return f"""
+    WITH planes AS (
+      SELECT {plane_cols}),
+    corpus AS (
+      SELECT vec_id AS neighbor_id,
+             unnest([{corpus_buckets}]) AS bucket
+      FROM (SELECT vec_id, embedding AS v FROM embeddings), planes),
+    qb AS (
+      SELECT vec_id AS query_id,
+             {qb_cols}
+      FROM (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id < 5),
+           planes),
+    probes AS (
+      SELECT query_id, unnest([{probes}]) AS bucket FROM qb),
+    cand AS (
+      SELECT DISTINCT p.query_id, c.neighbor_id
+      FROM corpus c JOIN probes p ON c.bucket = p.bucket
+      WHERE c.neighbor_id <> p.query_id),
+    pairs AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             qe.embedding AS qv, ne.embedding AS nv
+      FROM cand cd
+      JOIN embeddings qe ON qe.vec_id = cd.query_id
+      JOIN embeddings ne ON ne.vec_id = cd.neighbor_id),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {vdot("qv", "nv")} /
+             (sqrt({vdot("qv", "qv")}) * sqrt({vdot("nv", "nv")})) AS cos
+      FROM pairs),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS INT)
+               AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cosine
+    FROM ranked WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+
+
+_ORACLES["similarity_lsh_topk"] = _lsh_topk_oracle()
