@@ -6218,3 +6218,47 @@ def _lsh_topk_oracle(
 
 
 _ORACLES["similarity_lsh_topk"] = _lsh_topk_oracle()
+
+
+@register(
+    "streaming_late_data_drop",
+    oracle="""
+    WITH a AS (SELECT * FROM events
+               WHERE ts < TIMESTAMP '2024-01-20' AND event_id % 2 = 0),
+    b AS (SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-20'),
+    c AS (SELECT * FROM events
+          WHERE ts < TIMESTAMP '2024-01-10' AND event_id % 2 = 1),
+    wmc AS (SELECT epoch_ms(MAX(ts)) - 7200000 AS wm FROM a),
+    wmf AS (SELECT epoch_ms(MAX(ts)) - 7200000 AS wm
+            FROM (SELECT ts FROM a UNION ALL SELECT ts FROM b
+                  UNION ALL SELECT ts FROM c)),
+    surv AS (
+      SELECT ts, event_type FROM a
+      UNION ALL SELECT ts, event_type FROM b
+      UNION ALL SELECT ts, event_type FROM c
+        WHERE epoch_ms(date_trunc('hour', ts) + INTERVAL 1 HOUR) >
+              (SELECT wm FROM wmc)),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             COUNT(*) AS n
+      FROM surv GROUP BY 1, 2)
+    SELECT window_start, event_type, n FROM agg
+    WHERE epoch_ms(window_start + INTERVAL 1 HOUR) <= (SELECT wm FROM wmf)
+    ORDER BY window_start, event_type
+    """,
+)
+def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three deterministic micro-batches through a watermarked tumbling
+    window in append mode: fresh data (batch B) advances the watermark
+    ~10 days past the stragglers (batch C), so C is dropped entirely by
+    the late-record filter — and the DuckDB oracle reproduces the
+    watermark arithmetic, ms truncation and all. This pins the late-data
+    contract, not just the happy path."""
+    import os as _os
+
+    from .streaming.incremental import late_data_window_counts
+
+    out = late_data_window_counts(
+        spark, _os.path.join(sf_dir, "events.parquet")
+    )
+    return out.orderBy("window_start", "event_type")

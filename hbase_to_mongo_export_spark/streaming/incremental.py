@@ -311,3 +311,80 @@ def upsert_serving_table(
         .start()
     )
     q.awaitTermination()
+
+
+def late_data_window_counts(
+    spark: SparkSession,
+    events_path: str,
+    window_duration: str = "1 hour",
+    delay: str = "2 hours",
+) -> DataFrame:
+    """REAL late-data drop semantics, deterministically: stage the events
+    into THREE parquet files — A (history: ts < 2024-01-20, even ids),
+    B (fresh data: ts >= 2024-01-20, advances the watermark far past A),
+    C (stragglers: ts < 2024-01-10, odd ids, arriving last) — force the
+    file order (mtime + maxFilesPerTrigger=1 + availableNow), and run a
+    watermarked tumbling-window count in APPEND mode.
+
+    By the time C arrives, B has advanced the watermark ~10+ days past
+    every C row and A's windows are evicted, so ALL of C is dropped by
+    the watermark (observed as numRowsDroppedByWatermark) — the core
+    correctness contract of watermarking, not just the happy path. Two
+    batches would NOT exercise it: Spark's late-record filter lags the
+    eviction watermark by one batch, so a second batch's stragglers merge
+    into still-live state instead of dropping. C sits ≥9 days below
+    either candidate watermark, so the result is insensitive to that
+    off-by-one and is a pure function of the input: append emits exactly
+    the windows whose end <= final watermark, counted over A ∪ B. The
+    DuckDB oracle replicates the watermark arithmetic (ms truncation
+    included)."""
+    import hashlib
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "late_stage_" + hashlib.md5(events_path.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    t = pq.read_table(events_path)
+    ts_idx = t.schema.get_field_index("ts")
+    t = t.set_column(
+        ts_idx, "ts", t.column("ts").cast(pa.timestamp("us"))
+    )
+    import datetime as _dt
+
+    ts = t.column("ts")
+    fresh_cut = pa.scalar(_dt.datetime(2024, 1, 20), type=pa.timestamp("us"))
+    late_cut = pa.scalar(_dt.datetime(2024, 1, 10), type=pa.timestamp("us"))
+    even = pc.equal(pc.bit_wise_and(t.column("event_id"), 1), 0)
+    m_a = pc.and_(pc.less(ts, fresh_cut), even)
+    m_b = pc.greater_equal(ts, fresh_cut)
+    m_c = pc.and_(pc.less(ts, late_cut), pc.invert(even))
+    pq.write_table(t.filter(m_a), os.path.join(stage, "a.parquet"))
+    pq.write_table(t.filter(m_b), os.path.join(stage, "b.parquet"))
+    pq.write_table(t.filter(m_c), os.path.join(stage, "c.parquet"))
+    os.utime(os.path.join(stage, "a.parquet"), (1000, 1000))
+    os.utime(os.path.join(stage, "b.parquet"), (2000, 2000))
+    os.utime(os.path.join(stage, "c.parquet"), (3000, 3000))
+
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    from ..sources.catalog import normalize_event_ts
+
+    stream = normalize_event_ts(stream)
+    agg = (
+        stream.withWatermark("ts", delay)
+        .groupBy(F.window("ts", window_duration).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    return _drain(agg, "append")
