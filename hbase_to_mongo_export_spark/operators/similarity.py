@@ -428,3 +428,80 @@ def tfidf_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def quantize_for_kmeans(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Integer quantization for exact-arithmetic k-means: x*64 is an
+    exact power-of-2 float scale, +128 keeps every value (and therefore
+    every centroid sum) non-negative so integer division truncates the
+    same way in every engine."""
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(
+            f"transform({vec_col}, x -> CAST(ROUND(CAST(x AS DOUBLE) * 64, 0) AS INT) + 128)"
+        ).alias("qv"),
+    )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    rounds: int = 1,
+) -> DataFrame:
+    """``rounds`` synchronous Lloyd iterations in EXACT integer
+    arithmetic (see ``quantize_for_kmeans``); the first k vectors seed
+    the centroids; assignment ties break to the lowest centroid id via
+    min-struct aggregation; centroid updates are integer means. Returns
+    (cluster_id, n_members, centroid) after the final round — bit-
+    identical across engines and partitionings, so a DuckDB oracle can
+    replay every round.
+
+    Plan: per round, a broadcast cross join against k centroid rows, one
+    min-struct aggregate per vector, and one (cluster, dim) aggregate —
+    two shuffles per round at any scale. Clusters that lose all members
+    drop out identically in both engines (no refill rule)."""
+    q = quantize_for_kmeans(df, id_col, vec_col)
+    cents = q.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+    expl = q.select(
+        "vec_id", F.posexplode("qv").alias("pos0", "val")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "val")
+
+    assign = None
+    for _ in range(rounds):
+        dists = q.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "cid",
+            F.expr(
+                "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), 0, (acc, x) -> acc + x)"
+            ).alias("dist"),
+        )
+        assign = (
+            dists.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cid")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cid"))
+        )
+        upd = (
+            assign.join(expl, "vec_id")
+            .groupBy("cid", "pos")
+            .agg(F.expr("CAST(SUM(val) div COUNT(*) AS INT)").alias("cval"))
+        )
+        cents = upd.groupBy("cid").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s["cval"],
+            ).alias("cv")
+        )
+    sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        cents.join(sizes, "cid")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_members",
+            F.col("cv").alias("centroid"),
+        )
+        .orderBy("cluster_id")
+    )

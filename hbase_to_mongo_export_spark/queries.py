@@ -5939,103 +5939,69 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_mod.pagerank(edges, iterations=5).orderBy("node")
 
 
-def _kmeans_oracle(k: int = 8, dim: int = 64) -> str:
+def _kmeans_oracle(k: int = 8, dim: int = 64, rounds: int = 1) -> str:
+    """Round-unrolled DuckDB replica of operators/similarity.py::
+    kmeans_lloyd — every Lloyd iteration (distance cross join, tie-broken
+    assignment, integer-mean centroid update) replayed exactly."""
+    per_round = []
+    for r in range(1, rounds + 1):
+        per_round.append(f"""dists{r} AS (
+      SELECT q.vec_id, c.cid,
+             list_reduce([(qv[i] - cv[i]) * (qv[i] - cv[i])
+                          FOR i IN range(1, {dim + 1})],
+                         (a, b) -> a + b) AS dist
+      FROM q CROSS JOIN cents{r - 1} c),
+    assign{r} AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM dists{r})
+      WHERE rn = 1),
+    upd{r} AS (
+      SELECT a.cid, e.pos,
+             CAST(SUM(e.val) // COUNT(*) AS INT) AS cval
+      FROM assign{r} a JOIN expl e USING (vec_id)
+      GROUP BY a.cid, e.pos),
+    cents{r} AS (
+      SELECT cid, list(cval ORDER BY pos) AS cv FROM upd{r} GROUP BY cid)""")
+    chain = ",\n    ".join(per_round)
     return f"""
     WITH q AS (
       SELECT vec_id,
              [CAST(ROUND(CAST(x AS DOUBLE) * 64, 0) AS INT) + 128
               FOR x IN embedding] AS qv
       FROM embeddings),
-    cents AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < {k}),
-    dists AS (
-      SELECT q.vec_id, c.cid,
-             list_reduce([(qv[i] - cv[i]) * (qv[i] - cv[i])
-                          FOR i IN range(1, {dim + 1})],
-                         (a, b) -> a + b) AS dist
-      FROM q CROSS JOIN cents c),
-    assign AS (
-      SELECT vec_id, cid FROM (
-        SELECT vec_id, cid,
-               ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY dist, cid) AS rn
-        FROM dists)
-      WHERE rn = 1),
+    cents0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < {k}),
     expl AS (
       SELECT vec_id, unnest(qv) AS val,
              unnest(range(1, {dim + 1})) AS pos
       FROM q),
-    upd AS (
-      SELECT a.cid, e.pos,
-             CAST(SUM(e.val) // COUNT(*) AS INT) AS cval
-      FROM assign a JOIN expl e USING (vec_id)
-      GROUP BY a.cid, e.pos),
-    sizes AS (SELECT cid, COUNT(*) AS n_members FROM assign GROUP BY cid)
-    SELECT u.cid AS cluster_id, MAX(s.n_members) AS n_members,
-           list(u.cval ORDER BY u.pos) AS centroid
-    FROM upd u JOIN sizes s ON s.cid = u.cid
-    GROUP BY u.cid
+    {chain},
+    sizes AS (SELECT cid, COUNT(*) AS n_members FROM assign{rounds} GROUP BY cid)
+    SELECT c.cid AS cluster_id, s.n_members, c.cv AS centroid
+    FROM cents{rounds} c JOIN sizes s USING (cid)
     ORDER BY cluster_id
     """
 
 
-@register("kmeans_lloyd_iteration", oracle=_kmeans_oracle())
+@register("kmeans_lloyd_iteration", oracle=_kmeans_oracle(rounds=1))
 def kmeans_lloyd_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One synchronous Lloyd (k-means) round in EXACT integer arithmetic:
-    embeddings quantize to ints (x*64 is an exact power-of-2 scale, +128
-    keeps sums positive so integer division agrees across engines), the
-    first k vectors seed the centroids, assignment takes min (distance,
-    centroid-id) structs for deterministic ties, and new centroids are
-    integer means. Everything is value-checked against DuckDB — the float
-    formulation could never be (sum order perturbs the last ulp).
-
-    Plan shape: the centroid table broadcasts into the distance cross
-    join (k rows); assignment is one min-struct aggregate per vector; the
-    centroid update is one (cluster, dim) aggregate over the exploded
-    quantized vectors — two shuffles total per round at any scale."""
-    k, dim = 8, 64
+    """One synchronous Lloyd (k-means) round in EXACT integer arithmetic
+    (see operators/similarity.py::kmeans_lloyd) — value-checked against
+    DuckDB; the float formulation could never be (sum order perturbs the
+    last ulp)."""
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.select(
-        "vec_id",
-        F.expr(
-            "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 64, 0) AS INT) + 128)"
-        ).alias("qv"),
-    )
-    cents = q.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
-    )
-    dists = q.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "cid",
-        F.expr(
-            "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), 0, (acc, x) -> acc + x)"
-        ).alias("dist"),
-    )
-    assign = dists.groupBy("vec_id").agg(
-        F.min(F.struct("dist", "cid")).alias("m")
-    ).select("vec_id", F.col("m.cid").alias("cid"))
-    expl = q.select(
-        "vec_id", F.posexplode("qv").alias("pos0", "val")
-    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "val")
-    upd = (
-        assign.join(expl, "vec_id")
-        .groupBy("cid", "pos")
-        .agg(
-            F.expr("CAST(SUM(val) div COUNT(*) AS INT)").alias("cval"),
-        )
-    )
-    sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
-    return (
-        upd.join(sizes, "cid")
-        .groupBy(F.col("cid").alias("cluster_id"))
-        .agg(
-            F.max("n_members").alias("n_members"),
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "cval"))),
-                lambda s: s["cval"],
-            ).alias("centroid"),
-        )
-        .orderBy("cluster_id")
-    )
+    return sim_mod.kmeans_lloyd(emb, k=8, rounds=1)
+
+
+@register("kmeans_lloyd_3rounds", oracle=_kmeans_oracle(rounds=3))
+def kmeans_lloyd_3rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three chained Lloyd rounds — the iterate-until-stable ML training
+    loop as a DataFrame plan, every round replayed exactly by the DuckDB
+    oracle. Two shuffles per round; centroids re-broadcast each round."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_mod.kmeans_lloyd(emb, k=8, rounds=3)
 
 
 @register(
