@@ -44,6 +44,12 @@ BENCH_QUERIES = [
     "chunk_dedup_20word",
     "unigram_logprob_score",
     "lexical_diversity_by_lang",
+    # round 3+: iterative/ML + streaming-contract heavies
+    "pagerank_customer_supplier",
+    "kmeans_lloyd_3rounds",
+    "tfidf_cosine_pairs",
+    "dedup_minhash_estimate_pairs",
+    "streaming_late_data_drop",
 ]
 
 

@@ -50,9 +50,11 @@ def pagerank(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct()
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    und_deg = und.join(deg, "u")
-    nodes = und.select(F.col("u").alias("node")).distinct()
-    n = nodes.count()  # one scalar action at build time
+    # loop invariants: every round re-reads the edge list and node set, so
+    # materialize them once instead of recomputing the distinct per round
+    und_deg = und.join(deg, "u").cache()
+    nodes = und.select(F.col("u").alias("node")).distinct().cache()
+    n = nodes.count()  # one scalar action; also materializes the caches' input
     base = (SCALE * 15) // (DAMPING_DEN * n)
 
     r = nodes.withColumn("rank", F.lit(SCALE // n).cast("long"))
