@@ -489,7 +489,9 @@ def winnow_overlap_pairs(
     joins for per-doc totals. Cost ∝ Σ_fp df(fp)² like any inverted-index
     join; boilerplate fingerprints are the skew hazard and AQE skew-join
     splits them."""
-    fps = winnow_fingerprints(df, id_col, text_col, k, window, hash_fn)
+    # fps feeds three consumers (per-doc counts + both join sides) —
+    # materialize once instead of re-fingerprinting per branch
+    fps = winnow_fingerprints(df, id_col, text_col, k, window, hash_fn).cache()
     counts = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a, b = fps.alias("a"), fps.alias("b")
     shared = (
@@ -538,7 +540,9 @@ def minhash_estimate_pairs(
 
     This is the scale-tuning tool: at 100 TB you pick num_hashes/bands by
     looking at exactly this error distribution on a sample."""
-    sig = _minhash_sig_cols(df, id_col, text_col, n, num_hashes, hash_fn)
+    # sig feeds three consumers (banding + both estimate join sides) —
+    # materialize once instead of re-hashing every shingle per branch
+    sig = _minhash_sig_cols(df, id_col, text_col, n, num_hashes, hash_fn).cache()
     candidates = _lsh_candidates(sig, id_col, num_hashes, bands, hash_fn)
     matches = F.expr(
         " + ".join(

@@ -395,6 +395,9 @@ def tfidf_cosine_pairs(
             .alias("w"),
         )
     )
+    # the weight table feeds three consumers (norms + both join sides);
+    # materialize it once instead of re-running tokenize+tf+idf per branch
+    weights = weights.cache()
     norms = weights.groupBy(id_col).agg(
         F.sum(F.col("w") * F.col("w")).alias("norm_sq")
     )
