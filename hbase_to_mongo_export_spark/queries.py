@@ -6228,3 +6228,109 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _os.path.join(sf_dir, "events.parquet")
     )
     return out.orderBy("window_start", "event_type")
+
+
+@register(
+    "array_hof_breadth",
+    oracle="""
+    WITH arrs AS (
+      SELECT l_orderkey, list_sort(list(l_quantity)) AS qs
+      FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) >= 4)
+    SELECT l_orderkey,
+           len(qs) AS n_items,
+           CASE WHEN len(list_filter(qs, x -> x > 40)) > 0 THEN 1 ELSE 0 END AS any_gt40,
+           CASE WHEN len(list_filter(qs, x -> NOT (x > 0))) = 0 THEN 1 ELSE 0 END AS all_pos,
+           len(list_filter(qs, x -> x >= 25)) AS n_ge25,
+           ROUND(list_reduce(list_transform(qs, x -> x * 2), (a, b) -> a + b), 2) AS sum_doubled,
+           qs[1:3] AS first3,
+           list_reverse(qs) AS reversed_qs,
+           len(list_distinct(qs)) AS n_distinct
+    FROM arrs
+    ORDER BY l_orderkey
+    LIMIT 100
+    """,
+)
+def array_hof_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order-function breadth (exists / forall / filter /
+    transform+aggregate / slice / reverse / distinct) over per-order
+    quantity arrays. Arrays are sorted on construction so the fold order
+    — and therefore every float sum — is identical in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    arrs = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_quantity")).alias("qs"))
+        .filter(F.size("qs") >= 4)
+    )
+    return arrs.select(
+        "l_orderkey",
+        F.size("qs").alias("n_items"),
+        F.when(F.exists("qs", lambda x: x > 40), 1).otherwise(0).alias("any_gt40"),
+        F.when(F.forall("qs", lambda x: x > 0), 1).otherwise(0).alias("all_pos"),
+        F.size(F.filter("qs", lambda x: x >= 25)).alias("n_ge25"),
+        F.round(
+            F.aggregate(
+                F.transform("qs", lambda x: x * 2),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            2,
+        ).alias("sum_doubled"),
+        F.slice("qs", 1, 3).alias("first3"),
+        F.reverse("qs").alias("reversed_qs"),
+        F.size(F.array_distinct("qs")).alias("n_distinct"),
+    ).orderBy("l_orderkey").limit(100)
+
+
+@register(
+    "null_semantics_breadth",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS val
+      FROM orders)
+    SELECT COUNT(*) AS n_rows,
+           COUNT(val) AS n_nonnull,
+           CAST(COUNT(*) - COUNT(val) AS BIGINT) AS n_null,
+           CAST(ROUND(SUM(val), 2) AS DOUBLE) AS sum_skips_null,
+           CAST(MIN(val) AS DOUBLE) AS min_skips_null,
+           SUM(CASE WHEN val IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS nullsafe_eq_null,
+           SUM(CASE WHEN (val > 100) IS NULL THEN 1 ELSE 0 END) AS cmp_null_is_unknown,
+           SUM(CASE WHEN (val > 100 OR o_orderkey >= 0) THEN 1 ELSE 0 END) AS or_rescues_unknown,
+           SUM(CASE WHEN COALESCE(val, 0) = 0 THEN 1 ELSE 0 END) AS coalesce_defaults,
+           SUM(CASE WHEN NULLIF(o_orderkey % 7, 0) IS NULL THEN 1 ELSE 0 END) AS nullif_hits
+    FROM v
+    """,
+)
+def null_semantics_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI three-valued-logic pinning: COUNT(*) vs COUNT(col), aggregate
+    NULL skipping, null-safe equality (<=>), UNKNOWN comparison results,
+    OR rescuing UNKNOWN, COALESCE and NULLIF — one row of engine-semantics
+    ground truth over a synthesized nullable column."""
+    orders = _t(spark, sf_dir, "orders")
+    val = F.when(
+        F.col("o_orderkey") % 7 == 0, F.lit(None)
+    ).otherwise(F.col("o_totalprice").cast("decimal(18,2)"))
+    v = orders.select("o_orderkey", val.alias("val"))
+    return v.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("val").alias("n_nonnull"),
+        (F.count(F.lit(1)) - F.count("val")).cast("bigint").alias("n_null"),
+        F.round(F.sum("val"), 2).cast("double").alias("sum_skips_null"),
+        F.min("val").cast("double").alias("min_skips_null"),
+        F.sum(
+            F.when(F.col("val").eqNullSafe(F.lit(None)), 1).otherwise(0)
+        ).alias("nullsafe_eq_null"),
+        F.sum(
+            F.when((F.col("val") > 100).isNull(), 1).otherwise(0)
+        ).alias("cmp_null_is_unknown"),
+        F.sum(
+            F.when((F.col("val") > 100) | (F.col("o_orderkey") >= 0), 1).otherwise(0)
+        ).alias("or_rescues_unknown"),
+        F.sum(
+            F.when(F.coalesce(F.col("val"), F.lit(0)) == 0, 1).otherwise(0)
+        ).alias("coalesce_defaults"),
+        F.sum(
+            F.when(F.nullif(F.col("o_orderkey") % 7, F.lit(0)).isNull(), 1).otherwise(0)
+        ).alias("nullif_hits"),
+    )
