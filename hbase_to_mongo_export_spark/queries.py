@@ -6334,3 +6334,124 @@ def null_semantics_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.nullif(F.col("o_orderkey") % 7, F.lit(0)).isNull(), 1).otherwise(0)
         ).alias("nullif_hits"),
     )
+
+
+def _hll_parts(p: int = 8):
+    """Shared pieces of the exact-arithmetic HyperLogLog: md5-portable
+    60-bit hash, low p bits pick the register, the next 53-p... (here:
+    the remaining 52) bits feed the leading-zero rank via a generated
+    integer CASE chain — no floats anywhere until the final estimate."""
+    m = 1 << p
+    wbits = 52  # 60-bit hash minus 8 register bits
+    # rank = position of the highest set bit from the top of the 52-bit
+    # field, 1-based; all-zero field -> wbits + 1
+    cases = " ".join(
+        f"WHEN w >= {1 << (wbits - r)} THEN {r}" for r in range(1, wbits + 1)
+    )
+    rank_sql = f"CASE {cases} ELSE {wbits + 1} END"
+    alpha = 0.7213 / (1 + 1.079 / m)
+    return m, wbits, rank_sql, alpha
+
+
+def _hll_oracle(p: int = 8) -> str:
+    m, wbits, rank_sql, alpha = _hll_parts(p)
+    return f"""
+    WITH h AS (
+      SELECT CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      FROM events),
+    ranked AS (
+      SELECT hv & {m - 1} AS bucket, (hv >> {p}) AS w FROM h),
+    regs AS (
+      SELECT bucket, MAX({rank_sql}) AS mj
+      FROM ranked GROUP BY bucket),
+    full_regs AS (
+      SELECT t.b AS bucket, COALESCE(r.mj, 0) AS mj
+      FROM (SELECT unnest(range(0, {m})) AS b) t
+      LEFT JOIN regs r ON r.bucket = t.b),
+    s AS (
+      SELECT SUM(CAST(1 AS BIGINT) << ({wbits + 1} - mj)) AS inv_scaled,
+             SUM(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS zeros
+      FROM full_regs),
+    est AS (
+      SELECT ROUND(CASE WHEN raw <= {25 * m // 10} AND zeros > 0
+                        THEN CAST({m} AS DOUBLE) *
+                             ln(CAST({m} AS DOUBLE) / CAST(zeros AS DOUBLE))
+                        ELSE raw END, 4) AS hll_estimate
+      FROM (SELECT CAST({alpha!r} AS DOUBLE) * CAST({m * m} AS DOUBLE) *
+                   CAST({1 << (wbits + 1)} AS DOUBLE) /
+                   CAST(inv_scaled AS DOUBLE) AS raw,
+                   zeros
+            FROM s))
+    SELECT e.hll_estimate,
+           (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_distinct,
+           ROUND(ABS(e.hll_estimate -
+                     (SELECT COUNT(DISTINCT user_id) FROM events)) /
+                 (SELECT COUNT(DISTINCT user_id) FROM events), 4) AS rel_err
+    FROM est e
+    """
+
+
+@register("hll_distinct_users", oracle=_hll_oracle())
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog from scratch in exact arithmetic, value-checked: the
+    md5-portable hash picks a register (low 8 bits) and a 52-bit field
+    whose leading-zero rank comes from a generated integer CASE chain;
+    register maxes aggregate per bucket; the harmonic sum is EXACT
+    (Σ2^-M_j scaled by 2^53 stays a BIGINT), so the one final double
+    division is bit-identical in both engines. Output: estimate vs exact
+    distinct with relative error — the mergeable-sketch building block
+    for distributed distinct counting, here with a real correctness gate
+    instead of 'close enough'."""
+    p = 8
+    m, wbits, rank_sql, alpha = _hll_parts(p)
+    ev = _t(spark, sf_dir, "events")
+    h = ev.select(
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("hv")
+    )
+    ranked = h.select(
+        (F.col("hv").bitwiseAND(F.lit(m - 1))).alias("bucket"),
+        F.shiftright("hv", p).alias("w"),
+    )
+    regs = ranked.groupBy("bucket").agg(F.expr(f"MAX({rank_sql})").alias("mj"))
+    full = (
+        ev.sparkSession.range(m)
+        .select(F.col("id").alias("bucket"))
+        .join(regs, "bucket", "left")
+        .select("bucket", F.coalesce("mj", F.lit(0)).alias("mj"))
+    )
+    s = full.agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {wbits + 1} - mj)")).alias(
+            "inv_scaled"
+        ),
+        F.sum(F.when(F.col("mj") == 0, 1).otherwise(0)).alias("zeros"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    raw = (
+        F.lit(alpha)
+        * F.lit(m * m).cast("double")
+        * F.lit(1 << (wbits + 1)).cast("double")
+        / F.col("inv_scaled").cast("double")
+    )
+    # linear-counting small-range correction: with V empty registers and
+    # a raw estimate under 2.5m, m*ln(m/V) is the accurate regime
+    est = F.round(
+        F.when(
+            (raw <= F.lit(25 * m // 10)) & (F.col("zeros") > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros").cast("double")),
+        ).otherwise(raw),
+        4,
+    )
+    return (
+        s.join(F.broadcast(exact))
+        .select(
+            est.alias("hll_estimate"),
+            "exact_distinct",
+            F.round(
+                F.abs(est - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_err"),
+        )
+    )
