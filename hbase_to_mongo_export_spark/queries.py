@@ -6455,3 +6455,150 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+_PORTABLE_H = (
+    "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"  # Spark
+)
+_PORTABLE_H_DUCK = (
+    "CAST(concat('0x', substring(md5({x}), 1, 15)) AS BIGINT)"  # DuckDB
+)
+
+
+@register(
+    "cms_user_event_counts",
+    oracle=f"""
+    WITH buckets AS (
+      SELECT r, {_PORTABLE_H_DUCK.format(x="concat(CAST(r AS VARCHAR), ':', CAST(user_id AS VARCHAR))")} & 255 AS bucket
+      FROM events, (SELECT unnest(range(0, 4)) AS r)),
+    counters AS (
+      SELECT r, bucket, COUNT(*) AS c FROM buckets GROUP BY r, bucket),
+    exact AS (
+      SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY user_id
+      ORDER BY exact_n DESC, user_id LIMIT 10),
+    probes AS (
+      SELECT e.user_id, e.exact_n, t.r,
+             {_PORTABLE_H_DUCK.format(x="concat(CAST(t.r AS VARCHAR), ':', CAST(e.user_id AS VARCHAR))")} & 255 AS bucket
+      FROM exact e, (SELECT unnest(range(0, 4)) AS r) t)
+    SELECT p.user_id, p.exact_n, MIN(c.c) AS cms_estimate,
+           CAST(MIN(c.c) - p.exact_n AS BIGINT) AS overcount
+    FROM probes p JOIN counters c ON c.r = p.r AND c.bucket = p.bucket
+    GROUP BY p.user_id, p.exact_n
+    ORDER BY exact_n DESC, user_id
+    """,
+)
+def cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch from scratch (4 rows x 256 counters, md5-portable
+    row-salted hashes): per-user event-count estimates = min over rows —
+    all integer, so the sketch AND its one-sided overcount guarantee
+    (estimate >= exact, checked as a column) hash-match the DuckDB
+    replica. The counter table is the mergeable map-side state a
+    distributed heavy-hitters pass would combine."""
+    ev = _t(spark, sf_dir, "events")
+    rows = spark.range(4).select(F.col("id").cast("int").alias("r"))
+    h = _PORTABLE_H.format(
+        x="concat(CAST(r AS STRING), ':', CAST(user_id AS STRING))"
+    )
+    buckets = ev.crossJoin(F.broadcast(rows)).select(
+        "r", F.expr(f"{h} & 255").alias("bucket")
+    )
+    counters = buckets.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(10)
+    )
+    probes = exact.crossJoin(F.broadcast(rows)).select(
+        "user_id", "exact_n", "r", F.expr(f"{h} & 255").alias("bucket")
+    )
+    return (
+        probes.join(counters, ["r", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").alias("cms_estimate"))
+        .select(
+            "user_id",
+            "exact_n",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_n"))
+            .cast("bigint")
+            .alias("overcount"),
+        )
+        .orderBy(F.desc("exact_n"), "user_id")
+    )
+
+
+@register(
+    "bloom_filter_customers",
+    oracle=f"""
+    WITH member AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    bits AS (
+      SELECT DISTINCT {_PORTABLE_H_DUCK.format(x="concat(CAST(j AS VARCHAR), ':', CAST(k AS VARCHAR))")} & 8191 AS bit
+      FROM member, (SELECT unnest(range(0, 4)) AS j)),
+    non_member AS (
+      -- shifted keys: disjoint from every real custkey by construction,
+      -- so each probe is a true negative and fp_rate is measurable
+      SELECT c_custkey + 1000000 AS k FROM customer),
+    probe_bits AS (
+      SELECT k, {_PORTABLE_H_DUCK.format(x="concat(CAST(j AS VARCHAR), ':', CAST(k AS VARCHAR))")} & 8191 AS bit
+      FROM non_member, (SELECT unnest(range(0, 4)) AS j)),
+    hits AS (
+      SELECT p.k, COUNT(b.bit) AS n_set
+      FROM probe_bits p LEFT JOIN bits b ON b.bit = p.bit
+      GROUP BY p.k)
+    SELECT (SELECT COUNT(*) FROM member) AS n_members,
+           (SELECT COUNT(*) FROM bits) AS n_bits_set,
+           COUNT(*) AS n_probes,
+           SUM(CASE WHEN n_set = 4 THEN 1 ELSE 0 END) AS n_false_positives,
+           ROUND(CAST(SUM(CASE WHEN n_set = 4 THEN 1 ELSE 0 END) AS DOUBLE) /
+                 CAST(COUNT(*) AS DOUBLE), 6) AS fp_rate
+    FROM hits
+    """,
+)
+def bloom_filter_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter from scratch (8192 bits, 4 md5-portable salted
+    hashes) built over customers-with-orders, probed with shifted keys
+    that are non-members by construction — the measured false-positive
+    rate is an exact integer computation, hash-checked against DuckDB.
+    This is the join-pruning primitive (build on the small side, ship
+    bits to the fact scan) that Spark's runtime bloom-filter injection
+    automates."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    member = orders.select(F.col("o_custkey").alias("k")).distinct()
+    js = spark.range(4).select(F.col("id").cast("int").alias("j"))
+    h = _PORTABLE_H.format(x="concat(CAST(j AS STRING), ':', CAST(k AS STRING))")
+    bits = (
+        member.crossJoin(F.broadcast(js))
+        .select(F.expr(f"{h} & 8191").alias("bit"))
+        .distinct()
+    )
+    non_member = cust.select(
+        (F.col("c_custkey") + 1000000).alias("k")
+    )
+    probe_bits = non_member.crossJoin(F.broadcast(js)).select(
+        "k", F.expr(f"{h} & 8191").alias("bit")
+    )
+    hits = (
+        probe_bits.join(bits.withColumnRenamed("bit", "sbit"),
+                        probe_bits.bit == F.col("sbit"), "left")
+        .groupBy("k")
+        .agg(F.count("sbit").alias("n_set"))
+    )
+    n_members = member.agg(F.count(F.lit(1)).alias("n_members"))
+    n_bits = bits.agg(F.count(F.lit(1)).alias("n_bits_set"))
+    fp = F.sum(F.when(F.col("n_set") == 4, 1).otherwise(0))
+    return (
+        hits.agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            fp.alias("n_false_positives"),
+            F.round(
+                fp.cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("fp_rate"),
+        )
+        .join(F.broadcast(n_members))
+        .join(F.broadcast(n_bits))
+        .select(
+            "n_members", "n_bits_set", "n_probes", "n_false_positives", "fp_rate"
+        )
+    )
