@@ -6602,3 +6602,103 @@ def bloom_filter_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members", "n_bits_set", "n_probes", "n_false_positives", "fp_rate"
         )
     )
+
+
+@register(
+    "truncate_to_token_budget",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE string_split_regex(lower(trim(text)), '\\s+') END AS ws
+      FROM documents)
+    SELECT doc_id,
+           len(ws) AS n_tokens,
+           CASE WHEN len(ws) > 64 THEN 64 ELSE len(ws) END AS n_kept,
+           CASE WHEN len(ws) > 64 THEN 1 ELSE 0 END AS truncated,
+           array_to_string(ws[1:64], ' ') AS truncated_text
+    FROM toks
+    ORDER BY doc_id
+    """,
+)
+def truncate_to_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document truncation to a 64-token budget — the sequence-length
+    cap every training-data pipeline applies before packing. Token split,
+    slice, and rejoin are pure narrow array ops (no shuffle, no UDF);
+    the rebuilt text is hash-checked so boundary behavior (short docs,
+    empty docs, exact-64 docs) is pinned."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.when(
+        F.trim(F.col("text")) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    return docs.select(
+        "doc_id",
+        F.size(ws).alias("n_tokens"),
+        F.least(F.size(ws), F.lit(64)).alias("n_kept"),
+        F.when(F.size(ws) > 64, 1).otherwise(0).alias("truncated"),
+        F.concat_ws(" ", F.slice(ws, 1, 64)).alias("truncated_text"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "dedup_retention_manifest",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([list_aggregate(words[i:i+2], 'string_agg', ' ')
+                            FOR i IN range(1, len(words) - 1)]) AS sh
+      FROM (SELECT doc_id,
+                   string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS words
+            FROM documents)
+      WHERE len(words) >= 3),
+    edges AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                  6) >= 0.2),
+    und AS (SELECT id_a AS u, id_b AS v FROM edges
+            UNION SELECT id_b, id_a FROM edges),
+    comp AS (
+      -- min-label propagation to fixpoint via recursive CTE
+      WITH RECURSIVE walk(node, lbl) AS (
+        SELECT u, LEAST(u, MIN(v)) FROM und GROUP BY u
+        UNION
+        SELECT w.node, LEAST(w.lbl, u2.lbl)
+        FROM walk w JOIN und e ON e.u = w.node JOIN walk u2 ON u2.node = e.v
+      )
+      SELECT node, MIN(lbl) AS component FROM walk GROUP BY node),
+    labeled AS (
+      SELECT d.doc_id,
+             COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+    SELECT doc_id, component,
+           CASE WHEN doc_id = component THEN 'keep' ELSE 'drop' END AS action
+    FROM labeled
+    ORDER BY doc_id
+    """,
+)
+def dedup_retention_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup DECISION artifact: exact-Jaccard near-dup edges →
+    connected components (min-label propagation) → keep the minimum doc
+    id per component, drop the rest — the manifest a corpus-curation
+    pipeline actually ships. Oracle: recursive-CTE label propagation in
+    DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    edges = dedup_mod.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.2
+    ).select("id_a", "id_b")
+    comp = dedup_mod.connected_components(edges)
+    labeled = docs.select("doc_id").join(
+        comp, docs.doc_id == comp.id, "left"
+    ).select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("component"),
+    )
+    return labeled.select(
+        "doc_id",
+        "component",
+        F.when(F.col("doc_id") == F.col("component"), "keep")
+        .otherwise("drop")
+        .alias("action"),
+    ).orderBy("doc_id")
