@@ -6702,3 +6702,111 @@ def dedup_retention_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("drop")
         .alias("action"),
     ).orderBy("doc_id")
+
+
+@register(
+    "quantile_sketch_order_totals",
+    oracle="""
+    WITH binned AS (
+      -- log2-spaced bins via integer doubling: bin = floor(log2(price))
+      -- computed with a generated comparison chain (no libm)
+      SELECT CASE """ + " ".join(
+        f"WHEN o_totalprice >= {1 << b} THEN {b}" for b in range(30, -1, -1)
+    ) + """ ELSE -1 END AS bin
+      FROM orders),
+    hist AS (SELECT bin, COUNT(*) AS c FROM binned GROUP BY bin),
+    cum AS (
+      SELECT bin, c,
+             SUM(c) OVER (ORDER BY bin) AS cum_c,
+             (SELECT SUM(c) FROM hist) AS total
+      FROM hist),
+    qs AS (
+      SELECT q,
+             MIN(CASE WHEN cum_c >= CAST(ceil(q * total) AS BIGINT)
+                      THEN bin END) AS qbin
+      FROM cum, (SELECT unnest([0.5, 0.95, 0.99]::DOUBLE[]) AS q)
+      GROUP BY q)
+    SELECT q, qbin,
+           CAST(POW(CAST(2 AS DOUBLE), qbin) AS DOUBLE) AS bin_lower,
+           CAST(POW(CAST(2 AS DOUBLE), qbin + 1) AS DOUBLE) AS bin_upper
+    FROM qs
+    ORDER BY q
+    """,
+)
+def quantile_sketch_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch: a log2-bucketed histogram (bins via an
+    integer comparison chain, no libm) whose cumulative counts bracket
+    any quantile within one power-of-two bin — the fixed-size,
+    map-side-combinable state a distributed percentile pass merges. The
+    q50/q95/q99 bin bounds are exact integer arithmetic; POW(2, n) is
+    exact in doubles."""
+    orders = _t(spark, sf_dir, "orders")
+    cases = " ".join(
+        f"WHEN o_totalprice >= {1 << b} THEN {b}" for b in range(30, -1, -1)
+    )
+    binned = orders.select(F.expr(f"CASE {cases} ELSE -1 END").alias("bin"))
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
+    total = hist.agg(F.sum("c").alias("total"))
+    cum = hist.join(F.broadcast(total)).select(
+        "bin",
+        "c",
+        F.sum("c").over(Window.orderBy("bin")).alias("cum_c"),
+        "total",
+    )
+    qs = spark.createDataFrame([(0.5,), (0.95,), (0.99,)], "q double")
+    return (
+        cum.crossJoin(F.broadcast(qs))
+        .groupBy("q")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum_c")
+                    >= F.ceil(F.col("q") * F.col("total")).cast("bigint"),
+                    F.col("bin"),
+                )
+            ).alias("qbin")
+        )
+        .select(
+            "q",
+            "qbin",
+            F.expr("CAST(POW(CAST(2 AS DOUBLE), qbin) AS DOUBLE)").alias("bin_lower"),
+            F.expr("CAST(POW(CAST(2 AS DOUBLE), qbin + 1) AS DOUBLE)").alias("bin_upper"),
+        )
+        .orderBy("q")
+    )
+
+
+@register(
+    "events_range_interval_window",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER w AS n_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_last_hour
+    FROM events
+    WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def events_range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-BETWEEN-INTERVAL window frames: per-user trailing-hour event
+    count and value sum, frame bounded by event TIME rather than row
+    count — the semantics rows-based frames cannot express when events
+    arrive irregularly. The sum runs in DECIMAL so frame-internal order
+    cannot perturb the hash."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    out = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr(
+            "COUNT(*) OVER (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+        ).alias("n_last_hour"),
+        F.expr(
+            "CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE)"
+        ).alias("sum_last_hour"),
+    )
+    return out.orderBy("user_id", "ts", "event_id")
