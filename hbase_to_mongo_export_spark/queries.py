@@ -6810,3 +6810,54 @@ def events_range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_last_hour"),
     )
     return out.orderBy("user_id", "ts", "event_id")
+
+
+@register(
+    "media_binary_stats",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id AS media_id, encode(text) AS payload, text
+      FROM documents WHERE doc_id % 3 = 1),
+    hexed AS (
+      SELECT media_id, octet_length(payload) AS n_bytes,
+             hex(payload) AS h, md5(text) AS payload_md5
+      FROM media)
+    SELECT media_id, n_bytes, payload_md5,
+           substring(h, 1, 8) AS magic4,
+           len(list_distinct([substring(h, 2*i - 1, 2)
+                              FOR i IN range(1, len(h)//2 + 1)])) AS n_distinct_bytes
+    FROM hexed
+    ORDER BY media_id
+    """,
+)
+def media_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column analytics without any codec: payload size,
+    content digest, leading-bytes 'magic number' signature, and distinct
+    byte cardinality — all computed JVM-side on the binary column (hex +
+    array ops) and hash-checked against DuckDB's blob functions. This is
+    the triage pass (corrupt/truncated/miscontainer detection) that runs
+    BEFORE expensive decode at 100 TB."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    hexed = media.select(
+        "media_id",
+        F.length("payload").alias("n_bytes"),
+        F.hex("payload").alias("h"),
+        F.md5("payload").alias("payload_md5"),
+    )
+    return hexed.select(
+        "media_id",
+        "n_bytes",
+        "payload_md5",
+        F.substring("h", 1, 8).alias("magic4"),
+        F.size(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, length(h) DIV 2), i -> substring(h, 2*i - 1, 2))"
+                )
+            )
+        ).alias("n_distinct_bytes"),
+    ).orderBy("media_id")
