@@ -6861,3 +6861,100 @@ def media_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_distinct_bytes"),
     ).orderBy("media_id")
+
+
+@register(
+    "funnel_time_to_conversion",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id),
+    conv AS (
+      SELECT user_id,
+             epoch_us(first_purchase) - epoch_us(first_view) AS latency_us
+      FROM firsts
+      WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase >= first_view)
+    SELECT COUNT(*) AS n_converted,
+           ROUND(quantile_cont(latency_us, 0.5) / CAST(1000000 AS DOUBLE), 2) AS p50_seconds,
+           ROUND(quantile_cont(latency_us, 0.9) / CAST(1000000 AS DOUBLE), 2) AS p90_seconds,
+           ROUND(MIN(latency_us) / CAST(1000000 AS DOUBLE), 2) AS min_seconds,
+           ROUND(MAX(latency_us) / CAST(1000000 AS DOUBLE), 2) AS max_seconds
+    FROM conv
+    """,
+)
+def funnel_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-view to first-purchase latency distribution: conditional-min
+    pivot per user (one aggregate), exact integer microsecond deltas,
+    then interpolated percentiles — Spark `percentile` and DuckDB
+    `quantile_cont` share the interpolation rule, and the inputs are
+    exact integers so the interpolation arithmetic is bit-identical."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("fv"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("fp"),
+    )
+    conv = firsts.filter(
+        F.col("fv").isNotNull() & F.col("fp").isNotNull() & (F.col("fp") >= F.col("fv"))
+    ).select((F.unix_micros("fp") - F.unix_micros("fv")).alias("latency_us"))
+    div = "CAST(1000000 AS DOUBLE)"
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr(f"percentile(latency_us, 0.5) / {div}"), 2).alias("p50_seconds"),
+        F.round(F.expr(f"percentile(latency_us, 0.9) / {div}"), 2).alias("p90_seconds"),
+        F.round(F.expr(f"MIN(latency_us) / {div}"), 2).alias("min_seconds"),
+        F.round(F.expr(f"MAX(latency_us) / {div}"), 2).alias("max_seconds"),
+    )
+
+
+@register(
+    "session_path_patterns",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id,
+             string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS path
+      FROM events GROUP BY user_id)
+    SELECT
+      COUNT(*) AS n_users,
+      SUM(len(regexp_extract_all(path, 'vc'))) AS view_click,
+      SUM(len(regexp_extract_all(path, 'vp'))) AS view_purchase_direct,
+      SUM(len(regexp_extract_all(path, 'vcp'))) AS view_click_purchase,
+      SUM(CASE WHEN path LIKE '%p%' THEN 1 ELSE 0 END) AS users_with_purchase,
+      SUM(len(regexp_extract_all(path, 'ee'))) AS error_bursts
+    FROM ordered
+    """,
+)
+def session_path_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: per-user event sequences collapsed to a
+    first-letter path string (deterministic (ts, event_id) order), then
+    regex pattern counts over the paths — the sequence-motif query
+    (view→click→purchase funnels, error bursts) that is awkward as joins
+    but one regexp over an ordered aggregation. Non-overlapping match
+    semantics agree between Spark regexp_count and DuckDB
+    regexp_extract_all."""
+    ev = _t(spark, sf_dir, "events")
+    ordered = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c"))
+                    )
+                ),
+                lambda s: s["c"],
+            ),
+        ).alias("path")
+    )
+    return ordered.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.expr("regexp_count(path, 'vc')")).alias("view_click"),
+        F.sum(F.expr("regexp_count(path, 'vp')")).alias("view_purchase_direct"),
+        F.sum(F.expr("regexp_count(path, 'vcp')")).alias("view_click_purchase"),
+        F.sum(F.when(F.col("path").contains("p"), 1).otherwise(0)).alias(
+            "users_with_purchase"
+        ),
+        F.sum(F.expr("regexp_count(path, 'ee')")).alias("error_bursts"),
+    )
