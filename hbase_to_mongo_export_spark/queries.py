@@ -6958,3 +6958,125 @@ def session_path_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.expr("regexp_count(path, 'ee')")).alias("error_bursts"),
     )
+
+
+def _bm25_oracle(terms=("scan", "hash", "customer"), k1=1.2, b=0.75, topn=15) -> str:
+    score_cols = ",\n             ".join(
+        f"""COALESCE(MAX(CASE WHEN tf.t = '{t}' THEN
+               idf * (tf * CAST({k1 + 1} AS DOUBLE)) /
+                     (tf + CAST({k1} AS DOUBLE) *
+                      (CAST({1 - b} AS DOUBLE) + CAST({b} AS DOUBLE) *
+                       dl / avgdl)) END), CAST(0 AS DOUBLE)) AS s{i}"""
+        for i, t in enumerate(terms)
+    )
+    total = " + ".join(f"s{i}" for i in range(len(terms)))
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+      FROM documents WHERE trim(text) <> ''),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+             CAST(COUNT(*) AS BIGINT) AS n FROM dl),
+    tf AS (
+      SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok
+      WHERE t IN ({terms_sql}) GROUP BY doc_id, t),
+    dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+    idf AS (
+      SELECT t, ROUND(ln((CAST((SELECT n FROM stats) AS DOUBLE) -
+                          CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+                         (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) +
+                         CAST(1 AS DOUBLE)), 6) AS idf
+      FROM dfreq),
+    scored AS (
+      SELECT tf.doc_id,
+             {score_cols}
+      FROM tf
+      JOIN idf ON idf.t = tf.t
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN (SELECT avgdl FROM stats)
+      GROUP BY tf.doc_id)
+    SELECT doc_id, ROUND({total}, 6) AS bm25
+    FROM scored
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {topn}
+    """
+
+
+@register("bm25_search_topk", oracle=_bm25_oracle())
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed 3-term query ('scan hash
+    customer'), top-15. Per-term partial scores aggregate as conditional
+    maxes and add in a FIXED order (not a float sum over a shuffled
+    join), and idf is rounded before use — so the ranking function is
+    bit-stable and the whole scorer hash-matches DuckDB. The tf table is
+    pre-filtered to the query terms: at scale this is an inverted-index
+    probe, not a corpus scan."""
+    terms, k1, b, topn = ("scan", "hash", "customer"), 1.2, 0.75, 15
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.filter(F.trim(F.col("text")) != "").select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("t"),
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    tf = (
+        tok.filter(F.col("t").isin(*terms))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.join(F.broadcast(stats)).select(
+        "t",
+        F.round(
+            F.log(
+                (
+                    F.col("n").cast("double")
+                    - F.col("df").cast("double")
+                    + F.lit(0.5)
+                )
+                / (F.col("df").cast("double") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+            6,
+        ).alias("idf"),
+    )
+    per_term = (
+        tf.join(F.broadcast(idf), "t")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats.select("avgdl")))
+        .select(
+            "doc_id",
+            "t",
+            (
+                F.col("idf")
+                * (F.col("tf") * F.lit(k1 + 1))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("score"),
+        )
+    )
+    score_cols = [
+        F.coalesce(
+            F.max(F.when(F.col("t") == t, F.col("score"))), F.lit(0.0)
+        ).alias(f"s{i}")
+        for i, t in enumerate(terms)
+    ]
+    scored = per_term.groupBy("doc_id").agg(*score_cols)
+    total = sum(
+        (F.col(f"s{i}") for i in range(1, len(terms))), F.col("s0")
+    )
+    return (
+        scored.select("doc_id", F.round(total, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(topn)
+    )
