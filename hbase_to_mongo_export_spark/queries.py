@@ -7080,3 +7080,99 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(topn)
     )
+
+
+@register(
+    "agg_filter_clause_breadth",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 100000)
+             AS big_spenders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                      FILTER (WHERE o_orderstatus = 'O'), 2) AS DOUBLE)
+             AS open_revenue,
+           CAST(MIN(o_orderkey) FILTER (WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00') AS BIGINT)
+             AS first_1995_order
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_filter_clause_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate FILTER clause breadth: filtered COUNT/ SUM/ MIN and a
+    filtered DISTINCT count in one grouped pass — the ANSI way to compute
+    many conditional metrics without self-joins or CASE pyramids; one
+    scan, one shuffle, partial aggregation intact."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("COUNT(*) FILTER (WHERE o_orderstatus = 'F')").alias(
+                "n_finished"
+            ),
+            F.expr(
+                "COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 100000)"
+            ).alias("big_spenders"),
+            F.expr(
+                "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) "
+                "FILTER (WHERE o_orderstatus = 'O'), 2) AS DOUBLE)"
+            ).alias("open_revenue"),
+            F.expr(
+                "CAST(MIN(o_orderkey) FILTER "
+                "(WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00') AS BIGINT)"
+            ).alias("first_1995_order"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "scd2_point_in_time_lookup",
+    oracle="""
+    WITH hist AS (
+      SELECT user_id, event_id, event_type, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM events WHERE user_id < 50),
+    probes AS (
+      SELECT unnest([TIMESTAMP '2024-01-10 12:00:00',
+                     TIMESTAMP '2024-01-20 00:30:00',
+                     TIMESTAMP '2024-01-29 23:00:00']) AS at_ts)
+    SELECT p.at_ts, h.user_id, h.event_id, h.event_type
+    FROM probes p JOIN hist h
+      ON h.valid_from <= p.at_ts
+     AND (h.valid_to IS NULL OR h.valid_to > p.at_ts)
+    ORDER BY at_ts, user_id
+    """,
+)
+def scd2_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal AS OF) lookup against the SCD2 history:
+    for each probe timestamp, the single active row per user — the
+    interval-containment join every type-2 dimension serves. The probe
+    side broadcasts; validity intervals come from one lead window."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    probes = spark.createDataFrame(
+        [("2024-01-10 12:00:00",), ("2024-01-20 00:30:00",),
+         ("2024-01-29 23:00:00",)],
+        "at_ts string",
+    ).select(F.col("at_ts").cast("timestamp").alias("at_ts"))
+    return (
+        hist.join(
+            F.broadcast(probes),
+            (F.col("valid_from") <= F.col("at_ts"))
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("at_ts"))),
+        )
+        .select("at_ts", "user_id", "event_id", "event_type")
+        .orderBy("at_ts", "user_id")
+    )
