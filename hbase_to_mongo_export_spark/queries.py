@@ -7176,3 +7176,143 @@ def scd2_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("at_ts", "user_id", "event_id", "event_type")
         .orderBy("at_ts", "user_id")
     )
+
+
+@register(
+    "market_basket_lift",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ob),
+    brand_n AS (SELECT p_brand, COUNT(*) AS n FROM ob GROUP BY p_brand),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS n_ab
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2)
+    SELECT p.brand_a, p.brand_b, p.n_ab,
+           ROUND(CAST(p.n_ab AS DOUBLE) / CAST((SELECT n_orders FROM n) AS DOUBLE), 6) AS support,
+           ROUND(CAST(p.n_ab AS DOUBLE) / CAST(na.n AS DOUBLE), 6) AS confidence_a_b,
+           ROUND(CAST(p.n_ab AS DOUBLE) * CAST((SELECT n_orders FROM n) AS DOUBLE) /
+                 (CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)), 6) AS lift
+    FROM pairs p
+    JOIN brand_n na ON na.p_brand = p.brand_a
+    JOIN brand_n nb ON nb.p_brand = p.brand_b
+    WHERE p.n_ab >= 20
+    ORDER BY lift DESC, brand_a, brand_b
+    LIMIT 25
+    """,
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule metrics for co-purchased brand pairs: support,
+    confidence, and lift from exact integer counts with one final double
+    division each. Lift > 1 marks genuinely associated pairs rather than
+    merely popular ones — the ranking the co-occurrence count alone gets
+    wrong. Brand-count table broadcasts; the pair self-join co-partitions
+    on the order key."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = ob.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    brand_n = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 20)
+    )
+    na = brand_n.select(F.col("p_brand").alias("brand_a"), F.col("n").alias("n_a"))
+    nb = brand_n.select(F.col("p_brand").alias("brand_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nb), "brand_b")
+        .join(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double") / F.col("n_orders").cast("double"), 6
+            ).alias("support"),
+            F.round(
+                F.col("n_ab").cast("double") / F.col("n_a").cast("double"), 6
+            ).alias("confidence_a_b"),
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("n_orders").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "brand_a", "brand_b")
+        .limit(25)
+    )
+
+
+@register(
+    "decile_migration_matrix",
+    oracle="""
+    WITH monthly AS (
+      SELECT o_custkey, date_trunc('month', o_orderdate) AS mon,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      FROM orders GROUP BY 1, 2),
+    ranked AS (
+      SELECT o_custkey, mon,
+             ntile(10) OVER (PARTITION BY mon
+                             ORDER BY spend DESC, o_custkey) AS decile
+      FROM monthly),
+    paired AS (
+      SELECT o_custkey, mon, decile,
+             lag(decile) OVER (PARTITION BY o_custkey ORDER BY mon)
+               AS prev_decile
+      FROM ranked)
+    SELECT prev_decile, decile, COUNT(*) AS n_customers
+    FROM paired WHERE prev_decile IS NOT NULL
+    GROUP BY prev_decile, decile
+    ORDER BY prev_decile, decile
+    """,
+)
+def decile_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend-decile migration month over month: monthly DECIMAL
+    spend → per-month ntile(10) (deterministic (spend desc, custkey)
+    tiebreak) → per-customer lag → transition-count matrix. The churn /
+    upsell movement view built from two windows and one aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("mon")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"))
+    ranked = monthly.select(
+        "o_custkey",
+        "mon",
+        F.ntile(10)
+        .over(
+            Window.partitionBy("mon").orderBy(F.desc("spend"), F.col("o_custkey"))
+        )
+        .alias("decile"),
+    )
+    paired = ranked.select(
+        "decile",
+        F.lag("decile")
+        .over(Window.partitionBy("o_custkey").orderBy("mon"))
+        .alias("prev_decile"),
+    ).filter(F.col("prev_decile").isNotNull())
+    return (
+        paired.groupBy("prev_decile", "decile")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("prev_decile", "decile")
+    )
