@@ -7213,10 +7213,13 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the order key."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
+    # (order, brand) feeds four consumers (order count, brand counts, and
+    # both self-join sides) — materialize the dedup once
     ob = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
+        .cache()
     )
     n_orders = ob.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).alias("n_orders")
