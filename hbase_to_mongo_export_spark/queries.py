@@ -7319,3 +7319,102 @@ def decile_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("prev_decile", "decile")
     )
+
+
+@register(
+    "theil_sen_revenue_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1),
+    slopes AS (
+      SELECT (b.rev - a.rev) /
+             CAST(date_diff('day', a.day, b.day) AS DOUBLE) AS slope
+      FROM daily a JOIN daily b ON a.day < b.day)
+    SELECT COUNT(*) AS n_pairs,
+           ROUND(quantile_cont(slope, 0.5), 4) AS theil_sen_slope,
+           ROUND(MIN(slope), 4) AS min_slope,
+           ROUND(MAX(slope), 4) AS max_slope
+    FROM slopes
+    """,
+)
+def theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimate of daily revenue: the median of
+    all pairwise slopes — immune to outlier days that wreck least
+    squares. Slopes come from exact DECIMAL daily sums cast once to
+    DOUBLE over integer day gaps, so every slope is bit-identical and
+    the median interpolation matches. The O(days²) pair join is over the
+    tiny daily aggregate, never the fact table."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("a.day") < F.col("b.day")).select(
+        (
+            (F.col("b.rev") - F.col("a.rev"))
+            / F.datediff(F.col("b.day"), F.col("a.day")).cast("double")
+        ).alias("slope")
+    )
+    return slopes.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.expr("percentile(slope, 0.5)"), 4).alias("theil_sen_slope"),
+        F.round(F.min("slope"), 4).alias("min_slope"),
+        F.round(F.max("slope"), 4).alias("max_slope"),
+    )
+
+
+@register(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id),
+    aged AS (
+      SELECT f.user_id,
+             date_trunc('week', f.first_ts) AS cohort_week,
+             CAST(date_diff('day', CAST(f.first_ts AS DATE), CAST(e.ts AS DATE)) // 7
+                  AS BIGINT) AS age_weeks,
+             CAST(e.value AS DECIMAL(18,4)) AS v
+      FROM events e JOIN firsts f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase'),
+    weekly AS (
+      SELECT cohort_week, age_weeks, SUM(v) AS rev
+      FROM aged GROUP BY 1, 2)
+    SELECT cohort_week, age_weeks,
+           CAST(ROUND(SUM(rev) OVER (PARTITION BY cohort_week ORDER BY age_weeks), 2)
+                AS DOUBLE) AS cum_revenue
+    FROM weekly
+    ORDER BY cohort_week, age_weeks
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: users grouped by first-seen week,
+    purchase revenue bucketed by account age in weeks, accumulated per
+    cohort with a running-sum window — the LTV payback view. Revenue
+    stays DECIMAL through the cumulative window (bit-stable), cast to
+    DOUBLE only in the final report."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    aged = purchases.join(firsts, "user_id").select(
+        F.date_trunc("week", "first_ts").cast("date").alias("cohort_week"),
+        (
+            F.datediff(F.col("ts").cast("date"), F.col("first_ts").cast("date"))
+            / F.lit(7)
+        )
+        .cast("bigint")
+        .alias("age_weeks"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    weekly = aged.groupBy("cohort_week", "age_weeks").agg(F.sum("v").alias("rev"))
+    w = Window.partitionBy("cohort_week").orderBy("age_weeks")
+    return weekly.select(
+        "cohort_week",
+        "age_weeks",
+        F.round(F.sum("rev").over(w), 2).cast("double").alias("cum_revenue"),
+    ).orderBy("cohort_week", "age_weeks")
