@@ -7418,3 +7418,113 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "age_weeks",
         F.round(F.sum("rev").over(w), 2).cast("double").alias("cum_revenue"),
     ).orderBy("cohort_week", "age_weeks")
+
+
+def _entropy_terms_sql(types=("click", "error", "purchase", "signup", "view")) -> str:
+    # fixed-order sum of -p*ln(p) terms, one per known event type; zero
+    # counts contribute 0 (CASE guard), so no NULL propagation
+    return " + ".join(
+        f"""(CASE WHEN n_{t} = 0 THEN CAST(0 AS DOUBLE)
+             ELSE -(CAST(n_{t} AS DOUBLE) / CAST(n AS DOUBLE)) *
+                   ln(CAST(n_{t} AS DOUBLE) / CAST(n AS DOUBLE)) END)"""
+        for t in types
+    )
+
+
+@register(
+    "user_activity_entropy",
+    oracle=f"""
+    WITH counts AS (
+      SELECT user_id,
+             COUNT(*) AS n,
+             {", ".join(f"COUNT(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+                        for t in ("click", "error", "purchase", "signup", "view"))}
+      FROM events GROUP BY user_id)
+    SELECT user_id, n,
+           ROUND({_entropy_terms_sql()}, 6) AS entropy
+    FROM counts
+    ORDER BY entropy DESC, user_id
+    LIMIT 20
+    """,
+)
+def user_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix — the classic
+    behavioral diversity feature. Per-type counts pivot via FILTER
+    aggregates and the -p·ln(p) terms add in a FIXED order over the
+    known type vocabulary, so the float arithmetic is bit-identical
+    across engines (a float sum over grouped rows would not be)."""
+    types = ("click", "error", "purchase", "signup", "view")
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.expr(f"COUNT(*) FILTER (WHERE event_type = '{t}')").alias(f"n_{t}")
+            for t in types
+        ],
+    )
+    return (
+        counts.select(
+            "user_id", "n", F.round(F.expr(_entropy_terms_sql(types)), 6).alias("entropy")
+        )
+        .orderBy(F.desc("entropy"), "user_id")
+        .limit(20)
+    )
+
+
+@register(
+    "orders_dow_seasonality",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             dayofweek(CAST(o_orderdate AS DATE)) AS dow,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1, 2),
+    stats AS (
+      SELECT dow, SUM(rev) AS dow_rev, COUNT(*) AS n_days FROM daily GROUP BY dow),
+    total AS (
+      SELECT SUM(dow_rev) AS all_rev, SUM(n_days) AS all_days FROM stats)
+    SELECT s.dow, s.n_days,
+           CAST(ROUND(s.dow_rev / s.n_days, 2) AS DOUBLE) AS avg_daily_rev,
+           ROUND((CAST(s.dow_rev AS DOUBLE) / CAST(s.n_days AS DOUBLE)) /
+                 (CAST((SELECT all_rev FROM total) AS DOUBLE) /
+                  CAST((SELECT all_days FROM total) AS DOUBLE)), 6) AS seasonality_index
+    FROM stats s
+    ORDER BY s.dow
+    """,
+)
+def orders_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index: average daily revenue per weekday
+    relative to the overall daily average (index 1.0 = typical day).
+    Daily sums stay DECIMAL; the index divides two exactly-derived
+    doubles once. DuckDB dayofweek is 0-6 Sunday-first; Spark's
+    dayofweek is 1-7, so the Spark side subtracts 1 to align."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day"),
+        (F.dayofweek(F.col("o_orderdate").cast("date")) - 1).alias("dow"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    stats = daily.groupBy("dow").agg(
+        F.sum("rev").alias("dow_rev"), F.count(F.lit(1)).alias("n_days")
+    )
+    total = stats.agg(
+        F.sum("dow_rev").alias("all_rev"), F.sum("n_days").alias("all_days")
+    )
+    return (
+        stats.join(F.broadcast(total))
+        .select(
+            "dow",
+            "n_days",
+            F.round(F.col("dow_rev") / F.col("n_days"), 2)
+            .cast("double")
+            .alias("avg_daily_rev"),
+            F.round(
+                (F.col("dow_rev").cast("double") / F.col("n_days").cast("double"))
+                / (
+                    F.col("all_rev").cast("double")
+                    / F.col("all_days").cast("double")
+                ),
+                6,
+            ).alias("seasonality_index"),
+        )
+        .orderBy("dow")
+    )
