@@ -7528,3 +7528,151 @@ def orders_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+@register(
+    "user_interevent_gap_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)) AS gap_us
+      FROM events),
+    g AS (SELECT user_id, gap_us FROM gaps WHERE gap_us IS NOT NULL)
+    SELECT user_id,
+           COUNT(*) AS n_gaps,
+           ROUND(quantile_cont(gap_us, 0.5) / CAST(3600000000 AS DOUBLE), 4)
+             AS median_gap_hours,
+           ROUND(CAST(MIN(gap_us) AS DOUBLE) / CAST(3600000000 AS DOUBLE), 4)
+             AS min_gap_hours,
+           ROUND(CAST(MAX(gap_us) AS DOUBLE) / CAST(3600000000 AS DOUBLE), 4)
+             AS max_gap_hours
+    FROM g
+    GROUP BY user_id
+    HAVING COUNT(*) >= 10
+    ORDER BY user_id
+    """,
+)
+def user_interevent_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap distribution (median/min/max hours) from
+    exact microsecond lag differences — the activity-cadence feature
+    behind churn models. One per-user window, one grouped percentile;
+    interpolation over exact integers is bit-stable."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    hours = "CAST(3600000000 AS DOUBLE)"
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(
+                F.expr(f"percentile(gap_us, 0.5) / {hours}"), 4
+            ).alias("median_gap_hours"),
+            F.round(F.expr(f"CAST(MIN(gap_us) AS DOUBLE) / {hours}"), 4).alias(
+                "min_gap_hours"
+            ),
+            F.round(F.expr(f"CAST(MAX(gap_us) AS DOUBLE) / {hours}"), 4).alias(
+                "max_gap_hours"
+            ),
+        )
+        .filter(F.col("n_gaps") >= 10)
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_burst_minutes",
+    oracle="""
+    WITH per_min AS (
+      SELECT date_trunc('minute', ts) AS minute, COUNT(*) AS c
+      FROM events GROUP BY 1),
+    moments AS (
+      SELECT COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS ss FROM per_min)
+    SELECT p.minute, p.c AS n_events,
+           ROUND((CAST(p.c AS DOUBLE) - CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE)) /
+                 sqrt((CAST(m.ss AS DOUBLE) - CAST(m.s AS DOUBLE) *
+                       CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE)) /
+                      CAST(m.n - 1 AS DOUBLE)), 4) AS z
+    FROM per_min p CROSS JOIN moments m
+    WHERE (CAST(p.c AS DOUBLE) - CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE)) /
+          sqrt((CAST(m.ss AS DOUBLE) - CAST(m.s AS DOUBLE) *
+                CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE)) /
+               CAST(m.n - 1 AS DOUBLE)) > CAST(3 AS DOUBLE)
+    ORDER BY minute
+    """,
+)
+def events_burst_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-burst detection: minute-bucket counts flagged when more
+    than 3 sample standard deviations above the mean. The moments (n,
+    Σc, Σc²) are exact integers, so mean/stddev — and therefore every
+    flag decision — are bit-identical; no per-row float aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    per_min = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("minute")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    moments = per_min.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n").cast("double")
+    ) / (F.col("n") - 1).cast("double")
+    z = (F.col("c").cast("double") - mean) / F.sqrt(var)
+    return (
+        per_min.join(F.broadcast(moments))
+        .filter(z > F.lit(3).cast("double"))
+        .select("minute", F.col("c").alias("n_events"), F.round(z, 4).alias("z"))
+        .orderBy("minute")
+    )
+
+
+@register(
+    "shipping_delay_stats",
+    oracle="""
+    WITH delays AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS delay_days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           ROUND(quantile_cont(delay_days, 0.5), 2) AS p50_days,
+           ROUND(quantile_cont(delay_days, 0.95), 2) AS p95_days,
+           CAST(MAX(delay_days) AS BIGINT) AS max_days,
+           SUM(CASE WHEN delay_days > 90 THEN 1 ELSE 0 END) AS n_late
+    FROM delays
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def shipping_delay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency KPI per priority class: integer day deltas
+    through interpolated percentiles plus an SLA-breach count. The
+    orders-lineitem join shuffles once on the order key; everything
+    after is one grouped aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    delays = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("delay_days"),
+    )
+    return (
+        delays.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.expr("percentile(delay_days, 0.5)"), 2).alias("p50_days"),
+            F.round(F.expr("percentile(delay_days, 0.95)"), 2).alias("p95_days"),
+            F.max("delay_days").cast("bigint").alias("max_days"),
+            F.sum(F.when(F.col("delay_days") > 90, 1).otherwise(0)).alias("n_late"),
+        )
+        .orderBy("o_orderpriority")
+    )
