@@ -7676,3 +7676,116 @@ def shipping_delay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                       DATE '1998-12-31') AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT o_custkey,
+             ntile(5) OVER (ORDER BY recency_days ASC, o_custkey) AS r,
+             ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+             ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m
+      FROM rfm)
+    SELECT r, f, m, COUNT(*) AS n_customers,
+           CAST(MIN(o_custkey) AS BIGINT) AS example_customer
+    FROM scored
+    GROUP BY r, f, m
+    ORDER BY r, f, m
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency (days before a fixed reference date),
+    frequency, and DECIMAL monetary value per customer, each cut into
+    quintiles with deterministic customer-id tiebreaks, then segment
+    sizes — the classic marketing cube, 125 cells max. Single scan, one
+    aggregate, three windows over the small per-customer table."""
+    orders = _t(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("1998-12-31").cast("date"),
+            F.max("o_orderdate").cast("date"),
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        F.ntile(5).over(Window.orderBy(F.asc("recency_days"), F.col("o_custkey"))).alias("r"),
+        F.ntile(5).over(Window.orderBy(F.desc("frequency"), F.col("o_custkey"))).alias("f"),
+        F.ntile(5).over(Window.orderBy(F.desc("monetary"), F.col("o_custkey"))).alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("o_custkey").cast("bigint").alias("example_customer"),
+        )
+        .orderBy("r", "f", "m")
+    )
+
+
+@register(
+    "events_slo_burn_rate",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE event_type = 'error') AS n_err
+      FROM events GROUP BY 1),
+    windowed AS (
+      SELECT hour, n, n_err,
+             SUM(n) OVER w6 AS n_6h, SUM(n_err) OVER w6 AS err_6h
+      FROM hourly
+      WINDOW w6 AS (ORDER BY hour ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+    SELECT hour, n, n_err,
+           ROUND((CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE)) /
+                 CAST(0.2 AS DOUBLE), 4) AS burn_1h,
+           ROUND((CAST(err_6h AS DOUBLE) / CAST(n_6h AS DOUBLE)) /
+                 CAST(0.2 AS DOUBLE), 4) AS burn_6h
+    FROM windowed
+    WHERE (CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE)) /
+          CAST(0.2 AS DOUBLE) > CAST(1 AS DOUBLE)
+    ORDER BY hour
+    """,
+)
+def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn rate (SRE alerting): hourly error ratio over
+    a 20% error budget, with the 6-hour window alongside so a one-hour
+    spike can be distinguished from sustained burn. Counts stay integer
+    until the single ratio division; flagged hours are those burning
+    budget faster than 1x."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("COUNT(*) FILTER (WHERE event_type = 'error')").alias("n_err"),
+    )
+    w6 = Window.orderBy("hour").rowsBetween(-5, 0)
+    windowed = hourly.select(
+        "hour",
+        "n",
+        "n_err",
+        F.sum("n").over(w6).alias("n_6h"),
+        F.sum("n_err").over(w6).alias("err_6h"),
+    )
+    slo = F.lit(0.2).cast("double")
+    burn1 = (F.col("n_err").cast("double") / F.col("n").cast("double")) / slo
+    burn6 = (F.col("err_6h").cast("double") / F.col("n_6h").cast("double")) / slo
+    return (
+        windowed.filter(burn1 > F.lit(1).cast("double"))
+        .select(
+            "hour",
+            "n",
+            "n_err",
+            F.round(burn1, 4).alias("burn_1h"),
+            F.round(burn6, 4).alias("burn_6h"),
+        )
+        .orderBy("hour")
+    )
