@@ -7789,3 +7789,148 @@ def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+@register(
+    "supplier_concentration_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_brand, l.l_suppkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS r
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2),
+    agg AS (
+      SELECT p_brand,
+             COUNT(*) AS n_suppliers,
+             SUM(r) AS total,
+             SUM(r * r) AS total_sq
+      FROM rev GROUP BY p_brand)
+    SELECT p_brand, n_suppliers,
+           ROUND(CAST(total_sq AS DOUBLE) /
+                 (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)), 6) AS hhi
+    FROM agg
+    ORDER BY hhi DESC, p_brand
+    LIMIT 15
+    """,
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain concentration risk: the Herfindahl-Hirschman index of
+    supplier revenue share per part brand, computed as Σr²/(Σr)² with
+    BOTH sums in exact DECIMAL — so no float share is ever summed and
+    the index is bit-stable. HHI near 1 = single-supplier brand (the
+    procurement red flag); near 1/n = evenly spread."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("r"))
+    )
+    agg = rev.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("r").alias("total"),
+        F.sum(F.col("r") * F.col("r")).alias("total_sq"),
+    )
+    return (
+        agg.select(
+            "p_brand",
+            "n_suppliers",
+            F.round(
+                F.col("total_sq").cast("double")
+                / (F.col("total").cast("double") * F.col("total").cast("double")),
+                6,
+            ).alias("hhi"),
+        )
+        .orderBy(F.desc("hhi"), "p_brand")
+        .limit(15)
+    )
+
+
+@register(
+    "nation_trade_balance",
+    oracle="""
+    WITH flows AS (
+      SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                 CAST(1 - l.l_discount AS DECIMAL(9,4))) AS volume
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      WHERE sn.n_name <> cn.n_name
+      GROUP BY 1, 2),
+    exports AS (
+      SELECT supp_nation AS nation, SUM(volume) AS exports FROM flows GROUP BY 1),
+    imports AS (
+      SELECT cust_nation AS nation, SUM(volume) AS imports FROM flows GROUP BY 1)
+    SELECT COALESCE(e.nation, i.nation) AS nation,
+           CAST(ROUND(COALESCE(e.exports, 0), 2) AS DOUBLE) AS exports,
+           CAST(ROUND(COALESCE(i.imports, 0), 2) AS DOUBLE) AS imports,
+           CAST(ROUND(COALESCE(e.exports, 0) - COALESCE(i.imports, 0), 2) AS DOUBLE)
+             AS balance
+    FROM exports e FULL OUTER JOIN imports i ON e.nation = i.nation
+    ORDER BY nation
+    """,
+)
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-nation trade balance: discounted line revenue flows from
+    supplier nation to customer nation (intra-nation flows excluded),
+    folded into per-nation exports, imports, and balance via a full
+    outer join — Q7's flow matrix taken one step further. All sums in
+    exact DECIMAL, dimensions broadcast, the fact shuffles once per
+    grouping key."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sn = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    flows = (
+        li.join(F.broadcast(sup), sup.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(sn), F.col("sn_key") == sup.s_nationkey)
+        .join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(cust), cust.c_custkey == orders.o_custkey)
+        .join(F.broadcast(cn), F.col("cn_key") == cust.c_nationkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(9,4)")
+            ).alias("volume")
+        )
+    )
+    exports = flows.groupBy(F.col("supp_nation").alias("nation")).agg(
+        F.sum("volume").alias("exports")
+    )
+    imports = flows.groupBy(F.col("cust_nation").alias("nation")).agg(
+        F.sum("volume").alias("imports")
+    )
+    zero = F.lit(0).cast("decimal(38,6)")
+    return (
+        exports.join(imports, "nation", "full_outer")
+        .select(
+            "nation",
+            F.round(F.coalesce(F.col("exports"), zero), 2)
+            .cast("double")
+            .alias("exports"),
+            F.round(F.coalesce(F.col("imports"), zero), 2)
+            .cast("double")
+            .alias("imports"),
+            F.round(
+                F.coalesce(F.col("exports"), zero)
+                - F.coalesce(F.col("imports"), zero),
+                2,
+            )
+            .cast("double")
+            .alias("balance"),
+        )
+        .orderBy("nation")
+    )
