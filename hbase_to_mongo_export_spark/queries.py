@@ -7934,3 +7934,109 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "doc_readability",
+    oracle="""
+    WITH stats AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
+             GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_vowel_groups
+      FROM documents)
+    SELECT doc_id, n_words, n_sentences, n_vowel_groups,
+           ROUND(CAST(206.835 AS DOUBLE) -
+                 CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) /
+                                          CAST(n_sentences AS DOUBLE)) -
+                 CAST(84.6 AS DOUBLE) * (CAST(n_vowel_groups AS DOUBLE) /
+                                         CAST(GREATEST(n_words, 1) AS DOUBLE)),
+                 4) AS flesch_proxy
+    FROM stats
+    ORDER BY flesch_proxy DESC, doc_id
+    LIMIT 25
+    """,
+)
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-reading-ease proxy per document: words/sentence and a
+    vowel-group syllable proxy, all from regexp counts (integers) pushed
+    through the fixed formula once — deterministic, no linguistic
+    libraries. The 'too hard / too easy' band is a standard
+    training-data quality filter."""
+    docs = _t(spark, sf_dir, "documents")
+    n_words = F.when(F.trim(F.col("text")) == "", 0).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    n_sent = F.greatest(F.expr("regexp_count(text, '[.!?]+')"), F.lit(1))
+    n_vg = F.expr("regexp_count(lower(text), '[aeiouy]+')")
+    stats = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_vg.alias("n_vowel_groups"),
+    )
+    score = F.round(
+        F.lit(206.835).cast("double")
+        - F.lit(1.015).cast("double")
+        * (F.col("n_words").cast("double") / F.col("n_sentences").cast("double"))
+        - F.lit(84.6).cast("double")
+        * (
+            F.col("n_vowel_groups").cast("double")
+            / F.greatest(F.col("n_words"), F.lit(1)).cast("double")
+        ),
+        4,
+    )
+    return (
+        stats.select(
+            "doc_id", "n_words", "n_sentences", "n_vowel_groups",
+            score.alias("flesch_proxy"),
+        )
+        .orderBy(F.desc("flesch_proxy"), "doc_id")
+        .limit(25)
+    )
+
+
+@register(
+    "keyword_in_context",
+    oracle="""
+    WITH hits AS (
+      SELECT doc_id, text,
+             position('customer' IN lower(text)) AS pos
+      FROM documents
+      WHERE position('customer' IN lower(text)) > 0)
+    SELECT doc_id, pos,
+           substring(text, GREATEST(pos - 20, 1),
+                     pos - GREATEST(pos - 20, 1)) AS left_ctx,
+           substring(text, pos, 8) AS keyword,
+           substring(text, pos + 8, 20) AS right_ctx
+    FROM hits
+    ORDER BY doc_id
+    LIMIT 50
+    """,
+)
+def keyword_in_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC (keyword-in-context) concordance for a fixed term: first
+    occurrence position via `position`, left/right context windows via
+    arithmetic substrings — the corpus-inspection tool, entirely
+    JVM-side string ops with identical 1-based substring semantics in
+    both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    pos = F.expr("position('customer' IN lower(text))")
+    hits = docs.select("doc_id", "text", pos.alias("pos")).filter(
+        F.col("pos") > 0
+    )
+    left_start = F.greatest(F.col("pos") - 20, F.lit(1))
+    return (
+        hits.select(
+            "doc_id",
+            "pos",
+            F.expr(
+                "substring(text, GREATEST(pos - 20, 1), pos - GREATEST(pos - 20, 1))"
+            ).alias("left_ctx"),
+            F.expr("substring(text, pos, 8)").alias("keyword"),
+            F.expr("substring(text, pos + 8, 20)").alias("right_ctx"),
+        )
+        .orderBy("doc_id")
+        .limit(50)
+    )
