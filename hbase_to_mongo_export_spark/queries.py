@@ -8040,3 +8040,140 @@ def keyword_in_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(50)
     )
+
+
+@register(
+    "active_user_stickiness",
+    oracle="""
+    WITH dau AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1),
+    wau AS (
+      SELECT date_trunc('week', ts) AS week, COUNT(DISTINCT user_id) AS wau
+      FROM events GROUP BY 1),
+    mau AS (SELECT COUNT(DISTINCT user_id) AS mau FROM events)
+    SELECT d.day, d.dau,
+           w.wau,
+           (SELECT mau FROM mau) AS mau,
+           ROUND(CAST(d.dau AS DOUBLE) / CAST((SELECT mau FROM mau) AS DOUBLE), 6)
+             AS stickiness
+    FROM dau d
+    JOIN wau w ON w.week = date_trunc('week', CAST(d.day AS TIMESTAMP))
+    ORDER BY d.day
+    """,
+)
+def active_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU growth metrics with the DAU/MAU stickiness ratio —
+    three distinct-count grains joined back to the daily spine. Each
+    grain is one hash-distinct aggregate; the week/month tables are tiny
+    and broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    dau = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    wau = ev.groupBy(F.date_trunc("week", "ts").alias("week")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    mau = ev.agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        dau.join(
+            F.broadcast(wau),
+            wau.week == F.date_trunc("week", F.col("day").cast("timestamp")),
+        )
+        .join(F.broadcast(mau))
+        .select(
+            "day",
+            "dau",
+            "wau",
+            "mau",
+            F.round(
+                F.col("dau").cast("double") / F.col("mau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "repeat_purchase_distribution",
+    oracle="""
+    WITH freq AS (
+      SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey),
+    hist AS (
+      SELECT n_orders, COUNT(*) AS n_customers FROM freq GROUP BY n_orders),
+    tot AS (SELECT SUM(n_customers) AS total FROM hist)
+    SELECT n_orders, n_customers,
+           ROUND(CAST(n_customers AS DOUBLE) /
+                 CAST((SELECT total FROM tot) AS DOUBLE), 6) AS share,
+           CAST(SUM(n_customers) OVER (ORDER BY n_orders) AS BIGINT) AS cum_customers
+    FROM hist
+    ORDER BY n_orders
+    """,
+)
+def repeat_purchase_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase histogram: how many customers placed exactly N
+    orders, with share and cumulative counts — the retention shape every
+    commerce dashboard opens with. Two nested integer aggregates and one
+    running-sum window over the tiny histogram."""
+    orders = _t(spark, sf_dir, "orders")
+    freq = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    hist = freq.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+    tot = hist.agg(F.sum("n_customers").alias("total"))
+    w = Window.orderBy("n_orders")
+    return (
+        hist.join(F.broadcast(tot))
+        .select(
+            "n_orders",
+            "n_customers",
+            F.round(
+                F.col("n_customers").cast("double") / F.col("total").cast("double"),
+                6,
+            ).alias("share"),
+            F.sum("n_customers").over(w).cast("bigint").alias("cum_customers"),
+        )
+        .orderBy("n_orders")
+    )
+
+
+@register(
+    "embedding_dimension_stats",
+    oracle="""
+    WITH vals AS (
+      SELECT unnest(range(1, len(embedding)+1)) AS dim,
+             unnest([CAST(ROUND(CAST(x AS DOUBLE), 6) AS DECIMAL(12,6))
+                     FOR x IN embedding]) AS v
+      FROM embeddings)
+    SELECT dim, COUNT(*) AS n,
+           ROUND(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_v,
+           CAST(MIN(v) AS DOUBLE) AS min_v,
+           CAST(MAX(v) AS DOUBLE) AS max_v
+    FROM vals GROUP BY dim
+    ORDER BY dim
+    """,
+)
+def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (mean/min/max across the
+    corpus) — the hygiene view that exposes dead dimensions, scale
+    drift, or a miswired encoder. Each float rounds into DECIMAL before
+    the column sums, so the per-dimension means are exact and identical
+    under any row ordering; min/max are order-free anyway."""
+    emb = _t(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        F.posexplode(
+            F.expr(
+                "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE), 6) AS DECIMAL(12,6)))"
+            )
+        ).alias("dim0", "v")
+    ).select((F.col("dim0") + 1).alias("dim"), "v")
+    return (
+        vals.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum("v").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("mean_v"),
+            F.min("v").cast("double").alias("min_v"),
+            F.max("v").cast("double").alias("max_v"),
+        )
+        .orderBy("dim")
+    )
