@@ -8177,3 +8177,103 @@ def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+@register(
+    "orders_gini_coefficient",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i FROM spend),
+    sums AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x * i) AS sxi FROM ranked)
+    SELECT n,
+           CAST(ROUND(sx, 2) AS DOUBLE) AS total_spend,
+           ROUND(CAST(2 AS DOUBLE) * CAST(sxi AS DOUBLE) /
+                 (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) -
+                 (CAST(n AS DOUBLE) + CAST(1 AS DOUBLE)) / CAST(n AS DOUBLE),
+                 6) AS gini
+    FROM sums
+    """,
+)
+def orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the revenue-inequality KPI.
+    Uses the rank formulation G = 2·Σi·x(i)/(n·Σx) − (n+1)/n over spend
+    sorted ascending with a customer-id tiebreak; Σx and Σi·x stay exact
+    DECIMAL so the one double evaluation at the end is bit-stable."""
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
+    )
+    ranked = spend.select(
+        "x",
+        F.row_number()
+        .over(Window.orderBy(F.col("x"), F.col("o_custkey")))
+        .alias("i"),
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("i")).alias("sxi"),
+    )
+    nd = F.col("n").cast("double")
+    gini = F.round(
+        F.lit(2).cast("double")
+        * F.col("sxi").cast("double")
+        / (nd * F.col("sx").cast("double"))
+        - (nd + F.lit(1).cast("double")) / nd,
+        6,
+    )
+    return sums.select(
+        "n",
+        F.round(F.col("sx"), 2).cast("double").alias("total_spend"),
+        gini.alias("gini"),
+    )
+
+
+@register(
+    "orders_daily_dispersion",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS c
+      FROM orders GROUP BY 1),
+    m AS (SELECT COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS ss FROM daily)
+    SELECT n AS n_days,
+           CAST(s AS BIGINT) AS n_orders,
+           ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean_per_day,
+           ROUND((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+                  CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE), 4) AS variance,
+           ROUND(((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+                   CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) /
+                 (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 4) AS dispersion_index
+    FROM m
+    """,
+)
+def orders_daily_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispersion index (variance/mean) of daily order counts — the
+    Poisson-ness check: ≈1 means memoryless arrivals, >1 means bursty
+    demand, <1 means regularized flow. Exact integer moments (n, Σc,
+    Σc²) with double evaluation only at the end."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    mean = sd / nd
+    var = (ssd - sd * sd / nd) / (F.col("n") - 1).cast("double")
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.col("s").cast("bigint").alias("n_orders"),
+        F.round(mean, 4).alias("mean_per_day"),
+        F.round(var, 4).alias("variance"),
+        F.round(var / mean, 4).alias("dispersion_index"),
+    )
