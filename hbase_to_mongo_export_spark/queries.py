@@ -8277,3 +8277,110 @@ def orders_daily_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var, 4).alias("variance"),
         F.round(var / mean, 4).alias("dispersion_index"),
     )
+
+
+@register(
+    "lineitem_discount_tax_crosstab",
+    oracle="""
+    SELECT CASE WHEN l_discount < 0.03 THEN 'low'
+                WHEN l_discount < 0.07 THEN 'mid' ELSE 'high' END AS discount_band,
+           CASE WHEN l_tax < 0.03 THEN 'low'
+                WHEN l_tax < 0.06 THEN 'mid' ELSE 'high' END AS tax_band,
+           COUNT(*) AS n_lines,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    GROUP BY 1, 2
+    ORDER BY discount_band, tax_band
+    """,
+)
+def lineitem_discount_tax_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dimensional banding cross-tab: revenue by discount band × tax
+    band — one scan, one grouped aggregate over derived categorical
+    dimensions, DECIMAL-exact revenue."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = (
+        F.when(F.col("l_discount") < 0.03, "low")
+        .when(F.col("l_discount") < 0.07, "mid")
+        .otherwise("high")
+    )
+    tax = (
+        F.when(F.col("l_tax") < 0.03, "low")
+        .when(F.col("l_tax") < 0.06, "mid")
+        .otherwise("high")
+    )
+    return (
+        li.groupBy(disc.alias("discount_band"), tax.alias("tax_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("discount_band", "tax_band")
+    )
+
+
+@register(
+    "customer_abc_classes",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT o_custkey, x,
+             SUM(x) OVER (ORDER BY x DESC, o_custkey) AS cum,
+             (SELECT SUM(x) FROM spend) AS total
+      FROM spend),
+    classed AS (
+      SELECT o_custkey, x,
+             CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE)
+                       <= CAST(0.8 AS DOUBLE) THEN 'A'
+                  WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE)
+                       <= CAST(0.95 AS DOUBLE) THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked)
+    SELECT abc, COUNT(*) AS n_customers,
+           CAST(ROUND(SUM(x), 2) AS DOUBLE) AS revenue,
+           ROUND(CAST(SUM(x) AS DOUBLE) /
+                 CAST((SELECT SUM(x) FROM spend) AS DOUBLE), 6) AS revenue_share
+    FROM classed
+    GROUP BY abc
+    ORDER BY abc
+    """,
+)
+def customer_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC revenue classification: customers sorted by spend, classed A
+    while the cumulative share stays within 80%, B to 95%, C after —
+    inventory-management's pareto buckets. The cumulative window runs on
+    exact DECIMAL; each class decision divides two exact values once, so
+    boundary assignments are bit-stable."""
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
+    )
+    total = spend.agg(F.sum("x").alias("total"))
+    w = Window.orderBy(F.desc("x"), F.col("o_custkey"))
+    ranked = spend.join(F.broadcast(total)).select(
+        "o_custkey", "x", F.sum("x").over(w).alias("cum"), "total"
+    )
+    share = F.col("cum").cast("double") / F.col("total").cast("double")
+    classed = ranked.select(
+        "x",
+        "total",
+        F.when(share <= F.lit(0.8).cast("double"), "A")
+        .when(share <= F.lit(0.95).cast("double"), "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("x"), 2).cast("double").alias("revenue"),
+            F.round(
+                F.sum("x").cast("double") / F.max("total").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc")
+    )
