@@ -8384,3 +8384,100 @@ def customer_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc")
     )
+
+
+@register(
+    "dedup_index_cost_estimate",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([list_aggregate(words[i:i+2], 'string_agg', ' ')
+                                   FOR i IN range(1, len(words) - 1)])) AS s
+      FROM (SELECT doc_id,
+                   string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS words
+            FROM documents)
+      WHERE len(words) >= 3),
+    dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s)
+    SELECT (SELECT COUNT(DISTINCT doc_id) FROM sh) AS n_docs,
+           COUNT(*) AS n_distinct_shingles,
+           CAST(SUM(df) AS BIGINT) AS n_postings,
+           CAST(SUM(df * df) AS BIGINT) AS sum_df_sq,
+           CAST(MAX(df) AS BIGINT) AS max_df,
+           CAST(SUM(df * (df - 1)) // 2 AS BIGINT) AS candidate_pairs
+    FROM dfreq
+    """,
+)
+def dedup_index_cost_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index join cost planner: before running an exact
+    similarity join at scale, this one aggregate reports the exact cost
+    drivers — posting count, Σdf² (the join's row product), the hottest
+    shingle, and the implied candidate-pair count Σ df·(df−1)/2. At
+    100 TB you run THIS first and pick prefix filtering / stop-listing /
+    LSH from its output; all integers, so the plan inputs are exact."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup_mod._fan_out(docs).select(
+        "doc_id",
+        F.explode(dedup_mod.word_shingles(F.col("text"), 3)).alias("s"),
+    )
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = sh.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        dfreq.agg(
+            F.count(F.lit(1)).alias("n_distinct_shingles"),
+            F.sum("df").cast("bigint").alias("n_postings"),
+            F.sum(F.col("df") * F.col("df")).cast("bigint").alias("sum_df_sq"),
+            F.max("df").cast("bigint").alias("max_df"),
+            F.expr("CAST(SUM(df * (df - 1)) div 2 AS BIGINT)").alias(
+                "candidate_pairs"
+            ),
+        )
+        .join(F.broadcast(n_docs))
+        .select(
+            "n_docs", "n_distinct_shingles", "n_postings", "sum_df_sq",
+            "max_df", "candidate_pairs",
+        )
+    )
+
+
+@register(
+    "dau_week_over_week",
+    oracle="""
+    WITH dau AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1),
+    wow AS (
+      SELECT day, dau,
+             lag(dau, 7) OVER (ORDER BY day) AS dau_prev_week
+      FROM dau)
+    SELECT day, dau, dau_prev_week,
+           ROUND((CAST(dau AS DOUBLE) - CAST(dau_prev_week AS DOUBLE)) /
+                 CAST(dau_prev_week AS DOUBLE), 6) AS wow_change
+    FROM wow
+    WHERE dau_prev_week IS NOT NULL
+    ORDER BY day
+    """,
+)
+def dau_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week DAU change: lag(7) against the daily-active spine
+    (same weekday comparison, so weekly seasonality cancels) with one
+    ratio division — the growth-trend primitive."""
+    ev = _t(spark, sf_dir, "events")
+    dau = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    w = Window.orderBy("day")
+    wow = dau.select(
+        "day", "dau", F.lag("dau", 7).over(w).alias("dau_prev_week")
+    ).filter(F.col("dau_prev_week").isNotNull())
+    return wow.select(
+        "day",
+        "dau",
+        "dau_prev_week",
+        F.round(
+            (F.col("dau").cast("double") - F.col("dau_prev_week").cast("double"))
+            / F.col("dau_prev_week").cast("double"),
+            6,
+        ).alias("wow_change"),
+    ).orderBy("day")
