@@ -8481,3 +8481,107 @@ def dau_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("wow_change"),
     ).orderBy("day")
+
+
+@register(
+    "events_winsorized_stats",
+    oracle="""
+    WITH caps AS (
+      SELECT quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events),
+    capped AS (
+      SELECT CAST(ROUND(CASE WHEN value < (SELECT lo FROM caps) THEN (SELECT lo FROM caps)
+                             WHEN value > (SELECT hi FROM caps) THEN (SELECT hi FROM caps)
+                             ELSE value END, 6) AS DECIMAL(18,6)) AS v,
+             CAST(ROUND(value, 6) AS DECIMAL(18,6)) AS raw
+      FROM events)
+    SELECT COUNT(*) AS n,
+           ROUND(CAST((SELECT lo FROM caps) AS DOUBLE), 4) AS cap_lo,
+           ROUND(CAST((SELECT hi FROM caps) AS DOUBLE), 4) AS cap_hi,
+           ROUND(CAST(SUM(raw) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS mean_raw,
+           ROUND(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS mean_winsorized,
+           SUM(CASE WHEN v <> raw THEN 1 ELSE 0 END) AS n_capped
+    FROM capped
+    """,
+)
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust mean: cap values at the 5th/95th percentiles and
+    compare against the raw mean — the outlier-taming transform feature
+    pipelines apply before scaling. Capped and raw values round into
+    DECIMAL before summation (exact under any row order); means divide
+    once in DOUBLE; the percentile caps interpolate identically."""
+    ev = _t(spark, sf_dir, "events")
+    caps = ev.agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    capped = ev.join(F.broadcast(caps)).select(
+        F.round(
+            F.when(F.col("value") < F.col("lo"), F.col("lo"))
+            .when(F.col("value") > F.col("hi"), F.col("hi"))
+            .otherwise(F.col("value")),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("v"),
+        F.round(F.col("value"), 6).cast("decimal(18,6)").alias("raw"),
+        "lo",
+        "hi",
+    )
+    return capped.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.max("lo").cast("double"), 4).alias("cap_lo"),
+        F.round(F.max("hi").cast("double"), 4).alias("cap_hi"),
+        F.round(
+            F.sum("raw").cast("double") / F.count(F.lit(1)).cast("double"), 4
+        ).alias("mean_raw"),
+        F.round(
+            F.sum("v").cast("double") / F.count(F.lit(1)).cast("double"), 4
+        ).alias("mean_winsorized"),
+        F.sum(F.when(F.col("v") != F.col("raw"), 1).otherwise(0)).alias(
+            "n_capped"
+        ),
+    )
+
+
+@register(
+    "lineitem_quantity_mode",
+    oracle="""
+    WITH counts AS (
+      SELECT l_returnflag, l_quantity, COUNT(*) AS c
+      FROM lineitem GROUP BY 1, 2),
+    best AS (
+      SELECT l_returnflag, l_quantity AS mode_quantity, c AS mode_count
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                         ORDER BY c DESC, l_quantity) AS rn
+            FROM counts)
+      WHERE rn = 1)
+    SELECT l_returnflag, CAST(mode_quantity AS DOUBLE) AS mode_quantity,
+           mode_count
+    FROM best
+    ORDER BY l_returnflag
+    """,
+)
+def lineitem_quantity_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode per group: value-count aggregate then a
+    tie-broken row_number — unlike the built-in `mode()` whose tie
+    winner is arbitrary, this pins (count desc, value asc) so the result
+    is reproducible and oracle-checkable."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("c"), F.col("l_quantity")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").cast("double").alias("mode_quantity"),
+            F.col("c").alias("mode_count"),
+        )
+        .orderBy("l_returnflag")
+    )
