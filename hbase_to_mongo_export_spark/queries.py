@@ -8585,3 +8585,100 @@ def lineitem_quantity_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "region_revenue_share",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                 CAST(1 - l.l_discount AS DECIMAL(9,4))) AS revenue
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1),
+    tot AS (SELECT SUM(revenue) AS total FROM rev)
+    SELECT region,
+           CAST(ROUND(revenue, 2) AS DOUBLE) AS revenue,
+           ROUND(CAST(revenue AS DOUBLE) /
+                 CAST((SELECT total FROM tot) AS DOUBLE), 6) AS share
+    FROM rev
+    ORDER BY region
+    """,
+)
+def region_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regional revenue mix: discounted line revenue rolled to the
+    5-region grain with exact DECIMAL sums and one share division —
+    dimensions broadcast down the snowflake, the fact shuffles once."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    rev = (
+        li.join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(cust), cust.c_custkey == orders.o_custkey)
+        .join(F.broadcast(nat), nat.n_nationkey == cust.c_nationkey)
+        .join(F.broadcast(reg), reg.r_regionkey == nat.n_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(9,4)")
+            ).alias("revenue")
+        )
+    )
+    tot = rev.agg(F.sum("revenue").alias("total"))
+    return (
+        rev.join(F.broadcast(tot))
+        .select(
+            "region",
+            F.round(F.col("revenue"), 2).cast("double").alias("revenue"),
+            F.round(
+                F.col("revenue").cast("double") / F.col("total").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("region")
+    )
+
+
+@register(
+    "events_hourly_profile",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(hour(ts) AS INT) AS hour_of_day, COUNT(*) AS n
+      FROM events GROUP BY 1),
+    tot AS (SELECT SUM(n) AS total, MAX(n) AS peak FROM hourly)
+    SELECT hour_of_day, n,
+           ROUND(CAST(n AS DOUBLE) /
+                 CAST((SELECT total FROM tot) AS DOUBLE), 6) AS share,
+           CASE WHEN n = (SELECT peak FROM tot) THEN 1 ELSE 0 END AS is_peak
+    FROM hourly
+    ORDER BY hour_of_day
+    """,
+)
+def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day activity profile (UTC session, so hour extraction
+    agrees across engines) with traffic share and peak-hour flag — the
+    capacity-planning histogram."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.hour("ts").cast("int").alias("hour_of_day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = hourly.agg(F.sum("n").alias("total"), F.max("n").alias("peak"))
+    return (
+        hourly.join(F.broadcast(tot))
+        .select(
+            "hour_of_day",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("total").cast("double"), 6
+            ).alias("share"),
+            F.when(F.col("n") == F.col("peak"), 1).otherwise(0).alias("is_peak"),
+        )
+        .orderBy("hour_of_day")
+    )
