@@ -8682,3 +8682,69 @@ def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_of_day")
     )
+
+
+@register(
+    "orders_monthly_status_mix",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon, o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY mon, o_orderstatus
+    """,
+)
+def orders_monthly_status_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order-status composition with DECIMAL-exact revenue — the
+    operational mix report; one scan, one grouped aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("mon"),
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("mon", "o_orderstatus")
+    )
+
+
+@register(
+    "events_value_boxplot",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(MIN(value), 4) AS min_v,
+           ROUND(quantile_cont(value, 0.25), 4) AS q1,
+           ROUND(quantile_cont(value, 0.5), 4) AS median_v,
+           ROUND(quantile_cont(value, 0.75), 4) AS q3,
+           ROUND(MAX(value), 4) AS max_v
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_value_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-number summary (boxplot) of event values per type — grouped
+    interpolated quantiles in one aggregate pass; Spark `percentile` and
+    DuckDB `quantile_cont` share the interpolation rule, and sorting
+    NaN-free doubles is a total order, so every summary value matches."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("min_v"),
+            F.round(F.expr("percentile(value, 0.25)"), 4).alias("q1"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("median_v"),
+            F.round(F.expr("percentile(value, 0.75)"), 4).alias("q3"),
+            F.round(F.max("value"), 4).alias("max_v"),
+        )
+        .orderBy("event_type")
+    )
