@@ -8748,3 +8748,95 @@ def events_value_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "lineitem_monthly_return_rate",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS mon,
+             COUNT(*) AS n_lines,
+             COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n_returned
+      FROM lineitem GROUP BY 1)
+    SELECT mon, n_lines, n_returned,
+           ROUND(CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE), 6)
+             AS return_rate
+    FROM m
+    ORDER BY mon
+    """,
+)
+def lineitem_monthly_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly return rate from the line-level return flag — one grouped
+    FILTER aggregate and a single ratio division; the operations trend
+    line for returns."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.date_trunc("month", "l_shipdate").cast("date").alias("mon")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.expr("COUNT(*) FILTER (WHERE l_returnflag = 'R')").alias(
+                "n_returned"
+            ),
+        )
+        .select(
+            "mon",
+            "n_lines",
+            "n_returned",
+            F.round(
+                F.col("n_returned").cast("double") / F.col("n_lines").cast("double"),
+                6,
+            ).alias("return_rate"),
+        )
+        .orderBy("mon")
+    )
+
+
+@register(
+    "corpus_summary_scorecard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+      FROM documents),
+    fps AS (
+      SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents)
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM toks) AS total_tokens,
+           (SELECT CAST(MAX(n_tokens) AS BIGINT) FROM toks) AS max_doc_tokens,
+           (SELECT COUNT(*) FROM documents WHERE trim(text) = '') AS n_empty,
+           (SELECT COUNT(DISTINCT fp) FROM fps) AS n_unique_contents,
+           ROUND(CAST((SELECT COUNT(*) FROM documents) -
+                      (SELECT COUNT(DISTINCT fp) FROM fps) AS DOUBLE) /
+                 CAST((SELECT COUNT(*) FROM documents) AS DOUBLE), 6)
+             AS exact_dup_rate
+    """,
+)
+def corpus_summary_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus scorecard: size, token volume, longest document,
+    empty-document count, distinct-content count, and the exact-dup rate
+    — the at-a-glance health check a curation pipeline prints before and
+    after every transformation stage."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.when(F.trim(F.col("text")) == "", 0)
+        .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .alias("n_tokens"),
+        F.trim(F.col("text")).alias("trimmed"),
+        tx.fingerprint(F.col("text")).alias("fp"),
+    )
+    return toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_doc_tokens"),
+        F.sum(F.when(F.col("trimmed") == "", 1).otherwise(0)).alias("n_empty"),
+        F.countDistinct("fp").alias("n_unique_contents"),
+        F.round(
+            (F.count(F.lit(1)) - F.countDistinct("fp")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("exact_dup_rate"),
+    )
