@@ -35,8 +35,12 @@ def _build_parser() -> argparse.ArgumentParser:
     e.add_argument("--ts-start", type=int, default=None)
     e.add_argument("--ts-end", type=int, default=None)
     e.add_argument("--snapshot-type", choices=["full", "incremental"], default="full")
-    e.add_argument("--compression", default="gzip", choices=["gzip", "bzip2", "none"])
+    e.add_argument("--compression", default="gzip",
+                   choices=["gzip", "bzip2", "lz4", "none"])
     e.add_argument("--strict", action="store_true", help="HTME naming/byte-cap sink")
+    e.add_argument("--signed-splits", action="store_true",
+                   help="reference signed-byte wraparound split names "
+                        "(HBasePartitioner.kt:12-37)")
     e.add_argument("--encrypt-output", action="store_true")
     e.add_argument("--max-batch-bytes", type=int, default=100_000_000)
     e.add_argument("--scan-width", type=int, default=5)
@@ -88,6 +92,7 @@ def main(argv: list[str] | None = None) -> int:
             snapshot_type=args.snapshot_type,
             compression=args.compression,
             strict_sink=args.strict,
+            signed_splits=args.signed_splits,
             encrypt_output=args.encrypt_output,
             max_batch_bytes=args.max_batch_bytes,
             scan_width=args.scan_width,
@@ -106,21 +111,14 @@ def main(argv: list[str] | None = None) -> int:
                 registry, LocalPushGateway(args.metrics_file), interval_s=20.0
             )
             pusher_cm.__enter__()
-        try:
-            source = spark.read.parquet(args.source)
-        except Exception:
-            # missing source table → Table_Unavailable, not a crash
-            # (reference JobCompletionNotificationListener.kt:69-91)
-            collection = args.topic.rsplit(".", 1)[-1]
-            if store is not None:
-                store.set_status(args.correlation_id, collection, "Table_Unavailable")
-            print(json.dumps({"topic": args.topic, "status": "Table_Unavailable",
-                              "records": 0, "quarantined": 0, "files": 0,
-                              "manifest_files": 0}))
-            return 1
+        # the loader form lets a missing table surface inside run_export
+        # and fold to Table_Unavailable (never skipped, never a crash —
+        # reference JobCompletionNotificationListener.kt:69-91)
+        from .sources.catalog import read_export_source
+
         try:
             result = run_export(
-                spark, source, cfg,
+                spark, lambda: read_export_source(spark, args.source), cfg,
                 correlation_id=args.correlation_id,
                 status_store=store, notifier=notifier,
                 metrics=registry,

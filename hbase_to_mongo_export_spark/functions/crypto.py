@@ -100,3 +100,38 @@ def make_decrypt_udf(key_service: KeyService = local_key_service):
 def encrypt_bytes(key: bytes, iv: bytes, data: bytes) -> bytes:
     """Output-side encryption for the snapshot sink (S7)."""
     return aes_ctr(key, iv, data)
+
+
+# --- output-side batch data key --------------------------------------------
+
+
+class DataKeyResult:
+    """One run-scoped output data key, mirroring the reference's DKS
+    ``batchDataKey()`` response (DataKeyResult at DomainClasses.kt:17,
+    fetched once per run at HttpKeyService.kt:44-49): the plaintext key
+    encrypts locally; only the KEK id and the ENCRYPTED key travel in
+    object metadata (S3ObjectServiceImpl.kt:40-43)."""
+
+    __slots__ = ("data_key_encryption_key_id", "plaintext_data_key", "ciphertext_data_key")
+
+    def __init__(
+        self,
+        data_key_encryption_key_id: str,
+        plaintext_data_key: bytes,
+        ciphertext_data_key: str,
+    ) -> None:
+        self.data_key_encryption_key_id = data_key_encryption_key_id
+        self.plaintext_data_key = plaintext_data_key
+        self.ciphertext_data_key = ciphertext_data_key
+
+
+def local_batch_data_key() -> DataKeyResult:
+    """Fixture stand-in for DKS batchDataKey(): 'encryption' is base64 —
+    the exact inverse of ``local_key_service`` so round-trip tests can
+    recover the plaintext key from the metadata alone."""
+    import os as _os
+
+    key = _os.urandom(16)
+    return DataKeyResult(
+        "local-kms/1", key, base64.b64encode(key).decode("ascii")
+    )

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint
+from . import _cache
 
 # 60-bit integer hash derived from md5 — reproducible in any engine with
 # md5 + hex conversion (DuckDB: CAST(concat('0x', substring(md5(x),1,15))
@@ -56,7 +57,16 @@ def _fan_out(df: DataFrame) -> DataFrame:
     thousands of splits and this is a no-op-sized adjustment — never a
     coalesce."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # Probe the scan's split count WITHOUT df.rdd (which forces full
+    # physical planning + a py4j RDD conversion per query build — pure
+    # driver latency). inputFiles() is a cheap logical-plan walk; a
+    # non-scan plan (no file list) keeps the repartition, which is the
+    # safe choice for the small fixture inputs this path exists for.
+    try:
+        n_in = len(df.inputFiles())
+    except Exception:
+        n_in = 0
+    if n_in >= target:
         return df
     return df.repartition(target)
 
@@ -491,7 +501,9 @@ def winnow_overlap_pairs(
     splits them."""
     # fps feeds three consumers (per-doc counts + both join sides) —
     # materialize once instead of re-fingerprinting per branch
-    fps = winnow_fingerprints(df, id_col, text_col, k, window, hash_fn).cache()
+    fps = _cache.track(
+        winnow_fingerprints(df, id_col, text_col, k, window, hash_fn).cache()
+    )
     counts = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a, b = fps.alias("a"), fps.alias("b")
     shared = (
@@ -542,7 +554,9 @@ def minhash_estimate_pairs(
     looking at exactly this error distribution on a sample."""
     # sig feeds three consumers (banding + both estimate join sides) —
     # materialize once instead of re-hashing every shingle per branch
-    sig = _minhash_sig_cols(df, id_col, text_col, n, num_hashes, hash_fn).cache()
+    sig = _cache.track(
+        _minhash_sig_cols(df, id_col, text_col, n, num_hashes, hash_fn).cache()
+    )
     candidates = _lsh_candidates(sig, id_col, num_hashes, bands, hash_fn)
     matches = F.expr(
         " + ".join(

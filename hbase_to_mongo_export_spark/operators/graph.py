@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import _cache
+
 SCALE = 10**12
 DAMPING_NUM = 85  # damping 0.85 as an exact rational 85/100
 DAMPING_DEN = 100
@@ -52,8 +54,10 @@ def pagerank(
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     # loop invariants: every round re-reads the edge list and node set, so
     # materialize them once instead of recomputing the distinct per round
-    und_deg = und.join(deg, "u").cache()
-    nodes = und.select(F.col("u").alias("node")).distinct().cache()
+    und_deg = _cache.track(und.join(deg, "u").cache())
+    nodes = _cache.track(
+        und.select(F.col("u").alias("node")).distinct().cache()
+    )
     n = nodes.count()  # one scalar action; also materializes the caches' input
     base = (SCALE * 15) // (DAMPING_DEN * n)
 

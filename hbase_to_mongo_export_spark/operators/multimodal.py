@@ -205,3 +205,210 @@ def audio_features(df: DataFrame, fake: bool = True) -> DataFrame:
     return df.filter(F.col("meta.media_type") == "audio").mapInPandas(
         run, AUDIO_FEATURES_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL decoders for self-describing formats (no codec library needed).
+#
+# PPM (P6) and WAV (RIFF/PCM16) are fully specified byte layouts parseable
+# with numpy/struct alone — so for these two formats the decode step is NOT
+# a stub: bytes in, pixels/samples out, end-to-end through mapInPandas.
+# Compressed formats (jpeg/mp4/flac) stay behind the declared stubs above.
+# ---------------------------------------------------------------------------
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, float, float, float]:
+    """Parse a binary PPM (P6) image: 'P6\\n<w> <h>\\n<maxval>\\n' header
+    (with optional '#' comments) followed by w*h*3 raw RGB bytes. Returns
+    (width, height, mean_r, mean_g, mean_b). Raises ValueError on a
+    malformed payload — the quarantine path, like any decode failure."""
+    import numpy as np
+
+    if payload is None or not bytes(payload[:2]) == b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header = magic + 3 whitespace-separated ints, '#' comments skipped
+    fields: list[int] = []
+    i = 2
+    n = len(payload)
+    while len(fields) < 3 and i < n:
+        c = payload[i]
+        if c in b" \t\r\n":
+            i += 1
+        elif c == ord("#"):
+            while i < n and payload[i] != ord("\n"):
+                i += 1
+        elif ord("0") <= c <= ord("9"):
+            j = i
+            while j < n and ord("0") <= payload[j] <= ord("9"):
+                j += 1
+            fields.append(int(payload[i:j]))
+            i = j
+        else:
+            raise ValueError(f"bad PPM header byte {c!r}")
+    if len(fields) < 3:
+        raise ValueError("truncated PPM header")
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    i += 1  # single whitespace after maxval
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    if px.size != w * h * 3:
+        raise ValueError("truncated PPM pixel data")
+    means = px.reshape(-1, 3).mean(axis=0, dtype=np.float64)
+    return w, h, float(means[0]), float(means[1]), float(means[2])
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[int, int, float, int]:
+    """Parse a RIFF/WAVE file with 16-bit PCM samples by walking the chunk
+    list ('fmt ' for layout, 'data' for samples). Returns
+    (n_samples, sample_rate, rms, peak) over all channels interleaved."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or bytes(payload[:4]) != b"RIFF" or bytes(payload[8:12]) != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(payload)
+    sample_rate = None
+    data = None
+    while pos + 8 <= n:
+        cid = bytes(payload[pos:pos + 4])
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, _ch, sample_rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError("only PCM16 WAV supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    samples = np.frombuffer(data, dtype="<i2").astype(np.float64)
+    if samples.size == 0:
+        return 0, sample_rate, 0.0, 0
+    rms = float(np.sqrt(np.mean(samples * samples)))
+    peak = int(np.max(np.abs(samples)))
+    return int(samples.size), int(sample_rate), rms, peak
+
+
+PPM_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+def ppm_image_stats(df: DataFrame) -> DataFrame:
+    """Per-image channel statistics from REAL P6 decoding via mapInPandas.
+    Malformed payloads yield a null row (media_id only) — the quarantine
+    pattern, never a task failure."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, r, g, b = decode_ppm(p)
+                    rows.append((mid, w, h, round(r, 6), round(g, 6), round(b, 6)))
+                except ValueError:
+                    rows.append((mid, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "mean_r", "mean_g", "mean_b"],
+            )
+
+    return df.mapInPandas(run, PPM_STATS_SCHEMA)
+
+
+WAV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def wav_audio_stats(df: DataFrame) -> DataFrame:
+    """Per-clip PCM statistics from REAL RIFF/PCM16 parsing via mapInPandas."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    ns, sr, rms, peak = decode_wav_pcm16(p)
+                    rows.append((mid, ns, sr, round(rms, 6), peak))
+                except ValueError:
+                    rows.append((mid, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_samples", "sample_rate", "rms", "peak"],
+            )
+
+    return df.mapInPandas(run, WAV_STATS_SCHEMA)
+
+
+def synthetic_ppm_media(spark, n: int = 50, width: int = 16, height: int = 12) -> DataFrame:
+    """Deterministic P6 images: pixel byte i of image ``id`` is
+    (id*31 + i) % 256 — a closed form a SQL oracle can integrate over, so
+    the decode path is value-checkable end-to-end."""
+    import numpy as np
+
+    header = f"P6\n{width} {height}\n255\n".encode()
+    npx = width * height * 3
+    rows = []
+    for i in range(n):
+        px = ((i * 31 + np.arange(npx)) % 256).astype(np.uint8)
+        rows.append(
+            (
+                i,
+                bytearray(header + px.tobytes()),
+                ("image", "ppm", width, height, None, None),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synthetic_wav_media(spark, n: int = 50, n_samples: int = 256, rate: int = 8000) -> DataFrame:
+    """Deterministic PCM16 WAV clips: sample s of clip ``id`` is
+    ((id*7 + s*13) % 65536) - 32768 — closed-form for the oracle."""
+    import struct
+
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        s = np.arange(n_samples)
+        vals = (((i * 7 + s * 13) % 65536) - 32768).astype("<i2")
+        data = vals.tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        payload = (
+            b"RIFF"
+            + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE"
+            + b"fmt "
+            + struct.pack("<I", len(fmt))
+            + fmt
+            + b"data"
+            + struct.pack("<I", len(data))
+            + data
+        )
+        rows.append(
+            (
+                i,
+                bytearray(payload),
+                ("audio", "wav", None, None, (n_samples * 1000) // rate, None),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -24,6 +24,8 @@ import struct
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from . import _cache
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -54,12 +56,31 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 3,
     exclude_self: bool = True,
+    max_comparisons: int | None = 50_000_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Output: query_id, neighbor_id, rank, cosine. ``queries`` is broadcast —
     it must be the small side (driver-checked pattern: a handful to a few
-    thousand probe vectors against an arbitrarily large corpus)."""
+    thousand probe vectors against an arbitrarily large corpus).
+
+    This is the O(|queries| x |corpus|) VERIFICATION BASELINE, not the
+    scale path. ``max_comparisons`` guards against misuse: if the scored
+    cross-product would exceed it, raise instead of launching a job that
+    can never finish at corpus scale (use ``lsh_topk``/``ivf_topk``).
+    Pass ``max_comparisons=None`` to opt out explicitly. The two counts
+    are metadata-cheap (column-pruned parquet count / small query side)."""
+    if max_comparisons is not None:
+        n_q = queries.count()
+        n_c = corpus.count()
+        if n_q * n_c > max_comparisons:
+            raise ValueError(
+                f"cosine_topk is the brute-force verification baseline: "
+                f"{n_q} queries x {n_c} corpus rows = {n_q * n_c:,} "
+                f"comparisons exceeds max_comparisons={max_comparisons:,}. "
+                f"Use lsh_topk or ivf_topk for large corpora, or pass "
+                f"max_comparisons=None to force."
+            )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
@@ -373,8 +394,12 @@ def tfidf_cosine_pairs(
     n_docs = df.filter(F.trim(F.col(text_col)) != "").agg(
         F.count(F.lit(1)).alias("n")
     )
+    # dfreq is vocabulary-sized (unbounded at corpus scale — billions of
+    # n-grams at 100 TB), so it must NOT be broadcast: the join is already
+    # keyed on `t`, and a shuffle join / AQE handles any size. n_docs is a
+    # single row — broadcast is correct there.
     weights = (
-        tf.join(F.broadcast(dfreq), "t")
+        tf.join(dfreq, "t")
         .join(F.broadcast(n_docs))
         .filter(
             F.col("df").cast("double")
@@ -396,8 +421,10 @@ def tfidf_cosine_pairs(
         )
     )
     # the weight table feeds three consumers (norms + both join sides);
-    # materialize it once instead of re-running tokenize+tf+idf per branch
-    weights = weights.cache()
+    # materialize it once instead of re-running tokenize+tf+idf per branch.
+    # Tracked so session owners can unpersist after the consuming action
+    # (see operators/_cache.py).
+    weights = _cache.track(weights.cache())
     norms = weights.groupBy(id_col).agg(
         F.sum(F.col("w") * F.col("w")).alias("norm_sq")
     )
@@ -437,11 +464,14 @@ def quantize_for_kmeans(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """Integer quantization for exact-arithmetic k-means: x*64 is an
     exact power-of-2 float scale, +128 keeps every value (and therefore
     every centroid sum) non-negative so integer division truncates the
-    same way in every engine."""
+    same way in every engine. The GREATEST(0, ...) clamp ENFORCES the
+    non-negativity precondition for inputs below -2 (where Spark's
+    ``div`` truncates toward zero but DuckDB's ``//`` floors, silently
+    breaking cross-engine parity) — the oracle applies the same clamp."""
     return df.select(
         F.col(id_col).alias("vec_id"),
         F.expr(
-            f"transform({vec_col}, x -> CAST(ROUND(CAST(x AS DOUBLE) * 64, 0) AS INT) + 128)"
+            f"transform({vec_col}, x -> GREATEST(CAST(ROUND(CAST(x AS DOUBLE) * 64, 0) AS INT) + 128, 0))"
         ).alias("qv"),
     )
 
@@ -465,10 +495,23 @@ def kmeans_lloyd(
     min-struct aggregate per vector, and one (cluster, dim) aggregate —
     two shuffles per round at any scale. Clusters that lose all members
     drop out identically in both engines (no refill rule)."""
+    if rounds < 1:
+        raise ValueError(f"kmeans_lloyd needs rounds >= 1, got {rounds}")
     q = quantize_for_kmeans(df, id_col, vec_col)
+    # seed = the k vectors with ids 0..k-1 (a deterministic choice the
+    # DuckDB oracle can replay with WHERE vec_id < k). This assumes dense
+    # integer ids — verify it instead of silently clustering with fewer
+    # than k seeds on sparse/non-integer id spaces.
     cents = q.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
     )
+    n_seeds = cents.count()
+    if n_seeds != k:
+        raise ValueError(
+            f"kmeans_lloyd seeds centroids from ids 0..{k - 1} but found "
+            f"{n_seeds} rows with {id_col} < {k}; ids must be dense "
+            f"integers starting at 0 (re-key with row_number() first)"
+        )
     expl = q.select(
         "vec_id", F.posexplode("qv").alias("pos0", "val")
     ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "val")

@@ -40,12 +40,19 @@ class ExportConfig:
     max_batch_bytes: int = 100_000_000          # output.batch.size.max.bytes
     strict_sink: bool = False                   # HTME naming + byte-cap + encryption
     scan_width: int = 5                         # scan.width (split naming in strict mode)
+    signed_splits: bool = False                 # reference signed-byte split names
     encrypt_output: bool = False                # S7 (strict sink only)
     plaintext_payloads: bool = False            # fixture mode: dbObject is raw JSON
     assume_unique_keys: bool = True             # HBase already returns latest cell
     key_service: Callable[[str, str], bytes] = field(
         default=crypto.local_key_service, repr=False
     )
+    # output-side data-key provider (DKS batchDataKey; one key per run)
+    batch_data_key: Callable[[], "crypto.DataKeyResult"] = field(
+        default=crypto.local_batch_data_key, repr=False
+    )
+    # object-store seam for the strict sink (None → LocalObjectStore)
+    object_store: object | None = field(default=None, repr=False)
 
 
 @dataclass
@@ -148,7 +155,7 @@ def build_export(
 
 def run_export(
     spark: SparkSession,
-    source: DataFrame,
+    source,  # DataFrame | Callable[[], DataFrame]
     cfg: ExportConfig,
     correlation_id: str = "run",
     status_store=None,
@@ -172,11 +179,20 @@ def run_export(
         if status_store is not None:
             status_store.set_status(correlation_id, collection, status, files)
 
+    from ..sources.catalog import TableUnavailableError
+
     try:
+        # `source` may be a DataFrame or a zero-arg loader (the loader form
+        # lets a missing table surface here and fold to Table_Unavailable)
+        if callable(source):
+            source = source()
         records, quarantine = build_export(source, cfg)
     except env.BlockedTopicError:
         set_status("Blocked_Topic")
         return ExportResult(cfg.topic, "Blocked_Topic", 0, 0, [], [])
+    except TableUnavailableError:
+        set_status("Table_Unavailable")
+        return ExportResult(cfg.topic, "Table_Unavailable", 0, 0, [], [])
 
     set_status("Exporting")
     try:
@@ -223,8 +239,19 @@ def run_export(
                 "uncompressed_bytes": written.uncompressed_bytes,
             },
         )
-    except Exception:
-        set_status("Export_Failed")
+    except Exception as e:
+        # A missing source table is NOT a generic failure: the reference
+        # distinguishes TableNotFoundException and records Table_Unavailable
+        # (JobCompletionNotificationListener.kt:69-91); Spark surfaces the
+        # same condition lazily as AnalysisException PATH_NOT_FOUND /
+        # TABLE_OR_VIEW_NOT_FOUND when the action runs.
+        unavailable = isinstance(e, TableUnavailableError) or (
+            getattr(e, "getErrorClass", None) is not None
+            and (e.getErrorClass() or "")
+            in ("PATH_NOT_FOUND", "TABLE_OR_VIEW_NOT_FOUND")
+        )
+        status = "Table_Unavailable" if unavailable else "Export_Failed"
+        set_status(status)
         if metrics is not None:
             metrics.inc("export_failures")
-        return ExportResult(cfg.topic, "Export_Failed", 0, 0, [], [])
+        return ExportResult(cfg.topic, status, 0, 0, [], [])

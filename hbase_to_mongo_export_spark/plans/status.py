@@ -173,6 +173,12 @@ class LocalNotifier:
         """S3-event-shaped data-egress message (SQSMessagingService.kt:87-99)."""
         self._emit("data_egress", {"object_key": object_key})
 
+    def notify_pdm_common_model(self, site_prefix: str) -> None:
+        """PDM common-model message: the reference sends a data-egress
+        message for the PDM site prefix on incremental-run completion
+        (JobCompletionNotificationListener.kt:106-112)."""
+        self._emit("pdm_common_model", {"site_prefix": site_prefix})
+
 
 def finish_run(
     spark: SparkSession,
@@ -182,10 +188,13 @@ def finish_run(
     s3_prefix: str = "",
     snapshot_type: str = "full",
     export_date: str = "",
+    pdm_common_model_site_prefix: str = "",
 ) -> str:
     """Reference afterJob tail (JobCompletionNotificationListener.kt:47-67):
     fold per-collection statuses into the run status, emit the completion
-    monitoring message, and the ADG trigger when fully successful.
+    monitoring message, the ADG trigger when fully successful, and the PDM
+    common-model message for completed incremental runs
+    (JobCompletionNotificationListener.kt:106-112).
     Returns the folded run status."""
     rows = completion_status(store.to_df(spark)).filter(
         F.col("correlation_id") == correlation_id
@@ -204,4 +213,11 @@ def finish_run(
             notifier.notify_adg_trigger(
                 correlation_id, s3_prefix, snapshot_type, export_date
             )
+        if (
+            pdm_common_model_site_prefix
+            and snapshot_type == "incremental"
+            and run_status
+            in ("COMPLETED_SUCCESSFULLY", "COMPLETED_UNSUCCESSFULLY")
+        ):
+            notifier.notify_pdm_common_model(pdm_common_model_site_prefix)
     return run_status

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import text as tx
+from .operators import _cache as op_cache
 from .operators import asof as asof_mod
 from .operators import dedup as dedup_mod
 from .operators import multimodal as mm_mod
@@ -667,20 +668,9 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@register("dedup_minhash_lsh_pairs")  # non-SQL-expressible: rows-only check
-def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return dedup_mod.minhash_lsh_pairs(
-        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.2
-    ).orderBy("id_a", "id_b")
-
-
-@register("dedup_simhash_pairs")  # non-SQL-expressible: rows-only check
-def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return dedup_mod.simhash_pairs(docs, "doc_id", "text", max_hamming=3).orderBy(
-        "id_a", "id_b"
-    )
+# dedup_minhash_lsh_pairs / dedup_simhash_pairs are registered further down
+# (next to their oracle builders) using the md5-portable hash so every stage
+# is value-checked against DuckDB.
 
 
 @register(
@@ -5212,6 +5202,7 @@ def _minhash_portable_oracle(
     """
 
 
+@register("dedup_minhash_lsh_pairs", oracle=_minhash_portable_oracle())
 @register("dedup_minhash_lsh_pairs_portable", oracle=_minhash_portable_oracle())
 def dedup_minhash_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs with the md5-portable hash — every stage
@@ -5269,6 +5260,7 @@ def _simhash_portable_oracle(max_hamming: int = 3, bands: int = 4) -> str:
     """
 
 
+@register("dedup_simhash_pairs", oracle=_simhash_portable_oracle())
 @register("dedup_simhash_pairs_portable", oracle=_simhash_portable_oracle())
 def dedup_simhash_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with the md5-portable hash — per-token bit
@@ -5969,7 +5961,7 @@ def _kmeans_oracle(k: int = 8, dim: int = 64, rounds: int = 1) -> str:
     return f"""
     WITH q AS (
       SELECT vec_id,
-             [CAST(ROUND(CAST(x AS DOUBLE) * 64, 0) AS INT) + 128
+             [GREATEST(CAST(ROUND(CAST(x AS DOUBLE) * 64, 0) AS INT) + 128, 0)
               FOR x IN embedding] AS qv
       FROM embeddings),
     cents0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < {k}),
@@ -6194,7 +6186,10 @@ _ORACLES["similarity_lsh_topk"] = _lsh_topk_oracle()
     b AS (SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-20'),
     c AS (SELECT * FROM events
           WHERE ts < TIMESTAMP '2024-01-10' AND event_id % 2 = 1),
-    wmc AS (SELECT epoch_ms(MAX(ts)) - 7200000 AS wm FROM a),
+    -- Spark's batch-3 late filter uses the watermark computed at the end
+    -- of batch B (not batch A) — model exactly that
+    wmb AS (SELECT epoch_ms(MAX(ts)) - 7200000 AS wm
+            FROM (SELECT ts FROM a UNION ALL SELECT ts FROM b)),
     wmf AS (SELECT epoch_ms(MAX(ts)) - 7200000 AS wm
             FROM (SELECT ts FROM a UNION ALL SELECT ts FROM b
                   UNION ALL SELECT ts FROM c)),
@@ -6203,7 +6198,7 @@ _ORACLES["similarity_lsh_topk"] = _lsh_topk_oracle()
       UNION ALL SELECT ts, event_type FROM b
       UNION ALL SELECT ts, event_type FROM c
         WHERE epoch_ms(date_trunc('hour', ts) + INTERVAL 1 HOUR) >
-              (SELECT wm FROM wmc)),
+              (SELECT wm FROM wmb)),
     agg AS (
       SELECT date_trunc('hour', ts) AS window_start, event_type,
              COUNT(*) AS n
@@ -7215,7 +7210,7 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
     # (order, brand) feeds four consumers (order count, brand counts, and
     # both self-join sides) — materialize the dedup once
-    ob = (
+    ob = op_cache.track(
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
@@ -8840,3 +8835,583 @@ def corpus_summary_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("exact_dup_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 2 batch: graph analytics, embedding classifiers, language modeling,
+# and training-pipeline chunking ops — all value-oracled.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH so AS (SELECT DISTINCT l_suppkey AS s, l_orderkey AS o FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.s AS u, b.s AS v
+      FROM so a JOIN so b ON a.o = b.o AND a.s < b.s),
+    tri AS (
+      SELECT COUNT(*) AS n FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+    SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT n FROM tri) AS n_triangles
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count on the supplier co-order graph (suppliers are
+    adjacent iff they supplied the same order). The u<v<w orientation makes
+    each triangle count exactly once; the counting join is the standard
+    edge-iterator algorithm — two self-joins on an oriented edge list, cost
+    proportional to the number of wedges, never materializing neighborhoods.
+    At 100 TB the same plan holds with the edge list pre-partitioned on u."""
+    li = _t(spark, sf_dir, "lineitem")
+    so = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_orderkey").alias("o")
+    ).distinct()
+    e = (
+        so.alias("a")
+        .join(so.alias("b"), (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(tri)
+
+
+@register(
+    "graph_jaccard_link_prediction",
+    oracle="""
+    WITH so AS (SELECT DISTINCT l_suppkey AS s, l_orderkey AS o FROM lineitem),
+    deg AS (SELECT s, COUNT(*) AS n FROM so GROUP BY s),
+    common AS (
+      SELECT a.s AS u, b.s AS v, COUNT(*) AS c
+      FROM so a JOIN so b ON a.o = b.o AND a.s < b.s
+      GROUP BY a.s, b.s)
+    SELECT u, v, c AS n_common,
+           ROUND(CAST(c AS DOUBLE) / (du.n + dv.n - c), 6) AS jaccard
+    FROM common JOIN deg du ON du.s = u JOIN deg dv ON dv.s = v
+    ORDER BY jaccard DESC, u, v
+    LIMIT 20
+    """,
+)
+def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard link prediction on the supplier-order bipartite
+    graph: score supplier pairs by |orders(u) ∩ orders(v)| / |union|. The
+    intersection comes from one co-order self-join aggregate (no set
+    materialization) and degrees broadcast — the inverted-index shape that
+    scales with co-occurrence count, not pair count."""
+    li = _t(spark, sf_dir, "lineitem")
+    so = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_orderkey").alias("o")
+    ).distinct()
+    deg = so.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        so.alias("a")
+        .join(so.alias("b"), (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    du = F.broadcast(deg.select(F.col("s").alias("u"), F.col("n").alias("nu")))
+    dv = F.broadcast(deg.select(F.col("s").alias("v"), F.col("n").alias("nv")))
+    return (
+        common.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            F.col("c").alias("n_common"),
+            F.round(
+                F.col("c").cast("double") / (F.col("nu") + F.col("nv") - F.col("c")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "u", "v")
+        .limit(20)
+    )
+
+
+_VDOT_KNN = (
+    "list_reduce([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+    "FOR i IN range(1, len({a}) + 1)], (x, y) -> x + y)"
+)
+
+
+@register(
+    "knn_label_classifier",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+               FROM embeddings WHERE vec_id < 20),
+    scored AS (
+      SELECT q.query_id, q.true_label, e.vec_id AS nid, e.label,
+             {_VDOT_KNN.format(a="q.qv", b="e.embedding")} /
+             (sqrt({_VDOT_KNN.format(a="q.qv", b="q.qv")}) *
+              sqrt({_VDOT_KNN.format(a="e.embedding", b="e.embedding")})) AS cos
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id),
+    top5 AS (
+      SELECT query_id, true_label, label FROM (
+        SELECT query_id, true_label, label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, nid) AS rn
+        FROM scored)
+      WHERE rn <= 5),
+    votes AS (
+      SELECT query_id, true_label, label, COUNT(*) AS n_votes
+      FROM top5 GROUP BY query_id, true_label, label)
+    SELECT query_id, true_label,
+           CAST(label AS INT) AS predicted_label,
+           CAST(n_votes AS INT) AS n_votes,
+           CASE WHEN label = true_label THEN 1 ELSE 0 END AS correct
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY n_votes DESC, label) AS rv
+          FROM votes)
+    WHERE rv = 1
+    ORDER BY query_id
+    """,
+)
+def knn_label_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN (k=5) majority-vote label classifier over the embedding table —
+    the eval-set pattern of training-data curation (label a sample by its
+    nearest labeled neighbors). Brute-force scoring is fine for the probe
+    set (queries broadcast, corpus streamed); swap the candidate generation
+    for lsh_topk/ivf_topk at corpus scale — voting is identical. Ties break
+    by (votes desc, label asc); neighbor ranking by (cosine desc, id)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("true_label"),
+    )
+    joined = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        "true_label",
+        F.col("vec_id").alias("nid"),
+        "label",
+        sim_mod.cosine(F.col("qv"), F.col("embedding")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "nid")
+    top5 = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    votes = top5.groupBy("query_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), "label")
+    return (
+        votes.withColumn("rv", F.row_number().over(wv))
+        .filter(F.col("rv") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("label").cast("int").alias("predicted_label"),
+            F.col("n_votes").cast("int").alias("n_votes"),
+            F.when(F.col("label") == F.col("true_label"), 1).otherwise(0).alias("correct"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_NB_WORDS = "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
+
+
+@register(
+    "naive_bayes_lang_score",
+    oracle=f"""
+    WITH train AS (SELECT * FROM documents WHERE doc_id % 2 = 0 AND trim(text) != ''),
+    test  AS (SELECT * FROM documents WHERE doc_id % 2 = 1 AND trim(text) != ''),
+    tok_tr AS (SELECT lang, unnest({_NB_WORDS}) AS w FROM train),
+    model AS (SELECT lang, w, COUNT(*) AS cnt FROM tok_tr GROUP BY lang, w),
+    tot AS (SELECT lang, COUNT(*) AS tot FROM tok_tr GROUP BY lang),
+    vocab AS (SELECT COUNT(DISTINCT w) AS v FROM tok_tr),
+    prior AS (
+      SELECT lang,
+             CAST(ROUND(ln(CAST(COUNT(*) AS DOUBLE) /
+                           (SELECT COUNT(*) FROM train)), 6) AS DECIMAL(18,6)) AS lp
+      FROM train GROUP BY lang),
+    tok_te AS (
+      SELECT doc_id, lang AS true_lang, w, COUNT(*) AS tf
+      FROM (SELECT doc_id, lang, unnest({_NB_WORDS}) AS w FROM test)
+      GROUP BY doc_id, lang, w),
+    scored AS (
+      SELECT t.doc_id, t.true_lang, c.lang AS cand,
+             SUM(t.tf * CAST(ROUND(ln(
+               CAST(COALESCE(m.cnt, 0) + 1 AS DOUBLE) /
+               (c.tot + (SELECT v FROM vocab))), 6) AS DECIMAL(18,6))) AS ll
+      FROM tok_te t
+      CROSS JOIN tot c
+      LEFT JOIN model m ON m.lang = c.lang AND m.w = t.w
+      GROUP BY t.doc_id, t.true_lang, c.lang),
+    final AS (
+      SELECT s.doc_id, s.true_lang, s.cand,
+             s.ll + p.lp AS score,
+             ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                                ORDER BY s.ll + p.lp DESC, s.cand) AS rn
+      FROM scored s JOIN prior p ON p.lang = s.cand)
+    SELECT doc_id, true_lang, cand AS predicted_lang,
+           CAST(score AS DOUBLE) AS score,
+           CASE WHEN cand = true_lang THEN 1 ELSE 0 END AS correct
+    FROM final WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def naive_bayes_lang_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes language classifier trained on the even
+    doc_ids and scored on the odd ones — Laplace-smoothed unigram
+    likelihoods. Every log is rounded to 6 dp then fixed as DECIMAL so the
+    per-document sums are exact and order-independent (a raw double sum
+    over a shuffled join would drift in the last ulp); the candidate-lang
+    join is a 5-row broadcast and the token-model join keys on the word —
+    the same inverted-index shape as TF-IDF, linear in corpus tokens."""
+    docs = _t(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    words = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    tok_tr = train.select("lang", F.explode(words).alias("w"))
+    model = tok_tr.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = tok_tr.groupBy("lang").agg(F.count(F.lit(1)).alias("tot"))
+    vocab = tok_tr.agg(F.countDistinct("w").alias("v"))
+    n_train = train.agg(F.count(F.lit(1)).alias("n_train"))
+    prior = (
+        train.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(n_train))
+        .select(
+            "lang",
+            F.round(F.log(F.col("n").cast("double") / F.col("n_train")), 6)
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+    )
+    tok_te = (
+        test.select("doc_id", F.col("lang").alias("true_lang"), F.explode(words).alias("w"))
+        .groupBy("doc_id", "true_lang", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    cand = F.broadcast(tot.join(vocab))  # 5 rows x (tot, v)
+    scored = (
+        tok_te.join(cand)
+        .join(
+            model.select(F.col("lang").alias("cand"), F.col("w").alias("mw"), "cnt"),
+            (F.col("lang") == F.col("cand")) & (F.col("w") == F.col("mw")),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "true_lang",
+            F.col("lang").alias("cand_lang"),
+            (
+                F.col("tf")
+                * F.round(
+                    F.log(
+                        (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
+                        / (F.col("tot") + F.col("v"))
+                    ),
+                    6,
+                ).cast("decimal(18,6)")
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "true_lang", "cand_lang")
+        .agg(F.sum("term").alias("ll"))
+    )
+    wv = Window.partitionBy("doc_id").orderBy(F.desc("score_d"), "cand_lang")
+    return (
+        scored.join(
+            F.broadcast(prior.select(F.col("lang").alias("cand_lang"), "lp")),
+            "cand_lang",
+        )
+        .withColumn("score_d", F.col("ll") + F.col("lp"))
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "true_lang",
+            F.col("cand_lang").alias("predicted_lang"),
+            F.col("score_d").cast("double").alias("score"),
+            F.when(F.col("cand_lang") == F.col("true_lang"), 1).otherwise(0).alias("correct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "cdc_chunk_dedup",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest({_NB_WORDS}) AS w,
+             unnest(range(1, len({_NB_WORDS}) + 1)) AS pos
+      FROM documents WHERE trim(text) != ''),
+    flagged AS (
+      SELECT doc_id, w, pos,
+             CASE WHEN ({_MD5H.format(col="w")}) % 4 = 0 THEN 1 ELSE 0 END AS b
+      FROM words),
+    chunked AS (
+      SELECT doc_id, w, pos,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - b
+               AS chunk_id
+      FROM flagged),
+    chunks AS (
+      SELECT doc_id, chunk_id,
+             string_agg(w, ' ' ORDER BY pos) AS chunk,
+             COUNT(*) AS n_words
+      FROM chunked GROUP BY doc_id, chunk_id)
+    SELECT COUNT(*) AS n_chunks,
+           COUNT(DISTINCT chunk) AS n_distinct_chunks,
+           ROUND(CAST(COUNT(*) - COUNT(DISTINCT chunk) AS DOUBLE) / COUNT(*), 6)
+             AS dup_chunk_rate,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(MAX(n_words) AS BIGINT) AS max_chunk_words
+    FROM chunks
+    """,
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup: chunk boundaries fall AFTER any word
+    whose md5-derived hash ≡ 0 (mod 4) — so chunk edges depend only on
+    content, and an insertion early in a document cannot shift every later
+    chunk (the failure mode of fixed-size chunking). Chunks are rebuilt per
+    document with one window pass (running boundary count), then exact-
+    deduplicated by value. This is the rsync/LBFS chunking idea applied to
+    corpus dedup; at 100 TB the only shuffle is the final chunk hash-agg."""
+    docs = _t(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    words = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    tok = docs.select("doc_id", F.posexplode(words).alias("pos0", "w")).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "w"
+    )
+    flagged = tok.withColumn(
+        "b",
+        F.when(
+            F.expr(dedup_mod.PORTABLE_HASH_SQL.format(col="w")) % 4 == 0, 1
+        ).otherwise(0),
+    )
+    wrun = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunked = flagged.withColumn("chunk_id", F.sum("b").over(wrun) - F.col("b"))
+    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+        ).alias("chunk"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+    return chunks.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("chunk").alias("n_distinct_chunks"),
+        F.round(
+            (F.count(F.lit(1)) - F.countDistinct("chunk")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dup_chunk_rate"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.max("n_words").cast("bigint").alias("max_chunk_words"),
+    )
+
+
+@register(
+    "gopher_quality_rules",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_NB_WORDS} AS ws, text FROM documents
+      WHERE trim(text) != '')
+    SELECT doc_id,
+           len(ws) AS n_words,
+           CASE WHEN len(ws) BETWEEN 20 AND 100000 THEN 1 ELSE 0 END AS ok_word_count,
+           CASE WHEN 3 * len(ws) <= len(list_aggregate(ws, 'string_agg', ''))
+                 AND len(list_aggregate(ws, 'string_agg', '')) <= 10 * len(ws)
+                THEN 1 ELSE 0 END AS ok_mean_word_len,
+           CASE WHEN 10 * len(regexp_replace(text, '[^#.]', '', 'g')) <= len(text)
+                THEN 1 ELSE 0 END AS ok_symbol_ratio,
+           CASE WHEN len(list_intersect(list_distinct(ws),
+                        ['the', 'and', 'of', 'to', 'a'])) >= 2
+                THEN 1 ELSE 0 END AS ok_stopwords
+    FROM toks
+    ORDER BY doc_id
+    """,
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (word-count bounds, mean word
+    length in [3,10], symbol-to-char ratio, minimum stopword evidence) as
+    pure integer comparisons — e.g. "mean word length in [3,10]" is checked
+    as 3·n ≤ total_chars ≤ 10·n, so no float division can drift between
+    engines. All built-in column expressions; one narrow pass, no shuffle."""
+    docs = _t(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    ws = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    d = docs.select("doc_id", "text", ws.alias("ws"))
+    total_chars = F.length(F.concat_ws("", F.col("ws")))
+    n = F.size("ws")
+    sym = F.length(F.regexp_replace(F.col("text"), r"[^#.]", ""))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.col("ws")),
+            F.array(*[F.lit(s) for s in ("the", "and", "of", "to", "a")]),
+        )
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.when(n.between(20, 100000), 1).otherwise(0).alias("ok_word_count"),
+        F.when((3 * n <= total_chars) & (total_chars <= 10 * n), 1)
+        .otherwise(0)
+        .alias("ok_mean_word_len"),
+        F.when(10 * sym <= F.length("text"), 1).otherwise(0).alias("ok_symbol_ratio"),
+        F.when(stop_hits >= 2, 1).otherwise(0).alias("ok_stopwords"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "token_sliding_windows",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_NB_WORDS} AS ws FROM documents
+      WHERE doc_id < 10 AND trim(text) != ''),
+    wins AS (
+      SELECT doc_id, unnest(range(0, len(ws) - 31, 16)) AS start_pos, ws
+      FROM toks WHERE len(ws) >= 32)
+    SELECT doc_id,
+           CAST(start_pos / 16 AS INT) AS win_id,
+           CAST(start_pos AS INT) AS start_pos,
+           ws[start_pos + 1] AS first_token,
+           ws[start_pos + 32] AS last_token
+    FROM wins
+    ORDER BY doc_id, win_id
+    """,
+)
+def token_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size (32-token) training windows with stride 16 — the standard
+    context-window chunking for LM pretraining, materialized per window with
+    first/last token as content witnesses. sequence() + explode generates
+    window starts without any join; per-document work is linear in tokens
+    and embarrassingly parallel."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 10) & (F.trim(F.col("text")) != "")
+    )
+    ws = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    d = docs.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= 32)
+    wins = d.select(
+        "doc_id",
+        "ws",
+        F.explode(F.sequence(F.lit(0), F.size("ws") - 32, F.lit(16))).alias("start_pos"),
+    )
+    return wins.select(
+        "doc_id",
+        (F.col("start_pos") / 16).cast("int").alias("win_id"),
+        F.col("start_pos").cast("int").alias("start_pos"),
+        F.element_at("ws", F.col("start_pos") + 1).alias("first_token"),
+        F.element_at("ws", F.col("start_pos") + 32).alias("last_token"),
+    ).orderBy("doc_id", "win_id")
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_NB_WORDS}) AS w FROM documents WHERE trim(text) != ''),
+    freq AS (SELECT w, COUNT(*) AS f FROM tok GROUP BY w),
+    ranked AS (
+      SELECT w, f,
+             ROW_NUMBER() OVER (ORDER BY f DESC, w) AS rn,
+             SUM(f) OVER (ORDER BY f DESC, w
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM freq)
+    SELECT CAST(rn AS INT) AS vocab_size,
+           ROUND(CAST(cum AS DOUBLE) / (SELECT COUNT(*) FROM tok), 6) AS coverage
+    FROM ranked WHERE rn IN (5, 10, 20, 30)
+    ORDER BY vocab_size
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-coverage curve for tokenizer/vocab sizing: what fraction of
+    all token occurrences the top-k vocabulary covers, at k ∈ {5,10,20,30}.
+    One token-frequency aggregate plus a single-partition window over the
+    (tiny) vocabulary table — the frequency table, not the corpus, flows
+    into the window, so corpus scale only affects the first aggregate."""
+    docs = _t(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    ws = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    tok = docs.select(F.explode(ws).alias("w"))
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    wr = Window.orderBy(F.desc("f"), "w")
+    ranked = freq.select(
+        "w",
+        "f",
+        F.row_number().over(wr).alias("rn"),
+        F.sum("f").over(wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum"),
+    )
+    return (
+        ranked.filter(F.col("rn").isin(5, 10, 20, 30))
+        .join(F.broadcast(total))
+        .select(
+            F.col("rn").cast("int").alias("vocab_size"),
+            F.round(F.col("cum").cast("double") / F.col("total"), 6).alias("coverage"),
+        )
+        .orderBy("vocab_size")
+    )
+
+
+@register(
+    "multimodal_ppm_decode_stats",
+    oracle="""
+    WITH px AS (
+      SELECT t.id, u.i % 3 AS ch, CAST((t.id * 31 + u.i) % 256 AS DOUBLE) AS v
+      FROM range(0, 50) t(id) CROSS JOIN range(0, 576) u(i))
+    SELECT id AS media_id,
+           CAST(16 AS INT) AS width, CAST(12 AS INT) AS height,
+           ROUND(avg(v) FILTER (ch = 0), 6) AS mean_r,
+           ROUND(avg(v) FILTER (ch = 1), 6) AS mean_g,
+           ROUND(avg(v) FILTER (ch = 2), 6) AS mean_b
+    FROM px GROUP BY id ORDER BY media_id
+    """,
+)
+def multimodal_ppm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decoding end-to-end: deterministic P6 PPM payloads →
+    binary parse (header walk + numpy pixel view) inside mapInPandas →
+    per-channel means. The oracle integrates the generator's closed form
+    ((id*31+i) % 256) directly in SQL, so the whole decode path — header
+    parsing, offset math, channel deinterleave — is value-checked. This is
+    the non-stubbed half of the multimodal surface (self-describing
+    formats); jpeg/mp4 remain declared stubs."""
+    media = mm_mod.synthetic_ppm_media(spark, n=50)
+    return mm_mod.ppm_image_stats(media).orderBy("media_id")
+
+
+@register(
+    "multimodal_wav_decode_stats",
+    oracle="""
+    WITH s AS (
+      SELECT t.id, ((t.id * 7 + u.s * 13) % 65536) - 32768 AS v
+      FROM range(0, 50) t(id) CROSS JOIN range(0, 256) u(s))
+    SELECT id AS media_id,
+           CAST(256 AS BIGINT) AS n_samples,
+           CAST(8000 AS INT) AS sample_rate,
+           ROUND(sqrt(SUM(CAST(v AS DOUBLE) * v) / 256), 6) AS rms,
+           CAST(MAX(abs(v)) AS INT) AS peak
+    FROM s GROUP BY id ORDER BY media_id
+    """,
+)
+def multimodal_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decoding end-to-end: RIFF/WAVE chunk walk + PCM16 numpy
+    view inside mapInPandas → per-clip RMS/peak, value-checked against the
+    generator's closed form. Same quarantine-on-malformed contract as the
+    export pipeline's decrypt step."""
+    media = mm_mod.synthetic_wav_media(spark, n=50)
+    return mm_mod.wav_audio_stats(media).orderBy("media_id")

@@ -31,6 +31,24 @@ TABLES = (
 )
 
 
+class TableUnavailableError(Exception):
+    """The source table/path does not exist — the reference's
+    TableNotFoundException, which is NEVER skipped (JobConfiguration.kt:57-61)
+    and folds to the Table_Unavailable export status
+    (JobCompletionNotificationListener.kt:69-91)."""
+
+
+def read_export_source(spark: SparkSession, path: str) -> DataFrame:
+    """Read an export-source table, raising TableUnavailableError when the
+    path is missing (local or file:// paths; object-store URIs surface the
+    same condition as Spark's PATH_NOT_FOUND, which run_export also maps
+    to Table_Unavailable)."""
+    local = path[len("file://"):] if path.startswith("file://") else path
+    if "://" not in path and not os.path.exists(local):
+        raise TableUnavailableError(f"source table not found: {path}")
+    return _read_parquet_nanos_safe(spark, path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = _read_parquet_nanos_safe(spark, path)

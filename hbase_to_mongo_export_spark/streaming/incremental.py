@@ -338,19 +338,16 @@ def late_data_window_counts(
     the windows whose end <= final watermark, counted over A ∪ B. The
     DuckDB oracle replicates the watermark arithmetic (ms truncation
     included)."""
-    import hashlib
     import shutil
 
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        "late_stage_" + hashlib.md5(events_path.encode()).hexdigest()[:10],
-    )
-    shutil.rmtree(stage, ignore_errors=True)
-    os.makedirs(stage)
+    # per-run unique staging dir: concurrent runs over the same events
+    # file must not race on each other's files, and nothing may be left
+    # behind after the drain (cleanup in the finally below)
+    stage = tempfile.mkdtemp(prefix="late_stage_")
     t = pq.read_table(events_path)
     ts_idx = t.schema.get_field_index("ts")
     t = t.set_column(
@@ -372,19 +369,24 @@ def late_data_window_counts(
     os.utime(os.path.join(stage, "b.parquet"), (2000, 2000))
     os.utime(os.path.join(stage, "c.parquet"), (3000, 3000))
 
-    schema = spark.read.parquet(stage).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-    )
-    from ..sources.catalog import normalize_event_ts
+    try:
+        schema = spark.read.parquet(stage).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        from ..sources.catalog import normalize_event_ts
 
-    stream = normalize_event_ts(stream)
-    agg = (
-        stream.withWatermark("ts", delay)
-        .groupBy(F.window("ts", window_duration).alias("w"), F.col("event_type"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n")
-    )
-    return _drain(agg, "append")
+        stream = normalize_event_ts(stream)
+        agg = (
+            stream.withWatermark("ts", delay)
+            .groupBy(
+                F.window("ts", window_duration).alias("w"), F.col("event_type")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        )
+        return _drain(agg, "append")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

@@ -95,3 +95,84 @@ class TestExportMetricsIntegration:
         assert snap["records_processed"] == 30
         assert snap["records_failed"] == 0
         assert snap["files_written"] == len(res.files) >= 1
+
+
+class TestTableUnavailable:
+    """Missing source table folds to Table_Unavailable, never a skip or a
+    generic failure (JobCompletionNotificationListener.kt:69-91)."""
+
+    def test_missing_table_sets_status_and_fold(self, spark, tmp_path):
+        from hbase_to_mongo_export_spark.plans.export import ExportConfig, run_export
+        from hbase_to_mongo_export_spark.plans.status import (
+            LocalStatusStore,
+            completion_status,
+        )
+        from hbase_to_mongo_export_spark.sources.catalog import read_export_source
+
+        store = LocalStatusStore(str(tmp_path / "status.jsonl"))
+        cfg = ExportConfig(
+            topic="does.not.exist", output_dir=str(tmp_path / "out")
+        )
+        result = run_export(
+            spark,
+            lambda: read_export_source(spark, str(tmp_path / "no_such_table")),
+            cfg,
+            correlation_id="r1",
+            status_store=store,
+        )
+        assert result.status == "Table_Unavailable"
+        rows = completion_status(store.to_df(spark)).collect()
+        assert rows[0].run_status == "COMPLETED_UNSUCCESSFULLY"
+
+    def test_cli_missing_table(self, tmp_path, capsys):
+        from hbase_to_mongo_export_spark.__main__ import main
+
+        rc = main([
+            "export", "--topic", "does.not.exist",
+            "--source", str(tmp_path / "nope"),
+            "--output", str(tmp_path / "out"),
+            "--status-file", str(tmp_path / "status.jsonl"),
+        ])
+        assert rc == 1
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["status"] == "Table_Unavailable"
+
+
+class TestPdmCommonModel:
+    def test_pdm_message_on_completed_incremental(self, spark, tmp_path):
+        from hbase_to_mongo_export_spark.plans.status import (
+            LocalNotifier,
+            LocalStatusStore,
+            finish_run,
+        )
+
+        store = LocalStatusStore(str(tmp_path / "s.jsonl"))
+        store.set_status("r1", "c1", "Exported", 2)
+        notifier = LocalNotifier(str(tmp_path / "m.jsonl"))
+        finish_run(
+            spark, "r1", store, notifier,
+            snapshot_type="incremental",
+            pdm_common_model_site_prefix="common-model/site",
+        )
+        kinds = [json.loads(l)["kind"]
+                 for l in open(tmp_path / "m.jsonl", encoding="utf-8")]
+        assert "pdm_common_model" in kinds
+
+    def test_no_pdm_message_for_full_snapshot(self, spark, tmp_path):
+        from hbase_to_mongo_export_spark.plans.status import (
+            LocalNotifier,
+            LocalStatusStore,
+            finish_run,
+        )
+
+        store = LocalStatusStore(str(tmp_path / "s.jsonl"))
+        store.set_status("r1", "c1", "Exported", 2)
+        notifier = LocalNotifier(str(tmp_path / "m.jsonl"))
+        finish_run(
+            spark, "r1", store, notifier,
+            snapshot_type="full",
+            pdm_common_model_site_prefix="common-model/site",
+        )
+        kinds = [json.loads(l)["kind"]
+                 for l in open(tmp_path / "m.jsonl", encoding="utf-8")]
+        assert "pdm_common_model" not in kinds

@@ -21,14 +21,14 @@ def test_db_collection_fallback_from_topic(spark):
         o["message"]["db"] = ""
         del o["message"]["collection"]
 
-    df = env.parse_envelope(_row_with(spark, clear), topic="ucfs.some-db.some-coll")
+    df = env.parse_envelope(_row_with(spark, clear), topic="db.some-db.some-coll")
     r = df.collect()[0]
     assert r.db == "some_db" and r.collection == "some_coll"
 
 
 def test_message_values_win_over_topic(spark):
     df = env.parse_envelope(
-        _row_with(spark, lambda o: None), topic="ucfs.other-db.other-coll"
+        _row_with(spark, lambda o: None), topic="db.other-db.other-coll"
     )
     r = df.collect()[0]
     assert r.db == "database" and r.collection == "collection"

@@ -198,17 +198,133 @@ class TestSinks:
         for f in result.files:
             assert f.endswith(".enc")
             meta = json.load(open(f + ".meta.json"))
+            # S3 object user-metadata parity (S3ObjectServiceImpl.kt:37-47):
+            # the ENCRYPTED data key travels, never the plaintext
+            assert set(meta) == {
+                "x-amz-meta-title", "iv", "cipherText",
+                "dataKeyEncryptionKeyId", "data_product", "data_product_type",
+            }
+            assert meta["data_product"] == "db.database.collection"
+            assert meta["data_product_type"] == "full"
+            assert meta["x-amz-meta-title"] == os.path.basename(f)
+            # local KMS stub: ciphertext is base64(plaintext key)
+            plain_key = base64.b64decode(meta["cipherText"])
             payload = open(f, "rb").read()
             plain = gzip.decompress(
-                aes_ctr(
-                    base64.b64decode(meta["dataKey"]),
-                    base64.b64decode(meta["iv"]),
-                    payload,
-                )
+                aes_ctr(plain_key, base64.b64decode(meta["iv"]), payload)
             )
             lines.extend(plain.decode("utf-8").splitlines())
         assert len(lines) == 50
         json.loads(lines[0])
+
+    def test_strict_sink_signed_split_names(self, spark, tmp_path):
+        """Golden split names of the reference's signed-byte partitioner at
+        scan.width=40 (UberTestSpec.kt:533-552) — keys with negative first
+        bytes land in the 128-088/088-048/048-008/008-000 splits."""
+        from hbase_to_mongo_export_spark.plans.sink import _split_name_fn
+
+        n, name = _split_name_fn("db.database.collection", 40, signed=True)
+        assert n == 8
+        assert [name(i) for i in range(n)] == [
+            "db.database.collection-128-088",
+            "db.database.collection-088-048",
+            "db.database.collection-048-008",
+            "db.database.collection-008-000",
+            "db.database.collection-000-040",
+            "db.database.collection-040-080",
+            "db.database.collection-080-120",
+            "db.database.collection-120-128",
+        ]
+        # width 256 (the equality scenario): one negative + one positive split
+        n2, name2 = _split_name_fn("data.equality", 256, signed=True)
+        assert n2 == 2
+        assert [name2(i) for i in range(n2)] == [
+            "data.equality-128-000",
+            "data.equality-000-128",
+        ]
+
+    def test_strict_sink_signed_split_routing(self, spark, tmp_path):
+        """End-to-end: records whose rowkey first byte is >= 0x80 (signed-
+        negative) are named by the negative-loop split, and every record
+        lands in exactly one file."""
+        df = fixtures.source_records(spark, n=200)
+        c = cfg(
+            tmp_path,
+            strict_sink=True,
+            signed_splits=True,
+            max_batch_bytes=1_000_000,
+            scan_width=64,
+            compression="none",
+        )
+        result = run_export(spark, df, c)
+        assert result.status == "Exported"
+        assert result.records == 200
+        names = {os.path.basename(f) for f in result.files}
+        prefixes = {n.rsplit("-", 1)[0] for n in names}
+        allowed = {
+            "db.database.collection-128-064",
+            "db.database.collection-064-000",
+            "db.database.collection-000-064",
+            "db.database.collection-064-128",
+        }
+        assert prefixes <= allowed
+        # fixture keys hash-spread over the byte space: both signed halves
+        # must actually appear
+        assert any(p.endswith("-128-064") or p.endswith("-064-000") for p in prefixes)
+        assert any(p.endswith("-000-064") or p.endswith("-064-128") for p in prefixes)
+        total = []
+        for f in result.files:
+            with open(f, encoding="utf-8") as fh:
+                total.extend(fh.read().splitlines())
+        assert len(total) == 200
+
+    def test_strict_sink_lz4_is_loud_not_silent(self, spark, tmp_path):
+        """lz4 must either really compress with lz4 (package present) or
+        raise — NEVER silently substitute gzip (VERDICT round 1 item 3)."""
+        df = fixtures.source_records(spark, n=20)
+        c = cfg(
+            tmp_path,
+            strict_sink=True,
+            max_batch_bytes=1_000_000,
+            scan_width=64,
+            compression="lz4",
+        )
+        try:
+            import lz4.frame  # noqa: F401
+
+            have_lz4 = True
+        except ImportError:
+            have_lz4 = False
+        if not have_lz4:
+            result = run_export(spark, df, c)
+            assert result.status == "Export_Failed"  # loud failure, no gzip files
+            assert not result.files
+            import pytest as _pytest
+
+            from hbase_to_mongo_export_spark.plans import sink as sink_mod
+
+            with _pytest.raises(ValueError, match="lz4"):
+                sink_mod.check_compression("lz4")
+        else:
+            result = run_export(spark, df, c)
+            assert result.status == "Exported"
+            assert all(f.endswith(".txt.lz4") for f in result.files)
+            lines = []
+            for f in result.files:
+                lines.extend(
+                    lz4.frame.decompress(open(f, "rb").read())
+                    .decode("utf-8")
+                    .splitlines()
+                )
+            assert len(lines) == 20
+
+    def test_unknown_compression_rejected(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from hbase_to_mongo_export_spark.plans import sink as sink_mod
+
+        with _pytest.raises(ValueError, match="unknown compression"):
+            sink_mod.check_compression("zstd-bogus")
 
 
 class TestConnectors:
@@ -221,6 +337,50 @@ class TestConnectors:
             connectors.write_mongo(
                 source, "mongodb://localhost", "db", "coll", fmt="mongodb-missing"
             )
+
+    def test_read_hbase_option_wiring_via_mock_source(self, spark):
+        """Exercise read_hbase's catalog/split/time-range option building
+        against a registered Python DataSource — covers the wiring the real
+        jar would consume (HBaseReader.kt:121-150) without the jar."""
+        from pyspark.sql.datasource import DataSource, DataSourceReader
+
+        class _EchoReader(DataSourceReader):
+            def __init__(self, options):
+                self.options = dict(options)
+
+            def read(self, partition):
+                yield (bytearray(b"\x00\x00\x00\x01k1"), json.dumps(self.options))
+
+        class MockHBase(DataSource):
+            @classmethod
+            def name(cls):
+                return "mockhbase"
+
+            def schema(self):
+                return "key binary, value string"
+
+            def reader(self, schema):
+                return _EchoReader(self.options)
+
+        from hbase_to_mongo_export_spark.sources import connectors
+
+        spark.dataSource.register(MockHBase)
+        df = connectors.read_hbase(
+            spark, "database:collection", ts_start=5, ts_end=99, fmt="mockhbase"
+        )
+        assert [f.name for f in df.schema.fields] == ["key", "ts", "value"]
+        assert dict(df.dtypes) == {"key": "binary", "ts": "bigint", "value": "string"}
+        row = df.collect()[0]
+        opts = json.loads(row.value)
+        opts = {k.lower(): v for k, v in opts.items()}
+        catalog = json.loads(opts["catalog"])
+        assert catalog["table"] == {"namespace": "database", "name": "collection"}
+        assert catalog["columns"]["value"] == {
+            "cf": "cf", "col": "record", "type": "string",
+        }
+        assert opts["hbase.spark.query.timerange.start"] == "5"
+        assert opts["hbase.spark.query.timerange.end"] == "99"
+        assert bytes(row.key) == b"\x00\x00\x00\x01k1"
 
 
 class TestGolden10k:

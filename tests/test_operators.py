@@ -170,6 +170,31 @@ class TestSimilarity:
                 (x for x in out if x.query_id == qid), key=lambda r: r.rank)]
             assert got == expect
 
+    def test_bruteforce_refuses_at_scale(self, spark, tables):
+        import pytest as _pytest
+
+        emb = tables["embeddings"]
+        qs = emb.filter("vec_id < 3")
+        with _pytest.raises(ValueError, match="lsh_topk or ivf_topk"):
+            similarity.cosine_topk(emb, qs, k=3, max_comparisons=100)
+        # opt-out works
+        assert (
+            similarity.cosine_topk(
+                emb.limit(10), qs, k=3, max_comparisons=None
+            ).count()
+            > 0
+        )
+
+    def test_kmeans_guards(self, spark, tables):
+        import pytest as _pytest
+
+        emb = tables["embeddings"]
+        with _pytest.raises(ValueError, match="rounds >= 1"):
+            similarity.kmeans_lloyd(emb, k=4, rounds=0)
+        sparse = emb.filter("vec_id % 2 = 0")  # ids not dense 0..k-1
+        with _pytest.raises(ValueError, match="dense"):
+            similarity.kmeans_lloyd(sparse, k=5, rounds=1)
+
     def test_lsh_recall_reasonable(self, spark, tables):
         emb = tables["embeddings"]
         qs = emb.filter("vec_id < 20")
@@ -212,6 +237,50 @@ class TestMultimodal:
         media = multimodal.synthetic_media(spark, n=4)
         with pytest.raises(Exception):
             multimodal.image_features(media, fake=False).collect()
+
+    def test_ppm_decode_real_roundtrip(self, spark):
+        media = multimodal.synthetic_ppm_media(spark, n=5, width=4, height=3)
+        out = {r.media_id: r for r in multimodal.ppm_image_stats(media).collect()}
+        assert len(out) == 5
+        # closed form: pixel i of image id is (id*31 + i) % 256
+        for mid, r in out.items():
+            assert (r.width, r.height) == (4, 3)
+            chans = [[], [], []]
+            for i in range(4 * 3 * 3):
+                chans[i % 3].append((mid * 31 + i) % 256)
+            assert abs(r.mean_r - round(sum(chans[0]) / len(chans[0]), 6)) < 1e-9
+            assert abs(r.mean_b - round(sum(chans[2]) / len(chans[2]), 6)) < 1e-9
+
+    def test_ppm_decode_handles_comments_and_rejects_garbage(self, spark):
+        import pandas as pd
+
+        # header comments are legal PPM
+        payload = b"P6\n# a comment\n2 1\n255\n" + bytes(range(6))
+        w, h, r, g, b = multimodal.decode_ppm(payload)
+        assert (w, h) == (2, 1)
+        assert (r, g, b) == ((0 + 3) / 2, (1 + 4) / 2, (2 + 5) / 2)
+        # malformed rows quarantine to nulls, not task failures
+        df = spark.createDataFrame(
+            [(0, bytearray(b"NOT A PPM"), ("image", "ppm", 1, 1, None, None))],
+            multimodal.MEDIA_SCHEMA,
+        )
+        row = multimodal.ppm_image_stats(df).collect()[0]
+        assert row.media_id == 0 and row.width is None and row.mean_r is None
+
+    def test_wav_decode_real_roundtrip(self, spark):
+        media = multimodal.synthetic_wav_media(spark, n=3, n_samples=64, rate=16000)
+        out = {r.media_id: r for r in multimodal.wav_audio_stats(media).collect()}
+        assert len(out) == 3
+        for mid, r in out.items():
+            vals = [((mid * 7 + s * 13) % 65536) - 32768 for s in range(64)]
+            assert r.n_samples == 64 and r.sample_rate == 16000
+            assert r.peak == max(abs(v) for v in vals)
+            expect_rms = (sum(v * v for v in vals) / 64) ** 0.5
+            assert abs(r.rms - round(expect_rms, 6)) < 1e-9
+
+    def test_wav_decode_rejects_non_pcm16(self, spark):
+        with pytest.raises(ValueError, match="RIFF"):
+            multimodal.decode_wav_pcm16(b"garbage")
 
     def test_frame_sample(self, spark):
         media = multimodal.synthetic_media(spark, n=12)

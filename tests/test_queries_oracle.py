@@ -43,6 +43,14 @@ def _rowset(cols, rows):
     return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
 
 
+@pytest.fixture(autouse=True)
+def _release_cached():
+    yield
+    from hbase_to_mongo_export_spark.operators import _cache as op_cache
+
+    op_cache.release_all()
+
+
 @pytest.mark.parametrize("name", WITH_ORACLE)
 def test_query_matches_oracle(spark, duck, name):
     sdf = registry.queries()[name](spark, SF_DIR)
