@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "knn_label_classifier",
     "naive_bayes_lang_score",
     "cdc_chunk_dedup",
+    "embedding_pq_assign",
+    "training_corpus_pipeline",
 ]
 
 

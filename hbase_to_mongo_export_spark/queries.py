@@ -8847,9 +8847,21 @@ def corpus_summary_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_triangle_count",
     oracle="""
     WITH so AS (SELECT DISTINCT l_suppkey AS s, l_orderkey AS o FROM lineitem),
+    w AS (
+      SELECT a.s AS u, b.s AS v, COUNT(*) AS c
+      FROM so a JOIN so b ON a.o = b.o AND a.s < b.s
+      GROUP BY a.s, b.s),
+    sym AS (
+      SELECT u AS x, v AS y, c FROM w
+      UNION ALL SELECT v AS x, u AS y, c FROM w),
+    sel AS (
+      SELECT x, y FROM (
+        SELECT x, y,
+               ROW_NUMBER() OVER (PARTITION BY x ORDER BY c DESC, y) AS rn
+        FROM sym)
+      WHERE rn <= 3),
     e AS (
-      SELECT DISTINCT a.s AS u, b.s AS v
-      FROM so a JOIN so b ON a.o = b.o AND a.s < b.s),
+      SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v FROM sel),
     tri AS (
       SELECT COUNT(*) AS n FROM e e1
       JOIN e e2 ON e2.u = e1.v
@@ -8859,21 +8871,40 @@ def corpus_summary_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact triangle count on the supplier co-order graph (suppliers are
-    adjacent iff they supplied the same order). The u<v<w orientation makes
-    each triangle count exactly once; the counting join is the standard
-    edge-iterator algorithm — two self-joins on an oriented edge list, cost
-    proportional to the number of wedges, never materializing neighborhoods.
-    At 100 TB the same plan holds with the edge list pre-partitioned on u."""
+    """Exact triangle count on the TOP-3-SPARSIFIED supplier co-order
+    graph: each supplier keeps edges to its 3 strongest co-order partners
+    (by shared-order count, ties by id), edges survive if either endpoint
+    selected them. Sparsification first is the 100 TB posture — raw
+    co-occurrence graphs densify toward complete as data grows (this one
+    is already complete at sf0.01), making raw triangle counting O(n³);
+    bounding the out-degree bounds wedges at 6·|V| regardless of scale.
+    The count itself is the standard oriented edge-iterator: two
+    self-joins on the u<v edge list, each triangle counted once."""
     li = _t(spark, sf_dir, "lineitem")
     so = li.select(
         F.col("l_suppkey").alias("s"), F.col("l_orderkey").alias("o")
     ).distinct()
-    e = (
+    w = (
         so.alias("a")
         .join(so.alias("b"), (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
-        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sym = w.select(F.col("u").alias("x"), F.col("v").alias("y"), "c").unionAll(
+        w.select(F.col("v").alias("x"), F.col("u").alias("y"), "c")
+    )
+    wsel = Window.partitionBy("x").orderBy(F.desc("c"), "y")
+    # e is vertex-sized (≤ 3|V| edges) and feeds four consumers (three
+    # triangle-join sides + the edge count) — materialize once instead of
+    # re-running the corpus-scale co-order join per consumer
+    e = op_cache.track(
+        sym.withColumn("rn", F.row_number().over(wsel))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
+        )
         .distinct()
+        .cache()
     )
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
@@ -9415,3 +9446,581 @@ def multimodal_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     export pipeline's decrypt step."""
     media = mm_mod.synthetic_wav_media(spark, n=50)
     return mm_mod.wav_audio_stats(media).orderBy("media_id")
+
+
+@register(
+    "bigram_pmi_collocations",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, {_NB_WORDS} AS ws FROM documents WHERE trim(text) != ''),
+    uni AS (
+      SELECT w, COUNT(*) AS c FROM (SELECT unnest(ws) AS w FROM words) GROUP BY w),
+    n_uni AS (SELECT SUM(c) AS nu FROM uni),
+    bi AS (
+      SELECT ws[i] AS x, ws[i + 1] AS y, COUNT(*) AS cxy
+      FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM words WHERE len(ws) >= 2)
+      GROUP BY ws[i], ws[i + 1]),
+    n_bi AS (SELECT SUM(cxy) AS nb FROM bi)
+    SELECT x, y, CAST(cxy AS BIGINT) AS cxy,
+           ROUND(ln(((CAST(cxy AS DOUBLE) * nu) * nu) /
+                    ((CAST(nb AS DOUBLE) * cx.c) * cy.c)), 6) AS pmi
+    FROM bi, n_uni, n_bi
+    JOIN uni cx ON cx.w = x
+    JOIN uni cy ON cy.w = y
+    WHERE cxy >= 10
+    ORDER BY pmi DESC, x, y
+    LIMIT 20
+    """,
+)
+def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining over adjacent word
+    pairs — the classic phrase detector for tokenizer/vocab construction.
+    PMI = ln(p(xy) / (p(x)p(y))) with the ratio assembled left-to-right in
+    one double expression identical on both engines, then rounded. Unigram
+    totals broadcast (2 scalar rows); the bigram aggregate is the only
+    corpus-scale shuffle."""
+    docs = _t(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    ws = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    words = docs.select(ws.alias("ws"))
+    uni = (
+        words.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c").alias("nu"))
+    bigrams = words.filter(F.size("ws") >= 2).select(
+        F.explode(
+            F.transform(
+                F.slice(F.col("ws"), 1, F.size("ws") - 1),
+                lambda w, i: F.struct(
+                    w.alias("x"), F.element_at(F.col("ws"), i + 2).alias("y")
+                ),
+            )
+        ).alias("p")
+    )
+    bi = bigrams.groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y")).agg(
+        F.count(F.lit(1)).alias("cxy")
+    )
+    n_bi = bi.agg(F.sum("cxy").alias("nb"))
+    cx = uni.select(F.col("w").alias("x"), F.col("c").alias("cx_c"))
+    cy = uni.select(F.col("w").alias("y"), F.col("c").alias("cy_c"))
+    return (
+        bi.filter(F.col("cxy") >= 10)
+        .join(F.broadcast(n_uni))
+        .join(F.broadcast(n_bi))
+        .join(cx, "x")
+        .join(cy, "y")
+        .select(
+            "x",
+            "y",
+            F.col("cxy").cast("bigint").alias("cxy"),
+            F.round(
+                F.log(
+                    ((F.col("cxy").cast("double") * F.col("nu")) * F.col("nu"))
+                    / ((F.col("nb").cast("double") * F.col("cx_c")) * F.col("cy_c"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "x", "y")
+        .limit(20)
+    )
+
+
+@register(
+    "events_rollup_multi_granularity",
+    oracle="""
+    WITH base AS (
+      SELECT date_trunc('hour', ts) AS h,
+             date_trunc('day', ts) AS d,
+             date_trunc('week', ts) AS wk,
+             value
+      FROM events),
+    g AS (
+      SELECT h, d, wk, COUNT(*) AS n_events,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+      FROM base
+      GROUP BY GROUPING SETS ((h), (d), (wk)))
+    SELECT CASE WHEN h IS NOT NULL THEN 'hour'
+                WHEN d IS NOT NULL THEN 'day'
+                ELSE 'week' END AS grain,
+           COALESCE(h, d, wk) AS bucket_start,
+           n_events, sum_value
+    FROM g
+    ORDER BY grain, bucket_start
+    """,
+)
+def events_rollup_multi_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: one scan feeds hour,
+    day, and week buckets via GROUPING SETS — the single-pass form of
+    maintaining multiple rollup tables (what a time-series engine calls a
+    cascaded continuous aggregate). Sums go through DECIMAL so the three
+    granularities are exactly consistent with each other."""
+    ev = _t(spark, sf_dir, "events")
+    ev.select(
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("week", "ts").alias("wk"),
+        "value",
+    ).createOrReplaceTempView("__ev_rollup_base")
+    return ev.sparkSession.sql("""
+        WITH g AS (
+          SELECT h, d, wk, COUNT(*) AS n_events,
+                 CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+          FROM __ev_rollup_base
+          GROUP BY GROUPING SETS ((h), (d), (wk)))
+        SELECT CASE WHEN h IS NOT NULL THEN 'hour'
+                    WHEN d IS NOT NULL THEN 'day'
+                    ELSE 'week' END AS grain,
+               COALESCE(h, d, wk) AS bucket_start,
+               n_events, sum_value
+        FROM g
+        ORDER BY grain, bucket_start
+    """)
+
+
+@register(
+    "streaming_sliding_window_append",
+    oracle="""
+    WITH wm AS (SELECT epoch_ms(MAX(ts)) - 7200000 AS wm FROM events),
+    wins AS (
+      SELECT make_timestamp(
+               ((epoch_ms(ts) // 1800000) * 1800000 - j.j * 1800000) * 1000
+             ) AS window_start,
+             event_type
+      FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j)
+    SELECT window_start, event_type, COUNT(*) AS n_events
+    FROM wins
+    WHERE epoch_ms(window_start) + 7200000 <= (SELECT wm FROM wm)
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def streaming_sliding_window_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h window / 30min slide) through a real
+    Structured Streaming drain in APPEND mode — each event joins 4
+    overlapping windows and only watermark-closed windows are emitted
+    (the open head of the stream is withheld). The oracle replays the
+    window membership and the end<=watermark emission rule in SQL,
+    ms truncation included."""
+    import os as _os
+
+    from .streaming.incremental import sliding_window_counts
+
+    out = sliding_window_counts(
+        spark, _os.path.join(sf_dir, "events.parquet"),
+        window_duration="2 hours", slide="30 minutes", watermark="2 hours",
+    )
+    return out.orderBy("window_start", "event_type")
+
+
+@register(
+    "decision_stump_classifier",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             [GREATEST(CAST(ROUND(CAST(x AS DOUBLE) * 64, 0) AS INT) + 128, 0)
+              FOR x IN embedding] AS qv,
+             CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+      FROM embeddings),
+    expl AS (
+      SELECT vec_id, y, unnest(qv) AS val,
+             unnest(range(1, len(qv) + 1)) AS d
+      FROM q),
+    cnt AS (
+      SELECT d, val,
+             SUM(y) AS pos, COUNT(*) - SUM(y) AS neg
+      FROM expl GROUP BY d, val),
+    cum AS (
+      SELECT d, val,
+             SUM(pos) OVER (PARTITION BY d ORDER BY val
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lp,
+             SUM(neg) OVER (PARTITION BY d ORDER BY val
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ln
+      FROM cnt),
+    tot AS (SELECT SUM(y) AS tp, COUNT(*) - SUM(y) AS tn, COUNT(*) AS n FROM q),
+    scored AS (
+      SELECT d, val,
+             GREATEST(lp, ln) + GREATEST(tp - lp, tn - ln) AS n_correct, n
+      FROM cum, tot)
+    SELECT CAST(d AS INT) AS dim, CAST(val AS INT) AS threshold,
+           CAST(n_correct AS BIGINT) AS n_correct,
+           ROUND(CAST(n_correct AS DOUBLE) / n, 6) AS accuracy
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY n_correct DESC, d, val) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+)
+def decision_stump_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single-feature decision stump over the quantized embedding
+    table for the binary target label<5 — distributed exhaustive split
+    search, the building block of tree ensembles. For every (dimension,
+    threshold) the split accuracy comes from one cumulative window over
+    per-(dim,value) class counts — integer arithmetic throughout, so the
+    argmax (ties to lowest dim, then threshold) is engine-exact. One
+    shuffle on (dim,value) + a window over the (tiny) count table; the
+    corpus never flows into the window."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = sim_mod.quantize_for_kmeans(emb, "vec_id", "embedding").join(
+        emb.select("vec_id", F.when(F.col("label") < 5, 1).otherwise(0).alias("y")),
+        "vec_id",
+    )
+    expl = q.select(
+        "y", F.posexplode("qv").alias("d0", "val")
+    ).select((F.col("d0") + 1).alias("d"), "val", "y")
+    cnt = expl.groupBy("d", "val").agg(
+        F.sum("y").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("neg"),
+    )
+    wcum = (
+        Window.partitionBy("d")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cnt.select(
+        "d",
+        "val",
+        F.sum("pos").over(wcum).alias("lp"),
+        F.sum("neg").over(wcum).alias("ln"),
+    )
+    tot = q.agg(
+        F.sum("y").alias("tp"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("tn"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    scored = cum.join(F.broadcast(tot)).select(
+        "d",
+        "val",
+        (
+            F.greatest("lp", "ln")
+            + F.greatest(F.col("tp") - F.col("lp"), F.col("tn") - F.col("ln"))
+        ).alias("n_correct"),
+        "n",
+    )
+    wtop = Window.orderBy(F.desc("n_correct"), "d", "val")
+    return (
+        scored.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("d").cast("int").alias("dim"),
+            F.col("val").cast("int").alias("threshold"),
+            F.col("n_correct").cast("bigint").alias("n_correct"),
+            F.round(F.col("n_correct").cast("double") / F.col("n"), 6).alias("accuracy"),
+        )
+    )
+
+
+@register(
+    "embedding_pq_assign",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             [GREATEST(CAST(ROUND(CAST(x AS DOUBLE) * 64, 0) AS INT) + 128, 0)
+              FOR x IN embedding] AS qv
+      FROM embeddings),
+    expl AS (
+      SELECT vec_id, unnest(qv) AS val,
+             unnest(range(0, len(qv))) AS pos0
+      FROM q),
+    dims AS (
+      SELECT vec_id, pos0 // 8 AS sub, pos0 % 8 AS dpos, val FROM expl),
+    cents AS (
+      SELECT vec_id AS cid, sub, dpos, val AS cval FROM dims WHERE vec_id < 16),
+    dists AS (
+      SELECT d.vec_id, d.sub, c.cid,
+             SUM((d.val - c.cval) * (d.val - c.cval)) AS dist
+      FROM dims d JOIN cents c ON c.sub = d.sub AND c.dpos = d.dpos
+      GROUP BY d.vec_id, d.sub, c.cid),
+    assign AS (
+      SELECT vec_id, sub, cid, dist FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY dist, cid) AS rn
+        FROM dists)
+      WHERE rn = 1)
+    SELECT CAST(sub AS INT) AS subspace,
+           COUNT(*) AS n_vectors,
+           CAST(COUNT(DISTINCT cid) AS INT) AS n_codes_used,
+           ROUND(CAST(SUM(dist) AS DOUBLE) / COUNT(*), 6) AS avg_sq_err
+    FROM assign
+    GROUP BY sub
+    ORDER BY subspace
+    """,
+)
+def embedding_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code assignment: 64-dim vectors split into 8
+    subspaces of 8 dims, each subvector snapped to its nearest of 16
+    deterministic codebook entries (the sub-vectors of ids 0..15) in exact
+    integer L2. Reports codebook utilization + mean quantization error per
+    subspace — the calibration readout you tune M/K with before committing
+    a 100 TB ANN index to PQ codes. The distance computation is one
+    (sub,dpos)-keyed join + aggregate: distance-table shaped, no per-row
+    Python, linear in vectors x codebook."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = sim_mod.quantize_for_kmeans(emb, "vec_id", "embedding")
+    dims = q.select(
+        "vec_id", F.posexplode("qv").alias("pos0", "val")
+    ).select(
+        "vec_id",
+        (F.col("pos0") / 8).cast("int").alias("sub"),
+        (F.col("pos0") % 8).alias("dpos"),
+        "val",
+    )
+    cents = dims.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), "sub", "dpos", F.col("val").alias("cval")
+    )
+    dists = (
+        dims.join(F.broadcast(cents), ["sub", "dpos"])
+        .groupBy("vec_id", "sub", "cid")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
+            ).alias("dist")
+        )
+    )
+    wmin = Window.partitionBy("vec_id", "sub").orderBy("dist", "cid")
+    assign = (
+        dists.withColumn("rn", F.row_number().over(wmin)).filter(F.col("rn") == 1)
+    )
+    return (
+        assign.groupBy("sub")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.countDistinct("cid").cast("int").alias("n_codes_used"),
+            F.round(F.sum("dist").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_sq_err"
+            ),
+        )
+        .select(
+            F.col("sub").cast("int").alias("subspace"),
+            "n_vectors",
+            "n_codes_used",
+            "avg_sq_err",
+        )
+        .orderBy("subspace")
+    )
+
+
+@register(
+    "training_corpus_pipeline",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+             {_NB_WORDS} AS ws, text
+      FROM documents WHERE trim(text) != ''),
+    canon AS (
+      SELECT MIN(doc_id) AS keep_id, norm, COUNT(*) AS n_copies
+      FROM base GROUP BY norm),
+    survivors AS (
+      SELECT b.* FROM base b JOIN canon c ON b.doc_id = c.keep_id),
+    flagged AS (
+      SELECT doc_id, lang, len(ws) AS n_tokens,
+             CASE WHEN len(ws) BETWEEN 20 AND 100000
+                   AND 3 * len(ws) <= len(list_aggregate(ws, 'string_agg', ''))
+                   AND len(list_aggregate(ws, 'string_agg', '')) <= 10 * len(ws)
+                  THEN 1 ELSE 0 END AS quality_ok
+      FROM survivors),
+    dups AS (SELECT SUM(n_copies - 1) AS n_dups FROM canon)
+    SELECT lang,
+           COUNT(*) AS n_docs_unique,
+           CAST(SUM(quality_ok) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(CASE WHEN quality_ok = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS tokens_kept,
+           (SELECT CAST(n_dups AS BIGINT) FROM dups) AS corpus_exact_dups
+    FROM flagged
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation pipeline in one lazy plan:
+    normalize → exact-dedup (keep lowest doc_id per content) → quality
+    gate (word-count + mean-word-length rules) → per-language token
+    budget. This is the composition story: each stage is an operator the
+    registry also checks in isolation, chained without materialization so
+    Catalyst fuses the projections and the only shuffles are the dedup
+    hash-agg and the final rollup."""
+    docs = _t(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    ws = F.split(norm, " ")
+    base = docs.select("doc_id", "lang", norm.alias("norm"), ws.alias("ws"))
+    canon = base.groupBy("norm").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+    survivors = base.join(
+        canon.select(F.col("keep_id").alias("doc_id"), F.lit(1).alias("__k")),
+        "doc_id",
+    )
+    n = F.size("ws")
+    total_chars = F.length(F.concat_ws("", F.col("ws")))
+    flagged = survivors.select(
+        "doc_id",
+        "lang",
+        n.alias("n_tokens"),
+        F.when(
+            n.between(20, 100000)
+            & (3 * n <= total_chars)
+            & (total_chars <= 10 * n),
+            1,
+        )
+        .otherwise(0)
+        .alias("quality_ok"),
+    )
+    dups = canon.agg(
+        F.sum(F.col("n_copies") - 1).cast("bigint").alias("corpus_exact_dups")
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_unique"),
+            F.sum("quality_ok").cast("bigint").alias("n_docs_kept"),
+            F.sum(F.when(F.col("quality_ok") == 1, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+        .join(F.broadcast(dups))
+        .orderBy("lang")
+    )
+
+
+_LANG_HITS_SQL = """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             [lower(w) FOR w IN (CASE WHEN trim(text) = '' THEN []
+                                 ELSE string_split_regex(trim(text), '\\s+') END)] AS words
+      FROM documents),
+    hits AS (
+      SELECT doc_id, lang,
+             len(list_filter(words, w -> list_contains(['der','die','und','das','ein'], w))) AS h_de,
+             len(list_filter(words, w -> list_contains(['the','and','of','to','a'], w))) AS h_en,
+             len(list_filter(words, w -> list_contains(['el','la','de','que','y'], w))) AS h_es,
+             len(list_filter(words, w -> list_contains(['le','la','de','et','un'], w))) AS h_fr
+      FROM toks),
+    pred AS (
+      SELECT doc_id, lang AS true_lang,
+             CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                  WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                  WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                  WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                  ELSE 'fr' END AS pred_lang
+      FROM hits)
+"""
+
+
+@register(
+    "lang_id_confusion_matrix",
+    oracle=_LANG_HITS_SQL + """
+    SELECT true_lang, pred_lang, COUNT(*) AS n
+    FROM pred GROUP BY true_lang, pred_lang
+    ORDER BY true_lang, pred_lang
+    """,
+)
+def lang_id_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation harness for the n-gram language identifier: confusion
+    matrix of predicted vs labeled language over the corpus. One narrow
+    pass + a tiny (langs²) aggregate — the quality readout you run before
+    trusting lang-id as a 100 TB routing key."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("true_lang"),
+        tx.lang_id(F.col("text")).alias("pred_lang"),
+    )
+    return (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_ws,
+             len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_bpe
+      FROM documents)
+    SELECT lang,
+           CAST(SUM(n_ws) AS BIGINT) AS whitespace_tokens,
+           CAST(SUM(n_bpe) AS BIGINT) AS subword_tokens,
+           ROUND(CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws), 6) AS fertility
+    FROM t WHERE n_ws > 0
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (subword tokens per whitespace word) per
+    language — the compression readout that drives per-language token
+    budgets in a multilingual training mix. Pure built-in expressions;
+    single narrow pass + langs-sized aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        tx.token_count(F.col("text")).alias("n_ws"),
+        tx.bpe_token_estimate(F.col("text")).alias("n_bpe"),
+    ).filter(F.col("n_ws") > 0)
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.sum("n_ws").cast("bigint").alias("whitespace_tokens"),
+            F.sum("n_bpe").cast("bigint").alias("subword_tokens"),
+            F.round(
+                F.sum("n_bpe").cast("double") / F.sum("n_ws"), 6
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+_ORACLES["similarity_lsh_recall_eval"] = f"""
+    SELECT ex.query_id,
+           CAST(COUNT(*) AS INT) AS n_exact,
+           CAST(SUM(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+             AS n_hit,
+           ROUND(SUM(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) /
+                 CAST(COUNT(*) AS DOUBLE), 6) AS recall
+    FROM ({_ORACLES["similarity_bruteforce_topk"]}) ex
+    LEFT JOIN ({_ORACLES["similarity_lsh_topk"]}) ap
+      ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
+    GROUP BY ex.query_id
+    ORDER BY ex.query_id
+    """
+
+
+@register("similarity_lsh_recall_eval")
+def similarity_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k evaluation of the LSH index against the brute-force ground
+    truth — the accept/reject gate before pointing an ANN index at the
+    full corpus. Composes the two oracle-checked retrievals and joins on
+    (query, neighbor); the oracle composes the exact same two SQL bodies,
+    so the measured recall itself is value-checked."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    qs = emb.filter(F.col("vec_id") < 5)
+    exact = sim_mod.cosine_topk(emb, qs, k=3)
+    approx = sim_mod.lsh_topk(emb, qs, dim=dim, k=3).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    joined = exact.join(
+        approx,
+        (F.col("query_id") == F.col("aq")) & (F.col("neighbor_id") == F.col("an")),
+        "left",
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_exact"),
+            F.sum(F.when(F.col("an").isNotNull(), 1).otherwise(0))
+            .cast("int")
+            .alias("n_hit"),
+            F.round(
+                F.sum(F.when(F.col("an").isNotNull(), 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

@@ -61,6 +61,15 @@ def get_spark(
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         # Local mode is a single JVM: cap the UI off for speed/quiet.
         "spark.ui.enabled": "false",
+        # Local-mode JVM heap defaults to 1g — far below this box's RAM —
+        # and an undersized heap turns big sorts/joins into
+        # SparkOutOfMemoryError instead of spills. Only effective before
+        # JVM start (i.e. for sessions this builder creates).
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "8g"),
+        # JVM unified logging (e.g. [warning][gc,alloc] under memory
+        # pressure) writes to STDOUT, which must stay pure for callers
+        # that parse our output (bench.py emits exactly one JSON line).
+        "spark.driver.extraJavaOptions": "-Xlog:disable",
     }
     if extra_conf:
         conf.update(extra_conf)

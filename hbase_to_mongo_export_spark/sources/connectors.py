@@ -42,14 +42,20 @@ def read_hbase(
     table: str,
     ts_start: int | None = None,
     ts_end: int | None = None,
+    scanner_caching: int | None = 1000,
+    cache_blocks: bool = False,
+    timeline_consistency: bool = False,
     fmt: str = "org.apache.hadoop.hbase.spark",
 ) -> DataFrame:
     """HBase table → DataFrame[key: binary, ts: long, value: string].
 
-    Mirrors the reference read surface (HBaseReader.kt:34-60): single
-    column family ``cf``, qualifier ``record``, newest cell within the
-    optional time range (connector-side maxVersions=1 + time-range
-    pushdown)."""
+    Mirrors the reference read surface (HBaseReader.kt:34-60,145-187):
+    single column family ``cf``, qualifier ``record``, newest cell within
+    the optional time range (connector-side maxVersions=1 + time-range
+    pushdown), client scanner caching (``scan.cache.size``, default 1000),
+    block-cache opt-out for the one-shot snapshot scan
+    (``scan.cache.blocks``), and TIMELINE consistency for region-replica
+    reads (``HBaseReader.kt:152-154``)."""
     catalog = (
         '{"table":{"namespace":"%s","name":"%s"},'
         '"rowkey":"key",'
@@ -63,6 +69,11 @@ def read_hbase(
         options["hbase.spark.query.timerange.start"] = str(ts_start)
     if ts_end is not None:
         options["hbase.spark.query.timerange.end"] = str(ts_end)
+    if scanner_caching is not None:
+        options["hbase.spark.scanner.caching"] = str(scanner_caching)
+    options["hbase.spark.scanner.cacheblocks"] = str(cache_blocks).lower()
+    if timeline_consistency:
+        options["hbase.spark.query.consistency"] = "TIMELINE"
     df = _probe_format(spark, fmt, options)
     # the connector exposes the cell timestamp as metadata when requested;
     # normalize to the engine's (key, ts, value) contract

@@ -313,6 +313,40 @@ def upsert_serving_table(
     q.awaitTermination()
 
 
+def sliding_window_counts(
+    spark: SparkSession,
+    events_path: str,
+    window_duration: str = "2 hours",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window counts in APPEND mode: each event lands in
+    window/slide overlapping windows, and a window row is emitted only
+    once the watermark passes its end (availableNow's trailing no-data
+    batch finalizes against the post-drain watermark). Unlike the
+    tumbling query (complete-mode semantics), this pins the append
+    contract: open windows near the stream head are withheld."""
+    from ..sources.catalog import _read_parquet_nanos_safe, normalize_event_ts
+
+    batch_df = _read_parquet_nanos_safe(spark, events_path)
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("pathGlobFilter", os.path.basename(events_path))
+        .parquet(os.path.dirname(events_path))
+    )
+    stream = normalize_event_ts(stream)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window_duration, slide).alias("w"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    return _drain(agg, "append")
+
+
 def late_data_window_counts(
     spark: SparkSession,
     events_path: str,

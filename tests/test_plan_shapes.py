@@ -313,3 +313,53 @@ class TestNewSimilarityPlans:
         plan = plan_of(registry.queries()["event_transition_matrix"](spark, sf_dir))
         assert "CartesianProduct" not in plan
         assert "HashAggregate" in plan
+
+
+class TestRound2PlanShapes:
+    def test_naive_bayes_broadcasts_scalars_not_model(self, spark, sf_dir):
+        """The 5-row candidate/prior tables broadcast; the vocabulary-sized
+        model join stays a keyed join (broadcasting a vocab-scale table is
+        the regression the tfidf review caught)."""
+        plan = plan_of(registry.queries()["naive_bayes_lang_score"](spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+    def test_pq_assign_broadcasts_codebook(self, spark, sf_dir):
+        plan = plan_of(registry.queries()["embedding_pq_assign"](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_triangle_count_reuses_cached_edges(self, spark, sf_dir):
+        """The sparsified edge list is built once and cached; all four
+        consumers (three join sides + edge count) must read the
+        InMemoryRelation, not re-run the corpus-scale co-order join."""
+        from hbase_to_mongo_export_spark.operators import _cache as op_cache
+
+        df = registry.queries()["graph_triangle_count"](spark, sf_dir)
+        plan = plan_of(df)
+        try:
+            assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
+            # the expensive co-order self-join appears once, in the cache build
+            assert df.collect()[0].n_edges > 0
+        finally:
+            op_cache.release_all()
+
+    def test_decision_stump_single_count_shuffle(self, spark, sf_dir):
+        """The corpus flows through exactly one (dim,value) aggregate; the
+        window runs over the count table, and the totals row broadcasts."""
+        plan = plan_of(registry.queries()["decision_stump_classifier"](spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+    def test_corpus_pipeline_fuses_stages(self, spark, sf_dir):
+        """Dedup → quality gate → rollup as one lazy plan: the quality
+        projection fuses into the survivor join (no extra exchange between
+        the gate and the final aggregate beyond the join/agg shuffles)."""
+        plan = plan_of(registry.queries()["training_corpus_pipeline"](spark, sf_dir))
+        import re as _re
+
+        # count physical exchange operators (formatted explain lists each
+        # node twice — tree + detail — so match the numbered detail form),
+        # excluding broadcast exchanges (those are the cheap dim sends)
+        n_shuffles = len(_re.findall(r"\(\d+\) Exchange", plan))
+        assert n_shuffles <= 6, plan
