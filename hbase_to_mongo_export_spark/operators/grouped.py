@@ -1,0 +1,109 @@
+"""Grouped-map (applyInPandas) and Arrow-native (mapInArrow) operators.
+
+These complete the engine's UDF surface (SURVEY §2.8 F7): alongside
+scalar pandas UDFs (crypto/normalize), mapInPandas (multimodal, packing),
+applyInPandasWithState (streaming/stateful.py), and the Python UDTF, this
+module adds
+
+- ``grouped_median_mad``   — the grouped-map pattern: whole-group pandas
+  logic (selection medians need the full sorted group) with cogroup-free
+  shuffle-on-key semantics; and
+- ``arrow_text_bytes``     — the zero-copy Arrow iterator pattern: per-
+  batch pyarrow.compute kernels with no pandas materialization, the
+  cheapest Python path for columnar byte-level work.
+
+Determinism notes: both operators stay engine-exact — medians are
+SELECTION (lower-median of sorted integers, never interpolated floats)
+and the Arrow kernels return integer char/byte counts, so DuckDB oracles
+reproduce every value.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+MEDIAN_MAD_SCHEMA = T.StructType(
+    [
+        T.StructField("group_key", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("median", T.LongType()),
+        T.StructField("mad", T.LongType()),
+    ]
+)
+
+
+def _lower_median(sorted_vals) -> int:
+    # lower median = element (n-1)//2 of the ascending sort — a selection,
+    # identical in any engine (no .5 interpolation to disagree on)
+    return int(sorted_vals[(len(sorted_vals) - 1) // 2])
+
+
+def grouped_median_mad(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group robust location/scale via applyInPandas: lower-median of
+    the integer values and the lower-median of absolute deviations (MAD).
+    The group shuffles to one task — the right trade for statistics that
+    need the whole sorted group; at 100 TB group count provides the
+    parallelism (keys are the unit of work, not rows)."""
+    import numpy as np
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = np.sort(pdf[value_col].to_numpy(dtype="int64"))
+        med = _lower_median(vals)
+        mad = _lower_median(np.sort(np.abs(vals - med)))
+        return pd.DataFrame(
+            {
+                "group_key": [pdf[group_col].iloc[0]],
+                "n_rows": [len(vals)],
+                "median": [med],
+                "mad": [mad],
+            }
+        )
+
+    return df.select(group_col, value_col).groupBy(group_col).applyInPandas(
+        stats, MEDIAN_MAD_SCHEMA
+    )
+
+
+TEXT_BYTES_SCHEMA = T.StructType(
+    [
+        T.StructField("lang", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def arrow_text_bytes(df: DataFrame, lang_col: str = "lang", text_col: str = "text") -> DataFrame:
+    """Per-row UTF-8 character and byte counts via mapInArrow — pyarrow
+    compute kernels on the raw Arrow batches, no pandas conversion. The
+    char/byte split only differs for multi-byte scripts, which is exactly
+    the property a tokenizer-budget pipeline needs to see."""
+    import pyarrow as pa
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            text = batch.column(batch.schema.get_field_index(text_col))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index(lang_col)),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(pc.binary_length(text), pa.int64()),
+                ],
+                schema=pa.schema(
+                    [
+                        pa.field("lang", pa.string()),
+                        pa.field("n_chars", pa.int64()),
+                        pa.field("n_bytes", pa.int64()),
+                    ]
+                ),
+            )
+
+    return df.select(lang_col, text_col).mapInArrow(run, TEXT_BYTES_SCHEMA)

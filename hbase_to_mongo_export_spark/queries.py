@@ -10024,3 +10024,258 @@ def similarity_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "grouped_median_mad_doclen",
+    oracle="""
+    WITH d AS (SELECT lang AS group_key, n_chars FROM documents),
+    ranked AS (
+      SELECT group_key, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY group_key ORDER BY n_chars) AS rn,
+             COUNT(*) OVER (PARTITION BY group_key) AS n
+      FROM d),
+    med AS (
+      SELECT group_key, n AS n_rows, n_chars AS median
+      FROM ranked WHERE rn = (n - 1) // 2 + 1),
+    dev AS (
+      SELECT d.group_key, abs(d.n_chars - m.median) AS ad, m.n_rows, m.median
+      FROM d JOIN med m USING (group_key)),
+    dranked AS (
+      SELECT group_key, n_rows, median, ad,
+             ROW_NUMBER() OVER (PARTITION BY group_key ORDER BY ad) AS rn
+      FROM dev)
+    SELECT group_key, n_rows, median, ad AS mad
+    FROM dranked WHERE rn = (n_rows - 1) // 2 + 1
+    ORDER BY group_key
+    """,
+)
+def grouped_median_mad_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDF surface (applyInPandas): per-language lower-median
+    and median-absolute-deviation of document length — whole-group pandas
+    logic that needs the full sorted group, shuffled once on the group
+    key. Medians are selections (never interpolated), so the DuckDB
+    window-based replica matches exactly."""
+    from .operators import grouped as grouped_mod
+
+    docs = _t(spark, sf_dir, "documents")
+    return grouped_mod.grouped_median_mad(docs, "lang", "n_chars").orderBy(
+        "group_key"
+    )
+
+
+@register(
+    "arrow_text_byte_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+           ROUND(CAST(SUM(strlen(text)) AS DOUBLE) / SUM(length(text)), 6)
+             AS bytes_per_char
+    FROM documents WHERE length(text) > 0
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def arrow_text_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native UDF surface (mapInArrow): UTF-8 char vs byte counts
+    per language via pyarrow.compute kernels on the raw record batches —
+    no pandas materialization, the cheapest Python path for byte-level
+    columnar work. bytes_per_char > 1 flags multi-byte scripts, the input
+    to byte-budgeted tokenizer planning."""
+    from .operators import grouped as grouped_mod
+
+    docs = _t(spark, sf_dir, "documents")
+    per_row = grouped_mod.arrow_text_bytes(docs)
+    return (
+        per_row.filter(F.col("n_chars") > 0)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.round(
+                F.sum("n_bytes").cast("double") / F.sum("n_chars"), 6
+            ).alias("bytes_per_char"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "streaming_chained_window_rollup",
+    oracle="""
+    WITH wm AS (SELECT epoch_ms(MAX(ts)) - 7200000 AS wm FROM events),
+    hourly AS (
+      SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY 1)
+    SELECT CAST(date_trunc('day', h) AS TIMESTAMP) AS day_start,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           COUNT(*) AS n_hours
+    FROM hourly
+    WHERE epoch_ms(CAST(date_trunc('day', h) AS TIMESTAMP)) + 86400000
+            <= (SELECT wm FROM wm)
+    GROUP BY 1 ORDER BY day_start
+    """,
+)
+def streaming_chained_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two chained stateful operators in ONE streaming query: hourly
+    tumbling counts re-windowed (window_time) into a daily rollup — the
+    continuous-aggregate cascade a time-series store maintains, executed
+    by Structured Streaming's multi-stateful-operator support. Append
+    emits a day only after the watermark passes its end; the oracle
+    replays the hourly→daily cascade and the emission rule."""
+    import os as _os
+
+    from .streaming.incremental import chained_window_rollup
+
+    out = chained_window_rollup(
+        spark, _os.path.join(sf_dir, "events.parquet")
+    )
+    return out.orderBy("day_start")
+
+
+_ORACLES["embedding_semantic_clusters"] = f"""
+    WITH RECURSIVE
+    pairs AS (SELECT id_a, id_b FROM ({_ORACLES["embedding_near_dup_pairs"]})),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+    SELECT component AS cluster_id, COUNT(*) AS size
+    FROM comp GROUP BY component
+    ORDER BY size DESC, cluster_id
+    """
+
+
+@register("embedding_semantic_clusters")
+def embedding_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup end-game: hyperplane-bucketed cosine near-dup pairs
+    (the oracle-checked embedding_near_dup_pairs output) fed into
+    min-label-propagation connected components — the cluster map you keep
+    one representative per. Composes two independently-oracled operators;
+    the composition itself is value-checked against the recursive-CTE
+    transitive closure."""
+    from .streaming.stateful import _scoped_shuffle_partitions
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    pairs = sim_mod.embedding_near_dup_pairs(emb, dim=dim, threshold=0.2)
+    with _scoped_shuffle_partitions(emb.sparkSession, 8):
+        comp = dedup_mod.connected_components(pairs, "id_a", "id_b")
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .select(F.col("component").alias("cluster_id"), "size")
+        .orderBy(F.desc("size"), "cluster_id")
+    )
+
+
+@register(
+    "orders_holt_linear_trend",
+    oracle=f"""
+    WITH RECURSIVE
+    daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(ROUND(SUM(CAST(o_totalprice AS {_DEC})), 2) AS DOUBLE) AS x
+      FROM orders GROUP BY 1),
+    series AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, x FROM daily),
+    holt(i, l, t) AS (
+      SELECT 1, x, CAST(0 AS DOUBLE) FROM series WHERE i = 1
+      UNION ALL
+      SELECT s.i,
+             0.5 * s.x + 0.5 * (h.l + h.t),
+             0.5 * ((0.5 * s.x + 0.5 * (h.l + h.t)) - h.l) + 0.5 * h.t
+      FROM holt h JOIN series s ON s.i = h.i + 1)
+    SELECT CAST(i AS BIGINT) AS n_days,
+           ROUND(l, 6) AS level,
+           ROUND(t, 6) AS trend,
+           ROUND(l + 7 * t, 6) AS forecast_7d
+    FROM holt ORDER BY i DESC LIMIT 1
+    """,
+)
+def orders_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (level+trend) exponential smoothing over the daily
+    revenue series, alpha=beta=0.5 — the two-state cousin of the EWMA
+    query. The recurrence is a strictly ordered fold, so the distributed
+    part is the daily aggregate; the fold runs over the collected
+    (days-sized) array via aggregate() with a struct accumulator, and the
+    oracle replays it with a recursive CTE. Halving coefficients keep
+    every step an exact double op on both engines."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2)
+        .cast("double")
+        .alias("x")
+    )
+    arr = daily.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "x"))), lambda s: s["x"]
+        ).alias("xs")
+    )
+    state = "named_struct('l', CAST(0 AS DOUBLE), 't', CAST(0 AS DOUBLE), 'n', CAST(0 AS BIGINT))"
+    step = (
+        "(acc, x) -> IF(acc.n = 0, named_struct('l', x, 't', CAST(0 AS DOUBLE), 'n', CAST(1 AS BIGINT)), "
+        "named_struct("
+        "'l', CAST(0.5 AS DOUBLE) * x + CAST(0.5 AS DOUBLE) * (acc.l + acc.t), "
+        "'t', CAST(0.5 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * x + CAST(0.5 AS DOUBLE) * (acc.l + acc.t)) - acc.l) + CAST(0.5 AS DOUBLE) * acc.t, "
+        "'n', acc.n + 1))"
+    )
+    return arr.select(
+        F.expr(f"aggregate(xs, {state}, {step})").alias("h")
+    ).select(
+        F.col("h.n").alias("n_days"),
+        F.round("h.l", 6).alias("level"),
+        F.round("h.t", 6).alias("trend"),
+        F.round(F.col("h.l") + 7 * F.col("h.t"), 6).alias("forecast_7d"),
+    )
+
+
+@register(
+    "map_functions_breadth",
+    oracle="""
+    WITH cnt AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type)
+    SELECT user_id,
+           CAST(COUNT(*) AS INT) AS n_types,
+           list_sort(list(event_type)) AS types,
+           list_sort(list(event_type) FILTER (n >= 5)) AS heavy_types,
+           CAST(SUM(n) AS BIGINT) AS total_events,
+           CAST(MAX(n) AS BIGINT) AS max_per_type
+    FROM cnt
+    WHERE user_id < 50
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def map_functions_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface breadth: per-user event-type counts materialized
+    as a real MAP column (map_from_entries), then interrogated with
+    map_keys / map_filter / map_values / cardinality + aggregate — the
+    five core map operators. Output is flattened to sorted arrays and
+    scalars (map iteration order is engine-specific; values aren't).
+    The oracle reproduces the semantics from the entry list directly."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    cnt = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = cnt.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.size(F.map_keys(F.col("m"))).cast("int").alias("n_types"),
+        F.sort_array(F.map_keys(F.col("m"))).alias("types"),
+        F.sort_array(
+            F.map_keys(F.map_filter(F.col("m"), lambda k, v: v >= 5))
+        ).alias("heavy_types"),
+        F.aggregate(
+            F.map_values(F.col("m")), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("total_events"),
+        F.array_max(F.map_values(F.col("m"))).cast("bigint").alias("max_per_type"),
+    ).orderBy("user_id")

@@ -347,6 +347,39 @@ def sliding_window_counts(
     return _drain(agg, "append")
 
 
+def chained_window_rollup(
+    spark: SparkSession,
+    events_path: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """TWO chained stateful operators in one streaming query (hourly
+    tumbling agg → daily rollup of the finalized hourly rows) — the
+    continuous-aggregate cascade, using ``window_time`` to re-window the
+    intermediate result. Append mode: a daily row is emitted only when
+    the watermark passes the day end, by which point every hourly window
+    inside it is final."""
+    from ..sources.catalog import _read_parquet_nanos_safe, normalize_event_ts
+
+    batch_df = _read_parquet_nanos_safe(spark, events_path)
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("pathGlobFilter", os.path.basename(events_path))
+        .parquet(os.path.dirname(events_path))
+    )
+    stream = normalize_event_ts(stream)
+    hourly = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    daily = (
+        hourly.groupBy(F.window(F.window_time("w"), "1 day").alias("d"))
+        .agg(F.sum("n").alias("n_events"), F.count(F.lit(1)).alias("n_hours"))
+        .select(F.col("d.start").alias("day_start"), "n_events", "n_hours")
+    )
+    return _drain(daily, "append")
+
+
 def late_data_window_counts(
     spark: SparkSession,
     events_path: str,

@@ -383,6 +383,47 @@ class TestConnectors:
         assert bytes(row.key) == b"\x00\x00\x00\x01k1"
 
 
+class TestGoldenSignedSplits:
+    def test_signed_width40_golden_prefixes(self, spark, tmp_path):
+        """The 8 golden split names of the reference integration run
+        (scan.width=40, UberTestSpec.kt:533-552) reproduced end-to-end:
+        keys hash-spread over the byte space land in every split, files
+        number from -000001, manifests from -000000."""
+        src = fixtures.source_records(spark, n=2000)
+        c = cfg(
+            tmp_path,
+            strict_sink=True,
+            signed_splits=True,
+            scan_width=40,
+            max_batch_bytes=200_000,
+            compression="none",
+        )
+        result = run_export(spark, src, c)
+        assert result.status == "Exported" and result.records == 2000
+        golden = {
+            "db.database.collection-128-088",
+            "db.database.collection-088-048",
+            "db.database.collection-048-008",
+            "db.database.collection-008-000",
+            "db.database.collection-000-040",
+            "db.database.collection-040-080",
+            "db.database.collection-080-120",
+            "db.database.collection-120-128",
+        }
+        prefixes = {os.path.basename(f).rsplit("-", 1)[0] for f in result.files}
+        assert prefixes == golden  # 2000 hashed keys hit all 8 splits
+        assert all(
+            os.path.basename(f).endswith(".txt")
+            and os.path.basename(f).rsplit("-", 1)[1].split(".")[0] >= "000001"
+            for f in result.files
+        )
+        mprefixes = {
+            os.path.basename(f).rsplit("-", 1)[0] for f in result.manifest_files
+        }
+        assert mprefixes == golden
+        assert any(f.endswith("-000000.csv") for f in result.manifest_files)
+
+
 class TestGolden10k:
     """Full-scale golden test mirroring the reference integration suite
     (UberTestSpec.kt): 10k records, 100 KB byte cap, bz2, strict naming."""
@@ -533,3 +574,31 @@ class TestObservedMetrics:
             with open(f, encoding="utf-8") as fh:
                 total += sum(len(l) for l in fh.read().splitlines())
         assert res.metrics["uncompressed_bytes"] == total
+
+
+class TestPythonDataSource:
+    """The distributed envelope-fixture source (Python DataSource V2):
+    executor-side generation, range partitions, same rows as the
+    driver-side generator."""
+
+    def test_matches_driver_side_generator(self, spark):
+        from hbase_to_mongo_export_spark.sources.python_source import (
+            read_fixture_source,
+        )
+
+        dist = read_fixture_source(spark, n=200, partitions=7)
+        ref = fixtures.source_records(spark, n=200)
+        assert dist.rdd.getNumPartitions() == 7
+        a = sorted((bytes(r.key), r.ts, r.value) for r in dist.collect())
+        b = sorted((bytes(r.key), r.ts, r.value) for r in ref.collect())
+        assert a == b
+
+    def test_export_pipeline_runs_on_python_source(self, spark, tmp_path):
+        from hbase_to_mongo_export_spark.sources.python_source import (
+            read_fixture_source,
+        )
+
+        src = read_fixture_source(spark, n=300, partitions=4)
+        result = run_export(spark, src, cfg(tmp_path))
+        assert result.status == "Exported"
+        assert result.records == 300
