@@ -165,8 +165,13 @@ def main(argv: list[str] | None = None) -> int:
             print(f"unknown query {args.name!r}; try 'query list'", file=sys.stderr)
             return 2
         sf_dir = args.sf_dir or "/root/testdata/sf0.001"
-        for r in qmap[args.name](spark, sf_dir).limit(args.limit).collect():
-            print(json.dumps(r.asDict(), default=str))
+        try:
+            for r in qmap[args.name](spark, sf_dir).limit(args.limit).collect():
+                print(json.dumps(r.asDict(), default=str))
+        finally:
+            from .operators import _cache as op_cache
+
+            op_cache.release_all()
         return 0
 
     if args.cmd == "completion-status":

@@ -81,3 +81,99 @@ def pagerank(
             ),
         )
     return r.select("node", F.col("rank").alias("rank_scaled"))
+
+
+def top_k_cooccurrence_edges(
+    pairs: DataFrame, k: int = 3, u: str = "u", v: str = "v", w: str = "c"
+) -> DataFrame:
+    """Sparsify a weighted co-occurrence graph: each node keeps its k
+    strongest partners (weight desc, tie by id), an edge survives if
+    EITHER endpoint selected it. Bounds degree at 2k regardless of how
+    dense the raw co-occurrence graph grows — the prerequisite for any
+    polynomial wedge/triangle/propagation pass at 100 TB. Returns a
+    deduplicated oriented edge list (u < v)."""
+    from pyspark.sql import Window
+
+    sym = pairs.select(
+        F.col(u).alias("x"), F.col(v).alias("y"), F.col(w).alias("wt")
+    ).unionAll(
+        pairs.select(F.col(v).alias("x"), F.col(u).alias("y"), F.col(w).alias("wt"))
+    )
+    wsel = Window.partitionBy("x").orderBy(F.desc("wt"), "y")
+    return (
+        sym.withColumn("rn", F.row_number().over(wsel))
+        .filter(F.col("rn") <= k)
+        .select(F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v"))
+        .distinct()
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    labels: DataFrame,
+    rounds: int = 2,
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Synchronous label propagation (community detection): each round
+    every node adopts the most frequent label among its neighbors, ties
+    to the LOWEST label, isolated nodes keep their own. Integer labels +
+    deterministic ties make every round engine-exact, so a SQL oracle can
+    unroll the iterations. One count-aggregate + one window per round —
+    the Pregel-lite shape shared with connected_components."""
+    from pyspark.sql import Window
+
+    sym = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    cur = labels.select(F.col(node_col).alias("node"), F.col(label_col).alias("label"))
+    for _ in range(rounds):
+        neigh = (
+            sym.join(cur.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        wpick = Window.partitionBy("node").orderBy(F.desc("n"), "label")
+        picked = (
+            neigh.withColumn("rn", F.row_number().over(wpick))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        cur = (
+            cur.join(picked, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+        )
+    return cur
+
+
+def bfs_hops(
+    edges: DataFrame, source: int, max_hops: int = 4
+) -> DataFrame:
+    """Unweighted BFS hop counts from ``source`` over an oriented (u,v)
+    edge list, bounded at ``max_hops`` rounds. Frontier-expansion joins —
+    one shuffle per hop, state is the (node, hops) map, the textbook
+    Pregel traversal. Returns (node, hops) for every reached node."""
+    sym = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(source, 0)], "node long, hops int")
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        neighbors = (
+            sym.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = neighbors.join(dist, "node", "left_anti").withColumn(
+            "hops", F.lit(h)
+        )
+        new = new.localCheckpoint(eager=True)  # cut lineage per round
+        if new.isEmpty():
+            break
+        dist = dist.unionByName(new)
+        frontier = new
+    return dist

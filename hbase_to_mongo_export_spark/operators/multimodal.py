@@ -412,3 +412,54 @@ def synthetic_wav_media(spark, n: int = 50, n_samples: int = 256, rate: int = 80
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+RESIZE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+def ppm_resize_stats(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL nearest-neighbor image resize on decoded P6 pixels: output
+    pixel (x,y) samples source pixel (x*w_in//out_w, y*h_in//out_h) —
+    integer index math, so the resample grid (and therefore every channel
+    mean) is engine-reproducible. Returns per-image channel means of the
+    RESIZED image. Malformed payloads quarantine to null rows."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    # reuse the strict header parser, then view pixels
+                    w, h, _, _, _ = decode_ppm(p)
+                    header_len = len(p) - w * h * 3
+                    px = np.frombuffer(
+                        p, dtype=np.uint8, offset=header_len
+                    ).reshape(h, w, 3)
+                    xs = (np.arange(out_w) * w) // out_w
+                    ys = (np.arange(out_h) * h) // out_h
+                    resized = px[np.ix_(ys, xs)]
+                    means = resized.reshape(-1, 3).mean(axis=0, dtype=np.float64)
+                    rows.append(
+                        (mid, out_w, out_h,
+                         round(float(means[0]), 6),
+                         round(float(means[1]), 6),
+                         round(float(means[2]), 6))
+                    )
+                except ValueError:
+                    rows.append((mid, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "out_w", "out_h", "mean_r", "mean_g", "mean_b"],
+            )
+
+    return df.mapInPandas(run, RESIZE_STATS_SCHEMA)

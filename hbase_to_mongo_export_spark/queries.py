@@ -25,6 +25,7 @@ from .functions import text as tx
 from .operators import _cache as op_cache
 from .operators import asof as asof_mod
 from .operators import dedup as dedup_mod
+from .operators import graph as graph_mod
 from .operators import multimodal as mm_mod
 from .operators import similarity as sim_mod
 from .operators import skew as skew_mod
@@ -8890,22 +8891,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    sym = w.select(F.col("u").alias("x"), F.col("v").alias("y"), "c").unionAll(
-        w.select(F.col("v").alias("x"), F.col("u").alias("y"), "c")
-    )
-    wsel = Window.partitionBy("x").orderBy(F.desc("c"), "y")
     # e is vertex-sized (≤ 3|V| edges) and feeds four consumers (three
     # triangle-join sides + the edge count) — materialize once instead of
     # re-running the corpus-scale co-order join per consumer
-    e = op_cache.track(
-        sym.withColumn("rn", F.row_number().over(wsel))
-        .filter(F.col("rn") <= 3)
-        .select(
-            F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
-        )
-        .distinct()
-        .cache()
-    )
+    e = op_cache.track(graph_mod.top_k_cooccurrence_edges(w, k=3).cache())
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.u") == F.col("e1.v"))
@@ -10279,3 +10268,521 @@ def map_functions_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_events"),
         F.array_max(F.map_values(F.col("m"))).cast("bigint").alias("max_per_type"),
     ).orderBy("user_id")
+
+
+@register(
+    "snapshot_diff_incremental",
+    oracle="""
+    WITH snap_a AS (
+      SELECT user_id, event_id FROM (
+        SELECT user_id, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-02-01 00:00:00')
+      WHERE rn = 1),
+    snap_b AS (
+      SELECT user_id, event_id FROM (
+        SELECT user_id, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-03-01 00:00:00')
+      WHERE rn = 1)
+    SELECT change_type, COUNT(*) AS n_keys FROM (
+      SELECT CASE WHEN a.user_id IS NULL THEN 'added'
+                  WHEN b.user_id IS NULL THEN 'removed'
+                  WHEN a.event_id <> b.event_id THEN 'changed'
+                  ELSE 'unchanged' END AS change_type
+      FROM snap_a a FULL OUTER JOIN snap_b b USING (user_id))
+    GROUP BY change_type ORDER BY change_type
+    """,
+)
+def snapshot_diff_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-snapshot reconciliation — the consumer-side check of
+    the reference's full-vs-incremental export modes (scan.time.range,
+    SURVEY §2.2 P4): latest-record-per-key at two time cutoffs, full-outer
+    diff keyed on the entity, rows classified added/changed/unchanged.
+    Both snapshots use the max_by shape (one hash-agg each) and the diff
+    is a single co-partitioned join on the key — no window over the raw
+    corpus, so the plan survives the 100 TB scale-up."""
+    ev = _t(spark, sf_dir, "events")
+
+    def snap(cutoff: str) -> DataFrame:
+        return (
+            ev.filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+            .groupBy("user_id")
+            .agg(
+                F.max(F.struct("ts", "event_id")).alias("m")
+            )
+            .select("user_id", F.col("m.event_id").alias("event_id"))
+        )
+
+    a = snap("2024-02-01 00:00:00").select(
+        F.col("user_id"), F.col("event_id").alias("eid_a")
+    )
+    b = snap("2024-03-01 00:00:00").select(
+        F.col("user_id"), F.col("event_id").alias("eid_b")
+    )
+    diff = a.join(b, "user_id", "full_outer").select(
+        F.when(F.col("eid_a").isNull(), "added")
+        .when(F.col("eid_b").isNull(), "removed")
+        .when(F.col("eid_a") != F.col("eid_b"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type")
+    )
+    return (
+        diff.groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .orderBy("change_type")
+    )
+
+
+@register(
+    "k_anonymity_check",
+    oracle="""
+    WITH spend AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST(c_acctbal AS DOUBLE) AS bal
+      FROM customer),
+    bucketed AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(bal / 1000) AS INT) AS bal_band
+      FROM spend),
+    groups AS (
+      SELECT c_nationkey, c_mktsegment, bal_band, COUNT(*) AS n
+      FROM bucketed GROUP BY 1, 2, 3)
+    SELECT CAST(5 AS INT) AS k,
+           COUNT(*) AS n_groups,
+           CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+           CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+           CAST(MIN(n) AS BIGINT) AS min_group_size
+    FROM groups
+    """,
+)
+def k_anonymity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (nation, market segment,
+    banded account balance): how many equivalence classes fall below
+    k=5, and how many rows they expose — the privacy gate a training-data
+    release runs before shipping. One hash-agg over the quasi-identifier
+    tuple; integer banding keeps it engine-exact."""
+    cust = _t(spark, sf_dir, "customer")
+    groups = (
+        cust.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal").cast("double") / 1000)
+            .cast("int")
+            .alias("bal_band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return groups.agg(
+        F.lit(5).cast("int").alias("k"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("n") < 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating"),
+        F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_at_risk"),
+        F.min("n").cast("bigint").alias("min_group_size"),
+    )
+
+
+@register(
+    "embedding_matryoshka_error",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             [CAST(x AS DOUBLE) FOR x IN embedding] AS fv
+      FROM embeddings),
+    parts AS (
+      SELECT label,
+             list_reduce([fv[i] * fv[i] FOR i IN range(1, 17)],
+                         (a, b) -> a + b) AS head_sq,
+             list_reduce([fv[i] * fv[i] FOR i IN range(1, len(fv) + 1)],
+                         (a, b) -> a + b) AS full_sq
+      FROM v)
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           -- quantize each ratio to DECIMAL before summing: float-sum
+           -- order across partitions must not perturb the average
+           ROUND(CAST(SUM(CAST(ROUND(sqrt(head_sq) / sqrt(full_sq), 9)
+                               AS DECIMAL(12,9))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_cos_to_full,
+           ROUND(MIN(sqrt(head_sq) / sqrt(full_sq)), 6) AS min_cos_to_full
+    FROM parts GROUP BY label ORDER BY label
+    """,
+)
+def embedding_matryoshka_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: cosine between each embedding and its
+    first-16-dims truncation (zero-padded), i.e. ||head|| / ||full|| —
+    the retained-similarity readout that decides whether a cheaper
+    truncated index is acceptable. Per-label aggregation shows whether
+    truncation hurts some classes more. Pure higher-order-function folds,
+    JVM-side, no shuffle beyond the label aggregate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    fv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    head_sq = F.aggregate(
+        F.transform(F.slice(fv, 1, 16), lambda x: x * x),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    full_sq = F.aggregate(
+        F.transform(fv, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    parts = emb.select(
+        "label", (F.sqrt(head_sq) / F.sqrt(full_sq)).alias("r")
+    )
+    return (
+        parts.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(
+                F.sum(F.round(F.col("r"), 9).cast("decimal(12,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_cos_to_full"),
+            F.round(F.min("r"), 6).alias("min_cos_to_full"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "contrastive_hard_negatives",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS q_label
+               FROM embeddings WHERE vec_id < 20),
+    scored AS (
+      SELECT q.query_id, q.q_label, e.vec_id AS nid, e.label AS n_label,
+             {_VDOT_KNN.format(a="q.qv", b="e.embedding")} /
+             (sqrt({_VDOT_KNN.format(a="q.qv", b="q.qv")}) *
+              sqrt({_VDOT_KNN.format(a="e.embedding", b="e.embedding")})) AS cos
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id AND e.label <> q.q_label)
+    SELECT query_id, q_label,
+           nid AS hard_negative_id,
+           CAST(n_label AS INT) AS negative_label,
+           ROUND(cos, 6) AS cosine
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, nid) AS rn
+          FROM scored)
+    WHERE rn = 1
+    ORDER BY query_id
+    """,
+)
+def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each probe
+    vector, the most-similar vector with a DIFFERENT label — the
+    highest-value negative example. Same broadcast-probe shape as the kNN
+    classifier (probes broadcast, corpus streamed; swap candidate
+    generation for the LSH path at corpus scale)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("q_label"),
+    )
+    scored = emb.join(
+        F.broadcast(q),
+        (F.col("vec_id") != F.col("query_id")) & (F.col("label") != F.col("q_label")),
+    ).select(
+        "query_id",
+        "q_label",
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("n_label"),
+        sim_mod.cosine(F.col("qv"), F.col("embedding")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "nid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "q_label",
+            F.col("nid").alias("hard_negative_id"),
+            F.col("n_label").cast("int").alias("negative_label"),
+            F.round("cos", 6).alias("cosine"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@register(
+    "packing_nfd_bound",
+    oracle="""
+    WITH RECURSIVE
+    lens AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n
+      FROM documents),
+    capped AS (
+      SELECT doc_id, LEAST(n, 256) AS n FROM lens WHERE n > 0),
+    ordered AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY n DESC, doc_id) AS i, n FROM capped),
+    nfd(i, bins, fill) AS (
+      SELECT 1, 1, n FROM ordered WHERE i = 1
+      UNION ALL
+      SELECT o.i,
+             CASE WHEN f.fill + o.n <= 256 THEN f.bins ELSE f.bins + 1 END,
+             CASE WHEN f.fill + o.n <= 256 THEN f.fill + o.n ELSE o.n END
+      FROM nfd f JOIN ordered o ON o.i = f.i + 1)
+    SELECT CAST(256 AS INT) AS budget,
+           (SELECT COUNT(*) FROM capped) AS n_docs,
+           (SELECT CAST(SUM(n) AS BIGINT) FROM capped) AS total_tokens,
+           CAST((SELECT CAST(CEIL(SUM(n) / CAST(256 AS DOUBLE)) AS BIGINT)
+                 FROM capped) AS BIGINT) AS lower_bound_bins,
+           CAST(bins AS BIGINT) AS nfd_bins
+    FROM nfd ORDER BY i DESC LIMIT 1
+    """,
+)
+def packing_nfd_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit-decreasing packing bound for 256-token training sequences:
+    the deterministic, oracle-checkable companion to the partition-local
+    FFD packer (sequence_packing_stats) — sort lengths descending, fold a
+    single open bin, count bins, compare against the ceil(total/budget)
+    lower bound. The fold runs over the collected length array (docs are
+    the corpus here, but at scale you run this per shard and sum bins —
+    packing is shard-local by design); the oracle replays it with a
+    recursive CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id", tx.token_count(F.col("text")).alias("n")
+    ).filter(F.col("n") > 0)
+    capped = lens.select("doc_id", F.least(F.col("n"), F.lit(256)).alias("n"))
+    arr = capped.agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct((-F.col("n")).alias("neg"), "doc_id"))
+            ),
+            lambda s: -s["neg"],
+        ).alias("xs"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+    )
+    state = "named_struct('bins', CAST(0 AS BIGINT), 'fill', CAST(0 AS BIGINT))"
+    step = (
+        "(acc, x) -> IF(acc.bins = 0, named_struct('bins', CAST(1 AS BIGINT), 'fill', CAST(x AS BIGINT)), "
+        "IF(acc.fill + x <= 256, named_struct('bins', acc.bins, 'fill', acc.fill + CAST(x AS BIGINT)), "
+        "named_struct('bins', acc.bins + 1, 'fill', CAST(x AS BIGINT))))"
+    )
+    return arr.select(
+        F.lit(256).cast("int").alias("budget"),
+        "n_docs",
+        "total_tokens",
+        F.ceil(F.col("total_tokens") / F.lit(256.0).cast("double"))
+        .cast("bigint")
+        .alias("lower_bound_bins"),
+        F.expr(f"aggregate(xs, {state}, {step})").getField("bins").alias("nfd_bins"),
+    )
+
+
+@register(
+    "multimodal_ppm_resize_stats",
+    oracle="""
+    WITH grid AS (
+      SELECT t.id, xo.x, yo.y,
+             (xo.x * 16) // 8 AS sx, (yo.y * 12) // 6 AS sy
+      FROM range(0, 50) t(id)
+      CROSS JOIN range(0, 8) xo(x) CROSS JOIN range(0, 6) yo(y)),
+    px AS (
+      SELECT id, c.c AS ch,
+             CAST((id * 31 + (sy * 16 + sx) * 3 + c.c) % 256 AS DOUBLE) AS v
+      FROM grid CROSS JOIN range(0, 3) c(c))
+    SELECT id AS media_id,
+           CAST(8 AS INT) AS out_w, CAST(6 AS INT) AS out_h,
+           ROUND(avg(v) FILTER (ch = 0), 6) AS mean_r,
+           ROUND(avg(v) FILTER (ch = 1), 6) AS mean_g,
+           ROUND(avg(v) FILTER (ch = 2), 6) AS mean_b
+    FROM px GROUP BY id ORDER BY media_id
+    """,
+)
+def multimodal_ppm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize end-to-end: P6 decode → nearest-neighbor
+    16x12 → 8x6 resample (integer source-index grid) → per-channel means,
+    inside mapInPandas. The oracle rebuilds the exact resample grid from
+    the generator's closed form, so header offsets, row-major indexing,
+    and the sampling arithmetic are all value-checked. Completes the
+    multimodal verb set: decode, feature-extract, RESIZE, frame-sample."""
+    media = mm_mod.synthetic_ppm_media(spark, n=50)
+    return mm_mod.ppm_resize_stats(media, out_w=8, out_h=6).orderBy("media_id")
+
+
+def _lpa_oracle(rounds: int = 2) -> str:
+    prev = "l0"
+    rounds_sql = []
+    for r in range(1, rounds + 1):
+        rounds_sql.append(f"""cnt{r} AS (
+      SELECT e.src AS node, l.label, COUNT(*) AS n
+      FROM esym e JOIN {prev} l ON l.node = e.dst
+      GROUP BY e.src, l.label),
+    pick{r} AS (
+      SELECT node, label AS new_label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY n DESC, label) AS rn
+        FROM cnt{r})
+      WHERE rn = 1),
+    l{r} AS (
+      SELECT l.node, COALESCE(p.new_label, l.label) AS label
+      FROM {prev} l LEFT JOIN pick{r} p USING (node))""")
+        prev = f"l{r}"
+    chain = ",\n    ".join(rounds_sql)
+    return f"""
+    WITH so AS (SELECT DISTINCT l_suppkey AS s, l_orderkey AS o FROM lineitem),
+    w AS (
+      SELECT a.s AS u, b.s AS v, COUNT(*) AS c
+      FROM so a JOIN so b ON a.o = b.o AND a.s < b.s
+      GROUP BY a.s, b.s),
+    sym0 AS (
+      SELECT u AS x, v AS y, c FROM w
+      UNION ALL SELECT v, u, c FROM w),
+    sel AS (
+      SELECT x, y FROM (
+        SELECT x, y, ROW_NUMBER() OVER (PARTITION BY x ORDER BY c DESC, y) AS rn
+        FROM sym0)
+      WHERE rn <= 3),
+    e AS (SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v FROM sel),
+    esym AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+    l0 AS (SELECT s_suppkey AS node, CAST(s_nationkey AS BIGINT) AS label
+           FROM supplier),
+    {chain}
+    SELECT label AS community, COUNT(*) AS n_members
+    FROM {prev}
+    GROUP BY label
+    ORDER BY n_members DESC, community
+    """
+
+
+@register("graph_label_propagation_communities", oracle=_lpa_oracle(rounds=2))
+def graph_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation on the
+    top-3-sparsified supplier co-order graph, seeded with nation labels —
+    2 rounds, ties to the lowest label, isolated nodes keep their seed.
+    The fourth iterative-algorithm family in the engine (after PageRank,
+    connected components, and k-means), all value-checked by unrolled SQL
+    replicas. Per round: one neighbor-count shuffle + one window over the
+    (node,label) count table."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    so = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_orderkey").alias("o")
+    ).distinct()
+    pairs = (
+        so.alias("a")
+        .join(so.alias("b"), (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    edges = op_cache.track(
+        graph_mod.top_k_cooccurrence_edges(pairs, k=3).cache()
+    )
+    labels = sup.select(
+        F.col("s_suppkey").alias("node"),
+        F.col("s_nationkey").cast("bigint").alias("label"),
+    )
+    final = graph_mod.label_propagation(edges, labels, rounds=2)
+    return (
+        final.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .select(F.col("label").alias("community"), "n_members")
+        .orderBy(F.desc("n_members"), "community")
+    )
+
+
+_SPARSE_EDGES_CTE = """so AS (SELECT DISTINCT l_suppkey AS s, l_orderkey AS o FROM lineitem),
+    w AS (
+      SELECT a.s AS u, b.s AS v, COUNT(*) AS c
+      FROM so a JOIN so b ON a.o = b.o AND a.s < b.s
+      GROUP BY a.s, b.s),
+    sym0 AS (
+      SELECT u AS x, v AS y, c FROM w
+      UNION ALL SELECT v, u, c FROM w),
+    sel AS (
+      SELECT x, y FROM (
+        SELECT x, y, ROW_NUMBER() OVER (PARTITION BY x ORDER BY c DESC, y) AS rn
+        FROM sym0)
+      WHERE rn <= 3),
+    e AS (SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v FROM sel),
+    esym AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e)"""
+
+
+@register(
+    "graph_bfs_hop_histogram",
+    oracle=f"""
+    WITH RECURSIVE
+    {_SPARSE_EDGES_CTE},
+    start AS (SELECT MIN(u) AS s0 FROM e),
+    walk(node, hops) AS (
+      SELECT s0, 0 FROM start
+      UNION
+      SELECT e.dst, w.hops + 1
+      FROM walk w JOIN esym e ON e.src = w.node
+      WHERE w.hops < 4),
+    dist AS (SELECT node, MIN(hops) AS hops FROM walk GROUP BY node)
+    SELECT CAST(hops AS INT) AS hops, COUNT(*) AS n_nodes
+    FROM dist GROUP BY hops ORDER BY hops
+    """,
+)
+def graph_bfs_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS (4 hops) from the lowest-id vertex of the sparsified
+    supplier graph — hop-distance histogram via frontier-expansion joins,
+    one shuffle per hop with per-round lineage checkpoints. The oracle's
+    recursive CTE takes the MIN hop per node, matching the frontier
+    semantics exactly."""
+    li = _t(spark, sf_dir, "lineitem")
+    so = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_orderkey").alias("o")
+    ).distinct()
+    pairs = (
+        so.alias("a")
+        .join(so.alias("b"), (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    edges = op_cache.track(graph_mod.top_k_cooccurrence_edges(pairs, k=3).cache())
+    source = edges.agg(F.min("u")).first()[0]
+    dist = graph_mod.bfs_hops(edges, source=int(source), max_hops=4)
+    return (
+        dist.groupBy("hops")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select(F.col("hops").cast("int").alias("hops"), "n_nodes")
+        .orderBy("hops")
+    )
+
+
+@register(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH {_SPARSE_EDGES_CTE},
+    deg AS (SELECT src AS node, COUNT(*) AS degree FROM esym GROUP BY src)
+    SELECT CAST(degree AS INT) AS degree, COUNT(*) AS n_nodes
+    FROM deg GROUP BY degree ORDER BY degree
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the sparsified co-order graph — the shape
+    readout that validates the top-k sparsifier actually bounded degrees
+    (max 2k by construction). Two tiny aggregates over the edge list."""
+    li = _t(spark, sf_dir, "lineitem")
+    so = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_orderkey").alias("o")
+    ).distinct()
+    pairs = (
+        so.alias("a")
+        .join(so.alias("b"), (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    edges = graph_mod.top_k_cooccurrence_edges(pairs, k=3)
+    sym = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select(F.col("degree").cast("int").alias("degree"), "n_nodes")
+        .orderBy("degree")
+    )

@@ -21,7 +21,13 @@ Usage::
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 FIXTURE_SOURCE_NAME = "envelope_fixture"
 FIXTURE_SOURCE_SCHEMA = "key binary, ts bigint, value string"
@@ -96,3 +102,75 @@ def read_fixture_source(
         .option("plaintext", str(plaintext).lower())
         .load()
     )
+
+
+# ---------------------------------------------------------------------------
+# Writer side of the Python DataSource API: a transactional local JSONL
+# sink. Demonstrates the full writer contract the MongoDB sink would
+# implement: per-task write -> commit message, driver-side commit
+# manifest, abort cleanup. Files land as part-<taskid>-<uuid>.jsonl and
+# become visible only through the _MANIFEST the driver writes on commit —
+# the same visibility discipline as a real object-store committer.
+# ---------------------------------------------------------------------------
+
+JSONL_SINK_NAME = "jsonl_local"
+
+
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, path: str, records: int):
+        self.path = path
+        self.records = records
+
+
+class JsonlWriter(DataSourceWriter):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        from pyspark import TaskContext
+
+        _os.makedirs(self.path, exist_ok=True)
+        tid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        name = f"part-{tid:05d}-{_uuid.uuid4().hex[:8]}.jsonl"
+        full = _os.path.join(self.path, name)
+        n = 0
+        with open(full, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _FileCommit(full, n)
+
+    def commit(self, messages):
+        import json as _json
+        import os as _os
+
+        manifest = {
+            "files": sorted(m.path for m in messages if m is not None),
+            "records": sum(m.records for m in messages if m is not None),
+        }
+        with open(_os.path.join(self.path, "_MANIFEST"), "w") as fh:
+            _json.dump(manifest, fh)
+
+    def abort(self, messages):
+        import os as _os
+
+        for m in messages or []:
+            if m is not None and _os.path.exists(m.path):
+                _os.remove(m.path)
+
+
+class LocalJsonlDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return JSONL_SINK_NAME
+
+    def writer(self, schema, overwrite: bool):
+        return JsonlWriter(dict(self.options))
+
+
+def register_jsonl_sink(spark) -> None:
+    spark.dataSource.register(LocalJsonlDataSource)

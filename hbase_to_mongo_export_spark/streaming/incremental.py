@@ -131,18 +131,25 @@ def _event_stream(spark: SparkSession, events_path: str) -> DataFrame:
 
 def _drain(df: DataFrame, output_mode: str) -> DataFrame:
     """Run a streaming plan to completion (availableNow) into a memory
-    sink and return the final result table."""
+    sink and return the final result table. The run-scoped checkpoint is
+    deleted afterwards — these drains are one-shot by construction, so
+    keeping state would only leak temp space across a long session."""
+    import shutil
+
     sink_table = f"stream_out_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{uuid.uuid4().hex[:8]}")
-    q = (
-        df.writeStream.format("memory")
-        .queryName(sink_table)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(sink_table)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return df.sparkSession.table(sink_table)
 
 

@@ -602,3 +602,23 @@ class TestPythonDataSource:
         result = run_export(spark, src, cfg(tmp_path))
         assert result.status == "Exported"
         assert result.records == 300
+
+    def test_jsonl_sink_writer_contract(self, spark, tmp_path):
+        """Writer half of the Python DataSource API: per-task files +
+        driver commit manifest; record counts reconcile."""
+        from hbase_to_mongo_export_spark.sources.python_source import (
+            register_jsonl_sink,
+        )
+
+        register_jsonl_sink(spark)
+        out = str(tmp_path / "sink")
+        df = spark.range(100).selectExpr("id", "id * 2 AS doubled").repartition(4)
+        df.write.format("jsonl_local").option("path", out).mode("append").save()
+        manifest = json.loads(open(os.path.join(out, "_MANIFEST")).read())
+        assert manifest["records"] == 100
+        assert len(manifest["files"]) == 4
+        lines = []
+        for f in manifest["files"]:
+            lines.extend(open(f, encoding="utf-8").read().splitlines())
+        rows = sorted(json.loads(l)["id"] for l in lines)
+        assert rows == list(range(100))
