@@ -10786,3 +10786,582 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("degree").cast("int").alias("degree"), "n_nodes")
         .orderBy("degree")
     )
+
+
+@register(
+    "repeated_ngram_loop_detection",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, {_NB_WORDS} AS ws FROM documents WHERE trim(text) != ''),
+    grams AS (
+      SELECT doc_id,
+             unnest(range(1, len(ws) - 2)) AS pos,
+             [list_aggregate(ws[i:i+3], 'string_agg', ' ')
+              FOR i IN range(1, len(ws) - 2)] AS gs
+      FROM words WHERE len(ws) >= 5),
+    flat AS (SELECT doc_id, pos, gs[pos] AS g FROM grams),
+    rep AS (
+      SELECT a.doc_id, MIN(b.pos) AS first_repeat_pos
+      FROM flat a JOIN flat b
+        ON a.doc_id = b.doc_id AND a.g = b.g AND a.pos < b.pos
+      GROUP BY a.doc_id)
+    SELECT w.doc_id,
+           CAST(len(w.ws) AS INT) AS n_tokens,
+           CAST(r.first_repeat_pos AS INT) AS first_repeat_pos,
+           CASE WHEN r.first_repeat_pos IS NOT NULL THEN 1 ELSE 0 END AS has_loop
+    FROM words w LEFT JOIN rep r USING (doc_id)
+    ORDER BY w.doc_id
+    """,
+)
+def repeated_ngram_loop_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generation-loop detector: the first position where a 4-gram repeats
+    verbatim inside a document — the truncation point for model-generated
+    or boilerplate-looped text (the n-gram analogue of no-repeat-ngram
+    decoding checks). Per-document inverted self-join on the gram, cost
+    bounded by within-doc gram multiplicity, never cross-document."""
+    docs = _t(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    ws = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    words = docs.select("doc_id", ws.alias("ws"))
+    grams = (
+        words.filter(F.size("ws") >= 5)
+        .select(
+            "doc_id",
+            F.posexplode(dedup_mod.word_ngrams(F.concat_ws(" ", "ws"), 4)).alias(
+                "pos0", "g"
+            ),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    )
+    rep = (
+        grams.alias("a")
+        .join(
+            grams.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.pos") < F.col("b.pos")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(F.min(F.col("b.pos")).alias("first_repeat_pos"))
+    )
+    return (
+        words.join(rep, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("ws").cast("int").alias("n_tokens"),
+            F.col("first_repeat_pos").cast("int").alias("first_repeat_pos"),
+            F.when(F.col("first_repeat_pos").isNotNull(), 1)
+            .otherwise(0)
+            .alias("has_loop"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "bottomk_hash_sample",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT lang, doc_id,
+             {_MD5H.format(col="concat('sample:', CAST(doc_id AS VARCHAR))")} AS h
+      FROM documents)
+    SELECT lang, doc_id, CAST(rn AS INT) AS sample_rank
+    FROM (SELECT lang, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+          FROM hashed)
+    WHERE rn <= 5
+    ORDER BY lang, sample_rank
+    """,
+)
+def bottomk_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k-by-hash sampling: the MERGEABLE uniform sample (the
+    bottom-k sketch) — take the k smallest md5 values per stratum.
+    Unlike reservoir sampling it needs no RNG state and unions/merges by
+    simply re-taking the bottom k, which is what makes it the 100 TB
+    sampling primitive (combine per-partition bottom-k, then global).
+    Deterministic: same corpus, same sample, any partitioning."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.expr(
+        dedup_mod.PORTABLE_HASH_SQL.format(
+            col="concat('sample:', CAST(doc_id AS STRING))"
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        docs.select("lang", "doc_id", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "doc_id", F.col("rn").cast("int").alias("sample_rank"))
+        .orderBy("lang", "sample_rank")
+    )
+
+
+@register(
+    "span_corruption_masks",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, {_NB_WORDS} AS ws FROM documents
+      WHERE doc_id < 50 AND trim(text) != ''),
+    pos AS (
+      SELECT doc_id, unnest(range(1, len(ws) + 1)) AS p, len(ws) AS n
+      FROM words),
+    starts AS (
+      SELECT doc_id, p, n,
+             CASE WHEN ({_MD5H.format(col="concat(CAST(doc_id AS VARCHAR), ':', CAST(p AS VARCHAR))")}) % 7 = 0
+                  THEN 1 ELSE 0 END AS is_start
+      FROM pos),
+    masked AS (
+      SELECT s.doc_id, s.n, p2.p AS mp
+      FROM starts s
+      JOIN pos p2 ON p2.doc_id = s.doc_id
+                 AND p2.p BETWEEN s.p AND s.p + 2
+      WHERE s.is_start = 1
+      GROUP BY s.doc_id, s.n, p2.p)
+    SELECT w.doc_id,
+           CAST(len(w.ws) AS INT) AS n_tokens,
+           CAST(COALESCE(m.n_masked, 0) AS INT) AS n_masked,
+           ROUND(CAST(COALESCE(m.n_masked, 0) AS DOUBLE) / len(w.ws), 6)
+             AS mask_ratio
+    FROM words w
+    LEFT JOIN (SELECT doc_id, COUNT(*) AS n_masked FROM masked GROUP BY doc_id) m
+      USING (doc_id)
+    ORDER BY w.doc_id
+    """,
+)
+def span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption planning: deterministic mask-span starts
+    (hash(doc,pos) ≡ 0 mod 7), spans of 3 tokens, overlaps merged — and
+    the resulting per-document mask budget. Hash-derived masks make the
+    corruption reproducible across runs/engines (no RNG in the data
+    path), which is how a distributed pretraining pipeline keeps masking
+    consistent between retries."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 50) & (F.trim(F.col("text")) != "")
+    )
+    ws = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    words = docs.select("doc_id", ws.alias("ws"))
+    pos = words.select(
+        "doc_id", F.size("ws").alias("n"), F.posexplode("ws").alias("p0", "_w")
+    ).select("doc_id", "n", (F.col("p0") + 1).alias("p"))
+    h = F.expr(
+        dedup_mod.PORTABLE_HASH_SQL.format(
+            col="concat(CAST(doc_id AS STRING), ':', CAST(p AS STRING))"
+        )
+    )
+    starts = pos.withColumn("is_start", F.when(h % 7 == 0, 1).otherwise(0))
+    masked = (
+        starts.filter(F.col("is_start") == 1)
+        .alias("s")
+        .join(
+            pos.alias("p2"),
+            (F.col("p2.doc_id") == F.col("s.doc_id"))
+            & (F.col("p2.p") >= F.col("s.p"))
+            & (F.col("p2.p") <= F.col("s.p") + 2),
+        )
+        .select(F.col("s.doc_id").alias("doc_id"), F.col("p2.p").alias("mp"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_masked"))
+    )
+    return (
+        words.join(masked, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("ws").cast("int").alias("n_tokens"),
+            F.coalesce("n_masked", F.lit(0)).cast("int").alias("n_masked"),
+            F.round(
+                F.coalesce("n_masked", F.lit(0)).cast("double") / F.size("ws"), 6
+            ).alias("mask_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "similarity_ivf_list_balance",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cv FROM (
+        SELECT vec_id, embedding,
+               ROW_NUMBER() OVER (ORDER BY
+                 {_MD5H.format(col="concat('ivf:', CAST(vec_id AS VARCHAR))")},
+                 vec_id) AS rn
+        FROM embeddings)
+      WHERE rn <= 16),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             list_dot_product([CAST(x AS DOUBLE) FOR x IN e.embedding],
+                              [CAST(x AS DOUBLE) FOR x IN c.cv]) /
+             (sqrt(list_dot_product([CAST(x AS DOUBLE) FOR x IN e.embedding],
+                                    [CAST(x AS DOUBLE) FOR x IN e.embedding])) *
+              sqrt(list_dot_product([CAST(x AS DOUBLE) FOR x IN c.cv],
+                                    [CAST(x AS DOUBLE) FOR x IN c.cv]))) AS cos
+      FROM embeddings e CROSS JOIN cents c),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        FROM scored)
+      WHERE rn = 1),
+    sizes AS (SELECT cid, COUNT(*) AS n_vectors FROM assign GROUP BY cid),
+    tot AS (SELECT COUNT(*) AS n FROM assign)
+    SELECT CAST(cid AS BIGINT) AS list_id,
+           CAST(n_vectors AS BIGINT) AS n_vectors,
+           ROUND(CAST(n_vectors AS DOUBLE) * 16 / (SELECT n FROM tot), 6)
+             AS load_factor
+    FROM sizes ORDER BY list_id
+    """,
+)
+def similarity_ivf_list_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index diagnostics: inverted-list occupancy and load factor
+    (size ÷ ideal size) for 16 md5-sampled centroids — with the PQ error
+    readout and LSH recall eval, the third leg of the ANN index
+    calibration kit. load_factor ≫ 1 lists are the probe-cost hot spots
+    you fix with better centroids before indexing 100 TB. Assignment is
+    a broadcast of 16 centroid rows + one argmax window per vector."""
+    emb = _t(spark, sf_dir, "embeddings")
+    h = F.expr(
+        dedup_mod.PORTABLE_HASH_SQL.format(
+            col="concat('ivf:', CAST(vec_id AS STRING))"
+        )
+    )
+    cents = (
+        emb.select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), h.alias("h")
+        )
+        .orderBy("h", "cid")
+        .limit(16)
+        .drop("h")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", sim_mod.cosine(F.col("embedding"), F.col("cv")).alias("cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "cid")
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vectors"))
+    tot = assign.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        sizes.join(F.broadcast(tot))
+        .select(
+            F.col("cid").cast("bigint").alias("list_id"),
+            F.col("n_vectors").cast("bigint").alias("n_vectors"),
+            F.round(
+                F.col("n_vectors").cast("double") * 16 / F.col("n"), 6
+            ).alias("load_factor"),
+        )
+        .orderBy("list_id")
+    )
+
+
+@register(
+    "orders_lttb_downsample",
+    oracle=f"""
+    WITH RECURSIVE
+    daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(ROUND(SUM(CAST(o_totalprice AS {_DEC})), 2) AS DOUBLE) AS y
+      FROM orders GROUP BY 1),
+    pts AS (
+      SELECT datediff('day', DATE '1970-01-01', day) AS x, y,
+             ROW_NUMBER() OVER (ORDER BY day) AS rk,
+             COUNT(*) OVER () AS n
+      FROM daily),
+    par AS (
+      SELECT n, CAST(CEIL((n - 2) / CAST(10 AS DOUBLE)) AS INT) AS bsize
+      FROM pts LIMIT 1),
+    firstpt AS (SELECT x, y FROM pts WHERE rk = 1),
+    lastpt AS (SELECT p.x, p.y FROM pts p, par WHERE p.rk = par.n),
+    mid AS (
+      SELECT p.x, p.y, 1 + CAST((p.rk - 2) // par.bsize AS INT) AS b
+      FROM pts p, par WHERE p.rk > 1 AND p.rk < par.n),
+    bl AS (
+      SELECT b,
+             list_sort(list({{'x': x, 'y': y}})) AS cands
+      FROM mid GROUP BY b),
+    bl_avg AS (
+      SELECT b, cands,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               [CAST(c.x AS DOUBLE) FOR c IN cands]), (a, v) -> a + v)
+               / len(cands) AS ax,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               [c.y FOR c IN cands]), (a, v) -> a + v) / len(cands) AS ay
+      FROM bl),
+    bl2 AS (
+      SELECT cur.b, cur.cands,
+             COALESCE(nxt.ax, (SELECT CAST(x AS DOUBLE) FROM lastpt)) AS nax,
+             COALESCE(nxt.ay, (SELECT y FROM lastpt)) AS nay
+      FROM bl_avg cur LEFT JOIN bl_avg nxt ON nxt.b = cur.b + 1),
+    lttb(b, px, py, selx, sely) AS (
+      SELECT 0, CAST(x AS DOUBLE), y, CAST(NULL AS INT), CAST(NULL AS DOUBLE)
+      FROM firstpt
+      UNION ALL
+      SELECT b2.b,
+             CAST(ch.x AS DOUBLE), ch.y, ch.x, ch.y
+      FROM lttb l JOIN bl2 b2 ON b2.b = l.b + 1,
+      LATERAL (
+        SELECT s.x, s.y FROM (
+          SELECT unnest(list_sort(
+            [{{'na': -abs((l.px - b2.nax) * (c.y - l.py)
+                        - (l.px - CAST(c.x AS DOUBLE)) * (b2.nay - l.py)),
+               'x': c.x, 'y': c.y}} FOR c IN b2.cands]))
+            AS s LIMIT 1)
+      ) ch)
+    SELECT x, y FROM firstpt
+    UNION ALL SELECT selx, sely FROM lttb WHERE selx IS NOT NULL
+    UNION ALL SELECT x, y FROM lastpt
+    ORDER BY x
+    """,
+)
+def orders_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling of the daily revenue
+    series to 12 points — the perceptual line-chart decimation algorithm
+    (keep the point per bucket that subtends the largest triangle with
+    the previously kept point and the next bucket's centroid). The
+    sequential selection runs as one aggregate() fold over the collected
+    bucket array (buckets are the state, not the corpus — the daily
+    aggregate is the distributed part); the oracle replays every pick
+    with a recursive CTE + lateral argmin, and the area arithmetic is
+    ordered identically on both sides, so even ties resolve the same."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2)
+        .cast("double")
+        .alias("y")
+    )
+    pts = daily.select(
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")).alias("x"), "y"
+    )
+    n = pts.count()
+    k_out = 12
+    bsize = -(-(n - 2) // (k_out - 2))
+    w = Window.orderBy("x")
+    ranked = pts.withColumn("rk", F.row_number().over(w))
+    first = ranked.filter(F.col("rk") == 1).select("x", "y").first()
+    last = ranked.filter(F.col("rk") == n).select("x", "y").first()
+    mid = ranked.filter((F.col("rk") > 1) & (F.col("rk") < n)).withColumn(
+        "b", 1 + ((F.col("rk") - 2) / bsize).cast("int")
+    )
+    bl = mid.groupBy("b").agg(
+        F.sort_array(F.collect_list(F.struct("x", "y"))).alias("cands")
+    )
+    bl = bl.select(
+        "b",
+        "cands",
+        (
+            F.aggregate(
+                F.col("cands"), F.lit(0.0), lambda a, s: a + s["x"].cast("double")
+            )
+            / F.size("cands")
+        ).alias("ax"),
+        (
+            F.aggregate(F.col("cands"), F.lit(0.0), lambda a, s: a + s["y"])
+            / F.size("cands")
+        ).alias("ay"),
+    )
+    bl2 = (
+        bl.alias("cur")
+        .join(
+            bl.select(
+                (F.col("b") - 1).alias("b"),
+                F.col("ax").alias("nax"),
+                F.col("ay").alias("nay"),
+            ).alias("nxt"),
+            "b",
+            "left",
+        )
+        .select(
+            "b",
+            "cands",
+            F.coalesce("nax", F.lit(float(last.x))).alias("nax"),
+            F.coalesce("nay", F.lit(float(last.y))).alias("nay"),
+        )
+    )
+    buckets = bl2.agg(
+        F.sort_array(F.collect_list(F.struct("b", "cands", "nax", "nay"))).alias("bs")
+    )
+    state = (
+        f"named_struct('px', CAST({float(first.x)!r} AS DOUBLE), "
+        f"'py', CAST({float(first.y)!r} AS DOUBLE), "
+        "'sel', CAST(array() AS ARRAY<STRUCT<x: INT, y: DOUBLE>>))"
+    )
+    choose = (
+        "array_sort(transform(bkt.cands, c -> named_struct("
+        "'area', abs((acc.px - bkt.nax) * (c.y - acc.py) "
+        "- (acc.px - CAST(c.x AS DOUBLE)) * (bkt.nay - acc.py)), "
+        "'x', c.x, 'y', c.y)), "
+        "(a, b) -> CASE WHEN a.area > b.area THEN -1 WHEN a.area < b.area THEN 1 "
+        "WHEN a.x < b.x THEN -1 WHEN a.x > b.x THEN 1 ELSE 0 END)[0]"
+    )
+    step = (
+        f"(acc, bkt) -> named_struct('px', CAST({choose}.x AS DOUBLE), "
+        f"'py', {choose}.y, "
+        f"'sel', array_append(acc.sel, named_struct('x', {choose}.x, 'y', {choose}.y)))"
+    )
+    spark_sel = buckets.select(
+        F.explode(F.expr(f"aggregate(bs, {state}, {step})").getField("sel")).alias("s")
+    ).select(F.col("s.x").alias("x"), F.col("s.y").alias("y"))
+    ends = spark.createDataFrame(
+        [(int(first.x), float(first.y)), (int(last.x), float(last.y))],
+        "x int, y double",
+    )
+    return spark_sel.unionByName(ends).orderBy("x")
+
+
+@register(
+    "ks_test_order_totals",
+    oracle="""
+    WITH a AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+               WHERE o_orderpriority = '1-URGENT'),
+    b AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+          WHERE o_orderpriority = '5-LOW'),
+    na AS (SELECT COUNT(*) AS n FROM a),
+    nb AS (SELECT COUNT(*) AS n FROM b),
+    merged AS (
+      SELECT v, 1 AS is_a, 0 AS is_b FROM a
+      UNION ALL SELECT v, 0, 1 FROM b),
+    cum AS (
+      SELECT v,
+             SUM(is_a) OVER (ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             SUM(is_b) OVER (ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+      FROM merged),
+    at_v AS (
+      SELECT v, MAX(ca) AS ca, MAX(cb) AS cb FROM cum GROUP BY v),
+    d AS (
+      SELECT MAX(abs(CAST(ca AS DOUBLE) * (SELECT n FROM nb)
+                     - CAST(cb AS DOUBLE) * (SELECT n FROM na))) AS dnum
+      FROM at_v)
+    SELECT (SELECT n FROM na) AS n_a,
+           (SELECT n FROM nb) AS n_b,
+           ROUND((SELECT dnum FROM d) /
+                 ((SELECT CAST(n AS DOUBLE) FROM na) * (SELECT n FROM nb)), 6)
+             AS ks_d
+    """,
+)
+def ks_test_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between urgent and low
+    priority order totals — distribution-drift detection, computed as
+    max |n_b·CA(v) − n_a·CB(v)| / (n_a·n_b) over the merged value points.
+    The cumulative counts are integers (the tie-handling MAX per value
+    makes both step functions right-continuous), so the sup is exact and
+    only one final division happens in floating point."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_totalprice").cast("double").alias("v"),
+        F.lit(1).alias("is_a"),
+        F.lit(0).alias("is_b"),
+    )
+    b = orders.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_totalprice").cast("double").alias("v"),
+        F.lit(0).alias("is_a"),
+        F.lit(1).alias("is_b"),
+    )
+    merged = a.unionByName(b)
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = merged.select(
+        "v",
+        F.sum("is_a").over(wcum).alias("ca"),
+        F.sum("is_b").over(wcum).alias("cb"),
+    )
+    at_v = cum.groupBy("v").agg(F.max("ca").alias("ca"), F.max("cb").alias("cb"))
+    na = a.agg(F.count(F.lit(1)).alias("n_a"))
+    nb = b.agg(F.count(F.lit(1)).alias("n_b"))
+    return (
+        at_v.join(F.broadcast(na))
+        .join(F.broadcast(nb))
+        .agg(
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("ca").cast("double") * F.col("n_b")
+                        - F.col("cb").cast("double") * F.col("n_a")
+                    )
+                )
+                / (F.first("n_a").cast("double") * F.first("n_b")),
+                6,
+            ).alias("ks_d"),
+        )
+    )
+
+
+@register(
+    "psi_population_stability",
+    oracle="""
+    WITH banded AS (
+      SELECT CASE WHEN o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+                  THEN 'ref' ELSE 'cur' END AS period,
+             LEAST(CAST(o_totalprice / 50000 AS INT), 9) AS band
+      FROM orders),
+    cnt AS (
+      SELECT band,
+             SUM(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS n_ref,
+             SUM(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS n_cur
+      FROM banded GROUP BY band),
+    tot AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM cnt),
+    terms AS (
+      SELECT band,
+             CAST(ROUND((CAST(n_cur AS DOUBLE) / tc - CAST(n_ref AS DOUBLE) / tr) *
+                        ln((CAST(n_cur AS DOUBLE) * tr) /
+                           (CAST(n_ref AS DOUBLE) * tc)), 8)
+                  AS DECIMAL(18,8)) AS term
+      FROM cnt, tot WHERE n_ref > 0 AND n_cur > 0)
+    SELECT CAST(COUNT(*) AS INT) AS n_bands,
+           CAST(ROUND(SUM(term), 6) AS DOUBLE) AS psi
+    FROM terms
+    """,
+)
+def psi_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between pre-1995 and post-1995 order
+    totals over 10 fixed value bands — the drift metric a production
+    scoring pipeline alarms on (PSI > 0.2 = retrain). Each band term is
+    rounded then fixed as DECIMAL before the sum, so band order can't
+    perturb the result; the ln ratio is assembled left-to-right
+    identically on both engines."""
+    orders = _t(spark, sf_dir, "orders")
+    banded = orders.select(
+        F.when(
+            F.col("o_orderdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"),
+            "ref",
+        )
+        .otherwise("cur")
+        .alias("period"),
+        F.least((F.col("o_totalprice") / 50000).cast("int"), F.lit(9)).alias("band"),
+    )
+    cnt = banded.groupBy("band").agg(
+        F.sum(F.when(F.col("period") == "ref", 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("period") == "cur", 1).otherwise(0)).alias("n_cur"),
+    )
+    tot = cnt.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
+    terms = (
+        cnt.join(F.broadcast(tot))
+        .filter((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
+        .select(
+            F.round(
+                (
+                    F.col("n_cur").cast("double") / F.col("tc")
+                    - F.col("n_ref").cast("double") / F.col("tr")
+                )
+                * F.log(
+                    (F.col("n_cur").cast("double") * F.col("tr"))
+                    / (F.col("n_ref").cast("double") * F.col("tc"))
+                ),
+                8,
+            )
+            .cast("decimal(18,8)")
+            .alias("term")
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("int").alias("n_bands"),
+        F.round(F.sum("term"), 6).cast("double").alias("psi"),
+    )

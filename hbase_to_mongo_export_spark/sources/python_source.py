@@ -174,3 +174,51 @@ class LocalJsonlDataSource(DataSource):
 
 def register_jsonl_sink(spark) -> None:
     spark.dataSource.register(LocalJsonlDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Streaming half of the Python DataSource API: micro-batch envelope
+# fixture stream with replayable offsets. Offsets are record indices, so
+# readBetweenOffsets regenerates any batch deterministically — the
+# exactly-once recovery contract (a failed batch replays identically).
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+
+class EnvelopeFixtureStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.n = int(options.get("n", 10_000))
+        self.batch = max(1, int(options.get("batch", 1000)))
+        self.database = options.get("database", "database")
+        self.collection = options.get("collection", "collection")
+        self.plaintext = str(options.get("plaintext", "false")).lower() == "true"
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def _rows(self, start: int, end: int):
+        from .fixtures import envelope_row
+
+        for i in range(start, end):
+            yield envelope_row(
+                i, self.database, self.collection, plaintext=self.plaintext
+            )
+
+    def read(self, start: dict):
+        lo = int(start["i"])
+        hi = min(lo + self.batch, self.n)
+        # list-backed iterator: Spark's prefetch cache copy.copy()s it,
+        # which a generator can't survive
+        return iter(list(self._rows(lo, hi))), {"i": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(int(start["i"]), int(end["i"]))
+
+
+def _fixture_simple_stream_reader(self, schema):
+    return EnvelopeFixtureStreamReader(dict(self.options))
+
+
+# attach the streaming reader to the same registered source
+EnvelopeFixtureDataSource.simpleStreamReader = _fixture_simple_stream_reader

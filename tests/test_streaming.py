@@ -346,3 +346,44 @@ def test_upsert_serving_table_recovers_from_backup(spark, tmp_path):
     assert not _os.path.isdir(table + ".backup")
     # the 5 re-versioned keys carry the new timestamp
     assert got.filter(F.col("ts") >= 100_000).count() == 5
+
+
+def test_python_datasource_stream_microbatches(spark, tmp_path):
+    """Streaming half of the Python DataSource API: the envelope fixture
+    as a micro-batch stream with record-index offsets; all rows arrive,
+    batches are bounded by the batch option, and offset ranges replay
+    deterministically (exactly-once recovery contract)."""
+    from hbase_to_mongo_export_spark.sources.python_source import (
+        EnvelopeFixtureStreamReader,
+        register_python_sources,
+    )
+
+    register_python_sources(spark)
+    stream = (
+        spark.readStream.format("envelope_fixture")
+        .option("n", 100)
+        .option("batch", 30)
+        .load()
+    )
+    import uuid
+
+    name = f"pyds_stream_{uuid.uuid4().hex[:6]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name).collect()
+    assert len(out) == 100
+    assert len({bytes(r.key) for r in out}) == 100
+
+    # offset replay is deterministic
+    r = EnvelopeFixtureStreamReader({"n": "100", "batch": "30"})
+    a = list(r.readBetweenOffsets({"i": 30}, {"i": 60}))
+    b = list(r.readBetweenOffsets({"i": 30}, {"i": 60}))
+    assert a == b and len(a) == 30
