@@ -11365,3 +11365,340 @@ def psi_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("int").alias("n_bands"),
         F.round(F.sum("term"), 6).cast("double").alias("psi"),
     )
+
+
+@register(
+    "events_linear_interpolation",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+      FROM events WHERE user_id < 20 GROUP BY 1, 2),
+    bounds AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id),
+    grid AS (
+      SELECT b.user_id, CAST(b.d0 + CAST(g.i AS INT) AS DATE) AS day
+      FROM bounds b
+      CROSS JOIN LATERAL (SELECT unnest(range(0, datediff('day', b.d0, b.d1) + 1)) AS i) g),
+    joined AS (
+      SELECT g.user_id, g.day, d.n,
+             datediff('day', DATE '1970-01-01', g.day) AS x
+      FROM grid g LEFT JOIN daily d USING (user_id, day)),
+    filled AS (
+      SELECT user_id, day, n, x,
+             MAX(CASE WHEN n IS NOT NULL THEN x END)
+               OVER (PARTITION BY user_id ORDER BY x
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS px,
+             MIN(CASE WHEN n IS NOT NULL THEN x END)
+               OVER (PARTITION BY user_id ORDER BY x
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx,
+             LAST_VALUE(n IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY x
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             FIRST_VALUE(n IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY x
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+      FROM joined)
+    SELECT user_id,
+           COUNT(*) AS n_days,
+           CAST(SUM(CASE WHEN n IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_interpolated,
+           CAST(ROUND(SUM(CAST(ROUND(
+             CASE WHEN n IS NOT NULL THEN CAST(n AS DOUBLE)
+                  ELSE CAST(pv AS DOUBLE)
+                       + (CAST(nv AS DOUBLE) - pv) * (x - px) / (nx - px)
+             END, 6) AS DECIMAL(18,6))), 6) AS DOUBLE) AS total_filled_volume
+    FROM filled
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over gaps in per-user daily event counts —
+    the resampling cousin of LOCF: each missing day gets
+    prev + (next-prev)·(d-d_prev)/(d_next-d_prev) between its two known
+    neighbors. Densify via sequence(), find neighbors with one forward
+    and one backward window pass (no per-gap joins), and the per-row
+    rational arithmetic is order-free; sums are decimal-fixed."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    joined = grid.join(daily, ["user_id", "day"], "left").withColumn(
+        "x", F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("x")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_x = F.when(F.col("n").isNotNull(), F.col("x"))
+    filled = joined.select(
+        "user_id",
+        "n",
+        "x",
+        F.max(known_x).over(wb).alias("px"),
+        F.min(known_x).over(wf).alias("nx"),
+        F.last("n", ignorenulls=True).over(wb).alias("pv"),
+        F.first("n", ignorenulls=True).over(wf).alias("nv"),
+    )
+    val = F.when(F.col("n").isNotNull(), F.col("n").cast("double")).otherwise(
+        F.col("pv").cast("double")
+        + (F.col("nv").cast("double") - F.col("pv"))
+        * (F.col("x") - F.col("px"))
+        / (F.col("nx") - F.col("px"))
+    )
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(F.when(F.col("n").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_interpolated"),
+            F.round(
+                F.sum(F.round(val, 6).cast("decimal(18,6)")), 6
+            )
+            .cast("double")
+            .alias("total_filled_volume"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_cusum_change_detection",
+    oracle="""
+    WITH RECURSIVE
+    daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*) AS x
+      FROM events GROUP BY 1),
+    kref AS (
+      -- reference level: global mean daily count, rounded to an exact
+      -- 2dp value so the fold arithmetic is identical in both engines
+      SELECT ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 2) AS k FROM daily),
+    series AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, CAST(x AS DOUBLE) AS x
+      FROM daily),
+    cusum(i, s, alarms, peak) AS (
+      SELECT 1, GREATEST(CAST(0 AS DOUBLE), x - (SELECT k FROM kref)),
+             CASE WHEN GREATEST(CAST(0 AS DOUBLE), x - (SELECT k FROM kref))
+                       > 2 * (SELECT k FROM kref) THEN 1 ELSE 0 END,
+             GREATEST(CAST(0 AS DOUBLE), x - (SELECT k FROM kref))
+      FROM series WHERE i = 1
+      UNION ALL
+      SELECT s2.i,
+             GREATEST(CAST(0 AS DOUBLE), c.s + s2.x - (SELECT k FROM kref)),
+             c.alarms + CASE WHEN GREATEST(CAST(0 AS DOUBLE),
+                                  c.s + s2.x - (SELECT k FROM kref))
+                                  > 2 * (SELECT k FROM kref) THEN 1 ELSE 0 END,
+             GREATEST(c.peak, GREATEST(CAST(0 AS DOUBLE),
+                      c.s + s2.x - (SELECT k FROM kref)))
+      FROM cusum c JOIN series s2 ON s2.i = c.i + 1)
+    SELECT CAST(i AS BIGINT) AS n_days,
+           (SELECT k FROM kref) AS reference_level,
+           CAST(alarms AS BIGINT) AS n_alarm_days,
+           ROUND(peak, 6) AS peak_cusum
+    FROM cusum ORDER BY i DESC LIMIT 1
+    """,
+)
+def events_cusum_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change detection on the daily event-count series:
+    s_i = max(0, s_{i-1} + x_i - k) with k = the (rounded) global mean,
+    alarm when s exceeds 2k — the standard sequential drift alarm. Like
+    Holt/NFD/LTTB the recurrence folds over the collected daily array
+    (the distributed work is the daily aggregate); the oracle replays the
+    fold with a recursive CTE, and k is rounded once so every step is
+    the same double arithmetic on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    kref = daily.agg(
+        F.round(F.sum("x").cast("double") / F.count(F.lit(1)), 2).alias("k")
+    ).first()
+    k = float(kref.k)
+    arr = daily.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "x"))),
+            lambda s: s["x"].cast("double"),
+        ).alias("xs")
+    )
+    state = (
+        "named_struct('s', CAST(0 AS DOUBLE), 'alarms', CAST(0 AS BIGINT), "
+        "'peak', CAST(0 AS DOUBLE), 'n', CAST(0 AS BIGINT))"
+    )
+    step = (
+        f"(acc, x) -> named_struct("
+        f"'s', GREATEST(CAST(0 AS DOUBLE), acc.s + x - CAST({k!r} AS DOUBLE)), "
+        f"'alarms', acc.alarms + IF(GREATEST(CAST(0 AS DOUBLE), acc.s + x - CAST({k!r} AS DOUBLE)) > 2 * CAST({k!r} AS DOUBLE), 1, 0), "
+        f"'peak', GREATEST(acc.peak, GREATEST(CAST(0 AS DOUBLE), acc.s + x - CAST({k!r} AS DOUBLE))), "
+        f"'n', acc.n + 1)"
+    )
+    return arr.select(F.expr(f"aggregate(xs, {state}, {step})").alias("c")).select(
+        F.col("c.n").alias("n_days"),
+        F.lit(k).alias("reference_level"),
+        F.col("c.alarms").alias("n_alarm_days"),
+        F.round(F.col("c.peak"), 6).alias("peak_cusum"),
+    )
+
+
+@register(
+    "js_divergence_lang_unigrams",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, unnest({_NB_WORDS}) AS w
+      FROM documents WHERE trim(text) != ''),
+    cnt AS (SELECT lang, w, COUNT(*) AS c FROM tok GROUP BY lang, w),
+    tot AS (SELECT lang, SUM(c) AS t FROM cnt GROUP BY lang),
+    langs AS (SELECT DISTINCT lang FROM cnt),
+    lp AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b
+      FROM langs a JOIN langs b ON a.lang < b.lang),
+    vocab AS (
+      SELECT lp.lang_a, lp.lang_b, c.w,
+             SUM(CASE WHEN c.lang = lp.lang_a THEN c.c ELSE 0 END) AS ca,
+             SUM(CASE WHEN c.lang = lp.lang_b THEN c.c ELSE 0 END) AS cb
+      FROM lp JOIN cnt c ON c.lang IN (lp.lang_a, lp.lang_b)
+      GROUP BY lp.lang_a, lp.lang_b, c.w),
+    withtot AS (
+      SELECT v.lang_a, v.lang_b, v.w, v.ca, v.cb, ta.t AS ta, tb.t AS tb
+      FROM vocab v
+      JOIN tot ta ON ta.lang = v.lang_a
+      JOIN tot tb ON tb.lang = v.lang_b),
+    terms AS (
+      SELECT lang_a, lang_b,
+             CAST(ROUND(
+               CASE WHEN ca > 0 THEN (CAST(ca AS DOUBLE) / ta) *
+                 ln((CAST(ca AS DOUBLE) / ta) /
+                    ((CAST(ca AS DOUBLE) / ta + CAST(cb AS DOUBLE) / tb) / 2))
+               ELSE 0 END +
+               CASE WHEN cb > 0 THEN (CAST(cb AS DOUBLE) / tb) *
+                 ln((CAST(cb AS DOUBLE) / tb) /
+                    ((CAST(ca AS DOUBLE) / ta + CAST(cb AS DOUBLE) / tb) / 2))
+               ELSE 0 END, 9) AS DECIMAL(18,9)) AS term
+      FROM withtot)
+    SELECT lang_a, lang_b,
+           CAST(ROUND(SUM(term) / 2, 6) AS DOUBLE) AS js_divergence
+    FROM terms GROUP BY lang_a, lang_b
+    ORDER BY lang_a, lang_b
+    """,
+)
+def js_divergence_lang_unigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between every pair of language unigram
+    distributions — the mixture-design metric for how separable corpus
+    slices are (0 = identical, ln 2 = disjoint). Per-word contributions
+    are rounded then decimal-fixed before summing (sum order across the
+    shared vocabulary must not move the result); the ln ratios are
+    assembled identically on both engines."""
+    docs = _t(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    ws = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    cnt = (
+        docs.select("lang", F.explode(ws).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.groupBy("lang").agg(F.sum("c").alias("t"))
+    langs = cnt.select("lang").distinct()
+    lp = (
+        langs.alias("a")
+        .join(langs.alias("b"), F.col("a.lang") < F.col("b.lang"))
+        .select(F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b"))
+    )
+    vocab = (
+        lp.join(
+            cnt,
+            (F.col("lang") == F.col("lang_a")) | (F.col("lang") == F.col("lang_b")),
+        )
+        .groupBy("lang_a", "lang_b", "w")
+        .agg(
+            F.sum(F.when(F.col("lang") == F.col("lang_a"), F.col("c")).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("lang") == F.col("lang_b"), F.col("c")).otherwise(0)).alias("cb"),
+        )
+    )
+    ta = F.broadcast(tot.select(F.col("lang").alias("lang_a"), F.col("t").alias("ta")))
+    tb = F.broadcast(tot.select(F.col("lang").alias("lang_b"), F.col("t").alias("tb")))
+    withtot = vocab.join(ta, "lang_a").join(tb, "lang_b")
+    pa = F.col("ca").cast("double") / F.col("ta")
+    pb = F.col("cb").cast("double") / F.col("tb")
+    m = (pa + pb) / 2
+    term = (
+        F.when(F.col("ca") > 0, pa * F.log(pa / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("cb") > 0, pb * F.log(pb / m)).otherwise(F.lit(0.0))
+    )
+    terms = withtot.select(
+        "lang_a", "lang_b", F.round(term, 9).cast("decimal(18,9)").alias("term")
+    )
+    return (
+        terms.groupBy("lang_a", "lang_b")
+        .agg(F.round(F.sum("term") / 2, 6).cast("double").alias("js_divergence"))
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+@register(
+    "unicode_category_profile",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) ) AS BIGINT)
+             AS ascii_letters,
+           CAST(SUM(len(regexp_replace(text, '[^0-9]', '', 'g'))) AS BIGINT)
+             AS digits,
+           CAST(SUM(len(regexp_replace(text, '[^ \\t]', '', 'g'))) AS BIGINT)
+             AS whitespace,
+           CAST(SUM(len(text)
+                    - len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                    - len(regexp_replace(text, '[^0-9]', '', 'g'))
+                    - len(regexp_replace(text, '[^ \\t]', '', 'g'))) AS BIGINT)
+             AS other_chars,
+           ROUND(CAST(SUM(len(text)
+                    - len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                    - len(regexp_replace(text, '[^0-9]', '', 'g'))
+                    - len(regexp_replace(text, '[^ \\t]', '', 'g'))) AS DOUBLE)
+                 / SUM(len(text)), 6) AS other_ratio
+    FROM documents WHERE length(text) > 0
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def unicode_category_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class census per language — ASCII letters, digits,
+    whitespace, and everything else (the 'other' bucket is where CJK and
+    other non-Latin scripts land) — the byte-level profile that routes
+    documents to script-appropriate processing. Integer counts from
+    regex strip-and-measure; one narrow pass."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+
+    def count_class(pattern: str):
+        return F.length(F.regexp_replace(F.col("text"), pattern, ""))
+
+    letters = count_class(r"[^a-zA-Z]")
+    digits = count_class(r"[^0-9]")
+    wsp = count_class(r"[^ \t]")
+    other = F.length("text") - letters - digits - wsp
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(letters).cast("bigint").alias("ascii_letters"),
+            F.sum(digits).cast("bigint").alias("digits"),
+            F.sum(wsp).cast("bigint").alias("whitespace"),
+            F.sum(other).cast("bigint").alias("other_chars"),
+            F.round(
+                F.sum(other).cast("double") / F.sum(F.length("text")), 6
+            ).alias("other_ratio"),
+        )
+        .orderBy("lang")
+    )
