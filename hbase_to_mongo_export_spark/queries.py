@@ -11702,3 +11702,236 @@ def unicode_category_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "mixture_temperature_weights",
+    oracle="""
+    WITH share AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    tot AS (SELECT SUM(n) AS t FROM share),
+    scaled AS (
+      SELECT lang, n,
+             CAST(ROUND(sqrt(CAST(n AS DOUBLE) / (SELECT t FROM tot)), 9)
+                  AS DECIMAL(18,9)) AS s
+      FROM share),
+    z AS (SELECT SUM(s) AS z FROM scaled)
+    SELECT lang, CAST(n AS BIGINT) AS n_docs,
+           ROUND(CAST(n AS DOUBLE) / (SELECT t FROM tot), 6) AS raw_share,
+           ROUND(CAST(s AS DOUBLE) / CAST((SELECT z FROM z) AS DOUBLE), 6)
+             AS temperature_weight
+    FROM scaled ORDER BY lang
+    """,
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights (T=2, i.e. sqrt-scaling) for
+    the per-language training mixture — the standard up-weighting of
+    low-resource slices (raw share p → p^(1/T), renormalized). Each
+    sqrt is rounded and decimal-fixed before the normalizing sum, so the
+    partition order of the 5-row aggregate can't move the weights."""
+    docs = _t(spark, sf_dir, "documents")
+    share = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = share.agg(F.sum("n").alias("t"))
+    scaled = share.join(F.broadcast(tot)).select(
+        "lang",
+        "n",
+        "t",
+        F.round(F.sqrt(F.col("n").cast("double") / F.col("t")), 9)
+        .cast("decimal(18,9)")
+        .alias("s"),
+    )
+    z = scaled.agg(F.sum("s").alias("z"))
+    return (
+        scaled.join(F.broadcast(z))
+        .select(
+            "lang",
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.round(F.col("n").cast("double") / F.col("t"), 6).alias("raw_share"),
+            F.round(
+                F.col("s").cast("double") / F.col("z").cast("double"), 6
+            ).alias("temperature_weight"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "spearman_daily_rank_correlation",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS {_DEC})) AS rev
+      FROM orders GROUP BY 1),
+    ranked AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY n_orders, day) AS rx,
+             ROW_NUMBER() OVER (ORDER BY rev, day) AS ry
+      FROM daily),
+    s AS (
+      SELECT COUNT(*) AS n,
+             SUM(rx * ry) AS sxy, SUM(rx) AS sx, SUM(ry) AS sy,
+             SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
+      FROM ranked)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+                 (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+                  sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+             AS spearman_rho
+    FROM s
+    """,
+)
+def spearman_daily_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between daily order count and daily
+    revenue — the robust monotonic-association measure. Ranks are
+    ROW_NUMBERs with a deterministic day tiebreak, so every sum in the
+    Pearson-on-ranks formula is an exact integer; floating point appears
+    only in the final single expression, ordered identically on both
+    engines."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).alias("rev"),
+    )
+    ranked = daily.select(
+        F.row_number().over(Window.orderBy("n_orders", "day")).alias("rx"),
+        F.row_number().over(Window.orderBy("rev", "day")).alias("ry"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    n_d = F.col("n").cast("double")
+    return s.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(
+            (n_d * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / (
+                F.sqrt(n_d * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+                * F.sqrt(n_d * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, lang,
+             list_distinct([list_aggregate(words[i:i+2], 'string_agg', ' ')
+                            FOR i IN range(1, len(words) - 1)]) AS shingles
+      FROM (SELECT doc_id, lang,
+                   string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS words
+            FROM documents)
+      WHERE len(words) >= 3),
+    pairs AS (
+      SELECT CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.shingles, b.shingles))) AS j
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id),
+    th AS (SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5]) AS threshold)
+    SELECT ROUND(threshold, 2) AS threshold,
+           CAST(SUM(CASE WHEN j >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pairs
+    FROM th, pairs
+    GROUP BY threshold ORDER BY threshold
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup tuning curve: how many n-gram-Jaccard pairs survive each
+    candidate threshold in {0.1..0.5} — the dial you set before a 100 TB
+    dedup pass (too low deletes content, too high leaves dupes). One
+    blocked pair join scored once; the five thresholds are conditional
+    sums over the same scores, not five joins."""
+    docs = _t(spark, sf_dir, "documents")
+    # threshold = the lowest sweep point: pairs below it can't contribute
+    # to any sweep bucket, and the inverted-index path needs a positive cut
+    pairs = dedup_mod.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.1, block_col="lang"
+    )
+    th = F.array(*[F.lit(x) for x in (0.1, 0.2, 0.3, 0.4, 0.5)])
+    return (
+        pairs.select(F.col("jaccard").alias("j"))
+        .crossJoin(F.broadcast(
+            _t(spark, sf_dir, "region").limit(1).select(
+                F.explode(th).alias("threshold")
+            )
+        ))
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(F.col("j") >= F.col("threshold"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pairs")
+        )
+        .select(F.round("threshold", 2).alias("threshold"), "n_pairs")
+        .orderBy("threshold")
+    )
+
+
+@register(
+    "events_hourly_autocorrelation",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, COUNT(*) AS x
+      FROM events GROUP BY 1),
+    idx AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY h) AS i, x FROM hourly),
+    lagged AS (
+      SELECT a.x AS x0, b.x AS x1
+      FROM idx a JOIN idx b ON b.i = a.i + 24),
+    s AS (
+      SELECT COUNT(*) AS n,
+             SUM(x0 * x1) AS sxy, SUM(x0) AS sx, SUM(x1) AS sy,
+             SUM(x0 * x0) AS sxx, SUM(x1 * x1) AS syy
+      FROM lagged)
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+                 (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+                  sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+             AS autocorr_lag24
+    FROM s
+    """,
+)
+def events_hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-24 autocorrelation of the hourly event-count series — the
+    daily-seasonality detector (a strong positive value means traffic
+    repeats on a 24-hour cycle). Counts are integers, the lag pairing is
+    a self-join on the hour index, and every sum in the correlation
+    formula stays integer until the single final expression — the same
+    exactness discipline as the Spearman query."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    idx = hourly.select(
+        F.row_number().over(Window.orderBy("h")).alias("i"), "x"
+    )
+    lagged = (
+        idx.alias("a")
+        .join(idx.alias("b"), F.col("b.i") == F.col("a.i") + 24)
+        .select(F.col("a.x").alias("x0"), F.col("b.x").alias("x1"))
+    )
+    s = lagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x0") * F.col("x1")).alias("sxy"),
+        F.sum("x0").alias("sx"),
+        F.sum("x1").alias("sy"),
+        F.sum(F.col("x0") * F.col("x0")).alias("sxx"),
+        F.sum(F.col("x1") * F.col("x1")).alias("syy"),
+    )
+    n_d = F.col("n").cast("double")
+    return s.select(
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round(
+            (n_d * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / (
+                F.sqrt(n_d * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+                * F.sqrt(n_d * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+            ),
+            6,
+        ).alias("autocorr_lag24"),
+    )

@@ -622,3 +622,90 @@ class TestPythonDataSource:
             lines.extend(open(f, encoding="utf-8").read().splitlines())
         rows = sorted(json.loads(l)["id"] for l in lines)
         assert rows == list(range(100))
+
+
+class TestS3ObjectStore:
+    def test_put_object_metadata_mapping(self, spark, tmp_path):
+        """S3 backend of the strict sink's object-store seam: user
+        metadata and content type match the reference putObject mapping
+        (S3ObjectServiceImpl.kt:37-47), exercised via a stub client —
+        no boto3 required."""
+        from hbase_to_mongo_export_spark.plans import sink as sink_mod
+
+        calls = []
+
+        class StubClient:
+            def put_object(self, **kw):
+                calls.append(kw)
+
+        store = sink_mod.S3ObjectStore("my-bucket", client=StubClient())
+        meta = sink_mod.object_metadata(
+            "topic-000-064-000001.txt.gz.enc",
+            "aXYtYnl0ZXM=",
+            __import__(
+                "hbase_to_mongo_export_spark.functions.crypto", fromlist=["crypto"]
+            ).DataKeyResult("kek/1", b"\x00" * 16, "Y2lwaGVy"),
+            "db.database.collection",
+            "incremental",
+        )
+        store.put_object("/prefix/topic-000-064-000001.txt.gz.enc", b"payload", meta)
+        store.put_text("/prefix/manifest-000000.csv", ["a|b\n"])
+        assert calls[0]["Bucket"] == "my-bucket"
+        assert calls[0]["Key"] == "prefix/topic-000-064-000001.txt.gz.enc"
+        assert calls[0]["ContentType"] == "binary/octetstream"
+        md = calls[0]["Metadata"]
+        assert md["iv"] == "aXYtYnl0ZXM="
+        assert md["cipherText"] == "Y2lwaGVy"
+        assert md["dataKeyEncryptionKeyId"] == "kek/1"
+        assert md["data_product"] == "db.database.collection"
+        assert md["data_product_type"] == "incremental"
+        assert calls[1]["Body"] == b"a|b\n"
+
+    def test_strict_sink_writes_through_custom_store(self, spark, tmp_path):
+        """End-to-end: the strict sink routes every object/manifest through
+        the configured store (executor-side), so an S3-backed store gets
+        the same byte-capped batches the local store does."""
+        import glob
+
+        from hbase_to_mongo_export_spark.plans import sink as sink_mod
+        from hbase_to_mongo_export_spark.sources import fixtures as fx
+
+        class RedirectStore(sink_mod.LocalObjectStore):
+            # same contract, different root: proves the sink never
+            # bypasses the seam with bare open() calls
+            def __init__(self, root):
+                self.root = root
+
+            def _redirect(self, path):
+                import os as _os
+
+                _os.makedirs(self.root, exist_ok=True)
+                return _os.path.join(self.root, _os.path.basename(path))
+
+            def put_object(self, path, payload, metadata=None):
+                super().put_object(self._redirect(path), payload, metadata)
+
+            def put_text(self, path, lines):
+                super().put_text(self._redirect(path), lines)
+
+        redirect_root = str(tmp_path / "redirected")
+        src = fx.source_records(spark, n=60)
+        c = cfg(
+            tmp_path,
+            strict_sink=True,
+            max_batch_bytes=1_000_000,
+            scan_width=64,
+            compression="none",
+            object_store=RedirectStore(redirect_root),
+        )
+        result = run_export(spark, src, c)
+        assert result.status == "Exported" and result.records == 60
+        data_files = glob.glob(os.path.join(redirect_root, "*.txt"))
+        csv_files = glob.glob(os.path.join(redirect_root, "*.csv"))
+        assert data_files and csv_files
+        lines = []
+        for f in data_files:
+            lines.extend(open(f, encoding="utf-8").read().splitlines())
+        assert len(lines) == 60
+        # nothing leaked to the default output dir
+        assert not glob.glob(str(tmp_path / "out" / "*.txt"))
