@@ -11935,3 +11935,303 @@ def events_hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame
             6,
         ).alias("autocorr_lag24"),
     )
+
+
+@register(
+    "churn_label_generation",
+    oracle="""
+    WITH horizon AS (SELECT MAX(ts) AS h FROM events),
+    per_user AS (
+      SELECT user_id,
+             COUNT(*) AS n_events,
+             MAX(ts) AS last_seen,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS n_purchases
+      FROM events GROUP BY user_id)
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_purchases AS BIGINT) AS n_purchases,
+           CAST(datediff('day', CAST(last_seen AS DATE),
+                         CAST((SELECT h FROM horizon) AS DATE)) AS INT)
+             AS days_inactive,
+           CASE WHEN datediff('day', CAST(last_seen AS DATE),
+                              CAST((SELECT h FROM horizon) AS DATE)) >= 14
+                THEN 1 ELSE 0 END AS churn_label
+    FROM per_user
+    ORDER BY user_id
+    """,
+)
+def churn_label_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised-label assembly: per-user activity features plus a churn
+    label (no activity in the 14 days before the data horizon) — the
+    feature/label join a training-data pipeline emits for a tabular
+    model. One aggregate + a broadcast scalar horizon; integer day
+    arithmetic keeps it engine-exact."""
+    ev = _t(spark, sf_dir, "events")
+    horizon = ev.agg(F.max("ts").cast("date").alias("h"))
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("ts").alias("last_seen"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n_purchases"
+        ),
+    )
+    days = F.datediff(F.col("h"), F.col("last_seen").cast("date"))
+    return (
+        per_user.join(F.broadcast(horizon))
+        .select(
+            "user_id",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("n_purchases").cast("bigint").alias("n_purchases"),
+            days.cast("int").alias("days_inactive"),
+            F.when(days >= 14, 1).otherwise(0).alias("churn_label"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "dedup_pair_explanations",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, lang,
+             list_distinct([list_aggregate(words[i:i+2], 'string_agg', ' ')
+                            FOR i IN range(1, len(words) - 1)]) AS shingles
+      FROM (SELECT doc_id, lang,
+                   string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS words
+            FROM documents)
+      WHERE len(words) >= 3)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(a.shingles) AS INT) AS n_shingles_a,
+           CAST(len(b.shingles) AS INT) AS n_shingles_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS INT) AS n_shared,
+           ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+                 len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+             AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+          len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.2
+    ORDER BY jaccard DESC, id_a, id_b
+    LIMIT 10
+    """,
+)
+def dedup_pair_explanations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explainable dedup: the top near-dup pairs with the evidence a
+    reviewer needs — each side's shingle count, the shared count, and
+    the resulting Jaccard. Auditability is what makes a destructive
+    100 TB dedup pass defensible; this is the human-review view over the
+    same blocked pair join the dedup operator runs."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        dedup_mod.word_shingles(F.col("text"), 3).alias("shingles"),
+    ).filter(F.size("shingles") >= 1)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = (
+        F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - inter
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.size(F.col("a.shingles")).cast("int").alias("n_shingles_a"),
+            F.size(F.col("b.shingles")).cast("int").alias("n_shingles_b"),
+            inter.cast("int").alias("n_shared"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
+    return pairs.orderBy(F.desc("jaccard"), "id_a", "id_b").limit(10)
+
+
+@register(
+    "robust_outlier_docs",
+    oracle="""
+    WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+    ranked AS (
+      SELECT lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM d),
+    med AS (
+      SELECT lang, n_chars AS median FROM ranked WHERE rn = (n - 1) // 2 + 1),
+    dev AS (
+      SELECT d.lang, abs(d.n_chars - m.median) AS ad
+      FROM d JOIN med m USING (lang)),
+    dranked AS (
+      SELECT lang, ad,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ad) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM dev),
+    mad AS (SELECT lang, ad AS mad FROM dranked WHERE rn = (n - 1) // 2 + 1)
+    SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
+           CAST(m.median AS BIGINT) AS lang_median,
+           CAST(md.mad AS BIGINT) AS lang_mad
+    FROM d JOIN med m USING (lang) JOIN mad md USING (lang)
+    WHERE md.mad > 0 AND abs(d.n_chars - m.median) > 3 * md.mad
+    ORDER BY d.doc_id
+    """,
+)
+def robust_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust length outliers: documents more than 3 MADs from their
+    language's median length — the grouped-map median/MAD operator
+    (applyInPandas) composed back against the corpus, the
+    outlier-quarantine step of a curation pipeline. Selection medians
+    keep it engine-exact; the per-lang stats broadcast."""
+    from .operators import grouped as grouped_mod
+
+    docs = _t(spark, sf_dir, "documents")
+    stats = grouped_mod.grouped_median_mad(docs, "lang", "n_chars").select(
+        F.col("group_key").alias("lang"),
+        F.col("median").alias("lang_median"),
+        F.col("mad").alias("lang_mad"),
+    )
+    return (
+        docs.join(F.broadcast(stats), "lang")
+        .filter(
+            (F.col("lang_mad") > 0)
+            & (F.abs(F.col("n_chars") - F.col("lang_median")) > 3 * F.col("lang_mad"))
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.col("lang_median").cast("bigint").alias("lang_median"),
+            F.col("lang_mad").cast("bigint").alias("lang_mad"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "events_fano_burstiness",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS x
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx
+      FROM hourly GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+           ROUND(CAST(sx AS DOUBLE) / n, 6) AS mean_per_hour,
+           ROUND((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) /
+                 (CAST(n AS DOUBLE) * sx), 6) AS fano_factor
+    FROM s ORDER BY event_type
+    """,
+)
+def events_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean ratio) of hourly counts per event
+    type — the burstiness index (1 = Poisson, >1 = bursty arrivals, the
+    signal that decides whether rate-based capacity planning works).
+    Integer count sums feed one final double expression — the same
+    exactness discipline as the correlation queries."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    s = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_hours"),
+        F.round(F.col("sx").cast("double") / F.col("n"), 6).alias("mean_per_hour"),
+        F.round(
+            (n_d * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+            / (n_d * F.col("sx")),
+            6,
+        ).alias("fano_factor"),
+    ).orderBy("event_type")
+
+
+@register(
+    "quality_dup_contingency",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+             {_NB_WORDS} AS ws
+      FROM documents WHERE trim(text) != ''),
+    dup AS (
+      SELECT b.doc_id,
+             CASE WHEN b.doc_id = MIN(b2.doc_id) THEN 0 ELSE 1 END AS is_dup
+      FROM base b JOIN base b2 ON b2.norm = b.norm
+      GROUP BY b.doc_id),
+    q AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) BETWEEN 20 AND 100000
+                   AND 3 * len(ws) <= len(list_aggregate(ws, 'string_agg', ''))
+                   AND len(list_aggregate(ws, 'string_agg', '')) <= 10 * len(ws)
+                  THEN 1 ELSE 0 END AS quality_ok
+      FROM base),
+    cells AS (
+      SELECT SUM(CASE WHEN quality_ok = 1 AND is_dup = 1 THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN quality_ok = 1 AND is_dup = 0 THEN 1 ELSE 0 END) AS b,
+             SUM(CASE WHEN quality_ok = 0 AND is_dup = 1 THEN 1 ELSE 0 END) AS c,
+             SUM(CASE WHEN quality_ok = 0 AND is_dup = 0 THEN 1 ELSE 0 END) AS d
+      FROM q JOIN dup USING (doc_id))
+    SELECT CAST(a AS BIGINT) AS hq_dup, CAST(b AS BIGINT) AS hq_unique,
+           CAST(c AS BIGINT) AS lq_dup, CAST(d AS BIGINT) AS lq_unique,
+           ROUND(CASE WHEN b * c = 0 THEN NULL
+                 ELSE (CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c) END, 6)
+             AS odds_ratio
+    FROM cells
+    """,
+)
+def quality_dup_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does exact-dup removal preferentially discard low-quality text?
+    The 2x2 contingency of (quality gate pass, duplicate-copy flag) with
+    the odds ratio — the curation-policy sanity check before coupling
+    dedup and quality filters. All integer cells; one final ratio."""
+    docs = _t(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    ws = F.split(norm, " ")
+    base = docs.select("doc_id", norm.alias("norm"), ws.alias("ws"))
+    canon = base.groupBy("norm").agg(F.min("doc_id").alias("keep_id"))
+    dup = base.join(canon, "norm").select(
+        "doc_id",
+        F.when(F.col("doc_id") == F.col("keep_id"), 0).otherwise(1).alias("is_dup"),
+    )
+    n = F.size("ws")
+    total_chars = F.length(F.concat_ws("", F.col("ws")))
+    q = base.select(
+        "doc_id",
+        F.when(
+            n.between(20, 100000)
+            & (3 * n <= total_chars)
+            & (total_chars <= 10 * n),
+            1,
+        )
+        .otherwise(0)
+        .alias("quality_ok"),
+    )
+    cells = q.join(dup, "doc_id").agg(
+        F.sum(F.when((F.col("quality_ok") == 1) & (F.col("is_dup") == 1), 1).otherwise(0)).alias("a"),
+        F.sum(F.when((F.col("quality_ok") == 1) & (F.col("is_dup") == 0), 1).otherwise(0)).alias("b"),
+        F.sum(F.when((F.col("quality_ok") == 0) & (F.col("is_dup") == 1), 1).otherwise(0)).alias("c"),
+        F.sum(F.when((F.col("quality_ok") == 0) & (F.col("is_dup") == 0), 1).otherwise(0)).alias("d"),
+    )
+    return cells.select(
+        F.col("a").cast("bigint").alias("hq_dup"),
+        F.col("b").cast("bigint").alias("hq_unique"),
+        F.col("c").cast("bigint").alias("lq_dup"),
+        F.col("d").cast("bigint").alias("lq_unique"),
+        F.round(
+            F.when(
+                (F.col("b") * F.col("c")) == 0, F.lit(None).cast("double")
+            ).otherwise(
+                (F.col("a").cast("double") * F.col("d"))
+                / (F.col("b").cast("double") * F.col("c"))
+            ),
+            6,
+        ).alias("odds_ratio"),
+    )
