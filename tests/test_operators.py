@@ -824,3 +824,56 @@ class TestPagerank:
         # total mass stays within integer-truncation loss of SCALE
         total = sum(out.values())
         assert graph.SCALE * 0.97 <= total <= graph.SCALE
+
+
+class TestGraphOperators:
+    """Unit-level coverage of operators/graph.py building blocks (the
+    registry checks them end-to-end via the oracle queries; these pin the
+    primitives on hand-built graphs)."""
+
+    def _edges(self, spark, rows):
+        return spark.createDataFrame(rows, "u long, v long")
+
+    def test_top_k_sparsifier_bounds_degree(self, spark):
+        from hbase_to_mongo_export_spark.operators import graph as g
+
+        # star graph: node 0 co-occurs with 1..6, weights descending
+        pairs = spark.createDataFrame(
+            [(0, i, 10 - i) for i in range(1, 7)], "u long, v long, c long"
+        )
+        e = g.top_k_cooccurrence_edges(pairs, k=3)
+        rows = {(r.u, r.v) for r in e.collect()}
+        # node 0 keeps its 3 strongest (1,2,3); leaves each keep their only
+        # partner (node 0), so 'either endpoint' retains all 6 edges
+        assert {(0, 1), (0, 2), (0, 3)} <= rows
+        assert len(rows) == 6
+        deg = {}
+        for u, v in rows:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        assert all(d <= 2 * 3 for d in deg.values())
+
+    def test_label_propagation_converges_two_cliques(self, spark):
+        from hbase_to_mongo_export_spark.operators import graph as g
+
+        # two triangles joined by nothing; seeds: one node per clique
+        # carries a distinct label, others carry high self labels
+        edges = self._edges(
+            spark, [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)]
+        )
+        labels = spark.createDataFrame(
+            [(0, 100), (1, 101), (2, 102), (10, 200), (11, 201), (12, 202)],
+            "node long, label long",
+        )
+        out = {r.node: r.label for r in g.label_propagation(edges, labels, rounds=3).collect()}
+        # min-label ties propagate the lowest seed within each clique
+        assert len({out[0], out[1], out[2]}) == 1
+        assert len({out[10], out[11], out[12]}) == 1
+        assert out[0] != out[10]
+
+    def test_bfs_hops_path_graph(self, spark):
+        from hbase_to_mongo_export_spark.operators import graph as g
+
+        edges = self._edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)])
+        out = {r.node: r.hops for r in g.bfs_hops(edges, source=0, max_hops=4).collect()}
+        assert out == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}  # node 5 beyond max_hops
