@@ -9094,9 +9094,15 @@ def naive_bayes_lang_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % 2 == 0)
     test = docs.filter(F.col("doc_id") % 2 == 1)
     tok_tr = train.select("lang", F.explode(words).alias("w"))
-    model = tok_tr.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = tok_tr.groupBy("lang").agg(F.count(F.lit(1)).alias("tot"))
-    vocab = tok_tr.agg(F.countDistinct("w").alias("v"))
+    # the (lang, word) model feeds three consumers (scoring join, per-lang
+    # totals, vocabulary size); materialize the vocab-sized aggregate once
+    # so the corpus token stream is scanned exactly once — the totals then
+    # cost O(vocab), not O(corpus tokens), at any scale
+    model = op_cache.track(
+        tok_tr.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("cnt")).cache()
+    )
+    tot = model.groupBy("lang").agg(F.sum("cnt").alias("tot"))
+    vocab = model.select("w").distinct().agg(F.count(F.lit(1)).alias("v"))
     n_train = train.agg(F.count(F.lit(1)).alias("n_train"))
     prior = (
         train.groupBy("lang")
@@ -11605,10 +11611,13 @@ def js_divergence_lang_unigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = F.split(
         F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
     )
-    cnt = (
+    # vocab-sized count table feeds three consumers (pair join, totals,
+    # lang list) — materialize once so the corpus tokenizes exactly once
+    cnt = op_cache.track(
         docs.select("lang", F.explode(ws).alias("w"))
         .groupBy("lang", "w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
     )
     tot = cnt.groupBy("lang").agg(F.sum("c").alias("t"))
     langs = cnt.select("lang").distinct()
