@@ -12244,3 +12244,45 @@ def quality_dup_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("odds_ratio"),
     )
+
+
+def _band_sweep_oracle() -> str:
+    parts = []
+    for b in (8, 16, 32):
+        parts.append(
+            f"""SELECT * FROM (
+    WITH {_minhash_oracle_ctes(64, b)}
+    SELECT CAST({b} AS INT) AS bands, CAST(64 / {b} AS INT) AS rows_per_band,
+           CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs
+    FROM cand)"""
+        )
+    return "\n    UNION ALL\n    ".join(parts) + "\n    ORDER BY bands"
+
+
+@register("dedup_minhash_band_sweep", oracle=_band_sweep_oracle())
+def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding sensitivity: candidate-pair counts at 8/16/32 bands
+    over the SAME 64-hash MinHash signatures — the (bands, rows) dial
+    that trades recall against verification cost (more bands → lower
+    per-band specificity → more candidates). Signatures are computed once
+    and cached; each sweep point re-bands the cached table, so the
+    corpus-scale shingle hashing runs once regardless of sweep width."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = op_cache.track(
+        dedup_mod._minhash_sig_cols(docs, "doc_id", "text", 3, 64, "md5").cache()
+    )
+    outs = []
+    for b in (8, 16, 32):
+        cand = dedup_mod._lsh_candidates(sig, "doc_id", 64, b, "md5")
+        outs.append(
+            cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"))
+            .select(
+                F.lit(b).cast("int").alias("bands"),
+                F.lit(64 // b).cast("int").alias("rows_per_band"),
+                "n_candidate_pairs",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("bands")
