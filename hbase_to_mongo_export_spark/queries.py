@@ -12286,3 +12286,53 @@ def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("bands")
+
+
+_ORACLES["dedup_minhash_recall_eval"] = f"""
+    SELECT (SELECT COUNT(*) FROM ({_ORACLES["dedup_ngram_jaccard_pairs"]}) ex)
+             AS n_exact_pairs,
+           (SELECT COUNT(*) FROM ({_ORACLES["dedup_minhash_lsh_pairs"]}) ap)
+             AS n_lsh_pairs,
+           ROUND(
+             (SELECT CAST(COUNT(*) AS DOUBLE)
+              FROM ({_ORACLES["dedup_minhash_lsh_pairs"]}) ap
+              JOIN ({_ORACLES["dedup_ngram_jaccard_pairs"]}) ex
+                ON ex.id_a = ap.id_a AND ex.id_b = ap.id_b) /
+             (SELECT COUNT(*) FROM ({_ORACLES["dedup_ngram_jaccard_pairs"]}) ex),
+             6) AS recall
+    """
+
+
+@register("dedup_minhash_recall_eval")
+def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the MinHash-LSH near-dup detector against the
+    exact n-gram-Jaccard ground truth at the same 0.2 threshold — the
+    text-dedup acceptance gate (the companion of the embedding-side
+    similarity_lsh_recall_eval). Note the exact pass blocks by language
+    while LSH does not, so recall can exceed what banding alone implies;
+    the oracle composes the two already-checked pipelines verbatim."""
+    docs = _t(spark, sf_dir, "documents")
+    exact = dedup_mod.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.2, block_col="lang"
+    ).select("id_a", "id_b")
+    lsh = dedup_mod.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.2,
+        hash_fn="md5",
+    ).select(F.col("id_a").alias("la"), F.col("id_b").alias("lb"))
+    hit = exact.join(
+        lsh, (F.col("id_a") == F.col("la")) & (F.col("id_b") == F.col("lb"))
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh_pairs"))
+    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_exact.join(F.broadcast(n_lsh))
+        .join(F.broadcast(n_hit))
+        .select(
+            "n_exact_pairs",
+            "n_lsh_pairs",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_exact_pairs"), 6
+            ).alias("recall"),
+        )
+    )
