@@ -12336,3 +12336,541 @@ def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Storage-layout + join-semantics breadth (round 2): null-aware anti joins,
+# bucketed co-located joins, static + dynamic partition pruning, and
+# multi-format round-trips. These pin the parts of the engine a 100 TB
+# deployment lives and dies by — table layout and scan pruning — with the
+# same value-oracle discipline as the relational core.
+# ---------------------------------------------------------------------------
+
+_QSTAGE_ROOT: str | None = None
+
+
+def _qstage(sub: str) -> str:
+    """Per-process staging dir for queries that must materialize an
+    alternative physical layout (bucketed / partitioned / re-encoded)
+    before reading it back. One mkdtemp per process, one subdir per
+    query, overwritten on re-run — concurrent processes never collide."""
+    global _QSTAGE_ROOT
+    import os
+    import tempfile
+
+    if _QSTAGE_ROOT is None:
+        _QSTAGE_ROOT = tempfile.mkdtemp(prefix="htme_qstage_")
+    return os.path.join(_QSTAGE_ROOT, sub)
+
+
+_NULL_AWARE_ANTI_SQL = """
+    SELECT
+      (SELECT COUNT(*) FROM customer
+       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                               WHERE o_orderstatus = 'F'))
+        AS cnt_not_in_clean,
+      (SELECT COUNT(*) FROM customer
+       WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderstatus = 'P'
+                                           THEN NULL ELSE o_custkey END
+                               FROM orders))
+        AS cnt_not_in_nullable,
+      (SELECT COUNT(*) FROM customer
+       WHERE c_custkey IN (SELECT CASE WHEN o_orderstatus = 'P'
+                                       THEN NULL ELSE o_custkey END
+                           FROM orders))
+        AS cnt_in_nullable
+    """
+
+
+@register("join_null_aware_anti", oracle=_NULL_AWARE_ANTI_SQL)
+def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN is not an anti join when the list can hold NULLs — ANSI
+    three-valued logic makes `x NOT IN (..., NULL)` never-true, so the
+    nullable variant counts 0 while the clean variant is a real anti
+    join. Catalyst plans the nullable branch as a null-aware anti join
+    (single-key BroadcastHashJoin with isNullAware=true) rather than a
+    correlated per-row subquery — the semantics corner AND its scalable
+    physical plan, pinned against DuckDB running the identical SQL."""
+    for t in ("customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_NULL_AWARE_ANTI_SQL)
+
+
+@register(
+    "bucketed_colocated_join",
+    oracle=f"""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_lines,
+           CAST(ROUND(SUM(CAST(l.l_quantity AS {_DEC})), 2) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS {_DEC})), 2) AS DOUBLE)
+             AS sum_price
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    ORDER BY o.o_orderstatus
+    """,
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shuffle-free fact-fact join: both tables bucketed AND sorted
+    by the join key (16 buckets), so the SortMergeJoin reads co-located
+    buckets with NO exchange and NO sort on either side — at 100 TB this
+    is the difference between a join that moves both tables over the
+    network and one that moves nothing. Values must equal the plain
+    join on the raw parquet (bucketing is a physical property only),
+    which is exactly what the oracle checks."""
+    import os
+
+    wh = _qstage("bucketed_wh")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    for name, df, key in (
+        ("bkt_orders", orders, "o_orderkey"),
+        ("bkt_lineitem", li, "l_orderkey"),
+    ):
+        (
+            df.write.bucketBy(16, key)
+            .sortBy(key)
+            .option("path", os.path.join(wh, name))
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    o = spark.table("bkt_orders").hint("merge")
+    l = spark.table("bkt_lineitem")
+    return (
+        o.join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_quantity").cast(_DEC)), 2)
+            .cast("double")
+            .alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast(_DEC)), 2)
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "partitioned_scan_pruning",
+    oracle=f"""
+    SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+           CAST(MONTH(o_orderdate) AS INT) AS o_month,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS {_DEC})), 2) AS DOUBLE)
+             AS revenue
+    FROM orders
+    WHERE YEAR(o_orderdate) IN (1996, 1997)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def partitioned_scan_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition pruning: orders re-laid-out partitioned by
+    year, then a 2-year query reads ONLY those directories — the scan's
+    PartitionFilters prune at planning time, no data files outside
+    1996/1997 are opened. At 100 TB partition-on-date is the first
+    layout decision anyone makes; this pins that the pruned read
+    returns byte-identical aggregates to the full-scan-and-filter."""
+    stage = _qstage("orders_by_year")
+    orders = _t(spark, sf_dir, "orders")
+    (
+        orders.withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .write.partitionBy("o_year")
+        .mode("overwrite")
+        .parquet(stage)
+    )
+    part = spark.read.parquet(stage).filter(F.col("o_year").isin(1996, 1997))
+    return (
+        part.groupBy(
+            "o_year", F.month("o_orderdate").cast("int").alias("o_month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_year", "o_month")
+    )
+
+
+@register(
+    "dpp_partitioned_fact_join",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS {_DEC})), 2) AS DOUBLE)
+             AS revenue
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def dpp_partitioned_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is partitioned on the
+    join key and the filter lives only on the (broadcast) dim side, so
+    the partitions to read are only known at RUNTIME — Spark injects a
+    dynamic-pruning subquery into the fact scan instead of reading all
+    five priority partitions. This is the star-schema scan-reduction
+    mechanism at 100 TB (filter on the date/priority dim, never scan
+    the cold partitions)."""
+    stage = _qstage("orders_by_priority")
+    orders = _t(spark, sf_dir, "orders")
+    orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(stage)
+    fact = spark.read.parquet(stage)
+    dim = (
+        orders.select("o_orderpriority").distinct()
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .withColumnRenamed("o_orderpriority", "pri")
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.o_orderpriority == dim.pri)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "format_roundtrip_consistency",
+    oracle=f"""
+    WITH base AS (
+      SELECT COUNT(*) AS n_rows,
+             CAST(ROUND(SUM(CAST(l_quantity AS {_DEC})), 2) AS DOUBLE)
+               AS sum_qty,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS {_DEC})), 2) AS DOUBLE)
+               AS sum_price,
+             COUNT(DISTINCT l_returnflag) AS n_flags
+      FROM lineitem)
+    SELECT fmt, n_rows, sum_qty, sum_price, n_flags
+    FROM base, (VALUES ('csv'), ('json'), ('orc')) AS f(fmt)
+    ORDER BY fmt
+    """,
+)
+def format_roundtrip_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/sink format breadth: the same projection written to CSV,
+    JSON and ORC and read back (CSV/JSON with explicit schemas — never
+    schema inference in production paths), then identically aggregated.
+    Doubles survive the text formats because Spark writes shortest
+    round-trippable representations; the oracle computes the same
+    aggregates once from parquet and expects them from every format."""
+    import os
+
+    stage = _qstage("fmt_roundtrip")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_returnflag",
+    )
+    schema = li.schema
+    outs = []
+    for fmt in ("csv", "json", "orc"):
+        p = os.path.join(stage, fmt)
+        w = li.write.mode("overwrite").format(fmt)
+        if fmt == "csv":
+            w = w.option("header", "true")
+        w.save(p)
+        r = spark.read.format(fmt)
+        if fmt in ("csv", "json"):
+            r = r.schema(schema)
+            if fmt == "csv":
+                r = r.option("header", "true")
+        back = r.load(p)
+        outs.append(
+            back.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum(F.col("l_quantity").cast(_DEC)), 2)
+                .cast("double")
+                .alias("sum_qty"),
+                F.round(F.sum(F.col("l_extendedprice").cast(_DEC)), 2)
+                .cast("double")
+                .alias("sum_price"),
+                F.countDistinct("l_returnflag").alias("n_flags"),
+            ).select(F.lit(fmt).alias("fmt"), "n_rows", "sum_qty",
+                     "sum_price", "n_flags")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("fmt")
+
+
+# ---------------------------------------------------------------------------
+# ML-adjacent breadth (round 2): multi-feature OLS, a depth-2 decision
+# tree (the greedy split search distributed), an l-diversity privacy
+# audit, and seasonal-naive forecast error — each engine-exact.
+# ---------------------------------------------------------------------------
+
+# Sums are exact DECIMALs rounded before the double cast (numerators stay
+# under 2^53 at the value-checked scales); every downstream formula is the
+# SAME text in both engines, so the double arithmetic is bit-identical.
+_OLS_SQL = """
+    WITH s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sx,
+             CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(8,4))), 4) AS DOUBLE) AS sy,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sz,
+             CAST(ROUND(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(30,8))), 2) AS DOUBLE) AS sxx,
+             CAST(ROUND(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(30,8))), 4) AS DOUBLE) AS sxy,
+             CAST(ROUND(SUM(CAST(CAST(l_discount AS DECIMAL(8,4)) * CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(30,8))), 6) AS DOUBLE) AS syy,
+             CAST(ROUND(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,8))), 0) AS DOUBLE) AS sxz,
+             CAST(ROUND(SUM(CAST(CAST(l_discount AS DECIMAL(8,4)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,8))), 2) AS DOUBLE) AS syz,
+             CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,8))), 0) AS DOUBLE) AS szz
+      FROM lineitem),
+    c AS (
+      SELECT n, sx / n AS mx, sy / n AS my, sz / n AS mz,
+             sxx - sx * sx / n AS cxx, sxy - sx * sy / n AS cxy,
+             syy - sy * sy / n AS cyy, sxz - sx * sz / n AS cxz,
+             syz - sy * sz / n AS cyz, szz - sz * sz / n AS czz
+      FROM s),
+    b AS (
+      SELECT mx, my, mz, cxz, cyz, czz,
+             (cyy * cxz - cxy * cyz) / (cxx * cyy - cxy * cxy) AS b1,
+             (cxx * cyz - cxy * cxz) / (cxx * cyy - cxy * cxy) AS b2
+      FROM c)
+    SELECT ROUND(b1, 6) AS beta_quantity,
+           ROUND(b2, 6) AS beta_discount,
+           ROUND(mz - b1 * mx - b2 * my, 4) AS intercept,
+           ROUND(1 - (czz - b1 * cxz - b2 * cyz) / czz, 6) AS r_squared
+    FROM b
+    """
+
+
+@register("ols_regression_2feature", oracle=_OLS_SQL)
+def ols_regression_2feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature ordinary least squares (price ~ quantity + discount)
+    by the normal equations: ONE aggregate pass collects the 9 moment
+    sums in exact DECIMAL, then the closed-form 2x2 solve runs on the
+    driver-side 1-row frame. This is the distributed-OLS shape — moments
+    are a map-side-combinable aggregate, the solve is O(p^2) on one row
+    — and it extends to p features as a p x p Gram matrix. The moment
+    sums are rounded before the double cast so the numerators stay
+    exactly representable; the solve text is identical in both engines."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_OLS_SQL)
+
+
+def _stump_sql(src: str) -> str:
+    """Best accuracy-split stump over `src` (columns y, qv) — DuckDB SQL
+    fragment mirrored by the DataFrame stump in tree_depth2_classifier."""
+    return f"""
+      SELECT dim, threshold, n_correct, n_node FROM (
+        SELECT d AS dim, val AS threshold,
+               GREATEST(lp, ln) + GREATEST(tp - lp, tn - ln) AS n_correct,
+               n AS n_node,
+               ROW_NUMBER() OVER (
+                 ORDER BY (GREATEST(lp, ln) + GREATEST(tp - lp, tn - ln)) DESC,
+                          d, val) AS rn
+        FROM (
+          SELECT d, val,
+                 SUM(pos) OVER w AS lp, SUM(neg) OVER w AS ln
+          FROM (SELECT d, val, SUM(y) AS pos, COUNT(*) - SUM(y) AS neg
+                FROM (SELECT y, unnest(qv) AS val,
+                             unnest(range(1, len(qv) + 1)) AS d FROM {src})
+                GROUP BY d, val)
+          WINDOW w AS (PARTITION BY d ORDER BY val
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), (SELECT SUM(y) AS tp, COUNT(*) - SUM(y) AS tn, COUNT(*) AS n
+            FROM {src})
+      ) WHERE rn = 1
+    """
+
+
+@register(
+    "tree_depth2_classifier",
+    oracle=f"""
+    WITH q AS (
+      SELECT [GREATEST(CAST(ROUND(CAST(x AS DOUBLE) * 64, 0) AS INT) + 128, 0)
+              FOR x IN embedding] AS qv,
+             CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+      FROM embeddings),
+    root AS ({_stump_sql("q")}),
+    qL AS (SELECT q.y, q.qv FROM q, root
+           WHERE q.qv[root.dim] <= root.threshold),
+    qR AS (SELECT q.y, q.qv FROM q, root
+           WHERE q.qv[root.dim] > root.threshold),
+    lx AS ({_stump_sql("qL")}),
+    rx AS ({_stump_sql("qR")})
+    SELECT * FROM (
+      SELECT 'root' AS node, CAST(dim AS INT) AS dim,
+             CAST(threshold AS INT) AS threshold,
+             CAST(n_node AS BIGINT) AS n_node,
+             CAST(n_correct AS BIGINT) AS n_correct,
+             ROUND(CAST(n_correct AS DOUBLE) / n_node, 6) AS accuracy
+      FROM root
+      UNION ALL
+      SELECT 'left', CAST(dim AS INT), CAST(threshold AS INT),
+             CAST(n_node AS BIGINT), CAST(n_correct AS BIGINT),
+             ROUND(CAST(n_correct AS DOUBLE) / n_node, 6)
+      FROM lx
+      UNION ALL
+      SELECT 'right', CAST(dim AS INT), CAST(threshold AS INT),
+             CAST(n_node AS BIGINT), CAST(n_correct AS BIGINT),
+             ROUND(CAST(n_correct AS DOUBLE) / n_node, 6)
+      FROM rx)
+    ORDER BY node
+    """,
+)
+def tree_depth2_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy depth-2 decision tree over the quantized embedding features
+    (binary target label<5) — the decision_stump_classifier split search
+    applied recursively: best (dim, threshold) at the root, then the best
+    stump WITHIN each branch. Split quality is integer split accuracy
+    (ties to lowest dim, then threshold), so every argmax is engine-
+    exact. Each level is one (dim,value) aggregate + a window over the
+    tiny count table; the corpus is cached once and scanned three times
+    — at 100 TB this is the per-level histogram pass every distributed
+    tree learner (XGBoost-style) runs, with the branch filter pushed into
+    the scan rather than materializing per-node copies."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = op_cache.track(
+        sim_mod.quantize_for_kmeans(emb, "vec_id", "embedding")
+        .join(
+            emb.select(
+                "vec_id", F.when(F.col("label") < 5, 1).otherwise(0).alias("y")
+            ),
+            "vec_id",
+        )
+        .select("y", "qv")
+        .cache()
+    )
+
+    def stump(qdf: DataFrame) -> DataFrame:
+        expl = qdf.select("y", F.posexplode("qv").alias("d0", "val")).select(
+            (F.col("d0") + 1).alias("d"), "val", "y"
+        )
+        cnt = expl.groupBy("d", "val").agg(
+            F.sum("y").alias("pos"),
+            (F.count(F.lit(1)) - F.sum("y")).alias("neg"),
+        )
+        wcum = (
+            Window.partitionBy("d")
+            .orderBy("val")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = cnt.select(
+            "d", "val",
+            F.sum("pos").over(wcum).alias("lp"),
+            F.sum("neg").over(wcum).alias("ln"),
+        )
+        tot = qdf.agg(
+            F.sum("y").alias("tp"),
+            (F.count(F.lit(1)) - F.sum("y")).alias("tn"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        scored = cum.join(F.broadcast(tot)).select(
+            "d", "val",
+            (
+                F.greatest("lp", "ln")
+                + F.greatest(F.col("tp") - F.col("lp"), F.col("tn") - F.col("ln"))
+            ).alias("n_correct"),
+            F.col("n").alias("n_node"),
+        )
+        wtop = Window.orderBy(F.desc("n_correct"), "d", "val")
+        return (
+            scored.withColumn("rn", F.row_number().over(wtop))
+            .filter(F.col("rn") == 1)
+            .select("d", "val", "n_correct", "n_node")
+        )
+
+    root = stump(q)
+    rootb = F.broadcast(
+        root.select(F.col("d").alias("rd"), F.col("val").alias("rv"))
+    )
+    qj = q.crossJoin(rootb)
+    left = stump(qj.filter(F.expr("element_at(qv, rd) <= rv")).select("y", "qv"))
+    right = stump(qj.filter(F.expr("element_at(qv, rd) > rv")).select("y", "qv"))
+
+    def out(node: str, s: DataFrame) -> DataFrame:
+        return s.select(
+            F.lit(node).alias("node"),
+            F.col("d").cast("int").alias("dim"),
+            F.col("val").cast("int").alias("threshold"),
+            F.col("n_node").cast("bigint").alias("n_node"),
+            F.col("n_correct").cast("bigint").alias("n_correct"),
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_node"), 6
+            ).alias("accuracy"),
+        )
+
+    return (
+        out("root", root)
+        .unionByName(out("left", left))
+        .unionByName(out("right", right))
+        .orderBy("node")
+    )
+
+
+_LDIV_SQL = """
+    WITH joined AS (
+      SELECT c.c_nationkey, c.c_mktsegment, o.o_orderpriority AS sens
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey),
+    per_val AS (
+      SELECT c_nationkey, c_mktsegment, sens, COUNT(*) AS nv
+      FROM joined GROUP BY c_nationkey, c_mktsegment, sens),
+    per_grp AS (
+      SELECT c_nationkey, c_mktsegment,
+             SUM(nv) AS n_rows, COUNT(*) AS l_distinct, MAX(nv) AS max_freq
+      FROM per_val GROUP BY c_nationkey, c_mktsegment)
+    SELECT CAST(3 AS INT) AS l,
+           COUNT(*) AS n_groups,
+           CAST(SUM(CASE WHEN l_distinct < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below_l,
+           CAST(SUM(CASE WHEN max_freq * 2 > n_rows THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_majority_skewed,
+           CAST(MIN(l_distinct) AS BIGINT) AS min_l
+    FROM per_grp
+    """
+
+
+@register("l_diversity_audit", oracle=_LDIV_SQL)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (the k-anonymity companion): for each quasi-
+    identifier class (nation, market segment) count the DISTINCT values
+    of the sensitive attribute (order priority) — classes below l=3, and
+    classes where one sensitive value holds a majority (vulnerable to
+    homogeneity attack even when l is met). Two hash-aggregates, all
+    integers; the release gate a curated dataset runs after k-anonymity
+    passes."""
+    for t in ("customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LDIV_SQL)
+
+
+_MASE_SQL = """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+    lagd AS (
+      SELECT d, n,
+             LAG(n, 7) OVER (ORDER BY d) AS n_prev7,
+             LAG(n, 1) OVER (ORDER BY d) AS n_prev1
+      FROM daily)
+    SELECT COUNT(*) AS n_days,
+           CAST(SUM(ABS(n - n_prev7)) AS BIGINT) AS sae_seasonal,
+           CAST(SUM(ABS(n - n_prev1)) AS BIGINT) AS sae_naive,
+           ROUND(CAST(SUM(ABS(n - n_prev7)) AS DOUBLE) /
+                 CAST(SUM(ABS(n - n_prev1)) AS DOUBLE), 6) AS mase
+    FROM lagd
+    WHERE n_prev7 IS NOT NULL AND n_prev1 IS NOT NULL
+    """
+
+
+@register("seasonal_naive_mase", oracle=_MASE_SQL)
+def seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline comparison on the daily order-count series: the
+    seasonal-naive predictor (value 7 observations back) scored against
+    the naive predictor (previous observation) as a MASE-style absolute-
+    error ratio — below 1 means weekly seasonality is real signal, the
+    go/no-go check before fitting anything fancier. Integer counts and
+    absolute errors keep both engines exact; the lags are observation
+    lags over the ordered date spine (robust to calendar gaps)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_MASE_SQL)

@@ -363,3 +363,50 @@ class TestRound2PlanShapes:
         # excluding broadcast exchanges (those are the cheap dim sends)
         n_shuffles = len(_re.findall(r"\(\d+\) Exchange", plan))
         assert n_shuffles <= 6, plan
+
+
+class TestLayoutQueryPlanShapes:
+    """Plan contracts for the round-2 storage-layout query entries."""
+
+    def test_bucketed_colocated_join_query_no_shuffle(self, spark, sf_dir):
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            df = registry.queries()["bucketed_colocated_join"](spark, sf_dir)
+            plan = plan_of(df)
+            tree = plan.split("\n\n")[0]
+            join_line = [l for l in tree.splitlines() if "SortMergeJoin" in l]
+            assert join_line, plan
+            below = tree[tree.index(join_line[0]):]
+            # the final 3-row orderBy may exchange; the join inputs may not —
+            # everything from the join down must be exchange-free
+            assert "Exchange" not in below, plan
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.sql("DROP TABLE IF EXISTS bkt_orders")
+            spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+    def test_partitioned_scan_pruning_query_prunes(self, spark, sf_dir):
+        df = registry.queries()["partitioned_scan_pruning"](spark, sf_dir)
+        plan = plan_of(df)
+        assert re.search(r"PartitionFilters: \[.*o_year", plan), plan
+        # pruning is planning-time: the pushed partition predicate names
+        # both requested years
+        assert "1996" in plan and "1997" in plan, plan
+
+    def test_dpp_query_injects_dynamic_pruning(self, spark, sf_dir):
+        df = registry.queries()["dpp_partitioned_fact_join"](spark, sf_dir)
+        plan = plan_of(df)
+        assert "dynamicpruning" in plan.lower(), plan
+
+    def test_null_aware_anti_is_a_join_not_a_loop(self, spark, sf_dir):
+        """The nullable NOT IN must plan as a (null-aware) hash anti join —
+        never a per-row nested-loop existence check."""
+        df = registry.queries()["join_null_aware_anti"](spark, sf_dir)
+        plan = plan_of(df)
+        assert "BroadcastHashJoin LeftAnti" in plan, plan
+        # the null-aware flag prints as the trailing `true` of the
+        # broadcast mode: HashedRelationBroadcastMode(List(...),true)
+        assert re.search(
+            r"HashedRelationBroadcastMode\(List\([^)]*\),true\)", plan
+        ), plan
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
