@@ -12874,3 +12874,86 @@ def seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     lags over the ordered date spine (robust to calendar gaps)."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_MASE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Streaming breadth (round 2): event-time outer joins and incremental
+# materialization through foreachBatch — the two streaming contracts a
+# production pipeline leans on hardest after windowed aggregation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_stream_stream_left_outer",
+    oracle="""
+    WITH m AS (
+      SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+      FROM events p JOIN events c
+        ON p.event_type = 'purchase' AND c.event_type = 'click'
+       AND c.user_id = p.user_id
+       AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts),
+    wm AS (
+      SELECT LEAST((SELECT MAX(ts) FROM events WHERE event_type = 'purchase'),
+                   (SELECT MAX(ts) FROM events WHERE event_type = 'click'))
+             - INTERVAL 2 HOUR AS w),
+    u AS (
+      SELECT p.user_id, p.event_id AS purchase_id,
+             CAST(NULL AS BIGINT) AS click_id
+      FROM events p, wm
+      WHERE p.event_type = 'purchase' AND p.ts < wm.w
+        AND NOT EXISTS (SELECT 1 FROM m WHERE m.purchase_id = p.event_id))
+    SELECT * FROM (SELECT * FROM m UNION ALL SELECT * FROM u)
+    ORDER BY user_id, purchase_id, click_id
+    """,
+)
+def streaming_stream_stream_left_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join, drained availableNow.
+    Matched pairs equal the batch range join; an unmatched purchase
+    emits a NULL-click row only after the global watermark (min of the
+    two stream watermarks = min(max ts) - 2h) passes its event time —
+    unmatched purchases inside the final horizon are withheld, which the
+    oracle reproduces with the same watermark arithmetic. State stays
+    O(rate x horizon): left rows close out as the watermark passes them,
+    right rows evict at wm - max_lag."""
+    import os as _os
+
+    from .streaming.incremental import stream_stream_left_outer_join
+
+    out = stream_stream_left_outer_join(
+        spark, _os.path.join(sf_dir, "events.parquet")
+    )
+    return out.orderBy("user_id", "purchase_id", "click_id")
+
+
+@register(
+    "streaming_foreachbatch_upsert",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, ts AS last_ts, event_type AS last_type,
+           value AS last_value
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialization via foreachBatch MERGE: the events
+    stream (three forced micro-batches, event_id % 3) maintains a
+    latest-per-user serving table with crash-safe staging/backup
+    rotation — the continuously-maintained answer to
+    latest_event_per_user, and the Spark shape of the reference's
+    incremental export feeding a keyed store
+    (HbaseToMongoExport incremental run; SURVEY §2.2 P5 applied
+    per-batch). The final table must equal the batch latest-per-key
+    answer no matter how records were split across batches."""
+    import os as _os
+
+    from .streaming.incremental import events_upsert_serving
+
+    out = events_upsert_serving(spark, _os.path.join(sf_dir, "events.parquet"))
+    return out.orderBy("user_id")

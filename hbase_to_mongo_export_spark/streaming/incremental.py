@@ -200,6 +200,51 @@ def stream_stream_join(
     return _drain(joined, "append")
 
 
+def stream_stream_left_outer_join(
+    spark: SparkSession,
+    events_path: str,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    max_lag: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: matched (purchase,
+    click) pairs emit as they join; an UNMATCHED purchase emits with a
+    NULL click only once the watermark proves no future click can still
+    match it (future clicks have ts >= wm, and the join needs click_ts
+    <= purchase_ts, so a left row is closed out when purchase_ts < wm).
+    Purchases inside the final watermark horizon stay withheld — that
+    withholding IS the outer-join contract under event time, and the
+    oracle models it explicitly with the drained final watermark."""
+    ev = _event_stream(spark, events_path)
+    left = (
+        ev.filter(F.col("event_type") == left_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    right = (
+        ev.filter(F.col("event_type") == right_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_lag}"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "leftOuter",
+    ).select("user_id", "purchase_id", "click_id")
+    return _drain(joined, "append")
+
+
 def stream_dedup_keys(
     spark: SparkSession,
     events_path: str,
@@ -255,6 +300,9 @@ def upsert_serving_table(
     checkpoint_dir: str,
     key_col: str = "key",
     version_col: str = "ts",
+    schema=None,
+    tiebreak_col: str | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> None:
     """Maintain a one-row-per-key 'serving table' from a stream of
     versioned records: per micro-batch, merge the batch into the current
@@ -272,9 +320,15 @@ def upsert_serving_table(
     broadcasts into a latest-per-key window over current ∪ batch."""
     import shutil
 
-    from ..sources.fixtures import SOURCE_SCHEMA
+    if schema is None:
+        from ..sources.fixtures import SOURCE_SCHEMA as schema
 
-    stream = spark.readStream.schema(SOURCE_SCHEMA).parquet(source_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # one staged file per micro-batch: forces the multi-batch replay
+        # path (merge-into-existing-table) instead of one giant batch
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
     backup_path = table_path + ".backup"
 
     def current_table_dir() -> str | None:
@@ -297,7 +351,10 @@ def upsert_serving_table(
             merged = current.unionByName(batch_df.select(*current.columns))
         else:
             merged = batch_df
-        w = W.partitionBy(key_col).orderBy(F.col(version_col).desc())
+        order = [F.col(version_col).desc()]
+        if tiebreak_col is not None:
+            order.append(F.col(tiebreak_col).desc())
+        w = W.partitionBy(key_col).orderBy(*order)
         latest = (
             merged.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
@@ -462,5 +519,60 @@ def late_data_window_counts(
             .select(F.col("w.start").alias("window_start"), "event_type", "n")
         )
         return _drain(agg, "append")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def events_upsert_serving(spark: SparkSession, events_path: str) -> DataFrame:
+    """Latest-per-user serving table maintained by the foreachBatch
+    upsert over THREE forced micro-batches: events staged into three
+    files by event_id % 3 (mtime-ordered, maxFilesPerTrigger=1), merged
+    latest-wins on (ts, event_id) per user. The final table equals the
+    batch latest-per-key answer regardless of which batch each record
+    arrived in — the incremental-materialization contract."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    stage = tempfile.mkdtemp(prefix="upsert_stage_")
+    table_dir = os.path.join(stage, "serving")
+    src_dir = os.path.join(stage, "src")
+    os.makedirs(src_dir)
+    t = pq.read_table(events_path)
+    ts_idx = t.schema.get_field_index("ts")
+    t = t.set_column(ts_idx, "ts", t.column("ts").cast(pa.timestamp("us")))
+    ids = t.column("event_id")
+    mod3 = pc.subtract(ids, pc.multiply(pc.divide(ids, 3), 3))
+    for i in range(3):
+        part = t.filter(pc.equal(mod3, i))
+        p = os.path.join(src_dir, f"slice{i}.parquet")
+        pq.write_table(part, p)
+        os.utime(p, (1000 * (i + 1), 1000 * (i + 1)))
+    try:
+        schema = spark.read.parquet(src_dir).schema
+        upsert_serving_table(
+            spark,
+            src_dir,
+            table_dir,
+            os.path.join(stage, "ckpt"),
+            key_col="user_id",
+            version_col="ts",
+            schema=schema,
+            tiebreak_col="event_id",
+            max_files_per_trigger=1,
+        )
+        final = spark.read.parquet(table_dir).select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+        # the staged table dir is deleted in the finally, so materialize
+        # driver-side before returning (150 rows — the serving table is
+        # per-key by construction)
+        rows = final.collect()
+        return spark.createDataFrame(rows, final.schema)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
