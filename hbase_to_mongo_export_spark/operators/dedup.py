@@ -731,3 +731,68 @@ def jaccard_prefix_filter_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return verified
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """EXACT pairwise shingle CONTAINMENT |A∩B| / |A| (both directions)
+    via the same inverted-index join as ngram_jaccard_pairs — the
+    asymmetric near-dup detector: a short document wholly embedded in a
+    long one has low Jaccard but containment ~1, which is exactly the
+    quote/boilerplate/sub-document duplication Jaccard misses (Broder's
+    containment measure). Emits pairs where EITHER direction clears the
+    threshold, with both containments and the Jaccard for triage.
+    Cost model identical to the Jaccard join: ∝ Σ_shingle df²."""
+    assert threshold > 0.0, "inverted-index formulation requires threshold > 0"
+    block = block_col or "__block"
+    base = _fan_out(df).select(
+        F.col(id_col),
+        word_shingles(F.col(text_col), n).alias("sh"),
+        *([F.col(block_col)] if block_col else [F.lit(1).alias("__block")]),
+    )
+    sizes = base.select(F.col(id_col), F.size("sh").alias("sz"))
+    inv = base.select(F.col(id_col), F.col(block), F.explode("sh").alias("s"))
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col(f"a.{block}") == F.col(f"b.{block}"))
+            & (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        common.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter").cast("double") / F.col("sz_a"), 6
+            ).alias("containment_ab"),
+            F.round(
+                F.col("inter").cast("double") / F.col("sz_b"), 6
+            ).alias("containment_ba"),
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(
+        (F.col("containment_ab") >= threshold)
+        | (F.col("containment_ba") >= threshold)
+    )

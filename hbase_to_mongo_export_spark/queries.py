@@ -12957,3 +12957,236 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
 
     out = events_upsert_serving(spark, _os.path.join(sf_dir, "events.parquet"))
     return out.orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Graph breadth (round 2): k-core decomposition and degree assortativity
+# over the same top-3-sparsified supplier co-order graph the triangle /
+# label-propagation queries use. Both oracles replay the exact rounds.
+# ---------------------------------------------------------------------------
+
+# The sparsified edge list shared by the graph family (see
+# graph_triangle_count for the rationale: bounding degree at 2k is what
+# keeps every polynomial graph pass polynomial at 100 TB).
+_SPARSE_EDGES_SQL = """
+    so AS (SELECT DISTINCT l_suppkey AS s, l_orderkey AS o FROM lineitem),
+    w AS (
+      SELECT a.s AS u, b.s AS v, COUNT(*) AS c
+      FROM so a JOIN so b ON a.o = b.o AND a.s < b.s
+      GROUP BY a.s, b.s),
+    sym AS (
+      SELECT u AS x, v AS y, c FROM w
+      UNION ALL SELECT v AS x, u AS y, c FROM w),
+    sel AS (
+      SELECT x, y FROM (
+        SELECT x, y,
+               ROW_NUMBER() OVER (PARTITION BY x ORDER BY c DESC, y) AS rn
+        FROM sym)
+      WHERE rn <= 3),
+    e AS (
+      SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v FROM sel)
+    """
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    parts = [
+        "WITH " + _SPARSE_EDGES_SQL.strip().rstrip(),
+        """,
+    s0 AS (SELECT u AS node FROM e UNION SELECT v AS node FROM e),
+    e0 AS (SELECT u, v FROM e)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    d{r} AS (SELECT node, COUNT(*) AS deg FROM
+             (SELECT u AS node FROM e{r - 1}
+              UNION ALL SELECT v AS node FROM e{r - 1}) GROUP BY node),
+    s{r} AS (SELECT node FROM d{r} WHERE deg >= {k}),
+    e{r} AS (SELECT e.u, e.v FROM e
+             JOIN s{r} a ON a.node = e.u JOIN s{r} b ON b.node = e.v)""")
+    selects = [
+        f"""SELECT CAST({r} AS INT) AS round,
+            (SELECT COUNT(*) FROM s{r}) AS n_nodes,
+            (SELECT COUNT(*) FROM e{r}) AS n_edges"""
+        for r in range(rounds + 1)
+    ]
+    return "\n".join(parts) + "\nSELECT * FROM (" + \
+        " UNION ALL ".join(selects) + ") ORDER BY round"
+
+
+@register("graph_kcore_decomposition", oracle=_kcore_oracle(3, 4))
+def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative 3-core peeling on the sparsified co-order graph: each
+    round drops vertices whose induced degree fell below k, re-inducing
+    the edge set on the survivors — 4 synchronous rounds, with the
+    (round, nodes, edges) trajectory as the output so the oracle replays
+    every round, not just the fixpoint. Per round: one degree aggregate
+    + one (vertex-sized, cached) semi-join back onto the edge list — the
+    Pregel-lite shape; at 100 TB the edge list is the only corpus-scale
+    frame and it is scanned, never shuffled wider than its key."""
+    li = _t(spark, sf_dir, "lineitem")
+    so = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_orderkey").alias("o")
+    ).distinct()
+    w = (
+        so.alias("a")
+        .join(so.alias("b"), (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    e = op_cache.track(graph_mod.top_k_cooccurrence_edges(w, k=3).cache())
+    k, rounds = 3, 4
+
+    # Iterative-algorithm hygiene (same pattern as connected_components):
+    # each round's survivor set is localCheckpoint'ed, which truncates
+    # LINEAGE, not just execution — a cache alone leaves every prior
+    # round inside the logical plan, and the plan tree (and its explain
+    # string) grows ~3^rounds, enough to OOM a default-heap driver by
+    # round 4. Per-round counts are collected eagerly; the trajectory is
+    # 5 rows, the distributed work stays distributed.
+    stats: list[tuple[int, int, int]] = []
+    cur_edges = e
+    cur_nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for r in range(rounds + 1):
+        stats.append((r, cur_nodes.count(), cur_edges.count()))
+        if r == rounds:
+            break
+        deg = (
+            cur_edges.select(F.col("u").alias("node"))
+            .unionAll(cur_edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        cur_nodes = (
+            deg.filter(F.col("deg") >= k)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        a = cur_nodes.withColumnRenamed("node", "u")
+        b = cur_nodes.withColumnRenamed("node", "v")
+        cur_edges = e.join(a, "u", "left_semi").join(b, "v", "left_semi")
+    return spark.createDataFrame(
+        [(r, int(n), int(m)) for r, n, m in stats],
+        "round int, n_nodes bigint, n_edges bigint",
+    ).orderBy("round")
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH {_SPARSE_EDGES_SQL.strip()},
+    deg AS (SELECT node, COUNT(*) AS d FROM
+            (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+            GROUP BY node),
+    pairs AS (
+      SELECT du.d AS dx, dv.d AS dy
+      FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+      UNION ALL
+      SELECT dv.d AS dx, du.d AS dy
+      FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+    s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(dx) AS DOUBLE) AS sx,
+                 CAST(SUM(dy) AS DOUBLE) AS sy,
+                 CAST(SUM(dx * dx) AS DOUBLE) AS sxx,
+                 CAST(SUM(dy * dy) AS DOUBLE) AS syy,
+                 CAST(SUM(dx * dy) AS DOUBLE) AS sxy
+          FROM pairs)
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           ROUND((n * sxy - sx * sy) /
+                 (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6)
+             AS assortativity
+    FROM s
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Pearson correlation of endpoint degrees over
+    both edge orientations) of the sparsified co-order graph — positive
+    means hubs pair with hubs, the one-number structure readout used to
+    sanity-check a generated graph against the real one. Integer degree
+    moment sums are exact; the correlation formula text is identical in
+    both engines so the double math is bit-identical."""
+    li = _t(spark, sf_dir, "lineitem")
+    so = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_orderkey").alias("o")
+    ).distinct()
+    w = (
+        so.alias("a")
+        .join(so.alias("b"), (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    e = op_cache.track(graph_mod.top_k_cooccurrence_edges(w, k=3).cache())
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ed = e.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    pairs = ed.select(
+        F.col("du").alias("dx"), F.col("dv").alias("dy")
+    ).unionAll(ed.select(F.col("dv").alias("dx"), F.col("du").alias("dy")))
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("dx").cast("double").alias("sx"),
+        F.sum("dy").cast("double").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("double").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("double").alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("double").alias("sxy"),
+    )
+    ne = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return ne.crossJoin(s).select(
+        "n_edges",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+@register(
+    "dedup_ngram_containment_pairs",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, lang,
+             list_distinct([list_aggregate(words[i:i+2], 'string_agg', ' ')
+                            FOR i IN range(1, len(words) - 1)]) AS shingles
+      FROM (SELECT doc_id, lang,
+                   string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS words
+            FROM documents)
+      WHERE len(words) >= 3),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.shingles, b.shingles)) AS inter,
+             len(a.shingles) AS sz_a, len(b.shingles) AS sz_b
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles)) > 0)
+    SELECT id_a, id_b,
+           ROUND(CAST(inter AS DOUBLE) / sz_a, 6) AS containment_ab,
+           ROUND(CAST(inter AS DOUBLE) / sz_b, 6) AS containment_ba,
+           ROUND(CAST(inter AS DOUBLE) / (sz_a + sz_b - inter), 6) AS jaccard
+    FROM pairs
+    WHERE ROUND(CAST(inter AS DOUBLE) / sz_a, 6) >= 0.3
+       OR ROUND(CAST(inter AS DOUBLE) / sz_b, 6) >= 0.3
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle containment (Broder) — the asymmetric near-dup
+    pass that catches a short document embedded in a longer one, which
+    symmetric Jaccard scores low. Same lang-blocked inverted-index join
+    as the Jaccard pass; emits pairs where either direction >= 0.3."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_mod.ngram_containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.3, block_col="lang"
+    ).orderBy("id_a", "id_b")

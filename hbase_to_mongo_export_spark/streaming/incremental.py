@@ -136,18 +136,25 @@ def _drain(df: DataFrame, output_mode: str) -> DataFrame:
     keeping state would only leak temp space across a long session."""
     import shutil
 
+    from .stateful import _scoped_shuffle_partitions
+
     sink_table = f"stream_out_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{uuid.uuid4().hex[:8]}")
     try:
-        q = (
-            df.writeStream.format("memory")
-            .queryName(sink_table)
-            .outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        # 8 state partitions: stateful operators build one state store per
+        # shuffle partition per micro-batch, and at drain sizes the store
+        # setup dominates (32 -> 8 halves wall time at sf0.1). Results are
+        # partition-count independent; the fresh checkpoint bakes it in.
+        with _scoped_shuffle_partitions(df.sparkSession, 8):
+            q = (
+                df.writeStream.format("memory")
+                .queryName(sink_table)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return df.sparkSession.table(sink_table)

@@ -129,7 +129,7 @@ def running_user_stats(
     ckpt = checkpoint_dir or os.path.join(
         tempfile.gettempdir(), f"ckpt_{uuid.uuid4().hex[:8]}"
     )
-    with _scoped_shuffle_partitions(spark, 32):
+    with _scoped_shuffle_partitions(spark, 8):
         q = (
             updated.writeStream.format("memory")
             .queryName(sink_table)
@@ -268,7 +268,7 @@ def session_windows_timeout(
     ckpt = checkpoint_dir or os.path.join(
         tempfile.gettempdir(), f"ckpt_{uuid.uuid4().hex[:8]}"
     )
-    with _scoped_shuffle_partitions(spark, 32):
+    with _scoped_shuffle_partitions(spark, 8):
         q = (
             sessions.writeStream.format("memory")
             .queryName(sink_table)
@@ -407,7 +407,7 @@ def distinct_types_per_user(spark: SparkSession, events_path: str) -> DataFrame:
         timeMode="None",
     )
     # transformWithState requires the RocksDB state-store provider
-    with rocksdb_state(spark), _scoped_shuffle_partitions(spark, 32):
+    with rocksdb_state(spark), _scoped_shuffle_partitions(spark, 8):
         drained = _drain(updates, "update")
     # counters are monotone; the max per user is the final state even if
     # availableNow split the input into several micro-batches
