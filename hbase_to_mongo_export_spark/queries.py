@@ -13190,3 +13190,367 @@ def dedup_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     return dedup_mod.ngram_containment_pairs(
         docs, "doc_id", "text", n=3, threshold=0.3, block_col="lang"
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics + linear algebra (round 2): Zipf rank-frequency fit,
+# Heaps' vocabulary growth, the dominant principal component by power
+# iteration, SQL-defined UDFs, and outer-generator semantics.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "zipf_slope_fit",
+    oracle="""
+    WITH wc AS (
+      SELECT w, COUNT(*) AS n
+      FROM (SELECT unnest(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+            FROM documents) t
+      WHERE w <> '' GROUP BY w),
+    ranked AS (
+      SELECT w, n, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS r
+      FROM wc),
+    arrs AS (
+      SELECT list(ln(CAST(r AS DOUBLE)) ORDER BY r) AS lx,
+             list(ln(CAST(n AS DOUBLE)) ORDER BY r) AS ly
+      FROM ranked WHERE r <= 200),
+    sums AS (
+      SELECT CAST(len(lx) AS DOUBLE) AS m,
+             list_reduce(lx, (a, b) -> a + b) AS sx,
+             list_reduce(ly, (a, b) -> a + b) AS sy,
+             list_reduce([lx[i] * lx[i] FOR i IN range(1, len(lx) + 1)],
+                         (a, b) -> a + b) AS sxx,
+             list_reduce([lx[i] * ly[i] FOR i IN range(1, len(lx) + 1)],
+                         (a, b) -> a + b) AS sxy
+      FROM arrs)
+    SELECT CAST(m AS BIGINT) AS n_ranks,
+           ROUND((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS zipf_slope
+    FROM sums
+    """,
+)
+def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law exponent: OLS slope of ln(freq) on ln(rank) over the
+    top-200 words — the one-number sanity check that a corpus has
+    natural-language-like frequency structure (slope ~ -1). Float sums
+    over groups are engine-order-dependent, so the log terms are packed
+    into a RANK-ORDERED array and folded left-to-right (Spark
+    ``aggregate`` and DuckDB ``list_reduce`` both fold left-to-right and
+    match bit-for-bit) — the registry's standard fix for determinism of
+    float reductions. The count table is corpus-scale; the array is 200
+    elements on one row."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+        ).alias("w")
+    ).filter(F.col("w") != "")
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.orderBy(F.desc("n"), "w")
+    ranked = wc.withColumn("r", F.row_number().over(wr)).filter(F.col("r") <= 200)
+    arrs = ranked.agg(
+        F.sort_array(
+            F.collect_list(F.struct("r", "n"))
+        ).alias("rn")
+    ).select(
+        F.expr("transform(rn, s -> ln(CAST(s.r AS DOUBLE)))").alias("lx"),
+        F.expr("transform(rn, s -> ln(CAST(s.n AS DOUBLE)))").alias("ly"),
+    )
+    sums = arrs.select(
+        F.size("lx").cast("double").alias("m"),
+        F.expr("aggregate(lx, CAST(0 AS DOUBLE), (a, b) -> a + b)").alias("sx"),
+        F.expr("aggregate(ly, CAST(0 AS DOUBLE), (a, b) -> a + b)").alias("sy"),
+        F.expr(
+            "aggregate(zip_with(lx, lx, (p, q) -> p * q), CAST(0 AS DOUBLE), (a, b) -> a + b)"
+        ).alias("sxx"),
+        F.expr(
+            "aggregate(zip_with(lx, ly, (p, q) -> p * q), CAST(0 AS DOUBLE), (a, b) -> a + b)"
+        ).alias("sxy"),
+    )
+    return sums.select(
+        F.col("m").cast("bigint").alias("n_ranks"),
+        F.round(
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("zipf_slope"),
+    )
+
+
+def _heaps_oracle() -> str:
+    selects = []
+    for q in (1, 2, 3, 4):
+        selects.append(f"""
+      SELECT CAST({q} AS INT) AS quartile,
+             (SELECT COUNT(DISTINCT doc_id) FROM wd, nn
+              WHERE doc_id * 4 < n_docs * {q}) AS n_docs,
+             (SELECT COUNT(*) FROM wd, nn
+              WHERE doc_id * 4 < n_docs * {q}) AS n_tokens,
+             (SELECT COUNT(DISTINCT w) FROM wd, nn
+              WHERE doc_id * 4 < n_docs * {q}) AS n_vocab""")
+    return """
+    WITH wd AS (
+      SELECT doc_id, unnest(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+      FROM documents),
+    nn AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT quartile, n_docs, n_tokens, n_vocab,
+           ROUND(ln(CAST(n_vocab AS DOUBLE)) / ln(CAST(n_tokens AS DOUBLE)), 6)
+             AS heaps_beta
+    FROM (""" + " UNION ALL ".join(selects) + """)
+    WHERE 1 = 1
+    ORDER BY quartile
+    """
+
+
+@register("heaps_law_vocab_growth", oracle=_heaps_oracle())
+def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: distinct-word count at 25/50/75/100%
+    corpus prefixes (by doc_id), with the log-log exponent estimate
+    beta = ln(V)/ln(N) per prefix — the curve that predicts how much new
+    vocabulary another 10x of data buys, which is exactly the question a
+    tokenizer-sizing pass asks before training. One explode feeds four
+    conditional aggregates (integers; the exponent is a scalar ln ratio,
+    deterministic); at 100 TB this is one corpus scan, not four."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    wd = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+        ).alias("w"),
+    )
+    outs = []
+    for q in (1, 2, 3, 4):
+        pref = wd.filter(F.col("doc_id") * 4 < n_docs * q)
+        outs.append(
+            pref.agg(
+                F.countDistinct("doc_id").alias("n_docs"),
+                F.count(F.lit(1)).alias("n_tokens"),
+                F.countDistinct("w").alias("n_vocab"),
+            ).select(
+                F.lit(q).cast("int").alias("quartile"),
+                "n_docs",
+                "n_tokens",
+                "n_vocab",
+                F.round(
+                    F.log(F.col("n_vocab").cast("double"))
+                    / F.log(F.col("n_tokens").cast("double")),
+                    6,
+                ).alias("heaps_beta"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("quartile")
+
+
+@register(
+    "embedding_power_iteration_pc1",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             [GREATEST(CAST(ROUND(CAST(x AS DOUBLE) * 64, 0) AS INT) + 128, 0) - 192
+              FOR x IN embedding] AS xc
+      FROM embeddings),
+    expl AS (
+      SELECT vec_id, unnest(xc) AS x,
+             unnest(range(1, len(xc) + 1)) AS i
+      FROM q),
+    g AS (
+      SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS gij
+      FROM expl a JOIN expl b ON a.vec_id = b.vec_id
+      GROUP BY a.i, b.i),
+    v1 AS (
+      SELECT j, SUM(gij) AS v FROM g GROUP BY j),
+    s1 AS (
+      SELECT j AS i, CAST(FLOOR(CAST(v AS DOUBLE) / 16384) AS BIGINT) AS s
+      FROM v1),
+    v2 AS (
+      SELECT g.j, SUM(g.gij * s1.s) AS v
+      FROM g JOIN s1 ON s1.i = g.i
+      GROUP BY g.j),
+    nrm AS (
+      SELECT SQRT(CAST(SUM(CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0)))
+                       AS DOUBLE)) AS nn
+      FROM v2)
+    SELECT CAST(j AS INT) AS dim,
+           ROUND(CAST(v AS DOUBLE) / nn, 6) AS loading
+    FROM v2, nrm
+    ORDER BY dim
+    """,
+)
+def embedding_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the (constant-centered, quantized)
+    embedding matrix by TWO power-iteration steps on the 64x64 Gram
+    matrix — distributed PCA the way it actually runs at scale: the only
+    corpus-sized operation is the Gram accumulation (one self-join per
+    vector's 64x64 outer product, map-side combinable); the iteration
+    itself lives on 64 rows. Exact arithmetic throughout: integer Gram,
+    FLOOR-rescale between steps (floor semantics match across engines,
+    unlike integer div on negatives), DECIMAL squares for the norm. Sign
+    is pinned by the all-ones start vector."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = sim_mod.quantize_for_kmeans(emb, "vec_id", "embedding").select(
+        "vec_id", F.expr("transform(qv, x -> x - 192)").alias("xc")
+    )
+    expl = q.select(
+        "vec_id", F.posexplode("xc").alias("i0", "x")
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "x")
+    g = (
+        expl.alias("a")
+        .join(expl.alias("b"), "vec_id")
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("gij"))
+    )
+    g = op_cache.track(g.cache())
+    v1 = g.groupBy("j").agg(F.sum("gij").alias("v"))
+    s1 = v1.select(
+        F.col("j").alias("i"),
+        F.floor(F.col("v").cast("double") / 16384).cast("bigint").alias("s"),
+    )
+    v2 = (
+        g.join(F.broadcast(s1), "i")
+        .groupBy("j")
+        .agg(F.sum(F.col("gij") * F.col("s")).alias("v"))
+    )
+    nrm = v2.agg(
+        F.sqrt(
+            F.sum(
+                F.col("v").cast("decimal(19,0)") * F.col("v").cast("decimal(19,0)")
+            ).cast("double")
+        ).alias("nn")
+    )
+    return (
+        v2.crossJoin(F.broadcast(nrm))
+        .select(
+            F.col("j").cast("int").alias("dim"),
+            F.round(F.col("v").cast("double") / F.col("nn"), 6).alias("loading"),
+        )
+        .orderBy("dim")
+    )
+
+
+_SQL_UDF_QUERY = """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(net_price(l_extendedprice, l_discount, l_tax)), 2)
+                AS DOUBLE) AS sum_net,
+           SUM(CASE WHEN qty_band(l_quantity) = 'bulk' THEN 1 ELSE 0 END)
+             AS n_bulk
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """
+
+# The UDF body is decimal-exact (q1's sum_charge pattern): casting the raw
+# double COLUMNS to decimal is tie-free, whereas casting a computed double
+# product to decimal can land exactly on a .5*10^-scale boundary where the
+# engines' double->decimal conversions disagree.
+_NET_PRICE_BODY = (
+    "CAST({p} AS DECIMAL(18,2)) * CAST(1 - {d} AS DECIMAL(9,4)) "
+    "* CAST(1 + {t} AS DECIMAL(9,4))"
+)
+
+
+@register(
+    "sql_udf_breadth",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM({_NET_PRICE_BODY.format(p="l_extendedprice",
+                                                  d="l_discount",
+                                                  t="l_tax")}), 2)
+                AS DOUBLE) AS sum_net,
+           SUM(CASE WHEN (CASE WHEN l_quantity >= 40 THEN 'bulk'
+                               WHEN l_quantity >= 10 THEN 'mid'
+                               ELSE 'small' END) = 'bulk' THEN 1 ELSE 0 END)
+             AS n_bulk
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def sql_udf_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar UDFs (Spark 4 CREATE FUNCTION ... RETURN):
+    a net-price expression and a CASE classifier defined as catalog
+    functions, used inside an aggregate. Unlike Python UDFs these
+    INLINE into the plan — Catalyst substitutes the body, so codegen,
+    pushdown and vectorization all still apply (the oracle is literally
+    the inlined form). The user-facing contract: business logic shared
+    across queries without leaving the JVM fast path."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_price("
+        "p DOUBLE, d DOUBLE, t DOUBLE) RETURNS DECIMAL(38,10) "
+        "RETURN " + _NET_PRICE_BODY.format(p="p", d="d", t="t")
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION qty_band(q DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN q >= 40 THEN 'bulk' "
+        "WHEN q >= 10 THEN 'mid' ELSE 'small' END"
+    )
+    return spark.sql(_SQL_UDF_QUERY)
+
+
+@register(
+    "generator_outer_semantics",
+    oracle="""
+    WITH po AS (
+      SELECT c.c_custkey, c.c_nationkey, o.o_orderkey,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS total
+      FROM customer c LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    SELECT c_nationkey,
+           COUNT(*) AS n_rows,
+           COUNT(o_orderkey) AS n_orders,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_empty_customers,
+           CAST(ROUND(SUM(total), 2) AS DOUBLE) AS sum_total
+    FROM po
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def generator_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTER generator semantics: per-customer arrays of pending-order
+    structs exploded with inline_outer, which emits one all-NULL row for
+    an EMPTY array instead of dropping the customer — the generator-side
+    equivalent of a left join, and the semantics corner that silently
+    loses rows when someone uses plain explode on sparse nested data.
+    The oracle is the relational form (LEFT JOIN) the generator must
+    agree with."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    p = orders.filter(F.col("o_orderstatus") == "P").select(
+        "o_custkey",
+        F.struct(
+            F.col("o_orderkey"),
+            F.col("o_totalprice").cast(_DEC).alias("total"),
+        ).alias("s"),
+    )
+    arr = (
+        cust.join(p, cust.c_custkey == p.o_custkey, "left")
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(
+            F.sort_array(
+                F.collect_list("s")
+            ).alias("orders_arr")
+        )
+    )
+    ex = arr.select(
+        "c_custkey",
+        "c_nationkey",
+        F.expr("inline_outer(orders_arr)"),
+    )
+    return (
+        ex.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_empty_customers"),
+            F.round(F.sum("total"), 2).cast("double").alias("sum_total"),
+        )
+        .orderBy("c_nationkey")
+    )
