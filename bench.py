@@ -57,6 +57,9 @@ BENCH_QUERIES = [
     "cdc_chunk_dedup",
     "embedding_pq_assign",
     "training_corpus_pipeline",
+    # round 5+: linear algebra + iterative graph
+    "embedding_power_iteration_pc1",
+    "graph_kcore_decomposition",
 ]
 
 

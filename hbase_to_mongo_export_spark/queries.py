@@ -13554,3 +13554,254 @@ def generator_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Experimentation + plan-reuse breadth (round 2).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ab_test_zscore",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2
+               AS grp,
+             SUM(CAST(value AS DECIMAL(18,6))) AS s
+      FROM events GROUP BY user_id),
+    gtot AS (
+      SELECT COUNT(*) AS nu, SUM(s) AS tot FROM per_user),
+    assign AS (
+      SELECT grp,
+             CASE WHEN s * nu > tot THEN 1 ELSE 0 END AS converted
+      FROM per_user, gtot),
+    agg AS (
+      SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n_a,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n_b,
+             CAST(SUM(CASE WHEN grp = 0 THEN converted ELSE 0 END) AS DOUBLE) AS c_a,
+             CAST(SUM(CASE WHEN grp = 1 THEN converted ELSE 0 END) AS DOUBLE) AS c_b
+      FROM assign)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(c_a AS BIGINT) AS conv_a, CAST(c_b AS BIGINT) AS conv_b,
+           ROUND((c_a / n_a) - (c_b / n_b), 6) AS conv_rate_diff,
+           ROUND(CASE WHEN (c_a + c_b) = 0 OR (c_a + c_b) = (n_a + n_b)
+                      THEN NULL
+                      ELSE ((c_a / n_a) - (c_b / n_b)) /
+                           SQRT(((c_a + c_b) / (n_a + n_b)) *
+                                (1 - (c_a + c_b) / (n_a + n_b)) *
+                                (1 / n_a + 1 / n_b)) END, 6) AS z_score
+    FROM agg
+    """,
+)
+def events_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test harness: users hash-split 50/50 by
+    md5(user_id) (the leakage-free assignment every online experiment
+    uses — stable under reprocessing, no coordination), with an
+    above-average-spender conversion metric decided by EXACT decimal
+    cross-multiplication (s * n_users > total — no division, no float
+    mean), then the pooled-variance z statistic. The null split means
+    |z| should be small — the A/A-test sanity check an experimentation
+    pipeline runs on itself; degenerate all/none conversion yields NULL
+    z in both engines. One per-user aggregate + one 4-counter fold."""
+    ev = _t(spark, sf_dir, "events")
+    grp = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 2
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+    ).withColumn("grp", grp)
+    glob = per_user.agg(
+        F.count(F.lit(1)).alias("nu"), F.sum("s").alias("tot")
+    )
+    assign = per_user.crossJoin(F.broadcast(glob)).select(
+        "grp",
+        F.when(
+            F.col("s") * F.col("nu") > F.col("tot"), 1
+        ).otherwise(0).alias("converted"),
+    )
+    agg = assign.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("double").alias("n_a"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("double").alias("n_b"),
+        F.sum(F.when(F.col("grp") == 0, F.col("converted")).otherwise(0))
+        .cast("double").alias("c_a"),
+        F.sum(F.when(F.col("grp") == 1, F.col("converted")).otherwise(0))
+        .cast("double").alias("c_b"),
+    )
+    p = (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b"))
+    return agg.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("c_a").cast("bigint").alias("conv_a"),
+        F.col("c_b").cast("bigint").alias("conv_b"),
+        F.round(F.col("c_a") / F.col("n_a") - F.col("c_b") / F.col("n_b"), 6)
+        .alias("conv_rate_diff"),
+        F.round(
+            F.when(
+                (F.col("c_a") + F.col("c_b") == 0)
+                | (F.col("c_a") + F.col("c_b") == F.col("n_a") + F.col("n_b")),
+                F.lit(None).cast("double"),
+            ).otherwise(
+                (F.col("c_a") / F.col("n_a") - F.col("c_b") / F.col("n_b"))
+                / F.sqrt(
+                    p * (F.lit(1) - p)
+                    * (F.lit(1) / F.col("n_a") + F.lit(1) / F.col("n_b"))
+                )
+            ),
+            6,
+        ).alias("z_score"),
+    )
+
+
+@register(
+    "reused_exchange_monthly_share",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT CAST(YEAR(o_orderdate) AS INT) AS y, CAST(MONTH(o_orderdate) AS INT) AS m,
+             SUM(CAST(o_totalprice AS {_DEC})) AS rev
+      FROM orders GROUP BY 1, 2)
+    SELECT y, m,
+           CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+           ROUND(CAST(rev AS DOUBLE) /
+                 CAST((SELECT SUM(rev) FROM monthly) AS DOUBLE), 6) AS share
+    FROM monthly
+    ORDER BY y, m
+    """,
+)
+def reused_exchange_monthly_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total over an aggregate where BOTH consumers (the monthly
+    rows and their global sum) hang off the same shuffle: Spark plans the
+    second consumer as a ReusedExchange, so the fact table is scanned and
+    shuffled exactly once even though the dataflow reads the aggregate
+    twice. The alternative people write — a global-window over the agg —
+    funnels everything through one partition; this shape broadcasts a
+    1-row total instead. Plan-shape test asserts the reuse."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.year("o_orderdate").cast("int").alias("y"),
+            F.month("o_orderdate").cast("int").alias("m"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast(_DEC)).alias("rev"))
+    )
+    total = monthly.agg(F.sum("rev").alias("tot"))
+    return (
+        monthly.crossJoin(F.broadcast(total))
+        .select(
+            "y",
+            "m",
+            F.round(F.col("rev"), 2).cast("double").alias("revenue"),
+            F.round(
+                F.col("rev").cast("double") / F.col("tot").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy("y", "m")
+    )
+
+
+@register(
+    "markov_stationary_2step",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events),
+    trans AS (
+      SELECT event_type AS src, nxt AS dst, COUNT(*) AS n
+      FROM seq WHERE nxt IS NOT NULL
+      GROUP BY event_type, nxt),
+    tot AS (SELECT src, SUM(n) AS tn FROM trans GROUP BY src),
+    p AS (
+      SELECT t.src, t.dst, CAST(t.n AS DOUBLE) / tt.tn AS pr
+      FROM trans t JOIN tot tt ON tt.src = t.src),
+    types AS (SELECT DISTINCT event_type AS s FROM events),
+    v0 AS (SELECT s, CAST(1 AS DOUBLE) /
+                     (SELECT COUNT(*) FROM types) AS w FROM types),
+    v1 AS (
+      SELECT p.dst AS s, SUM(v0.w * p.pr) AS w
+      FROM v0 JOIN p ON p.src = v0.s GROUP BY p.dst),
+    v2 AS (
+      SELECT p.dst AS s, SUM(v1.w * p.pr) AS w
+      FROM v1 JOIN p ON p.src = v1.s GROUP BY p.dst)
+    SELECT s AS event_type, ROUND(w, 6) AS stationary_weight
+    FROM v2 ORDER BY s
+    """,
+)
+def markov_stationary_2step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two power steps toward the stationary distribution of the
+    per-user event-transition Markov chain (uniform start) — the
+    behavioral-model readout built on event_transition_matrix. Each step
+    is a 5x5-matrix-sized join; the only corpus-scale work is the one
+    transition count. The double sums per step run over <= 5 terms per
+    destination grouped identically in both engines; per-row probability
+    division text is identical, so values match bit-for-bit after
+    rounding."""
+    ev = _t(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(wseq).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = trans.groupBy("src").agg(F.sum("n").alias("tn"))
+    prob = trans.join(tot, "src").select(
+        "src", "dst", (F.col("n").cast("double") / F.col("tn")).alias("pr")
+    )
+    prob = op_cache.track(prob.cache())
+    types = ev.select(F.col("event_type").alias("s")).distinct()
+    n_types = types.count()
+    v = types.select("s", (F.lit(1.0) / F.lit(float(n_types))).alias("w"))
+    for _ in range(2):
+        v = (
+            v.join(prob, v.s == prob.src)
+            .groupBy(F.col("dst").alias("s2"))
+            .agg(F.sum(F.col("w") * F.col("pr")).alias("w"))
+            .withColumnRenamed("s2", "s")
+        )
+    return v.select(
+        F.col("s").alias("event_type"),
+        F.round("w", 6).alias("stationary_weight"),
+    ).orderBy("event_type")
+
+
+def _catalog_profile_oracle() -> str:
+    tabs = ["region", "nation", "customer", "supplier", "part", "orders",
+            "lineitem", "events", "documents", "embeddings"]
+    sel = [
+        f"SELECT '{t}' AS table_name, COUNT(*) AS n_rows,"
+        f" (SELECT COUNT(*) FROM (DESCRIBE SELECT * FROM {t}))"
+        f" AS n_cols FROM {t}"
+        for t in tabs
+    ]
+    return ("SELECT * FROM (" + " UNION ALL ".join(sel)
+            + ") ORDER BY table_name")
+
+
+@register("catalog_profile_all_tables", oracle=_catalog_profile_oracle())
+def catalog_profile_all_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-catalog inventory: one (table, row count, column count) row
+    per registered table — the dataset-card readout the reference's
+    per-topic export manifest corresponds to (one manifest line per
+    topic/collection; SURVEY §2.5). Ten count-star scans that each read
+    zero columns (parquet row-group metadata only)."""
+    from .sources.catalog import TABLES
+
+    outs = []
+    for t in sorted(TABLES):
+        df = _t(spark, sf_dir, t)
+        outs.append(
+            df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+                F.lit(t).alias("table_name"),
+                "n_rows",
+                F.lit(len(df.columns)).cast("bigint").alias("n_cols"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("table_name")

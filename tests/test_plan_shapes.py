@@ -410,3 +410,17 @@ class TestLayoutQueryPlanShapes:
             r"HashedRelationBroadcastMode\(List\([^)]*\),true\)", plan
         ), plan
         assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+class TestReusedExchange:
+    def test_monthly_share_reuses_the_aggregate_exchange(self, spark, sf_dir):
+        """Both consumers of the monthly aggregate (rows + global total)
+        must hang off ONE shuffle of the fact table — the second consumer
+        plans as ReusedExchange, so orders is scanned exactly once."""
+        df = registry.queries()["reused_exchange_monthly_share"](spark, sf_dir)
+        # reuse is decided by AQE at runtime: execute, then read the final
+        # plan — the global-total branch must reuse the monthly aggregate's
+        # shuffle instead of re-scanning orders
+        df.collect()
+        plan = plan_of(df)
+        assert "ReusedExchange" in plan, plan
