@@ -13805,3 +13805,219 @@ def catalog_profile_all_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("table_name")
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer inference (round 2): applying a BPE merge table — the
+# greedy left-to-right pair-merge fold, expressed with array-accumulator
+# higher-order folds in BOTH engines (Spark aggregate / DuckDB
+# list_reduce fold left-to-right identically).
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = [("t", "h", "th"), ("th", "e", "the"), ("e", "r", "er")]
+
+
+def _bpe_fold_duck(src: str, a: str, b: str, ab: str) -> str:
+    return (
+        f"list_reduce([[t] FOR t IN ({src})], (acc, x) -> "
+        f"CASE WHEN len(acc) > 0 AND acc[-1] = '{a}' AND x[1] = '{b}' "
+        f"THEN list_concat(acc[1:len(acc)-1], ['{ab}']) "
+        f"ELSE list_concat(acc, x) END)"
+    )
+
+
+def _bpe_fold_spark(src: str, a: str, b: str, ab: str) -> str:
+    return (
+        f"aggregate({src}, CAST(array() AS ARRAY<STRING>), (acc, x) -> "
+        f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{a}' AND x = '{b}' "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), array('{ab}')) "
+        f"ELSE concat(acc, array(x)) END)"
+    )
+
+
+def _bpe_oracle() -> str:
+    expr = "string_split_regex(w, '')"
+    for a, b, ab in _BPE_MERGES:
+        expr = _bpe_fold_duck(expr, a, b, ab)
+    return f"""
+    WITH wc AS (
+      SELECT w, COUNT(*) AS n
+      FROM (SELECT unnest(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+            FROM documents) t
+      WHERE w <> '' GROUP BY w),
+    toks AS (
+      SELECT unnest({expr}) AS token, n FROM wc)
+    SELECT token, CAST(SUM(n) AS BIGINT) AS n
+    FROM toks GROUP BY token
+    ORDER BY n DESC, token LIMIT 20
+    """
+
+
+@register("bpe_apply_merges", oracle=_bpe_oracle())
+def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer INFERENCE: apply a 3-rule BPE merge table (t+h -> th,
+    th+e -> the, e+r -> er) to the corpus vocabulary by the greedy
+    left-to-right pair-merge fold — one array-accumulator ``aggregate``
+    per merge rule, run over the DISTINCT-word table (BPE tokenizes the
+    vocab, and corpus token counts come back via the word counts), which
+    is the decisive scale move: the fold runs once per unique word, not
+    once per corpus occurrence. Returns the top-20 resulting subword
+    tokens. Both engines fold left-to-right, so the merged token streams
+    are identical — including the overlap rule (a fresh merge output can
+    immediately pair with the next character)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+        ).alias("w")
+    ).filter(F.col("w") != "")
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    expr = "split(w, '')"
+    for a, b, ab in _BPE_MERGES:
+        expr = _bpe_fold_spark(expr, a, b, ab)
+    toks = wc.select(F.explode(F.expr(expr)).alias("token"), "n")
+    return (
+        toks.groupBy("token")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
+
+
+@register(
+    "pandas_api_monthly_rollup",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS {_DEC})), 2) AS DOUBLE)
+             AS revenue,
+           CAST(ROUND(MAX(CAST(o_totalprice AS {_DEC})), 2) AS DOUBLE)
+             AS max_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def pandas_api_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas-API-on-Spark surface (pyspark.pandas): a
+    pandas-looking groupby/agg that compiles to the SAME distributed
+    plan as the DataFrame API — pinned by checking it against the plain
+    SQL aggregate. This is the migration path for pandas codebases: the
+    API is pandas, the execution is Catalyst (no driver-side collect).
+    Decimal sums keep the revenue engine-exact."""
+    import warnings
+
+    import pyspark.pandas as ps
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        import os as _os
+
+        psdf = ps.read_parquet(_os.path.join(sf_dir, "orders.parquet"))
+        psdf = psdf.assign(dec_price=psdf.o_totalprice)
+        out = (
+            psdf.groupby("o_orderstatus")
+            .agg(n_orders=("o_orderkey", "count"))
+            .reset_index()
+        )
+        sdf = out.to_spark()
+    # exact money math stays in the DataFrame layer (pandas-API sum would
+    # run float addition); join the decimal aggregate on the same key
+    orders = _t(spark, sf_dir, "orders")
+    money = orders.groupBy("o_orderstatus").agg(
+        F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2)
+        .cast("double")
+        .alias("revenue"),
+        F.round(F.max(F.col("o_totalprice").cast(_DEC)), 2)
+        .cast("double")
+        .alias("max_price"),
+    )
+    return sdf.join(money, "o_orderstatus").orderBy("o_orderstatus")
+
+
+@register(
+    "duplicate_span_profile",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+      FROM documents),
+    grams AS (
+      SELECT k, gram, COUNT(DISTINCT doc_id) AS df
+      FROM (
+        SELECT doc_id, 4 AS k,
+               list_aggregate(ws[i:i+3], 'string_agg', ' ') AS gram
+        FROM words, UNNEST(range(1, len(ws) - 2)) AS t(i)
+        UNION ALL
+        SELECT doc_id, 8 AS k,
+               list_aggregate(ws[i:i+7], 'string_agg', ' ') AS gram
+        FROM words, UNNEST(range(1, len(ws) - 6)) AS t(i)
+        UNION ALL
+        SELECT doc_id, 16 AS k,
+               list_aggregate(ws[i:i+15], 'string_agg', ' ') AS gram
+        FROM words, UNNEST(range(1, len(ws) - 14)) AS t(i)
+      ) g
+      GROUP BY k, gram)
+    SELECT CAST(k AS INT) AS k,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cross_doc_dup,
+           ROUND(CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
+                 COUNT(*), 6) AS dup_ratio
+    FROM grams
+    GROUP BY k
+    ORDER BY k
+    """,
+)
+def duplicate_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-span profile at 4/8/16-word spans — the
+    diagnostic behind exact-substring dedup policy (Lee et al.): how the
+    duplicated fraction decays with span length tells you the minimum
+    span worth deduplicating. One tokenize feeds three shingle explodes;
+    each span length is a distinct-doc count per gram (hash aggregate,
+    no joins). The dup ratio uses integer counts only."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.split(
+            F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "
+        ).alias("ws"),
+    )
+    outs = []
+    for k in (4, 8, 16):
+        grams = words.select(
+            "doc_id",
+            F.explode(
+                # sequence(1, 0) DESCENDS in Spark (default step -1), so
+                # short docs must short-circuit to an empty array
+                F.expr(
+                    f"CASE WHEN size(ws) >= {k} THEN "
+                    f"transform(sequence(1, size(ws) - {k - 1}), "
+                    f"i -> array_join(slice(ws, i, {k}), ' ')) "
+                    f"ELSE CAST(array() AS ARRAY<STRING>) END"
+                )
+            ).alias("gram"),
+        )
+        per = grams.groupBy("gram").agg(
+            F.countDistinct("doc_id").alias("df")
+        )
+        outs.append(
+            per.agg(
+                F.count(F.lit(1)).alias("n_grams"),
+                F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_cross_doc_dup"),
+            ).select(
+                F.lit(k).cast("int").alias("k"),
+                "n_grams",
+                "n_cross_doc_dup",
+                F.round(
+                    F.col("n_cross_doc_dup").cast("double") / F.col("n_grams"),
+                    6,
+                ).alias("dup_ratio"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("k")
