@@ -14021,3 +14021,236 @@ def duplicate_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("k")
+
+
+# ---------------------------------------------------------------------------
+# Mergeable sketches + weighted sampling + leakage audit (round 2).
+# ---------------------------------------------------------------------------
+
+
+def _hll_merge_oracle(p: int = 8) -> str:
+    m, wbits, rank_sql, alpha = _hll_parts(p)
+    raw = (
+        f"CAST({alpha} AS DOUBLE) * CAST({m * m} AS DOUBLE) * "
+        f"CAST({1 << (wbits + 1)} AS DOUBLE) / CAST(inv_scaled AS DOUBLE)"
+    )
+    est_expr = f"""
+      ROUND(CASE WHEN {raw} <= {25 * m // 10} AND zeros > 0
+                 THEN CAST({m} AS DOUBLE) *
+                      ln(CAST({m} AS DOUBLE) / CAST(zeros AS DOUBLE))
+                 ELSE {raw} END, 4)"""
+    return f"""
+    WITH h AS (
+      SELECT event_type AS g,
+             CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      FROM events),
+    ranked AS (
+      SELECT g, hv & {m - 1} AS bucket, (hv >> {p}) AS w FROM h),
+    regs AS (
+      SELECT g, bucket, MAX({rank_sql}) AS mj
+      FROM ranked GROUP BY g, bucket),
+    merged AS (
+      SELECT 'zz_merged' AS g, bucket, MAX(mj) AS mj
+      FROM regs GROUP BY bucket),
+    allregs AS (SELECT * FROM regs UNION ALL SELECT * FROM merged),
+    scopes AS (SELECT DISTINCT g FROM allregs),
+    full_regs AS (
+      SELECT sb.g, sb.b AS bucket, COALESCE(r.mj, 0) AS mj
+      FROM (SELECT s.g, t.b FROM scopes s,
+            (SELECT unnest(range(0, {m})) AS b) t) sb
+      LEFT JOIN allregs r ON r.bucket = sb.b AND r.g = sb.g),
+    sums AS (
+      SELECT g,
+             SUM(CAST(1 AS BIGINT) << ({wbits + 1} - mj)) AS inv_scaled,
+             SUM(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS zeros
+      FROM full_regs GROUP BY g),
+    ex AS (
+      SELECT event_type AS g, COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY event_type
+      UNION ALL
+      SELECT 'zz_merged', COUNT(DISTINCT user_id) FROM events)
+    SELECT s.g AS scope, {est_expr} AS hll_estimate, e.exact_distinct
+    FROM sums s JOIN ex e ON e.g = s.g
+    ORDER BY scope
+    """
+
+
+@register("hll_merge_by_type", oracle=_hll_merge_oracle())
+def hll_merge_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes sketches worth their error bars:
+    MERGEABILITY. Per-event-type HyperLogLog registers are built once,
+    then the global sketch is the bucketwise MAX of the per-type
+    registers — no second pass over the data — and its estimate is
+    byte-identical to what a direct global sketch would give (max is
+    associative). This is the map-side-combine / cross-datacenter rollup
+    contract; everything stays exact integers until one final division
+    (same arithmetic as hll_distinct_users)."""
+    p = 8
+    m, wbits, rank_sql, alpha = _hll_parts(p)
+    ev = _t(spark, sf_dir, "events")
+    h = ev.select(
+        F.col("event_type").alias("g"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("hv"),
+    )
+    ranked = h.select(
+        "g",
+        (F.col("hv").bitwiseAND(F.lit(m - 1))).alias("bucket"),
+        F.shiftright("hv", p).alias("w"),
+    )
+    regs = ranked.groupBy("g", "bucket").agg(F.expr(f"MAX({rank_sql})").alias("mj"))
+    regs = op_cache.track(regs.cache())
+    merged = regs.groupBy("bucket").agg(F.max("mj").alias("mj")).select(
+        F.lit("zz_merged").alias("g"), "bucket", "mj"
+    )
+    allregs = regs.unionByName(merged)
+    scopes = allregs.select("g").distinct()
+    buckets = ev.sparkSession.range(m).select(F.col("id").alias("bucket"))
+    full = (
+        scopes.crossJoin(buckets)
+        .join(allregs, ["g", "bucket"], "left")
+        .select("g", "bucket", F.coalesce("mj", F.lit(0)).alias("mj"))
+    )
+    sums = full.groupBy("g").agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {wbits + 1} - mj)")).alias(
+            "inv_scaled"
+        ),
+        F.sum(F.when(F.col("mj") == 0, 1).otherwise(0)).alias("zeros"),
+    )
+    raw = (
+        F.lit(alpha)
+        * F.lit(m * m).cast("double")
+        * F.lit(1 << (wbits + 1)).cast("double")
+        / F.col("inv_scaled").cast("double")
+    )
+    est = F.round(
+        F.when(
+            (raw <= F.lit(25 * m // 10)) & (F.col("zeros") > 0),
+            F.lit(float(m))
+            * F.log(F.lit(float(m)) / F.col("zeros").cast("double")),
+        ).otherwise(raw),
+        4,
+    )
+    ex = (
+        ev.groupBy(F.col("event_type").alias("g"))
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+        .unionByName(
+            ev.agg(F.countDistinct("user_id").alias("exact_distinct")).select(
+                F.lit("zz_merged").alias("g"), "exact_distinct"
+            )
+        )
+    )
+    return (
+        sums.join(ex, "g")
+        .select(F.col("g").alias("scope"), est.alias("hll_estimate"),
+                "exact_distinct")
+        .orderBy("scope")
+    )
+
+
+@register(
+    "weighted_sample_aes",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             -ln((CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+                 / CAST(1152921504606846976 AS DOUBLE)) / n_chars AS k
+      FROM documents),
+    r AS (
+      SELECT doc_id, n_chars, ROUND(k, 8) AS kr,
+             ROW_NUMBER() OVER (ORDER BY ROUND(k, 8), doc_id) AS rn
+      FROM keyed)
+    SELECT doc_id, n_chars, kr AS sample_key
+    FROM r WHERE rn <= 20
+    ORDER BY sample_key, doc_id
+    """,
+)
+def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    each document draws an exponential key -ln(u)/w from a DETERMINISTIC
+    md5-uniform u and weight w = n_chars; the 20 smallest keys are the
+    sample. This is THE distributed weighted sampler — keys are
+    independent per row (a narrow projection), and top-k by key is a
+    mergeable reduction, so it runs in one pass at any scale and is
+    reproducible across reruns/retries. Ranking uses the ROUNDED key
+    (+ id tiebreak) so a last-ulp ln() divergence between engines cannot
+    reorder the sample."""
+    docs = _t(spark, sf_dir, "documents")
+    hv = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    )
+    u = (hv + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    k = -F.log(u) / F.col("n_chars")
+    keyed = docs.select("doc_id", "n_chars", F.round(k, 8).alias("kr"))
+    w = Window.orderBy("kr", "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "n_chars", F.col("kr").alias("sample_key"))
+        .orderBy("sample_key", "doc_id")
+    )
+
+
+_ORACLES["split_leakage_audit"] = f"""
+    WITH pairs AS ({_ORACLES["dedup_ngram_jaccard_pairs"]}),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 80
+                  THEN 'train'
+                  WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90
+                  THEN 'valid' ELSE 'test' END AS split
+      FROM documents)
+    SELECT sa.split AS split_a, sb.split AS split_b,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_leaky
+    FROM pairs p
+    JOIN sp sa ON sa.doc_id = p.id_a
+    JOIN sp sb ON sb.doc_id = p.id_b
+    GROUP BY sa.split, sb.split
+    ORDER BY split_a, split_b
+    """
+
+
+@register("split_leakage_audit")
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE audit: near-duplicate pairs (exact n-gram
+    Jaccard >= 0.2, the registry's dedup ground truth) crossed with the
+    md5 train/valid/test assignment — a pair whose endpoints land in
+    different splits means the held-out set contains a near-copy of a
+    training document, the contamination that silently inflates evals.
+    This is the composition check a curation pipeline runs AFTER
+    splitting: dedup-then-split is the fix when n_leaky > 0. Because the
+    split is a PURE HASH of the id, it is recomputed as an expression on
+    the pair table — no join against a corpus-sized assignment table
+    (broadcasting one would be the tfidf-vocab mistake all over again)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_mod.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.2, block_col="lang"
+    ).select("id_a", "id_b")
+
+    def split_of(col: str):
+        bucket = (
+            F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10)
+            .cast("long") % 100
+        )
+        return (
+            F.when(bucket < 80, "train").when(bucket < 90, "valid")
+            .otherwise("test")
+        )
+
+    return (
+        pairs.select(
+            split_of("id_a").alias("split_a"),
+            split_of("id_b").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.when(F.col("split_a") != F.col("split_b"), 1).otherwise(0)
+            ).cast("bigint").alias("n_leaky"),
+        )
+        .orderBy("split_a", "split_b")
+    )
