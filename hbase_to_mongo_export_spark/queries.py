@@ -14254,3 +14254,127 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split_a", "split_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured round-trips (round 2): the JSON and XML function
+# surfaces pinned by encode -> decode -> compare-to-source, so the
+# oracle is plain ground truth (every round-trip must be lossless).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_roundtrip_shredding",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(*) AS n_key_match,
+           COUNT(*) AS n_status_match,
+           COUNT(*) AS n_price_match,
+           COUNT(*) AS n_struct_match,
+           COUNT(*) AS n_arraylen_ok
+    FROM orders
+    """,
+)
+def json_roundtrip_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON function surface: to_json(struct) -> get_json_object /
+    from_json(schema) -> compare every field to its source column, plus
+    a JSON-array length probe — six per-row checks that must all equal
+    the row count (the oracle is ground truth because a correct encode/
+    decode is lossless, doubles included: Spark writes shortest
+    round-trippable representations). All JVM-side expressions; at scale
+    this is the envelope-projection hot path (SURVEY §2.2 P1) without a
+    byte of Python."""
+    orders = _t(spark, sf_dir, "orders")
+    j = orders.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderstatus").alias("s"),
+                F.col("o_totalprice").alias("p"),
+            )
+        ).alias("js"),
+        F.to_json(
+            F.array(F.col("o_orderkey"), F.col("o_custkey"), F.lit(0))
+        ).alias("ja"),
+    )
+    parsed = j.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "ja",
+        F.get_json_object("js", "$.k").cast("bigint").alias("k2"),
+        F.get_json_object("js", "$.s").alias("s2"),
+        F.get_json_object("js", "$.p").cast("double").alias("p2"),
+        F.from_json(
+            "js", "struct<k: bigint, s: string, p: double>"
+        ).alias("st"),
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("k2") == F.col("o_orderkey"), 1).otherwise(0))
+        .alias("n_key_match"),
+        F.sum(F.when(F.col("s2") == F.col("o_orderstatus"), 1).otherwise(0))
+        .alias("n_status_match"),
+        F.sum(F.when(F.col("p2") == F.col("o_totalprice"), 1).otherwise(0))
+        .alias("n_price_match"),
+        F.sum(
+            F.when(
+                (F.col("st.k") == F.col("o_orderkey"))
+                & (F.col("st.s") == F.col("o_orderstatus"))
+                & (F.col("st.p") == F.col("o_totalprice")),
+                1,
+            ).otherwise(0)
+        ).alias("n_struct_match"),
+        F.sum(
+            F.when(
+                F.expr("size(from_json(ja, 'array<bigint>'))") == 3, 1
+            ).otherwise(0)
+        ).alias("n_arraylen_ok"),
+    )
+
+
+@register(
+    "xml_roundtrip_shredding",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(*) AS n_key_match,
+           COUNT(*) AS n_name_match,
+           COUNT(*) AS n_escape_ok
+    FROM part
+    """,
+)
+def xml_roundtrip_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML function surface (Spark 4 native to_xml/from_xml): encode a
+    struct per part — including a column with XML-hostile characters
+    (the type string contains no '<', so one is injected) — decode it
+    back, and require losslessness row by row. Entity escaping
+    (&lt;/&amp;) is exactly the corner hand-rolled XML splicing gets
+    wrong; the round-trip pins it."""
+    part = _t(spark, sf_dir, "part")
+    enc = part.select(
+        "p_partkey", "p_name",
+        F.concat(F.col("p_type"), F.lit(" <& special>")).alias("hostile"),
+    )
+    x = enc.select(
+        "p_partkey", "p_name", "hostile",
+        F.to_xml(
+            F.struct(
+                F.col("p_partkey").alias("k"),
+                F.col("p_name").alias("nm"),
+                F.col("hostile").alias("h"),
+            )
+        ).alias("xs"),
+    )
+    back = x.select(
+        "p_partkey", "p_name", "hostile",
+        F.from_xml(
+            "xs", "struct<k: bigint, nm: string, h: string>"
+        ).alias("b"),
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("b.k") == F.col("p_partkey"), 1).otherwise(0))
+        .alias("n_key_match"),
+        F.sum(F.when(F.col("b.nm") == F.col("p_name"), 1).otherwise(0))
+        .alias("n_name_match"),
+        F.sum(F.when(F.col("b.h") == F.col("hostile"), 1).otherwise(0))
+        .alias("n_escape_ok"),
+    )
