@@ -124,6 +124,26 @@ class TestDedup:
         exact = [r for r in pairs if (r.id_a, r.id_b) == (0, 3)][0]
         assert exact.jaccard == 1.0
 
+    def test_containment_catches_embedded_short_doc(self, spark):
+        """A short doc wholly contained in a long one: Jaccard is low but
+        containment_ab ~ 1 — the asymmetric case the operator exists for."""
+        rows = [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lam mu nu xi omicron pi rho sigma tau upsilon"),
+            (2, "totally different words here entirely unrelated content"),
+        ]
+        docs2 = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = {(r.id_a, r.id_b): r for r in dedup.ngram_containment_pairs(
+            docs2, "doc_id", "text", n=3, threshold=0.9
+        ).collect()}
+        assert (0, 1) in pairs
+        r = pairs[(0, 1)]
+        assert r.containment_ab == 1.0      # all of 0's shingles inside 1
+        assert r.containment_ba < 0.2       # but 1 is much bigger
+        assert r.jaccard < 0.2              # which is why Jaccard misses it
+        assert (0, 2) not in pairs and (1, 2) not in pairs
+
     def test_minhash_lsh_agrees_with_exact_on_high_jaccard(self, spark, docs):
         lsh = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(
             docs, "doc_id", "text", n=3, threshold=0.5

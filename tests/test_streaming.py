@@ -387,3 +387,59 @@ def test_python_datasource_stream_microbatches(spark, tmp_path):
     a = list(r.readBetweenOffsets({"i": 30}, {"i": 60}))
     b = list(r.readBetweenOffsets({"i": 30}, {"i": 60}))
     assert a == b and len(a) == 30
+
+
+def test_upsert_serving_table_tiebreak_and_multibatch(spark, tmp_path):
+    """Version ties on the version column must break by the tiebreak
+    column (highest wins), and maxFilesPerTrigger=1 must replay the same
+    final state across three forced micro-batches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hbase_to_mongo_export_spark.streaming.incremental import (
+        upsert_serving_table,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # three files -> three batches; key 'a' has a version TIE at v=5
+    # split across batches (seq 2 in batch0, seq 9 in batch2)
+    batches = [
+        [("a", 5, 2, "first"), ("b", 1, 1, "old-b")],
+        [("b", 7, 3, "new-b")],
+        [("a", 5, 9, "tiebreak-wins"), ("c", 2, 4, "only-c")],
+    ]
+    schema = pa.schema(
+        [("key", pa.string()), ("v", pa.int64()), ("seq", pa.int64()),
+         ("payload", pa.string())]
+    )
+    for i, rows in enumerate(batches):
+        t = pa.Table.from_pylist(
+            [dict(zip(("key", "v", "seq", "payload"), r)) for r in rows],
+            schema=schema,
+        )
+        p = src / f"b{i}.parquet"
+        pq.write_table(t, str(p))
+        import os
+
+        os.utime(p, (1000 * (i + 1), 1000 * (i + 1)))
+
+    table = str(tmp_path / "serving")
+    upsert_serving_table(
+        spark,
+        str(src),
+        table,
+        str(tmp_path / "ckpt"),
+        key_col="key",
+        version_col="v",
+        schema=spark.read.parquet(str(src)).schema,
+        tiebreak_col="seq",
+        max_files_per_trigger=1,
+    )
+    rows = {r.key: (r.v, r.seq, r.payload)
+            for r in spark.read.parquet(table).collect()}
+    assert rows == {
+        "a": (5, 9, "tiebreak-wins"),
+        "b": (7, 3, "new-b"),
+        "c": (2, 4, "only-c"),
+    }
