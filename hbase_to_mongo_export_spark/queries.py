@@ -14378,3 +14378,243 @@ def xml_roundtrip_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("b.h") == F.col("hostile"), 1).otherwise(0))
         .alias("n_escape_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-syntax breadth + time-series bars + referential integrity (round 2).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql_pivot_unpivot_roundtrip",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+           COUNT(*) AS n_total
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL PIVOT clause (wide) immediately UNPIVOTed back (long) and
+    re-aggregated — proving the two reshaping operators are inverses and
+    pinning the wide counts against the conditional-aggregation form the
+    optimizer compiles PIVOT into anyway. Status values are the fixed
+    F/O/P domain, so the pivot column list is static (the scalable form —
+    dynamic pivot requires a driver-side distinct first)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        WITH wide AS (
+          SELECT * FROM (SELECT o_orderpriority, o_orderstatus FROM orders)
+          PIVOT (COUNT(*) AS n FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p))
+        ),
+        long AS (
+          SELECT o_orderpriority, status, n
+          FROM wide UNPIVOT (n FOR status IN (f, o, p))
+        )
+        SELECT w.o_orderpriority,
+               CAST(w.f AS BIGINT) AS n_f,
+               CAST(w.o AS BIGINT) AS n_o,
+               CAST(w.p AS BIGINT) AS n_p,
+               (SELECT CAST(SUM(n) AS BIGINT) FROM long l
+                WHERE l.o_orderpriority = w.o_orderpriority) AS n_total
+        FROM wide w
+        ORDER BY o_orderpriority
+    """)
+
+
+_GROUP_BY_ALL_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS sum_qty
+    FROM lineitem
+    GROUP BY ALL
+    ORDER BY ALL
+    """
+
+
+@register("group_by_all_parity", oracle=_GROUP_BY_ALL_SQL)
+def group_by_all_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL — the modern-SQL ergonomics both
+    engines now share: one identical SQL string runs on Spark and DuckDB
+    and must produce identical groups, order, and decimal-exact sums.
+    Pins that Spark's ALL resolution (every non-aggregate select item)
+    matches the de-facto standard."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+@register(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value, ts,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nts
+      FROM events),
+    seg AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(18,6)) AS v,
+             epoch_us(nts) - epoch_us(ts) AS dt
+      FROM seq WHERE nts IS NOT NULL)
+    SELECT user_id,
+           CAST(SUM(dt) AS BIGINT) AS total_micros,
+           ROUND(CAST(SUM(v * dt) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE), 6)
+             AS time_weighted_avg
+    FROM seg
+    GROUP BY user_id
+    HAVING SUM(dt) > 0
+    ORDER BY user_id
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's event value — the
+    irregular-sampling mean (each observation weighted by how long it
+    was 'current') that a plain AVG silently gets wrong on bursty
+    streams. Segment weights are integer MICROseconds, values DECIMAL, so
+    the weighted sums are exact; one window + one aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        "ts",
+        F.lead("ts").over(wseq).alias("nts"),
+    ).filter(F.col("nts").isNotNull())
+    seg = seq.select(
+        "user_id", "v",
+        # microsecond-exact: epoch() in DuckDB is fractional and
+        # unix_timestamp truncates — integer microseconds agree everywhere
+        F.expr("unix_micros(nts) - unix_micros(ts)").alias("dt"),
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.sum("dt").cast("bigint").alias("total_micros"),
+            F.round(
+                F.sum(F.col("v") * F.col("dt")).cast("double")
+                / F.sum("dt").cast("double"),
+                6,
+            ).alias("time_weighted_avg"),
+        )
+        .filter(F.col("total_micros") > 0)
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_ohlc_hourly",
+    oracle="""
+    WITH v AS (
+      SELECT date_trunc('hour', ts) AS bar, value, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_open,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM events WHERE event_type = 'purchase')
+    SELECT bar,
+           COUNT(*) AS n,
+           MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_close = 1 THEN value END) AS close
+    FROM v
+    GROUP BY bar
+    ORDER BY bar
+    LIMIT 100
+    """,
+)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars (hourly) over purchase values: open/close
+    by deterministic (ts, event_id) order, high/low as plain min/max —
+    the financial-rollup shape. One window pass tags the first and last
+    row per bar; values pass through untouched (no float arithmetic), so
+    both engines agree exactly."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    bar = F.date_trunc("hour", F.col("ts")).alias("bar")
+    w_open = Window.partitionBy(F.date_trunc("hour", F.col("ts"))).orderBy(
+        "ts", "event_id"
+    )
+    w_close = Window.partitionBy(F.date_trunc("hour", F.col("ts"))).orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    v = ev.select(
+        bar, "value",
+        F.row_number().over(w_open).alias("rn_open"),
+        F.row_number().over(w_close).alias("rn_close"),
+    )
+    return (
+        v.groupBy("bar")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.when(F.col("rn_open") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_close") == 1, F.col("value"))).alias("close"),
+        )
+        .orderBy("bar")
+        .limit(100)
+    )
+
+
+def _ref_integrity_oracle() -> str:
+    fks = [
+        ("lineitem_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier_nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation_regionkey", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    sel = [
+        f"""SELECT '{name}' AS fk, COUNT(*) AS n_child_rows,
+            CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_orphans
+        FROM {child} c LEFT JOIN {parent} p ON p.{pk} = c.{fk_col}"""
+        for name, child, fk_col, parent, pk in fks
+    ]
+    return "SELECT * FROM (" + " UNION ALL ".join(sel) + ") ORDER BY fk"
+
+
+_REF_FKS = [
+    ("lineitem_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier_nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation_regionkey", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+@register("dq_referential_integrity", oracle=_ref_integrity_oracle())
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the whole star schema: for
+    every foreign key, the child row count and the orphan count (child
+    keys with no parent) via LEFT JOIN + null-parent counting. Parents
+    are dimension-sized and broadcast; each check is one pass over its
+    child table — the standard post-load DQ gate, here over 7 FKs in one
+    result frame."""
+    outs = []
+    for name, child, fk_col, parent, pk in _REF_FKS:
+        c = _t(spark, sf_dir, child)
+        p = _t(spark, sf_dir, parent).select(F.col(pk))
+        joined = c.select(F.col(fk_col)).join(
+            F.broadcast(p), p[pk] == c[fk_col], "left"
+        )
+        outs.append(
+            joined.agg(
+                F.count(F.lit(1)).alias("n_child_rows"),
+                F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_orphans"),
+            ).select(F.lit(name).alias("fk"), "n_child_rows", "n_orphans")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("fk")
