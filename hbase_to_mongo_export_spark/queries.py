@@ -14618,3 +14618,229 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("fk")
+
+
+@register(
+    "rake_keyphrases",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, unnest(words) AS w,
+             unnest(range(1, len(words) + 1)) AS i
+      FROM (SELECT doc_id,
+                   string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS words
+            FROM documents)),
+    marked AS (
+      SELECT doc_id, w, i,
+             CASE WHEN w IN ('the', 'a') THEN 1 ELSE 0 END AS stop,
+             SUM(CASE WHEN w IN ('the', 'a') THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+      FROM pos WHERE w <> ''),
+    members AS (SELECT doc_id, pid, w, i FROM marked WHERE stop = 0),
+    plen AS (
+      SELECT doc_id, pid, COUNT(*) AS n_words
+      FROM members GROUP BY doc_id, pid),
+    wstats AS (
+      SELECT m.w,
+             COUNT(*) AS freq,
+             SUM(p.n_words) AS deg
+      FROM members m JOIN plen p ON p.doc_id = m.doc_id AND p.pid = m.pid
+      GROUP BY m.w),
+    wscore AS (
+      SELECT w, (deg * 1000000) // freq AS score_fp FROM wstats),
+    phrases AS (
+      SELECT m.doc_id, m.pid,
+             list_aggregate(list(m.w ORDER BY m.i), 'string_agg', ' ') AS phrase,
+             SUM(s.score_fp) AS pscore_fp,
+             COUNT(*) AS n_words
+      FROM members m JOIN wscore s ON s.w = m.w
+      GROUP BY m.doc_id, m.pid),
+    dedup AS (
+      SELECT DISTINCT phrase, pscore_fp, n_words
+      FROM phrases WHERE n_words BETWEEN 2 AND 4)
+    SELECT phrase, CAST(n_words AS BIGINT) AS n_words,
+           ROUND(CAST(pscore_fp AS DOUBLE) / 1000000, 4) AS rake_score
+    FROM dedup
+    ORDER BY pscore_fp DESC, phrase
+    LIMIT 15
+    """,
+)
+def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction: stopword-delimited candidate phrases
+    (gaps-and-islands over word positions), word scores deg/freq in
+    FIXED-POINT integer arithmetic ((deg*1e6) div freq — positive
+    integer division floors identically in both engines, and the
+    per-phrase score sums stay exact BIGINTs), phrase score = sum of
+    member scores, top-15 2-4-word phrases. One explode + two
+    aggregates + one window; the phrase table is corpus-scale but
+    the word-score table is vocabulary-scale."""
+    docs = _t(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+        ).alias("i0", "w"),
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "w").filter(
+        F.col("w") != ""
+    )
+    stop = F.col("w").isin("the", "a").cast("int")
+    wcum = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = pos.select(
+        "doc_id", "w", "i", stop.alias("stop"), F.sum(stop).over(wcum).alias("pid")
+    )
+    members = marked.filter(F.col("stop") == 0).select("doc_id", "pid", "w", "i")
+    plen = members.groupBy("doc_id", "pid").agg(
+        F.count(F.lit(1)).alias("n_words")
+    )
+    wstats = (
+        members.join(plen, ["doc_id", "pid"])
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("n_words").alias("deg"))
+    )
+    wscore = wstats.select(
+        "w", F.expr("(deg * 1000000) div freq").alias("score_fp")
+    )
+    phrases = (
+        members.join(wscore, "w")
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.expr(
+                "array_join(transform(sort_array(collect_list(struct(i, w))), s -> s.w), ' ')"
+            ).alias("phrase"),
+            F.sum("score_fp").alias("pscore_fp"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+    )
+    dedup = (
+        phrases.filter(F.col("n_words").between(2, 4))
+        .select("phrase", "pscore_fp", "n_words")
+        .distinct()
+    )
+    return (
+        dedup.orderBy(F.desc("pscore_fp"), "phrase")
+        .limit(15)
+        .select(
+            "phrase",
+            F.col("n_words").cast("bigint").alias("n_words"),
+            F.round(F.col("pscore_fp").cast("double") / 1000000, 4).alias(
+                "rake_score"
+            ),
+        )
+    )
+
+
+@register(
+    "ngram_novelty_by_source",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, source,
+             list_aggregate(ws[i:i+2], 'string_agg', ' ') AS g
+      FROM (SELECT doc_id, source,
+                   string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+            FROM documents),
+           UNNEST(range(1, len(ws) - 1)) AS t(i)),
+    firstseen AS (
+      SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g),
+    scored AS (
+      SELECT gr.doc_id, gr.source,
+             CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END AS novel
+      FROM grams gr JOIN firstseen f ON f.g = gr.g)
+    SELECT source,
+           COUNT(*) AS n_grams,
+           CAST(SUM(novel) AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(novel) AS DOUBLE) / COUNT(*), 6) AS novelty_ratio
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl value metric: the fraction of each source's
+    3-grams that are NOVEL (first occurrence in doc_id order, the
+    ingestion-order proxy) — falling novelty is the signal to stop
+    crawling a source. One shingle explode + a min-per-gram aggregate
+    joined back on the gram key; at 100 TB the first-seen table is the
+    dedup index you already maintain, so this metric is nearly free."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", "source",
+        F.split(
+            F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "
+        ).alias("ws"),
+    )
+    grams = words.select(
+        "doc_id", "source",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ws) >= 3 THEN transform(sequence(1, size(ws) - 2), "
+                "i -> array_join(slice(ws, i, 3), ' ')) "
+                "ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("g"),
+    )
+    firstseen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    scored = grams.join(firstseen, "g").select(
+        "source",
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0).alias("novel"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("novel").cast("bigint").alias("n_novel"),
+            F.round(
+                F.sum("novel").cast("double") / F.count(F.lit(1)), 6
+            ).alias("novelty_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+def _bpe_detok_oracle() -> str:
+    expr = "string_split_regex(w, '')"
+    for a, b, ab in _BPE_MERGES:
+        expr = _bpe_fold_duck(expr, a, b, ab)
+    return f"""
+    WITH wc AS (
+      SELECT DISTINCT w
+      FROM (SELECT unnest(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+            FROM documents) t
+      WHERE w <> ''),
+    rt AS (
+      SELECT w, list_aggregate({expr}, 'string_agg', '') AS detok
+      FROM wc)
+    SELECT COUNT(*) AS n_words,
+           CAST(SUM(CASE WHEN detok = w THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lossless
+    FROM rt
+    """
+
+
+@register("bpe_detokenize_roundtrip", oracle=_bpe_detok_oracle())
+def bpe_detokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer LOSSLESSNESS: every vocabulary word tokenized by the
+    BPE merge table must detokenize (token concatenation) back to itself
+    — n_lossless must equal n_words, and the oracle checks the same
+    property in DuckDB. This is the invariant that makes BPE usable for
+    training data at all; a merge-application bug (dropped char, wrong
+    overlap handling) breaks it immediately."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+        ).alias("w")
+    ).filter(F.col("w") != "").distinct()
+    expr = "split(w, '')"
+    for a, b, ab in _BPE_MERGES:
+        expr = _bpe_fold_spark(expr, a, b, ab)
+    rt = words.select("w", F.expr(f"array_join({expr}, '')").alias("detok"))
+    return rt.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.when(F.col("detok") == F.col("w"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_lossless"),
+    )
