@@ -463,3 +463,84 @@ def ppm_resize_stats(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
             )
 
     return df.mapInPandas(run, RESIZE_STATS_SCHEMA)
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("dhash_hi", T.LongType()),
+        T.StructField("dhash_lo", T.LongType()),
+    ]
+)
+
+
+def _decode_ppm_pixels(payload: bytes):
+    """decode_ppm's header walk, returning the HxWx3 uint8 pixel array."""
+    import numpy as np
+
+    if payload is None or not bytes(payload[:2]) == b"P6":
+        raise ValueError("not a P6 PPM payload")
+    fields: list[int] = []
+    i = 2
+    n = len(payload)
+    while len(fields) < 3 and i < n:
+        c = payload[i]
+        if c in b" \t\r\n":
+            i += 1
+        elif c == ord("#"):
+            while i < n and payload[i] != ord("\n"):
+                i += 1
+        elif ord("0") <= c <= ord("9"):
+            j = i
+            while j < n and ord("0") <= payload[j] <= ord("9"):
+                j += 1
+            fields.append(int(payload[i:j]))
+            i = j
+        else:
+            raise ValueError(f"bad PPM header byte {c!r}")
+    if len(fields) < 3:
+        raise ValueError("truncated PPM header")
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    i += 1
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    if px.size != w * h * 3:
+        raise ValueError("truncated PPM pixel data")
+    return w, h, px.reshape(h, w, 3)
+
+
+def ppm_image_dhash(df: DataFrame) -> DataFrame:
+    """Perceptual difference hash (dHash) over REAL P6 decoding: sample a
+    9x8 grid (nearest neighbor, (c*w) div 9 / (y*h) div 8 — all integer
+    math), gray = r+g+b, bit = right neighbor brighter, packed row-major
+    into two 32-bit halves (hi = rows 0-3) so no 1<<63 sign games are
+    needed in either engine. Integer-exact end to end, so the oracle can
+    recompute the hash from the pixel generator's closed form — the
+    image near-dup primitive (hamming distance on dHashes) with a full
+    value gate."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, px = _decode_ppm_pixels(p)
+                    xs = [(c * w) // 9 for c in range(9)]
+                    ys = [(y * h) // 8 for y in range(8)]
+                    hi = lo = 0
+                    for yi, y in enumerate(ys):
+                        row = [int(px[y, x, 0]) + int(px[y, x, 1]) + int(px[y, x, 2])
+                               for x in xs]
+                        for c in range(8):
+                            if row[c + 1] > row[c]:
+                                if yi < 4:
+                                    hi |= 1 << (yi * 8 + c)
+                                else:
+                                    lo |= 1 << ((yi - 4) * 8 + c)
+                    rows.append((mid, hi, lo))
+                except ValueError:
+                    rows.append((mid, None, None))
+            yield pd.DataFrame(rows, columns=["media_id", "dhash_hi", "dhash_lo"])
+
+    return df.mapInPandas(run, DHASH_SCHEMA)

@@ -14844,3 +14844,49 @@ def bpe_detokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_lossless"),
     )
+
+
+@register(
+    "multimodal_image_dhash",
+    oracle="""
+    WITH grid AS (
+      SELECT t.id, y.y, c.c,
+             (c.c * 16) // 9 AS xs, (y.y * 12) // 8 AS ys
+      FROM range(0, 50) t(id)
+      CROSS JOIN range(0, 8) y(y)
+      CROSS JOIN range(0, 9) c(c)),
+    gray AS (
+      SELECT id, y, c,
+             ((id * 31 + ((ys * 16 + xs) * 3 + 0)) % 256) +
+             ((id * 31 + ((ys * 16 + xs) * 3 + 1)) % 256) +
+             ((id * 31 + ((ys * 16 + xs) * 3 + 2)) % 256) AS g
+      FROM grid),
+    bits AS (
+      SELECT id, y, c,
+             CASE WHEN LEAD(g) OVER (PARTITION BY id, y ORDER BY c) > g
+                  THEN 1 ELSE 0 END AS b
+      FROM gray),
+    packed AS (
+      SELECT id,
+             SUM(CASE WHEN y < 4 AND b = 1
+                      THEN CAST(1 AS BIGINT) << (y * 8 + c) ELSE 0 END)
+               AS dhash_hi,
+             SUM(CASE WHEN y >= 4 AND b = 1
+                      THEN CAST(1 AS BIGINT) << ((y - 4) * 8 + c) ELSE 0 END)
+               AS dhash_lo
+      FROM bits WHERE c < 8
+      GROUP BY id)
+    SELECT id AS media_id, CAST(dhash_hi AS BIGINT) AS dhash_hi,
+           CAST(dhash_lo AS BIGINT) AS dhash_lo
+    FROM packed ORDER BY media_id
+    """,
+)
+def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash over REALLY-decoded P6 images (see
+    operators/multimodal.ppm_image_dhash) — the image near-dup
+    primitive, value-checked bit for bit because both the decoder input
+    and the oracle derive from the same closed-form pixel generator.
+    Downstream, hamming distance on (dhash_hi, dhash_lo) pairs buckets
+    visually-identical images exactly like SimHash buckets text."""
+    media = mm_mod.synthetic_ppm_media(spark, n=50)
+    return mm_mod.ppm_image_dhash(media).orderBy("media_id")
