@@ -14890,3 +14890,37 @@ def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     visually-identical images exactly like SimHash buckets text."""
     media = mm_mod.synthetic_ppm_media(spark, n=50)
     return mm_mod.ppm_image_dhash(media).orderBy("media_id")
+
+
+@register(
+    "multimodal_audio_fingerprint",
+    oracle="""
+    WITH s AS (
+      SELECT t.id, u.s AS i,
+             ABS(((t.id * 7 + u.s * 13) % 65536) - 32768) AS av
+      FROM range(0, 50) t(id) CROSS JOIN range(0, 256) u(s)),
+    bands AS (
+      SELECT id, i // 32 AS w, SUM(av) AS e
+      FROM s GROUP BY id, i // 32),
+    bits AS (
+      SELECT id, w,
+             CASE WHEN LEAD(e) OVER (PARTITION BY id ORDER BY w) > e
+                  THEN 1 ELSE 0 END AS b
+      FROM bands)
+    SELECT b.id AS media_id,
+           CAST(SUM(CASE WHEN b.b = 1 THEN 1 << b.w ELSE 0 END) AS INT)
+             AS fingerprint,
+           (SELECT CAST(SUM(e) AS BIGINT) FROM bands t WHERE t.id = b.id)
+             AS total_abs_energy
+    FROM bits b WHERE b.w < 7
+    GROUP BY b.id
+    ORDER BY media_id
+    """,
+)
+def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-envelope audio fingerprint over REALLY-decoded PCM16
+    clips (see operators/multimodal.wav_energy_fingerprint): 8 integer
+    band energies, 7 louder-than-previous bits — the audio analog of the
+    image dHash, with the same closed-form full value gate."""
+    media = mm_mod.synthetic_wav_media(spark, n=50)
+    return mm_mod.wav_energy_fingerprint(media).orderBy("media_id")
