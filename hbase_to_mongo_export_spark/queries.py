@@ -14924,3 +14924,56 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     image dHash, with the same closed-form full value gate."""
     media = mm_mod.synthetic_wav_media(spark, n=50)
     return mm_mod.wav_energy_fingerprint(media).orderBy("media_id")
+
+
+_ORACLES["dedup_incremental_index_update"] = _ORACLES["dedup_minhash_lsh_pairs"]
+
+
+@register("dedup_incremental_index_update")
+def dedup_incremental_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL index maintenance: the corpus is split into a base
+    (80%, by doc_id) and a delta batch (20%); MinHash signatures are
+    computed SEPARATELY for each — the way a daily ingest run only
+    signs the new documents — then the banded LSH candidate join and
+    exact verify run over the unioned signature table. Because
+    signatures are per-document, union-then-band is EXACTLY the
+    full-corpus index, and the oracle is literally the full-corpus
+    dedup_minhash_lsh_pairs oracle: incremental and batch must agree
+    pair for pair. At 100 TB this is the difference between re-signing
+    the whole corpus per ingest and signing only the delta."""
+    from .operators.dedup import (
+        _lsh_candidates,
+        _minhash_sig_cols,
+        jaccard,
+        word_shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    cut = (n_docs * 4) // 5
+    base = docs.filter(F.col("doc_id") < cut)
+    delta = docs.filter(F.col("doc_id") >= cut)
+    sig_base = _minhash_sig_cols(base, "doc_id", "text", 3, 64, "md5")
+    sig_delta = _minhash_sig_cols(delta, "doc_id", "text", 3, 64, "md5")
+    sig = sig_base.unionByName(sig_delta)
+    candidates = _lsh_candidates(sig, "doc_id", 64, 16, "md5")
+    sh = docs.select(
+        F.col("doc_id"), word_shingles(F.col("text"), 3).alias("sh")
+    )
+    verified = (
+        candidates.join(
+            sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"),
+            "id_a",
+        )
+        .join(
+            sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
+    return verified.orderBy("id_a", "id_b")
