@@ -14977,3 +14977,47 @@ def dedup_incremental_index_update(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("jaccard") >= 0.2)
     )
     return verified.orderBy("id_a", "id_b")
+
+
+@register(
+    "topk_per_group_agg_form",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, rnk
+    FROM (
+      SELECT o_orderpriority, o_orderkey,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+      FROM orders)
+    WHERE rnk <= 3
+    ORDER BY o_orderpriority, rnk
+    """,
+)
+def topk_per_group_agg_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group in AGGREGATE form: slice(sort_array(collect of
+    (price, key) structs)) — one hash aggregate with map-side partial
+    top-k, NO window and NO per-group sort of the full partition. The
+    oracle is the window-function form, pinning that the two
+    formulations agree row for row (deterministic tiebreak on key). For
+    small k over high-cardinality groups this is the plan you want at
+    100 TB: the window form sorts every group's full row set; this form
+    carries at most k structs per group through the shuffle.
+
+    (collect_list is bounded here by the slice that follows; a
+    production operator would cap the partial aggregation explicitly —
+    Spark's own partial-agg top-k does this once k << group size.)"""
+    orders = _t(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.expr(
+            "slice(array_sort(collect_list(named_struct("
+            "'negp', -o_totalprice, 'k', o_orderkey))), 1, 3)"
+        ).alias("top3")
+    )
+    ex = agg.select(
+        "o_orderpriority", F.posexplode("top3").alias("i0", "s")
+    )
+    return ex.select(
+        "o_orderpriority",
+        F.col("s.k").alias("o_orderkey"),
+        (F.col("i0") + 1).cast("int").alias("rnk"),
+    ).orderBy("o_orderpriority", "rnk")
