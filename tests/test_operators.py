@@ -897,3 +897,49 @@ class TestGraphOperators:
         edges = self._edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)])
         out = {r.node: r.hops for r in g.bfs_hops(edges, source=0, max_hops=4).collect()}
         assert out == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}  # node 5 beyond max_hops
+
+
+class TestMultimodalFingerprints:
+    def test_dhash_quarantines_malformed_payloads(self, spark):
+        """A garbage payload yields a null-hash row (quarantine), never a
+        task failure; valid payloads still hash."""
+        good = multimodal.synthetic_ppm_media(spark, n=2).select(
+            "media_id", "payload"
+        )
+        bad = spark.createDataFrame(
+            [(99, bytearray(b"NOT A PPM"))], "media_id long, payload binary"
+        )
+        out = {r.media_id: (r.dhash_hi, r.dhash_lo)
+               for r in multimodal.ppm_image_dhash(
+                   good.unionByName(bad)).collect()}
+        assert out[99] == (None, None)
+        assert all(v != (None, None) for k, v in out.items() if k != 99)
+
+    def test_dhash_identical_images_same_hash(self, spark):
+        """Same payload twice -> identical hash (the near-dup contract)."""
+        media = multimodal.synthetic_ppm_media(spark, n=1).select(
+            "media_id", "payload"
+        )
+        dup = media.unionByName(
+            media.selectExpr("media_id + 100 AS media_id", "payload")
+        )
+        out = [
+            (r.dhash_hi, r.dhash_lo)
+            for r in multimodal.ppm_image_dhash(dup).collect()
+        ]
+        assert out[0] == out[1]
+
+    def test_audio_fingerprint_quarantine_and_determinism(self, spark):
+        good = multimodal.synthetic_wav_media(spark, n=3).select(
+            "media_id", "payload"
+        )
+        bad = spark.createDataFrame(
+            [(77, bytearray(b"RIFFxxxxJUNK"))], "media_id long, payload binary"
+        )
+        out = {r.media_id: (r.fingerprint, r.total_abs_energy)
+               for r in multimodal.wav_energy_fingerprint(
+                   good.unionByName(bad)).collect()}
+        assert out[77] == (None, None)
+        again = {r.media_id: (r.fingerprint, r.total_abs_energy)
+                 for r in multimodal.wav_energy_fingerprint(good).collect()}
+        assert all(out[k] == again[k] for k in again)
