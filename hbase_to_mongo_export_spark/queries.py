@@ -13033,42 +13033,49 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    e = op_cache.track(graph_mod.top_k_cooccurrence_edges(w, k=3).cache())
-    k, rounds = 3, 4
-
     # Iterative-algorithm hygiene (same pattern as connected_components):
-    # each round's survivor set is localCheckpoint'ed, which truncates
-    # LINEAGE, not just execution — a cache alone leaves every prior
-    # round inside the logical plan, and the plan tree (and its explain
-    # string) grows ~3^rounds, enough to OOM a default-heap driver by
-    # round 4. Per-round counts are collected eagerly; the trajectory is
-    # 5 rows, the distributed work stays distributed.
+    # the edge list is localCheckpoint'ed ONCE into a LogicalRDD leaf and
+    # every round's survivor set is checkpoint'ed too — checkpoints
+    # truncate LINEAGE, not just execution (a cache alone leaves every
+    # prior round inside the logical plan, whose tree — and explain
+    # string — grows exponentially with rounds, enough to OOM a
+    # default-heap driver; skipping the per-round cut instead triggers
+    # exponential RECOMPUTE because deg feeds two consumers). Per-round
+    # stats come from ONE aggregate over the degree table (|V| = row
+    # count, |E| = sum(deg)/2 by the handshake lemma): a round costs two
+    # jobs — stats and the survivor checkpoint. 8 shuffle partitions are
+    # plenty for the vertex-sized round state.
+    from .streaming.stateful import _scoped_shuffle_partitions
+
+    k, rounds = 3, 4
     stats: list[tuple[int, int, int]] = []
-    cur_edges = e
-    cur_nodes = (
-        e.select(F.col("u").alias("node"))
-        .union(e.select(F.col("v").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    for r in range(rounds + 1):
-        stats.append((r, cur_nodes.count(), cur_edges.count()))
-        if r == rounds:
-            break
-        deg = (
-            cur_edges.select(F.col("u").alias("node"))
-            .unionAll(cur_edges.select(F.col("v").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("deg"))
+    with _scoped_shuffle_partitions(spark, 8):
+        e = graph_mod.top_k_cooccurrence_edges(w, k=3).localCheckpoint(
+            eager=True
         )
-        cur_nodes = (
-            deg.filter(F.col("deg") >= k)
-            .select("node")
-            .localCheckpoint(eager=True)
-        )
-        a = cur_nodes.withColumnRenamed("node", "u")
-        b = cur_nodes.withColumnRenamed("node", "v")
-        cur_edges = e.join(a, "u", "left_semi").join(b, "v", "left_semi")
+        cur_edges = e
+        for r in range(rounds + 1):
+            deg = (
+                cur_edges.select(F.col("u").alias("node"))
+                .unionAll(cur_edges.select(F.col("v").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("deg"))
+            )
+            row = deg.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.expr("sum(deg) div 2"), F.lit(0)).alias("m"),
+            ).collect()[0]
+            stats.append((r, int(row.n), int(row.m)))
+            if r == rounds:
+                break
+            cur_nodes = (
+                deg.filter(F.col("deg") >= k)
+                .select("node")
+                .localCheckpoint(eager=True)
+            )
+            a = cur_nodes.withColumnRenamed("node", "u")
+            b = cur_nodes.withColumnRenamed("node", "v")
+            cur_edges = e.join(a, "u", "left_semi").join(b, "v", "left_semi")
     return spark.createDataFrame(
         [(r, int(n), int(m)) for r, n, m in stats],
         "round int, n_nodes bigint, n_edges bigint",
