@@ -15028,3 +15028,191 @@ def topk_per_group_agg_form(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.k").alias("o_orderkey"),
         (F.col("i0") + 1).cast("int").alias("rnk"),
     ).orderBy("o_orderpriority", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# Decorrelation breadth, attribution, and mergeable-moment algebra.
+# ---------------------------------------------------------------------------
+
+_DECORRELATE_SQL = """
+    SELECT c.c_custkey,
+           (SELECT COUNT(*) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS n_orders,
+           CAST(ROUND((SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+                       FROM orders o2
+                       WHERE o2.o_custkey = c.c_custkey
+                         AND o2.o_orderpriority = '1-URGENT'), 2) AS DOUBLE)
+             AS urgent_spend
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+    ORDER BY c.c_custkey
+    LIMIT 200
+    """
+
+
+@register("subquery_decorrelation_breadth", oracle=_DECORRELATE_SQL)
+def subquery_decorrelation_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries in all three positions at once — the
+    SELECT list (per-customer order count and a filtered sum) and the
+    WHERE clause (above the per-nation average balance). Catalyst
+    DECORRELATES each into an aggregate + join; none may execute as a
+    per-row loop. One identical SQL string runs on both engines. The
+    nation-average comparison is on raw doubles — identical inputs give
+    identical comparisons, no arithmetic is stored."""
+    for t in ("customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_DECORRELATE_SQL)
+
+
+@register(
+    "attribution_linear_multi_touch",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id AS pid, user_id, ts AS pts,
+             CAST(value AS DECIMAL(18,6)) AS rev
+      FROM events WHERE event_type = 'purchase'),
+    clicks AS (
+      SELECT event_id AS cid, user_id, ts AS cts
+      FROM events WHERE event_type = 'click'),
+    touches AS (
+      SELECT p.pid, p.rev, c.cid,
+             COUNT(*) OVER (PARTITION BY p.pid) AS n_touch
+      FROM purchases p JOIN clicks c
+        ON c.user_id = p.user_id
+       AND c.cts >= p.pts - INTERVAL 1 HOUR AND c.cts <= p.pts)
+    SELECT cid AS click_id,
+           COUNT(*) AS n_purchases_touched,
+           ROUND(SUM(CAST(rev AS DOUBLE) / n_touch), 6) AS attributed_revenue
+    FROM touches
+    GROUP BY cid
+    ORDER BY click_id
+    """,
+)
+def attribution_linear_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's revenue is split
+    equally across the user's clicks in the preceding hour (the range
+    join the as-of family already pins), then rolled up per click. The
+    per-touch share rev/n_touch divides a DECIMAL-cast revenue by an
+    integer count — identical doubles in both engines — and each click's
+    sum runs over its (tiny, deterministic) purchase set. The marketing
+    warehouse's bread-and-butter query, expressed as one range join +
+    one window + one aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.col("value").cast("decimal(18,6)").alias("rev"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        F.col("user_id").alias("cuser"),
+        F.col("ts").alias("cts"),
+    )
+    touches = purchases.join(
+        clicks,
+        (F.col("cuser") == F.col("user_id"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("cts") <= F.col("pts")),
+    ).select(
+        "pid", "rev", "cid",
+        F.count(F.lit(1)).over(Window.partitionBy("pid")).alias("n_touch"),
+    )
+    return (
+        touches.groupBy(F.col("cid").alias("click_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases_touched"),
+            F.round(
+                F.sum(F.col("rev").cast("double") / F.col("n_touch")), 6
+            ).alias("attributed_revenue"),
+        )
+        .orderBy("click_id")
+    )
+
+
+_WELFORD_SQL = """
+    WITH halves AS (
+      SELECT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) % 2
+               AS h,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS x
+      FROM orders),
+    m AS (
+      SELECT h,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(ROUND(SUM(x), 2) AS DOUBLE) AS s1,
+             CAST(ROUND(SUM(CAST(x * x AS DECIMAL(30,4))), 0) AS DOUBLE) AS s2
+      FROM halves GROUP BY h),
+    merged AS (
+      SELECT SUM(n) AS n, SUM(s1) AS s1, SUM(s2) AS s2 FROM m),
+    direct AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(ROUND(SUM(x), 2) AS DOUBLE) AS s1,
+             CAST(ROUND(SUM(CAST(x * x AS DECIMAL(30,4))), 0) AS DOUBLE) AS s2
+      FROM halves)
+    SELECT CAST(mg.n AS BIGINT) AS n_rows,
+           ROUND((mg.s2 - mg.s1 * mg.s1 / mg.n) / (mg.n - 1), 4)
+             AS merged_sample_var,
+           ROUND((d.s2 - d.s1 * d.s1 / d.n) / (d.n - 1), 4)
+             AS direct_sample_var,
+           CASE WHEN (mg.s2 - mg.s1 * mg.s1 / mg.n) =
+                     (d.s2 - d.s1 * d.s1 / d.n)
+                THEN 1 ELSE 0 END AS merge_exact
+    FROM merged mg, direct d
+    """
+
+
+@register("parallel_variance_merge", oracle=_WELFORD_SQL)
+def parallel_variance_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-moments algebra behind every distributed variance:
+    per-partition (n, Σx, Σx²) in exact DECIMAL merge by plain addition,
+    and the merged sample variance must EQUAL the direct one (the
+    merge_exact flag is computed inside the query, and the oracle
+    re-derives everything). This is what lets var_samp run map-side
+    partial aggregation; here the 'partitions' are an md5 hash split so
+    the check is deterministic. Rounded sums keep the double casts
+    exactly representable."""
+    orders = _t(spark, sf_dir, "orders")
+    halves = orders.select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15),
+                16, 10,
+            ).cast("long") % 2
+        ).alias("h"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+    )
+
+    def moments(df: DataFrame, keys: list) -> DataFrame:
+        g = df.groupBy(*keys) if keys else df.groupBy()
+        return g.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.round(F.sum("x"), 2).cast("double").alias("s1"),
+            F.round(F.sum((F.col("x") * F.col("x")).cast("decimal(30,4)")), 0)
+            .cast("double")
+            .alias("s2"),
+        )
+
+    m = moments(halves, ["h"])
+    merged = m.agg(
+        F.sum("n").alias("n"), F.sum("s1").alias("s1"), F.sum("s2").alias("s2")
+    )
+    direct = moments(halves, [])
+    d = direct.select(
+        F.col("n").alias("dn"), F.col("s1").alias("ds1"), F.col("s2").alias("ds2")
+    )
+    ssq = lambda n, s1, s2: (  # noqa: E731
+        F.col(s2) - F.col(s1) * F.col(s1) / F.col(n)
+    )
+    return merged.crossJoin(F.broadcast(d)).select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(ssq("n", "s1", "s2") / (F.col("n") - 1), 4).alias(
+            "merged_sample_var"
+        ),
+        F.round(ssq("dn", "ds1", "ds2") / (F.col("dn") - 1), 4).alias(
+            "direct_sample_var"
+        ),
+        F.when(
+            ssq("n", "s1", "s2") == ssq("dn", "ds1", "ds2"), 1
+        ).otherwise(0).alias("merge_exact"),
+    )
