@@ -15216,3 +15216,139 @@ def parallel_variance_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ssq("n", "s1", "s2") == ssq("dn", "ds1", "ds2"), 1
         ).otherwise(0).alias("merge_exact"),
     )
+
+
+@register(
+    "sequence_motif_top20",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT e1 || '>' || e2 || '>' || e3 AS motif,
+           COUNT(*) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY e1 || '>' || e2 || '>' || e3
+    ORDER BY n DESC, motif
+    LIMIT 20
+    """,
+)
+def sequence_motif_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent behavioral motifs: the top-20 contiguous length-3
+    event-type subsequences across all user timelines — one window pass
+    (two LEADs over the per-user order), one count aggregate. The
+    sequence-mining primitive behind funnel discovery, without the
+    exponential candidate generation of general sequential-pattern
+    mining (contiguous motifs are a linear pass at any scale)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("motif")
+        )
+        .groupBy("motif")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "motif")
+        .limit(20)
+    )
+
+
+@register(
+    "survival_kaplan_meier",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CAST(ts AS DATE)) AS first_d,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ts AS DATE) END) AS purch_d,
+             MAX(CAST(ts AS DATE)) AS last_d
+      FROM events GROUP BY user_id),
+    dur AS (
+      SELECT CASE WHEN purch_d IS NOT NULL
+                  THEN date_diff('day', first_d, purch_d)
+                  ELSE date_diff('day', first_d, last_d) END AS t,
+             CASE WHEN purch_d IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM per_user),
+    per_t AS (
+      SELECT t, COUNT(*) AS n_at_t, SUM(ev) AS d_i FROM dur GROUP BY t),
+    w AS (
+      SELECT t, d_i,
+             SUM(n_at_t) OVER (ORDER BY t DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS n_i
+      FROM per_t),
+    evt AS (SELECT t, d_i, n_i FROM w WHERE d_i > 0),
+    arr AS (
+      SELECT list(t ORDER BY t) AS ts_,
+             list(d_i ORDER BY t) AS ds,
+             list(n_i ORDER BY t) AS ns,
+             list(1 - CAST(d_i AS DOUBLE) / n_i ORDER BY t) AS fs
+      FROM evt)
+    SELECT CAST(ts_[j] AS INT) AS t_days,
+           CAST(ds[j] AS BIGINT) AS n_events,
+           CAST(ns[j] AS BIGINT) AS n_at_risk,
+           ROUND(list_reduce(fs[1:j], (a, b) -> a * b), 6) AS km_survival
+    FROM arr, UNNEST(range(1, len(fs) + 1)) AS u(j)
+    ORDER BY t_days
+    """,
+)
+def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit estimator of time-to-first-purchase
+    (days since each user's first event), with users who never purchase
+    RIGHT-CENSORED at their last activity — real survival analysis, the
+    statistically-correct replacement for naive time-to-conversion
+    averages that silently drop non-converters. Risk sets are integer
+    window sums; the survival curve is a product of per-event-time
+    factors folded left-to-right over a time-ordered array, so the float
+    products are bit-identical in both engines. One per-user aggregate +
+    one tiny window: the curve table is event-time-sized, never
+    corpus-sized."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_d"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts").cast("date"))
+        ).alias("purch_d"),
+        F.max(F.col("ts").cast("date")).alias("last_d"),
+    )
+    dur = per_user.select(
+        F.when(
+            F.col("purch_d").isNotNull(),
+            F.datediff("purch_d", "first_d"),
+        ).otherwise(F.datediff("last_d", "first_d")).alias("t"),
+        F.when(F.col("purch_d").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    per_t = dur.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_at_t"), F.sum("ev").alias("d_i")
+    )
+    wrev = (
+        Window.orderBy(F.desc("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = per_t.select(
+        "t", "d_i", F.sum("n_at_t").over(wrev).alias("n_i")
+    ).filter(F.col("d_i") > 0)
+    packed = risk.agg(
+        F.sort_array(F.collect_list(F.struct("t", "d_i", "n_i"))).alias("arr")
+    ).select(
+        "arr",
+        F.expr(
+            "transform(arr, s -> CAST(1 AS DOUBLE) - CAST(s.d_i AS DOUBLE) / s.n_i)"
+        ).alias("fs"),
+    )
+    ex = packed.select("fs", F.posexplode("arr").alias("j0", "s"))
+    return ex.select(
+        F.col("s.t").cast("int").alias("t_days"),
+        F.col("s.d_i").cast("bigint").alias("n_events"),
+        F.col("s.n_i").cast("bigint").alias("n_at_risk"),
+        F.expr(
+            "round(aggregate(slice(fs, 1, j0 + 1), CAST(1 AS DOUBLE), (a, x) -> a * x), 6)"
+        ).alias("km_survival"),
+    ).orderBy("t_days")
