@@ -224,36 +224,7 @@ def decode_ppm(payload: bytes) -> tuple[int, int, float, float, float]:
     malformed payload — the quarantine path, like any decode failure."""
     import numpy as np
 
-    if payload is None or not bytes(payload[:2]) == b"P6":
-        raise ValueError("not a P6 PPM payload")
-    # header = magic + 3 whitespace-separated ints, '#' comments skipped
-    fields: list[int] = []
-    i = 2
-    n = len(payload)
-    while len(fields) < 3 and i < n:
-        c = payload[i]
-        if c in b" \t\r\n":
-            i += 1
-        elif c == ord("#"):
-            while i < n and payload[i] != ord("\n"):
-                i += 1
-        elif ord("0") <= c <= ord("9"):
-            j = i
-            while j < n and ord("0") <= payload[j] <= ord("9"):
-                j += 1
-            fields.append(int(payload[i:j]))
-            i = j
-        else:
-            raise ValueError(f"bad PPM header byte {c!r}")
-    if len(fields) < 3:
-        raise ValueError("truncated PPM header")
-    w, h, maxval = fields
-    if maxval != 255:
-        raise ValueError("only 8-bit PPM supported")
-    i += 1  # single whitespace after maxval
-    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
-    if px.size != w * h * 3:
-        raise ValueError("truncated PPM pixel data")
+    w, h, px = _decode_ppm_pixels(payload)
     means = px.reshape(-1, 3).mean(axis=0, dtype=np.float64)
     return w, h, float(means[0]), float(means[1]), float(means[2])
 

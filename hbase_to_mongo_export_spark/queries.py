@@ -12355,11 +12355,14 @@ def _qstage(sub: str) -> str:
     before reading it back. One mkdtemp per process, one subdir per
     query, overwritten on re-run — concurrent processes never collide."""
     global _QSTAGE_ROOT
+    import atexit
     import os
+    import shutil
     import tempfile
 
     if _QSTAGE_ROOT is None:
         _QSTAGE_ROOT = tempfile.mkdtemp(prefix="htme_qstage_")
+        atexit.register(shutil.rmtree, _QSTAGE_ROOT, True)
     return os.path.join(_QSTAGE_ROOT, sub)
 
 
