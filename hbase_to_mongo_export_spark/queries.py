@@ -13255,8 +13255,13 @@ def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w")
     ).filter(F.col("w") != "")
     wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    # top-200 via orderBy+limit (TakeOrdered, a per-partition heap +
+    # driver merge) — NOT a global row_number window, which would funnel
+    # the whole vocabulary through one partition; ranks are then a
+    # window over just the 200 survivors
+    top = wc.orderBy(F.desc("n"), "w").limit(200)
     wr = Window.orderBy(F.desc("n"), "w")
-    ranked = wc.withColumn("r", F.row_number().over(wr)).filter(F.col("r") <= 200)
+    ranked = top.withColumn("r", F.row_number().over(wr))
     arrs = ranked.agg(
         F.sort_array(
             F.collect_list(F.struct("r", "n"))
@@ -14193,10 +14198,12 @@ def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = (hv + F.lit(1)).cast("double") / F.lit(float(1 << 60))
     k = -F.log(u) / F.col("n_chars")
     keyed = docs.select("doc_id", "n_chars", F.round(k, 8).alias("kr"))
-    w = Window.orderBy("kr", "doc_id")
+    # smallest-20 via orderBy+limit (TakeOrdered heap merge), never a
+    # global row_number window over the corpus — the one-pass mergeable
+    # reduction is the whole point of the A-ES sampler
     return (
-        keyed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
+        keyed.orderBy("kr", "doc_id")
+        .limit(20)
         .select("doc_id", "n_chars", F.col("kr").alias("sample_key"))
         .orderBy("sample_key", "doc_id")
     )

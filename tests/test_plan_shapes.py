@@ -424,3 +424,33 @@ class TestReusedExchange:
         df.collect()
         plan = plan_of(df)
         assert "ReusedExchange" in plan, plan
+
+
+class TestTopKPlansUseTakeOrdered:
+    """Corpus-scale top-k must plan as TakeOrderedAndProject (per-partition
+    heap + driver merge), never a single-partition global Window sort."""
+
+    def test_zipf_uses_take_ordered(self, spark, sf_dir):
+        df = registry.queries()["zipf_slope_fit"](spark, sf_dir)
+        plan = plan_of(df)
+        assert "TakeOrderedAndProject" in plan, plan
+
+    def test_weighted_sample_uses_take_ordered(self, spark, sf_dir):
+        df = registry.queries()["weighted_sample_aes"](spark, sf_dir)
+        plan = plan_of(df)
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "Window" not in plan, plan
+
+    def test_attribution_no_cartesian(self, spark, sf_dir):
+        plan = plan_of(
+            registry.queries()["attribution_linear_multi_touch"](spark, sf_dir)
+        )
+        assert "CartesianProduct" not in plan, plan
+
+    def test_power_iteration_no_cartesian_scale_joins(self, spark, sf_dir):
+        """The Gram self-join is keyed on vec_id; the only nested-loop is
+        the 1-row norm broadcast."""
+        plan = plan_of(
+            registry.queries()["embedding_power_iteration_pc1"](spark, sf_dir)
+        )
+        assert "CartesianProduct" not in plan, plan
