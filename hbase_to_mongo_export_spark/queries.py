@@ -15362,3 +15362,114 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round(aggregate(slice(fs, 1, j0 + 1), CAST(1 AS DOUBLE), (a, x) -> a * x), 6)"
         ).alias("km_survival"),
     ).orderBy("t_days")
+
+
+@register(
+    "collation_case_insensitive_join",
+    oracle="""
+    WITH a AS (SELECT DISTINCT upper(p_brand) AS b FROM part),
+    b AS (SELECT DISTINCT lower(p_brand) AS b FROM part)
+    SELECT COUNT(*) AS n_matches,
+           (SELECT COUNT(*) FROM a) AS n_left,
+           (SELECT COUNT(*) FROM b) AS n_right
+    FROM a JOIN b ON lower(a.b) = lower(b.b)
+    """,
+)
+def collation_case_insensitive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATION surface: an UPPER-cased and a lower-cased brand
+    dimension joined under UTF8_LCASE collation must match exactly like
+    an explicit lower()=lower() join (which is what the oracle runs) —
+    pinning that collated equality is real equality semantics, usable in
+    joins and aggregates, not just ORDER BY. Collation-aware equality is
+    the engine-native answer to the lower()-wrapping that breaks
+    predicate pushdown on case-insensitive business keys."""
+    part = _t(spark, sf_dir, "part")
+    a = part.select(F.upper("p_brand").alias("b")).distinct()
+    b = part.select(F.lower("p_brand").alias("b2")).distinct()
+    joined = a.join(
+        b,
+        F.expr("b COLLATE UTF8_LCASE = b2 COLLATE UTF8_LCASE"),
+    )
+    na = a.agg(F.count(F.lit(1)).alias("n_left"))
+    nb = b.agg(F.count(F.lit(1)).alias("n_right"))
+    return (
+        joined.agg(F.count(F.lit(1)).alias("n_matches"))
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+    )
+
+
+@register(
+    "incremental_agg_maintenance",
+    oracle=f"""
+    WITH split AS (
+      SELECT o_orderstatus,
+             CAST(o_totalprice AS {_DEC}) AS x,
+             CASE WHEN YEAR(o_orderdate) >= 2000 THEN 1 ELSE 0 END AS is_delta
+      FROM orders),
+    base AS (
+      SELECT o_orderstatus, COUNT(*) AS n, SUM(x) AS s
+      FROM split WHERE is_delta = 0 GROUP BY o_orderstatus),
+    delta AS (
+      SELECT o_orderstatus, COUNT(*) AS n, SUM(x) AS s
+      FROM split WHERE is_delta = 1 GROUP BY o_orderstatus),
+    merged AS (
+      SELECT o_orderstatus, SUM(n) AS n, SUM(s) AS s
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+      GROUP BY o_orderstatus),
+    direct AS (
+      SELECT o_orderstatus, COUNT(*) AS n, SUM(x) AS s
+      FROM split GROUP BY o_orderstatus)
+    SELECT m.o_orderstatus,
+           CAST(m.n AS BIGINT) AS n_orders,
+           CAST(ROUND(m.s, 2) AS DOUBLE) AS revenue,
+           CASE WHEN m.n = d.n AND m.s = d.s THEN 1 ELSE 0 END
+             AS matches_direct
+    FROM merged m JOIN direct d ON d.o_orderstatus = m.o_orderstatus
+    ORDER BY m.o_orderstatus
+    """,
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance in batch form: a pre-2000 base
+    aggregate plus a post-2000 delta aggregate merged by ADDITION must
+    equal the direct full aggregate — exactly, because the partial
+    states (count, DECIMAL sum) are the mergeable algebra foreachBatch
+    upserts rely on. The matches_direct flag is computed in-query and
+    the oracle re-derives everything; this is the correctness core of
+    every materialized-view / continuous-aggregate implementation."""
+    orders = _t(spark, sf_dir, "orders")
+    split = orders.select(
+        "o_orderstatus",
+        F.col("o_totalprice").cast(_DEC).alias("x"),
+        F.when(F.year("o_orderdate") >= 2000, 1).otherwise(0).alias("is_delta"),
+    )
+
+    def agg_of(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+        )
+
+    base = agg_of(split.filter(F.col("is_delta") == 0))
+    delta = agg_of(split.filter(F.col("is_delta") == 1))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    )
+    direct = agg_of(split).select(
+        F.col("o_orderstatus").alias("st2"),
+        F.col("n").alias("dn"),
+        F.col("s").alias("ds"),
+    )
+    return (
+        merged.join(F.broadcast(direct), merged.o_orderstatus == direct.st2)
+        .select(
+            "o_orderstatus",
+            F.col("n").cast("bigint").alias("n_orders"),
+            F.round(F.col("s"), 2).cast("double").alias("revenue"),
+            F.when(
+                (F.col("n") == F.col("dn")) & (F.col("s") == F.col("ds")), 1
+            ).otherwise(0).alias("matches_direct"),
+        )
+        .orderBy("o_orderstatus")
+    )
