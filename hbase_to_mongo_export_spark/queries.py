@@ -15473,3 +15473,160 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "embedding_pq_adc_recall",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             [GREATEST(CAST(ROUND(CAST(x AS DOUBLE) * 64, 0) AS INT) + 128, 0)
+              FOR x IN embedding] AS qv
+      FROM embeddings),
+    dims AS (
+      SELECT vec_id, pos0 // 8 AS sub, pos0 % 8 AS dpos, val
+      FROM (SELECT vec_id, unnest(qv) AS val,
+                   unnest(range(0, len(qv))) AS pos0 FROM q)),
+    cents AS (
+      SELECT vec_id AS cid, sub, dpos, val AS cval FROM dims WHERE vec_id < 16),
+    code_d AS (
+      SELECT d.vec_id, d.sub, c.cid,
+             SUM((d.val - c.cval) * (d.val - c.cval)) AS dist
+      FROM dims d JOIN cents c ON c.sub = d.sub AND c.dpos = d.dpos
+      GROUP BY d.vec_id, d.sub, c.cid),
+    codes AS (
+      SELECT vec_id, sub, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY dist, cid) AS rn
+        FROM code_d) WHERE rn = 1),
+    probes AS (SELECT vec_id AS pid FROM q WHERE vec_id < 3),
+    adc AS (
+      SELECT p.pid, k.vec_id AS xid, SUM(cd.dist) AS adist
+      FROM probes p
+      JOIN codes k ON k.vec_id <> p.pid
+      JOIN code_d cd ON cd.vec_id = p.pid AND cd.sub = k.sub
+                    AND cd.cid = k.cid
+      GROUP BY p.pid, k.vec_id),
+    adc_top AS (
+      SELECT pid, xid FROM (
+        SELECT pid, xid,
+               ROW_NUMBER() OVER (PARTITION BY pid
+                                  ORDER BY adist, xid) AS rn
+        FROM adc) WHERE rn <= 10),
+    exact AS (
+      SELECT p.pid, x.vec_id AS xid,
+             SUM((dp.val - dx.val) * (dp.val - dx.val)) AS edist
+      FROM probes p
+      JOIN q x ON x.vec_id <> p.pid
+      JOIN dims dp ON dp.vec_id = p.pid
+      JOIN dims dx ON dx.vec_id = x.vec_id AND dx.sub = dp.sub
+                  AND dx.dpos = dp.dpos
+      GROUP BY p.pid, x.vec_id),
+    exact_top AS (
+      SELECT pid, xid FROM (
+        SELECT pid, xid,
+               ROW_NUMBER() OVER (PARTITION BY pid
+                                  ORDER BY edist, xid) AS rn
+        FROM exact) WHERE rn <= 10)
+    SELECT a.pid AS probe_id,
+           CAST(10 AS INT) AS k,
+           CAST(COUNT(e.xid) AS BIGINT) AS n_hits,
+           ROUND(CAST(COUNT(e.xid) AS DOUBLE) / 10, 6) AS recall_at_10
+    FROM adc_top a
+    LEFT JOIN exact_top e ON e.pid = a.pid AND e.xid = a.xid
+    GROUP BY a.pid
+    ORDER BY probe_id
+    """,
+)
+def embedding_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ SEARCH path (not just code assignment): asymmetric distance
+    computation — probe-to-centroid lookup tables summed over the stored
+    codes — produces each probe's ADC top-10, evaluated as recall
+    against exact quantized L2. Everything is integer arithmetic (exact
+    codes, exact ADC sums, deterministic tiebreaks), so the whole
+    approximate-search pipeline carries a full value oracle. Plan: the
+    corpus-scale work is one codes table and one broadcastable
+    (probe x sub x centroid) lookup — the scan side never materializes
+    probe x corpus x dims."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = sim_mod.quantize_for_kmeans(emb, "vec_id", "embedding")
+    dims = q.select(
+        "vec_id", F.posexplode("qv").alias("pos0", "val")
+    ).select(
+        "vec_id",
+        (F.col("pos0") / 8).cast("int").alias("sub"),
+        (F.col("pos0") % 8).alias("dpos"),
+        "val",
+    )
+    dims = op_cache.track(dims.cache())
+    cents = dims.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), "sub", "dpos", F.col("val").alias("cval")
+    )
+    code_d = (
+        dims.join(F.broadcast(cents), ["sub", "dpos"])
+        .groupBy("vec_id", "sub", "cid")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
+            ).alias("dist")
+        )
+    )
+    code_d = op_cache.track(code_d.cache())
+    wcode = Window.partitionBy("vec_id", "sub").orderBy("dist", "cid")
+    codes = (
+        code_d.withColumn("rn", F.row_number().over(wcode))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", "cid")
+    )
+    probe_lut = code_d.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("pid"), "sub", "cid", "dist"
+    )
+    adc = (
+        codes.join(
+            F.broadcast(probe_lut),
+            (codes.sub == probe_lut.sub)
+            & (codes.cid == probe_lut.cid)
+            & (codes.vec_id != probe_lut.pid),
+        )
+        .groupBy("pid", F.col("vec_id").alias("xid"))
+        .agg(F.sum("dist").alias("adist"))
+    )
+    wtop = Window.partitionBy("pid").orderBy("adist", "xid")
+    adc_top = (
+        adc.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 10)
+        .select("pid", "xid")
+    )
+    pd_ = dims.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("pid"), "sub", "dpos", F.col("val").alias("pval")
+    )
+    exact = (
+        dims.join(F.broadcast(pd_), ["sub", "dpos"])
+        .filter(F.col("vec_id") != F.col("pid"))
+        .groupBy("pid", F.col("vec_id").alias("xid"))
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("pval")) * (F.col("val") - F.col("pval"))
+            ).alias("edist")
+        )
+    )
+    wex = Window.partitionBy("pid").orderBy("edist", "xid")
+    exact_top = (
+        exact.withColumn("rn", F.row_number().over(wex))
+        .filter(F.col("rn") <= 10)
+        .select(F.col("pid").alias("epid"), F.col("xid").alias("exid"))
+    )
+    return (
+        adc_top.join(
+            exact_top,
+            (F.col("pid") == F.col("epid")) & (F.col("xid") == F.col("exid")),
+            "left",
+        )
+        .groupBy(F.col("pid").alias("probe_id"))
+        .agg(
+            F.lit(10).cast("int").alias("k"),
+            F.count("exid").cast("bigint").alias("n_hits"),
+            F.round(F.count("exid").cast("double") / 10, 6).alias("recall_at_10"),
+        )
+        .orderBy("probe_id")
+    )
