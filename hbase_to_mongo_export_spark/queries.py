@@ -15630,3 +15630,66 @@ def embedding_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id")
     )
+
+
+@register(
+    "trajectory_similarity_topk",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    paths AS (
+      SELECT user_id,
+             list_aggregate(list(substr(event_type, 1, 1) ORDER BY rn),
+                            'string_agg', '') AS path
+      FROM seq WHERE rn <= 20 GROUP BY user_id),
+    pairs AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             levenshtein(a.path, b.path) AS dist
+      FROM paths a JOIN paths b
+        ON substr(a.path, 1, 1) = substr(b.path, 1, 1)
+       AND a.user_id < b.user_id)
+    SELECT user_a, user_b, CAST(dist AS INT) AS edit_distance
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY dist, user_a, user_b) AS rk
+          FROM pairs)
+    WHERE rk <= 10
+    ORDER BY edit_distance, user_a, user_b
+    """,
+)
+def trajectory_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory similarity (the REPOSE/top-k-similarity family on
+    behavioral paths): each user's first 20 events compress to a
+    character path (first letter of each event type), pairs BLOCKED on
+    the same starting step get an edit distance, and the 10 most similar
+    pairs surface. Blocking bounds the pair count exactly like the
+    dedup family's language blocking; Levenshtein runs JVM-side in both
+    engines with integer results."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.substring("event_type", 1, 1).alias("c"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= 20)
+    paths = seq.groupBy("user_id").agg(
+        F.expr(
+            "array_join(transform(sort_array(collect_list(struct(rn, c))), s -> s.c), '')"
+        ).alias("path")
+    )
+    a = paths.select(F.col("user_id").alias("user_a"), F.col("path").alias("pa"))
+    b = paths.select(F.col("user_id").alias("user_b"), F.col("path").alias("pb"))
+    pairs = a.join(
+        b,
+        (F.substring("pa", 1, 1) == F.substring("pb", 1, 1))
+        & (F.col("user_a") < F.col("user_b")),
+    ).select(
+        "user_a", "user_b", F.levenshtein("pa", "pb").alias("dist")
+    )
+    return (
+        pairs.orderBy("dist", "user_a", "user_b")
+        .limit(10)
+        .select("user_a", "user_b", F.col("dist").cast("int").alias("edit_distance"))
+        .orderBy("edit_distance", "user_a", "user_b")
+    )
