@@ -16,7 +16,9 @@ Determinism rules used throughout:
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Iterator
+
+import pandas as pd  # noqa: F401 — pandas-UDF type hints resolve here
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -15692,4 +15694,100 @@ def trajectory_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("user_a", "user_b", F.col("dist").cast("int").alias("edit_distance"))
         .orderBy("edit_distance", "user_a", "user_b")
+    )
+
+
+@register(
+    "ml_inference_iterator_udf",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             [GREATEST(CAST(ROUND(CAST(x AS DOUBLE) * 64, 0) AS INT) + 128, 0)
+              FOR x IN embedding] AS qv
+      FROM embeddings),
+    scored AS (
+      SELECT vec_id,
+             SUM(val * (((i - 1) * 37) % 100 - 50)) AS num
+      FROM (SELECT vec_id, unnest(qv) AS val,
+                   unnest(range(1, len(qv) + 1)) AS i FROM q)
+      GROUP BY vec_id)
+    SELECT vec_id, ROUND(CAST(num AS DOUBLE) / 100, 4) AS score
+    FROM scored ORDER BY vec_id LIMIT 200
+    """,
+)
+def ml_inference_iterator_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model inference through an ITERATOR pandas UDF — the deployment
+    shape for scoring with a loaded model: the 'model' (a deterministic
+    integer weight vector) is constructed ONCE per executor task, before
+    the batch loop, and every Arrow batch reuses it — the amortization
+    that makes per-partition model loading viable at scale (loading per
+    row or per batch is the classic inference-pipeline bug). The dot
+    product stays int64 inside numpy, so the UDF output is exact and the
+    closed-form oracle reproduces it."""
+    from pyspark.sql import types as T
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = sim_mod.quantize_for_kmeans(emb, "vec_id", "embedding")
+
+    @F.pandas_udf(T.LongType())
+    def score_num(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as np
+
+        # one-time per-task "model load": runs before the batch loop
+        w = np.array([((i * 37) % 100) - 50 for i in range(64)], dtype=np.int64)
+        for s in batches:
+            mat = np.stack(s.to_numpy()).astype(np.int64)
+            yield pd.Series(mat[:, : len(w)] @ w)
+
+    return (
+        q.select("vec_id", score_num("qv").alias("num"))
+        .select(
+            "vec_id",
+            F.round(F.col("num").cast("double") / 100, 4).alias("score"),
+        )
+        .orderBy("vec_id")
+        .limit(200)
+    )
+
+
+@register(
+    "pandas_udaf_language_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars * n_chars) AS BIGINT) AS sum_sq_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def pandas_udaf_language_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A GROUPED_AGG pandas UDF (the Arrow-batched custom aggregate —
+    the numpy-side counterpart of a Catalyst UDAF) computing the sum of
+    squared document lengths per language. Integer arithmetic inside
+    numpy keeps the result order-independent, so the custom aggregate is
+    value-checked like any built-in. This is the API for aggregations
+    the built-ins can't express (sketch merges, model-state folds) while
+    keeping Arrow transfer and map-side grouping."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.LongType())
+    def sum_sq(v: pd.Series) -> int:
+        import numpy as np
+
+        a = v.to_numpy(dtype="int64")
+        return int((a * a).sum())
+
+    docs = _t(spark, sf_dir, "documents")
+    # GROUPED_AGG pandas UDFs cannot mix with JVM aggregates in one agg
+    # (INVALID_PANDAS_UDF_PLACEMENT) — the count rides a separate
+    # aggregate joined on the (tiny) group key
+    custom = docs.groupBy("lang").agg(
+        sum_sq("n_chars").cast("bigint").alias("sum_sq_chars")
+    )
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        custom.join(F.broadcast(counts), "lang")
+        .select("lang", "n_docs", "sum_sq_chars")
+        .orderBy("lang")
     )
