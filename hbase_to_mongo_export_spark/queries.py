@@ -15791,3 +15791,117 @@ def pandas_udaf_language_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "n_docs", "sum_sq_chars")
         .orderBy("lang")
     )
+
+
+@register(
+    "embedding_centroid_drift",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             [GREATEST(CAST(ROUND(CAST(x AS DOUBLE) * 64, 0) AS INT) + 128, 0)
+              FOR x IN embedding] AS qv
+      FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 8),
+    assign AS (
+      SELECT vec_id, cid, qv, vec_id % 2 AS half FROM (
+        SELECT x.vec_id, c.cid, x.qv,
+               ROW_NUMBER() OVER (
+                 PARTITION BY x.vec_id
+                 ORDER BY list_sum([ (x.qv[i] - c.cv[i]) * (x.qv[i] - c.cv[i])
+                                     FOR i IN range(1, len(x.qv) + 1) ]),
+                          c.cid) AS rn
+        FROM q x CROSS JOIN cents c)
+      WHERE rn = 1),
+    dimvals AS (
+      SELECT cid, half, unnest(qv) AS val,
+             unnest(range(1, len(qv) + 1)) AS d
+      FROM assign),
+    means AS (
+      SELECT cid, half, d, SUM(val) // COUNT(*) AS m
+      FROM dimvals GROUP BY cid, half, d),
+    counts AS (
+      SELECT cid, half, COUNT(*) AS n FROM assign GROUP BY cid, half),
+    drift AS (
+      SELECT a.cid, SUM((a.m - b.m) * (a.m - b.m)) AS d2
+      FROM means a JOIN means b ON b.cid = a.cid AND b.d = a.d
+      WHERE a.half = 0 AND b.half = 1
+      GROUP BY a.cid)
+    SELECT d.cid AS cluster_id,
+           CAST(c0.n AS BIGINT) AS n_half0,
+           CAST(c1.n AS BIGINT) AS n_half1,
+           ROUND(SQRT(CAST(d.d2 AS DOUBLE)), 6) AS centroid_drift
+    FROM drift d
+    JOIN counts c0 ON c0.cid = d.cid AND c0.half = 0
+    JOIN counts c1 ON c1.cid = d.cid AND c1.half = 1
+    ORDER BY cluster_id
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: vectors split into two
+    halves (vec_id parity — the before/after proxy), assigned to the
+    nearest of 8 fixed seed centroids, and each cluster's per-half
+    integer centroid compared by L2 — the production check that an
+    embedding model upgrade or a corpus shift hasn't silently moved the
+    space under an ANN index. Integer means (floor division on
+    non-negative sums is engine-identical) keep everything exact until
+    the final sqrt."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = sim_mod.quantize_for_kmeans(emb, "vec_id", "embedding")
+    cents = q.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+    dists = q.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", "qv",
+        F.expr(
+            "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), 0, (acc, x) -> acc + x)"
+        ).alias("dist"),
+    )
+    wassign = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    assign = (
+        dists.withColumn("rn", F.row_number().over(wassign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "qv", (F.col("vec_id") % 2).alias("half"))
+    )
+    assign = op_cache.track(assign.cache())
+    dimvals = assign.select(
+        "cid", "half", F.posexplode("qv").alias("d0", "val")
+    ).select("cid", "half", (F.col("d0") + 1).alias("d"), "val")
+    means = dimvals.groupBy("cid", "half", "d").agg(
+        F.expr("sum(val) div count(1)").alias("m")
+    )
+    counts = assign.groupBy("cid", "half").agg(F.count(F.lit(1)).alias("n"))
+    a = means.filter(F.col("half") == 0).select(
+        "cid", "d", F.col("m").alias("m0")
+    )
+    b = means.filter(F.col("half") == 1).select(
+        F.col("cid").alias("cid2"), F.col("d").alias("d2x"), F.col("m").alias("m1")
+    )
+    drift = (
+        a.join(b, (a.cid == b.cid2) & (a.d == b.d2x))
+        .groupBy("cid")
+        .agg(
+            F.sum(
+                (F.col("m0") - F.col("m1")) * (F.col("m0") - F.col("m1"))
+            ).alias("dd")
+        )
+    )
+    c0 = counts.filter(F.col("half") == 0).select(
+        "cid", F.col("n").alias("n_half0")
+    )
+    c1 = counts.filter(F.col("half") == 1).select(
+        F.col("cid").alias("cidb"), F.col("n").alias("n_half1")
+    )
+    return (
+        drift.join(F.broadcast(c0), "cid")
+        .join(F.broadcast(c1), drift.cid == c1.cidb)
+        .select(
+            F.col("cid").alias("cluster_id"),
+            F.col("n_half0").cast("bigint").alias("n_half0"),
+            F.col("n_half1").cast("bigint").alias("n_half1"),
+            F.round(F.sqrt(F.col("dd").cast("double")), 6).alias(
+                "centroid_drift"
+            ),
+        )
+        .orderBy("cluster_id")
+    )
