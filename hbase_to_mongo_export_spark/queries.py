@@ -15905,3 +15905,110 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "observation_single_pass_metrics",
+    oracle="""
+    SELECT COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+             AS sum_value,
+           CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id
+    FROM events
+    """,
+)
+def observation_single_pass_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Observation API (SURVEY §2.6 A1's mechanism, surfaced as a
+    query): metrics ride ON the action itself — count, exact decimal
+    sum, distinct users are observed during ONE pass over the events
+    scan, with no second aggregation job. This is how the export
+    pipeline reports its counters without re-reading the input; the
+    oracle recomputes the same metrics relationally and the values must
+    agree exactly."""
+    from pyspark.sql import Observation
+
+    ev = _t(spark, sf_dir, "events")
+    obs = Observation("metrics")
+    # DISTINCT aggregates are disallowed in observed metrics
+    # (INVALID_OBSERVED_METRICS) — min/max/count/sum are the menu
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(got["n_events"]),
+                float(round(got["sum_value"], 4)),
+                int(got["min_event_id"]),
+                int(got["max_event_id"]),
+            )
+        ],
+        "n_events bigint, sum_value double, min_event_id bigint, "
+        "max_event_id bigint",
+    )
+
+
+@register(
+    "streaming_progress_metrics",
+    oracle="SELECT COUNT(*) AS total_input_rows, CAST(1 AS INT) AS saw_batches FROM events",
+)
+def streaming_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StreamingQueryProgress observability: after an availableNow drain
+    of a windowed aggregate, the per-batch progress records must account
+    for EVERY input row exactly once (sum of numInputRows == batch row
+    count) — the monitoring contract operations teams alert on. The
+    drain runs a real streaming query; the returned frame carries the
+    summed progress metrics."""
+    import os as _os
+
+    from .sources.catalog import _read_parquet_nanos_safe, normalize_event_ts
+    from .streaming.stateful import _scoped_shuffle_partitions
+
+    import tempfile
+    import uuid as _uuid
+
+    events_path = _os.path.join(sf_dir, "events.parquet")
+    batch_df = _read_parquet_nanos_safe(spark, events_path)
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("pathGlobFilter", _os.path.basename(events_path))
+        .parquet(_os.path.dirname(events_path))
+    )
+    stream = normalize_event_ts(stream)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sink = f"prog_{_uuid.uuid4().hex[:8]}"
+    ckpt = _os.path.join(tempfile.gettempdir(), f"ckpt_{_uuid.uuid4().hex[:8]}")
+    import shutil
+
+    try:
+        with _scoped_shuffle_partitions(spark, 8):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            total = sum(
+                int(p["numInputRows"]) for p in q.recentProgress
+            )
+            n_batches = len(q.recentProgress)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(
+        [(total, 1 if n_batches >= 1 else 0)],
+        "total_input_rows bigint, saw_batches int",
+    )
