@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     # round 5+: linear algebra + iterative graph
     "embedding_power_iteration_pc1",
     "graph_kcore_decomposition",
+    # round 6+: keyphrases + the PQ search path
+    "rake_keyphrases",
+    "embedding_pq_adc_recall",
 ]
 
 

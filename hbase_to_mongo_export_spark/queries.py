@@ -16012,3 +16012,57 @@ def streaming_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(total, 1 if n_batches >= 1 else 0)],
         "total_input_rows bigint, saw_batches int",
     )
+
+
+@register(
+    "pandas_udaf_over_window",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id, CAST(value * 100 AS BIGINT) AS cents,
+             ts
+      FROM events WHERE event_type = 'purchase')
+    SELECT user_id, event_id,
+           CAST(SUM(cents * cents) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS rolling_sum_sq
+    FROM v
+    ORDER BY user_id, event_id
+    LIMIT 500
+    """,
+)
+def pandas_udaf_over_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A GROUPED_AGG pandas UDF evaluated OVER A WINDOW FRAME — the
+    custom-aggregate-as-window-function combination (Spark re-evaluates
+    the Arrow aggregate per frame): a rolling 3-event sum of squared
+    purchase cents per user. Cents are exact integers (value*100 rounds
+    to the same int64 in numpy and both SQL engines because the doubles
+    are identical), so the custom rolling aggregate carries a full value
+    oracle."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.LongType())
+    def sum_sq(v: pd.Series) -> int:
+        import numpy as np
+
+        a = v.to_numpy(dtype="int64")
+        return int((a * a).sum())
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    v = ev.select(
+        "user_id", "event_id", "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        v.select(
+            "user_id", "event_id",
+            sum_sq("cents").over(w).cast("bigint").alias("rolling_sum_sq"),
+        )
+        .orderBy("user_id", "event_id")
+        .limit(500)
+    )
