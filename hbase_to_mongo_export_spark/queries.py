@@ -16066,3 +16066,83 @@ def pandas_udaf_over_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "event_id")
         .limit(500)
     )
+
+
+@register(
+    "multimodal_image_near_dup_pairs",
+    oracle="""
+    WITH grid AS (
+      SELECT t.id, y.y, c.c,
+             (c.c * 16) // 9 AS xs, (y.y * 12) // 8 AS ys
+      FROM range(0, 50) t(id)
+      CROSS JOIN range(0, 8) y(y)
+      CROSS JOIN range(0, 9) c(c)),
+    gray AS (
+      SELECT id, y, c,
+             ((id * 31 + ((ys * 16 + xs) * 3 + 0)) % 256) +
+             ((id * 31 + ((ys * 16 + xs) * 3 + 1)) % 256) +
+             ((id * 31 + ((ys * 16 + xs) * 3 + 2)) % 256) AS g
+      FROM grid),
+    bits AS (
+      SELECT id, y, c,
+             CASE WHEN LEAD(g) OVER (PARTITION BY id, y ORDER BY c) > g
+                  THEN 1 ELSE 0 END AS b
+      FROM gray),
+    packed AS (
+      SELECT id,
+             SUM(CASE WHEN y < 4 AND b = 1
+                      THEN CAST(1 AS BIGINT) << (y * 8 + c) ELSE 0 END) AS hi,
+             SUM(CASE WHEN y >= 4 AND b = 1
+                      THEN CAST(1 AS BIGINT) << ((y - 4) * 8 + c) ELSE 0 END)
+               AS lo
+      FROM bits WHERE c < 8 GROUP BY id),
+    pairs AS (
+      SELECT bit_count(CAST(xor(a.hi, b.hi) AS BIGINT)) +
+             bit_count(CAST(xor(a.lo, b.lo) AS BIGINT)) AS hamming
+      FROM packed a JOIN packed b ON a.id < b.id)
+    SELECT CAST(hamming // 8 AS INT) AS hamming_band,
+           COUNT(*) AS n_pairs,
+           CAST(MIN(hamming) AS INT) AS min_hamming,
+           CAST(MAX(hamming) AS INT) AS max_hamming
+    FROM pairs
+    GROUP BY hamming // 8
+    ORDER BY hamming_band
+    """,
+)
+def multimodal_image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection closing the multimodal dedup loop:
+    pairwise Hamming distance between perceptual dHashes (the
+    really-decoded P6 pipeline), banded into a distance histogram — the
+    readout that calibrates a hamming threshold before bucketed
+    image dedup, exactly like the MinHash band sweep calibrates text
+    LSH. The hash table is media-sized, so the pair join is the small
+    diagnostic form; production pairing buckets on hash prefixes."""
+    media = mm_mod.synthetic_ppm_media(spark, n=50)
+    hashes = mm_mod.ppm_image_dhash(media)
+    a = hashes.select(
+        F.col("media_id").alias("ida"),
+        F.col("dhash_hi").alias("ha"),
+        F.col("dhash_lo").alias("la"),
+    )
+    b = hashes.select(
+        F.col("media_id").alias("idb"),
+        F.col("dhash_hi").alias("hb"),
+        F.col("dhash_lo").alias("lb"),
+    )
+    pairs = a.join(b, F.col("ida") < F.col("idb")).select(
+        (
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+            + F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+        ).alias("hamming")
+    )
+    return (
+        pairs.groupBy(
+            F.expr("hamming div 8").cast("int").alias("hamming_band")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("hamming").cast("int").alias("min_hamming"),
+            F.max("hamming").cast("int").alias("max_hamming"),
+        )
+        .orderBy("hamming_band")
+    )
