@@ -16146,3 +16146,29 @@ def multimodal_image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("hamming_band")
     )
+
+
+_REGR_SQL = """
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           ROUND(regr_avgx(l_extendedprice, l_quantity), 6) AS avg_qty,
+           ROUND(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """
+
+
+@register("regr_aggregate_family", oracle=_REGR_SQL)
+def regr_aggregate_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI linear-regression aggregate family (regr_slope /
+    intercept / r2 / count / avgx / avgy) grouped per return flag — one
+    identical SQL string on both engines, complementing the
+    normal-equations OLS query with the built-in single-feature path
+    (these are map-side-combinable moment aggregates under the hood,
+    which is why they exist as aggregates at all)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_REGR_SQL)
