@@ -16172,3 +16172,59 @@ def regr_aggregate_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is why they exist as aggregates at all)."""
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_REGR_SQL)
+
+
+_ORACLES["dedup_lexical_semantic_agreement"] = f"""
+    WITH lex AS (SELECT id_a, id_b FROM ({_ORACLES["dedup_ngram_jaccard_pairs"]}) t),
+    sem AS (SELECT id_a, id_b FROM ({_ORACLES["embedding_near_dup_pairs"]}) t)
+    SELECT (SELECT COUNT(*) FROM lex) AS n_lexical,
+           (SELECT COUNT(*) FROM sem) AS n_semantic,
+           (SELECT COUNT(*) FROM lex JOIN sem
+             ON sem.id_a = lex.id_a AND sem.id_b = lex.id_b) AS n_both,
+           (SELECT COUNT(*) FROM lex WHERE NOT EXISTS
+             (SELECT 1 FROM sem WHERE sem.id_a = lex.id_a
+                                  AND sem.id_b = lex.id_b)) AS n_lexical_only,
+           (SELECT COUNT(*) FROM sem WHERE NOT EXISTS
+             (SELECT 1 FROM lex WHERE lex.id_a = sem.id_a
+                                  AND lex.id_b = sem.id_b)) AS n_semantic_only
+    """
+
+
+@register("dedup_lexical_semantic_agreement")
+def dedup_lexical_semantic_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-agreement audit between the two near-dup detectors: exact
+    n-gram-Jaccard (lexical) vs hyperplane-bucketed embedding cosine
+    (semantic) over the id-aligned documents/embeddings corpus — the
+    readout a curation team uses to decide whether semantic dedup adds
+    anything over lexical on their data (here the synthetic embeddings
+    are uncorrelated with the text, so overlap should be near-chance —
+    which is itself the correct reading of the report). Composes two
+    already-oracled pipelines; all counts integer."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = dedup_mod.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.2, block_col="lang"
+    ).select("id_a", "id_b")
+    dim = len(emb.select("embedding").first()[0])
+    sem = sim_mod.embedding_near_dup_pairs(emb, dim=dim, threshold=0.2).select(
+        F.col("id_a").alias("sa"), F.col("id_b").alias("sb")
+    )
+    lex = op_cache.track(lex.cache())
+    sem = op_cache.track(sem.cache())
+    both = lex.join(
+        sem, (F.col("id_a") == F.col("sa")) & (F.col("id_b") == F.col("sb"))
+    )
+    nl = lex.agg(F.count(F.lit(1)).alias("n_lexical"))
+    ns = sem.agg(F.count(F.lit(1)).alias("n_semantic"))
+    nb = both.agg(F.count(F.lit(1)).alias("n_both"))
+    return (
+        nl.crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n_lexical",
+            "n_semantic",
+            "n_both",
+            (F.col("n_lexical") - F.col("n_both")).alias("n_lexical_only"),
+            (F.col("n_semantic") - F.col("n_both")).alias("n_semantic_only"),
+        )
+    )
