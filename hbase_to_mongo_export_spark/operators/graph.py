@@ -177,3 +177,75 @@ def bfs_hops(
         dist = dist.unionByName(new)
         frontier = new
     return dist
+
+
+def connected_components_two_phase(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star edge
+    rewriting (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the O(log n)-round algorithm that replaces
+    min-label propagation's O(diameter) rounds, which matters on long
+    path-shaped components at 100 TB where diameter can be millions.
+
+    Per round, with m(u) = min over the closed neighborhood of u:
+    - large-star rewrites every edge (u, v>u) to (v, m(u));
+    - small-star rewrites every edge (u, v<=u) to (v, m(u)) and links
+      u itself to m(u).
+    Both phases strictly shrink the potential function, and at fixpoint
+    every node carries a direct edge to its component minimum.
+
+    Returns (id, component) with component = min node id reachable —
+    the same contract as ``dedup.connected_components``, so the two are
+    interchangeable and cross-checkable.
+
+    Scale posture: each phase is one groupBy(node) shuffle over the
+    current edge set plus a distinct; the edge set only shrinks toward
+    one star edge per node. localCheckpoint per round cuts lineage; the
+    convergence probe is a bounded anti-join (limit-1 count).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e = e.localCheckpoint(eager=True)
+
+    def _phase(cur: DataFrame, large: bool) -> DataFrame:
+        m = cur.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        joined = cur.join(m, "u")
+        if large:
+            emitted = joined.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            )
+        else:
+            emitted = joined.filter(F.col("v") <= F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            ).union(m.select(F.col("u"), F.col("m").alias("v")))
+        out = emitted.filter(F.col("u") != F.col("v")).distinct()
+        sym = out.union(
+            out.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        return sym.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        prev = e
+        e = _phase(e, large=True)
+        e = _phase(e, large=False)
+        changed = (
+            e.exceptAll(prev).limit(1).count()
+            + prev.exceptAll(e).limit(1).count()
+        )
+        if changed == 0:
+            break
+    # at fixpoint every node's min neighbor IS the component minimum;
+    # the minimum node itself labels with its own id.
+    return e.groupBy(F.col("u").alias("id")).agg(
+        F.least(F.min("v"), F.first(F.col("u"))).alias("component")
+    )

@@ -16228,3 +16228,702 @@ def dedup_lexical_semantic_agreement(spark: SparkSession, sf_dir: str) -> DataFr
             (F.col("n_semantic") - F.col("n_both")).alias("n_semantic_only"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3: O(log n) connected components, the composed IVF+PQ search path,
+# the full-outer streaming join, seasonal decomposition, SQL-surface breadth
+# (UNION BY NAME / VALUES / EXECUTE IMMEDIATE), and training-pipeline batch
+# construction (preference pairs, length-grouped batching).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_cc_two_phase",
+    oracle="""
+    WITH RECURSIVE
+    sh AS (
+      SELECT doc_id, lang,
+             list_distinct([list_aggregate(words[i:i+2], 'string_agg', ' ')
+                            FOR i IN range(1, len(words) - 1)]) AS shingles
+      FROM (SELECT doc_id, lang,
+                   string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS words
+            FROM documents)
+      WHERE len(words) >= 3),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+            len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.2),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+    SELECT component AS cluster_id, COUNT(*) AS size
+    FROM comp GROUP BY component
+    ORDER BY size DESC, cluster_id
+    """,
+)
+def graph_cc_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by alternating large-star / small-star edge
+    rewriting (Kiveris et al., SoCC'14) on the same near-dup graph as
+    ``dedup_cluster_components`` — O(log n) rounds instead of
+    O(diameter), the variant that survives path-shaped components at
+    100 TB. Same output contract and the same recursive-CTE oracle as
+    the propagation variant, so the two algorithms cross-check each
+    other through the driver gate."""
+    from .streaming.stateful import _scoped_shuffle_partitions
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_mod.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.2, block_col="lang"
+    )
+    with _scoped_shuffle_partitions(spark, 32):
+        comp = graph_mod.connected_components_two_phase(pairs, "id_a", "id_b")
+        comp = comp.localCheckpoint(eager=True)
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .select(F.col("component").alias("cluster_id"), "size")
+        .orderBy(F.col("size").desc(), "cluster_id")
+    )
+
+
+@register(
+    "similarity_ivfpq_search",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             [GREATEST(CAST(ROUND(CAST(x AS DOUBLE) * 64, 0) AS INT) + 128, 0)
+              FOR x IN embedding] AS qv
+      FROM embeddings),
+    dims AS (
+      SELECT vec_id, pos0 // 8 AS sub, pos0 % 8 AS dpos, val
+      FROM (SELECT vec_id, unnest(qv) AS val,
+                   unnest(range(0, len(qv))) AS pos0 FROM q)),
+    coarse AS (
+      SELECT vec_id AS ccid, sub, dpos, val AS ccval
+      FROM dims WHERE vec_id < 8),
+    cd AS (
+      SELECT d.vec_id, c.ccid,
+             SUM((d.val - c.ccval) * (d.val - c.ccval)) AS dist
+      FROM dims d JOIN coarse c ON c.sub = d.sub AND c.dpos = d.dpos
+      GROUP BY d.vec_id, c.ccid),
+    assign AS (
+      SELECT vec_id, ccid AS list_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, ccid) AS rn
+        FROM cd) WHERE rn = 1),
+    probes AS (SELECT vec_id AS pid FROM q WHERE vec_id < 3),
+    probe_lists AS (
+      SELECT pid, ccid AS list_id FROM (
+        SELECT p.pid, cd.ccid,
+               ROW_NUMBER() OVER (PARTITION BY p.pid
+                                  ORDER BY cd.dist, cd.ccid) AS rn
+        FROM probes p JOIN cd ON cd.vec_id = p.pid) WHERE rn <= 2),
+    cand AS (
+      SELECT pl.pid, a.vec_id AS xid
+      FROM probe_lists pl JOIN assign a ON a.list_id = pl.list_id
+      WHERE a.vec_id <> pl.pid),
+    subcents AS (
+      SELECT vec_id AS cid, sub, dpos, val AS scval
+      FROM dims WHERE vec_id < 16),
+    code_d AS (
+      SELECT d.vec_id, d.sub, s.cid,
+             SUM((d.val - s.scval) * (d.val - s.scval)) AS dist
+      FROM dims d JOIN subcents s ON s.sub = d.sub AND s.dpos = d.dpos
+      GROUP BY d.vec_id, d.sub, s.cid),
+    codes AS (
+      SELECT vec_id, sub, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY dist, cid) AS rn
+        FROM code_d) WHERE rn = 1),
+    adc AS (
+      SELECT c.pid, c.xid, SUM(cd2.dist) AS adist
+      FROM cand c
+      JOIN codes k ON k.vec_id = c.xid
+      JOIN code_d cd2 ON cd2.vec_id = c.pid AND cd2.sub = k.sub
+                     AND cd2.cid = k.cid
+      GROUP BY c.pid, c.xid),
+    adc_top AS (
+      SELECT pid, xid FROM (
+        SELECT pid, xid,
+               ROW_NUMBER() OVER (PARTITION BY pid
+                                  ORDER BY adist, xid) AS rn
+        FROM adc) WHERE rn <= 20),
+    exact AS (
+      SELECT t.pid, t.xid,
+             SUM((dx.val - dp.val) * (dx.val - dp.val)) AS edist
+      FROM adc_top t
+      JOIN dims dp ON dp.vec_id = t.pid
+      JOIN dims dx ON dx.vec_id = t.xid AND dx.sub = dp.sub
+                  AND dx.dpos = dp.dpos
+      GROUP BY t.pid, t.xid)
+    SELECT pid AS probe_id, xid AS neighbor_id, CAST(rn AS INT) AS rank,
+           CAST(edist AS BIGINT) AS l2_sq
+    FROM (SELECT pid, xid, edist,
+                 ROW_NUMBER() OVER (PARTITION BY pid
+                                    ORDER BY edist, xid) AS rn
+          FROM exact)
+    WHERE rn <= 10
+    ORDER BY probe_id, rank
+    """,
+)
+def similarity_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED production ANN path (FAISS IVF+PQ shape): a coarse
+    quantizer restricts each probe to its nprobe=2 nearest inverted
+    lists, PQ asymmetric-distance lookup tables rank the surviving
+    candidates, and the ADC top-20 is re-ranked by exact quantized L2
+    to the final top-10 — candidate pruning, compressed scoring, and
+    exact re-rank verified end-to-end in integer arithmetic.
+
+    Plan at scale: the coarse assignment is a broadcast of 8 centroid
+    rows against the corpus (one pass), candidate generation is an
+    equi-join on list_id (no all-pairs stage), the ADC join touches
+    only candidates x 8 sub-codes with a broadcastable probe LUT, and
+    the exact re-rank touches 20 rows per probe."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qz = sim_mod.quantize_for_kmeans(emb, "vec_id", "embedding")
+    dims = qz.select(
+        "vec_id", F.posexplode("qv").alias("pos0", "val")
+    ).select(
+        "vec_id",
+        (F.col("pos0") / 8).cast("int").alias("sub"),
+        (F.col("pos0") % 8).alias("dpos"),
+        "val",
+    )
+    dims = op_cache.track(dims.cache())
+    coarse = dims.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("ccid"), "sub", "dpos", F.col("val").alias("ccval")
+    )
+    cd = (
+        dims.join(F.broadcast(coarse), ["sub", "dpos"])
+        .groupBy("vec_id", "ccid")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("ccval")) * (F.col("val") - F.col("ccval"))
+            ).alias("dist")
+        )
+    )
+    cd = op_cache.track(cd.cache())
+    w_assign = Window.partitionBy("vec_id").orderBy("dist", "ccid")
+    assign = (
+        cd.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("ccid").alias("list_id"))
+    )
+    w_probe = Window.partitionBy("pid").orderBy("dist", "ccid")
+    probe_lists = (
+        cd.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("pid"), "ccid", "dist")
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= 2)
+        .select("pid", F.col("ccid").alias("list_id"))
+    )
+    cand = (
+        assign.join(F.broadcast(probe_lists), "list_id")
+        .filter(F.col("vec_id") != F.col("pid"))
+        .select("pid", F.col("vec_id").alias("xid"))
+    )
+    subcents = dims.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), "sub", "dpos", F.col("val").alias("scval")
+    )
+    code_d = (
+        dims.join(F.broadcast(subcents), ["sub", "dpos"])
+        .groupBy("vec_id", "sub", "cid")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("scval")) * (F.col("val") - F.col("scval"))
+            ).alias("dist")
+        )
+    )
+    code_d = op_cache.track(code_d.cache())
+    w_code = Window.partitionBy("vec_id", "sub").orderBy("dist", "cid")
+    codes = (
+        code_d.withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", "cid")
+    )
+    probe_lut = code_d.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("pid"), "sub", "cid", F.col("dist").alias("ldist")
+    )
+    adc = (
+        cand.join(codes, cand.xid == codes.vec_id)
+        .join(F.broadcast(probe_lut), ["pid", "sub", "cid"])
+        .groupBy("pid", "xid")
+        .agg(F.sum("ldist").alias("adist"))
+    )
+    w_adc = Window.partitionBy("pid").orderBy("adist", "xid")
+    adc_top = (
+        adc.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= 20)
+        .select("pid", "xid")
+    )
+    dp = dims.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("pid"), "sub", "dpos", F.col("val").alias("pval")
+    )
+    exact = (
+        adc_top.join(dims, adc_top.xid == dims.vec_id)
+        .join(F.broadcast(dp), ["pid", "sub", "dpos"])
+        .groupBy("pid", "xid")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("pval")) * (F.col("val") - F.col("pval"))
+            ).alias("edist")
+        )
+    )
+    w_final = Window.partitionBy("pid").orderBy("edist", "xid")
+    return (
+        exact.withColumn("rn", F.row_number().over(w_final))
+        .filter(F.col("rn") <= 10)
+        .select(
+            F.col("pid").alias("probe_id"),
+            F.col("xid").alias("neighbor_id"),
+            F.col("rn").cast("int").alias("rank"),
+            F.col("edist").cast("bigint").alias("l2_sq"),
+        )
+        .orderBy("probe_id", "rank")
+    )
+
+
+@register(
+    "streaming_stream_stream_full_outer",
+    oracle="""
+    WITH m AS (
+      SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+      FROM events p JOIN events c
+        ON p.event_type = 'purchase' AND c.event_type = 'click'
+       AND c.user_id = p.user_id
+       AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts),
+    wm AS (
+      SELECT LEAST((SELECT MAX(ts) FROM events WHERE event_type = 'purchase'),
+                   (SELECT MAX(ts) FROM events WHERE event_type = 'click'))
+             - INTERVAL 2 HOUR AS w),
+    up AS (
+      SELECT p.user_id, p.event_id AS purchase_id,
+             CAST(NULL AS BIGINT) AS click_id
+      FROM events p, wm
+      WHERE p.event_type = 'purchase' AND p.ts < wm.w
+        AND NOT EXISTS (SELECT 1 FROM m WHERE m.purchase_id = p.event_id)),
+    uc AS (
+      SELECT c.user_id, CAST(NULL AS BIGINT) AS purchase_id,
+             c.event_id AS click_id
+      FROM events c, wm
+      WHERE c.event_type = 'click' AND c.ts + INTERVAL 1 HOUR < wm.w
+        AND NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.event_id))
+    SELECT * FROM (SELECT * FROM m UNION ALL SELECT * FROM up
+                   UNION ALL SELECT * FROM uc)
+    ORDER BY user_id, purchase_id, click_id
+    """,
+)
+def streaming_stream_stream_full_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER join, drained availableNow —
+    completes the inner/left/full join-mode matrix. Matched pairs equal
+    the batch range join; an unmatched purchase closes when the final
+    watermark passes its event time; an unmatched click closes when the
+    watermark passes click_ts + max_lag (the latest purchase that could
+    still match it). Both closure conditions are reproduced exactly in
+    the oracle's watermark arithmetic."""
+    import os as _os
+
+    from .streaming.incremental import stream_stream_full_outer_join
+
+    out = stream_stream_full_outer_join(
+        spark, _os.path.join(sf_dir, "events.parquet")
+    )
+    return out.orderBy("user_id", "purchase_id", "click_id")
+
+
+@register(
+    "orders_seasonal_decomposition",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                  AS DECIMAL(18,2)) AS rev
+      FROM orders GROUP BY 1),
+    win AS (
+      SELECT d, rev,
+             SUM(rev) OVER (ORDER BY d
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+             COUNT(*) OVER (ORDER BY d
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+      FROM daily),
+    detr AS (
+      SELECT d, isodow(d) - 1 AS dow, 7 * rev - s7 AS detr7
+      FROM win WHERE c7 = 7),
+    grp AS (
+      SELECT d, dow, detr7,
+             SUM(detr7) OVER (PARTITION BY dow) AS ssum,
+             COUNT(*) OVER (PARTITION BY dow) AS n
+      FROM detr)
+    SELECT CAST(dow AS INT) AS weekday,
+           CAST(MAX(n) AS BIGINT) AS n_days,
+           ROUND(CAST(MAX(ssum) AS DOUBLE) / (7 * MAX(n)), 4) AS seasonal,
+           ROUND(CAST(SUM(ABS(n * detr7 - ssum)) AS DOUBLE)
+                 / (7.0 * MAX(n) * MAX(n)), 4) AS mad_resid
+    FROM grp GROUP BY dow ORDER BY weekday
+    """,
+)
+def orders_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of the daily revenue series:
+    centered 7-observation moving-average trend, day-of-week seasonal
+    component from the detrended series, and the mean absolute residual
+    per weekday (how much weekly seasonality fails to explain). All
+    intermediate arithmetic is DECIMAL scaled by 7 (detr7 = 7*rev - sum7
+    is 7x the detrended value, n*detr7 - ssum is 7n x the residual) so
+    no division happens until the final rounded doubles — bit-exact in
+    both engines. One scan, two windows, one aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("decimal(18,2)")
+            .alias("rev")
+        )
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    win = daily.select(
+        "d",
+        "rev",
+        F.sum("rev").over(w7).alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("c7"),
+    )
+    detr = win.filter(F.col("c7") == 7).select(
+        "d",
+        F.weekday("d").alias("dow"),
+        (F.lit(7) * F.col("rev") - F.col("s7")).alias("detr7"),
+    )
+    wd = Window.partitionBy("dow")
+    grp = detr.select(
+        "dow",
+        "detr7",
+        F.sum("detr7").over(wd).alias("ssum"),
+        F.count(F.lit(1)).over(wd).alias("n"),
+    )
+    return (
+        grp.groupBy("dow")
+        .agg(
+            F.max("n").alias("mn"),
+            F.max("ssum").alias("mssum"),
+            F.sum(F.abs(F.col("n") * F.col("detr7") - F.col("ssum"))).alias(
+                "sabs"
+            ),
+        )
+        .select(
+            F.col("dow").cast("int").alias("weekday"),
+            F.col("mn").cast("bigint").alias("n_days"),
+            F.round(
+                F.col("mssum").cast("double") / (F.lit(7) * F.col("mn")), 4
+            ).alias("seasonal"),
+            F.round(
+                F.col("sabs").cast("double")
+                / (F.lit(7.0) * F.col("mn") * F.col("mn")),
+                4,
+            ).alias("mad_resid"),
+        )
+        .orderBy("weekday")
+    )
+
+
+@register(
+    "union_by_name_breadth",
+    oracle="""
+    WITH u AS (
+      SELECT * FROM (
+        SELECT o_orderkey AS k, 'orders' AS src,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS amount,
+               o_orderpriority AS priority
+        FROM orders
+        UNION ALL BY NAME
+        SELECT l_orderkey AS k,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS amount,
+               'lineitem' AS src,
+               CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem))
+    SELECT src,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN priority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_priority,
+           CAST(SUM(CASE WHEN qty IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_qty,
+           CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS total_amount
+    FROM u GROUP BY src ORDER BY src
+    """,
+)
+def union_by_name_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two relations with different column ORDER
+    and different column SETS combined by column NAME (Spark
+    ``unionByName(allowMissingColumns=True)``; DuckDB ``UNION ALL BY
+    NAME``), missing columns null-padded — the operator that survives a
+    source adding a field mid-crawl. The aggregate proves position-based
+    union would have been wrong (src/amount are swapped between the two
+    branches) and counts the padding nulls on each side."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("orders").alias("src"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("amount"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("amount"),
+        F.lit("lineitem").alias("src"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    u = o.unionByName(li, allowMissingColumns=True)
+    return (
+        u.groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("priority").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null_priority"),
+            F.sum(F.when(F.col("qty").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null_qty"),
+            F.round(F.sum("amount"), 2).cast("double").alias("total_amount"),
+        )
+        .orderBy("src")
+    )
+
+
+_VALUES_DIM_SQL = """
+    WITH dim(priority, tier) AS (VALUES
+      ('1-URGENT', 'hot'), ('2-HIGH', 'hot'), ('3-MEDIUM', 'warm'),
+      ('4-NOT SPECIFIED', 'cold'), ('5-LOW', 'cold'))
+    SELECT COALESCE(dim.tier, 'unknown') AS tier,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_revenue
+    FROM orders LEFT JOIN dim ON o_orderpriority = dim.priority
+    GROUP BY COALESCE(dim.tier, 'unknown')
+    ORDER BY tier
+    """
+
+
+@register("values_inline_dim_join", oracle=_VALUES_DIM_SQL)
+def values_inline_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES dimension table (the literal-CTE lookup every ad-hoc
+    analysis starts with) left-joined to the fact — ONE SQL string runs
+    unchanged on both engines, including the CTE column-alias form
+    ``dim(priority, tier) AS (VALUES ...)``. Catalyst folds the 5-row
+    VALUES relation into a broadcast hash join build side."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_VALUES_DIM_SQL)
+
+
+@register(
+    "execute_immediate_param",
+    oracle="""
+    SELECT o_orderpriority AS priority, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total
+    FROM orders WHERE o_totalprice > 400000
+    GROUP BY o_orderpriority ORDER BY priority
+    """,
+)
+def execute_immediate_param(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized dynamic SQL through Spark 4's EXECUTE IMMEDIATE ...
+    USING — the SQL-injection-safe templating surface (parameter markers
+    bind server-side; no string splicing). The oracle is the statically
+    bound equivalent, so the binding itself is what's verified."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """EXECUTE IMMEDIATE
+           'SELECT o_orderpriority AS priority, COUNT(*) AS n,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                        AS DOUBLE) AS total
+            FROM orders WHERE o_totalprice > ?
+            GROUP BY o_orderpriority ORDER BY priority'
+           USING 400000"""
+    )
+
+
+@register(
+    "preference_pair_construction",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, source,
+             (len(list_distinct(words)) * 1000000) // len(words) AS score
+      FROM (SELECT doc_id, lang, source,
+                   string_split_regex(regexp_replace(lower(trim(text)),
+                                                     '\\s+', ' ', 'g'),
+                                      ' ') AS words
+            FROM documents)
+      WHERE len(words) >= 1),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY lang, source
+                                ORDER BY score DESC, doc_id) AS rn_best,
+             ROW_NUMBER() OVER (PARTITION BY lang, source
+                                ORDER BY score ASC, doc_id) AS rn_worst,
+             COUNT(*) OVER (PARTITION BY lang, source) AS n_grp
+      FROM scored)
+    SELECT b.lang AS lang, b.source AS source,
+           b.doc_id AS chosen_doc, w.doc_id AS rejected_doc,
+           CAST(b.score AS BIGINT) AS chosen_score,
+           CAST(w.score AS BIGINT) AS rejected_score,
+           CAST(b.score - w.score AS BIGINT) AS margin
+    FROM ranked b JOIN ranked w
+      ON b.lang = w.lang AND b.source = w.source
+     AND b.rn_best = 1 AND w.rn_worst = 1
+    WHERE b.n_grp >= 2 AND b.doc_id <> w.doc_id
+    ORDER BY lang, source
+    """,
+)
+def preference_pair_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair assembly for reward-model / DPO-style training:
+    within each (lang, source) bucket the highest- and lowest-quality
+    documents (quality = integer-scaled distinct-word ratio, exact in
+    both engines) become the (chosen, rejected) pair with its score
+    margin. Buckets with fewer than 2 docs are skipped. Two ranking
+    windows over one scored scan; at 100 TB the bucket key is the
+    partition key and each window is a per-bucket top-1."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.split(
+                F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "
+            ).alias("words"),
+        )
+        .filter(F.size("words") >= 1)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.expr(
+                "CAST(size(array_distinct(words)) * 1000000 AS BIGINT) div size(words)"
+            ).alias("score"),
+        )
+    )
+    wb = Window.partitionBy("lang", "source").orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+    ww = Window.partitionBy("lang", "source").orderBy(
+        F.col("score").asc(), "doc_id"
+    )
+    wg = Window.partitionBy("lang", "source")
+    ranked = scored.select(
+        "*",
+        F.row_number().over(wb).alias("rn_best"),
+        F.row_number().over(ww).alias("rn_worst"),
+        F.count(F.lit(1)).over(wg).alias("n_grp"),
+    )
+    b = ranked.filter((F.col("rn_best") == 1) & (F.col("n_grp") >= 2)).select(
+        "lang",
+        "source",
+        F.col("doc_id").alias("chosen_doc"),
+        F.col("score").alias("chosen_score"),
+    )
+    w = ranked.filter(F.col("rn_worst") == 1).select(
+        F.col("lang").alias("wl"),
+        F.col("source").alias("ws"),
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("score").alias("rejected_score"),
+    )
+    return (
+        b.join(
+            w,
+            (F.col("lang") == F.col("wl")) & (F.col("source") == F.col("ws")),
+        )
+        .filter(F.col("chosen_doc") != F.col("rejected_doc"))
+        .select(
+            "lang",
+            "source",
+            "chosen_doc",
+            "rejected_doc",
+            F.col("chosen_score").cast("bigint").alias("chosen_score"),
+            F.col("rejected_score").cast("bigint").alias("rejected_score"),
+            (F.col("chosen_score") - F.col("rejected_score"))
+            .cast("bigint")
+            .alias("margin"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "length_grouped_batches",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             len(string_split_regex(regexp_replace(lower(trim(text)),
+                                                   '\\s+', ' ', 'g'),
+                                    ' ')) AS n_tok
+      FROM documents),
+    sorted_b AS (
+      SELECT doc_id, n_tok,
+             (ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) - 1) // 32
+               AS batch_id
+      FROM toks),
+    byid_b AS (
+      SELECT doc_id, n_tok,
+             (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // 32 AS batch_id
+      FROM toks),
+    s AS (
+      SELECT batch_id, COUNT(*) AS n_docs, MAX(n_tok) AS max_sorted,
+             CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT)
+               AS waste_sorted
+      FROM sorted_b GROUP BY batch_id),
+    i AS (
+      SELECT batch_id, MAX(n_tok) AS max_byid,
+             CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT) AS waste_byid
+      FROM byid_b GROUP BY batch_id)
+    SELECT s.batch_id, s.n_docs,
+           CAST(s.max_sorted AS BIGINT) AS max_sorted, s.waste_sorted,
+           CAST(i.max_byid AS BIGINT) AS max_byid, i.waste_byid
+    FROM s JOIN i ON s.batch_id = i.batch_id
+    ORDER BY s.batch_id
+    """,
+)
+def length_grouped_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batching (the dynamic-padding trick every training
+    loader uses): documents sorted by token count form batches of 32,
+    and per-batch padding waste (n*max - sum of lengths) is compared
+    against naive arrival-order batching — the measured win of sorting.
+    All integers. At 100 TB the global sort is one range exchange; the
+    naive side exists only for the comparison and would be dropped in
+    production."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.split(
+                F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "
+            )
+        ).alias("n_tok"),
+    )
+    ws = Window.orderBy(F.col("n_tok").desc(), "doc_id")
+    wi = Window.orderBy("doc_id")
+    sorted_b = toks.select(
+        "n_tok",
+        ((F.row_number().over(ws) - 1) / 32).cast("bigint").alias("batch_id"),
+    )
+    byid_b = toks.select(
+        "n_tok",
+        ((F.row_number().over(wi) - 1) / 32).cast("bigint").alias("batch_id"),
+    )
+    s = sorted_b.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tok").cast("bigint").alias("max_sorted"),
+        (F.count(F.lit(1)) * F.max("n_tok") - F.sum("n_tok"))
+        .cast("bigint")
+        .alias("waste_sorted"),
+    )
+    i = byid_b.groupBy("batch_id").agg(
+        F.max("n_tok").cast("bigint").alias("max_byid"),
+        (F.count(F.lit(1)) * F.max("n_tok") - F.sum("n_tok"))
+        .cast("bigint")
+        .alias("waste_byid"),
+    )
+    return s.join(i, "batch_id").orderBy("batch_id")

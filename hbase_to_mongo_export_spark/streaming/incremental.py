@@ -252,6 +252,57 @@ def stream_stream_left_outer_join(
     return _drain(joined, "append")
 
 
+def stream_stream_full_outer_join(
+    spark: SparkSession,
+    events_path: str,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    max_lag: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER join — the last cell of the
+    join-mode matrix (inner / left / full). Matched pairs emit as they
+    join; an unmatched PURCHASE closes out when the watermark passes its
+    event time (future clicks have ts >= wm and the condition needs
+    click_ts <= purchase_ts); an unmatched CLICK closes out when the
+    watermark passes click_ts + max_lag (matchable purchases live in
+    [click_ts, click_ts + max_lag]). Rows inside either final horizon
+    stay withheld — that asymmetric withholding is the event-time outer
+    contract, and the oracle reproduces both closure conditions. State
+    stays O(rate x horizon) on both sides."""
+    ev = _event_stream(spark, events_path)
+    left = (
+        ev.filter(F.col("event_type") == left_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    right = (
+        ev.filter(F.col("event_type") == right_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_lag}"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "fullOuter",
+    ).select(
+        F.coalesce(F.col("user_id"), F.col("click_user")).alias("user_id"),
+        "purchase_id",
+        "click_id",
+    )
+    return _drain(joined, "append")
+
+
 def stream_dedup_keys(
     spark: SparkSession,
     events_path: str,

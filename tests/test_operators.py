@@ -591,6 +591,36 @@ def test_connected_components_chain_triangle_singleton(spark):
                    (10, 10), (11, 10), (12, 10), (20, 20)}
 
 
+def test_two_phase_cc_matches_propagation(spark):
+    """Alternating large-star/small-star CC must agree with min-label
+    propagation on adversarial shapes: a long chain (worst case for
+    propagation, the two-phase algorithm's reason to exist), a dense
+    clique, a star rooted at the LARGEST id, and disjoint pairs."""
+    import random
+
+    from hbase_to_mongo_export_spark.operators.dedup import connected_components
+    from hbase_to_mongo_export_spark.operators.graph import (
+        connected_components_two_phase,
+    )
+
+    edges = []
+    edges += [(i, i + 1) for i in range(100, 120)]          # 21-node chain
+    edges += [(a, b) for a in range(200, 205) for b in range(a + 1, 205)]
+    edges += [(399, i) for i in range(390, 399)]            # star, max-id hub
+    edges += [(500 + 2 * i, 501 + 2 * i) for i in range(5)]  # disjoint pairs
+    rng = random.Random(7)
+    rng.shuffle(edges)
+    e = spark.createDataFrame(edges, ["id_a", "id_b"])
+    want = {
+        (r["id"], r["component"]) for r in connected_components(e).collect()
+    }
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components_two_phase(e).collect()
+    }
+    assert got == want
+
+
 class TestChunkEdgeCases:
     """Edge behavior of chunk_dedup_20word on the real query path: only
     COMPLETE 20-word chunks count; short/empty docs contribute none."""
