@@ -16927,3 +16927,43 @@ def length_grouped_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("waste_byid"),
     )
     return s.join(i, "batch_id").orderBy("batch_id")
+
+
+@register(
+    "streaming_restart_state_recovery",
+    oracle="""
+    WITH cnt AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    sides AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+             event_type,
+             MAX(CASE WHEN ts < TIMESTAMP '2024-01-15 12:00:00'
+                      THEN 1 ELSE 0 END) AS has_a,
+             MAX(CASE WHEN ts >= TIMESTAMP '2024-01-15 12:00:00'
+                      THEN 1 ELSE 0 END) AS has_b
+      FROM events GROUP BY 1, 2)
+    SELECT c.window_start, c.event_type, c.n,
+           CAST(s.has_a + s.has_b AS INT) AS n_updates
+    FROM cnt c JOIN sides s
+      ON s.window_start = c.window_start AND s.event_type = c.event_type
+    ORDER BY c.window_start, c.event_type
+    """,
+)
+def streaming_restart_state_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint restart with state recovery — the contract that makes
+    incremental-batch streaming deployable: drain pre-cut events, STOP,
+    add the post-cut file, start a NEW query on the SAME checkpoint. The
+    offset log skips already-read files and the state store carries the
+    first run's window counts, so straddling windows update to the
+    combined count (n_updates = 2) and every final count equals the
+    one-shot batch answer. The oracle derives both from the raw events."""
+    import os as _os
+
+    from .streaming.incremental import restart_state_recovery
+
+    out = restart_state_recovery(
+        spark, _os.path.join(sf_dir, "events.parquet")
+    )
+    return out.orderBy("window_start", "event_type")

@@ -634,3 +634,99 @@ def events_upsert_serving(spark: SparkSession, events_path: str) -> DataFrame:
         return spark.createDataFrame(rows, final.schema)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+def restart_state_recovery(
+    spark: SparkSession,
+    events_path: str,
+    cut: str = "2024-01-15 12:00:00",
+    window_duration: str = "1 day",
+) -> DataFrame:
+    """A GENUINE stop-and-restart from checkpoint: events before ``cut``
+    are staged alone, a windowed count in UPDATE mode drains them and
+    TERMINATES; the post-``cut`` file is then added and a brand-new
+    query with the SAME checkpoint drains it. The offset log makes the
+    second run skip file A entirely, and the state store carries the
+    first run's window counts across the restart — so a window with
+    rows on both sides of the cut emits its A-only count in run 1 and
+    the combined A+B count in run 2 (n_updates = 2), which is only
+    possible if recovered state merged with new input.
+
+    Returns (window_start, event_type, n, n_updates) where ``n`` is the
+    last emitted count per window — equal to the one-shot batch answer,
+    the exactly-once restart contract. No watermark: update-mode state
+    here is bounded by the window count; production adds a watermark
+    for TTL (see ``late_data_window_counts`` for that contract)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import datetime as _dt
+
+    stage = tempfile.mkdtemp(prefix="restart_stage_")
+    src_dir = os.path.join(stage, "src")
+    out_dir = os.path.join(stage, "out")
+    ckpt = os.path.join(stage, "ckpt")
+    os.makedirs(src_dir)
+    t = pq.read_table(events_path)
+    ts_idx = t.schema.get_field_index("ts")
+    t = t.set_column(ts_idx, "ts", t.column("ts").cast(pa.timestamp("us")))
+    cut_scalar = pa.scalar(
+        _dt.datetime.fromisoformat(cut), type=pa.timestamp("us")
+    )
+    before = pc.less(t.column("ts"), cut_scalar)
+    path_a = os.path.join(src_dir, "a.parquet")
+    path_b = os.path.join(stage, "b.parquet")  # staged OUTSIDE src for now
+    pq.write_table(t.filter(before), path_a)
+    pq.write_table(t.filter(pc.invert(before)), path_b)
+
+    try:
+        schema = spark.read.parquet(path_a).schema
+        from ..sources.catalog import normalize_event_ts
+        from .stateful import _scoped_shuffle_partitions
+
+        def run_drain() -> None:
+            stream = spark.readStream.schema(schema).parquet(src_dir)
+            stream = normalize_event_ts(stream)
+            agg = (
+                stream.groupBy(
+                    F.window("ts", window_duration).alias("w"),
+                    F.col("event_type"),
+                )
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(
+                    F.col("w.start").alias("window_start"), "event_type", "n"
+                )
+            )
+
+            def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+                batch_df.withColumn(
+                    "batch_id", F.lit(batch_id)
+                ).write.mode("append").parquet(out_dir)
+
+            with _scoped_shuffle_partitions(spark, 8):
+                q = (
+                    agg.writeStream.foreachBatch(write_batch)
+                    .outputMode("update")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+
+        run_drain()                      # run 1: file A only, then STOP
+        os.replace(path_b, os.path.join(src_dir, "b.parquet"))
+        run_drain()                      # run 2: same checkpoint, B only
+
+        emitted = spark.read.parquet(out_dir)
+        final = (
+            emitted.groupBy("window_start", "event_type")
+            .agg(
+                F.max_by("n", "batch_id").alias("n"),
+                F.count(F.lit(1)).cast("int").alias("n_updates"),
+            )
+        )
+        rows = final.collect()           # stage dir is deleted below
+        return spark.createDataFrame(rows, final.schema)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
