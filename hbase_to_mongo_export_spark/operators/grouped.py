@@ -107,3 +107,64 @@ def arrow_text_bytes(df: DataFrame, lang_col: str = "lang", text_col: str = "tex
             )
 
     return df.select(lang_col, text_col).mapInArrow(run, TEXT_BYTES_SCHEMA)
+
+
+COGROUP_ASOF_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("purchase_id", T.LongType()),
+        T.StructField("last_click_id", T.LongType()),
+        T.StructField("n_prior_clicks", T.LongType()),
+    ]
+)
+
+
+def cogrouped_asof_merge(left: DataFrame, right: DataFrame) -> DataFrame:
+    """The COGROUPED grouped-map surface (``groupBy().cogroup().
+    applyInPandas``): both sides shuffle on the key once and each pandas
+    call receives the two aligned groups — the API for per-key merge
+    logic that needs full visibility of both sides (as-of alignment,
+    interval reconciliation, per-entity diffing).
+
+    Semantics here: for each purchase, the most recent click at or
+    before its timestamp (ties on ts break to the highest event_id) and
+    the count of prior clicks — computed vectorized with searchsorted
+    over the per-user click timeline, never a per-row Python loop.
+
+    ``left``: (user_id, purchase_id, ts); ``right``: (user_id,
+    click_id, ts). Keys present on only one side still produce calls
+    (the other frame arrives empty) — purchases without clicks emit
+    NULL/0, clicks without purchases emit nothing, which the oracle's
+    LEFT JOIN reproduces.
+    """
+    import numpy as np
+
+    def merge(key, lp: pd.DataFrame, rp: pd.DataFrame) -> pd.DataFrame:
+        if len(lp) == 0:
+            return pd.DataFrame(
+                columns=["user_id", "purchase_id", "last_click_id",
+                         "n_prior_clicks"]
+            )
+        lp = lp.sort_values(["ts", "purchase_id"])
+        rp = rp.sort_values(["ts", "click_id"])
+        lts = lp["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        rts = rp["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        n_prior = np.searchsorted(rts, lts, side="right")
+        click_ids = rp["click_id"].to_numpy()
+        last = [
+            int(click_ids[i - 1]) if i > 0 else None for i in n_prior
+        ]
+        return pd.DataFrame(
+            {
+                "user_id": lp["user_id"].to_numpy(),
+                "purchase_id": lp["purchase_id"].to_numpy(),
+                "last_click_id": pd.array(last, dtype="Int64"),
+                "n_prior_clicks": n_prior.astype("int64"),
+            }
+        )
+
+    return (
+        left.groupBy("user_id")
+        .cogroup(right.groupBy("user_id"))
+        .applyInPandas(merge, COGROUP_ASOF_SCHEMA)
+    )

@@ -581,3 +581,65 @@ def _decode_wav_samples(payload: bytes):
     if data is None:
         raise ValueError("no data chunk")
     return np.frombuffer(bytes(data), dtype="<i2")
+
+
+def video_scene_cuts(
+    df: DataFrame,
+    every_ms: int = 1000,
+    threshold: int = 10,
+    fake: bool = True,
+) -> DataFrame:
+    """Scene-change detection over sampled video frames: per frame a
+    luminance value, a cut wherever consecutive frames differ by more
+    than ``threshold``. Real impl: decode sampled frames (ffmpeg) and
+    average pixel luma. Fake: frame i's luma is the REAL payload byte at
+    offset (i*7) mod len — the mapInPandas plumbing, frame loop, and
+    cut logic run on actual bytes, only the codec is substituted, and a
+    SQL oracle can reproduce the byte reads for ASCII payloads."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("frame decode requires ffmpeg")
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                dur = int(row["meta"]["duration_ms"] or 0)
+                nb = len(payload)
+                if nb == 0:
+                    continue
+                lumas = [
+                    payload[(i * 7) % nb] for i in range(dur // every_ms)
+                ]
+                cuts = [
+                    i
+                    for i in range(1, len(lumas))
+                    if abs(lumas[i] - lumas[i - 1]) > threshold
+                ]
+                rows.append(
+                    {
+                        "media_id": row["media_id"],
+                        "n_frames": len(lumas),
+                        "n_cuts": len(cuts),
+                        "first_cut_ts": cuts[0] * every_ms if cuts else None,
+                    }
+                )
+            out = pd.DataFrame(
+                rows, columns=["media_id", "n_frames", "n_cuts", "first_cut_ts"]
+            )
+            out["media_id"] = out["media_id"].astype("int64")
+            out["n_frames"] = out["n_frames"].astype("int64")
+            out["n_cuts"] = out["n_cuts"].astype("int64")
+            yield out
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("n_cuts", T.LongType()),
+            T.StructField("first_cut_ts", T.LongType()),
+        ]
+    )
+    return df.filter(F.col("meta.media_type") == "video").mapInPandas(
+        run, schema
+    )

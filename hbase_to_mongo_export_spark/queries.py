@@ -16967,3 +16967,83 @@ def streaming_restart_state_recovery(spark: SparkSession, sf_dir: str) -> DataFr
         spark, _os.path.join(sf_dir, "events.parquet")
     )
     return out.orderBy("window_start", "event_type")
+
+
+@register(
+    "multimodal_video_scene_cuts",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id AS media_id, text,
+             ((doc_id % 5) + 1) * 3 AS n_frames, len(text) AS nb
+      FROM documents WHERE doc_id % 3 = 0 AND len(text) > 0),
+    f AS (
+      SELECT media_id, n_frames, CAST(t.i AS INT) AS i,
+             ascii(substr(text, CAST((t.i * 7) % nb AS INT) + 1, 1)) AS luma
+      FROM v, UNNEST(range(0, n_frames)) AS t(i)),
+    d AS (
+      SELECT media_id, n_frames, i, luma,
+             LAG(luma) OVER (PARTITION BY media_id ORDER BY i) AS prev
+      FROM f)
+    SELECT media_id,
+           CAST(MAX(n_frames) AS BIGINT) AS n_frames,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND ABS(luma - prev) > 10
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+           CAST(MIN(CASE WHEN prev IS NOT NULL AND ABS(luma - prev) > 10
+                         THEN i * 1000 END) AS BIGINT) AS first_cut_ts
+    FROM d GROUP BY media_id ORDER BY media_id
+    """,
+)
+def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-change detection closing the multimodal analysis loop:
+    sampled frames -> per-frame luminance -> cut where consecutive lumas
+    jump past the threshold. The fake codec reads REAL payload bytes
+    (luma = byte at (i*7) mod len), so the whole mapInPandas pipeline is
+    value-checked — the oracle replays the byte reads with
+    ascii(substr(...)) on the ASCII payloads."""
+    media = _media_from_documents(spark, sf_dir, "video", "mp4", 3, 0)
+    return mm_mod.video_scene_cuts(media, every_ms=1000, threshold=10).orderBy(
+        "media_id"
+    )
+
+
+@register(
+    "cogrouped_asof_user_merge",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id, ts
+      FROM events WHERE event_type = 'purchase'),
+    c AS (
+      SELECT user_id, event_id AS click_id, ts
+      FROM events WHERE event_type = 'click'),
+    j AS (
+      SELECT p.user_id, p.purchase_id, c.click_id,
+             ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                ORDER BY c.ts DESC, c.click_id DESC) AS rn,
+             COUNT(c.click_id) OVER (PARTITION BY p.purchase_id)
+               AS n_prior
+      FROM p LEFT JOIN c
+        ON c.user_id = p.user_id AND c.ts <= p.ts)
+    SELECT user_id, purchase_id, click_id AS last_click_id,
+           CAST(n_prior AS BIGINT) AS n_prior_clicks
+    FROM j WHERE rn = 1
+    ORDER BY purchase_id
+    """,
+)
+def cogrouped_asof_user_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cogrouped grouped-map surface (groupBy().cogroup()
+    .applyInPandas) — the one Python-UDF shape the registry didn't yet
+    pin: purchases and clicks shuffle on user_id ONCE each and align
+    per key in pandas, where a vectorized searchsorted computes each
+    purchase's most recent prior click and prior-click count. Same
+    semantics as the pure-SQL as-of join, so the oracle doubles as a
+    cross-check between the built-in and UDF paths."""
+    from .operators.grouped import cogrouped_asof_merge
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    return cogrouped_asof_merge(p, c).orderBy("purchase_id")
