@@ -249,3 +249,112 @@ def connected_components_two_phase(
     return e.groupBy(F.col("u").alias("id")).agg(
         F.least(F.min("v"), F.first(F.col("u"))).alias("component")
     )
+
+
+def fm_neighborhood_function(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    hops: int = 3,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """ANF/HyperANF-style approximate neighborhood function (Palmer et
+    al. ANF, KDD'02; Boldi et al. HyperANF, WWW'11): every node carries
+    ``n_hashes`` Flajolet-Martin bitmaps of its reachable set; one
+    BIT_OR shuffle per hop unions neighbor sketches — O(hops) rounds
+    and O(n) state for what exact BFS-from-every-node would need O(n²).
+    This is how graph diameter/closeness is estimated at 100 TB.
+
+    Everything is integer arithmetic on md5-derived bits, so a SQL
+    oracle replays every round exactly:
+    - node bit: h = md5-int("t:id"), masked to 32 bits; the FM bit is
+      the lowest set bit ``h & -h`` (or bit 31 when the mask is 0);
+    - per-node FM statistic: lowest ZERO bit of the unioned sketch,
+      extracted as the integer ``(s+1) & ~s`` (= 2^r, no log needed);
+    - estimate: sum over nodes of mean(2^r)/0.77351 — the only float,
+      rounded at the end.
+
+    Returns one row per hop 0..``hops``: (hop, n_nodes, sum_r2,
+    est_total_reach), where sum_r2 is the exact integer sum of 2^r
+    over nodes and hashes.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    sym = _cache.track(sym.cache())
+    nodes = sym.select(F.col("u").alias("id")).distinct()
+
+    def bit_expr(t: int) -> str:
+        h = (
+            f"conv(substr(md5(concat('{t}', ':', cast(id as string))), 1, 15)"
+            ", 16, 10)"
+        )
+        m = f"(cast({h} as bigint) % 4294967296)"
+        return (
+            f"CASE WHEN {m} = 0 THEN cast(2147483648 as bigint) "
+            f"ELSE {m} & (-{m}) END"
+        )
+
+    sk = nodes.select(
+        "id",
+        *[F.expr(bit_expr(t)).alias(f"b{t}") for t in range(n_hashes)],
+    )
+    sk = sk.localCheckpoint(eager=True)
+
+    def hop_stats(s: DataFrame, hop: int):
+        rv = " + ".join(
+            f"((b{t} + 1) & ~b{t})" for t in range(n_hashes)
+        )
+        row = s.select(
+            F.expr(f"cast({rv} as bigint)").alias("rv")
+        ).agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("rv").cast("bigint").alias("sum_r2"),
+        ).collect()[0]
+        return (hop, row["n_nodes"], row["sum_r2"])
+
+    out_rows = [hop_stats(sk, 0)]
+    for h in range(1, hops + 1):
+        nb = (
+            sym.join(sk, sym.v == sk.id)
+            .groupBy("u")
+            .agg(
+                *[
+                    F.bit_or(f"b{t}").alias(f"nb{t}")
+                    for t in range(n_hashes)
+                ]
+            )
+        )
+        sk = (
+            sk.join(nb, sk.id == nb.u, "left")
+            .select(
+                "id",
+                # SQL `|` is bitwise OR on integers (the Python-level
+                # Column `|` would be logical OR and fail analysis)
+                *[
+                    F.expr(
+                        f"b{t} | coalesce(nb{t}, cast(0 as bigint))"
+                    ).alias(f"b{t}")
+                    for t in range(n_hashes)
+                ],
+            )
+        )
+        sk = sk.localCheckpoint(eager=True)
+        out_rows.append(hop_stats(sk, h))
+
+    spark = edges.sparkSession
+    # the estimate is the ONLY float — computed in Spark SQL (HALF_UP
+    # rounding, matching DuckDB) rather than Python (banker's rounding)
+    return spark.createDataFrame(
+        out_rows, "hop int, n_nodes bigint, sum_r2 bigint"
+    ).select(
+        "hop",
+        "n_nodes",
+        "sum_r2",
+        F.round(
+            F.col("sum_r2").cast("double")
+            / (F.lit(n_hashes) * F.lit(0.77351)),
+            4,
+        ).alias("est_total_reach"),
+    )

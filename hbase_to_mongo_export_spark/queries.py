@@ -17047,3 +17047,151 @@ def cogrouped_asof_user_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("event_id").alias("click_id"), "ts"
     )
     return cogrouped_asof_merge(p, c).orderBy("purchase_id")
+
+
+@register(
+    "training_shard_manifest",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             len(string_split_regex(regexp_replace(lower(trim(text)),
+                                                   '\\s+', ' ', 'g'), ' '))
+               AS n_tok,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 16 AS shard_id
+      FROM documents)
+    SELECT CAST(shard_id AS INT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+           CAST(bit_xor(doc_id) AS BIGINT) AS xor_fingerprint,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM t GROUP BY shard_id ORDER BY shard_id
+    """,
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shard manifest a pretraining writer materializes next to its
+    output: docs hash-assigned to 16 shards (stable under reprocessing,
+    no shuffle skew — md5 spreads any doc_id distribution), per-shard
+    doc/token/byte totals for balance monitoring, and an order-free
+    XOR fingerprint + id range for cheap shard-content verification
+    after a rewrite. One hash-aggregate; at 100 TB shard count scales
+    with the cluster and this query is the writer's audit artifact."""
+    docs = _t(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 16
+    )
+    t = docs.select(
+        F.col("doc_id"),
+        F.col("n_chars"),
+        F.size(
+            F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+        ).alias("n_tok"),
+        shard.cast("int").alias("shard_id"),
+    )
+    return (
+        t.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_bytes"),
+            F.bit_xor("doc_id").cast("bigint").alias("xor_fingerprint"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+_FM_BIT = (
+    "CASE WHEN (CAST('0x' || substr(md5('{t}' || ':' || CAST(id AS VARCHAR)), 1, 15) AS BIGINT) % 4294967296) = 0 "
+    "THEN CAST(2147483648 AS BIGINT) "
+    "ELSE (CAST('0x' || substr(md5('{t}' || ':' || CAST(id AS VARCHAR)), 1, 15) AS BIGINT) % 4294967296) "
+    "& (-(CAST('0x' || substr(md5('{t}' || ':' || CAST(id AS VARCHAR)), 1, 15) AS BIGINT) % 4294967296)) END"
+)
+
+
+def _fm_oracle() -> str:
+    bits = ",\n             ".join(
+        _FM_BIT.format(t=t) + f" AS b{t}" for t in range(4)
+    )
+
+    def step(prev: str, cur: str) -> str:
+        ors = ", ".join(
+            f"(s.b{t} | COALESCE(n.b{t}, 0)) AS b{t}" for t in range(4)
+        )
+        aggs = ", ".join(f"bit_or({prev}.b{t}) AS b{t}" for t in range(4))
+        return f"""{cur} AS (
+      SELECT s.id, {ors}
+      FROM {prev} s LEFT JOIN (
+        SELECT und.u AS id, {aggs}
+        FROM und JOIN {prev} ON {prev}.id = und.v
+        GROUP BY und.u) n ON n.id = s.id)"""
+
+    rv = " + ".join(f"((b{t} + 1) & (~b{t}))" for t in range(4))
+    stats = "\n    UNION ALL ".join(
+        f"SELECT {h} AS hop, COUNT(*) AS n_nodes, SUM({rv}) AS sum_r2 FROM s{h}"
+        for h in range(4)
+    )
+    return f"""
+    WITH so AS (SELECT DISTINCT l_suppkey AS s, l_orderkey AS o FROM lineitem),
+    w AS (
+      SELECT a.s AS u, b.s AS v, COUNT(*) AS c
+      FROM so a JOIN so b ON a.o = b.o AND a.s < b.s
+      GROUP BY a.s, b.s),
+    sym AS (
+      SELECT u AS x, v AS y, c FROM w
+      UNION ALL SELECT v AS x, u AS y, c FROM w),
+    sel AS (
+      SELECT x, y FROM (
+        SELECT x, y,
+               ROW_NUMBER() OVER (PARTITION BY x ORDER BY c DESC, y) AS rn
+        FROM sym)
+      WHERE rn <= 3),
+    e AS (
+      SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v FROM sel),
+    und AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+    nodes AS (SELECT DISTINCT u AS id FROM und),
+    s0 AS (
+      SELECT id, {bits}
+      FROM nodes),
+    {step("s0", "s1")},
+    {step("s1", "s2")},
+    {step("s2", "s3")},
+    stats AS (
+    {stats})
+    SELECT CAST(hop AS INT) AS hop, n_nodes,
+           CAST(sum_r2 AS BIGINT) AS sum_r2,
+           ROUND(CAST(sum_r2 AS DOUBLE) / (4 * CAST(0.77351 AS DOUBLE)), 4)
+             AS est_total_reach
+    FROM stats ORDER BY hop
+    """
+
+
+@register("graph_neighborhood_function_fm", oracle=_fm_oracle())
+def graph_neighborhood_function_fm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANF/HyperANF approximate neighborhood function over the sparsified
+    supplier co-order graph: Flajolet-Martin reachability sketches
+    unioned via one BIT_OR shuffle per hop — the O(hops)-round scalable
+    answer to 'how big is the h-neighborhood' that exact all-pairs BFS
+    can't give at 100 TB. Every bitmap bit, union, and lowest-zero-bit
+    statistic is integer arithmetic the oracle replays hop by hop."""
+    li = _t(spark, sf_dir, "lineitem")
+    so = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_orderkey").alias("o")
+    ).distinct()
+    w = (
+        so.alias("a")
+        .join(
+            so.alias("b"),
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    edges = graph_mod.top_k_cooccurrence_edges(w, k=3)
+    return graph_mod.fm_neighborhood_function(
+        edges, "u", "v", hops=3, n_hashes=4
+    ).orderBy("hop")
