@@ -17195,3 +17195,134 @@ def graph_neighborhood_function_fm(spark: SparkSession, sf_dir: str) -> DataFram
     return graph_mod.fm_neighborhood_function(
         edges, "u", "v", hops=3, n_hashes=4
     ).orderBy("hop")
+
+
+def _bpe_train_oracle() -> str:
+    """Three BPE training rounds in static SQL: each round's winning pair
+    is a scalar subquery (argmax with count-desc, pair-asc tiebreak) and
+    the merge is the same left-to-right list_reduce fold Spark runs."""
+
+    def pair_cte(prev: str, p: str) -> str:
+        return f"""{p} AS (
+      SELECT syms[i] AS a, syms[i + 1] AS b, SUM(freq) AS n
+      FROM (SELECT freq, string_split(acc, '|') AS syms FROM {prev}) t,
+           UNNEST(range(1, len(syms))) AS u(i)
+      GROUP BY syms[i], syms[i + 1])"""
+
+    def merge_cte(prev: str, m: str, r: str) -> str:
+        return f"""{r} AS (
+      SELECT w, freq,
+             list_reduce(string_split(acc, '|'),
+               (acc2, s) -> CASE
+                 WHEN (acc2 = {m}.a OR acc2 LIKE '%|' || {m}.a)
+                      AND s = {m}.b
+                 THEN substr(acc2, 1, length(acc2) - length({m}.a))
+                      || {m}.a || {m}.b
+                 ELSE acc2 || '|' || s END) AS acc
+      FROM {prev}, {m})"""
+
+    parts = [
+        """vocab AS (
+      SELECT w, COUNT(*) AS freq FROM (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents) t
+      WHERE len(w) >= 1 GROUP BY w)""",
+        """r0 AS (
+      SELECT w, freq,
+             list_aggregate([w[i] FOR i IN range(1, len(w) + 1)],
+                            'string_agg', '|') AS acc
+      FROM vocab)""",
+    ]
+    outs = []
+    for i in (1, 2, 3):
+        prev = f"r{i - 1}"
+        parts.append(pair_cte(prev, f"p{i}"))
+        parts.append(
+            f"m{i} AS (SELECT a, b, n FROM p{i} ORDER BY n DESC, a, b LIMIT 1)"
+        )
+        parts.append(merge_cte(prev, f"m{i}", f"r{i}"))
+        parts.append(
+            f"st{i} AS (SELECT SUM(freq * len(string_split(acc, '|'))) "
+            f"AS tot FROM r{i})"
+        )
+        outs.append(
+            f"SELECT {i} AS rnd, m.a AS sym_a, m.b AS sym_b, "
+            f"m.a || m.b AS merged, CAST(m.n AS BIGINT) AS pair_count, "
+            f"CAST(st.tot AS BIGINT) AS corpus_symbols_after "
+            f"FROM m{i} m, st{i} st"
+        )
+    union = "\n      UNION ALL ".join(outs)
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT CAST(rnd AS INT) AS round, sym_a, sym_b, merged, pair_count,
+           corpus_symbols_after
+    FROM ({union}) ORDER BY round
+    """
+
+
+@register("bpe_train_3rounds", oracle=_bpe_train_oracle())
+def bpe_train_3rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE TRAINING loop itself, three full rounds: count adjacent
+    symbol pairs over the weighted vocabulary, pick the argmax (ties
+    break count-desc then pair-asc), apply the merge with the canonical
+    left-to-right fold, recount. The driver sees exactly one argmax row
+    per round (how real distributed BPE trainers work — the corpus-scale
+    pair count is a hash aggregate, only the winner is collected); the
+    fold runs as a higher-order aggregate expression, never a Python
+    UDF. The oracle replays all three rounds with the same tiebreaks
+    and the same fold semantics (verified identical left-to-right
+    non-overlapping merge in both engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+        )
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    state = vocab.select(
+        "w", "freq", F.concat_ws("|", F.split("w", "")).alias("acc")
+    )
+    state = state.localCheckpoint(eager=True)
+    rows = []
+    for rnd in (1, 2, 3):
+        pairs = (
+            state.select("freq", F.split("acc", r"\|").alias("syms"))
+            .filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(syms) - 2), "
+                        "i -> struct(syms[i] AS a, syms[i + 1] AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("n"))
+        )
+        top = pairs.orderBy(F.desc("n"), "a", "b").limit(1).collect()[0]
+        a, b, n = top["a"], top["b"], int(top["n"])
+        fold = (
+            "aggregate(slice(split(acc,'\\\\|'), 2, size(split(acc,'\\\\|')) - 1), "
+            "element_at(split(acc,'\\\\|'), 1), "
+            "(acc2, s) -> CASE "
+            f"WHEN (acc2 = '{a}' OR acc2 like concat('%|', '{a}')) "
+            f"AND s = '{b}' "
+            f"THEN concat(substr(acc2, 1, length(acc2) - {len(a)}), '{a}{b}') "
+            "ELSE concat(acc2, '|', s) END)"
+        )
+        state = state.select(
+            "w", "freq", F.expr(fold).alias("acc")
+        ).localCheckpoint(eager=True)
+        tot = state.agg(
+            F.sum(F.col("freq") * F.size(F.split("acc", r"\|"))).alias("t")
+        ).collect()[0]["t"]
+        rows.append((rnd, a, b, a + b, n, int(tot)))
+    return spark.createDataFrame(
+        rows,
+        "round int, sym_a string, sym_b string, merged string, "
+        "pair_count bigint, corpus_symbols_after bigint",
+    ).orderBy("round")
