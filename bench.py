@@ -63,6 +63,13 @@ BENCH_QUERIES = [
     # round 6+: keyphrases + the PQ search path
     "rake_keyphrases",
     "embedding_pq_adc_recall",
+    # round 7+: log-round CC, composed IVF+PQ, BPE training, ANF sketches,
+    # checkpoint-restart streaming
+    "graph_cc_two_phase",
+    "similarity_ivfpq_search",
+    "bpe_train_3rounds",
+    "graph_neighborhood_function_fm",
+    "streaming_restart_state_recovery",
 ]
 
 

@@ -17326,3 +17326,127 @@ def bpe_train_3rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round int, sym_a string, sym_b string, merged string, "
         "pair_count bigint, corpus_symbols_after bigint",
     ).orderBy("round")
+
+
+@register(
+    "map_hof_breadth",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type),
+    t AS (SELECT user_id, SUM(n) AS tot FROM c GROUP BY user_id)
+    SELECT c.user_id, c.event_type, CAST(c.n AS BIGINT) AS n_total,
+           CAST((c.n * 1000) // t.tot AS BIGINT) AS share_permille
+    FROM c JOIN t ON t.user_id = c.user_id
+    ORDER BY c.user_id, c.event_type
+    """,
+)
+def map_hof_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order-function breadth — the MapType algebra DuckDB
+    doesn't have natively, verified by exploding back to rows: per-user
+    event-type count maps built for each half of the month
+    (map_from_entries), merged with map_zip_with (null-padded sum over
+    the key union), normalized with transform_values (integer per-mille
+    against the map's aggregate total), then map_entries + explode. The
+    oracle computes the same numbers relationally — pinning that the
+    map-side algebra loses nothing."""
+    ev = _t(spark, sf_dir, "events")
+    halves = (
+        ev.select(
+            "user_id",
+            "event_type",
+            (F.col("ts") < F.lit("2024-01-16").cast("timestamp")).alias(
+                "first_half"
+            ),
+        )
+        .groupBy("user_id", "event_type", "first_half")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    maps = (
+        halves.groupBy("user_id", "first_half")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("event_type", "n")))
+            ).alias("m")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("first_half", "m"))
+            ).alias("byhalf")
+        )
+        .select(
+            "user_id",
+            F.expr(
+                "map_zip_with("
+                "  coalesce(element_at(byhalf, true), map()),"
+                "  coalesce(element_at(byhalf, false), map()),"
+                "  (k, v1, v2) -> coalesce(v1, 0L) + coalesce(v2, 0L))"
+            ).alias("m"),
+        )
+        .select(
+            "user_id",
+            "m",
+            F.expr(
+                "aggregate(map_values(m), 0L, (acc, v) -> acc + v)"
+            ).alias("tot"),
+        )
+        .select(
+            "user_id",
+            F.expr(
+                "transform_values(m, (k, v) -> struct(v AS n, "
+                "(v * 1000) div tot AS pm))"
+            ).alias("shares"),
+        )
+    )
+    return (
+        maps.select(
+            "user_id",
+            F.explode(F.expr("map_entries(shares)")).alias("e"),
+        )
+        .select(
+            "user_id",
+            F.col("e.key").alias("event_type"),
+            F.col("e.value.n").cast("bigint").alias("n_total"),
+            F.col("e.value.pm").cast("bigint").alias("share_permille"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+@register(
+    "window_median_trailing",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(MEDIAN(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS med5
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+)
+def window_median_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An exact MOVING MEDIAN — the holistic aggregate over a sliding
+    frame that DuckDB runs natively (MEDIAN ... OVER ROWS) but Spark
+    refuses ([INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC]); the engine
+    supplies it by collecting the 5-row frame into a sorted array and
+    selecting the middle element(s) — bounded state (frame width), and
+    exact selection/two-element-average semantics identical to DuckDB's."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    arr = F.sort_array(F.collect_list("value").over(w))
+    med = F.expr(
+        "CASE WHEN size(arr) % 2 = 1 "
+        "THEN element_at(arr, cast((size(arr) + 1) div 2 as int)) "
+        "ELSE (element_at(arr, cast(size(arr) div 2 as int)) "
+        "      + element_at(arr, cast(size(arr) div 2 + 1 as int))) / 2 END"
+    )
+    return (
+        ev.select("user_id", "event_id", arr.alias("arr"))
+        .select("user_id", "event_id", F.round(med, 6).alias("med5"))
+        .orderBy("user_id", "event_id")
+    )
