@@ -234,16 +234,17 @@ def connected_components_two_phase(
         ).distinct()
         return sym.localCheckpoint(eager=True)
 
+    prev_count = e.count()
     for _ in range(max_iter):
         prev = e
         e = _phase(e, large=True)
         e = _phase(e, large=False)
-        changed = (
-            e.exceptAll(prev).limit(1).count()
-            + prev.exceptAll(e).limit(1).count()
-        )
-        if changed == 0:
+        # both sets are distinct, so |e| == |prev| plus e ⊆ prev-or-empty
+        # difference proves equality — one exceptAll probe, not two
+        cur_count = e.count()
+        if cur_count == prev_count and e.exceptAll(prev).limit(1).isEmpty():
             break
+        prev_count = cur_count
     # at fixpoint every node's min neighbor IS the component minimum;
     # the minimum node itself labels with its own id.
     return e.groupBy(F.col("u").alias("id")).agg(

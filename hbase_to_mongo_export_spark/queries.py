@@ -17450,3 +17450,164 @@ def window_median_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", F.round(med, 6).alias("med5"))
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "spatial_grid_neighbor_join",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':x'), 1, 15)
+                  AS BIGINT) % 10000 AS x,
+             CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':y'), 1, 15)
+                  AS BIGINT) % 10000 AS y
+      FROM customer),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+      FROM pts a JOIN pts b ON a.id < b.id
+      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 22500)
+    SELECT id_a, id_b, CAST(d2 AS BIGINT) AS d2
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY d2, id_a, id_b) AS rn
+          FROM pairs)
+    WHERE rn <= 20 ORDER BY d2, id_a, id_b
+    """,
+)
+def spatial_grid_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join by GRID BLOCKING — the all-pairs killer for
+    point data at scale: md5-derived integer coordinates bucket into
+    radius-sized cells, each point probes its 3x3 cell neighborhood
+    (equi-join on cell id, 9 candidate cells), and the exact integer
+    L2 filter runs only on candidates. Cost is sum of cell-pair sizes,
+    not n² — the same blocking idea as LSH buckets, in 2-D. The oracle
+    brute-forces the same radius query (gate-sized input), so grid
+    completeness — a neighbor can never be more than one cell away —
+    is what's being verified."""
+    cust = _t(spark, sf_dir, "customer")
+    coord = (
+        "CAST(conv(substr(md5(concat(cast(c_custkey as string), ':{ax}')), 1, 15), 16, 10) "
+        "AS BIGINT) % 10000"
+    )
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.expr(coord.format(ax="x")).alias("x"),
+        F.expr(coord.format(ax="y")).alias("y"),
+    )
+    pts = op_cache.track(pts.cache())
+    cell = pts.select(
+        "id", "x", "y",
+        (F.col("x") / 150).cast("long").alias("cx"),
+        (F.col("y") / 150).cast("long").alias("cy"),
+    )
+    probes = cell.select(
+        F.col("id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(
+            F.expr(
+                "flatten(transform(array(-1, 0, 1), "
+                "dx -> transform(array(-1, 0, 1), "
+                "dy -> struct(cx + dx AS cx, cy + dy AS cy))))"
+            )
+        ).alias("c"),
+    ).select("id_a", "xa", "ya", F.col("c.cx").alias("cx"), F.col("c.cy").alias("cy"))
+    cand = probes.join(
+        cell.select(
+            F.col("id").alias("id_b"),
+            F.col("x").alias("xb"),
+            F.col("y").alias("yb"),
+            "cx",
+            "cy",
+        ),
+        ["cx", "cy"],
+    ).filter(F.col("id_a") < F.col("id_b"))
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    pairs = cand.select("id_a", "id_b", d2.alias("d2")).filter(
+        F.col("d2") <= 22500
+    )
+    w = Window.orderBy("d2", "id_a", "id_b")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("id_a", "id_b", F.col("d2").cast("bigint").alias("d2"))
+        .orderBy("d2", "id_a", "id_b")
+    )
+
+
+@register(
+    "phrase_search_positional",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, CAST(u.i AS INT) AS p, words[u.i] AS w
+      FROM (SELECT doc_id,
+                   string_split_regex(regexp_replace(lower(trim(text)),
+                                                     '\\s+', ' ', 'g'),
+                                      ' ') AS words
+            FROM documents) t,
+           UNNEST(range(1, len(words) + 1)) AS u(i)),
+    top2 AS (
+      SELECT w, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS rk
+      FROM pos GROUP BY w),
+    w1 AS (SELECT w FROM top2 WHERE rk = 1),
+    w2 AS (SELECT w FROM top2 WHERE rk = 2),
+    occ AS (
+      SELECT a.doc_id, COUNT(*) AS n_occ
+      FROM pos a JOIN pos b
+        ON b.doc_id = a.doc_id AND b.p = a.p + 1
+      WHERE a.w = (SELECT w FROM w1) AND b.w = (SELECT w FROM w2)
+      GROUP BY a.doc_id)
+    SELECT doc_id, CAST(n_occ AS BIGINT) AS n_occ,
+           (SELECT w FROM w1) AS term_1, (SELECT w FROM w2) AS term_2
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY n_occ DESC, doc_id) AS rn
+          FROM occ)
+    WHERE rn <= 20 ORDER BY n_occ DESC, doc_id
+    """,
+)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase search (the IR operator BM25 can't do):
+    (doc, position, term) postings self-joined on position adjacency
+    find exact occurrences of the corpus's two most frequent words as a
+    phrase. The phrase is data-derived (top-2 terms, deterministic
+    tiebreak) so the query is non-trivially non-empty at every SF. At
+    100 TB the postings join is an equi-join on (doc, position) after
+    term-selective filters — the standard sharded positional-index
+    probe."""
+    docs = _t(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+        ).alias("p0", "w"),
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "w")
+    pos = op_cache.track(pos.cache())
+    top = (
+        pos.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "w")
+        .limit(2)
+        .collect()
+    )
+    w1, w2 = top[0]["w"], top[1]["w"]
+    a = pos.filter(F.col("w") == w1).select("doc_id", "p")
+    b = pos.filter(F.col("w") == w2).select(
+        F.col("doc_id").alias("db"), F.col("p").alias("pb")
+    )
+    occ = (
+        a.join(b, (F.col("db") == F.col("doc_id")) & (F.col("pb") == F.col("p") + 1))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    w = Window.orderBy(F.desc("n_occ"), "doc_id")
+    return (
+        occ.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select(
+            "doc_id",
+            F.col("n_occ").cast("bigint").alias("n_occ"),
+            F.lit(w1).alias("term_1"),
+            F.lit(w2).alias("term_2"),
+        )
+        .orderBy(F.desc("n_occ"), "doc_id")
+    )
