@@ -16466,7 +16466,9 @@ def similarity_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("pid"), "sub", "dpos", F.col("val").alias("pval")
     )
     exact = (
-        adc_top.join(dims, adc_top.xid == dims.vec_id)
+        # adc_top is <= 20 rows per probe — broadcast it against the
+        # corpus-scale dims scan rather than shuffling dims
+        dims.join(F.broadcast(adc_top), dims.vec_id == adc_top.xid)
         .join(F.broadcast(dp), ["pid", "sub", "dpos"])
         .groupBy("pid", "xid")
         .agg(
@@ -17610,4 +17612,168 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(w2).alias("term_2"),
         )
         .orderBy(F.desc("n_occ"), "doc_id")
+    )
+
+
+@register(
+    "markov_next_event_accuracy",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS nxt_ts
+      FROM events),
+    train AS (
+      SELECT event_type AS prev, nxt FROM seq
+      WHERE nxt IS NOT NULL AND nxt_ts < TIMESTAMP '2024-01-16'),
+    model AS (
+      SELECT prev, nxt AS predicted FROM (
+        SELECT prev, nxt, ROW_NUMBER() OVER (
+          PARTITION BY prev ORDER BY COUNT(*) DESC, nxt) AS rk
+        FROM train GROUP BY prev, nxt) WHERE rk = 1),
+    test AS (
+      SELECT event_type AS prev, nxt FROM seq
+      WHERE nxt IS NOT NULL AND ts >= TIMESTAMP '2024-01-16'),
+    scored AS (
+      SELECT t.prev, t.nxt, m.predicted FROM test t
+      LEFT JOIN model m ON m.prev = t.prev)
+    SELECT prev AS prev_type,
+           COUNT(*) AS n_transitions,
+           CAST(SUM(CASE WHEN predicted IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_covered,
+           CAST(SUM(CASE WHEN nxt = predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           ROUND(CAST(SUM(CASE WHEN nxt = predicted THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS accuracy
+    FROM scored GROUP BY prev ORDER BY prev
+    """,
+)
+def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-split model evaluation in one lazy plan: a first-order
+    Markov next-event predictor trained on pre-cut transitions (argmax
+    next type per previous type, deterministic tiebreak) and scored on
+    post-cut transitions via broadcast of the 4-row model — the
+    train/evaluate harness shape every behavioral model ships with.
+    Transitions assign to train/test by the time of the TARGET event, so
+    the split leaks nothing backward."""
+    ev = _t(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lead("event_type").over(wseq).alias("nxt"),
+        F.lead("ts").over(wseq).alias("nxt_ts"),
+    ).filter(F.col("nxt").isNotNull())
+    seq = op_cache.track(seq.cache())
+    cut = F.lit("2024-01-16").cast("timestamp")
+    train = seq.filter(F.col("nxt_ts") < cut).select(
+        F.col("event_type").alias("prev"), "nxt"
+    )
+    wm = Window.partitionBy("prev").orderBy(F.desc("n"), "nxt")
+    model = (
+        train.groupBy("prev", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(wm))
+        .filter(F.col("rk") == 1)
+        .select(F.col("prev").alias("mprev"), F.col("nxt").alias("predicted"))
+    )
+    test = seq.filter(F.col("ts") >= cut).select(
+        F.col("event_type").alias("prev"), "nxt"
+    )
+    scored = test.join(
+        F.broadcast(model), test.prev == model.mprev, "left"
+    )
+    return (
+        scored.groupBy(F.col("prev").alias("prev_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.sum(F.when(F.col("predicted").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_covered"),
+            F.sum(F.when(F.col("nxt") == F.col("predicted"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_correct"),
+            F.round(
+                F.sum(
+                    F.when(F.col("nxt") == F.col("predicted"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("accuracy"),
+        )
+        .orderBy("prev_type")
+    )
+
+
+@register(
+    "entity_resolution_canonicalize",
+    oracle="""
+    WITH RECURSIVE
+    pairs AS (
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+    comp AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id),
+    clusters AS (
+      SELECT canonical_id, COUNT(*) AS n_members FROM comp
+      GROUP BY canonical_id)
+    SELECT c.canonical_id, c.n_members, p.p_name AS canonical_name
+    FROM clusters c JOIN part p ON p.p_partkey = c.canonical_id
+    ORDER BY c.n_members DESC, c.canonical_id
+    LIMIT 20
+    """,
+)
+def entity_resolution_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full entity-resolution pipeline: blocked fuzzy candidate pairs
+    (brand block, Levenshtein <= 2) -> connected components -> one
+    canonical record per entity cluster (min id, its name carried as the
+    survivor). Composes the blocking join with the same CC machinery the
+    dedup path uses — match, cluster, canonicalize is the ER end-game a
+    master-data pipeline runs at 100 TB, and every stage here is
+    value-checked through the recursive-closure oracle."""
+    from .streaming.stateful import _scoped_shuffle_partitions
+
+    part = _t(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name_b"),
+    )
+    pairs = (
+        a.join(b, "brand")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.levenshtein("name_a", "name_b").between(1, 2))
+        .select("id_a", "id_b")
+    )
+    with _scoped_shuffle_partitions(spark, 32):
+        comp = dedup_mod.connected_components(pairs, "id_a", "id_b")
+        comp = comp.localCheckpoint(eager=True)
+    clusters = comp.groupBy(F.col("component").alias("canonical_id")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    names = part.select(
+        F.col("p_partkey").alias("canonical_id"),
+        F.col("p_name").alias("canonical_name"),
+    )
+    return (
+        clusters.join(names, "canonical_id")
+        .select("canonical_id", "n_members", "canonical_name")
+        .orderBy(F.desc("n_members"), "canonical_id")
+        .limit(20)
     )
