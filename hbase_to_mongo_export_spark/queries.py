@@ -17777,3 +17777,232 @@ def entity_resolution_canonicalize(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.desc("n_members"), "canonical_id")
         .limit(20)
     )
+
+
+@register(
+    "bm25_mrr_eval",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+      FROM documents WHERE trim(text) <> ''),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+           FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+             CAST(COUNT(*) AS BIGINT) AS n FROM dl),
+    probes AS (SELECT DISTINCT doc_id AS qid FROM tok WHERE doc_id % 50 = 0),
+    qterms AS (
+      SELECT qid, t FROM (
+        SELECT tok.doc_id AS qid, t,
+               ROW_NUMBER() OVER (PARTITION BY tok.doc_id
+                                  ORDER BY COUNT(*) DESC, t) AS rk
+        FROM tok JOIN probes ON probes.qid = tok.doc_id
+        GROUP BY tok.doc_id, t) WHERE rk <= 3),
+    tfq AS (
+      SELECT t, doc_id, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok
+      WHERE t IN (SELECT DISTINCT t FROM qterms) GROUP BY t, doc_id),
+    dfreq AS (SELECT t, COUNT(*) AS df FROM tfq GROUP BY t),
+    idf AS (
+      SELECT t, ROUND(ln((CAST((SELECT n FROM stats) AS DOUBLE) -
+                          CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+                         (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) +
+                         CAST(1 AS DOUBLE)), 6) AS idf
+      FROM dfreq),
+    terms_scored AS (
+      SELECT q.qid, f.doc_id, f.t,
+             i.idf * (f.tf * CAST(2.2 AS DOUBLE)) /
+               (f.tf + CAST(1.2 AS DOUBLE) *
+                (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+                 d.dl / (SELECT avgdl FROM stats))) AS s
+      FROM qterms q
+      JOIN tfq f ON f.t = q.t
+      JOIN dl d ON d.doc_id = f.doc_id
+      JOIN idf i ON i.t = q.t),
+    scored AS (
+      SELECT qid, doc_id,
+             list_reduce(list(s ORDER BY t), (a, b) -> a + b) AS score
+      FROM terms_scored GROUP BY qid, doc_id),
+    ranked AS (
+      SELECT qid, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id) AS rnk
+      FROM scored),
+    hits AS (
+      SELECT p.qid,
+             MAX(CASE WHEN r.doc_id = p.qid AND r.rnk <= 10
+                      THEN 2520 // r.rnk ELSE 0 END) AS rr2520
+      FROM probes p LEFT JOIN ranked r ON r.qid = p.qid
+      GROUP BY p.qid)
+    SELECT COUNT(*) AS n_queries,
+           CAST(SUM(CASE WHEN rr2520 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_found_top10,
+           CAST(SUM(rr2520) AS BIGINT) AS mrr_x2520,
+           ROUND(CAST(SUM(rr2520) AS DOUBLE) /
+                 (CAST(2520 AS DOUBLE) * COUNT(*)), 6) AS mrr_at10
+    FROM hits
+    """,
+)
+def bm25_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation harness: every 50th document becomes
+    a query (its own top-3 terms), BM25 ranks the corpus per query
+    through the inverted index, and MRR@10 measures whether the source
+    document comes back — the pseudo-relevance self-retrieval check run
+    before shipping any ranker change. Float traps handled exactly:
+    per-document scores fold term-ascending (identical left-to-right
+    sum both engines), and MRR accumulates as integer 2520/rank
+    (lcm of 1..10) so the only float division happens once at the end.
+    At 100 TB the probe set is a fixed sample and every join is
+    term-selective postings — no all-pairs stage."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.filter(F.trim("text") != "").select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("t"),
+    )
+    tok = op_cache.track(tok.cache())
+    dl = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("dl")
+    )
+    dl = op_cache.track(dl.cache())
+    stats = dl.agg(
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    ).collect()[0]
+    avgdl, n_docs = float(stats["avgdl"]), int(stats["n"])
+    probes = tok.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("qid")
+    ).distinct()
+    wq = Window.partitionBy("qid").orderBy(F.desc("c"), "t")
+    qterms = (
+        tok.join(F.broadcast(probes), tok.doc_id == probes.qid)
+        .groupBy("qid", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= 3)
+        .select("qid", "t")
+    )
+    qterms = op_cache.track(qterms.cache())
+    terms = qterms.select("t").distinct()
+    tfq = (
+        tok.join(F.broadcast(terms), "t")
+        .groupBy("t", "doc_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = tfq.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.select(
+        "t",
+        F.round(
+            F.log(
+                (F.lit(float(n_docs)) - F.col("df").cast("double") + F.lit(0.5))
+                / (F.col("df").cast("double") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+            6,
+        ).alias("idf"),
+    )
+    ts = (
+        qterms.join(tfq, "t")
+        .join(F.broadcast(idf), "t")
+        .join(dl, "doc_id")
+        .select(
+            "qid",
+            "doc_id",
+            "t",
+            (
+                F.col("idf")
+                * (F.col("tf") * F.lit(2.2))
+                / (
+                    F.col("tf")
+                    + F.lit(1.2)
+                    * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl))
+                )
+            ).alias("s"),
+        )
+    )
+    scored = (
+        ts.groupBy("qid", "doc_id")
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(t, s))), "
+                "cast(0 as double), (acc, e) -> acc + e.s)"
+            ).alias("score")
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("score"), "doc_id")
+    ranked = scored.withColumn("rnk", F.row_number().over(wr))
+    hits = (
+        probes.join(ranked, "qid", "left")
+        .groupBy("qid")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("doc_id") == F.col("qid")) & (F.col("rnk") <= 10),
+                    (F.lit(2520) / F.col("rnk")).cast("long"),
+                ).otherwise(0)
+            ).alias("rr2520")
+        )
+    )
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(F.when(F.col("rr2520") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_found_top10"),
+        F.sum("rr2520").cast("bigint").alias("mrr_x2520"),
+        F.round(
+            F.sum("rr2520").cast("double")
+            / (F.lit(2520.0) * F.count(F.lit(1))),
+            6,
+        ).alias("mrr_at10"),
+    )
+
+
+@register(
+    "crossval_fold_assignment",
+    oracle="""
+    WITH f AS (
+      SELECT vec_id, label,
+             CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':fold'), 1, 15)
+                  AS BIGINT) % 5 AS fold_id
+      FROM embeddings)
+    SELECT CAST(fold_id AS INT) AS fold_id, label,
+           COUNT(*) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE) /
+                 SUM(COUNT(*)) OVER (PARTITION BY fold_id), 6) AS frac_in_fold
+    FROM f GROUP BY fold_id, label
+    ORDER BY fold_id, label
+    """,
+)
+def crossval_fold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment by salted md5 —
+    reproducible across reruns and engines, no shuffle to assign — with
+    the per-fold class-balance audit (label share within each fold) that
+    decides whether plain hashing suffices or stratified folds are
+    needed. Window-over-aggregate computes the within-fold shares in the
+    same pass."""
+    emb = _t(spark, sf_dir, "embeddings")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":fold"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    )
+    wf = Window.partitionBy("fold_id")
+    return (
+        emb.select(fold.cast("int").alias("fold_id"), "label")
+        .groupBy("fold_id", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "fold_id",
+            "label",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.sum("n").over(wf), 6
+            ).alias("frac_in_fold"),
+        )
+        .orderBy("fold_id", "label")
+    )
