@@ -18006,3 +18006,145 @@ def crossval_fold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold_id", "label")
     )
+
+
+@register(
+    "dbscan_grid_clusters",
+    oracle="""
+    WITH RECURSIVE
+    pts AS (
+      SELECT c_custkey AS id,
+             CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':x'), 1, 15)
+                  AS BIGINT) % 2000 AS x,
+             CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':y'), 1, 15)
+                  AS BIGINT) % 2000 AS y
+      FROM customer),
+    nbr AS (
+      SELECT a.id AS ia, b.id AS ib
+      FROM pts a JOIN pts b ON a.id <> b.id
+      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 22500),
+    deg AS (SELECT ia AS id, COUNT(*) AS n FROM nbr GROUP BY ia),
+    core AS (SELECT id FROM deg WHERE n + 1 >= 4),
+    cedge AS (
+      SELECT n.ia, n.ib FROM nbr n
+      JOIN core ca ON ca.id = n.ia JOIN core cb ON cb.id = n.ib),
+    reach(id, r) AS (
+      SELECT id, id FROM core
+      UNION
+      SELECT reach.id, e.ib FROM reach JOIN cedge e ON reach.r = e.ia),
+    comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    border AS (
+      SELECT n.ia AS id, MIN(c.cluster_id) AS cluster_id
+      FROM nbr n
+      JOIN comp c ON c.id = n.ib
+      WHERE n.ia NOT IN (SELECT id FROM core)
+      GROUP BY n.ia),
+    counts AS (
+      SELECT cluster_id,
+             CAST(SUM(is_core) AS BIGINT) AS n_core,
+             CAST(SUM(1 - is_core) AS BIGINT) AS n_border
+      FROM (SELECT cluster_id, 1 AS is_core FROM comp
+            UNION ALL SELECT cluster_id, 0 FROM border) u
+      GROUP BY cluster_id)
+    SELECT cluster_id, n_core, n_border FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY n_core + n_border DESC, cluster_id) AS rn
+      FROM counts)
+    WHERE rn <= 20 ORDER BY n_core + n_border DESC, cluster_id
+    """,
+)
+def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density clustering, the distributed way: eps-sized grid
+    cells block the neighbor search (3x3 probe join, exact integer L2 on
+    candidates only), core points (>= minPts=4 in the closed eps-ball)
+    link into clusters via connected components, border points attach to
+    their minimum neighboring core cluster, everything else is noise.
+    All-integer geometry makes every stage value-checkable; the oracle
+    brute-forces the same definition. At scale: neighbor cost is sum of
+    cell-pair sizes, CC is the O(log n) star machinery — no stage is
+    quadratic in n."""
+    from .streaming.stateful import _scoped_shuffle_partitions
+
+    cust = _t(spark, sf_dir, "customer")
+    coord = (
+        "CAST(conv(substr(md5(concat(cast(c_custkey as string), ':{ax}')), 1, 15), 16, 10) "
+        "AS BIGINT) % 2000"
+    )
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.expr(coord.format(ax="x")).alias("x"),
+        F.expr(coord.format(ax="y")).alias("y"),
+    )
+    pts = op_cache.track(pts.cache())
+    cell = pts.select(
+        "id", "x", "y",
+        (F.col("x") / 150).cast("long").alias("cx"),
+        (F.col("y") / 150).cast("long").alias("cy"),
+    )
+    probes = cell.select(
+        F.col("id").alias("ia"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(
+            F.expr(
+                "flatten(transform(array(-1, 0, 1), "
+                "dx -> transform(array(-1, 0, 1), "
+                "dy -> struct(cx + dx AS cx, cy + dy AS cy))))"
+            )
+        ).alias("c"),
+    ).select("ia", "xa", "ya", F.col("c.cx").alias("cx"), F.col("c.cy").alias("cy"))
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    nbr = (
+        probes.join(
+            cell.select(
+                F.col("id").alias("ib"),
+                F.col("x").alias("xb"),
+                F.col("y").alias("yb"),
+                "cx",
+                "cy",
+            ),
+            ["cx", "cy"],
+        )
+        .filter(F.col("ia") != F.col("ib"))
+        .filter(d2 <= 22500)
+        .select("ia", "ib")
+    )
+    nbr = op_cache.track(nbr.cache())
+    deg = nbr.groupBy(F.col("ia").alias("id")).agg(F.count(F.lit(1)).alias("n"))
+    core = deg.filter(F.col("n") + 1 >= 4).select("id")
+    core = op_cache.track(core.cache())
+    cedge = (
+        nbr.join(core.withColumnRenamed("id", "ia"), "ia")
+        .join(core.withColumnRenamed("id", "ib"), "ib")
+        .select("ia", "ib")
+    )
+    with _scoped_shuffle_partitions(spark, 32):
+        comp = dedup_mod.connected_components(cedge, "ia", "ib", nodes=core)
+        comp = comp.localCheckpoint(eager=True)
+    comp = comp.select("id", F.col("component").alias("cluster_id"))
+    border = (
+        nbr.join(core.withColumnRenamed("id", "ia"), "ia", "left_anti")
+        .join(comp.withColumnRenamed("id", "ib"), "ib")
+        .groupBy(F.col("ia").alias("id"))
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    counts = (
+        comp.select("cluster_id", F.lit(1).alias("is_core"))
+        .unionByName(border.select("cluster_id", F.lit(0).alias("is_core")))
+        .groupBy("cluster_id")
+        .agg(
+            F.sum("is_core").cast("bigint").alias("n_core"),
+            F.sum(1 - F.col("is_core")).cast("bigint").alias("n_border"),
+        )
+    )
+    w = Window.orderBy(
+        F.desc(F.col("n_core") + F.col("n_border")), "cluster_id"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("cluster_id", "n_core", "n_border")
+        .orderBy(F.desc(F.col("n_core") + F.col("n_border")), "cluster_id")
+    )
