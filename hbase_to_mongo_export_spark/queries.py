@@ -18148,3 +18148,145 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster_id", "n_core", "n_border")
         .orderBy(F.desc(F.col("n_core") + F.col("n_border")), "cluster_id")
     )
+
+
+@register(
+    "asof_join_native_semantics",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id, ts
+      FROM events WHERE event_type = 'purchase'),
+    c AS (
+      SELECT user_id, ts AS cts, MAX(event_id) AS click_id
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts)
+    SELECT p.user_id, p.purchase_id,
+           c.click_id AS last_click_id, c.cts AS last_click_ts
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND c.cts <= p.ts
+    ORDER BY p.purchase_id
+    """,
+)
+def asof_join_native_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's union-sort as-of join pinned against DuckDB's NATIVE
+    ASOF LEFT JOIN — a cross-engine semantics check of the whole
+    contract: inclusive boundary (a click exactly at purchase time
+    matches), per-key isolation, and null for unpreceded rows. The right
+    side is pre-deduped to one row per (user, ts) so the 'which tied
+    row' question is closed before the join. The union-sort formulation
+    is one shuffle on (key, time) — the merge-join shape, no windowed
+    state per probe."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("cts"))
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    out = asof_mod.asof_join(
+        p, c, key="user_id", left_ts="ts", right_ts="cts",
+        value_cols=["click_id"], inclusive=True,
+    )
+    return out.select(
+        "user_id",
+        "purchase_id",
+        F.col("click_id_right").alias("last_click_id"),
+        F.col("cts_right").alias("last_click_ts"),
+    ).orderBy("purchase_id")
+
+
+def _sssp_oracle(rounds: int = 4) -> str:
+    parts = ["""so AS (SELECT DISTINCT l_suppkey AS s, l_orderkey AS o FROM lineitem),
+    w AS (
+      SELECT a.s AS u, b.s AS v, COUNT(*) AS c
+      FROM so a JOIN so b ON a.o = b.o AND a.s < b.s
+      GROUP BY a.s, b.s),
+    sym AS (
+      SELECT u AS x, v AS y, c FROM w
+      UNION ALL SELECT v AS x, u AS y, c FROM w),
+    sel AS (
+      SELECT x, y FROM (
+        SELECT x, y,
+               ROW_NUMBER() OVER (PARTITION BY x ORDER BY c DESC, y) AS rn
+        FROM sym)
+      WHERE rn <= 3),
+    e AS (
+      SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v FROM sel),
+    ew AS (
+      SELECT e.u, e.v, 1 + 1000 // w.c AS wt
+      FROM e JOIN w ON w.u = e.u AND w.v = e.v),
+    und AS (SELECT u, v, wt FROM ew UNION ALL SELECT v, u, wt FROM ew),
+    src AS (SELECT MIN(u) AS s FROM und),
+    d0 AS (SELECT s AS node, CAST(0 AS BIGINT) AS dist FROM src)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""d{r} AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d{r - 1}
+        UNION ALL
+        SELECT und.v AS node, d{r - 1}.dist + und.wt AS dist
+        FROM d{r - 1} JOIN und ON und.u = d{r - 1}.node) t
+      GROUP BY node)""")
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT node, dist FROM (
+      SELECT node, dist,
+             ROW_NUMBER() OVER (ORDER BY dist, node) AS rn
+      FROM d{rounds})
+    WHERE rn <= 20 ORDER BY dist, node
+    """
+
+
+@register("graph_sssp_bellman_ford", oracle=_sssp_oracle())
+def graph_sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths by synchronous Bellman-Ford
+    relaxation (4 rounds) on the sparsified co-order graph — integer
+    edge costs (1 + 1000 // shared-orders: stronger ties are cheaper),
+    one join + one min-aggregate per round, lineage cut per round. The
+    oracle replays each relaxation stage verbatim, so the per-round
+    frontier arithmetic is what's verified, not just the final
+    distances. Output: the 20 nearest suppliers to the minimum-id
+    source."""
+    li = _t(spark, sf_dir, "lineitem")
+    so = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_orderkey").alias("o")
+    ).distinct()
+    w = (
+        so.alias("a")
+        .join(
+            so.alias("b"),
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    e = graph_mod.top_k_cooccurrence_edges(w, k=3)
+    ew = e.join(w, ["u", "v"]).select(
+        "u", "v", (F.lit(1) + F.expr("1000 div c")).alias("wt")
+    )
+    und = ew.unionByName(
+        ew.select(F.col("v").alias("u"), F.col("u").alias("v"), "wt")
+    )
+    und = op_cache.track(und.cache())
+    src = und.agg(F.min("u").alias("s")).collect()[0]["s"]
+    dist = spark.createDataFrame([(int(src), 0)], "node long, dist long")
+    for _ in range(4):
+        relaxed = (
+            und.join(dist, und.u == dist.node)
+            .select(F.col("v").alias("node"), (F.col("dist") + F.col("wt")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        dist = dist.localCheckpoint(eager=True)
+    wr = Window.orderBy("dist", "node")
+    return (
+        dist.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 20)
+        .select("node", "dist")
+        .orderBy("dist", "node")
+    )
