@@ -18290,3 +18290,236 @@ def graph_sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", "dist")
         .orderBy("dist", "node")
     )
+
+
+@register(
+    "quantile_normalize_doclen",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY source) AS ns
+      FROM documents),
+    g AS (
+      SELECT n_chars AS gval,
+             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS gr,
+             COUNT(*) OVER () AS n
+      FROM documents),
+    mapped AS (
+      SELECT t.doc_id, t.source, t.n_chars,
+             g.gval AS norm_len
+      FROM t JOIN g
+        ON g.gr = ((t.r * g.n + t.ns - 1) // t.ns))
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_raw,
+           CAST(SUM(norm_len) AS BIGINT) AS sum_normalized,
+           CAST(SUM(ABS(norm_len - n_chars)) AS BIGINT) AS total_shift
+    FROM mapped GROUP BY source ORDER BY source
+    """,
+)
+def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across sources (the batch-effect
+    correction step before mixing corpora): each document's length maps
+    to the pooled distribution's value at the equivalent rank
+    (ceil(r/ns * N), integer selection — no interpolation, so every
+    mapped value is an actual observed length and both engines agree
+    exactly). Two rank windows and one equi-join on rank; per-source
+    sums report how much each source's length profile had to shift."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wsc = Window.partitionBy("source")
+    t = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(ws).alias("r"),
+        F.count(F.lit(1)).over(wsc).alias("ns"),
+    )
+    wg = Window.orderBy("n_chars", "doc_id")
+    g = docs.select(
+        F.col("n_chars").alias("gval"),
+        F.row_number().over(wg).alias("gr"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    mapped = t.join(
+        g,
+        F.col("gr")
+        == ((F.col("r") * F.col("n") + F.col("ns") - 1) / F.col("ns")).cast(
+            "long"
+        ),
+    )
+    return (
+        mapped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_raw"),
+            F.sum("gval").cast("bigint").alias("sum_normalized"),
+            F.sum(F.abs(F.col("gval") - F.col("n_chars")))
+            .cast("bigint")
+            .alias("total_shift"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "functional_dependency_audit",
+    oracle="""
+    WITH cands AS (
+      SELECT 'n_nationkey->n_regionkey' AS fd, n_nationkey AS lhs,
+             CAST(n_regionkey AS VARCHAR) AS rhs FROM nation
+      UNION ALL
+      SELECT 'c_nationkey->c_mktsegment', c_nationkey,
+             c_mktsegment FROM customer
+      UNION ALL
+      SELECT 'o_custkey->o_orderpriority', o_custkey,
+             o_orderpriority FROM orders),
+    per_lhs AS (
+      SELECT fd, lhs, COUNT(DISTINCT rhs) AS n_rhs, COUNT(*) AS n_rows
+      FROM cands GROUP BY fd, lhs)
+    SELECT fd,
+           COUNT(*) AS n_lhs_values,
+           CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_lhs,
+           CAST(SUM(CASE WHEN n_rhs > 1 THEN n_rows ELSE 0 END) AS BIGINT)
+             AS n_rows_in_violation,
+           CASE WHEN SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0
+                THEN 1 ELSE 0 END AS holds
+    FROM per_lhs GROUP BY fd ORDER BY fd
+    """,
+)
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery/validation (schema-quality audit):
+    candidate FDs checked by counting distinct right-hand values per
+    left-hand value — nation->region must hold (keyed dimension),
+    customer-nation->segment and customer->priority must fail (showing
+    the audit finds real violations, not just confirms keys). One
+    union'd scan and two hash aggregates per candidate; at 100 TB each
+    FD check is a distinct-count shuffle on the LHS."""
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    cands = (
+        nation.select(
+            F.lit("n_nationkey->n_regionkey").alias("fd"),
+            F.col("n_nationkey").alias("lhs"),
+            F.col("n_regionkey").cast("string").alias("rhs"),
+        )
+        .unionByName(
+            cust.select(
+                F.lit("c_nationkey->c_mktsegment").alias("fd"),
+                F.col("c_nationkey").alias("lhs"),
+                F.col("c_mktsegment").alias("rhs"),
+            )
+        )
+        .unionByName(
+            orders.select(
+                F.lit("o_custkey->o_orderpriority").alias("fd"),
+                F.col("o_custkey").alias("lhs"),
+                F.col("o_orderpriority").alias("rhs"),
+            )
+        )
+    )
+    per_lhs = cands.groupBy("fd", "lhs").agg(
+        F.countDistinct("rhs").alias("n_rhs"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return (
+        per_lhs.groupBy("fd")
+        .agg(
+            F.count(F.lit(1)).alias("n_lhs_values"),
+            F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating_lhs"),
+            F.sum(F.when(F.col("n_rhs") > 1, F.col("n_rows")).otherwise(0))
+            .cast("bigint")
+            .alias("n_rows_in_violation"),
+            F.when(
+                F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0)) == 0, 1
+            )
+            .otherwise(0)
+            .alias("holds"),
+        )
+        .orderBy("fd")
+    )
+
+
+@register(
+    "consistent_join_sample",
+    oracle="""
+    WITH sc AS (
+      SELECT c_custkey FROM customer
+      WHERE CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':smp'), 1, 15)
+                 AS BIGINT) % 10 = 0),
+    so AS (
+      SELECT o.o_orderkey, o.o_totalprice
+      FROM orders o JOIN sc ON sc.c_custkey = o.o_custkey),
+    sl AS (
+      SELECT l.l_extendedprice FROM lineitem l
+      JOIN so ON so.o_orderkey = l.l_orderkey)
+    SELECT (SELECT COUNT(*) FROM sc) AS n_customers_sampled,
+           (SELECT COUNT(*) FROM so) AS n_orders_carried,
+           (SELECT COUNT(*) FROM sl) AS n_lineitems_carried,
+           CAST(ROUND((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                       FROM so) * 10, 2) AS DOUBLE) AS est_total_revenue,
+           CAST(ROUND((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                       FROM orders), 2) AS DOUBLE) AS true_total_revenue
+    """,
+)
+def consistent_join_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-consistent sampling — the only correct way to sample a star
+    schema: hash-sample the ENTITY (10% of customers by salted md5),
+    then carry every dependent order and line item of the sampled
+    entities, so joins inside the sample are complete and unbiased
+    (independent per-table sampling would destroy the join structure).
+    The Horvitz-Thompson scale-up (x10) sits next to the true total for
+    the bias check. Filters are semi-join pushdowns on the key — at
+    100 TB the sample predicate prunes before any fact shuffle."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    sc = cust.filter(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit(":smp"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+        == 0
+    ).select("c_custkey")
+    so = orders.join(
+        F.broadcast(sc), orders.o_custkey == sc.c_custkey
+    ).select("o_orderkey", "o_totalprice")
+    so = op_cache.track(so.cache())
+    sl = li.join(
+        so.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey")
+    ).select("l_extendedprice")
+    nc = sc.agg(F.count(F.lit(1)).alias("n_customers_sampled"))
+    no = so.agg(F.count(F.lit(1)).alias("n_orders_carried"))
+    nl = sl.agg(F.count(F.lit(1)).alias("n_lineitems_carried"))
+    est = so.agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 10, 2
+        )
+        .cast("double")
+        .alias("est_total_revenue")
+    )
+    true_rev = orders.agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("true_total_revenue")
+    )
+    return (
+        nc.crossJoin(F.broadcast(no))
+        .crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(true_rev))
+    )
