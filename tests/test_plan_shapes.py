@@ -454,3 +454,54 @@ class TestTopKPlansUseTakeOrdered:
             registry.queries()["embedding_power_iteration_pc1"](spark, sf_dir)
         )
         assert "CartesianProduct" not in plan, plan
+
+
+class TestRound3PlanShapes:
+    """Round-3 operators: the scale-relevant plan facts for the composed
+    ANN path, grid-blocked geometry, postings joins, and sampling."""
+
+    def test_ivfpq_no_cartesian_broadcast_luts(self, spark, sf_dir):
+        """IVF+PQ: candidate generation is an equi-join on list_id and
+        every probe-side LUT broadcasts; nothing degenerates to a
+        cartesian product."""
+        plan = plan_of(
+            registry.queries()["similarity_ivfpq_search"](spark, sf_dir)
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_spatial_grid_join_is_equi_join(self, spark, sf_dir):
+        """Grid blocking must plan as a hash equi-join on (cx, cy) — a
+        range join that fell back to nested loops would be O(n^2)."""
+        plan = plan_of(
+            registry.queries()["spatial_grid_neighbor_join"](spark, sf_dir)
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_phrase_search_pushes_nothing_quadratic(self, spark, sf_dir):
+        """Positional phrase search: postings self-join stays an equi-join
+        on (doc, position)."""
+        plan = plan_of(
+            registry.queries()["phrase_search_positional"](spark, sf_dir)
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_consistent_sample_broadcasts_entity_filter(self, spark, sf_dir):
+        """The sampled-customer key set broadcasts into the orders scan —
+        the fact side never shuffles to apply the sample."""
+        plan = plan_of(
+            registry.queries()["consistent_join_sample"](spark, sf_dir)
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_markov_eval_broadcasts_model(self, spark, sf_dir):
+        """Scoring joins the 4-row model by broadcast, never a shuffle of
+        the test transitions."""
+        plan = plan_of(
+            registry.queries()["markov_next_event_accuracy"](spark, sf_dir)
+        )
+        assert "BroadcastHashJoin" in plan
