@@ -18523,3 +18523,143 @@ def consistent_join_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(est))
         .crossJoin(F.broadcast(true_rev))
     )
+
+
+@register(
+    "cep_pattern_detection",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id AS view_id, ts AS vts
+               FROM events WHERE event_type = 'view'),
+    p AS (SELECT user_id, event_id AS purchase_id, ts AS pts
+          FROM events WHERE event_type = 'purchase'),
+    cand AS (
+      SELECT v.user_id, v.view_id, v.vts, p.purchase_id, p.pts,
+             ROW_NUMBER() OVER (PARTITION BY v.view_id
+                                ORDER BY p.pts, p.purchase_id) AS rn
+      FROM v JOIN p ON p.user_id = v.user_id
+       AND p.pts > v.vts AND p.pts <= v.vts + INTERVAL 30 MINUTE),
+    first_p AS (SELECT * FROM cand WHERE rn = 1),
+    matched AS (
+      SELECT f.user_id, f.view_id, f.purchase_id,
+             CAST(epoch_ms(f.pts) - epoch_ms(f.vts) AS BIGINT) AS latency_ms
+      FROM first_p f
+      WHERE NOT EXISTS (
+        SELECT 1 FROM events c
+        WHERE c.event_type = 'click' AND c.user_id = f.user_id
+          AND c.ts > f.vts AND c.ts < f.pts))
+    SELECT user_id, view_id, purchase_id, latency_ms
+    FROM matched ORDER BY user_id, view_id
+    """,
+)
+def cep_pattern_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern matching (the MATCH_RECOGNIZE /
+    Flink-CEP shape Spark has no primitive for): VIEW followed by
+    PURCHASE within 30 minutes with NO CLICK strictly between — the
+    'direct conversion' pattern. Expressed relationally: bounded-range
+    join to the first qualifying purchase (row_number, deterministic
+    tiebreak), then a negation anti-join for the forbidden middle
+    event. All joins are equi-joins on user_id with range predicates —
+    the state a true CEP engine would hold per key maps here to one
+    co-partitioned shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("vts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    cand = v.join(
+        p,
+        (F.col("pu") == F.col("user_id"))
+        & (F.col("pts") > F.col("vts"))
+        & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    wf = Window.partitionBy("view_id").orderBy("pts", "purchase_id")
+    first_p = (
+        cand.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "view_id", "vts", "purchase_id", "pts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    blocked = first_p.join(
+        clicks,
+        (F.col("cu") == F.col("user_id"))
+        & (F.col("cts") > F.col("vts"))
+        & (F.col("cts") < F.col("pts")),
+        "left_semi",
+    )
+    matched = first_p.join(
+        blocked.select(F.col("view_id").alias("bv")),
+        F.col("view_id") == F.col("bv"),
+        "left_anti",
+    )
+    return matched.select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        (
+            (F.unix_millis(F.col("pts")) - F.unix_millis(F.col("vts")))
+        ).cast("bigint").alias("latency_ms"),
+    ).orderBy("user_id", "view_id")
+
+
+@register(
+    "cdc_tombstone_merge",
+    oracle="""
+    WITH log AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type WHEN 'purchase' THEN 'D'
+                             WHEN 'click' THEN 'U' ELSE 'I' END AS op,
+             value
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+    latest AS (
+      SELECT user_id, op, value, ts FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM log) WHERE rn = 1)
+    SELECT user_id, ts AS last_ts, ROUND(value, 6) AS last_value
+    FROM latest WHERE op <> 'D'
+    ORDER BY user_id
+    """,
+)
+def cdc_tombstone_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge WITH DELETES: a change log of inserts/updates/tombstones
+    (derived deterministically from event types) folds to final state by
+    latest-op-per-key — keys whose most recent operation is a tombstone
+    vanish from the serving table entirely, the delete semantics an
+    upsert-only merge silently gets wrong. One window (or max_by
+    aggregate at scale) plus a filter; the tombstone filter applies
+    AFTER picking the latest op, never before."""
+    ev = _t(spark, sf_dir, "events")
+    log = ev.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", "D")
+        .when(F.col("event_type") == "click", "U")
+        .otherwise("I")
+        .alias("op"),
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    latest = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        latest.filter(F.col("op") != "D")
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.round("value", 6).alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
