@@ -973,3 +973,62 @@ class TestMultimodalFingerprints:
         again = {r.media_id: (r.fingerprint, r.total_abs_energy)
                  for r in multimodal.wav_energy_fingerprint(good).collect()}
         assert all(out[k] == again[k] for k in again)
+
+
+class TestRound3Operators:
+    """Edge cases of the round-3 operators that the sf-gate data can't
+    reach: empty media payloads, one-sided cogroups, FM bit edge
+    values."""
+
+    def test_video_scene_cuts_skips_empty_payload(self, spark):
+        rows = [
+            (1, b"", {"media_type": "video", "duration_ms": 5000}),
+            (2, b"abcdefgh" * 4, {"media_type": "video", "duration_ms": 5000}),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "media_id long, payload binary, "
+            "meta struct<media_type:string,duration_ms:long>",
+        )
+        out = multimodal.video_scene_cuts(df).collect()
+        assert [r["media_id"] for r in out] == [2]
+        assert out[0]["n_frames"] == 5
+
+    def test_cogrouped_asof_one_sided_keys(self, spark):
+        from hbase_to_mongo_export_spark.operators.grouped import (
+            cogrouped_asof_merge,
+        )
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+        p = spark.createDataFrame(
+            [(1, 100, t0), (3, 300, t0)],  # user 3 has no clicks
+            "user_id long, purchase_id long, ts timestamp",
+        )
+        c = spark.createDataFrame(
+            # user 2 has clicks but no purchases -> contributes nothing;
+            # user 1: tie on ts resolves to the larger click_id
+            [(1, 10, t0), (1, 11, t0), (2, 20, t0)],
+            "user_id long, click_id long, ts timestamp",
+        )
+        got = {
+            (r.user_id, r.purchase_id, r.last_click_id, r.n_prior_clicks)
+            for r in cogrouped_asof_merge(p, c).collect()
+        }
+        assert got == {(1, 100, 11, 2), (3, 300, None, 0)}
+
+    def test_fm_neighborhood_two_cliques(self, spark):
+        """Two disjoint triangles: hop-1 sketches already cover each
+        clique, so hop-2 and hop-3 stats must equal hop-1 exactly."""
+        from hbase_to_mongo_export_spark.operators.graph import (
+            fm_neighborhood_function,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)],
+            ["u", "v"],
+        )
+        rows = {r["hop"]: r for r in fm_neighborhood_function(edges).collect()}
+        assert rows[0]["n_nodes"] == 6
+        assert rows[1]["sum_r2"] == rows[2]["sum_r2"] == rows[3]["sum_r2"]
+        assert rows[1]["sum_r2"] > rows[0]["sum_r2"]
