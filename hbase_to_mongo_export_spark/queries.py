@@ -18663,3 +18663,184 @@ def cdc_tombstone_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_BOM_SQL_BODY = """
+    WITH RECURSIVE bom(component, assembly, qty, depth) AS (
+        SELECT p_partkey, CAST(FLOOR(p_partkey / 10) AS BIGINT),
+               CAST(p_partkey % 5 + 1 AS BIGINT), 1
+        FROM {part} WHERE p_partkey >= 10
+        UNION ALL
+        SELECT b.component, CAST(FLOOR(b.assembly / 10) AS BIGINT),
+               b.qty * CAST(b.assembly % 5 + 1 AS BIGINT), b.depth + 1
+        FROM bom b WHERE b.assembly >= 10 AND b.depth < 3
+    )
+    SELECT assembly, depth,
+           COUNT(*) AS n_components,
+           CAST(SUM(qty) AS BIGINT) AS total_effective_qty,
+           CAST(MAX(qty) AS BIGINT) AS max_path_qty
+    FROM bom GROUP BY assembly, depth
+    ORDER BY assembly, depth
+    """
+
+
+@register("bom_quantity_rollup", oracle=_BOM_SQL_BODY.format(part="part"))
+def bom_quantity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bill-of-materials explosion with MULTIPLIED quantities along the
+    path (the manufacturing rollup a plain transitive closure can't do):
+    an implicit decimal-tree hierarchy (assembly = partkey/10) where
+    each level contributes a per-edge quantity, and effective quantity
+    is the PRODUCT down the path — integer products, bounded depth 3,
+    aggregated per (assembly, depth). One SQL string on both engines;
+    Spark 4's recursive CTE plans each expansion step as its own join."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part_bom")
+    return spark.sql(_BOM_SQL_BODY.format(part="part_bom"))
+
+
+@register(
+    "null_safe_join_eqnullsafe",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderpriority = '5-LOW' THEN NULL
+                  ELSE o_orderpriority END AS pr,
+             o_totalprice
+      FROM orders),
+    d AS (
+      SELECT * FROM (VALUES
+        ('1-URGENT', 100), ('2-HIGH', 80), ('3-MEDIUM', 50),
+        ('4-NOT SPECIFIED', 20), (NULL, 0)) t(pr, weight))
+    SELECT COALESCE(o.pr, '<null>') AS priority,
+           d.weight,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total
+    FROM o JOIN d ON o.pr IS NOT DISTINCT FROM d.pr
+    GROUP BY COALESCE(o.pr, '<null>'), d.weight
+    ORDER BY priority
+    """,
+)
+def null_safe_join_eqnullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (Spark `<=>` / ANSI IS NOT DISTINCT FROM):
+    NULL keys MATCH each other instead of vanishing — the semantics a
+    dimension lookup needs when 'unknown' is itself a dimension row. A
+    plain equi-join would silently drop every NULL-priority order; the
+    weight-0 dimension row catching them is the proof it didn't."""
+    orders = _t(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderpriority") == "5-LOW", None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("pr"),
+        "o_totalprice",
+    )
+    d = spark.createDataFrame(
+        [
+            ("1-URGENT", 100),
+            ("2-HIGH", 80),
+            ("3-MEDIUM", 50),
+            ("4-NOT SPECIFIED", 20),
+            (None, 0),
+        ],
+        "dpr string, weight int",
+    )
+    return (
+        o.join(F.broadcast(d), o.pr.eqNullSafe(d.dpr))
+        .groupBy(
+            F.coalesce(F.col("pr"), F.lit("<null>")).alias("priority"),
+            "weight",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("priority")
+    )
+
+
+@register(
+    "token_balanced_shards",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             len(string_split_regex(regexp_replace(lower(trim(text)),
+                                                   '\\s+', ' ', 'g'), ' '))
+               AS n_tok
+      FROM documents),
+    rr AS (
+      SELECT doc_id, n_tok,
+             (ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) - 1) % 16
+               AS shard_id
+      FROM toks),
+    hash_s AS (
+      SELECT n_tok,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 16 AS shard_id
+      FROM toks),
+    r AS (SELECT shard_id, SUM(n_tok) AS load FROM rr GROUP BY shard_id),
+    h AS (SELECT shard_id, SUM(n_tok) AS load FROM hash_s GROUP BY shard_id)
+    SELECT CAST(r.shard_id AS INT) AS shard_id,
+           CAST(r.load AS BIGINT) AS sorted_rr_load,
+           CAST(h.load AS BIGINT) AS hash_load,
+           CAST((SELECT MAX(load) - MIN(load) FROM r) AS BIGINT)
+             AS rr_spread,
+           CAST((SELECT MAX(load) - MIN(load) FROM h) AS BIGINT)
+             AS hash_spread
+    FROM r JOIN h ON h.shard_id = r.shard_id
+    ORDER BY shard_id
+    """,
+)
+def token_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment: round-robin over the
+    length-sorted corpus (the parallel-friendly LPT approximation) vs
+    plain hash sharding, with per-shard token loads and the max-min
+    spread of each scheme side by side — the measured case for sorting
+    before sharding when downstream cost is token-proportional. All
+    integers; the global sort is one range exchange."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+        ).alias("n_tok"),
+    )
+    toks = op_cache.track(toks.cache())
+    wrr = Window.orderBy(F.col("n_tok").desc(), "doc_id")
+    rr = toks.select(
+        "n_tok",
+        ((F.row_number().over(wrr) - 1) % 16).cast("int").alias("shard_id"),
+    ).groupBy("shard_id").agg(F.sum("n_tok").cast("bigint").alias("rr_load"))
+    hs = toks.select(
+        "n_tok",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % 16
+        ).cast("int").alias("shard_id"),
+    ).groupBy("shard_id").agg(F.sum("n_tok").cast("bigint").alias("hash_load"))
+    rspread = rr.agg(
+        (F.max("rr_load") - F.min("rr_load")).cast("bigint").alias("rr_spread")
+    )
+    hspread = hs.agg(
+        (F.max("hash_load") - F.min("hash_load"))
+        .cast("bigint")
+        .alias("hash_spread")
+    )
+    return (
+        rr.join(hs, "shard_id")
+        .crossJoin(F.broadcast(rspread))
+        .crossJoin(F.broadcast(hspread))
+        .select(
+            "shard_id",
+            F.col("rr_load").alias("sorted_rr_load"),
+            "hash_load",
+            "rr_spread",
+            "hash_spread",
+        )
+        .orderBy("shard_id")
+    )
