@@ -18844,3 +18844,50 @@ def token_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+@register(
+    "streaming_stream_stream_left_semi",
+    oracle="""
+    SELECT DISTINCT p.user_id, p.event_id AS purchase_id
+    FROM events p JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    ORDER BY p.user_id, purchase_id
+    """,
+)
+def streaming_stream_stream_left_semi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream LEFT SEMI join (the streaming existence
+    filter), drained availableNow: each purchase with at least one click
+    in its preceding hour emits exactly once, however many clicks
+    matched — which the DISTINCT batch oracle pins. Completes the
+    inner/left-outer/full-outer/semi join-mode matrix."""
+    import os as _os
+
+    from .streaming.incremental import stream_stream_left_semi_join
+
+    out = stream_stream_left_semi_join(
+        spark, _os.path.join(sf_dir, "events.parquet")
+    )
+    return out.orderBy("user_id", "purchase_id")
+
+
+_PAGINATION_SQL = """
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50 OFFSET 100
+    """
+
+
+@register("limit_offset_pagination", oracle=_PAGINATION_SQL)
+def limit_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keyset-stable pagination: page 3 of the
+    revenue-ordered orders via LIMIT/OFFSET over a total order (unique
+    tiebreak column — without it OFFSET pagination is nondeterministic
+    and pages can overlap). One SQL string on both engines."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_PAGINATION_SQL)

@@ -730,3 +730,44 @@ def restart_state_recovery(
         return spark.createDataFrame(rows, final.schema)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+def stream_stream_left_semi_join(
+    spark: SparkSession,
+    events_path: str,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    max_lag: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream LEFT SEMI join: emit each purchase once
+    as soon as ANY qualifying click exists — the streaming existence
+    filter (no click columns, no duplicate purchases when several
+    clicks match). Same state bounds as the inner join; the semi form
+    additionally guarantees single emission per left row."""
+    ev = _event_stream(spark, events_path)
+    left = (
+        ev.filter(F.col("event_type") == left_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    right = (
+        ev.filter(F.col("event_type") == right_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_lag}"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "leftSemi",
+    ).select("user_id", "purchase_id")
+    return _drain(joined, "append")
