@@ -18891,3 +18891,121 @@ def limit_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     and pages can overlap). One SQL string on both engines."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_PAGINATION_SQL)
+
+
+@register(
+    "data_budget_epoch_allocation",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             CAST(SUM(len(string_split_regex(
+                    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')))
+                  AS BIGINT) AS toks
+      FROM documents GROUP BY source),
+    w AS (
+      SELECT source, toks,
+             CAST(FLOOR(SQRT(CAST(toks AS DOUBLE)) * 1000) AS BIGINT) AS wt
+      FROM t),
+    tot AS (
+      SELECT CAST(SUM(toks) AS BIGINT) // 2 AS budget,
+             CAST(SUM(wt) AS BIGINT) AS wsum
+      FROM w),
+    r1 AS (
+      SELECT w.source, w.toks, w.wt,
+             LEAST((tot.budget * w.wt) // tot.wsum, 4 * w.toks) AS capped,
+             CASE WHEN (tot.budget * w.wt) // tot.wsum >= 4 * w.toks
+                  THEN 1 ELSE 0 END AS is_capped
+      FROM w, tot),
+    l AS (
+      SELECT (SELECT budget FROM tot) - CAST(SUM(capped) AS BIGINT)
+               AS leftover,
+             CAST(SUM(CASE WHEN is_capped = 0 THEN wt ELSE 0 END) AS BIGINT)
+               AS wsum_open
+      FROM r1)
+    SELECT r1.source, r1.toks AS source_tokens, r1.wt AS weight,
+           CAST(LEAST(r1.capped +
+                      CASE WHEN r1.is_capped = 0 AND l.wsum_open > 0
+                           THEN (l.leftover * r1.wt) // l.wsum_open
+                           ELSE 0 END,
+                      4 * r1.toks) AS BIGINT) AS final_alloc,
+           CAST((LEAST(r1.capped +
+                      CASE WHEN r1.is_capped = 0 AND l.wsum_open > 0
+                           THEN (l.leftover * r1.wt) // l.wsum_open
+                           ELSE 0 END,
+                      4 * r1.toks) * 1000) // r1.toks AS BIGINT)
+             AS epochs_permille
+    FROM r1, l ORDER BY r1.source
+    """,
+)
+def data_budget_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained mixture allocation (the Muennighoff-style
+    epoch-capped water-fill): a token budget (half the corpus) is split
+    across sources by temperature-smoothed weights (sqrt of source
+    tokens, floored to integer per-mille so every subsequent sum and
+    division is EXACT integer arithmetic), sources hitting the 4-epoch
+    repetition cap are clamped, and one redistribution round water-fills
+    the leftover over uncapped sources. Output: per-source allocation
+    and repetition factor in per-mille epochs."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        F.size(
+            F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+        ).alias("n_tok"),
+    ).groupBy("source").agg(F.sum("n_tok").cast("bigint").alias("toks"))
+    w = t.select(
+        "source",
+        "toks",
+        F.floor(F.sqrt(F.col("toks").cast("double")) * 1000)
+        .cast("bigint")
+        .alias("wt"),
+    )
+    w = op_cache.track(w.cache())
+    tot = w.agg(
+        (F.sum("toks").cast("bigint") / 2).cast("bigint").alias("budget"),
+        F.sum("wt").cast("bigint").alias("wsum"),
+    )
+    r1 = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "toks",
+        "wt",
+        F.least(
+            F.expr("(budget * wt) div wsum"), F.lit(4) * F.col("toks")
+        ).alias("capped"),
+        F.when(
+            F.expr("(budget * wt) div wsum") >= F.lit(4) * F.col("toks"), 1
+        )
+        .otherwise(0)
+        .alias("is_capped"),
+        "budget",
+    )
+    r1 = op_cache.track(r1.cache())
+    l = r1.agg(
+        (F.max("budget") - F.sum("capped")).cast("bigint").alias("leftover"),
+        F.sum(F.when(F.col("is_capped") == 0, F.col("wt")).otherwise(0))
+        .cast("bigint")
+        .alias("wsum_open"),
+    )
+    final_alloc = F.least(
+        F.col("capped")
+        + F.when(
+            (F.col("is_capped") == 0) & (F.col("wsum_open") > 0),
+            F.expr("(leftover * wt) div wsum_open"),
+        ).otherwise(0),
+        F.lit(4) * F.col("toks"),
+    )
+    return (
+        r1.crossJoin(F.broadcast(l))
+        .select(
+            "source",
+            F.col("toks").alias("source_tokens"),
+            F.col("wt").alias("weight"),
+            final_alloc.cast("bigint").alias("final_alloc"),
+            F.expr(
+                "CAST((least(capped + CASE WHEN is_capped = 0 AND wsum_open > 0 "
+                "THEN (leftover * wt) div wsum_open ELSE 0 END, 4 * toks) * 1000) "
+                "div toks AS BIGINT)"
+            ).alias("epochs_permille"),
+        )
+        .orderBy("source")
+    )
