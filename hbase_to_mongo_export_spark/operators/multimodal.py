@@ -162,7 +162,9 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
         T.StructField("n_bytes", T.LongType()),
-        T.StructField("rms", T.FloatType()),
+        # double, not float32: the value oracle compares bit-exact reprs,
+        # and a float32 round-trip would promote with garbage decimals
+        T.StructField("rms", T.DoubleType()),
         T.StructField("zero_crossings", T.LongType()),
     ]
 )
@@ -178,8 +180,13 @@ def decode_audio(payload: bytes, fake: bool) -> tuple[float, int]:
         )
     if not payload:
         return 0.0, 0
+    import math
+
     samples = [b - 128 for b in payload[:2048]]
-    rms = (sum(s * s for s in samples) / len(samples)) ** 0.5 / 128.0
+    # math.sqrt is correctly rounded (IEEE), matching SQL SQRT in both
+    # engines; x ** 0.5 goes through pow() which carries no such
+    # guarantee — this keeps the value oracle bit-safe
+    rms = math.sqrt(sum(s * s for s in samples) / len(samples)) / 128.0
     zc = sum(
         1 for a, b in zip(samples, samples[1:]) if (a >= 0) != (b >= 0)
     )

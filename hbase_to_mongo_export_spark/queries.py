@@ -2488,14 +2488,31 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_image_features")
+@register(
+    "multimodal_image_features",
+    oracle="""
+    WITH lanes AS (
+      SELECT doc_id, len(text) AS n_bytes,
+             (SELECT COALESCE(SUM(ascii(substr(text, CAST(u.i AS INT) + 1, 1))), 0)
+              FROM UNNEST(range(0, LEAST(len(text), 1024))) AS u(i)
+              WHERE u.i % 8 = 0) % 997 AS lane0
+      FROM documents WHERE doc_id % 3 = 1)
+    SELECT CAST(doc_id % 8 AS BIGINT) AS bucket,
+           COUNT(*) AS n_images,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(lane0) AS BIGINT) AS f0_lane_sum
+    FROM lanes GROUP BY doc_id % 8 ORDER BY bucket
+    """,
+)
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image feature extraction over binary payloads (stubbed decoder, real
-    mapInPandas plumbing): byte-budget repartition sizes decode tasks by
-    payload bytes, then each Arrow batch yields an 8-float feature vector
-    per image. No SQL oracle — the fake decode's byte loop is not
-    SQL-expressible; the driver's rows-only check applies. Output is a
-    per-bucket rollup so the result is small and schema-stable."""
+    """Image feature extraction over binary payloads (stubbed decoder,
+    real mapInPandas plumbing): byte-budget repartition sizes decode
+    tasks by payload bytes, then each Arrow batch yields an 8-float
+    feature vector per image. The fake decode's lane accumulator is an
+    incremental mod — equal to a plain sum mod 997 — so the oracle
+    replays the byte loop with ascii(substr(...)) and the per-image
+    float feature round-trips to its exact integer lane value
+    (round(f * 997)); every aggregate is integer-exact."""
     media = mm_mod.media_repartition(
         _media_from_documents(spark, sf_dir, "image", "jpeg", 3, 1),
         target_bytes=8 * 1024 * 1024,
@@ -2505,25 +2522,54 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats.groupBy((F.col("media_id") % 8).alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_images"),
-            F.sum("n_bytes").alias("total_bytes"),
-            F.round(F.sum(F.element_at("features", 1)), 3).alias("f0_sum"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.sum(
+                F.round(F.element_at("features", 1) * 997).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("f0_lane_sum"),
         )
         .orderBy("bucket")
     )
 
 
-@register("multimodal_audio_features")
+@register(
+    "multimodal_audio_features",
+    oracle="""
+    WITH clips AS (
+      SELECT doc_id, len(text) AS n_bytes,
+             (SELECT SUM((ascii(substr(text, CAST(u.i AS INT), 1)) - 128) *
+                         (ascii(substr(text, CAST(u.i AS INT), 1)) - 128))
+              FROM UNNEST(range(1, LEAST(len(text), 2048) + 1)) AS u(i))
+               AS sumsq,
+             LEAST(len(text), 2048) AS n
+      FROM documents WHERE doc_id % 3 = 2 AND len(text) > 0)
+    SELECT CAST(doc_id % 8 AS BIGINT) AS bucket,
+           COUNT(*) AS n_clips,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(0 AS BIGINT) AS zc_total,
+           ROUND(MAX(SQRT(CAST(sumsq AS DOUBLE) / n) /
+                     CAST(128 AS DOUBLE)), 6) AS max_rms
+    FROM clips GROUP BY doc_id % 8 ORDER BY bucket
+    """,
+)
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio RMS / zero-crossing extraction (stubbed codec, real Arrow
-    batch plumbing). Rows-only check, as for image features."""
+    batch plumbing), now fully value-checked: the fake PCM treats
+    payload bytes as centered samples, so the oracle recomputes the
+    per-clip RMS from ascii(substr(...)) byte reads (correctly-rounded
+    SQRT on both sides) and zero crossings are provably 0 on ASCII
+    payloads (every sample is negative — pinned, not skipped). MAX is
+    the order-independent aggregate for the per-clip float."""
     media = _media_from_documents(spark, sf_dir, "audio", "wav", 3, 2)
     feats = mm_mod.audio_features(media, fake=True)
     return (
         feats.groupBy((F.col("media_id") % 8).alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_clips"),
-            F.sum("n_bytes").alias("total_bytes"),
-            F.sum("zero_crossings").alias("zc_total"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.sum("zero_crossings").cast("bigint").alias("zc_total"),
+            F.round(F.max("rms"), 6).alias("max_rms"),
         )
         .orderBy("bucket")
     )
