@@ -19055,3 +19055,113 @@ def data_budget_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_HLL_SLIDING_ORACLE = """
+    WITH h AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS hv
+      FROM events),
+    rb AS (SELECT d, hv & 63 AS bucket, hv >> 6 AS w FROM h),
+    regs AS (SELECT d, bucket, MAX(CASE WHEN w >= 9007199254740992 THEN 1 WHEN w >= 4503599627370496 THEN 2 WHEN w >= 2251799813685248 THEN 3 WHEN w >= 1125899906842624 THEN 4 WHEN w >= 562949953421312 THEN 5 WHEN w >= 281474976710656 THEN 6 WHEN w >= 140737488355328 THEN 7 WHEN w >= 70368744177664 THEN 8 WHEN w >= 35184372088832 THEN 9 WHEN w >= 17592186044416 THEN 10 WHEN w >= 8796093022208 THEN 11 WHEN w >= 4398046511104 THEN 12 WHEN w >= 2199023255552 THEN 13 WHEN w >= 1099511627776 THEN 14 WHEN w >= 549755813888 THEN 15 WHEN w >= 274877906944 THEN 16 WHEN w >= 137438953472 THEN 17 WHEN w >= 68719476736 THEN 18 WHEN w >= 34359738368 THEN 19 WHEN w >= 17179869184 THEN 20 WHEN w >= 8589934592 THEN 21 WHEN w >= 4294967296 THEN 22 WHEN w >= 2147483648 THEN 23 WHEN w >= 1073741824 THEN 24 WHEN w >= 536870912 THEN 25 WHEN w >= 268435456 THEN 26 WHEN w >= 134217728 THEN 27 WHEN w >= 67108864 THEN 28 WHEN w >= 33554432 THEN 29 WHEN w >= 16777216 THEN 30 WHEN w >= 8388608 THEN 31 WHEN w >= 4194304 THEN 32 WHEN w >= 2097152 THEN 33 WHEN w >= 1048576 THEN 34 WHEN w >= 524288 THEN 35 WHEN w >= 262144 THEN 36 WHEN w >= 131072 THEN 37 WHEN w >= 65536 THEN 38 WHEN w >= 32768 THEN 39 WHEN w >= 16384 THEN 40 WHEN w >= 8192 THEN 41 WHEN w >= 4096 THEN 42 WHEN w >= 2048 THEN 43 WHEN w >= 1024 THEN 44 WHEN w >= 512 THEN 45 WHEN w >= 256 THEN 46 WHEN w >= 128 THEN 47 WHEN w >= 64 THEN 48 WHEN w >= 32 THEN 49 WHEN w >= 16 THEN 50 WHEN w >= 8 THEN 51 WHEN w >= 4 THEN 52 WHEN w >= 2 THEN 53 WHEN w >= 1 THEN 54 ELSE 55 END) AS mj
+             FROM rb GROUP BY d, bucket),
+    days AS (SELECT DISTINCT d FROM regs),
+    win AS (
+      SELECT dy.d, r.bucket, MAX(r.mj) AS mj
+      FROM days dy JOIN regs r ON r.d BETWEEN dy.d - 6 AND dy.d
+      GROUP BY dy.d, r.bucket),
+    s AS (
+      SELECT d,
+             SUM(CAST(1 AS BIGINT) << (55 - mj)) AS inv_present,
+             COUNT(*) AS n_present
+      FROM win GROUP BY d),
+    est AS (
+      SELECT d, 64 - n_present AS zeros,
+             CAST(0.7093409548395029 AS DOUBLE) * 4096 *
+             CAST(36028797018963968 AS DOUBLE) /
+             CAST(inv_present + (64 - n_present) *
+                  (CAST(1 AS BIGINT) << 55) AS DOUBLE) AS raw
+      FROM s),
+    fin AS (
+      SELECT d,
+             ROUND(CASE WHEN raw <= 160 AND zeros > 0
+                        THEN 64 * ln(CAST(64 AS DOUBLE) /
+                                      CAST(zeros AS DOUBLE))
+                        ELSE raw END, 4) AS hll_trailing7
+      FROM est),
+    du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    ex AS (
+      SELECT dy.d, COUNT(DISTINCT du.user_id) AS exact_trailing7
+      FROM days dy JOIN du ON du.d BETWEEN dy.d - 6 AND dy.d
+      GROUP BY dy.d)
+    SELECT CAST(f.d AS TIMESTAMP) AS day, f.hll_trailing7,
+           CAST(ex.exact_trailing7 AS BIGINT) AS exact_trailing7,
+           ROUND(ABS(f.hll_trailing7 - ex.exact_trailing7) /
+                 ex.exact_trailing7, 4) AS rel_err
+    FROM fin f JOIN ex ON ex.d = f.d
+    ORDER BY day
+    """
+
+_HLL_SLIDING_SPARK = """
+    WITH h AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10)
+                  AS BIGINT) AS hv
+      FROM events_hll),
+    rb AS (SELECT d, hv & 63 AS bucket, shiftright(hv, 6) AS w FROM h),
+    regs AS (SELECT d, bucket, MAX(CASE WHEN w >= 9007199254740992 THEN 1 WHEN w >= 4503599627370496 THEN 2 WHEN w >= 2251799813685248 THEN 3 WHEN w >= 1125899906842624 THEN 4 WHEN w >= 562949953421312 THEN 5 WHEN w >= 281474976710656 THEN 6 WHEN w >= 140737488355328 THEN 7 WHEN w >= 70368744177664 THEN 8 WHEN w >= 35184372088832 THEN 9 WHEN w >= 17592186044416 THEN 10 WHEN w >= 8796093022208 THEN 11 WHEN w >= 4398046511104 THEN 12 WHEN w >= 2199023255552 THEN 13 WHEN w >= 1099511627776 THEN 14 WHEN w >= 549755813888 THEN 15 WHEN w >= 274877906944 THEN 16 WHEN w >= 137438953472 THEN 17 WHEN w >= 68719476736 THEN 18 WHEN w >= 34359738368 THEN 19 WHEN w >= 17179869184 THEN 20 WHEN w >= 8589934592 THEN 21 WHEN w >= 4294967296 THEN 22 WHEN w >= 2147483648 THEN 23 WHEN w >= 1073741824 THEN 24 WHEN w >= 536870912 THEN 25 WHEN w >= 268435456 THEN 26 WHEN w >= 134217728 THEN 27 WHEN w >= 67108864 THEN 28 WHEN w >= 33554432 THEN 29 WHEN w >= 16777216 THEN 30 WHEN w >= 8388608 THEN 31 WHEN w >= 4194304 THEN 32 WHEN w >= 2097152 THEN 33 WHEN w >= 1048576 THEN 34 WHEN w >= 524288 THEN 35 WHEN w >= 262144 THEN 36 WHEN w >= 131072 THEN 37 WHEN w >= 65536 THEN 38 WHEN w >= 32768 THEN 39 WHEN w >= 16384 THEN 40 WHEN w >= 8192 THEN 41 WHEN w >= 4096 THEN 42 WHEN w >= 2048 THEN 43 WHEN w >= 1024 THEN 44 WHEN w >= 512 THEN 45 WHEN w >= 256 THEN 46 WHEN w >= 128 THEN 47 WHEN w >= 64 THEN 48 WHEN w >= 32 THEN 49 WHEN w >= 16 THEN 50 WHEN w >= 8 THEN 51 WHEN w >= 4 THEN 52 WHEN w >= 2 THEN 53 WHEN w >= 1 THEN 54 ELSE 55 END) AS mj
+             FROM rb GROUP BY d, bucket),
+    days AS (SELECT DISTINCT d FROM regs),
+    win AS (
+      SELECT dy.d, r.bucket, MAX(r.mj) AS mj
+      FROM days dy JOIN regs r
+        ON r.d BETWEEN date_sub(dy.d, 6) AND dy.d
+      GROUP BY dy.d, r.bucket),
+    s AS (
+      SELECT d,
+             SUM(shiftleft(CAST(1 AS BIGINT), 55 - mj))
+               AS inv_present,
+             COUNT(*) AS n_present
+      FROM win GROUP BY d),
+    est AS (
+      SELECT d, 64 - n_present AS zeros,
+             CAST(0.7093409548395029 AS DOUBLE) * 4096 *
+             CAST(36028797018963968 AS DOUBLE) /
+             CAST(inv_present + (64 - n_present) *
+                  shiftleft(CAST(1 AS BIGINT), 55) AS DOUBLE) AS raw
+      FROM s),
+    fin AS (
+      SELECT d,
+             ROUND(CASE WHEN raw <= 160 AND zeros > 0
+                        THEN 64 * ln(CAST(64 AS DOUBLE) /
+                                      CAST(zeros AS DOUBLE))
+                        ELSE raw END, 4) AS hll_trailing7
+      FROM est),
+    du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events_hll),
+    ex AS (
+      SELECT dy.d, COUNT(DISTINCT du.user_id) AS exact_trailing7
+      FROM days dy JOIN du ON du.d BETWEEN date_sub(dy.d, 6) AND dy.d
+      GROUP BY dy.d)
+    SELECT CAST(f.d AS TIMESTAMP) AS day, f.hll_trailing7,
+           CAST(ex.exact_trailing7 AS BIGINT) AS exact_trailing7,
+           ROUND(ABS(f.hll_trailing7 - ex.exact_trailing7) /
+                 ex.exact_trailing7, 4) AS rel_err
+    FROM fin f JOIN ex ON ex.d = f.d
+    ORDER BY day
+    """
+
+
+@register("hll_sliding_window_distinct", oracle=_HLL_SLIDING_ORACLE)
+def hll_sliding_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGE over a sliding window — the operation that makes
+    rolling COUNT(DISTINCT) feasible at 100 TB: per-day HyperLogLog
+    registers (m=64, exact-integer max-rank state) merge over each
+    trailing 7-day window by per-register MAX, the estimator (with
+    linear-counting correction) runs per day, and the exact rolling
+    distinct sits alongside for the measured error. Exact distinct costs
+    a 7x self-join blowup of (day,user) pairs; the sketch path carries
+    64 integers per day — the whole point, demonstrated with both
+    answers in one result."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_hll")
+    return spark.sql(_HLL_SLIDING_SPARK)
