@@ -19165,3 +19165,130 @@ def hll_sliding_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     answers in one result."""
     _t(spark, sf_dir, "events").createOrReplaceTempView("events_hll")
     return spark.sql(_HLL_SLIDING_SPARK)
+
+
+@register(
+    "hierarchy_share_rollup",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2)
+                  AS DECIMAL(18,2)) AS rev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name, n.n_name)
+    SELECT region, nation,
+           CAST(rev AS DOUBLE) AS revenue,
+           ROUND(CAST(rev AS DOUBLE) /
+                 CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE), 6)
+             AS share_of_region,
+           ROUND(CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE) /
+                 CAST(SUM(rev) OVER () AS DOUBLE), 6)
+             AS region_share_of_total
+    FROM rev ORDER BY region, nation
+    """,
+)
+def hierarchy_share_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent at two hierarchy levels in ONE pass: nation
+    revenue, its share within the region, and the region's share of the
+    grand total — windows over the aggregate (partition-by-region and
+    global), never a second scan or self-join. DECIMAL sums keep every
+    numerator/denominator exact until the final rounded divisions."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("decimal(18,2)")
+            .alias("rev")
+        )
+    )
+    wr = Window.partitionBy("region")
+    wg = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double")
+            / F.sum("rev").over(wr).cast("double"),
+            6,
+        ).alias("share_of_region"),
+        F.round(
+            F.sum("rev").over(wr).cast("double")
+            / F.sum("rev").over(wg).cast("double"),
+            6,
+        ).alias("region_share_of_total"),
+    ).orderBy("region", "nation")
+
+
+@register(
+    "dynamic_pivot_top_brands",
+    oracle="""
+    WITH top5 AS (
+      SELECT p_brand FROM (
+        SELECT p.p_brand, ROW_NUMBER() OVER (
+          ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) DESC,
+                   p.p_brand) AS rk
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_brand) WHERE rk <= 5),
+    base AS (
+      SELECT l.l_returnflag AS rf, p.p_brand,
+             CAST(l.l_extendedprice AS DECIMAL(18,2)) AS px
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand IN (SELECT p_brand FROM top5))
+    SELECT rf AS returnflag, p_brand AS brand,
+           CAST(ROUND(SUM(px), 2) AS DOUBLE) AS revenue
+    FROM base GROUP BY rf, p_brand
+    ORDER BY returnflag, brand
+    """,
+)
+def dynamic_pivot_top_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC pivot: the pivot columns are data-derived (top-5 brands by
+    revenue, collected in a driver round-trip exactly like production
+    dynamic-pivot code), then groupBy().pivot(values=top5) aggregates
+    with Spark's two-phase pivot. The result unpivots back to long form
+    for the engine-neutral value check — proving the pivot lost
+    nothing."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    wtop = Window.orderBy(F.desc("srev"), "p_brand")
+    top5 = [
+        r["p_brand"]
+        for r in joined.groupBy("p_brand")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("srev"))
+        .withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") <= 5)
+        .select("p_brand")
+        .collect()
+    ]
+    pivoted = (
+        joined.filter(F.col("p_brand").isin(top5))
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .pivot("p_brand", top5)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+        )
+    )
+    stack_expr = ", ".join(f"'{b}', `{b}`" for b in sorted(top5))
+    return (
+        pivoted.selectExpr(
+            "returnflag",
+            f"stack({len(top5)}, {stack_expr}) AS (brand, revenue)",
+        )
+        .filter(F.col("revenue").isNotNull())
+        .orderBy("returnflag", "brand")
+    )
