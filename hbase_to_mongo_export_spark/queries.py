@@ -19292,3 +19292,221 @@ def dynamic_pivot_top_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("revenue").isNotNull())
         .orderBy("returnflag", "brand")
     )
+
+
+@register(
+    "calendar_edge_semantics",
+    oracle="""
+    WITH d AS (SELECT CAST(o_orderdate AS DATE) AS od FROM orders),
+    e AS (
+      SELECT od,
+             CAST(od + INTERVAL 1 MONTH AS DATE) AS plus_month,
+             CAST(last_day(od) AS DATE) AS month_end,
+             CASE WHEN od = last_day(od) THEN 1 ELSE 0 END AS is_month_end
+      FROM d)
+    SELECT plus_month AS month_later,
+           COUNT(*) AS n_orders,
+           CAST(SUM(is_month_end) AS BIGINT) AS n_from_month_end,
+           CAST(MIN(od) AS DATE) AS min_src_day,
+           CAST(MAX(od) AS DATE) AS max_src_day
+    FROM e GROUP BY plus_month ORDER BY plus_month
+    """,
+)
+def calendar_edge_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-arithmetic EDGE semantics pinned across engines: adding one
+    month to a month-end date CLAMPS (Jan 31 -> Feb 29 in a leap year,
+    both engines verified identical), last_day() agrees, and grouping by
+    the shifted date exposes any off-by-one — several source days
+    collapse onto each clamped month-end, which the min/max source-day
+    columns make visible."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(F.to_date("o_orderdate").alias("od"))
+    e = d.select(
+        "od",
+        F.add_months("od", 1).alias("plus_month"),
+        F.last_day("od").alias("month_end"),
+        F.when(F.col("od") == F.last_day("od"), 1).otherwise(0).alias(
+            "is_month_end"
+        ),
+    )
+    return (
+        e.groupBy(F.col("plus_month").alias("month_later"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("is_month_end").cast("bigint").alias("n_from_month_end"),
+            F.min("od").alias("min_src_day"),
+            F.max("od").alias("max_src_day"),
+        )
+        .orderBy("month_later")
+    )
+
+
+@register(
+    "mann_whitney_u_orders",
+    oracle="""
+    WITH pool AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS grp
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+    vals AS (
+      SELECT v, COUNT(*) AS cnt, SUM(grp) AS n_a_at_v FROM pool GROUP BY v),
+    ranked AS (
+      SELECT v, cnt, n_a_at_v,
+             COALESCE(SUM(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      FROM vals),
+    r2 AS (
+      SELECT CAST(SUM(n_a_at_v * (2 * below + cnt + 1)) AS BIGINT) AS r2_a,
+             CAST(SUM(n_a_at_v) AS BIGINT) AS n_a,
+             CAST(SUM(cnt - n_a_at_v) AS BIGINT) AS n_b
+      FROM ranked)
+    SELECT n_a, n_b, r2_a,
+           CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+           ROUND((CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) / 2 -
+                  CAST(n_a * n_b AS DOUBLE) / 2) /
+                 SQRT(CAST(n_a AS DOUBLE) * n_b * (n_a + n_b + 1) / 12), 6)
+             AS z_score
+    FROM r2
+    """,
+)
+def mann_whitney_u_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between urgent and low-priority
+    order totals — the nonparametric two-sample test that complements
+    the KS statistic. Tied values get average ranks computed exactly:
+    doubled rank sums (2*below + cnt + 1 per tied block) stay integer
+    until the final z-score, whose variance uses the no-tie normal
+    approximation (documented; ties in o_totalprice are measure-zero).
+    One grouped scan + one cumulative window over distinct values —
+    rank computation without sorting the raw rows twice."""
+    o = _t(spark, sf_dir, "orders")
+    pool = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("grp"),
+    )
+    vals = pool.groupBy("v").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("grp").alias("n_a_at_v")
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.select(
+        "v",
+        "cnt",
+        "n_a_at_v",
+        F.coalesce(F.sum("cnt").over(wv), F.lit(0)).alias("below"),
+    )
+    r2 = ranked.agg(
+        F.sum(
+            F.col("n_a_at_v") * (2 * F.col("below") + F.col("cnt") + 1)
+        )
+        .cast("bigint")
+        .alias("r2_a"),
+        F.sum("n_a_at_v").cast("bigint").alias("n_a"),
+        F.sum(F.col("cnt") - F.col("n_a_at_v")).cast("bigint").alias("n_b"),
+    )
+    return r2.select(
+        "n_a",
+        "n_b",
+        "r2_a",
+        (F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1))
+        .cast("bigint")
+        .alias("u2_a"),
+        F.round(
+            (
+                (F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1)).cast(
+                    "double"
+                )
+                / 2
+                - (F.col("n_a") * F.col("n_b")).cast("double") / 2
+            )
+            / F.sqrt(
+                F.col("n_a").cast("double")
+                * F.col("n_b")
+                * (F.col("n_a") + F.col("n_b") + 1)
+                / 12
+            ),
+            6,
+        ).alias("z_score"),
+    )
+
+
+@register(
+    "chi_square_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority AS pr, o_orderstatus AS st, COUNT(*) AS o
+      FROM orders GROUP BY pr, st),
+    tot AS (
+      SELECT pr, st, o,
+             SUM(o) OVER (PARTITION BY pr) AS r,
+             SUM(o) OVER (PARTITION BY st) AS c,
+             SUM(o) OVER () AS n
+      FROM cells),
+    terms AS (
+      SELECT pr, st,
+             CAST((o * n - r * c) AS DOUBLE) * (o * n - r * c) /
+             (CAST(n AS DOUBLE) * r * c) AS term,
+             n
+      FROM tot),
+    folded AS (
+      SELECT MAX(n) AS n,
+             (SELECT COUNT(DISTINCT pr) FROM cells) AS nr,
+             (SELECT COUNT(DISTINCT st) FROM cells) AS nc,
+             list_reduce(list(term ORDER BY pr, st), (a, b) -> a + b)
+               AS chi2
+      FROM terms)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST((nr - 1) * (nc - 1) AS INT) AS dof,
+           ROUND(chi2, 6) AS chi_square
+    FROM folded
+    """,
+)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence (order priority x status):
+    each cell's term is computed from EXACT integer observed/marginal
+    counts as (On - rc)^2 / (n r c), and the ~20 terms fold in fixed
+    (priority, status) order on both engines so the float sum is
+    order-identical. Marginals come from windows over the cell
+    aggregate — one scan, no second pass."""
+    o = _t(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("pr"),
+        F.col("o_orderstatus").alias("st"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    wr = Window.partitionBy("pr")
+    wc = Window.partitionBy("st")
+    wg = Window.partitionBy()
+    tot = cells.select(
+        "pr",
+        "st",
+        "o",
+        F.sum("o").over(wr).alias("r"),
+        F.sum("o").over(wc).alias("c"),
+        F.sum("o").over(wg).alias("n"),
+    )
+    terms = tot.select(
+        "pr",
+        "st",
+        "n",
+        (
+            (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
+            * (F.col("o") * F.col("n") - F.col("r") * F.col("c"))
+            / (F.col("n").cast("double") * F.col("r") * F.col("c"))
+        ).alias("term"),
+    )
+    folded = terms.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.countDistinct("pr").alias("nr"),
+        F.countDistinct("st").alias("nc"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(pr, st, term))), "
+            "cast(0 as double), (acc, e) -> acc + e.term)"
+        ).alias("chi2"),
+    )
+    return folded.select(
+        "n",
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("int").alias("dof"),
+        F.round("chi2", 6).alias("chi_square"),
+    )
