@@ -228,7 +228,9 @@ def connected_components_two_phase(
             emitted = joined.filter(F.col("v") <= F.col("u")).select(
                 F.col("v").alias("u"), F.col("m").alias("v")
             ).union(m.select(F.col("u"), F.col("m").alias("v")))
-        out = emitted.filter(F.col("u") != F.col("v")).distinct()
+        out = emitted.filter(F.col("u") != F.col("v"))
+        # one distinct over the symmetrized union (not one per direction)
+        # — saves a shuffle per phase
         sym = out.union(
             out.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).distinct()
