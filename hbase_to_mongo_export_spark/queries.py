@@ -19510,3 +19510,59 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("int").alias("dof"),
         F.round("chi2", 6).alias("chi_square"),
     )
+
+
+@register(
+    "embedding_gram_matrix",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             [GREATEST(CAST(ROUND(CAST(x AS DOUBLE) * 64, 0) AS INT) + 128, 0)
+              FOR x IN embedding] AS qv
+      FROM embeddings),
+    dims AS (
+      SELECT vec_id, CAST(pos0 AS INT) AS i, val
+      FROM (SELECT vec_id, unnest(qv) AS val,
+                   unnest(range(0, len(qv))) AS pos0 FROM q)
+      WHERE pos0 < 8),
+    gram AS (
+      SELECT a.i AS row_i, b.i AS col_j,
+             SUM(CAST(a.val AS BIGINT) * b.val) AS dot
+      FROM dims a JOIN dims b
+        ON b.vec_id = a.vec_id AND b.i >= a.i
+      GROUP BY a.i, b.i)
+    SELECT row_i, col_j, CAST(dot AS BIGINT) AS dot
+    FROM gram ORDER BY row_i, col_j
+    """,
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram-matrix accumulation (X^T X — the kernel behind
+    covariance, PCA, and linear-model normal equations at scale): each
+    vector contributes its dimension outer product map-side, partial
+    sums combine before the (i, j) shuffle, and no n x n object ever
+    exists — state is d(d+1)/2 cells regardless of row count. Computed
+    over the first 8 quantized dimensions (36 upper-triangle cells) in
+    exact integer arithmetic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = sim_mod.quantize_for_kmeans(emb, "vec_id", "embedding")
+    dims = (
+        q.select("vec_id", F.posexplode("qv").alias("i", "val"))
+        .filter(F.col("i") < 8)
+        .select("vec_id", F.col("i").cast("int").alias("i"), "val")
+    )
+    a = dims.alias("a")
+    b = dims.select(
+        F.col("vec_id").alias("bv"),
+        F.col("i").alias("j"),
+        F.col("val").alias("bval"),
+    )
+    return (
+        a.join(b, (F.col("bv") == F.col("a.vec_id")) & (F.col("j") >= F.col("a.i")))
+        .groupBy(F.col("a.i").alias("row_i"), F.col("j").alias("col_j"))
+        .agg(
+            F.sum(F.col("a.val").cast("bigint") * F.col("bval"))
+            .cast("bigint")
+            .alias("dot")
+        )
+        .orderBy("row_i", "col_j")
+    )
