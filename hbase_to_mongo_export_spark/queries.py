@@ -19566,3 +19566,148 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("row_i", "col_j")
     )
+
+
+@register(
+    "attribution_time_decay",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS pts, value
+      FROM events WHERE event_type = 'purchase'),
+    touch AS (
+      SELECT p.purchase_id, p.value, c.event_id AS click_id,
+             CAST(1 AS BIGINT) <<
+               (20 - LEAST((epoch_ms(p.pts) - epoch_ms(c.ts)) //
+                           43200000, 20)) AS w
+      FROM p JOIN events c
+        ON c.event_type = 'click' AND c.user_id = p.user_id
+       AND c.ts <= p.pts AND c.ts >= p.pts - INTERVAL 10 DAY),
+    norm AS (
+      SELECT purchase_id, value, click_id, w,
+             SUM(w) OVER (PARTITION BY purchase_id) AS wsum
+      FROM touch),
+    credit AS (
+      SELECT click_id,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6)) * w / wsum), 6)
+                  AS DOUBLE) AS credited_value,
+             COUNT(*) AS n_purchases
+      FROM norm GROUP BY click_id)
+    SELECT click_id, credited_value, n_purchases
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            ORDER BY credited_value DESC, click_id) AS rn FROM credit)
+    WHERE rn <= 20 ORDER BY credited_value DESC, click_id
+    """,
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: each purchase's value splits
+    over its preceding 10 days of clicks with half-life-12h weights —
+    and the decay weights are EXACT powers of two (1 << (20 - age/12h)),
+    so the per-purchase weight normalization is integer/decimal-exact
+    rational arithmetic, not a drifting exp(). The scale shape is the
+    bounded-interval join (equi on user, 10-day range) plus one window
+    per purchase."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    touch = p.join(
+        c,
+        (F.col("cu") == F.col("user_id"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 10 DAYS")),
+    ).select(
+        "purchase_id",
+        "value",
+        "click_id",
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), "
+            "20 - CAST(LEAST((unix_millis(pts) - unix_millis(cts)) div 43200000, "
+            "20) AS INT))"
+        ).alias("w"),
+    )
+    wn = Window.partitionBy("purchase_id")
+    norm = touch.select(
+        "purchase_id",
+        "value",
+        "click_id",
+        "w",
+        F.sum("w").over(wn).alias("wsum"),
+    )
+    credit = norm.groupBy("click_id").agg(
+        F.round(
+            F.sum(
+                F.col("value").cast("decimal(18,6)") * F.col("w") / F.col("wsum")
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("credited_value"),
+        F.count(F.lit(1)).alias("n_purchases"),
+    )
+    wr = Window.orderBy(F.desc("credited_value"), "click_id")
+    return (
+        credit.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 20)
+        .select("click_id", "credited_value", "n_purchases")
+        .orderBy(F.desc("credited_value"), "click_id")
+    )
+
+
+@register(
+    "gapped_sequence_support",
+    oracle="""
+    WITH pos AS (
+      SELECT user_id, event_type,
+             MIN(ts) AS first_ts, MAX(ts) AS last_ts
+      FROM events GROUP BY user_id, event_type),
+    pairs AS (
+      SELECT a.event_type AS t1, b.event_type AS t2,
+             COUNT(*) AS support
+      FROM pos a JOIN pos b
+        ON b.user_id = a.user_id AND b.event_type <> a.event_type
+      WHERE a.first_ts < b.last_ts
+      GROUP BY a.event_type, b.event_type)
+    SELECT t1, t2, CAST(support AS BIGINT) AS support
+    FROM pairs ORDER BY support DESC, t1, t2
+    LIMIT 20
+    """,
+)
+def gapped_sequence_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gapped sequential-pattern support (the PrefixSpan counting core):
+    for every ordered type pair (X, Y), the number of users with SOME X
+    before SOME Y — decided exactly by first(X) < last(Y), so the whole
+    gapped-containment check collapses to one (user, type) min/max
+    aggregate and a per-user type self-join (|types|² rows per user,
+    never the event sequence itself)."""
+    ev = _t(spark, sf_dir, "events")
+    pos = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    a = pos.select(
+        "user_id", F.col("event_type").alias("t1"), "first_ts"
+    )
+    b = pos.select(
+        F.col("user_id").alias("ub"),
+        F.col("event_type").alias("t2"),
+        "last_ts",
+    )
+    return (
+        a.join(
+            b,
+            (F.col("ub") == F.col("user_id"))
+            & (F.col("t1") != F.col("t2"))
+            & (F.col("first_ts") < F.col("last_ts")),
+        )
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .orderBy(F.desc("support"), "t1", "t2")
+        .limit(20)
+    )
