@@ -19588,8 +19588,9 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM touch),
     credit AS (
       SELECT click_id,
-             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6)) * w / wsum), 6)
-                  AS DOUBLE) AS credited_value,
+             ROUND(list_reduce(
+               list(CAST(value AS DOUBLE) * w / wsum ORDER BY purchase_id),
+               (a, b) -> a + b), 6) AS credited_value,
              COUNT(*) AS n_purchases
       FROM norm GROUP BY click_id)
     SELECT click_id, credited_value, n_purchases
@@ -19641,15 +19642,19 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w",
         F.sum("w").over(wn).alias("wsum"),
     )
+    # per-touch terms are doubles ((value * w) / wsum — identical op
+    # order both engines) folded purchase-ascending so the float sum is
+    # order-identical; decimal division would round at engine-specific
+    # internal scales and drift in the 6th decimal
     credit = norm.groupBy("click_id").agg(
         F.round(
-            F.sum(
-                F.col("value").cast("decimal(18,6)") * F.col("w") / F.col("wsum")
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(purchase_id, "
+                "CAST(value AS DOUBLE) * w / wsum AS term))), "
+                "cast(0 as double), (acc, e) -> acc + e.term)"
             ),
             6,
-        )
-        .cast("double")
-        .alias("credited_value"),
+        ).alias("credited_value"),
         F.count(F.lit(1)).alias("n_purchases"),
     )
     wr = Window.orderBy(F.desc("credited_value"), "click_id")
