@@ -19716,3 +19716,73 @@ def gapped_sequence_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("support"), "t1", "t2")
         .limit(20)
     )
+
+
+def _rrf_fusion_oracle() -> str:
+    bm25 = _bm25_oracle(topn=15)
+    vdot = (
+        "list_dot_product([CAST(x AS DOUBLE) FOR x IN {a}], "
+        "[CAST(x AS DOUBLE) FOR x IN {b}])"
+    )
+    return f"""
+    WITH bm_raw AS ({bm25}),
+    bm AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+      FROM bm_raw),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cs_raw AS (
+      SELECT e.vec_id AS doc_id,
+             {vdot.format(a="q.qv", b="e.embedding")} /
+             (sqrt({vdot.format(a="q.qv", b="q.qv")}) *
+              sqrt({vdot.format(a="e.embedding", b="e.embedding")})) AS cos
+      FROM embeddings e, q WHERE e.vec_id <> 0),
+    cs AS (
+      SELECT doc_id, rnk FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rnk
+        FROM cs_raw) WHERE rnk <= 15),
+    fused AS (
+      SELECT COALESCE(bm.doc_id, cs.doc_id) AS doc_id,
+             COALESCE(1000000 // (60 + bm.rnk), 0) +
+             COALESCE(1000000 // (60 + cs.rnk), 0) AS rrf
+      FROM bm FULL OUTER JOIN cs ON cs.doc_id = bm.doc_id)
+    SELECT doc_id, CAST(rrf AS BIGINT) AS rrf_score
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rn
+          FROM fused)
+    WHERE rn <= 10 ORDER BY rrf_score DESC, doc_id
+    """
+
+
+@register("hybrid_rrf_fusion", oracle=_rrf_fusion_oracle())
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — reciprocal-rank fusion of the lexical (BM25
+    top-15 for the fixed query) and semantic (exact cosine top-15 for
+    probe vector 0) rankings, the standard two-tower search merge. RRF
+    contributions are integers (1000000 div (60 + rank)) so the fusion
+    itself is exact; both input rankings are the already-value-checked
+    scorers, composed. Full-outer on doc id: appearing in either list
+    scores, appearing in both wins."""
+    bm_raw = bm25_search_topk(spark, sf_dir)
+    wb = Window.orderBy(F.desc("bm25"), "doc_id")
+    bm = bm_raw.withColumn("rnk", F.row_number().over(wb)).select(
+        F.col("doc_id").alias("bd"), F.col("rnk").alias("brnk")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    cs = sim_mod.cosine_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=15
+    ).select(F.col("neighbor_id").alias("cd"), F.col("rank").alias("crnk"))
+    fused = bm.join(cs, F.col("cd") == F.col("bd"), "full_outer").select(
+        F.coalesce(F.col("bd"), F.col("cd")).alias("doc_id"),
+        (
+            F.coalesce(F.expr("1000000 div (60 + brnk)"), F.lit(0))
+            + F.coalesce(F.expr("1000000 div (60 + crnk)"), F.lit(0))
+        ).alias("rrf"),
+    )
+    wr = Window.orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", F.col("rrf").cast("bigint").alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), "doc_id")
+    )
