@@ -19786,3 +19786,197 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("rrf").cast("bigint").alias("rrf_score"))
         .orderBy(F.desc("rrf_score"), "doc_id")
     )
+
+
+@register(
+    "apriori_triple_itemsets",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    pairs AS (
+      SELECT a.b AS b1, c.b AS b2, COUNT(*) AS sup
+      FROM baskets a JOIN baskets c ON c.o = a.o AND a.b < c.b
+      GROUP BY a.b, c.b HAVING COUNT(*) >= 3),
+    cand AS (
+      SELECT p1.b1, p1.b2, p2.b2 AS b3
+      FROM pairs p1 JOIN pairs p2
+        ON p2.b1 = p1.b1 AND p2.b2 > p1.b2
+      WHERE EXISTS (SELECT 1 FROM pairs p3
+                    WHERE p3.b1 = p1.b2 AND p3.b2 = p2.b2)),
+    triples AS (
+      SELECT c.b1, c.b2, c.b3, COUNT(*) AS support
+      FROM cand c
+      JOIN baskets x ON x.b = c.b1
+      JOIN baskets y ON y.o = x.o AND y.b = c.b2
+      JOIN baskets z ON z.o = x.o AND z.b = c.b3
+      GROUP BY c.b1, c.b2, c.b3 HAVING COUNT(*) >= 3)
+    SELECT b1, b2, b3, CAST(support AS BIGINT) AS support
+    FROM triples ORDER BY support DESC, b1, b2, b3
+    LIMIT 20
+    """,
+)
+def apriori_triple_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemset mining with the A-Priori candidate prune: only
+    brand triples whose THREE constituent pairs are all frequent
+    (support >= 3) get counted — the downward-closure pruning that keeps
+    candidate explosion polynomial at scale. Candidate generation is the
+    classic prefix self-join of the frequent-pair list (small, shuffles
+    on brand), and support counting re-probes the basket table three
+    times on (order, brand) — never an all-triples enumeration."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    baskets = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    baskets = op_cache.track(baskets.cache())
+    a = baskets.alias("a")
+    c = baskets.alias("c")
+    pairs = (
+        a.join(c, (F.col("c.o") == F.col("a.o")) & (F.col("a.b") < F.col("c.b")))
+        .groupBy(F.col("a.b").alias("b1"), F.col("c.b").alias("b2"))
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 3)
+        .select("b1", "b2")
+    )
+    pairs = op_cache.track(pairs.cache())
+    p1 = pairs.alias("p1")
+    p2 = pairs.select(
+        F.col("b1").alias("q1"), F.col("b2").alias("b3")
+    ).alias("p2")
+    cand = p1.join(
+        p2, (F.col("q1") == F.col("p1.b1")) & (F.col("b3") > F.col("p1.b2"))
+    ).join(
+        pairs.select(
+            F.col("b1").alias("e1"), F.col("b2").alias("e2")
+        ),
+        (F.col("e1") == F.col("p1.b2")) & (F.col("e2") == F.col("b3")),
+        "left_semi",
+    ).select("b1", "b2", "b3")
+    x = baskets.select(F.col("o"), F.col("b").alias("xb"))
+    y = baskets.select(F.col("o").alias("oy"), F.col("b").alias("yb"))
+    z = baskets.select(F.col("o").alias("oz"), F.col("b").alias("zb"))
+    triples = (
+        F.broadcast(cand)
+        .join(x, F.col("xb") == F.col("b1"))
+        .join(y, (F.col("oy") == F.col("o")) & (F.col("yb") == F.col("b2")))
+        .join(z, (F.col("oz") == F.col("o")) & (F.col("zb") == F.col("b3")))
+        .groupBy("b1", "b2", "b3")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    return (
+        triples.select(
+            "b1", "b2", "b3", F.col("support").cast("bigint").alias("support")
+        )
+        .orderBy(F.desc("support"), "b1", "b2", "b3")
+        .limit(20)
+    )
+
+
+@register(
+    "incremental_join_maintenance",
+    oracle="""
+    WITH a_old AS (SELECT o_orderkey, o_totalprice FROM orders
+                   WHERE o_orderdate < TIMESTAMP '1996-01-01'),
+    a_new AS (SELECT o_orderkey, o_totalprice FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01'),
+    b_old AS (SELECT l_orderkey, l_extendedprice FROM lineitem
+              WHERE l_shipdate < TIMESTAMP '1996-01-01'),
+    b_new AS (SELECT l_orderkey, l_extendedprice FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'),
+    base AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      FROM a_old JOIN b_old ON b_old.l_orderkey = a_old.o_orderkey),
+    d1 AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      FROM a_new JOIN b_old ON b_old.l_orderkey = a_new.o_orderkey),
+    d2 AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      FROM a_old JOIN b_new ON b_new.l_orderkey = a_old.o_orderkey),
+    d3 AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      FROM a_new JOIN b_new ON b_new.l_orderkey = a_new.o_orderkey),
+    direct AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+    SELECT base.n AS base_rows,
+           CAST(d1.n + d2.n + d3.n AS BIGINT) AS delta_rows,
+           CAST(base.n + d1.n + d2.n + d3.n AS BIGINT) AS maintained_rows,
+           (SELECT n FROM direct) AS direct_rows,
+           CAST(ROUND(base.rev + d1.rev + d2.rev + d3.rev, 2) AS DOUBLE)
+             AS maintained_rev,
+           CAST(ROUND((SELECT rev FROM direct), 2) AS DOUBLE) AS direct_rev
+    FROM base, d1, d2, d3
+    """,
+)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance algebra: with both sides split
+    into old/delta partitions, the maintained view is base(A⋈B) plus the
+    three delta terms ΔA⋈B, A⋈ΔB, ΔA⋈ΔB — verified against the direct
+    full join in the same result row. At 100 TB the three delta joins
+    touch only delta-sized inputs on one side, which is why materialized
+    join views refresh in minutes, not hours. DECIMAL revenue makes the
+    equality exact, not approximate."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cut = F.lit("1996-01-01").cast("timestamp")
+    a_old = o.filter(F.col("o_orderdate") < cut).select(
+        "o_orderkey", "o_totalprice"
+    )
+    a_new = o.filter(F.col("o_orderdate") >= cut).select(
+        "o_orderkey", "o_totalprice"
+    )
+    b_old = li.filter(F.col("l_shipdate") < cut).select(
+        "l_orderkey", "l_extendedprice"
+    )
+    b_new = li.filter(F.col("l_shipdate") >= cut).select(
+        "l_orderkey", "l_extendedprice"
+    )
+
+    def jstats(a, b, nn, rn):
+        return a.join(b, b.l_orderkey == a.o_orderkey).agg(
+            F.count(F.lit(1)).alias(nn),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(rn),
+        )
+
+    base = jstats(a_old, b_old, "bn", "br")
+    d1 = jstats(a_new, b_old, "n1", "r1")
+    d2 = jstats(a_old, b_new, "n2", "r2")
+    d3 = jstats(a_new, b_new, "n3", "r3")
+    direct = o.join(li, li.l_orderkey == o.o_orderkey).agg(
+        F.count(F.lit(1)).alias("dn"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("dr"),
+    )
+    return (
+        base.crossJoin(F.broadcast(d1))
+        .crossJoin(F.broadcast(d2))
+        .crossJoin(F.broadcast(d3))
+        .crossJoin(F.broadcast(direct))
+        .select(
+            F.col("bn").alias("base_rows"),
+            (F.col("n1") + F.col("n2") + F.col("n3"))
+            .cast("bigint")
+            .alias("delta_rows"),
+            (F.col("bn") + F.col("n1") + F.col("n2") + F.col("n3"))
+            .cast("bigint")
+            .alias("maintained_rows"),
+            F.col("dn").alias("direct_rows"),
+            F.round(
+                F.col("br") + F.col("r1") + F.col("r2") + F.col("r3"), 2
+            )
+            .cast("double")
+            .alias("maintained_rev"),
+            F.round(F.col("dr"), 2).cast("double").alias("direct_rev"),
+        )
+    )
