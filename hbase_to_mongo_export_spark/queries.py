@@ -5923,7 +5923,18 @@ def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_oracle(iterations: int = 5) -> str:
+_PR_EDGES_DEFAULT = """
+      SELECT DISTINCT o.o_custkey AS src, 1000000 + l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey"""
+
+_PR_FINAL_DEFAULT = "SELECT node, rank AS rank_scaled FROM {prev} ORDER BY node"
+
+
+def _pagerank_oracle(
+    iterations: int = 5,
+    edges_sql: str = _PR_EDGES_DEFAULT,
+    final_sql: str = _PR_FINAL_DEFAULT,
+) -> str:
     from .operators.graph import DAMPING_DEN, DAMPING_NUM, SCALE
 
     prev = "pr0"
@@ -5942,10 +5953,9 @@ def _pagerank_oracle(iterations: int = 5) -> str:
         GROUP BY u.dst) c ON c.node = nd.node)""")
         prev = f"pr{i}"
     chain = ",\n    ".join(iters)
+    final = final_sql.format(prev=prev)
     return f"""
-    WITH edges0 AS (
-      SELECT DISTINCT o.o_custkey AS src, 1000000 + l.l_suppkey AS dst
-      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    WITH edges0 AS ({edges_sql}),
     und AS (SELECT src, dst FROM edges0 UNION SELECT dst, src FROM edges0),
     deg AS (SELECT src, COUNT(*) AS deg FROM und GROUP BY src),
     nodes AS (SELECT DISTINCT src AS node FROM und),
@@ -5954,7 +5964,7 @@ def _pagerank_oracle(iterations: int = 5) -> str:
       SELECT node, CAST({SCALE} // (SELECT n FROM n) AS BIGINT) AS rank
       FROM nodes),
     {chain}
-    SELECT node, rank AS rank_scaled FROM {prev} ORDER BY node
+    {final}
     """
 
 
@@ -19979,4 +19989,110 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("maintained_rev"),
             F.round(F.col("dr"), 2).cast("double").alias("direct_rev"),
         )
+    )
+
+
+_TEXTRANK_EDGES = """
+      SELECT DISTINCT w1 AS src, w2 AS dst FROM (
+        SELECT words[i] AS w1, words[i + 1] AS w2
+        FROM (SELECT string_split_regex(regexp_replace(lower(trim(text)),
+                                                       '\\s+', ' ', 'g'),
+                                        ' ') AS words
+              FROM documents) t,
+             UNNEST(range(1, len(words))) AS u(i))
+      WHERE w1 < w2"""
+
+_TEXTRANK_FINAL = """
+    SELECT node AS word, rank AS rank_scaled FROM (
+      SELECT node, rank,
+             ROW_NUMBER() OVER (ORDER BY rank DESC, node) AS rn
+      FROM {prev})
+    WHERE rn <= 20 ORDER BY rank_scaled DESC, word"""
+
+
+@register(
+    "textrank_keywords",
+    oracle=_pagerank_oracle(
+        iterations=3, edges_sql=_TEXTRANK_EDGES, final_sql=_TEXTRANK_FINAL
+    ),
+)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction: PageRank over the word-adjacency
+    graph (distinct canonical adjacent-word pairs across the corpus),
+    three exact scaled-integer rounds, top-20 words — the unsupervised
+    keyword ranker, sharing the verified Pregel machinery and its
+    round-unrolled oracle via the parameterized builder."""
+    from .operators import graph as graph_mod
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.split(
+            F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "
+        ).alias("words")
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(words) - 2), "
+                "i -> struct(words[i] AS w1, words[i + 1] AS w2))"
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("src"), F.col("p.w2").alias("dst"))
+    edges = (
+        pairs.filter(F.col("src") < F.col("dst")).distinct()
+    )
+    pr = graph_mod.pagerank(edges, iterations=3)
+    w = Window.orderBy(F.desc("rank_scaled"), "node")
+    return (
+        pr.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select(F.col("node").alias("word"), "rank_scaled")
+        .orderBy(F.desc("rank_scaled"), "word")
+    )
+
+
+@register(
+    "running_distinct_users",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(MIN(ts) AS DATE) AS first_day FROM events
+      GROUP BY user_id),
+    daily_new AS (
+      SELECT first_day AS d, COUNT(*) AS n_new FROM firsts GROUP BY first_day),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+    SELECT CAST(days.d AS TIMESTAMP) AS day,
+           CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new_users,
+           CAST(SUM(COALESCE(n_new, 0)) OVER (ORDER BY days.d) AS BIGINT)
+             AS cumulative_users
+    FROM days LEFT JOIN daily_new ON daily_new.d = days.d
+    ORDER BY day
+    """,
+)
+def running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users (the acquisition curve): running
+    COUNT(DISTINCT) made scalable by the first-occurrence trick — each
+    user counts only on their first-seen day, so the curve is a plain
+    running SUM over daily new-user counts. No per-day distinct state,
+    no quadratic window; the exact pattern that replaces 'cumulative
+    distinct' at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("first_day")
+    )
+    daily_new = firsts.groupBy(F.col("first_day").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    days = ev.select(F.to_date("ts").alias("d")).distinct()
+    wc = Window.orderBy("d")
+    return (
+        days.join(daily_new, "d", "left")
+        .select(
+            F.col("d").cast("timestamp").alias("day"),
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new_users"),
+            F.sum(F.coalesce("n_new", F.lit(0)))
+            .over(wc)
+            .cast("bigint")
+            .alias("cumulative_users"),
+        )
+        .orderBy("day")
     )
