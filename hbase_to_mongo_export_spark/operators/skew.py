@@ -77,3 +77,28 @@ def salted_broadcast_left(
     l_salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt))
     l = left.withColumn("__salt", l_salt)
     return l.join(r, on=[key, "__salt"], how=how).drop("__salt")
+
+
+def hotkey_split_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    hot_threshold: int,
+) -> DataFrame:
+    """The hot-key isolation join — the manual skew answer when AQE and
+    salting don't fit (e.g. the dim side is too big to broadcast whole
+    but the HOT slice of it is tiny): detect keys above ``hot_threshold``
+    occurrences in the fact table, join hot facts against the hot dim
+    slice via broadcast (no shuffle of the skewed mass), join the cold
+    remainder with a plain shuffle join, and union. Results are
+    join-identical to the plain join — only the physical plan differs.
+
+    Returns the joined DataFrame (all fact columns + dim columns)."""
+    counts = facts.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
+    hot_keys = counts.filter(F.col("__n") > hot_threshold).select(key)
+    hot_facts = facts.join(F.broadcast(hot_keys), key, "left_semi")
+    cold_facts = facts.join(F.broadcast(hot_keys), key, "left_anti")
+    hot_dim = dim.join(F.broadcast(hot_keys), key, "left_semi")
+    joined_hot = hot_facts.join(F.broadcast(hot_dim), key)
+    joined_cold = cold_facts.join(dim, key)
+    return joined_hot.unionByName(joined_cold)

@@ -20096,3 +20096,42 @@ def running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "skew_hotkey_split_join",
+    oracle="""
+    WITH j AS (
+      SELECT e.user_id, e.value, c.c_mktsegment
+      FROM events e JOIN customer c ON c.c_custkey = e.user_id % 100 + 1)
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM j GROUP BY c_mktsegment ORDER BY segment
+    """,
+)
+def skew_hotkey_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key isolation join (the third skew weapon next to salting and
+    AQE): keys above the hot threshold join via a broadcast of the hot
+    dimension SLICE — the skewed mass never shuffles — while the cold
+    tail takes the normal shuffle join; union of the two is provably the
+    plain join, which is exactly what the oracle computes. The folded
+    key (user_id % 100) manufactures genuine hot keys from the events
+    table."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        (F.col("user_id") % 100 + 1).alias("k"),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    joined = skew_mod.hotkey_split_join(ev, cust, key="k", hot_threshold=50)
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("segment")
+    )
