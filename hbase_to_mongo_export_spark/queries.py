@@ -20135,3 +20135,105 @@ def skew_hotkey_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "weighted_median_discount",
+    oracle="""
+    WITH g AS (
+      SELECT l_discount AS v, CAST(SUM(l_quantity) AS BIGINT) AS w
+      FROM lineitem GROUP BY l_discount),
+    c AS (
+      SELECT v, w,
+             SUM(w) OVER (ORDER BY v) AS cum,
+             SUM(w) OVER () AS total
+      FROM g)
+    SELECT MIN(v) AS weighted_median_discount,
+           CAST(MAX(total) AS BIGINT) AS total_weight
+    FROM c WHERE 2 * cum >= total
+    """,
+)
+def weighted_median_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (quantity-weighted median discount): group by
+    value, cumulative integer weights over the value order, first value
+    whose doubled cumulative weight reaches the total — a pure selection
+    on exact integers, no interpolation to disagree on. The grouped
+    pre-aggregation means the window runs over distinct values (tiny),
+    not the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_discount").alias("v")).agg(
+        F.sum("l_quantity").cast("bigint").alias("w")
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wg = Window.partitionBy()
+    c = g.select(
+        "v",
+        F.sum("w").over(wv).alias("cum"),
+        F.sum("w").over(wg).alias("total"),
+    )
+    return c.filter(2 * F.col("cum") >= F.col("total")).agg(
+        F.min("v").alias("weighted_median_discount"),
+        F.max("total").cast("bigint").alias("total_weight"),
+    )
+
+
+@register(
+    "filtered_ann_search",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec, label
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_dot_product([CAST(x AS DOUBLE) FOR x IN q.q_vec],
+                              [CAST(x AS DOUBLE) FOR x IN e.embedding]) /
+             (sqrt(list_dot_product([CAST(x AS DOUBLE) FOR x IN q.q_vec],
+                                    [CAST(x AS DOUBLE) FOR x IN q.q_vec])) *
+              sqrt(list_dot_product([CAST(x AS DOUBLE) FOR x IN e.embedding],
+                                    [CAST(x AS DOUBLE) FOR x IN e.embedding])))
+               AS cos
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id AND e.label = q.label)
+    SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cosine FROM (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored) t
+    WHERE rank <= 3 ORDER BY query_id, rank
+    """,
+)
+def filtered_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — top-k neighbors restricted to candidates
+    sharing the probe's metadata label, the constraint that breaks naive
+    post-filtering ANN (filter first, then rank: pre-filtering keeps k
+    results guaranteed; post-filtering an unfiltered top-k can return
+    fewer than k). Implemented as the IVF path with the label predicate
+    pushed INTO the candidate scan; nprobe = all lists keeps the oracle
+    exhaustive so the filtered ranking itself is what's verified."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    cand = emb.join(
+        F.broadcast(qs),
+        (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("qid")),
+    )
+    cos = sim_mod.cosine(F.col("qv"), F.col("embedding"))
+    scored = cand.select(
+        F.col("qid").alias("query_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        cos.alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("cos", 6).alias("cosine"),
+        )
+        .orderBy("query_id", "rank")
+    )
