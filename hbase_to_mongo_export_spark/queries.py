@@ -20237,3 +20237,185 @@ def filtered_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "t_closeness_audit",
+    oracle="""
+    WITH cls AS (
+      SELECT n.n_name AS nation, c.c_mktsegment AS seg,
+             o.o_orderpriority AS pr, COUNT(*) AS n
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2, 3),
+    cls_tot AS (
+      SELECT nation, seg, SUM(n) AS cn FROM cls GROUP BY nation, seg),
+    gdist AS (SELECT pr, SUM(n) AS g FROM cls GROUP BY pr),
+    gtot AS (SELECT SUM(g) AS gt FROM gdist),
+    -- per class and priority (ordered domain): |cumulative difference|
+    -- of the scaled distributions, summed = EMD * cn * gt (exact int)
+    full_grid AS (
+      SELECT ct.nation, ct.seg, ct.cn, gl.pr, gl.g,
+             COALESCE(c2.n, 0) AS n
+      FROM cls_tot ct CROSS JOIN gdist gl
+      LEFT JOIN cls c2 ON c2.nation = ct.nation AND c2.seg = ct.seg
+                      AND c2.pr = gl.pr),
+    cums AS (
+      SELECT nation, seg, cn, pr,
+             SUM(n * (SELECT gt FROM gtot) - cn * g)
+               OVER (PARTITION BY nation, seg ORDER BY pr) AS cd
+      FROM full_grid),
+    emd AS (
+      SELECT nation, seg, MAX(cn) AS class_size,
+             CAST(SUM(ABS(cd)) AS BIGINT) AS emd_scaled
+      FROM cums GROUP BY nation, seg)
+    SELECT nation, seg, CAST(class_size AS BIGINT) AS class_size,
+           emd_scaled,
+           ROUND(CAST(emd_scaled AS DOUBLE) /
+                 (4 * class_size * (SELECT gt FROM gtot)), 6) AS t_value
+    FROM emd
+    ORDER BY t_value DESC, nation, seg
+    LIMIT 20
+    """,
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness — the third privacy gate after k-anonymity and
+    l-diversity: for each quasi-identifier class (nation, segment), the
+    earth-mover's distance between its order-priority distribution and
+    the global one, over the ordered 5-value domain. EMD on an ordered
+    domain is the sum of |cumulative differences| — computed here on
+    integer-scaled counts (n*GT - cn*g), so the distance is exact until
+    one final normalized division (the /4 divides by the max cumulative
+    span, putting t in [0,1]). Top-20 worst classes."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cls = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pr"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cls = op_cache.track(cls.cache())
+    cls_tot = cls.groupBy("nation", "seg").agg(F.sum("cnt").alias("cn"))
+    glob = cls.groupBy("pr").agg(F.sum("cnt").alias("g"))
+    gt = glob.agg(F.sum("g").alias("gt"))
+    grid = (
+        cls_tot.crossJoin(F.broadcast(glob))
+        .join(
+            cls.select(
+                F.col("nation").alias("n2"),
+                F.col("seg").alias("s2"),
+                F.col("pr").alias("p2"),
+                "cnt",
+            ),
+            (F.col("n2") == F.col("nation"))
+            & (F.col("s2") == F.col("seg"))
+            & (F.col("p2") == F.col("pr")),
+            "left",
+        )
+        .crossJoin(F.broadcast(gt))
+        .select(
+            "nation",
+            "seg",
+            "cn",
+            "pr",
+            "g",
+            "gt",
+            F.coalesce("cnt", F.lit(0)).alias("n"),
+        )
+    )
+    wc = Window.partitionBy("nation", "seg").orderBy("pr")
+    cums = grid.select(
+        "nation",
+        "seg",
+        "cn",
+        "gt",
+        F.sum(
+            F.col("n") * F.col("gt") - F.col("cn") * F.col("g")
+        )
+        .over(wc)
+        .alias("cd"),
+    )
+    emd = cums.groupBy("nation", "seg").agg(
+        F.max("cn").alias("class_size"),
+        F.sum(F.abs("cd")).cast("bigint").alias("emd_scaled"),
+        F.max("gt").alias("gt"),
+    )
+    w = Window.orderBy(F.desc("t_value"), "nation", "seg")
+    scored = emd.select(
+        "nation",
+        "seg",
+        F.col("class_size").cast("bigint").alias("class_size"),
+        "emd_scaled",
+        F.round(
+            F.col("emd_scaled").cast("double")
+            / (F.lit(4) * F.col("class_size") * F.col("gt")),
+            6,
+        ).alias("t_value"),
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+        .orderBy(F.desc("t_value"), "nation", "seg")
+    )
+
+
+@register(
+    "group_kfold_assignment",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':gf'), 1, 15)
+                  AS BIGINT) % 4 AS fold_id
+      FROM (SELECT DISTINCT user_id FROM events)),
+    ev AS (
+      SELECT e.user_id, e.event_id, f.fold_id
+      FROM events e JOIN f ON f.user_id = e.user_id)
+    SELECT CAST(fold_id AS INT) AS fold_id,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events,
+           CAST(MIN(user_id) AS BIGINT) AS min_user,
+           CAST(MAX(user_id) AS BIGINT) AS max_user
+    FROM ev GROUP BY fold_id ORDER BY fold_id
+    """,
+)
+def group_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP k-fold: folds assigned at the USER level (salted md5 on the
+    entity, not the row) so no user's events span folds — the assignment
+    that prevents entity leakage in behavioral models, where plain
+    row-hash folds silently train and test on the same user. Per-fold
+    user/event counts expose the group-size imbalance the trade-off
+    costs."""
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":gf"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 4
+    )
+    f = users.select("user_id", fold.cast("int").alias("fold_id"))
+    return (
+        ev.join(F.broadcast(f), "user_id")
+        .groupBy("fold_id")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("user_id").cast("bigint").alias("min_user"),
+            F.max("user_id").cast("bigint").alias("max_user"),
+        )
+        .orderBy("fold_id")
+    )
