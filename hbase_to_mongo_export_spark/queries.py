@@ -20419,3 +20419,45 @@ def group_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold_id")
     )
+
+
+@register(
+    "top_k_with_ties",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority AS priority,
+             CAST(FLOOR(o_totalprice / 1000) * 1000 AS BIGINT) AS price_band,
+             RANK() OVER (PARTITION BY o_orderpriority
+                          ORDER BY CAST(FLOOR(o_totalprice / 1000) AS BIGINT)
+                                   DESC) AS rk,
+             o_orderkey
+      FROM orders)
+    SELECT priority, price_band, CAST(rk AS INT) AS rk,
+           COUNT(*) AS n_tied
+    FROM r WHERE rk <= 3
+    GROUP BY priority, price_band, rk
+    ORDER BY priority, rk, price_band
+    """,
+)
+def top_k_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH TIES semantics (FETCH FIRST k WITH TIES): RANK over
+    banded order totals keeps EVERY row tied at the cutoff — where
+    row_number() would arbitrarily drop tied rows, the difference that
+    corrupts leaderboards. The bands manufacture real ties; the tied-row
+    counts per rank prove they survived."""
+    o = _t(spark, sf_dir, "orders")
+    band = (F.floor(F.col("o_totalprice") / 1000) * 1000).cast("bigint")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.floor(F.col("o_totalprice") / 1000).cast("bigint").desc()
+    )
+    r = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        band.alias("price_band"),
+        F.rank().over(w).alias("rk"),
+    )
+    return (
+        r.filter(F.col("rk") <= 3)
+        .groupBy("priority", "price_band", F.col("rk").cast("int").alias("rk"))
+        .agg(F.count(F.lit(1)).alias("n_tied"))
+        .orderBy("priority", "rk", "price_band")
+    )
