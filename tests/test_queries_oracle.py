@@ -32,7 +32,10 @@ def _canon(value):
     if isinstance(value, float):
         if math.isnan(value):
             return "nan"
-        return f"{value:.6g}"
+        # bit-exact, matching the driver's value hash — a %.6g canon once
+        # hid a real cross-engine decimal-division drift (see
+        # attribution_time_decay's ordered-fold fix)
+        return repr(value)
     if isinstance(value, (list, tuple)):
         return tuple(_canon(v) for v in value)
     return str(value)
