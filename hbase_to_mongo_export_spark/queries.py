@@ -20461,3 +20461,140 @@ def top_k_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_tied"))
         .orderBy("priority", "rk", "price_band")
     )
+
+
+def _hll_intersection_oracle(p: int = 8) -> str:
+    m, wbits, rank_sql, alpha = _hll_parts(p)
+    raw = (
+        f"CAST({alpha} AS DOUBLE) * CAST({m * m} AS DOUBLE) * "
+        f"CAST({1 << (wbits + 1)} AS DOUBLE) / CAST(inv_scaled AS DOUBLE)"
+    )
+    est_expr = f"""
+      ROUND(CASE WHEN {raw} <= {25 * m // 10} AND zeros > 0
+                 THEN CAST({m} AS DOUBLE) *
+                      ln(CAST({m} AS DOUBLE) / CAST(zeros AS DOUBLE))
+                 ELSE {raw} END, 4)"""
+    return f"""
+    WITH h AS (
+      SELECT event_type AS g,
+             CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    ranked AS (
+      SELECT g, hv & {m - 1} AS bucket, (hv >> {p}) AS w FROM h),
+    regs AS (
+      SELECT g, bucket, MAX({rank_sql}) AS mj
+      FROM ranked GROUP BY g, bucket),
+    merged AS (
+      SELECT 'union' AS g, bucket, MAX(mj) AS mj FROM regs GROUP BY bucket),
+    allregs AS (SELECT * FROM regs UNION ALL SELECT * FROM merged),
+    scopes AS (SELECT DISTINCT g FROM allregs),
+    full_regs AS (
+      SELECT sb.g, sb.b AS bucket, COALESCE(r.mj, 0) AS mj
+      FROM (SELECT s.g, t.b FROM scopes s,
+            (SELECT unnest(range(0, {m})) AS b) t) sb
+      LEFT JOIN allregs r ON r.bucket = sb.b AND r.g = sb.g),
+    sums AS (
+      SELECT g,
+             SUM(CAST(1 AS BIGINT) << ({wbits + 1} - mj)) AS inv_scaled,
+             SUM(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS zeros
+      FROM full_regs GROUP BY g),
+    ests AS (SELECT g, {est_expr} AS est FROM sums),
+    wide AS (
+      SELECT MAX(CASE WHEN g = 'click' THEN est END) AS est_click,
+             MAX(CASE WHEN g = 'purchase' THEN est END) AS est_purchase,
+             MAX(CASE WHEN g = 'union' THEN est END) AS est_union
+      FROM ests),
+    exact AS (
+      SELECT COUNT(*) AS exact_intersection FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'))
+    SELECT est_click, est_purchase, est_union,
+           ROUND(est_click + est_purchase - est_union, 4)
+             AS est_intersection,
+           (SELECT CAST(exact_intersection AS BIGINT) FROM exact)
+             AS exact_intersection
+    FROM wide
+    """
+
+
+@register("hll_intersection_estimate", oracle=_hll_intersection_oracle())
+def hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA: HyperLogLog supports union natively (register
+    max), so intersections come from inclusion-exclusion — |A∩B| ≈
+    est(A) + est(B) - est(A∪B) — the standard audience-overlap estimate,
+    with its known error blow-up for small overlaps measured against the
+    exact INTERSECT in the same row. All register arithmetic is the
+    verified exact-integer HLL; the three estimates and the subtraction
+    are the only floats."""
+    p = 8
+    m, wbits, rank_sql, alpha = _hll_parts(p)
+    ev = _t(spark, sf_dir, "events")
+    h = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        F.col("event_type").alias("g"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("hv"),
+    )
+    ranked = h.select(
+        "g",
+        (F.col("hv").bitwiseAND(F.lit(m - 1))).alias("bucket"),
+        F.shiftright("hv", p).alias("w"),
+    )
+    regs = ranked.groupBy("g", "bucket").agg(
+        F.expr(f"MAX({rank_sql})").alias("mj")
+    )
+    regs = op_cache.track(regs.cache())
+    merged = regs.groupBy("bucket").agg(F.max("mj").alias("mj")).select(
+        F.lit("union").alias("g"), "bucket", "mj"
+    )
+    allregs = regs.unionByName(merged)
+    scopes = allregs.select("g").distinct()
+    buckets = spark.range(m).select(F.col("id").alias("bucket"))
+    full = (
+        scopes.crossJoin(buckets)
+        .join(allregs, ["g", "bucket"], "left")
+        .select("g", "bucket", F.coalesce("mj", F.lit(0)).alias("mj"))
+    )
+    sums = full.groupBy("g").agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {wbits + 1} - mj)")
+        ).alias("inv_scaled"),
+        F.sum(F.when(F.col("mj") == 0, 1).otherwise(0)).alias("zeros"),
+    )
+    raw = (
+        F.lit(float(alpha))
+        * F.lit(float(m * m))
+        * F.lit(float(1 << (wbits + 1)))
+        / F.col("inv_scaled").cast("double")
+    )
+    est = F.round(
+        F.when(
+            (raw <= F.lit(25 * m // 10)) & (F.col("zeros") > 0),
+            F.lit(float(m))
+            * F.log(F.lit(float(m)) / F.col("zeros").cast("double")),
+        ).otherwise(raw),
+        4,
+    )
+    ests = sums.select("g", est.alias("est"))
+    wide = ests.agg(
+        F.max(F.when(F.col("g") == "click", F.col("est"))).alias("est_click"),
+        F.max(F.when(F.col("g") == "purchase", F.col("est"))).alias(
+            "est_purchase"
+        ),
+        F.max(F.when(F.col("g") == "union", F.col("est"))).alias("est_union"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    exact = clicks.intersect(purch).agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_intersection")
+    )
+    return wide.crossJoin(F.broadcast(exact)).select(
+        "est_click",
+        "est_purchase",
+        "est_union",
+        F.round(
+            F.col("est_click") + F.col("est_purchase") - F.col("est_union"), 4
+        ).alias("est_intersection"),
+        "exact_intersection",
+    )
