@@ -20598,3 +20598,93 @@ def hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("est_intersection"),
         "exact_intersection",
     )
+
+
+@register(
+    "conformal_interval_coverage",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                  AS DECIMAL(18,2)) AS rev
+      FROM orders GROUP BY 1),
+    pred AS (
+      SELECT d, rev, LAG(rev, 7) OVER (ORDER BY d) AS yhat
+      FROM daily),
+    resid AS (
+      SELECT d, rev, yhat, ABS(rev - yhat) AS r
+      FROM pred WHERE yhat IS NOT NULL),
+    calib AS (SELECT r FROM resid WHERE d < DATE '1997-01-01'),
+    ncal AS (SELECT COUNT(*) AS n FROM calib),
+    q AS (
+      -- split-conformal quantile: the ceil((n+1)*0.9)-th order statistic
+      SELECT r AS qhat FROM (
+        SELECT r, ROW_NUMBER() OVER (ORDER BY r, r) AS rk FROM calib)
+      WHERE rk = LEAST((SELECT n FROM ncal),
+                       CAST(CEIL(((SELECT n FROM ncal) + 1) * 0.9)
+                            AS BIGINT))),
+    test AS (
+      SELECT rev, yhat, r FROM resid WHERE d >= DATE '1997-01-01')
+    SELECT (SELECT n FROM ncal) AS n_calibration,
+           COUNT(*) AS n_test,
+           CAST((SELECT qhat FROM q) AS DOUBLE) AS q_hat,
+           CAST(SUM(CASE WHEN r <= (SELECT qhat FROM q)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+           ROUND(CAST(SUM(CASE WHEN r <= (SELECT qhat FROM q)
+                               THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS empirical_coverage
+    FROM test
+    """,
+)
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals — the distribution-free
+    uncertainty wrapper every production forecaster should ship with: a
+    seasonal-naive predictor's absolute residuals on the calibration
+    period yield the ceil((n+1)*0.9)-th order statistic as the interval
+    half-width (a SELECTION on exact decimals, no interpolation), and
+    the empirical coverage on the held-out period checks the ~90%
+    guarantee. Temporal split, integer counts, one window + one ranked
+    pick."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    wd = Window.orderBy("d")
+    resid = (
+        daily.select("d", "rev", F.lag("rev", 7).over(wd).alias("yhat"))
+        .filter(F.col("yhat").isNotNull())
+        .select("d", F.abs(F.col("rev") - F.col("yhat")).alias("r"))
+    )
+    resid = op_cache.track(resid.cache())
+    cut = F.lit("1997-01-01").cast("date")
+    calib = resid.filter(F.col("d") < cut)
+    n_cal = calib.count()
+    import math as _math
+
+    rk = min(n_cal, _math.ceil((n_cal + 1) * 0.9))
+    wq = Window.orderBy("r")
+    qhat = (
+        calib.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") == rk)
+        .select(F.col("r").alias("qhat"))
+    )
+    test = resid.filter(F.col("d") >= cut)
+    return (
+        test.crossJoin(F.broadcast(qhat))
+        .agg(
+            F.lit(n_cal).cast("bigint").alias("n_calibration"),
+            F.count(F.lit(1)).alias("n_test"),
+            F.max(F.col("qhat").cast("double")).alias("q_hat"),
+            F.sum(F.when(F.col("r") <= F.col("qhat"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_covered"),
+            F.round(
+                F.sum(F.when(F.col("r") <= F.col("qhat"), 1).otherwise(0))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("empirical_coverage"),
+        )
+    )
