@@ -20688,3 +20688,115 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("empirical_coverage"),
         )
     )
+
+
+def _det_walks_oracle(steps: int = 3) -> str:
+    md5i = (
+        "CAST('0x' || substr(md5(CAST(start AS VARCHAR) || ':' || "
+        "CAST(cur AS VARCHAR) || ':{s}'), 1, 15) AS BIGINT)"
+    )
+    walk_ctes = []
+    prev = "w0"
+    for s in range(1, steps + 1):
+        walk_ctes.append(f"""w{s} AS (
+      SELECT w.start, adj.nbr AS cur
+      FROM {prev} w
+      JOIN deg d ON d.node = w.cur
+      JOIN adj ON adj.node = w.cur
+             AND adj.idx = {md5i.format(s=s)} % d.deg)""")
+        prev = f"w{s}"
+    chain = ",\n    ".join(walk_ctes)
+    return f"""
+    WITH so AS (SELECT DISTINCT l_suppkey AS s, l_orderkey AS o FROM lineitem),
+    w AS (
+      SELECT a.s AS u, b.s AS v, COUNT(*) AS c
+      FROM so a JOIN so b ON a.o = b.o AND a.s < b.s
+      GROUP BY a.s, b.s),
+    sym AS (
+      SELECT u AS x, v AS y, c FROM w
+      UNION ALL SELECT v AS x, u AS y, c FROM w),
+    sel AS (
+      SELECT x, y FROM (
+        SELECT x, y,
+               ROW_NUMBER() OVER (PARTITION BY x ORDER BY c DESC, y) AS rn
+        FROM sym)
+      WHERE rn <= 3),
+    e AS (SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v FROM sel),
+    und AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+    adj AS (
+      SELECT u AS node, v AS nbr,
+             ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) - 1 AS idx
+      FROM und),
+    deg AS (SELECT node, COUNT(*) AS deg FROM adj GROUP BY node),
+    w0 AS (SELECT node AS start, node AS cur FROM deg),
+    {chain}
+    SELECT cur AS end_node, COUNT(*) AS n_walks
+    FROM {prev} GROUP BY cur
+    ORDER BY n_walks DESC, end_node
+    LIMIT 20
+    """
+
+
+@register("graph_deterministic_walks", oracle=_det_walks_oracle())
+def graph_deterministic_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The node2vec/DeepWalk SAMPLING primitive, made value-checkable:
+    one 3-step walk per node where each transition picks neighbor
+    md5(start:current:step) mod degree from the id-ordered adjacency
+    list — hash-driven pseudo-randomness instead of an RNG, so walks
+    are reproducible across engines, partitionings, and reruns (the
+    property a training-data pipeline needs anyway). Each step is one
+    equi-join of the walk frontier against the adjacency list; endpoint
+    visit counts are the walk-bias diagnostic."""
+    from .operators import graph as graph_mod
+
+    li = _t(spark, sf_dir, "lineitem")
+    so = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_orderkey").alias("o")
+    ).distinct()
+    wdf = (
+        so.alias("a")
+        .join(
+            so.alias("b"),
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    e = graph_mod.top_k_cooccurrence_edges(wdf, k=3)
+    und = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    wadj = Window.partitionBy("u").orderBy("v")
+    adj = und.select(
+        F.col("u").alias("node"),
+        F.col("v").alias("nbr"),
+        (F.row_number().over(wadj) - 1).alias("idx"),
+    )
+    adj = op_cache.track(adj.cache())
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    walks = deg.select(F.col("node").alias("start"), F.col("node").alias("cur"))
+    for s in (1, 2, 3):
+        pick = F.expr(
+            "CAST(conv(substr(md5(concat(cast(start as string), ':', "
+            f"cast(cur as string), ':{s}')), 1, 15), 16, 10) AS BIGINT)"
+        )
+        walks = (
+            walks.join(deg, walks.cur == deg.node)
+            .withColumn("idx", pick % F.col("deg"))
+            .join(
+                adj.select(
+                    F.col("node").alias("anode"),
+                    F.col("nbr"),
+                    F.col("idx").alias("aidx"),
+                ),
+                (F.col("anode") == F.col("cur"))
+                & (F.col("aidx") == F.col("idx")),
+            )
+            .select("start", F.col("nbr").alias("cur"))
+        )
+    return (
+        walks.groupBy(F.col("cur").alias("end_node"))
+        .agg(F.count(F.lit(1)).alias("n_walks"))
+        .orderBy(F.desc("n_walks"), "end_node")
+        .limit(20)
+    )
