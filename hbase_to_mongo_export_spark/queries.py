@@ -20800,3 +20800,143 @@ def graph_deterministic_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_walks"), "end_node")
         .limit(20)
     )
+
+
+@register(
+    "seasonal_adjusted_anomalies",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+      FROM events GROUP BY 1),
+    dow AS (
+      SELECT isodow(d) - 1 AS wd, SUM(n) AS sn, COUNT(*) AS nd
+      FROM daily GROUP BY 1),
+    adj AS (
+      -- seasonally adjusted count: n scaled by nd/sn (exact rational,
+      -- kept as the integer pair n*nd and sn)
+      SELECT d, n, isodow(d) - 1 AS wd,
+             CAST(n AS DOUBLE) * dow.nd / dow.sn AS a
+      FROM daily JOIN dow ON dow.wd = isodow(d) - 1),
+    stats AS (
+      SELECT COUNT(*) AS cnt, SUM(a) AS sa, SUM(a * a) AS saa FROM adj)
+    SELECT CAST(adj.d AS TIMESTAMP) AS day, CAST(adj.n AS BIGINT) AS n_events,
+           ROUND(adj.a, 6) AS seasonally_adjusted,
+           ROUND((adj.a - sa / cnt) /
+                 SQRT(GREATEST(saa / cnt - (sa / cnt) * (sa / cnt),
+                               CAST(1e-12 AS DOUBLE))), 4) AS z_score
+    FROM adj, stats
+    WHERE ABS((adj.a - sa / cnt) /
+              SQRT(GREATEST(saa / cnt - (sa / cnt) * (sa / cnt),
+                            CAST(1e-12 AS DOUBLE)))) > 1.5
+    ORDER BY day
+    """,
+)
+def seasonal_adjusted_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection — the composition a raw
+    z-score gets wrong (every weekend would alert): daily counts divide
+    by their day-of-week seasonal factor first, then z-scores flag days
+    |z| > 1.5 against the ADJUSTED series. The adjusted values are
+    single-expression doubles from exact integers (n * nd / sn — same
+    op order both engines) so moments and thresholds agree bit-for-bit.
+    One scan, two aggregates, no window."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dow = daily.groupBy(F.weekday("d").alias("wd")).agg(
+        F.sum("n").alias("sn"), F.count(F.lit(1)).alias("nd")
+    )
+    adj = daily.join(
+        F.broadcast(dow), F.weekday(F.col("d")) == F.col("wd")
+    ).select(
+        "d",
+        "n",
+        (F.col("n").cast("double") * F.col("nd") / F.col("sn")).alias("a"),
+    )
+    stats = adj.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("a").alias("sa"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+    )
+    z = (F.col("a") - F.col("sa") / F.col("cnt")) / F.sqrt(
+        F.greatest(
+            F.col("saa") / F.col("cnt")
+            - (F.col("sa") / F.col("cnt")) * (F.col("sa") / F.col("cnt")),
+            F.lit(1e-12),
+        )
+    )
+    return (
+        adj.crossJoin(F.broadcast(stats))
+        .filter(F.abs(z) > 1.5)
+        .select(
+            F.col("d").cast("timestamp").alias("day"),
+            F.col("n").cast("bigint").alias("n_events"),
+            F.round("a", 6).alias("seasonally_adjusted"),
+            F.round(z, 4).alias("z_score"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "join_cardinality_estimate_audit",
+    oracle="""
+    WITH a AS (SELECT o_orderkey AS k FROM orders),
+    b AS (SELECT l_orderkey AS k FROM lineitem),
+    actual AS (
+      SELECT CAST(SUM(ca * cb) AS BIGINT) AS actual_rows FROM
+        (SELECT k, COUNT(*) AS ca FROM a GROUP BY k) x
+        JOIN (SELECT k, COUNT(*) AS cb FROM b GROUP BY k) y USING (k)),
+    stats AS (
+      SELECT (SELECT COUNT(*) FROM a) AS na,
+             (SELECT COUNT(DISTINCT k) FROM a) AS da,
+             (SELECT COUNT(*) FROM b) AS nb,
+             (SELECT COUNT(DISTINCT k) FROM b) AS db)
+    SELECT na, da, nb, db,
+           CAST(na * nb // GREATEST(da, db) AS BIGINT) AS uniform_estimate,
+           (SELECT actual_rows FROM actual) AS actual_rows,
+           ROUND(CAST((SELECT actual_rows FROM actual) AS DOUBLE) /
+                 (na * nb // GREATEST(da, db)), 4) AS skew_factor
+    FROM stats
+    """,
+)
+def join_cardinality_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-statistics literacy as a query: the textbook uniform
+    join-cardinality estimate |A||B| / max(ndv_A, ndv_B) next to the
+    EXACT join size (sum of per-key count products — computed without
+    materializing the join), and their ratio as the skew factor. When
+    this ratio strays far from 1 the planner's row estimates — and
+    therefore its join-order and broadcast decisions — are wrong; this
+    is the audit you run before trusting CBO on a new dataset."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
+    ca = o.groupBy("k").agg(F.count(F.lit(1)).alias("ca"))
+    cb = li.groupBy("k").agg(F.count(F.lit(1)).alias("cb"))
+    actual = ca.join(cb, "k").agg(
+        F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("actual_rows")
+    )
+    sa = o.agg(
+        F.count(F.lit(1)).alias("na"), F.countDistinct("k").alias("da")
+    )
+    sb = li.agg(
+        F.count(F.lit(1)).alias("nb"), F.countDistinct("k").alias("db")
+    )
+    return (
+        sa.crossJoin(F.broadcast(sb))
+        .crossJoin(F.broadcast(actual))
+        .select(
+            "na",
+            "da",
+            "nb",
+            "db",
+            F.expr("na * nb div GREATEST(da, db)")
+            .cast("bigint")
+            .alias("uniform_estimate"),
+            "actual_rows",
+            F.round(
+                F.col("actual_rows").cast("double")
+                / F.expr("na * nb div GREATEST(da, db)"),
+                4,
+            ).alias("skew_factor"),
+        )
+    )
