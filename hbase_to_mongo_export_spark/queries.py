@@ -20940,3 +20940,95 @@ def join_cardinality_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFra
             ).alias("skew_factor"),
         )
     )
+
+
+_BLOOM_H_SPARK = (
+    "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+)
+
+
+@register(
+    "bloom_semijoin_reduction",
+    oracle=f"""
+    WITH sel AS (
+      SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+    bits AS (
+      SELECT DISTINCT {_PORTABLE_H_DUCK.format(x="concat(CAST(j AS VARCHAR), ':', CAST(k AS VARCHAR))")} & 8191 AS bit
+      FROM sel, (SELECT unnest(range(0, 4)) AS j)),
+    probe AS (
+      SELECT o_orderkey, o_custkey AS k FROM orders),
+    probe_bits AS (
+      SELECT o_orderkey, k,
+             {_PORTABLE_H_DUCK.format(x="concat(CAST(j AS VARCHAR), ':', CAST(k AS VARCHAR))")} & 8191 AS bit
+      FROM probe, (SELECT unnest(range(0, 4)) AS j)),
+    passed AS (
+      SELECT p.o_orderkey, p.k
+      FROM probe_bits p JOIN bits b ON b.bit = p.bit
+      GROUP BY p.o_orderkey, p.k HAVING COUNT(*) = 4),
+    exact AS (
+      SELECT o.o_orderkey FROM orders o JOIN sel ON sel.k = o.o_custkey)
+    SELECT (SELECT COUNT(*) FROM probe) AS n_orders,
+           (SELECT COUNT(*) FROM passed) AS n_bloom_passed,
+           (SELECT COUNT(*) FROM exact) AS n_true_matches,
+           CAST((SELECT COUNT(*) FROM passed) -
+                (SELECT COUNT(*) FROM exact) AS BIGINT) AS n_false_passes,
+           ROUND(CAST((SELECT COUNT(*) FROM passed) AS DOUBLE) /
+                 (SELECT COUNT(*) FROM probe), 6) AS pass_fraction
+    """,
+)
+def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter SEMI-JOIN REDUCTION — the distributed trick that
+    shrinks a fact shuffle before an expensive join: the filtered
+    dimension's key set compresses to 8192 bits (4 md5-salted hashes),
+    the fact table pre-filters against the broadcast bitmap, and only
+    bloom-passed rows would shuffle. The pass count sits next to the
+    exact semi-join count, making the false-pass overhead (the price of
+    1 KB instead of a key list) a measured number. Spark's own runtime
+    bloom pushdown does this automatically for some plans; this is the
+    explicit, verifiable form."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    sel = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    js = spark.range(4).select(F.col("id").alias("j"))
+    hx = _BLOOM_H_SPARK.format(
+        x="concat(CAST(j AS STRING), ':', CAST(k AS STRING))"
+    )
+    bits = (
+        sel.crossJoin(F.broadcast(js))
+        .select(F.expr(f"{hx} & 8191").alias("bit"))
+        .distinct()
+    )
+    bits = op_cache.track(bits.cache())
+    probe = orders.select("o_orderkey", F.col("o_custkey").alias("k"))
+    probe_bits = probe.crossJoin(F.broadcast(js)).select(
+        "o_orderkey", "k", F.expr(f"{hx} & 8191").alias("bit")
+    )
+    passed = (
+        probe_bits.join(F.broadcast(bits), "bit")
+        .groupBy("o_orderkey", "k")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+        .filter(F.col("n_set") == 4)
+    )
+    exact = orders.join(
+        F.broadcast(sel), orders.o_custkey == sel.k, "left_semi"
+    )
+    n_orders = probe.agg(F.count(F.lit(1)).alias("n_orders"))
+    n_passed = passed.agg(F.count(F.lit(1)).alias("n_bloom_passed"))
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_true_matches"))
+    return (
+        n_orders.crossJoin(F.broadcast(n_passed))
+        .crossJoin(F.broadcast(n_exact))
+        .select(
+            "n_orders",
+            "n_bloom_passed",
+            "n_true_matches",
+            (F.col("n_bloom_passed") - F.col("n_true_matches"))
+            .cast("bigint")
+            .alias("n_false_passes"),
+            F.round(
+                F.col("n_bloom_passed").cast("double") / F.col("n_orders"), 6
+            ).alias("pass_fraction"),
+        )
+    )
