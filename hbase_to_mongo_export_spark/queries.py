@@ -21032,3 +21032,71 @@ def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pass_fraction"),
         )
     )
+
+
+_MORTON_DUCK = "((({x} >> 0) & 1) << 0) + ((({y} >> 0) & 1) << 1) + ((({x} >> 1) & 1) << 2) + ((({y} >> 1) & 1) << 3) + ((({x} >> 2) & 1) << 4) + ((({y} >> 2) & 1) << 5) + ((({x} >> 3) & 1) << 6) + ((({y} >> 3) & 1) << 7) + ((({x} >> 4) & 1) << 8) + ((({y} >> 4) & 1) << 9) + ((({x} >> 5) & 1) << 10) + ((({y} >> 5) & 1) << 11) + ((({x} >> 6) & 1) << 12) + ((({y} >> 6) & 1) << 13) + ((({x} >> 7) & 1) << 14) + ((({y} >> 7) & 1) << 15)"
+_MORTON_SPARK = "shiftleft(((shiftright({x}, 0)) & 1), 0) + shiftleft(((shiftright({y}, 0)) & 1), 1) + shiftleft(((shiftright({x}, 1)) & 1), 2) + shiftleft(((shiftright({y}, 1)) & 1), 3) + shiftleft(((shiftright({x}, 2)) & 1), 4) + shiftleft(((shiftright({y}, 2)) & 1), 5) + shiftleft(((shiftright({x}, 3)) & 1), 6) + shiftleft(((shiftright({y}, 3)) & 1), 7) + shiftleft(((shiftright({x}, 4)) & 1), 8) + shiftleft(((shiftright({y}, 4)) & 1), 9) + shiftleft(((shiftright({x}, 5)) & 1), 10) + shiftleft(((shiftright({y}, 5)) & 1), 11) + shiftleft(((shiftright({x}, 6)) & 1), 12) + shiftleft(((shiftright({y}, 6)) & 1), 13) + shiftleft(((shiftright({x}, 7)) & 1), 14) + shiftleft(((shiftright({y}, 7)) & 1), 15)"
+
+
+@register(
+    "zorder_block_pruning_audit",
+    oracle=f"""
+    WITH pts AS (
+      SELECT (o_custkey % 256) AS x,
+             CAST(FLOOR(o_totalprice / 2500) AS BIGINT) % 256 AS y
+      FROM orders),
+    coded AS (
+      SELECT x, y,
+             ({_MORTON_DUCK.format(x="x", y="y")}) AS zcode,
+             x * 256 + y AS rcode
+      FROM pts),
+    matched AS (
+      SELECT * FROM coded
+      WHERE x >= 64 AND x < 96 AND y >= 32 AND y < 64)
+    SELECT (SELECT COUNT(*) FROM matched) AS n_matched,
+           (SELECT COUNT(DISTINCT zcode >> 6) FROM matched)
+             AS zorder_blocks_touched,
+           (SELECT COUNT(DISTINCT rcode >> 6) FROM matched)
+             AS rowmajor_blocks_touched,
+           (SELECT COUNT(DISTINCT zcode >> 6) FROM coded)
+             AS zorder_blocks_total,
+           (SELECT COUNT(DISTINCT rcode >> 6) FROM coded)
+             AS rowmajor_blocks_total
+    """,
+)
+def zorder_block_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHY Z-order works, as a measured number: orders mapped onto a
+    256x256 (customer-bucket, price-band) grid, codes assigned by bit
+    interleave (Morton) vs row-major, 64-cell blocks; a 32x32 rectangle
+    query touches far fewer Morton blocks than row-major ones — the
+    min/max-pruning win data-skipping formats get from Z-order
+    clustering (see plans/layout.py for the writer side). Pure integer
+    bit arithmetic, identical in both engines."""
+    o = _t(spark, sf_dir, "orders")
+    pts = o.select(
+        (F.col("o_custkey") % 256).alias("x"),
+        (F.floor(F.col("o_totalprice") / 2500).cast("bigint") % 256).alias("y"),
+    )
+    coded = pts.select(
+        "x",
+        "y",
+        F.expr(_MORTON_SPARK.format(x="x", y="y")).alias("zcode"),
+        (F.col("x") * 256 + F.col("y")).alias("rcode"),
+    )
+    coded = op_cache.track(coded.cache())
+    matched = coded.filter(
+        (F.col("x") >= 64) & (F.col("x") < 96)
+        & (F.col("y") >= 32) & (F.col("y") < 64)
+    )
+    zb = F.expr("shiftright(zcode, 6)")
+    rb = F.expr("shiftright(rcode, 6)")
+    m = matched.agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.countDistinct(zb).alias("zorder_blocks_touched"),
+        F.countDistinct(rb).alias("rowmajor_blocks_touched"),
+    )
+    t = coded.agg(
+        F.countDistinct(zb).alias("zorder_blocks_total"),
+        F.countDistinct(rb).alias("rowmajor_blocks_total"),
+    )
+    return m.crossJoin(F.broadcast(t))
