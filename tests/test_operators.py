@@ -1032,3 +1032,29 @@ class TestRound3Operators:
         assert rows[0]["n_nodes"] == 6
         assert rows[1]["sum_r2"] == rows[2]["sum_r2"] == rows[3]["sum_r2"]
         assert rows[1]["sum_r2"] > rows[0]["sum_r2"]
+
+
+def test_hotkey_split_join_equals_plain_join(spark):
+    """The isolation join must be row-identical to the plain join on a
+    synthetically skewed fact table (one key holds half the rows),
+    including keys absent from the dim (inner-join drop) and cold-only
+    keys."""
+    from hbase_to_mongo_export_spark.operators.skew import hotkey_split_join
+
+    facts = spark.createDataFrame(
+        [(1, i) for i in range(500)]          # hot key
+        + [(k, k * 10) for k in range(2, 50)]  # cold tail
+        + [(999, 1)],                          # key missing from dim
+        ["k", "v"],
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(1, 50)], ["k", "name"]
+    )
+    got = sorted(
+        (r.k, r.v, r.name)
+        for r in hotkey_split_join(facts, dim, "k", hot_threshold=100).collect()
+    )
+    want = sorted(
+        (r.k, r.v, r.name) for r in facts.join(dim, "k").collect()
+    )
+    assert got == want and len(got) == 548
