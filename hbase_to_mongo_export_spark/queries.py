@@ -21100,3 +21100,93 @@ def zorder_block_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(rb).alias("rowmajor_blocks_total"),
     )
     return m.crossJoin(F.broadcast(t))
+
+
+@register(
+    "sprt_sequential_test",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+             COUNT(*) AS n
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY 1),
+    llr AS (
+      SELECT d, c, n,
+             SUM(c * ln(CAST(0.55 AS DOUBLE) / CAST(0.5 AS DOUBLE)) +
+                 (n - c) * ln(CAST(0.45 AS DOUBLE) / CAST(0.5 AS DOUBLE)))
+               OVER (ORDER BY d) AS cum_llr
+      FROM daily),
+    crossing AS (
+      SELECT MIN(d) AS first_cross
+      FROM llr WHERE ABS(cum_llr) > ln(CAST(19 AS DOUBLE))),
+    last_row AS (SELECT cum_llr FROM llr ORDER BY d DESC LIMIT 1)
+    SELECT (SELECT COUNT(*) FROM llr) AS n_days,
+           ROUND(ln(CAST(19 AS DOUBLE)), 6) AS threshold,
+           CAST((SELECT first_cross FROM crossing) AS TIMESTAMP)
+             AS first_crossing_day,
+           ROUND(cum_llr, 6) AS final_llr,
+           CASE WHEN cum_llr > ln(CAST(19 AS DOUBLE)) THEN 'accept_h1'
+                WHEN cum_llr < -ln(CAST(19 AS DOUBLE)) THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM last_row
+    """,
+)
+def sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability-ratio test on the daily click-share
+    series (H1: p=0.55 vs H0: p=0.5, error bounds alpha=beta=0.05 giving
+    the ln(19) thresholds): the cumulative log-likelihood ratio is a
+    RUNNING window sum — order-defined accumulation, so the doubles
+    agree across engines — and the first boundary-crossing day is when a
+    sequential experiment would have stopped, the early-stopping
+    discipline fixed-horizon A/B tests lack."""
+    ev = _t(spark, sf_dir, "events")
+    import math as _math
+
+    l1 = _math.log(0.55 / 0.5)
+    l0 = _math.log(0.45 / 0.5)
+    thr = _math.log(19.0)
+    daily = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    wd = Window.orderBy("d")
+    llr = daily.select(
+        "d",
+        F.sum(
+            F.col("c") * F.lit(l1) + (F.col("n") - F.col("c")) * F.lit(l0)
+        )
+        .over(wd)
+        .alias("cum_llr"),
+    )
+    llr = op_cache.track(llr.cache())
+    crossing = llr.filter(F.abs("cum_llr") > thr).agg(
+        F.min("d").alias("first_cross")
+    )
+    wlast = Window.orderBy(F.desc("d"))
+    last = (
+        llr.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select("cum_llr")
+    )
+    cnt = llr.agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        cnt.crossJoin(F.broadcast(last))
+        .crossJoin(F.broadcast(crossing))
+        .select(
+            "n_days",
+            F.round(F.lit(thr), 6).alias("threshold"),
+            F.col("first_cross").cast("timestamp").alias("first_crossing_day"),
+            F.round("cum_llr", 6).alias("final_llr"),
+            F.when(F.col("cum_llr") > thr, "accept_h1")
+            .when(F.col("cum_llr") < -thr, "accept_h0")
+            .otherwise("continue")
+            .alias("decision"),
+        )
+    )
