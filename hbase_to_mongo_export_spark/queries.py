@@ -21190,3 +21190,59 @@ def sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("decision"),
         )
     )
+
+
+@register(
+    "exact_kth_selection",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS n FROM orders),
+    k AS (SELECT CAST(CEIL(n * 0.999) AS BIGINT) AS k FROM n)
+    SELECT (SELECT n FROM n) AS n_rows,
+           (SELECT k FROM k) AS k,
+           (SELECT o_totalprice FROM orders
+            ORDER BY o_totalprice, o_orderkey
+            LIMIT 1 OFFSET (SELECT k - 1 FROM k)) AS kth_value
+    """,
+)
+def exact_kth_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT order statistic without a global sort — the two-phase
+    selection that finds the true P99.9 at 100 TB: phase 1 histograms
+    values into 1000-unit buckets (map-side combine, a few hundred
+    grouped rows to the driver), locates the bucket holding rank k from
+    cumulative counts; phase 2 sorts ONLY that bucket's rows and picks
+    the offset. The oracle is the brute-force ORDER BY ... OFFSET —
+    trivially correct, quadratically more expensive at scale (a full
+    sort vs one bucket's)."""
+    o = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    o = op_cache.track(o.cache())
+    n = o.count()
+    import math as _math
+
+    k = _math.ceil(n * 0.999)
+    hist = (
+        o.groupBy(F.floor(F.col("o_totalprice") / 1000).alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("b")
+        .collect()
+    )
+    cum = 0
+    target_bucket, offset_in_bucket = None, None
+    for r in hist:
+        if cum + r["c"] >= k:
+            target_bucket, offset_in_bucket = r["b"], k - cum
+            break
+        cum += r["c"]
+    bucket_rows = o.filter(
+        F.floor(F.col("o_totalprice") / 1000) == target_bucket
+    )
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    kth = (
+        bucket_rows.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == offset_in_bucket)
+        .select(F.col("o_totalprice").alias("kth_value"))
+    )
+    return kth.select(
+        F.lit(n).cast("bigint").alias("n_rows"),
+        F.lit(k).cast("bigint").alias("k"),
+        "kth_value",
+    )
