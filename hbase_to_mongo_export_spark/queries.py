@@ -21246,3 +21246,141 @@ def exact_kth_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(k).cast("bigint").alias("k"),
         "kth_value",
     )
+
+
+@register(
+    "business_days_latency",
+    oracle="""
+    WITH pairs AS (
+      SELECT o.o_orderkey,
+             CAST(o.o_orderdate AS DATE) AS d1,
+             CAST(l.l_shipdate AS DATE) AS d2
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_linenumber = 1),
+    bd AS (
+      -- business days in (d1, d2] = W(d2) - W(d1), where W(d) counts
+      -- weekdays from the Monday epoch 1990-01-01 through d inclusive:
+      -- 5 per complete week + min(partial-week days, 5). Verified
+      -- against numpy busday_count over a 2400-pair grid.
+      SELECT o_orderkey, d1, d2,
+             (5 * ((d2 - DATE '1990-01-01') // 7) +
+              LEAST((d2 - DATE '1990-01-01') % 7 + 1, 5)) -
+             (5 * ((d1 - DATE '1990-01-01') // 7) +
+              LEAST((d1 - DATE '1990-01-01') % 7 + 1, 5)) AS bdays
+      FROM pairs)
+    SELECT CAST(bdays AS BIGINT) AS business_days,
+           COUNT(*) AS n_orders
+    FROM bd GROUP BY bdays ORDER BY business_days
+    """,
+)
+def business_days_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-ship latency in BUSINESS days — the finance/SLA
+    calendar arithmetic calendar-day deltas get wrong: the count is the
+    difference of a cumulative-weekday prefix function anchored at a
+    Monday epoch (5 per complete week + min(partial days, 5)), verified
+    independently against numpy busday_count. Pure integer date
+    arithmetic; the histogram shape immediately exposes the
+    weekend plateaus a calendar-day histogram smears."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    pairs = o.join(li, li.l_orderkey == o.o_orderkey).select(
+        F.to_date("o_orderdate").alias("d1"),
+        F.to_date("l_shipdate").alias("d2"),
+    )
+    def wcount(col):
+        days = F.datediff(col, F.lit("1990-01-01"))  # epoch is a Monday
+        return F.expr(f"5 * (datediff({col}, DATE '1990-01-01') div 7)") + F.least(
+            days % 7 + 1, F.lit(5)
+        )
+
+    bdays = wcount("d2") - wcount("d1")
+    return (
+        pairs.select(bdays.cast("bigint").alias("business_days"))
+        .groupBy("business_days")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("business_days")
+    )
+
+
+@register(
+    "source_overlap_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT source,
+             list_aggregate(words[i:i+2], 'string_agg', ' ') AS g
+      FROM (SELECT source,
+                   string_split_regex(regexp_replace(lower(trim(text)),
+                                                     '\\s+', ' ', 'g'),
+                                      ' ') AS words
+            FROM documents) t,
+           UNNEST(range(1, len(words) - 1)) AS u(i)),
+    sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+    inter AS (
+      SELECT a.source AS s1, b.source AS s2, COUNT(*) AS both
+      FROM sh a JOIN sh b ON b.g = a.g AND a.source < b.source
+      GROUP BY a.source, b.source)
+    SELECT i.s1, i.s2,
+           CAST(i.both AS BIGINT) AS n_shared,
+           CAST(x.n AS BIGINT) AS n_s1, CAST(y.n AS BIGINT) AS n_s2,
+           ROUND(CAST(i.both AS DOUBLE) / (x.n + y.n - i.both), 6)
+             AS jaccard
+    FROM inter i JOIN sizes x ON x.source = i.s1
+    JOIN sizes y ON y.source = i.s2
+    ORDER BY s1, s2
+    """,
+)
+def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level corpus overlap: exact Jaccard between every pair of
+    sources over their 3-gram shingle VOCABULARIES (distinct shingles
+    per source, intersected by an inverted-index join on the shingle —
+    never a pairwise document comparison). The crawl-curation dashboard
+    number that says which feeds are rebranded copies of each other.
+    Cost ∝ Σ per-shingle source-pair combinations — bounded by the
+    number of sources squared per shingle, tiny."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "source",
+        F.split(
+            F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "
+        ).alias("ws"),
+    ).filter(F.size("ws") >= 3)
+    sh = (
+        words.select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 3), "
+                    "i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    sh = op_cache.track(sh.cache())
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.select(F.col("source").alias("s2"), F.col("g").alias("g2"))
+    inter = (
+        a.join(b, (F.col("g2") == F.col("g")) & (F.col("source") < F.col("s2")))
+        .groupBy(F.col("source").alias("s1"), "s2")
+        .agg(F.count(F.lit(1)).alias("both"))
+    )
+    x = sizes.select(F.col("source").alias("s1"), F.col("n").alias("n_s1"))
+    y = sizes.select(F.col("source").alias("s2"), F.col("n").alias("n_s2"))
+    return (
+        inter.join(F.broadcast(x), "s1")
+        .join(F.broadcast(y), "s2")
+        .select(
+            "s1",
+            "s2",
+            F.col("both").cast("bigint").alias("n_shared"),
+            F.col("n_s1").cast("bigint").alias("n_s1"),
+            F.col("n_s2").cast("bigint").alias("n_s2"),
+            F.round(
+                F.col("both").cast("double")
+                / (F.col("n_s1") + F.col("n_s2") - F.col("both")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("s1", "s2")
+    )

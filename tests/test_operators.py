@@ -1058,3 +1058,34 @@ def test_hotkey_split_join_equals_plain_join(spark):
         (r.k, r.v, r.name) for r in facts.join(dim, "k").collect()
     )
     assert got == want and len(got) == 548
+
+
+def test_business_days_formula(spark):
+    """The cumulative-weekday prefix formula used by
+    business_days_latency, pinned against hand-computed cases including
+    weekend endpoints (the inputs the naive remainder formula got
+    wrong)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    cases = [
+        # (d1, d2, business days in (d1, d2])
+        (dt.date(2024, 1, 6), dt.date(2024, 1, 8), 1),   # Sat -> Mon
+        (dt.date(2024, 1, 5), dt.date(2024, 1, 8), 1),   # Fri -> Mon
+        (dt.date(2024, 1, 1), dt.date(2024, 1, 5), 4),   # Mon -> Fri
+        (dt.date(2024, 1, 1), dt.date(2024, 1, 8), 5),   # Mon -> Mon
+        (dt.date(2024, 1, 6), dt.date(2024, 1, 7), 0),   # Sat -> Sun
+        (dt.date(2024, 1, 1), dt.date(2024, 1, 1), 0),   # same day
+    ]
+    df = spark.createDataFrame(
+        [(a, b) for a, b, _ in cases], "d1 date, d2 date"
+    )
+    expr = (
+        "(5 * (datediff(d2, DATE '1990-01-01') div 7) + "
+        " least(datediff(d2, DATE '1990-01-01') % 7 + 1, 5)) - "
+        "(5 * (datediff(d1, DATE '1990-01-01') div 7) + "
+        " least(datediff(d1, DATE '1990-01-01') % 7 + 1, 5))"
+    )
+    got = [r[0] for r in df.select(F.expr(expr)).collect()]
+    assert got == [c[2] for c in cases]
