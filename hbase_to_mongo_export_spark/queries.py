@@ -21384,3 +21384,113 @@ def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s1", "s2")
     )
+
+
+@register(
+    "yoy_aligned_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                  AS DECIMAL(18,2)) AS rev
+      FROM orders GROUP BY 1),
+    lagd AS (
+      SELECT m, rev, LAG(rev, 12) OVER (ORDER BY m) AS rev_ly
+      FROM monthly)
+    SELECT CAST(m AS TIMESTAMP) AS month,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev_ly AS DOUBLE) AS revenue_last_year,
+           ROUND((CAST(rev AS DOUBLE) - CAST(rev_ly AS DOUBLE)) /
+                 CAST(rev_ly AS DOUBLE), 6) AS yoy_growth
+    FROM lagd WHERE rev_ly IS NOT NULL
+    ORDER BY month
+    """,
+)
+def yoy_aligned_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth with CALENDAR alignment: monthly DECIMAL
+    revenue lagged 12 observations over the month spine (not 365 days —
+    month arithmetic is what keeps Feb comparing to Feb). The window
+    runs over the aggregated series, so the fact scan feeds one shuffle
+    regardless of history length."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    w = Window.orderBy("m")
+    lagd = monthly.select(
+        "m", "rev", F.lag("rev", 12).over(w).alias("rev_ly")
+    ).filter(F.col("rev_ly").isNotNull())
+    return lagd.select(
+        F.col("m").cast("timestamp").alias("month"),
+        F.col("rev").cast("double").alias("revenue"),
+        F.col("rev_ly").cast("double").alias("revenue_last_year"),
+        F.round(
+            (F.col("rev").cast("double") - F.col("rev_ly").cast("double"))
+            / F.col("rev_ly").cast("double"),
+            6,
+        ).alias("yoy_growth"),
+    ).orderBy("month")
+
+
+@register(
+    "stream_batch_unification_parity",
+    oracle="""
+    WITH agg AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+             event_type, COUNT(*) AS n_events,
+             ROUND(SUM(value), 4) AS sum_value
+      FROM events GROUP BY 1, 2)
+    SELECT COUNT(*) AS n_windows,
+           CAST(0 AS BIGINT) AS n_mismatched
+    FROM agg
+    """,
+)
+def stream_batch_unification_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Dataflow-model contract stated as a query: the SAME windowed
+    aggregation executed as a real Structured Streaming drain AND as a
+    batch groupBy, full-outer joined on the window key — the mismatch
+    count the query returns is structurally zero ONLY if streaming
+    replay equals batch (the oracle asserts exactly that zero, so any
+    divergence in watermarking, window assignment, or aggregation
+    between the two engines' modes fails the gate)."""
+    import os as _os
+
+    from .streaming.incremental import windowed_event_counts
+
+    stream_res = windowed_event_counts(
+        spark, _os.path.join(sf_dir, "events.parquet")
+    ).select(
+        "window_start",
+        "event_type",
+        F.col("n_events").alias("sn"),
+        F.col("sum_value").alias("sv"),
+    )
+    ev = _t(spark, sf_dir, "events")
+    batch_res = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("bn"),
+        F.round(F.sum("value"), 4).alias("bv"),
+    )
+    joined = stream_res.join(
+        batch_res, ["window_start", "event_type"], "full_outer"
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(
+            F.when(
+                F.col("sn").isNull()
+                | F.col("bn").isNull()
+                | (F.col("sn") != F.col("bn"))
+                | (F.col("sv") != F.col("bv")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_mismatched"),
+    )
