@@ -21494,3 +21494,70 @@ def stream_batch_unification_parity(spark: SparkSession, sf_dir: str) -> DataFra
         .cast("bigint")
         .alias("n_mismatched"),
     )
+
+
+@register(
+    "events_peak_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT event_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+      FROM events),
+    pts AS (
+      SELECT s AS t, 1 AS delta, event_id FROM iv
+      UNION ALL
+      SELECT e AS t, -1 AS delta, event_id FROM iv),
+    swept AS (
+      -- at equal instants starts count before ends (closed-interval
+      -- convention), tiebreak event_id for full determinism
+      SELECT t, delta,
+             SUM(delta) OVER (ORDER BY t, delta DESC, event_id) AS load
+      FROM pts)
+    SELECT CAST(MAX(load) AS BIGINT) AS peak_concurrency,
+           CAST((SELECT MIN(t) FROM swept
+                 WHERE load = (SELECT MAX(load) FROM swept))
+                AS TIMESTAMP) AS first_peak_at,
+           (SELECT COUNT(*) FROM iv) AS n_intervals
+    FROM swept
+    """,
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency by SWEEP LINE: each 30-minute activity interval
+    becomes a +1/-1 boundary event, a running sum over the global
+    boundary order is the live concurrency, and its max is the capacity
+    number an interval self-join can't give without O(n²) pairs. The
+    closed-interval tiebreak (starts before ends at equal instants,
+    then event_id) makes the running sum fully deterministic. One
+    explode + one ordered window — at 100 TB the order key is
+    time-range partitioned."""
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    iv = op_cache.track(iv.cache())
+    pts = iv.select(
+        F.col("s").alias("t"), F.lit(1).alias("delta"), "event_id"
+    ).unionByName(
+        iv.select(F.col("e").alias("t"), F.lit(-1).alias("delta"), "event_id")
+    )
+    wsweep = Window.orderBy(
+        "t", F.desc("delta"), "event_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    swept = pts.select("t", F.sum("delta").over(wsweep).alias("load"))
+    swept = op_cache.track(swept.cache())
+    peak = swept.agg(F.max("load").alias("p"))
+    first = (
+        swept.join(F.broadcast(peak), swept.load == F.col("p"))
+        .agg(F.min("t").alias("first_peak_at"))
+    )
+    n = iv.agg(F.count(F.lit(1)).alias("n_intervals"))
+    return (
+        peak.crossJoin(F.broadcast(first))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("p").cast("bigint").alias("peak_concurrency"),
+            F.col("first_peak_at").cast("timestamp").alias("first_peak_at"),
+            "n_intervals",
+        )
+    )
