@@ -21561,3 +21561,122 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_intervals",
         )
     )
+
+
+@register(
+    "skyline_price_quantity",
+    oracle="""
+    WITH cand AS (
+      -- per-quantity min price: the only point at each quantity that
+      -- can possibly be on the skyline (dominance pre-pruning)
+      SELECT l_quantity AS q, MIN(l_extendedprice) AS p
+      FROM lineitem GROUP BY l_quantity),
+    sky AS (
+      SELECT c.q, c.p FROM cand c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM cand d
+        WHERE d.q >= c.q AND d.p <= c.p AND (d.q > c.q OR d.p < c.p)))
+    SELECT CAST(q AS DOUBLE) AS quantity, CAST(p AS DOUBLE) AS min_price
+    FROM sky ORDER BY quantity
+    """,
+)
+def skyline_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKYLINE (Pareto-frontier) operator — maximize quantity while
+    minimizing price: no surviving point is dominated by another that is
+    at least as good on both axes and strictly better on one. The naive
+    skyline is an O(n²) self-join over the fact table; the scalable
+    reduction computes per-quantity minimum price FIRST (a hash
+    aggregate — only those points can be on the frontier), shrinking the
+    dominance check to |distinct quantities|² on broadcastable input."""
+    li = _t(spark, sf_dir, "lineitem")
+    cand = li.groupBy(F.col("l_quantity").alias("q")).agg(
+        F.min("l_extendedprice").alias("p")
+    )
+    cand = op_cache.track(cand.cache())
+    d = cand.select(F.col("q").alias("dq"), F.col("p").alias("dp"))
+    dominated = cand.join(
+        F.broadcast(d),
+        (F.col("dq") >= F.col("q"))
+        & (F.col("dp") <= F.col("p"))
+        & ((F.col("dq") > F.col("q")) | (F.col("dp") < F.col("p"))),
+        "left_semi",
+    )
+    sky = cand.join(dominated, ["q", "p"], "left_anti")
+    return sky.select(
+        F.col("q").cast("double").alias("quantity"),
+        F.col("p").cast("double").alias("min_price"),
+    ).orderBy("quantity")
+
+
+@register(
+    "nucleus_vocab_per_lang",
+    oracle="""
+    WITH w AS (
+      SELECT lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+      FROM documents WHERE trim(text) <> ''),
+    freq AS (SELECT lang, t, COUNT(*) AS n FROM w GROUP BY lang, t),
+    ranked AS (
+      SELECT lang, t, n,
+             SUM(n) OVER (PARTITION BY lang ORDER BY n DESC, t) AS cum,
+             SUM(n) OVER (PARTITION BY lang) AS tot,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n DESC, t) AS rk
+      FROM freq)
+    SELECT lang,
+           CAST(MAX(CASE WHEN 10 * (cum - n) < 9 * tot THEN rk ELSE 0 END)
+                AS BIGINT) AS nucleus_size,
+           CAST(MAX(rk) AS BIGINT) AS vocab_size,
+           ROUND(CAST(MAX(CASE WHEN 10 * (cum - n) < 9 * tot
+                               THEN rk ELSE 0 END) AS DOUBLE) /
+                 MAX(rk), 6) AS nucleus_fraction
+    FROM ranked GROUP BY lang ORDER BY lang
+    """,
+)
+def nucleus_vocab_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p (nucleus) vocabulary size per language: the smallest
+    frequency-ranked prefix covering 90% of token mass — the
+    distributional statistic behind nucleus sampling and vocab sizing.
+    The inclusion test is exact integer arithmetic (a word is in the
+    nucleus iff the mass BEFORE it is under 9/10 of the total, i.e.
+    10*(cum - n) < 9*tot), deterministic tiebreaks on the rank windows."""
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.filter(F.trim("text") != "").select(
+        "lang",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("t"),
+    )
+    freq = w.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.partitionBy("lang").orderBy(F.desc("n"), "t")
+    wc = wr.rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy("lang")
+    ranked = freq.select(
+        "lang",
+        "n",
+        F.sum("n").over(wc).alias("cum"),
+        F.sum("n").over(wt).alias("tot"),
+        F.row_number().over(wr).alias("rk"),
+    )
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.max(
+                F.when(
+                    10 * (F.col("cum") - F.col("n")) < 9 * F.col("tot"),
+                    F.col("rk"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("nucleus_size"),
+            F.max("rk").cast("bigint").alias("vocab_size"),
+            F.round(
+                F.max(
+                    F.when(
+                        10 * (F.col("cum") - F.col("n")) < 9 * F.col("tot"),
+                        F.col("rk"),
+                    ).otherwise(0)
+                ).cast("double")
+                / F.max("rk"),
+                6,
+            ).alias("nucleus_fraction"),
+        )
+        .orderBy("lang")
+    )
