@@ -21680,3 +21680,179 @@ def nucleus_vocab_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "orders_control_chart",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+      FROM orders GROUP BY 1),
+    mr AS (
+      SELECT d, n,
+             ABS(n - LAG(n) OVER (ORDER BY d)) AS rng
+      FROM daily),
+    stats AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS sn,
+             COUNT(*) AS cnt,
+             CAST(SUM(rng) AS BIGINT) AS sr,
+             COUNT(rng) AS cr
+      FROM mr),
+    limits AS (
+      -- individuals chart: sigma_hat = MRbar / d2 (d2 = 1.128), limits
+      -- at center +- 3 sigma; every input is an exact integer ratio
+      SELECT CAST(sn AS DOUBLE) / cnt AS center,
+             CAST(sn AS DOUBLE) / cnt +
+             3 * (CAST(sr AS DOUBLE) / cr) / CAST(1.128 AS DOUBLE) AS ucl,
+             CAST(sn AS DOUBLE) / cnt -
+             3 * (CAST(sr AS DOUBLE) / cr) / CAST(1.128 AS DOUBLE) AS lcl
+      FROM stats)
+    SELECT COUNT(*) AS n_days,
+           ROUND((SELECT center FROM limits), 4) AS center,
+           ROUND((SELECT ucl FROM limits), 4) AS ucl,
+           ROUND((SELECT lcl FROM limits), 4) AS lcl,
+           CAST(SUM(CASE WHEN n > (SELECT ucl FROM limits)
+                           OR n < (SELECT lcl FROM limits)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_control
+    FROM daily
+    """,
+)
+def orders_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart individuals control chart on the daily order-count
+    series: sigma estimated from the mean moving range (MRbar / 1.128 —
+    the SPC estimator that's robust to slow drift), 3-sigma control
+    limits, and the out-of-control day count. Complements CUSUM (drift)
+    with the spike detector; every input to the float expressions is an
+    exact integer sum so the limits agree bit-for-bit."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    daily = op_cache.track(daily.cache())
+    wd = Window.orderBy("d")
+    mr = daily.select(
+        "n", F.abs(F.col("n") - F.lag("n").over(wd)).alias("rng")
+    )
+    stats = mr.agg(
+        F.sum("n").cast("bigint").alias("sn"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("rng").cast("bigint").alias("sr"),
+        F.count("rng").alias("cr"),
+    )
+    center = F.col("sn").cast("double") / F.col("cnt")
+    sig3 = F.lit(3) * (F.col("sr").cast("double") / F.col("cr")) / F.lit(1.128)
+    lim = stats.select(
+        center.alias("center"),
+        (center + sig3).alias("ucl"),
+        (center - sig3).alias("lcl"),
+    )
+    return (
+        daily.crossJoin(F.broadcast(lim))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.max("center"), 4).alias("center"),
+            F.round(F.max("ucl"), 4).alias("ucl"),
+            F.round(F.max("lcl"), 4).alias("lcl"),
+            F.sum(
+                F.when(
+                    (F.col("n") > F.col("ucl")) | (F.col("n") < F.col("lcl")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_out_of_control"),
+        )
+    )
+
+
+@register(
+    "fractional_knapsack_revenue",
+    oracle="""
+    WITH items AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS BIGINT) AS q,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+             CAST(l_extendedprice AS DOUBLE) / l_quantity AS ratio
+      FROM lineitem WHERE l_quantity > 0),
+    budget AS (
+      SELECT CAST(SUM(q) AS BIGINT) // 100 AS b FROM items),
+    ranked AS (
+      SELECT q, v, ratio,
+             SUM(q) OVER (ORDER BY ratio DESC, l_orderkey, l_linenumber)
+               AS cumq
+      FROM items),
+    taken AS (
+      SELECT
+        CAST(SUM(CASE WHEN cumq <= (SELECT b FROM budget)
+                      THEN v ELSE CAST(0 AS DECIMAL(18,2)) END)
+             AS DECIMAL(20,2)) AS full_value,
+        CAST(SUM(CASE WHEN cumq <= (SELECT b FROM budget)
+                      THEN q ELSE 0 END) AS BIGINT) AS full_qty,
+        -- the boundary item is the FIRST row past the budget in rank
+        -- order = the max ratio among them (ratios descend with rank)
+        MAX(CASE WHEN cumq > (SELECT b FROM budget) THEN ratio END)
+          AS frac_ratio
+      FROM ranked)
+    SELECT (SELECT b FROM budget) AS quantity_budget,
+           full_qty AS whole_items_qty,
+           CAST(ROUND(CAST(full_value AS DOUBLE) +
+                      COALESCE(frac_ratio, 0) *
+                      ((SELECT b FROM budget) - full_qty), 2) AS DOUBLE)
+             AS max_revenue
+    FROM taken
+    """,
+)
+def fractional_knapsack_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional knapsack by greedy density — provably optimal for the
+    divisible case: line items ranked by unit price, taken whole while
+    the running quantity fits the budget (1% of total supply), the
+    boundary item taken fractionally. Whole-item value accumulates in
+    DECIMAL; the single fractional term is the only float product. The
+    running-quantity window replaces any sequential greedy loop — the
+    sort IS the algorithm."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    items = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("v"),
+        (F.col("l_extendedprice").cast("double") / F.col("l_quantity")).alias(
+            "ratio"
+        ),
+    )
+    items = op_cache.track(items.cache())
+    b = items.agg(F.expr("CAST(sum(q) AS BIGINT) div 100").alias("b"))
+    wr = Window.orderBy(
+        F.desc("ratio"), "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    ranked = items.select(
+        "q", "v", "ratio", F.sum("q").over(wr).alias("cumq")
+    ).crossJoin(F.broadcast(b))
+    taken = ranked.agg(
+        F.sum(
+            F.when(F.col("cumq") <= F.col("b"), F.col("v")).otherwise(
+                F.lit(0).cast("decimal(18,2)")
+            )
+        )
+        .cast("decimal(20,2)")
+        .alias("full_value"),
+        F.sum(F.when(F.col("cumq") <= F.col("b"), F.col("q")).otherwise(0))
+        .cast("bigint")
+        .alias("full_qty"),
+        F.max(
+            F.when(F.col("cumq") > F.col("b"), F.col("ratio"))
+        ).alias("frac_ratio"),
+        F.max("b").alias("b"),
+    )
+    return taken.select(
+        F.col("b").alias("quantity_budget"),
+        F.col("full_qty").alias("whole_items_qty"),
+        F.round(
+            F.col("full_value").cast("double")
+            + F.coalesce(F.col("frac_ratio"), F.lit(0.0))
+            * (F.col("b") - F.col("full_qty")),
+            2,
+        )
+        .cast("double")
+        .alias("max_revenue"),
+    )
