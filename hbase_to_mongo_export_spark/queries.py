@@ -21856,3 +21856,65 @@ def fractional_knapsack_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("max_revenue"),
     )
+
+
+@register(
+    "longest_activity_streak",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    grp AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS island
+      FROM days),
+    streaks AS (
+      SELECT user_id, island, COUNT(*) AS len, MIN(d) AS streak_start
+      FROM grp GROUP BY user_id, island),
+    best AS (
+      SELECT user_id, len, streak_start,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY len DESC, streak_start) AS rk
+      FROM streaks)
+    SELECT user_id, CAST(len AS BIGINT) AS longest_streak_days,
+           CAST(streak_start AS TIMESTAMP) AS streak_start
+    FROM best WHERE rk = 1
+    ORDER BY longest_streak_days DESC, user_id
+    LIMIT 20
+    """,
+)
+def longest_activity_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the retention
+    metric product teams actually ship: distinct active days, the
+    date-minus-rank islands trick groups consecutive runs without any
+    self-join, and the per-user argmax picks the longest (earliest on
+    ties). Top-20 streakiest users."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    wr = Window.partitionBy("user_id").orderBy("d")
+    grp = days.select(
+        "user_id",
+        "d",
+        F.date_sub("d", F.row_number().over(wr)).alias("island"),
+    )
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len"), F.min("d").alias("streak_start")
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.desc("len"), "streak_start"
+    )
+    best = (
+        streaks.withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") == 1)
+    )
+    wtop = Window.orderBy(F.desc("len"), "user_id")
+    return (
+        best.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 20)
+        .select(
+            "user_id",
+            F.col("len").cast("bigint").alias("longest_streak_days"),
+            F.col("streak_start").cast("timestamp").alias("streak_start"),
+        )
+        .orderBy(F.desc("longest_streak_days"), "user_id")
+    )
