@@ -21918,3 +21918,91 @@ def longest_activity_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("longest_streak_days"), "user_id")
     )
+
+
+@register(
+    "revenue_bridge_monthly",
+    oracle="""
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             COUNT(*) AS n,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                  AS DECIMAL(18,2)) AS rev
+      FROM orders GROUP BY 1),
+    lagd AS (
+      SELECT m, n, rev,
+             LAG(n) OVER (ORDER BY m) AS n0,
+             LAG(rev) OVER (ORDER BY m) AS rev0
+      FROM monthly),
+    eff AS (
+      SELECT m, rev, rev0, n0,
+             CAST((n0 * rev - n * rev0) * 100 AS BIGINT) AS pe_num,
+             CAST(rev0 * (n - n0) * 100 AS BIGINT) AS ve_num
+      FROM lagd WHERE n0 IS NOT NULL)
+    SELECT CAST(m AS TIMESTAMP) AS month,
+           CAST((rev - rev0) * 100 AS BIGINT) AS d_revenue_cents,
+           -- integer cents, half away from zero: DECIMAL numerators and
+           -- integer division only — no double ROUND whose midpoint
+           -- behavior differs between engines (Spark rounds the shortest
+           -- decimal string, DuckDB the binary value)
+           (CASE WHEN pe_num < 0 THEN -1 ELSE 1 END) *
+           ((2 * ABS(pe_num) + n0) // (2 * n0)) AS price_effect_cents,
+           (CASE WHEN ve_num < 0 THEN -1 ELSE 1 END) *
+           ((2 * ABS(ve_num) + n0) // (2 * n0)) AS volume_effect_cents
+    FROM eff
+    ORDER BY month
+    """,
+)
+def revenue_bridge_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue bridge (the finance waterfall): month-over-month revenue
+    change decomposed EXACTLY into a price effect (current volume times
+    the change in average order value) and a volume effect (prior
+    average value times the order-count change) — the two terms sum to
+    the delta identically, no residual (verified algebraically:
+    n·Δavg + avg₀·Δn = Δrev). Everything is reported in INTEGER CENTS
+    with explicit half-away-from-zero integer rounding — DECIMAL
+    numerators divided by integer denominators never touch a double
+    ROUND, whose midpoint behavior differs between engines (Spark
+    rounds the double's shortest decimal string, DuckDB its binary
+    value — a 1-cent trap this query originally hit)."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("decimal(18,2)")
+        .alias("rev"),
+    )
+    w = Window.orderBy("m")
+    lagd = monthly.select(
+        "m",
+        "n",
+        "rev",
+        F.lag("n").over(w).alias("n0"),
+        F.lag("rev").over(w).alias("rev0"),
+    ).filter(F.col("n0").isNotNull())
+    eff = lagd.select(
+        "m",
+        "n0",
+        ((F.col("rev") - F.col("rev0")) * 100)
+        .cast("bigint")
+        .alias("d_revenue_cents"),
+        ((F.col("n0") * F.col("rev") - F.col("n") * F.col("rev0")) * 100)
+        .cast("bigint")
+        .alias("pe_num"),
+        ((F.col("rev0") * (F.col("n") - F.col("n0"))) * 100)
+        .cast("bigint")
+        .alias("ve_num"),
+    )
+
+    def half_away(num):
+        sign = F.when(F.col(num) < 0, -1).otherwise(1)
+        return sign * F.expr(f"(2 * ABS({num}) + n0) div (2 * n0)")
+
+    return eff.select(
+        F.col("m").cast("timestamp").alias("month"),
+        "d_revenue_cents",
+        half_away("pe_num").alias("price_effect_cents"),
+        half_away("ve_num").alias("volume_effect_cents"),
+    ).orderBy("month")
