@@ -22006,3 +22006,138 @@ def revenue_bridge_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         half_away("pe_num").alias("price_effect_cents"),
         half_away("ve_num").alias("volume_effect_cents"),
     ).orderBy("month")
+
+
+@register(
+    "autocomplete_prefix_index",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+      FROM documents WHERE trim(text) <> ''),
+    freq AS (SELECT t, COUNT(*) AS n FROM w WHERE len(t) >= 2 GROUP BY t),
+    pre AS (
+      SELECT substr(t, 1, CAST(u.i AS INT)) AS prefix, t, n
+      FROM freq, UNNEST(range(1, LEAST(len(t), 3) + 1)) AS u(i)),
+    ranked AS (
+      SELECT prefix, t, n,
+             ROW_NUMBER() OVER (PARTITION BY prefix
+                                ORDER BY n DESC, t) AS rk
+      FROM pre)
+    SELECT prefix, t AS completion, CAST(n AS BIGINT) AS n, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3 AND len(prefix) = 2
+    ORDER BY prefix, rk
+    """,
+)
+def autocomplete_prefix_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete index build: every word explodes into its prefixes
+    (lengths 1-3), top-3 completions per prefix by corpus frequency with
+    deterministic tiebreaks — the batch job behind a typeahead service.
+    Emitted rows here are the 2-char-prefix shard; at scale the prefix
+    is the natural shard/partition key and each group's top-k is one
+    rank window."""
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.filter(F.trim("text") != "").select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("t")
+    )
+    freq = (
+        w.filter(F.length("t") >= 2)
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pre = freq.select(
+        "t",
+        "n",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, least(length(t), 3)), "
+                "i -> substr(t, 1, i))"
+            )
+        ).alias("prefix"),
+    )
+    rw = Window.partitionBy("prefix").orderBy(F.desc("n"), "t")
+    return (
+        pre.withColumn("rk", F.row_number().over(rw))
+        .filter((F.col("rk") <= 3) & (F.length("prefix") == 2))
+        .select(
+            "prefix",
+            F.col("t").alias("completion"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("prefix", "rk")
+    )
+
+
+@register(
+    "csv_dialect_roundtrip",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(0 AS BIGINT) AS n_mismatched,
+           CAST(SUM(CASE WHEN text LIKE '%scan%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_marker
+    FROM documents
+    """,
+)
+def csv_dialect_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV DIALECT edge cases round-tripped: document text is wrapped
+    into adversarial CSV content — embedded delimiters, double quotes,
+    and literal newlines injected deterministically — written with
+    quoting+escaping enabled and read back with multiLine parsing. The
+    query returns the mismatch count against the pre-write values,
+    structurally zero only if quoting, escaping, and multi-line parsing
+    all survive; the oracle asserts that zero. This is the fidelity
+    corner plain format round-trips never touch."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    gnarly = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('prefix,"with,commas" and "quotes"\n'),
+            F.col("text"),
+            F.lit('\nsuffix,"quoted,tail"'),
+        ).alias("payload"),
+        F.col("text").alias("orig"),
+    )
+    out = _tempfile.mkdtemp(prefix="csvdialect_")
+    try:
+        gnarly.select("doc_id", "payload").write.mode("overwrite").option(
+            "header", True
+        ).option("quoteAll", True).csv(out)
+        back = (
+            spark.read.option("header", True)
+            .option("multiLine", True)
+            .option("inferSchema", False)
+            .csv(out)
+            .select(
+                F.col("doc_id").cast("bigint").alias("doc_id"),
+                F.col("payload").alias("back_payload"),
+            )
+        )
+        joined = gnarly.join(back, "doc_id", "full_outer")
+        res = joined.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(
+                    F.col("payload").isNull()
+                    | F.col("back_payload").isNull()
+                    | (F.col("payload") != F.col("back_payload")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_mismatched"),
+            F.sum(
+                F.when(F.col("orig").like("%scan%"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_with_marker"),
+        ).collect()[0]
+        return spark.createDataFrame(
+            [tuple(res)],
+            "n_rows bigint, n_mismatched bigint, n_with_marker bigint",
+        )
+    finally:
+        _shutil.rmtree(out, ignore_errors=True)
