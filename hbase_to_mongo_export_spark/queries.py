@@ -22141,3 +22141,99 @@ def csv_dialect_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "graph_modularity_nation_partition",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT o.o_custkey AS cu, l.l_suppkey AS su
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    cn AS (SELECT c_custkey, c_nationkey FROM customer),
+    sn AS (SELECT s_suppkey, s_nationkey FROM supplier),
+    e AS (
+      SELECT e0.cu AS u, 1000000 + e0.su AS v,
+             cn.c_nationkey AS comm_u, sn.s_nationkey AS comm_v
+      FROM e0 JOIN cn ON cn.c_custkey = e0.cu
+              JOIN sn ON sn.s_suppkey = e0.su),
+    m AS (SELECT COUNT(*) AS m FROM e),
+    -- within-community edge counts
+    within AS (
+      SELECT comm_u AS comm, COUNT(*) AS e_c FROM e
+      WHERE comm_u = comm_v GROUP BY comm_u),
+    -- community degree sums over the undirected bipartite edges
+    degs AS (
+      SELECT comm, CAST(SUM(d) AS BIGINT) AS d_c FROM (
+        SELECT comm_u AS comm, 1 AS d FROM e
+        UNION ALL SELECT comm_v, 1 FROM e) t
+      GROUP BY comm),
+    terms AS (
+      SELECT d.comm,
+             4 * (SELECT m FROM m) * COALESCE(w.e_c, 0) - d.d_c * d.d_c
+               AS q_term
+      FROM degs d LEFT JOIN within w ON w.comm = d.comm)
+    SELECT (SELECT m FROM m) AS n_edges,
+           CAST(SUM(q_term) AS BIGINT) AS q_scaled,
+           ROUND(CAST(SUM(q_term) AS DOUBLE) /
+                 (4.0 * (SELECT m FROM m) * (SELECT m FROM m)), 6)
+             AS modularity
+    FROM terms
+    """,
+)
+def graph_modularity_nation_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman MODULARITY of the nation partition over the customer-
+    supplier trade graph — does trade cluster along national lines? —
+    computed entirely in integers: Q·4m² = Σ_c (4m·e_c − d_c²) over
+    within-community edge counts and community degree sums, one double
+    division at the end. The community-quality metric that scores any
+    partition (LPA output, METIS cuts, business hierarchies) without
+    materializing anything quadratic."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    e0 = (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cu"), F.col("l_suppkey").alias("su"))
+        .distinct()
+    )
+    e = (
+        e0.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            e0.cu == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+            e0.su == F.col("s_suppkey"),
+        )
+        .select(
+            F.col("c_nationkey").alias("comm_u"),
+            F.col("s_nationkey").alias("comm_v"),
+        )
+    )
+    e = op_cache.track(e.cache())
+    m = e.count()
+    within = (
+        e.filter(F.col("comm_u") == F.col("comm_v"))
+        .groupBy(F.col("comm_u").alias("comm"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    degs = (
+        e.select(F.col("comm_u").alias("comm"))
+        .unionAll(e.select(F.col("comm_v").alias("comm")))
+        .groupBy("comm")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d_c"))
+    )
+    terms = degs.join(F.broadcast(within), "comm", "left").select(
+        (
+            F.lit(4 * m) * F.coalesce(F.col("e_c"), F.lit(0))
+            - F.col("d_c") * F.col("d_c")
+        ).alias("q_term")
+    )
+    return terms.agg(
+        F.lit(m).cast("bigint").alias("n_edges"),
+        F.sum("q_term").cast("bigint").alias("q_scaled"),
+        F.round(
+            F.sum("q_term").cast("double") / (F.lit(4.0) * m * m), 6
+        ).alias("modularity"),
+    )
