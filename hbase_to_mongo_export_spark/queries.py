@@ -22237,3 +22237,180 @@ def graph_modularity_nation_partition(spark: SparkSession, sf_dir: str) -> DataF
             F.sum("q_term").cast("double") / (F.lit(4.0) * m * m), 6
         ).alias("modularity"),
     )
+
+
+@register(
+    "label_noise_knn_audit",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.vec_id AS id, a.label AS lab, b.vec_id AS nid,
+             b.label AS nlab,
+             list_dot_product([CAST(x AS DOUBLE) FOR x IN a.embedding],
+                              [CAST(x AS DOUBLE) FOR x IN b.embedding]) /
+             (sqrt(list_dot_product([CAST(x AS DOUBLE) FOR x IN a.embedding],
+                                    [CAST(x AS DOUBLE) FOR x IN a.embedding])) *
+              sqrt(list_dot_product([CAST(x AS DOUBLE) FOR x IN b.embedding],
+                                    [CAST(x AS DOUBLE) FOR x IN b.embedding])))
+               AS cos
+      FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id),
+    knn AS (
+      SELECT id, lab, nlab FROM (
+        SELECT id, lab, nlab,
+               ROW_NUMBER() OVER (PARTITION BY id
+                                  ORDER BY cos DESC, nid) AS rk
+        FROM pairs) WHERE rk <= 5),
+    votes AS (
+      SELECT id, lab, nlab, COUNT(*) AS c FROM knn GROUP BY id, lab, nlab),
+    majority AS (
+      SELECT id, lab, nlab AS pred FROM (
+        SELECT id, lab, nlab,
+               ROW_NUMBER() OVER (PARTITION BY id
+                                  ORDER BY c DESC, nlab) AS rk
+        FROM votes) WHERE rk = 1)
+    SELECT lab AS label,
+           COUNT(*) AS n_points,
+           CAST(SUM(CASE WHEN pred <> lab THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_suspect,
+           ROUND(CAST(SUM(CASE WHEN pred <> lab THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS noise_rate
+    FROM majority GROUP BY lab ORDER BY label
+    """,
+)
+def label_noise_knn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise detection by neighborhood consensus: every point
+    whose 5-NN majority label (deterministic tiebreaks on both ranks)
+    disagrees with its own label is a relabel/review candidate — the
+    data-curation audit run before training on human labels. Exact kNN
+    here (the oracle needs the full ranking); at corpus scale the
+    candidate set comes from the LSH/IVF index instead of the cross
+    join, same consensus logic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("label").alias("lab"),
+        F.col("embedding").alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlab"),
+        F.col("embedding").alias("vb"),
+    )
+    pairs = a.join(b, F.col("nid") != F.col("id")).select(
+        "id",
+        "lab",
+        "nid",
+        "nlab",
+        sim_mod.cosine(F.col("va"), F.col("vb")).alias("cos"),
+    )
+    wk = Window.partitionBy("id").orderBy(F.desc("cos"), "nid")
+    knn = (
+        pairs.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 5)
+        .select("id", "lab", "nlab")
+    )
+    votes = knn.groupBy("id", "lab", "nlab").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wm = Window.partitionBy("id").orderBy(F.desc("c"), "nlab")
+    majority = (
+        votes.withColumn("rk", F.row_number().over(wm))
+        .filter(F.col("rk") == 1)
+        .select("id", "lab", F.col("nlab").alias("pred"))
+    )
+    return (
+        majority.groupBy(F.col("lab").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(F.when(F.col("pred") != F.col("lab"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_suspect"),
+            F.round(
+                F.sum(
+                    F.when(F.col("pred") != F.col("lab"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("noise_rate"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "latency_percentile_bands",
+    oracle="""
+    WITH lat AS (
+      SELECT date_trunc('month', o.o_orderdate) AS m,
+             CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+               AS days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_linenumber = 1),
+    ranked AS (
+      SELECT m, days,
+             ROW_NUMBER() OVER (PARTITION BY m ORDER BY days) AS rk,
+             COUNT(*) OVER (PARTITION BY m) AS n
+      FROM lat)
+    SELECT CAST(m AS TIMESTAMP) AS month, CAST(MAX(n) AS BIGINT) AS n_orders,
+           CAST(MAX(CASE WHEN 2 * rk <= n + 1 THEN days END) AS BIGINT)
+             AS p50_days,
+           CAST(MAX(CASE WHEN 10 * rk <= 9 * n + 10 THEN days END) AS BIGINT)
+             AS p90_days,
+           CAST(MAX(CASE WHEN 100 * rk <= 99 * n + 100 THEN days END)
+                AS BIGINT) AS p99_days
+    FROM ranked GROUP BY m ORDER BY month
+    """,
+)
+def latency_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly P50/P90/P99 order-to-ship latency bands — the ops SLA
+    dashboard — as EXACT selection percentiles (the ceil(q(n+1))-ish
+    nearest-rank pick, integer comparisons only: the rank qualifies
+    while q·rank <= stays within the scaled bound, and MAX over the
+    qualifying days is the order statistic). Integer day deltas, one
+    rank window per month partition."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    lat = o.join(li, li.l_orderkey == o.o_orderkey).select(
+        F.date_trunc("month", "o_orderdate").alias("m"),
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+            "days"
+        ),
+    )
+    wr = Window.partitionBy("m").orderBy("days")
+    wn = Window.partitionBy("m")
+    ranked = lat.select(
+        "m",
+        "days",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return (
+        ranked.groupBy("m")
+        .agg(
+            F.max("n").cast("bigint").alias("n_orders"),
+            F.max(
+                F.when(2 * F.col("rk") <= F.col("n") + 1, F.col("days"))
+            )
+            .cast("bigint")
+            .alias("p50_days"),
+            F.max(
+                F.when(10 * F.col("rk") <= 9 * F.col("n") + 10, F.col("days"))
+            )
+            .cast("bigint")
+            .alias("p90_days"),
+            F.max(
+                F.when(
+                    100 * F.col("rk") <= 99 * F.col("n") + 100, F.col("days")
+                )
+            )
+            .cast("bigint")
+            .alias("p99_days"),
+        )
+        .select(
+            F.col("m").cast("timestamp").alias("month"),
+            "n_orders",
+            "p50_days",
+            "p90_days",
+            "p99_days",
+        )
+        .orderBy("month")
+    )
