@@ -22414,3 +22414,243 @@ def latency_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+def _kcenter_oracle(k: int = 5) -> str:
+    """Greedy k-center unrolled: center 1 = min vec_id; each next center
+    is the point farthest (quantized L2, tiebreak lowest id) from its
+    nearest chosen center."""
+    parts = ["""q AS (
+      SELECT vec_id,
+             [GREATEST(CAST(ROUND(CAST(x AS DOUBLE) * 64, 0) AS INT) + 128, 0)
+              FOR x IN embedding] AS qv
+      FROM embeddings),
+    dims AS (
+      SELECT vec_id, CAST(pos0 AS INT) AS i, val
+      FROM (SELECT vec_id, unnest(qv) AS val,
+                   unnest(range(0, len(qv))) AS pos0 FROM q)),
+    c1 AS (SELECT MIN(vec_id) AS cid FROM q)"""]
+    prev_centers = "(SELECT cid FROM c1)"
+    for r in range(2, k + 1):
+        parts.append(f"""d{r} AS (
+      SELECT d.vec_id, MIN(t.dist) AS mind FROM (
+        SELECT a.vec_id, b.vec_id AS cid,
+               SUM((a.val - b.val) * (a.val - b.val)) AS dist
+        FROM dims a JOIN dims b ON b.i = a.i
+        WHERE b.vec_id IN {prev_centers}
+        GROUP BY a.vec_id, b.vec_id) t
+      JOIN q d ON d.vec_id = t.vec_id
+      WHERE d.vec_id NOT IN {prev_centers}
+      GROUP BY d.vec_id),
+    c{r} AS (
+      SELECT vec_id AS cid FROM d{r}
+      ORDER BY mind DESC, vec_id LIMIT 1)""")
+        prev_centers = (
+            "(SELECT cid FROM c1"
+            + "".join(f" UNION ALL SELECT cid FROM c{i}" for i in range(2, r + 1))
+            + ")"
+        )
+    parts.append(f"""centers AS (SELECT cid FROM {prev_centers} t),
+    cover AS (
+      SELECT a.vec_id, MIN(t.dist) AS mind FROM (
+        SELECT a2.vec_id, b.vec_id AS cid,
+               SUM((a2.val - b.val) * (a2.val - b.val)) AS dist
+        FROM dims a2 JOIN dims b ON b.i = a2.i
+        WHERE b.vec_id IN (SELECT cid FROM centers)
+        GROUP BY a2.vec_id, b.vec_id) t
+      JOIN q a ON a.vec_id = t.vec_id
+      GROUP BY a.vec_id)""")
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT (SELECT CAST(list_aggregate(list(cid ORDER BY cid),
+                                       'string_agg', ',') AS VARCHAR)
+            FROM centers) AS center_ids,
+           CAST((SELECT MAX(mind) FROM cover) AS BIGINT)
+             AS coverage_radius_sq,
+           (SELECT COUNT(*) FROM q) AS n_points
+    """
+
+
+@register("kcenter_coreset_selection", oracle=_kcenter_oracle())
+def kcenter_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center CORESET selection (Gonzalez' 2-approximation) —
+    the diversity-sampling primitive for picking maximally-spread
+    training examples: start from the minimum id, repeatedly take the
+    point farthest from its nearest chosen center (exact quantized L2,
+    deterministic tiebreaks), five rounds; report the chosen ids and
+    the final coverage radius (the farthest any point sits from its
+    center). Each round is one broadcast of <= k centers against the
+    corpus plus a min-aggregate — the same per-round shape as Lloyd's,
+    oracle-unrolled round by round."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qz = sim_mod.quantize_for_kmeans(emb, "vec_id", "embedding")
+    dims = qz.select(
+        "vec_id", F.posexplode("qv").alias("i", "val")
+    ).select("vec_id", F.col("i").cast("int").alias("i"), "val")
+    dims = op_cache.track(dims.cache())
+    centers = [
+        int(qz.agg(F.min("vec_id").alias("m")).collect()[0]["m"])
+    ]
+    for _ in range(4):
+        cd = dims.filter(F.col("vec_id").isin(centers)).select(
+            F.col("vec_id").alias("cid"), "i", F.col("val").alias("cval")
+        )
+        mind = (
+            dims.filter(~F.col("vec_id").isin(centers))
+            .join(F.broadcast(cd), "i")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    (F.col("val") - F.col("cval"))
+                    * (F.col("val") - F.col("cval"))
+                ).alias("dist")
+            )
+            .groupBy("vec_id")
+            .agg(F.min("dist").alias("mind"))
+        )
+        far = mind.orderBy(F.desc("mind"), "vec_id").limit(1).collect()[0]
+        centers.append(int(far["vec_id"]))
+    cd = dims.filter(F.col("vec_id").isin(centers)).select(
+        F.col("vec_id").alias("cid"), "i", F.col("val").alias("cval")
+    )
+    cover = (
+        dims.join(F.broadcast(cd), "i")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("cval"))
+                * (F.col("val") - F.col("cval"))
+            ).alias("dist")
+        )
+        .groupBy("vec_id")
+        .agg(F.min("dist").alias("mind"))
+    )
+    radius = cover.agg(F.max("mind").alias("r")).collect()[0]["r"]
+    n = qz.count()
+    return spark.createDataFrame(
+        [(",".join(str(c) for c in sorted(centers)), int(radius), n)],
+        "center_ids string, coverage_radius_sq bigint, n_points bigint",
+    )
+
+
+_QUANTIFIED_SQL = """
+    WITH march_avgs AS (
+      SELECT AVG(o_totalprice) AS a
+      FROM orders WHERE EXTRACT(MONTH FROM o_orderdate) = 3
+      GROUP BY EXTRACT(YEAR FROM o_orderdate))
+    SELECT COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN o_totalprice > ALL (SELECT a FROM march_avgs)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_above_all,
+           CAST(SUM(CASE WHEN o_totalprice > ANY (SELECT a FROM march_avgs)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_above_any
+    FROM orders
+    """
+
+
+@register("quantified_subquery_breadth", oracle=_QUANTIFIED_SQL)
+def quantified_subquery_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified comparisons — ``> ALL`` / ``> ANY`` subqueries. Spark
+    has no native quantified-comparison syntax, so the engine SUPPLIES
+    the semantics via the standard rewrite (x > ALL S  <=>  x > max(S);
+    x > ANY S  <=>  x > min(S), both over non-empty non-null S) — and
+    the oracle runs DuckDB's native ALL/ANY form, so the rewrite's
+    equivalence is what the gate checks."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH march_avgs AS (
+          SELECT AVG(o_totalprice) AS a
+          FROM orders WHERE EXTRACT(MONTH FROM o_orderdate) = 3
+          GROUP BY EXTRACT(YEAR FROM o_orderdate))
+        SELECT COUNT(*) AS n_orders,
+               CAST(SUM(CASE WHEN o_totalprice >
+                                  (SELECT MAX(a) FROM march_avgs)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_above_all,
+               CAST(SUM(CASE WHEN o_totalprice >
+                                  (SELECT MIN(a) FROM march_avgs)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_above_any
+        FROM orders
+        """
+    )
+
+
+@register(
+    "filter_agreement_kappa",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id,
+             len(string_split_regex(regexp_replace(lower(trim(text)),
+                                                   '\\s+', ' ', 'g'), ' '))
+               AS wc,
+             len(text) AS nc
+      FROM documents),
+    rated AS (
+      SELECT doc_id,
+             CASE WHEN wc BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS r1,
+             CASE WHEN nc >= 200 AND wc >= 30 THEN 1 ELSE 0 END AS r2
+      FROM feats),
+    cells AS (
+      SELECT CAST(SUM(r1 * r2) AS BIGINT) AS a,
+             CAST(SUM(r1 * (1 - r2)) AS BIGINT) AS b,
+             CAST(SUM((1 - r1) * r2) AS BIGINT) AS c,
+             CAST(SUM((1 - r1) * (1 - r2)) AS BIGINT) AS d,
+             COUNT(*) AS n
+      FROM rated)
+    SELECT a AS both_keep, b AS only_len_keep, c AS only_char_keep,
+           d AS both_drop,
+           ROUND(CAST(a + d AS DOUBLE) / n, 6) AS raw_agreement,
+           -- kappa = (po - pe) / (1 - pe) with exact integer po*n², pe*n²
+           ROUND(CAST((a + d) * n - ((a + b) * (a + c) + (c + d) * (b + d))
+                      AS DOUBLE) /
+                 (n * n - ((a + b) * (a + c) + (c + d) * (b + d))), 6)
+             AS cohens_kappa
+    FROM cells
+    """,
+)
+def filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two quality filters (a word-count rule and
+    a char/word hybrid rule) treated as raters — chance-corrected
+    agreement, the right way to compare filter variants (raw agreement
+    is inflated when both keep almost everything). Numerator and
+    denominator assemble from exact integer contingency cells scaled by
+    n², one double division at the end."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.size(
+            F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+        ).alias("wc"),
+        F.length("text").alias("nc"),
+    )
+    rated = feats.select(
+        F.when(F.col("wc").between(50, 100000), 1).otherwise(0).alias("r1"),
+        F.when((F.col("nc") >= 200) & (F.col("wc") >= 30), 1)
+        .otherwise(0)
+        .alias("r2"),
+    )
+    cells = rated.agg(
+        F.sum(F.col("r1") * F.col("r2")).cast("bigint").alias("a"),
+        F.sum(F.col("r1") * (1 - F.col("r2"))).cast("bigint").alias("b"),
+        F.sum((1 - F.col("r1")) * F.col("r2")).cast("bigint").alias("c"),
+        F.sum((1 - F.col("r1")) * (1 - F.col("r2")))
+        .cast("bigint")
+        .alias("d"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    pe_n2 = (F.col("a") + F.col("b")) * (F.col("a") + F.col("c")) + (
+        F.col("c") + F.col("d")
+    ) * (F.col("b") + F.col("d"))
+    return cells.select(
+        F.col("a").alias("both_keep"),
+        F.col("b").alias("only_len_keep"),
+        F.col("c").alias("only_char_keep"),
+        F.col("d").alias("both_drop"),
+        F.round(
+            (F.col("a") + F.col("d")).cast("double") / F.col("n"), 6
+        ).alias("raw_agreement"),
+        F.round(
+            ((F.col("a") + F.col("d")) * F.col("n") - pe_n2).cast("double")
+            / (F.col("n") * F.col("n") - pe_n2),
+            6,
+        ).alias("cohens_kappa"),
+    )
