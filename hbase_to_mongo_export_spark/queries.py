@@ -22654,3 +22654,88 @@ def filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cohens_kappa"),
     )
+
+
+@register(
+    "simpsons_paradox_audit",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag AS g,
+             CAST(l_quantity AS DECIMAL(38,0)) AS x,
+             CAST(FLOOR(l_extendedprice) AS DECIMAL(38,0)) AS y
+      FROM lineitem),
+    per_g AS (
+      SELECT g, COUNT(*) AS n,
+             SUM(x * y) AS sxy, SUM(x) AS sx, SUM(y) AS sy
+      FROM base GROUP BY g),
+    signs AS (
+      SELECT g, n,
+             CASE WHEN n * sxy - sx * sy > 0 THEN 1
+                  WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS s
+      FROM per_g),
+    pooled AS (
+      SELECT CASE WHEN SUM(n) * SUM(sxy) - SUM(sx) * SUM(sy) > 0 THEN 1
+                  WHEN SUM(n) * SUM(sxy) - SUM(sx) * SUM(sy) < 0 THEN -1
+                  ELSE 0 END AS ps
+      FROM per_g)
+    SELECT (SELECT ps FROM pooled) AS pooled_corr_sign,
+           COUNT(*) AS n_groups,
+           CAST(SUM(CASE WHEN s = (SELECT ps FROM pooled)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_agree,
+           CAST(SUM(CASE WHEN s <> (SELECT ps FROM pooled) AND s <> 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_flipped
+    FROM signs
+    """,
+)
+def simpsons_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screening: the SIGN of the quantity-price
+    association pooled vs within each return-flag stratum — a stratum
+    whose sign flips against the pooled one is the aggregation trap
+    every observational analysis must check for. Signs come from the
+    exact integer covariance numerator n·Σxy − Σx·Σy in DECIMAL(38,0)
+    (no correlation floats at all), so the audit is bit-exact and
+    overflow-safe at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast("decimal(38,0)").alias("x"),
+        F.floor("l_extendedprice").cast("decimal(38,0)").alias("y"),
+    )
+    per_g = base.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+    )
+    per_g = op_cache.track(per_g.cache())
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    signs = per_g.select(
+        "g",
+        F.when(num > 0, 1).when(num < 0, -1).otherwise(0).alias("s"),
+    )
+    pooled_num = (
+        F.sum("n") * F.sum("sxy") - F.sum("sx") * F.sum("sy")
+    )
+    pooled = per_g.agg(
+        F.when(pooled_num > 0, 1)
+        .when(pooled_num < 0, -1)
+        .otherwise(0)
+        .alias("ps")
+    )
+    return (
+        signs.crossJoin(F.broadcast(pooled))
+        .agg(
+            F.max("ps").alias("pooled_corr_sign"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(F.when(F.col("s") == F.col("ps"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_groups_agree"),
+            F.sum(
+                F.when(
+                    (F.col("s") != F.col("ps")) & (F.col("s") != 0), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_groups_flipped"),
+        )
+    )
