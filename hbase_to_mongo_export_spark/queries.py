@@ -22739,3 +22739,93 @@ def simpsons_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_groups_flipped"),
         )
     )
+
+
+@register(
+    "littles_law_identity",
+    oracle="""
+    WITH iv AS (
+      SELECT event_id, ts AS s, ts + INTERVAL 30 MINUTE AS e FROM events),
+    pts AS (
+      SELECT s AS t, 1 AS delta, event_id FROM iv
+      UNION ALL SELECT e, -1, event_id FROM iv),
+    swept AS (
+      SELECT t, delta,
+             SUM(delta) OVER (ORDER BY t, delta DESC, event_id) AS load,
+             LEAD(t) OVER (ORDER BY t, delta DESC, event_id) AS nxt
+      FROM pts),
+    integral AS (
+      SELECT CAST(SUM(load * (epoch_ms(nxt) - epoch_ms(t))) AS BIGINT)
+               AS area_ms
+      FROM swept WHERE nxt IS NOT NULL),
+    direct AS (
+      SELECT CAST(SUM(epoch_ms(e) - epoch_ms(s)) AS BIGINT) AS dur_ms,
+             COUNT(*) AS n,
+             CAST(epoch_ms(MAX(e)) - epoch_ms(MIN(s)) AS BIGINT)
+               AS horizon_ms
+      FROM iv)
+    SELECT d.n AS n_intervals,
+           i.area_ms AS concurrency_time_integral_ms,
+           d.dur_ms AS total_duration_ms,
+           CAST(i.area_ms - d.dur_ms AS BIGINT) AS identity_gap,
+           ROUND(CAST(i.area_ms AS DOUBLE) / d.horizon_ms, 6)
+             AS avg_concurrency
+    FROM integral i, direct d
+    """,
+)
+def littles_law_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law as an exact computational identity: the time
+    integral of live concurrency (sweep line: each segment's load times
+    its millisecond length) must equal the plain sum of interval
+    durations — two very different computations of L·T = λT·W whose
+    integer equality (identity_gap = 0) verifies the sweep-line
+    integral end-to-end, plus the average concurrency it implies. Pure
+    integer milliseconds until the final ratio."""
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    iv = op_cache.track(iv.cache())
+    pts = iv.select(
+        F.col("s").alias("t"), F.lit(1).alias("delta"), "event_id"
+    ).unionByName(
+        iv.select(F.col("e").alias("t"), F.lit(-1).alias("delta"), "event_id")
+    )
+    worder = Window.orderBy("t", F.desc("delta"), "event_id")
+    swept = pts.select(
+        "t",
+        F.sum("delta")
+        .over(worder.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("load"),
+        F.lead("t").over(worder).alias("nxt"),
+    )
+    integral = swept.filter(F.col("nxt").isNotNull()).agg(
+        F.sum(
+            F.col("load")
+            * (F.unix_millis("nxt") - F.unix_millis("t"))
+        )
+        .cast("bigint")
+        .alias("area_ms")
+    )
+    direct = iv.agg(
+        F.sum(F.unix_millis("e") - F.unix_millis("s"))
+        .cast("bigint")
+        .alias("dur_ms"),
+        F.count(F.lit(1)).alias("n"),
+        (F.unix_millis(F.max("e")) - F.unix_millis(F.min("s")))
+        .cast("bigint")
+        .alias("horizon_ms"),
+    )
+    return integral.crossJoin(F.broadcast(direct)).select(
+        F.col("n").alias("n_intervals"),
+        F.col("area_ms").alias("concurrency_time_integral_ms"),
+        F.col("dur_ms").alias("total_duration_ms"),
+        (F.col("area_ms") - F.col("dur_ms")).cast("bigint").alias(
+            "identity_gap"
+        ),
+        F.round(
+            F.col("area_ms").cast("double") / F.col("horizon_ms"), 6
+        ).alias("avg_concurrency"),
+    )
