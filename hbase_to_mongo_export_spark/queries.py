@@ -22829,3 +22829,126 @@ def littles_law_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("area_ms").cast("double") / F.col("horizon_ms"), 6
         ).alias("avg_concurrency"),
     )
+
+
+def _ktruss_oracle(rounds: int = 3) -> str:
+    """3-truss peeling unrolled: per round, drop edges supported by
+    fewer than 1 triangle, recompute — fixpoint within ``rounds`` on
+    gate-sized graphs (the Spark side iterates the same fixed count)."""
+    parts = ["""so AS (SELECT DISTINCT l_suppkey AS s, l_orderkey AS o FROM lineitem),
+    w AS (
+      SELECT a.s AS u, b.s AS v, COUNT(*) AS c
+      FROM so a JOIN so b ON a.o = b.o AND a.s < b.s
+      GROUP BY a.s, b.s),
+    sym AS (
+      SELECT u AS x, v AS y, c FROM w
+      UNION ALL SELECT v AS x, u AS y, c FROM w),
+    sel AS (
+      SELECT x, y FROM (
+        SELECT x, y,
+               ROW_NUMBER() OVER (PARTITION BY x ORDER BY c DESC, y) AS rn
+        FROM sym)
+      WHERE rn <= 3),
+    e0 AS (SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v FROM sel)"""]
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        parts.append(f"""sup{r} AS (
+      SELECT e.u, e.v, COUNT(w2.a) AS s
+      FROM {prev} e
+      LEFT JOIN (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM {prev} e1 JOIN {prev} e2 ON e2.u = e1.v
+        JOIN {prev} e3 ON e3.u = e1.u AND e3.v = e2.v) w2
+        ON (w2.a = e.u AND w2.b = e.v) OR (w2.b = e.u AND w2.c = e.v)
+        OR (w2.a = e.u AND w2.c = e.v)
+      GROUP BY e.u, e.v),
+    e{r} AS (SELECT u, v FROM sup{r} WHERE s >= 1)""")
+        prev = f"e{r}"
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT (SELECT COUNT(*) FROM e0) AS n_edges_initial,
+           (SELECT COUNT(*) FROM {prev}) AS n_edges_3truss,
+           (SELECT COUNT(DISTINCT u) FROM
+             (SELECT u FROM {prev} UNION ALL SELECT v FROM {prev}) t)
+             AS n_nodes_3truss
+    """
+
+
+@register("graph_ktruss_edges", oracle=_ktruss_oracle())
+def graph_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss decomposition — the EDGE-cohesion refinement of k-core:
+    iteratively delete every edge supported by no triangle until stable
+    (3 peeling rounds, fixpoint on this graph). Each round reuses the
+    oriented triangle-enumeration joins from the exact triangle count,
+    then a support aggregate per edge; the surviving subgraph is where
+    community structure actually lives. The oracle replays every
+    peeling round."""
+    li = _t(spark, sf_dir, "lineitem")
+    so = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_orderkey").alias("o")
+    ).distinct()
+    wdf = (
+        so.alias("a")
+        .join(
+            so.alias("b"),
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    e = graph_mod.top_k_cooccurrence_edges(wdf, k=3)
+    e = e.localCheckpoint(eager=True)
+    n_initial = e.count()
+    for _ in range(3):
+        e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+        tris = (
+            e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+            .join(
+                e3,
+                (F.col("e3.u") == F.col("e1.u"))
+                & (F.col("e3.v") == F.col("e2.v")),
+            )
+            .select(
+                F.col("e1.u").alias("a"),
+                F.col("e1.v").alias("b"),
+                F.col("e2.v").alias("c"),
+            )
+        )
+        sup = (
+            e.alias("e")
+            .join(
+                tris.alias("t"),
+                (
+                    (F.col("t.a") == F.col("e.u"))
+                    & (F.col("t.b") == F.col("e.v"))
+                )
+                | (
+                    (F.col("t.b") == F.col("e.u"))
+                    & (F.col("t.c") == F.col("e.v"))
+                )
+                | (
+                    (F.col("t.a") == F.col("e.u"))
+                    & (F.col("t.c") == F.col("e.v"))
+                ),
+                "left",
+            )
+            .groupBy(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
+            .agg(F.count(F.col("t.a")).alias("s"))
+        )
+        e = sup.filter(F.col("s") >= 1).select("u", "v")
+        e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select("u")
+        .unionAll(e.select(F.col("v").alias("u")))
+        .agg(F.countDistinct("u").alias("n_nodes_3truss"))
+    )
+    counts = e.agg(F.count(F.lit(1)).alias("n_edges_3truss"))
+    return (
+        counts.crossJoin(F.broadcast(nodes))
+        .select(
+            F.lit(n_initial).cast("bigint").alias("n_edges_initial"),
+            F.col("n_edges_3truss").cast("bigint"),
+            F.col("n_nodes_3truss").cast("bigint"),
+        )
+    )
