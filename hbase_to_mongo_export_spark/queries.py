@@ -22952,3 +22952,76 @@ def graph_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_nodes_3truss").cast("bigint"),
         )
     )
+
+
+@register(
+    "char_entropy_compression_bound",
+    oracle="""
+    WITH ch AS (
+      SELECT source, unnest(string_split(text, '')) AS c
+      FROM documents WHERE len(text) > 0),
+    freq AS (SELECT source, c, COUNT(*) AS n FROM ch GROUP BY source, c),
+    tot AS (SELECT source, SUM(n) AS t FROM freq GROUP BY source),
+    terms AS (
+      SELECT f.source, f.c,
+             -(CAST(f.n AS DOUBLE) / t.t) *
+              ln(CAST(f.n AS DOUBLE) / t.t) AS h_term,
+             t.t
+      FROM freq f JOIN tot t ON t.source = f.source)
+    SELECT source,
+           CAST(MAX(t) AS BIGINT) AS n_chars,
+           COUNT(*) AS alphabet_size,
+           ROUND(list_reduce(list(h_term ORDER BY c), (a, b) -> a + b)
+                 / ln(CAST(2 AS DOUBLE)), 6) AS entropy_bits_per_char,
+           CAST(CEIL(MAX(t) *
+                     list_reduce(list(h_term ORDER BY c), (a, b) -> a + b)
+                     / ln(CAST(2 AS DOUBLE)) / 8) AS BIGINT)
+             AS min_bytes_order0
+    FROM terms GROUP BY source ORDER BY source
+    """,
+)
+def char_entropy_compression_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-0 compression bound per source: Shannon entropy of the
+    character distribution (entropy terms folded in character order so
+    the float sum is order-identical across engines) gives the
+    theoretical minimum bytes any memoryless coder can reach — the
+    storage-planning number to compare against actual codec ratios.
+    Alphabet counts and totals stay integer; the fold and two divisions
+    are the only floats."""
+    docs = _t(spark, sf_dir, "documents")
+    ch = docs.filter(F.length("text") > 0).select(
+        "source", F.explode(F.split("text", "")).alias("c")
+    )
+    freq = ch.groupBy("source", "c").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.groupBy("source").agg(F.sum("n").alias("t"))
+    terms = freq.join(tot, "source").select(
+        "source",
+        "c",
+        "t",
+        (
+            -(F.col("n").cast("double") / F.col("t"))
+            * F.log(F.col("n").cast("double") / F.col("t"))
+        ).alias("h_term"),
+    )
+    import math as _math
+
+    ln2 = _math.log(2.0)
+    folded = terms.groupBy("source").agg(
+        F.max("t").cast("bigint").alias("n_chars"),
+        F.count(F.lit(1)).alias("alphabet_size"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(c, h_term))), "
+            "cast(0 as double), (acc, e) -> acc + e.h_term)"
+        ).alias("h_nat"),
+    )
+    return folded.select(
+        "source",
+        "n_chars",
+        "alphabet_size",
+        F.round(F.col("h_nat") / F.lit(ln2), 6).alias(
+            "entropy_bits_per_char"
+        ),
+        F.ceil(F.col("n_chars") * F.col("h_nat") / F.lit(ln2) / 8)
+        .cast("bigint")
+        .alias("min_bytes_order0"),
+    ).orderBy("source")
