@@ -23025,3 +23025,175 @@ def char_entropy_compression_bound(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("bigint")
         .alias("min_bytes_order0"),
     ).orderBy("source")
+
+
+@register(
+    "mutual_information_feature_label",
+    oracle="""
+    WITH f AS (
+      SELECT label,
+             CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END AS fbin
+      FROM embeddings),
+    cells AS (SELECT label, fbin, COUNT(*) AS n FROM f GROUP BY label, fbin),
+    tot AS (SELECT SUM(n) AS t FROM cells),
+    margins AS (
+      SELECT c.label, c.fbin, c.n,
+             SUM(c.n) OVER (PARTITION BY c.label) AS nl,
+             SUM(c.n) OVER (PARTITION BY c.fbin) AS nf,
+             (SELECT t FROM tot) AS t
+      FROM cells c),
+    terms AS (
+      SELECT label, fbin,
+             (CAST(n AS DOUBLE) / t) *
+             ln((CAST(n AS DOUBLE) * t) / (CAST(nl AS DOUBLE) * nf))
+               AS mi_term
+      FROM margins)
+    SELECT (SELECT CAST(t AS BIGINT) FROM tot) AS n_points,
+           COUNT(*) AS n_cells,
+           ROUND(list_reduce(list(mi_term ORDER BY label, fbin),
+                             (a, b) -> a + b) /
+                 ln(CAST(2 AS DOUBLE)), 6) AS mi_bits
+    FROM terms
+    """,
+)
+def mutual_information_feature_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between a binarized embedding feature (sign of
+    dimension 0) and the class label — the feature-selection screen run
+    before training anything: integer contingency cells and margins
+    feed per-cell MI terms folded in fixed (label, bin) order, one
+    ln(2) division at the end. Zero bits means the feature is useless
+    for this label; the exact arithmetic makes the threshold decision
+    reproducible."""
+    emb = _t(spark, sf_dir, "embeddings")
+    f = emb.select(
+        "label",
+        F.when(F.expr("embedding[0]") >= 0, 1).otherwise(0).alias("fbin"),
+    )
+    cells = f.groupBy("label", "fbin").agg(F.count(F.lit(1)).alias("n"))
+    wl = Window.partitionBy("label")
+    wf = Window.partitionBy("fbin")
+    wg = Window.partitionBy()
+    margins = cells.select(
+        "label",
+        "fbin",
+        "n",
+        F.sum("n").over(wl).alias("nl"),
+        F.sum("n").over(wf).alias("nf"),
+        F.sum("n").over(wg).alias("t"),
+    )
+    terms = margins.select(
+        "label",
+        "fbin",
+        "t",
+        (
+            (F.col("n").cast("double") / F.col("t"))
+            * F.log(
+                (F.col("n").cast("double") * F.col("t"))
+                / (F.col("nl").cast("double") * F.col("nf"))
+            )
+        ).alias("mi_term"),
+    )
+    import math as _math
+
+    return terms.agg(
+        F.max("t").cast("bigint").alias("n_points"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(label, fbin, mi_term))), "
+                "cast(0 as double), (acc, e) -> acc + e.mi_term)"
+            )
+            / F.lit(_math.log(2.0)),
+            6,
+        ).alias("mi_bits"),
+    )
+
+
+@register(
+    "surprising_edges_null_model",
+    oracle="""
+    WITH so AS (SELECT DISTINCT l_suppkey AS s, l_orderkey AS o FROM lineitem),
+    w AS (
+      SELECT a.s AS u, b.s AS v, COUNT(*) AS obs
+      FROM so a JOIN so b ON a.o = b.o AND a.s < b.s
+      GROUP BY a.s, b.s),
+    deg AS (
+      SELECT s, CAST(SUM(obs) AS BIGINT) AS d FROM (
+        SELECT u AS s, obs FROM w UNION ALL SELECT v, obs FROM w) t
+      GROUP BY s),
+    m AS (SELECT CAST(SUM(obs) AS BIGINT) AS m FROM w),
+    scored AS (
+      SELECT w.u, w.v, w.obs, du.d AS d_u, dv.d AS d_v,
+             CAST(w.obs AS DOUBLE) * 2 * (SELECT m FROM m) /
+             (CAST(du.d AS DOUBLE) * dv.d) AS lift
+      FROM w JOIN deg du ON du.s = w.u JOIN deg dv ON dv.s = w.v
+      WHERE w.obs >= 3)
+    SELECT u, v, CAST(obs AS BIGINT) AS obs,
+           CAST(d_u AS BIGINT) AS d_u, CAST(d_v AS BIGINT) AS d_v,
+           ROUND(lift, 6) AS lift
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, u, v) AS rn
+          FROM scored)
+    WHERE rn <= 20 ORDER BY lift DESC, u, v
+    """,
+)
+def surprising_edges_null_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge significance under the configuration null model: observed
+    co-order weight vs the degree-preserving expectation d_u·d_v / 2m —
+    the lift that separates structurally MEANINGFUL supplier
+    relationships from what their sheer activity levels would produce
+    by chance. Weighted degrees and totals are exact integers; the lift
+    is a single-expression double. Min-support 3 keeps the tail of
+    one-off co-orders out of the ranking."""
+    li = _t(spark, sf_dir, "lineitem")
+    so = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_orderkey").alias("o")
+    ).distinct()
+    w = (
+        so.alias("a")
+        .join(
+            so.alias("b"),
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    w = op_cache.track(w.cache())
+    deg = (
+        w.select(F.col("u").alias("s"), "obs")
+        .unionAll(w.select(F.col("v").alias("s"), "obs"))
+        .groupBy("s")
+        .agg(F.sum("obs").cast("bigint").alias("d"))
+    )
+    m = int(w.agg(F.sum("obs")).collect()[0][0])
+    scored = (
+        w.filter(F.col("obs") >= 3)
+        .join(deg.select(F.col("s").alias("u"), F.col("d").alias("d_u")), "u")
+        .join(deg.select(F.col("s").alias("v"), F.col("d").alias("d_v")), "v")
+        .select(
+            "u",
+            "v",
+            "obs",
+            "d_u",
+            "d_v",
+            (
+                F.col("obs").cast("double")
+                * 2
+                * m
+                / (F.col("d_u").cast("double") * F.col("d_v"))
+            ).alias("lift"),
+        )
+    )
+    wr = Window.orderBy(F.desc("lift"), "u", "v")
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 20)
+        .select(
+            "u",
+            "v",
+            F.col("obs").cast("bigint").alias("obs"),
+            F.col("d_u").cast("bigint").alias("d_u"),
+            F.col("d_v").cast("bigint").alias("d_v"),
+            F.round("lift", 6).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "u", "v")
+    )
