@@ -23197,3 +23197,125 @@ def surprising_edges_null_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("lift"), "u", "v")
     )
+
+
+@register(
+    "target_encoding_smoothed",
+    oracle="""
+    WITH g AS (
+      SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s, COUNT(*) AS n
+      FROM orders),
+    cat AS (
+      SELECT n.n_name AS nation,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS s, COUNT(*) AS n
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name)
+    SELECT cat.nation, CAST(cat.n AS BIGINT) AS n_orders,
+           ROUND(CAST(cat.s AS DOUBLE) / cat.n, 4) AS raw_mean,
+           -- m-estimate with m=100 pseudo-observations at the global mean
+           ROUND((CAST(cat.s AS DOUBLE) +
+                  100 * (CAST(g.s AS DOUBLE) / g.n)) /
+                 (cat.n + 100), 4) AS smoothed_mean
+    FROM cat, g ORDER BY nation
+    """,
+)
+def target_encoding_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding (the m-estimate) — the categorical
+    feature-engineering staple: each nation's mean order value shrunk
+    toward the global mean by 100 pseudo-observations, so rare
+    categories don't memorize noise. DECIMAL-exact sums feed
+    single-expression double ratios; the raw-vs-smoothed gap per
+    category is the shrinkage audit."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    g = o.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("gs"),
+        F.count(F.lit(1)).alias("gn"),
+    )
+    cat = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return (
+        cat.crossJoin(F.broadcast(g))
+        .select(
+            "nation",
+            F.col("n").cast("bigint").alias("n_orders"),
+            F.round(F.col("s").cast("double") / F.col("n"), 4).alias(
+                "raw_mean"
+            ),
+            F.round(
+                (
+                    F.col("s").cast("double")
+                    + 100 * (F.col("gs").cast("double") / F.col("gn"))
+                )
+                / (F.col("n") + 100),
+                4,
+            ).alias("smoothed_mean"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "term_burstiness_top20",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+      FROM documents WHERE trim(text) <> ''),
+    stats AS (
+      SELECT t, COUNT(*) AS cf, COUNT(DISTINCT doc_id) AS df
+      FROM tok GROUP BY t HAVING COUNT(DISTINCT doc_id) >= 5)
+    SELECT t AS term, CAST(cf AS BIGINT) AS collection_freq,
+           CAST(df AS BIGINT) AS doc_freq,
+           ROUND(CAST(cf AS DOUBLE) / df, 6) AS burstiness
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            ORDER BY CAST(cf AS DOUBLE) / df DESC, t) AS rn
+          FROM stats)
+    WHERE rn <= 20 ORDER BY burstiness DESC, term
+    """,
+)
+def term_burstiness_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale term burstiness: collection frequency over document
+    frequency — terms that repeat heavily WITHIN the documents that
+    contain them (topical words) vs terms spread thinly everywhere
+    (function words). The adaptation signal behind better-than-Poisson
+    term weighting; one token aggregate, integer counts, ranked by a
+    single-expression ratio with deterministic tiebreak."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.filter(F.trim("text") != "").select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("t"),
+    )
+    stats = (
+        tok.groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("cf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .filter(F.col("df") >= 5)
+    )
+    w = Window.orderBy(
+        F.desc(F.col("cf").cast("double") / F.col("df")), "t"
+    )
+    return (
+        stats.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select(
+            F.col("t").alias("term"),
+            F.col("cf").cast("bigint").alias("collection_freq"),
+            F.col("df").cast("bigint").alias("doc_freq"),
+            F.round(F.col("cf").cast("double") / F.col("df"), 6).alias(
+                "burstiness"
+            ),
+        )
+        .orderBy(F.desc("burstiness"), "term")
+    )
