@@ -23319,3 +23319,167 @@ def term_burstiness_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("burstiness"), "term")
     )
+
+
+@register(
+    "markov_entropy_rate",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events),
+    trans AS (
+      SELECT event_type AS prev, nxt, COUNT(*) AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY prev, nxt),
+    ptot AS (SELECT prev, SUM(n) AS np FROM trans GROUP BY prev),
+    tot AS (SELECT SUM(n) AS t FROM trans),
+    cond_terms AS (
+      SELECT t.prev, t.nxt,
+             -(CAST(t.n AS DOUBLE) / (SELECT t FROM tot)) *
+              ln(CAST(t.n AS DOUBLE) / p.np) AS h_term
+      FROM trans t JOIN ptot p ON p.prev = t.prev),
+    uni AS (
+      SELECT event_type AS s, COUNT(*) AS n FROM events GROUP BY event_type),
+    utot AS (SELECT SUM(n) AS t FROM uni),
+    uni_terms AS (
+      SELECT s, -(CAST(n AS DOUBLE) / (SELECT t FROM utot)) *
+                ln(CAST(n AS DOUBLE) / (SELECT t FROM utot)) AS h_term
+      FROM uni)
+    SELECT ROUND((SELECT list_reduce(list(h_term ORDER BY s), (a, b) -> a + b)
+                  FROM uni_terms) / ln(CAST(2 AS DOUBLE)), 6)
+             AS unigram_entropy_bits,
+           ROUND((SELECT list_reduce(list(h_term ORDER BY prev, nxt),
+                                     (a, b) -> a + b)
+                  FROM cond_terms) / ln(CAST(2 AS DOUBLE)), 6)
+             AS entropy_rate_bits,
+           (SELECT CAST(t AS BIGINT) FROM tot) AS n_transitions
+    """,
+)
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order entropy rate of user behavior: H(next | prev) over
+    the transition matrix vs the order-0 unigram entropy — the gap is
+    exactly how much knowing the previous action predicts the next one
+    (the information-theoretic ceiling for any next-event model, which
+    markov_next_event_accuracy should approach). All counts integer,
+    entropy terms folded in fixed key order."""
+    ev = _t(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("prev"),
+            F.lead("event_type").over(wseq).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("prev", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    trans = op_cache.track(trans.cache())
+    ptot = trans.groupBy("prev").agg(F.sum("n").alias("np"))
+    tot = int(trans.agg(F.sum("n")).collect()[0][0])
+    cond = trans.join(F.broadcast(ptot), "prev").select(
+        "prev",
+        "nxt",
+        (
+            -(F.col("n").cast("double") / F.lit(float(tot)))
+            * F.log(F.col("n").cast("double") / F.col("np"))
+        ).alias("h_term"),
+    )
+    import math as _math
+
+    ln2 = _math.log(2.0)
+    h_cond = cond.agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(prev, nxt, h_term))), "
+            "cast(0 as double), (acc, e) -> acc + e.h_term)"
+        ).alias("h")
+    )
+    uni = ev.groupBy(F.col("event_type").alias("s")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    utot = int(uni.agg(F.sum("n")).collect()[0][0])
+    h_uni = uni.select(
+        "s",
+        (
+            -(F.col("n").cast("double") / F.lit(float(utot)))
+            * F.log(F.col("n").cast("double") / F.lit(float(utot)))
+        ).alias("h_term"),
+    ).agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(s, h_term))), "
+            "cast(0 as double), (acc, e) -> acc + e.h_term)"
+        ).alias("h")
+    )
+    return (
+        h_uni.crossJoin(F.broadcast(h_cond.withColumnRenamed("h", "hc")))
+        .select(
+            F.round(F.col("h") / ln2, 6).alias("unigram_entropy_bits"),
+            F.round(F.col("hc") / ln2, 6).alias("entropy_rate_bits"),
+            F.lit(tot).cast("bigint").alias("n_transitions"),
+        )
+    )
+
+
+@register(
+    "embedding_isotropy_score",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id, a.embedding AS va, b.embedding AS vb
+      FROM embeddings a
+      JOIN embeddings b
+        ON b.vec_id = (a.vec_id + (SELECT n // 2 FROM n)) % (SELECT n FROM n)
+      WHERE a.vec_id < (SELECT n // 2 FROM n)),
+    cos AS (
+      SELECT vec_id,
+             list_dot_product([CAST(x AS DOUBLE) FOR x IN va],
+                              [CAST(x AS DOUBLE) FOR x IN vb]) /
+             (sqrt(list_dot_product([CAST(x AS DOUBLE) FOR x IN va],
+                                    [CAST(x AS DOUBLE) FOR x IN va])) *
+              sqrt(list_dot_product([CAST(x AS DOUBLE) FOR x IN vb],
+                                    [CAST(x AS DOUBLE) FOR x IN vb])))
+               AS c
+      FROM pairs)
+    SELECT COUNT(*) AS n_pairs,
+           ROUND(list_reduce(list(c ORDER BY vec_id), (a, b) -> a + b) /
+                 COUNT(*), 6) AS mean_offdiag_cosine,
+           ROUND(MAX(c), 6) AS max_pair_cosine,
+           ROUND(MIN(c), 6) AS min_pair_cosine
+    FROM cos
+    """,
+)
+def embedding_isotropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space isotropy screen: the mean cosine between
+    deterministically paired unrelated vectors (i with i + n/2) — an
+    isotropic space centers this near zero; a large positive mean is
+    the anisotropy cone that degrades cosine retrieval and motivates
+    whitening. Cosines fold in id order so the mean is order-exact;
+    min/max bracket the spread."""
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    half = n // 2
+    a = emb.select(
+        "vec_id", F.col("embedding").alias("va")
+    ).filter(F.col("vec_id") < half)
+    b = emb.select(
+        F.col("vec_id").alias("bid"), F.col("embedding").alias("vb")
+    )
+    pairs = a.join(
+        b, F.col("bid") == (F.col("vec_id") + half) % n
+    )
+    cos = pairs.select(
+        "vec_id", sim_mod.cosine(F.col("va"), F.col("vb")).alias("c")
+    )
+    return cos.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(vec_id, c))), "
+                "cast(0 as double), (acc, e) -> acc + e.c)"
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_offdiag_cosine"),
+        F.round(F.max("c"), 6).alias("max_pair_cosine"),
+        F.round(F.min("c"), 6).alias("min_pair_cosine"),
+    )
