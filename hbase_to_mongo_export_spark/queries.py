@@ -23483,3 +23483,122 @@ def embedding_isotropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("c"), 6).alias("max_pair_cosine"),
         F.round(F.min("c"), 6).alias("min_pair_cosine"),
     )
+
+
+@register(
+    "timestamp_delta_encoding_stats",
+    oracle="""
+    WITH d AS (
+      SELECT user_id,
+             epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS delta
+      FROM events),
+    sized AS (
+      SELECT user_id, delta,
+             CASE WHEN delta IS NULL THEN 8
+                  WHEN delta < 128 THEN 1
+                  WHEN delta < 16384 THEN 2
+                  WHEN delta < 2097152 THEN 3
+                  WHEN delta < 268435456 THEN 4
+                  ELSE 5 END AS varint_bytes
+      FROM d)
+    SELECT COUNT(*) AS n_timestamps,
+           CAST(COUNT(*) * 8 AS BIGINT) AS raw_bytes,
+           CAST(SUM(varint_bytes) AS BIGINT) AS delta_varint_bytes,
+           ROUND(1 - CAST(SUM(varint_bytes) AS DOUBLE) / (COUNT(*) * 8), 6)
+             AS compression_ratio
+    FROM sized
+    """,
+)
+def timestamp_delta_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-of-delta storage planning: per-user timestamp deltas sized
+    as varints (7 bits per byte, full 8 bytes for each stream head)
+    against raw 8-byte encoding — the arithmetic every time-series
+    storage engine (Gorilla, Parquet DELTA_BINARY_PACKED) banks on,
+    computed exactly so the compression-ratio estimate is a number, not
+    a hope. One lag window, integer byte counts."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        (F.unix_millis("ts") - F.lag(F.unix_millis("ts")).over(w)).alias(
+            "delta"
+        )
+    )
+    sized = d.select(
+        F.when(F.col("delta").isNull(), 8)
+        .when(F.col("delta") < 128, 1)
+        .when(F.col("delta") < 16384, 2)
+        .when(F.col("delta") < 2097152, 3)
+        .when(F.col("delta") < 268435456, 4)
+        .otherwise(5)
+        .alias("varint_bytes")
+    )
+    return sized.agg(
+        F.count(F.lit(1)).alias("n_timestamps"),
+        (F.count(F.lit(1)) * 8).cast("bigint").alias("raw_bytes"),
+        F.sum("varint_bytes").cast("bigint").alias("delta_varint_bytes"),
+        F.round(
+            1
+            - F.sum("varint_bytes").cast("double")
+            / (F.count(F.lit(1)) * 8),
+            6,
+        ).alias("compression_ratio"),
+    )
+
+
+@register(
+    "blocking_recall_eval",
+    oracle="""
+    WITH sub AS (
+      SELECT p_partkey, p_name, p_brand FROM part WHERE p_partkey % 10 = 0),
+    truth AS (
+      SELECT a.p_partkey AS ia, b.p_partkey AS ib,
+             CASE WHEN a.p_brand = b.p_brand THEN 1 ELSE 0 END AS same_block
+      FROM sub a JOIN sub b ON a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 2)
+    SELECT COUNT(*) AS n_true_pairs,
+           CAST(SUM(same_block) AS BIGINT) AS n_found_in_block,
+           ROUND(CAST(SUM(same_block) AS DOUBLE) /
+                 GREATEST(COUNT(*), 1), 6) AS blocking_recall
+    FROM truth
+    """,
+)
+def blocking_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-recall evaluation — the number every entity-resolution
+    pipeline must publish: of all TRUE fuzzy matches (Levenshtein <= 2,
+    computed exhaustively on a 10% key-sampled evaluation subset, the
+    standard way to afford ground truth), what fraction would the
+    brand-blocking strategy have even compared? Recall below target
+    means the block key is wrong, no matter how good the matcher is."""
+    part = _t(spark, sf_dir, "part")
+    sub = part.filter(F.col("p_partkey") % 10 == 0).select(
+        "p_partkey", "p_name", "p_brand"
+    )
+    a = sub.select(
+        F.col("p_partkey").alias("ia"),
+        F.col("p_name").alias("na"),
+        F.col("p_brand").alias("ba"),
+    )
+    b = sub.select(
+        F.col("p_partkey").alias("ib"),
+        F.col("p_name").alias("nb"),
+        F.col("p_brand").alias("bb"),
+    )
+    truth = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .filter(F.levenshtein("na", "nb") <= 2)
+        .select(
+            F.when(F.col("ba") == F.col("bb"), 1).otherwise(0).alias(
+                "same_block"
+            )
+        )
+    )
+    return truth.agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.sum("same_block").cast("bigint").alias("n_found_in_block"),
+        F.round(
+            F.sum("same_block").cast("double")
+            / F.greatest(F.count(F.lit(1)), F.lit(1)),
+            6,
+        ).alias("blocking_recall"),
+    )
