@@ -23602,3 +23602,121 @@ def blocking_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("blocking_recall"),
     )
+
+
+def _densest_oracle(rounds: int = 3) -> str:
+    parts = ["""so AS (SELECT DISTINCT l_suppkey AS s, l_orderkey AS o FROM lineitem),
+    w AS (
+      SELECT a.s AS u, b.s AS v, COUNT(*) AS c
+      FROM so a JOIN so b ON a.o = b.o AND a.s < b.s
+      GROUP BY a.s, b.s),
+    sym AS (
+      SELECT u AS x, v AS y, c FROM w
+      UNION ALL SELECT v AS x, u AS y, c FROM w),
+    sel AS (
+      SELECT x, y FROM (
+        SELECT x, y,
+               ROW_NUMBER() OVER (PARTITION BY x ORDER BY c DESC, y) AS rn
+        FROM sym)
+      WHERE rn <= 3),
+    e0 AS (SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v FROM sel)"""]
+    stats = []
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        parts.append(f"""deg{r} AS (
+      SELECT s, COUNT(*) AS d FROM (
+        SELECT u AS s FROM {prev} UNION ALL SELECT v FROM {prev}) t
+      GROUP BY s),
+    avg{r} AS (
+      SELECT 2 * (SELECT COUNT(*) FROM {prev}) AS sum_d,
+             (SELECT COUNT(*) FROM deg{r}) AS n),
+    keep{r} AS (
+      -- parallel peel: keep nodes with degree >= (1+eps) * average,
+      -- eps = 1/10, compared exactly: 10 * n * d >= 11 * sum_d
+      SELECT s FROM deg{r}, avg{r}
+      WHERE 10 * GREATEST(avg{r}.n, 1) * deg{r}.d >= 11 * avg{r}.sum_d),
+    e{r} AS (
+      SELECT e.u, e.v FROM {prev} e
+      JOIN keep{r} ka ON ka.s = e.u JOIN keep{r} kb ON kb.s = e.v)""")
+        stats.append(
+            f"SELECT {r} AS round, (SELECT n FROM avg{r}) AS n_nodes, "
+            f"(SELECT COUNT(*) FROM {prev}) AS n_edges"
+        )
+        prev = f"e{r}"
+    ctes = ",\n    ".join(parts)
+    union = "\n      UNION ALL ".join(stats)
+    return f"""
+    WITH {ctes}
+    SELECT CAST(round AS INT) AS round,
+           CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           ROUND(CAST(n_edges AS DOUBLE) / GREATEST(n_nodes, 1), 6)
+             AS density
+    FROM ({union}) ORDER BY round
+    """
+
+
+@register("graph_densest_subgraph_peel", oracle=_densest_oracle())
+def graph_densest_subgraph_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densest-subgraph by parallel peeling (Bahmani et al., the
+    MapReduce (2+eps)-approximation): each round removes every node
+    whose degree is below (1+eps) times the current average — an exact
+    integer comparison (10·n·d >= 11·Σd), no float thresholds — and
+    O(log n) rounds suffice where the sequential Charikar peel needs n.
+    Per-round node/edge counts and density trace the densification; the
+    oracle replays every round."""
+    li = _t(spark, sf_dir, "lineitem")
+    so = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_orderkey").alias("o")
+    ).distinct()
+    wdf = (
+        so.alias("a")
+        .join(
+            so.alias("b"),
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    e = graph_mod.top_k_cooccurrence_edges(wdf, k=3)
+    e = e.localCheckpoint(eager=True)
+    rows = []
+    for r in (1, 2, 3):
+        n_edges = e.count()
+        deg = (
+            e.select(F.col("u").alias("s"))
+            .unionAll(e.select(F.col("v").alias("s")))
+            .groupBy("s")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        deg = deg.localCheckpoint(eager=True)
+        n_nodes = deg.count()
+        rows.append((r, n_nodes, n_edges))
+        sum_d = 2 * n_edges
+        keep = deg.filter(
+            10 * max(n_nodes, 1) * F.col("d") >= 11 * sum_d
+        ).select("s")
+        e = (
+            e.join(keep.withColumnRenamed("s", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("s", "v"), "v", "left_semi")
+            .select("u", "v")
+        )
+        e = e.localCheckpoint(eager=True)
+    # density rounds in Spark SQL (HALF_UP like DuckDB), not Python's
+    # banker's round
+    return (
+        spark.createDataFrame(
+            rows, "round int, n_nodes bigint, n_edges bigint"
+        )
+        .select(
+            "round",
+            "n_nodes",
+            "n_edges",
+            F.round(
+                F.col("n_edges").cast("double")
+                / F.greatest(F.col("n_nodes"), F.lit(1)),
+                6,
+            ).alias("density"),
+        )
+        .orderBy("round")
+    )
