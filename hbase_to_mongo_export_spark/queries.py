@@ -23720,3 +23720,149 @@ def graph_densest_subgraph_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("round")
     )
+
+
+@register(
+    "quantile_treatment_effect",
+    oracle="""
+    WITH pool AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 'a' ELSE 'b' END AS g
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+    ranked AS (
+      SELECT g, v,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rk,
+             COUNT(*) OVER (PARTITION BY g) AS n
+      FROM pool),
+    qs AS (
+      SELECT q.lvl, r.g,
+             MAX(CASE WHEN 100 * r.rk <= q.lvl * r.n + 100 THEN r.v END)
+               AS qv
+      FROM ranked r, (SELECT unnest([25, 50, 75]) AS lvl) q
+      GROUP BY q.lvl, r.g)
+    SELECT CAST(a.lvl AS INT) AS quantile_pct,
+           ROUND(a.qv, 2) AS q_urgent,
+           ROUND(b.qv, 2) AS q_low,
+           ROUND(a.qv - b.qv, 2) AS qte
+    FROM qs a JOIN qs b ON b.lvl = a.lvl AND a.g = 'a' AND b.g = 'b'
+    ORDER BY quantile_pct
+    """,
+)
+def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects — the distributional comparison a mean
+    difference hides: the P25/P50/P75 order-total gap between urgent
+    and low-priority groups, each quantile an exact nearest-rank
+    SELECTION (integer comparisons, no interpolation), so effects at
+    the tails and the middle are separately attributable. One rank
+    window per group; the 3-level grid is a broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    pool = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", "a")
+        .otherwise("b")
+        .alias("g"),
+    )
+    wr = Window.partitionBy("g").orderBy("v")
+    wn = Window.partitionBy("g")
+    ranked = pool.select(
+        "g",
+        "v",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    lvls = spark.createDataFrame([(25,), (50,), (75,)], "lvl int")
+    qs = (
+        ranked.crossJoin(F.broadcast(lvls))
+        .groupBy("lvl", "g")
+        .agg(
+            F.max(
+                F.when(
+                    100 * F.col("rk") <= F.col("lvl") * F.col("n") + 100,
+                    F.col("v"),
+                )
+            ).alias("qv")
+        )
+    )
+    a = qs.filter(F.col("g") == "a").select(
+        "lvl", F.col("qv").alias("qa")
+    )
+    b = qs.filter(F.col("g") == "b").select(
+        F.col("lvl").alias("lb"), F.col("qv").alias("qb")
+    )
+    return (
+        a.join(b, a.lvl == b.lb)
+        .select(
+            F.col("lvl").cast("int").alias("quantile_pct"),
+            F.round("qa", 2).alias("q_urgent"),
+            F.round("qb", 2).alias("q_low"),
+            F.round(F.col("qa") - F.col("qb"), 2).alias("qte"),
+        )
+        .orderBy("quantile_pct")
+    )
+
+
+@register(
+    "ab_srm_check",
+    oracle="""
+    WITH assign AS (
+      SELECT CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                                               || ':ab'), 1, 15) AS BIGINT)
+                       % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS arm
+      FROM (SELECT DISTINCT user_id FROM events)),
+    counts AS (
+      SELECT CAST(SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nc,
+             CAST(SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nt
+      FROM assign)
+    SELECT nc AS n_control, nt AS n_treatment,
+           -- chi-square GOF vs 50/50: (nc - nt)^2 / (nc + nt), exact ints
+           ROUND(CAST((nc - nt) * (nc - nt) AS DOUBLE) / (nc + nt), 6)
+             AS chi_square,
+           CASE WHEN CAST((nc - nt) * (nc - nt) AS DOUBLE) / (nc + nt)
+                     > CAST(3.841 AS DOUBLE)
+                THEN 1 ELSE 0 END AS srm_flag
+    FROM counts
+    """,
+)
+def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail — the first check every A/B
+    readout must pass: users hash-split 50/50, the chi-square
+    goodness-of-fit statistic (algebraically (nc-nt)²/(nc+nt) for two
+    equal-probability cells, exact integers until one division) flagged
+    at the 0.05 critical value. An SRM flag means the assignment or
+    logging is broken and every downstream metric is invalid."""
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":ab"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    counts = users.select(arm.alias("a")).agg(
+        F.sum(F.when(F.col("a") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nc"),
+        F.sum(F.when(F.col("a") != 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nt"),
+    )
+    chi = (
+        (F.col("nc") - F.col("nt")) * (F.col("nc") - F.col("nt"))
+    ).cast("double") / (F.col("nc") + F.col("nt"))
+    return counts.select(
+        F.col("nc").alias("n_control"),
+        F.col("nt").alias("n_treatment"),
+        F.round(chi, 6).alias("chi_square"),
+        F.when(chi > F.lit(3.841), 1).otherwise(0).alias("srm_flag"),
+    )
