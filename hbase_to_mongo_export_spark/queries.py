@@ -23866,3 +23866,204 @@ def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi, 6).alias("chi_square"),
         F.when(chi > F.lit(3.841), 1).otherwise(0).alias("srm_flag"),
     )
+
+
+@register(
+    "did_estimator",
+    oracle="""
+    WITH cells AS (
+      SELECT CASE WHEN CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)
+                                               || ':did'), 1, 15) AS BIGINT)
+                       % 2 = 0 THEN 0 ELSE 1 END AS treated,
+             CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                  THEN 1 ELSE 0 END AS post,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS y
+      FROM orders),
+    sums AS (
+      SELECT treated, post, SUM(y) AS s, COUNT(*) AS n
+      FROM cells GROUP BY treated, post),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN treated = 1 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS t1,
+        MAX(CASE WHEN treated = 1 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS t0,
+        MAX(CASE WHEN treated = 0 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS c1,
+        MAX(CASE WHEN treated = 0 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS c0,
+        CAST(SUM(n) AS BIGINT) AS n_total
+      FROM sums)
+    SELECT n_total,
+           ROUND(t1 - t0, 4) AS treated_delta,
+           ROUND(c1 - c0, 4) AS control_delta,
+           ROUND((t1 - t0) - (c1 - c0), 4) AS did_estimate
+    FROM wide
+    """,
+)
+def did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the workhorse causal estimator: the
+    treated group's pre/post change minus the control group's, from a
+    2x2 of DECIMAL-exact cell sums (hash-assigned arms and a date cut
+    define the design; on hash-random arms the estimate should hover
+    near zero, which is itself the placebo check). Four exact ratios
+    and three subtractions — single-expression doubles both engines."""
+    o = _t(spark, sf_dir, "orders")
+    treated = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("o_custkey").cast("string"), F.lit(":did"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    cells = o.select(
+        F.when(treated == 0, 0).otherwise(1).alias("treated"),
+        F.when(
+            F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"), 1
+        )
+        .otherwise(0)
+        .alias("post"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+    )
+    sums = cells.groupBy("treated", "post").agg(
+        F.sum("y").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    wide = sums.agg(
+        F.max(
+            F.when((F.col("treated") == 1) & (F.col("post") == 1), mean)
+        ).alias("t1"),
+        F.max(
+            F.when((F.col("treated") == 1) & (F.col("post") == 0), mean)
+        ).alias("t0"),
+        F.max(
+            F.when((F.col("treated") == 0) & (F.col("post") == 1), mean)
+        ).alias("c1"),
+        F.max(
+            F.when((F.col("treated") == 0) & (F.col("post") == 0), mean)
+        ).alias("c0"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )
+    return wide.select(
+        "n_total",
+        F.round(F.col("t1") - F.col("t0"), 4).alias("treated_delta"),
+        F.round(F.col("c1") - F.col("c0"), 4).alias("control_delta"),
+        F.round(
+            (F.col("t1") - F.col("t0")) - (F.col("c1") - F.col("c0")), 4
+        ).alias("did_estimate"),
+    )
+
+
+@register(
+    "graph_local_clustering_topk",
+    oracle="""
+    WITH so AS (SELECT DISTINCT l_suppkey AS s, l_orderkey AS o FROM lineitem),
+    w AS (
+      SELECT a.s AS u, b.s AS v, COUNT(*) AS c
+      FROM so a JOIN so b ON a.o = b.o AND a.s < b.s
+      GROUP BY a.s, b.s),
+    sym AS (
+      SELECT u AS x, v AS y, c FROM w
+      UNION ALL SELECT v AS x, u AS y, c FROM w),
+    sel AS (
+      SELECT x, y FROM (
+        SELECT x, y,
+               ROW_NUMBER() OVER (PARTITION BY x ORDER BY c DESC, y) AS rn
+        FROM sym)
+      WHERE rn <= 3),
+    e AS (SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v FROM sel),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1 JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+    tcount AS (
+      SELECT s, COUNT(*) AS t FROM (
+        SELECT a AS s FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri) x
+      GROUP BY s),
+    deg AS (
+      SELECT s, COUNT(*) AS d FROM (
+        SELECT u AS s FROM e UNION ALL SELECT v FROM e) x
+      GROUP BY s)
+    SELECT d.s AS node, CAST(d.d AS BIGINT) AS degree,
+           CAST(COALESCE(t.t, 0) AS BIGINT) AS n_triangles,
+           ROUND(CAST(2 * COALESCE(t.t, 0) AS DOUBLE) /
+                 (d.d * (d.d - 1)), 6) AS local_cc
+    FROM deg d LEFT JOIN tcount t ON t.s = d.s
+    WHERE d.d >= 2
+    ORDER BY local_cc DESC, node
+    LIMIT 20
+    """,
+)
+def graph_local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node LOCAL clustering coefficient (2·triangles(v) /
+    deg(v)·(deg(v)−1)) on the sparsified co-order graph — the node-level
+    cohesion score behind small-world and role analysis, where the
+    global triangle count only gives one number. Triangle enumeration
+    reuses the oriented join; each triangle credits its three corners
+    via one union-aggregate. Top-20 most clustered suppliers."""
+    li = _t(spark, sf_dir, "lineitem")
+    so = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_orderkey").alias("o")
+    ).distinct()
+    wdf = (
+        so.alias("a")
+        .join(
+            so.alias("b"),
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    e = op_cache.track(graph_mod.top_k_cooccurrence_edges(wdf, k=3).cache())
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    tcount = (
+        tri.select(F.col("a").alias("s"))
+        .unionAll(tri.select(F.col("b").alias("s")))
+        .unionAll(tri.select(F.col("c").alias("s")))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    deg = (
+        e.select(F.col("u").alias("s"))
+        .unionAll(e.select(F.col("v").alias("s")))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    scored = (
+        deg.join(tcount, "s", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            F.col("s").alias("node"),
+            F.col("d").cast("bigint").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles"),
+            F.round(
+                (2 * F.coalesce(F.col("t"), F.lit(0))).cast("double")
+                / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("local_cc"),
+        )
+    )
+    wtop = Window.orderBy(F.desc("local_cc"), "node")
+    return (
+        scored.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+        .orderBy(F.desc("local_cc"), "node")
+    )
