@@ -24067,3 +24067,208 @@ def graph_local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy(F.desc("local_cc"), "node")
     )
+
+
+@register(
+    "anomaly_ensemble_vote",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n FROM events GROUP BY 1),
+    stats AS (
+      SELECT COUNT(*) AS cnt, SUM(n) AS sn, SUM(n * n) AS snn FROM daily),
+    mr AS (
+      SELECT d, n, ABS(n - LAG(n) OVER (ORDER BY d)) AS rng FROM daily),
+    mrbar AS (SELECT SUM(rng) AS sr, COUNT(rng) AS cr FROM mr),
+    dow AS (
+      SELECT isodow(d) - 1 AS wd, SUM(n) AS swn, COUNT(*) AS nwd
+      FROM daily GROUP BY 1),
+    flags AS (
+      SELECT daily.d, daily.n,
+             CASE WHEN ABS(daily.n - CAST(sn AS DOUBLE) / cnt) >
+                       2 * SQRT(CAST(snn AS DOUBLE) / cnt -
+                                (CAST(sn AS DOUBLE) / cnt) *
+                                (CAST(sn AS DOUBLE) / cnt))
+                  THEN 1 ELSE 0 END AS f_zscore,
+             CASE WHEN ABS(daily.n - CAST(sn AS DOUBLE) / cnt) >
+                       3 * (CAST((SELECT sr FROM mrbar) AS DOUBLE) /
+                            (SELECT cr FROM mrbar)) / CAST(1.128 AS DOUBLE)
+                  THEN 1 ELSE 0 END AS f_shewhart,
+             CASE WHEN ABS(CAST(daily.n AS DOUBLE) * dow.nwd / dow.swn - 1) >
+                       CAST(0.35 AS DOUBLE)
+                  THEN 1 ELSE 0 END AS f_seasonal
+      FROM daily, stats
+      JOIN dow ON dow.wd = isodow(daily.d) - 1)
+    SELECT CAST(d AS TIMESTAMP) AS day, CAST(n AS BIGINT) AS n_events,
+           CAST(f_zscore + f_shewhart + f_seasonal AS INT) AS votes,
+           f_zscore, f_shewhart, f_seasonal
+    FROM flags
+    WHERE f_zscore + f_shewhart + f_seasonal >= 2
+    ORDER BY day
+    """,
+)
+def anomaly_ensemble_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble anomaly alerting — the production pattern that cuts
+    single-detector false positives: a day pages only when at least two
+    of three independent detectors agree (global 2-sigma z-score,
+    Shewhart 3-sigma moving-range limits, and a day-of-week
+    seasonal-ratio deviation). Each flag derives from exact integer
+    sums via single-expression doubles; the vote is integer."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    daily = op_cache.track(daily.cache())
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).alias("snn"),
+    )
+    wd_win = Window.orderBy("d")
+    mrbar = daily.select(
+        F.abs(F.col("n") - F.lag("n").over(wd_win)).alias("rng")
+    ).agg(F.sum("rng").alias("sr"), F.count("rng").alias("cr"))
+    dow = daily.groupBy(F.weekday("d").alias("wd")).agg(
+        F.sum("n").alias("swn"), F.count(F.lit(1)).alias("nwd")
+    )
+    j = (
+        daily.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(mrbar))
+        .join(F.broadcast(dow), F.weekday(F.col("d")) == F.col("wd"))
+    )
+    mean = F.col("sn").cast("double") / F.col("cnt")
+    sd = F.sqrt(
+        F.col("snn").cast("double") / F.col("cnt") - mean * mean
+    )
+    f_z = F.when(F.abs(F.col("n") - mean) > 2 * sd, 1).otherwise(0)
+    f_sh = F.when(
+        F.abs(F.col("n") - mean)
+        > 3 * (F.col("sr").cast("double") / F.col("cr")) / F.lit(1.128),
+        1,
+    ).otherwise(0)
+    f_se = F.when(
+        F.abs(
+            F.col("n").cast("double") * F.col("nwd") / F.col("swn") - 1
+        )
+        > F.lit(0.35),
+        1,
+    ).otherwise(0)
+    flagged = j.select(
+        F.col("d").cast("timestamp").alias("day"),
+        F.col("n").cast("bigint").alias("n_events"),
+        f_z.alias("f_zscore"),
+        f_sh.alias("f_shewhart"),
+        f_se.alias("f_seasonal"),
+    )
+    return (
+        flagged.withColumn(
+            "votes",
+            (
+                F.col("f_zscore") + F.col("f_shewhart") + F.col("f_seasonal")
+            ).cast("int"),
+        )
+        .filter(F.col("votes") >= 2)
+        .select(
+            "day", "n_events", "votes", "f_zscore", "f_shewhart", "f_seasonal"
+        )
+        .orderBy("day")
+    )
+
+
+def _rbo_oracle(k: int = 15, p: float = 0.9) -> str:
+    bm25 = _bm25_oracle(topn=k)
+    vdot = (
+        "list_dot_product([CAST(x AS DOUBLE) FOR x IN {a}], "
+        "[CAST(x AS DOUBLE) FOR x IN {b}])"
+    )
+    # (1-p) * sum_{d=1..k} p^(d-1) * |overlap at depth d| / d, plus the
+    # residual extrapolation term p^k * overlap_k / k
+    return f"""
+    WITH bm_raw AS ({bm25}),
+    bm AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+      FROM bm_raw),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cs_raw AS (
+      SELECT e.vec_id AS doc_id,
+             {vdot.format(a="q.qv", b="e.embedding")} /
+             (sqrt({vdot.format(a="q.qv", b="q.qv")}) *
+              sqrt({vdot.format(a="e.embedding", b="e.embedding")})) AS cos
+      FROM embeddings e, q WHERE e.vec_id <> 0),
+    cs AS (
+      SELECT doc_id, rnk FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rnk
+        FROM cs_raw) WHERE rnk <= {k}),
+    depths AS (SELECT unnest(range(1, {k + 1})) AS d),
+    ov AS (
+      SELECT d.d,
+             (SELECT COUNT(*) FROM bm, cs
+              WHERE bm.doc_id = cs.doc_id
+                AND bm.rnk <= d.d AND cs.rnk <= d.d) AS o
+      FROM depths d),
+    terms AS (
+      SELECT d, o,
+             CAST({1 - p} AS DOUBLE) * power(CAST({p} AS DOUBLE), d - 1) *
+             o / d AS term
+      FROM ov)
+    SELECT CAST({k} AS INT) AS k,
+           (SELECT CAST(o AS BIGINT) FROM ov WHERE d = {k}) AS overlap_at_k,
+           ROUND(list_reduce(list(term ORDER BY d), (a, b) -> a + b) +
+                 power(CAST({p} AS DOUBLE), {k}) *
+                 (SELECT o FROM ov WHERE d = {k}) / CAST({k} AS DOUBLE), 6)
+             AS rbo_ext
+    FROM terms LIMIT 1
+    """
+
+
+@register("rbo_ranking_similarity", oracle=_rbo_oracle())
+def rbo_ranking_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al.) between the lexical and
+    semantic top-15 rankings — the top-weighted ranking-similarity
+    metric that, unlike Kendall's tau, handles non-conjoint lists: per
+    depth d the overlap of the two prefixes weighs in as p^(d-1)·o/d,
+    folded depth-ascending, plus the standard extrapolation term. The
+    only floats are powers of the fixed p=0.9 and the fold — both
+    order-pinned."""
+    bm_raw = bm25_search_topk(spark, sf_dir)
+    wb = Window.orderBy(F.desc("bm25"), "doc_id")
+    bm = bm_raw.withColumn("rnk", F.row_number().over(wb)).select(
+        F.col("doc_id").alias("bd"), F.col("rnk").alias("br")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    cs = sim_mod.cosine_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=15
+    ).select(F.col("neighbor_id").alias("cd"), F.col("rank").alias("cr"))
+    k, p = 15, 0.9
+    depths = spark.range(1, k + 1).select(F.col("id").alias("d"))
+    matched = bm.join(cs, F.col("cd") == F.col("bd")).select(
+        F.greatest("br", "cr").alias("depth_in")
+    )
+    ov = depths.join(
+        matched, F.col("depth_in") <= F.col("d"), "left"
+    ).groupBy("d").agg(F.count("depth_in").alias("o"))
+    terms = ov.select(
+        "d",
+        "o",
+        (
+            F.lit(1 - p)
+            * F.pow(F.lit(p), F.col("d") - 1)
+            * F.col("o")
+            / F.col("d")
+        ).alias("term"),
+    )
+    folded = terms.agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(d, term))), "
+            "cast(0 as double), (acc, e) -> acc + e.term)"
+        ).alias("s"),
+        F.max(F.when(F.col("d") == k, F.col("o"))).alias("ok"),
+    )
+    return folded.select(
+        F.lit(k).cast("int").alias("k"),
+        F.col("ok").cast("bigint").alias("overlap_at_k"),
+        F.round(
+            F.col("s")
+            + F.pow(F.lit(p), F.lit(k)) * F.col("ok") / F.lit(float(k)),
+            6,
+        ).alias("rbo_ext"),
+    )
