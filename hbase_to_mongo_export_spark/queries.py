@@ -24272,3 +24272,143 @@ def rbo_ranking_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rbo_ext"),
     )
+
+
+_NAMED_WINDOW_SQL = """
+    SELECT o_orderkey,
+           ROW_NUMBER() OVER w AS rn,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER wf, 2)
+             AS running_rev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_orderdate, o_orderkey),
+           wf AS (PARTITION BY o_orderpriority
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY o_orderkey
+    LIMIT 100
+    """
+
+
+@register("named_window_clause", oracle=_NAMED_WINDOW_SQL)
+def named_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The named WINDOW clause — one window specification shared by
+    multiple functions (plus a framed sibling for the running sum —
+    Spark doesn't parse the in-place window-extension form), the
+    SQL-surface feature that keeps analytic queries DRY. One
+    SQL string runs unchanged on both engines; the running DECIMAL sum
+    keeps the frame results exact."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_NAMED_WINDOW_SQL)
+
+
+@register(
+    "ips_offpolicy_value",
+    oracle="""
+    WITH logged AS (
+      SELECT event_id, event_type, value,
+             CASE WHEN CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                                                || ':pol'), 1, 15) AS BIGINT)
+                       % 2 = 0
+                  THEN 'click' ELSE 'view' END AS logged_action
+      FROM events WHERE event_type IN ('click', 'view')),
+    scored AS (
+      -- behavior policy chooses uniformly between the two actions
+      -- (propensity exactly 1/2); target policy always plays 'click'
+      SELECT value, event_type,
+             CASE WHEN event_type = logged_action THEN 1 ELSE 0 END
+               AS on_policy,
+             CASE WHEN event_type = 'click' AND event_type = logged_action
+                  THEN 2 ELSE 0 END AS ips_w
+      FROM logged)
+    SELECT COUNT(*) AS n_logged,
+           CAST(SUM(on_policy) AS BIGINT) AS n_matched,
+           ROUND(CAST(SUM(CAST(value * ips_w AS DECIMAL(18,6))) AS DOUBLE) /
+                 COUNT(*), 6) AS ips_value_estimate,
+           ROUND(CAST(SUM(CASE WHEN event_type = 'click'
+                               THEN CAST(value AS DECIMAL(18,6))
+                               ELSE CAST(0 AS DECIMAL(18,6)) END)
+                      AS DOUBLE) /
+                 GREATEST(SUM(CASE WHEN event_type = 'click'
+                              THEN 1 ELSE 0 END), 1), 6)
+             AS on_policy_mean_reward
+    FROM scored
+    """,
+)
+def ips_offpolicy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation by inverse propensity scoring — the
+    counterfactual estimate every recommendation/ranking team needs
+    before an online test: rewards of logged actions that match the
+    TARGET policy are reweighted by 1/propensity (the hash-random
+    behavior policy gives exact propensity 1/2, so the weight is the
+    integer 2) and averaged over all logged traffic. The unweighted
+    mean reward of matching actions sits alongside as the biased
+    baseline IPS corrects. DECIMAL sums, integer weights, one final
+    division."""
+    ev = _t(spark, sf_dir, "events")
+    logged = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "event_id",
+        "event_type",
+        "value",
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("event_id").cast("string"), F.lit(":pol")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0,
+            "click",
+        )
+        .otherwise("view")
+        .alias("logged_action"),
+    )
+    scored = logged.select(
+        "value",
+        "event_type",
+        F.when(F.col("event_type") == F.col("logged_action"), 1)
+        .otherwise(0)
+        .alias("on_policy"),
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("event_type") == F.col("logged_action")),
+            2,
+        )
+        .otherwise(0)
+        .alias("ips_w"),
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_logged"),
+        F.sum("on_policy").cast("bigint").alias("n_matched"),
+        F.round(
+            F.sum(
+                (F.col("value") * F.col("ips_w")).cast("decimal(18,6)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("ips_value_estimate"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "click",
+                    F.col("value").cast("decimal(18,6)"),
+                ).otherwise(F.lit(0).cast("decimal(18,6)"))
+            ).cast("double")
+            / F.greatest(
+                F.sum(
+                    F.when(F.col("event_type") == "click", 1).otherwise(0)
+                ),
+                F.lit(1),
+            ),
+            6,
+        ).alias("on_policy_mean_reward"),
+    )
