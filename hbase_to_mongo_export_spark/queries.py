@@ -24412,3 +24412,151 @@ def ips_offpolicy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("on_policy_mean_reward"),
     )
+
+
+@register(
+    "ab_mde_calculator",
+    oracle="""
+    WITH base AS (
+      SELECT COUNT(DISTINCT user_id) AS n_users,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS DOUBLE) /
+             COUNT(*) AS p
+      FROM events)
+    SELECT n_users,
+           ROUND(p, 6) AS baseline_rate,
+           -- MDE for a two-sided 0.05 / power 0.8 two-proportion test:
+           -- (z_{0.975} + z_{0.8}) * sqrt(2 p (1-p) / (n/2 per arm))
+           ROUND((CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE)) *
+                 SQRT(2 * p * (1 - p) / (CAST(n_users AS DOUBLE) / 2)), 6)
+             AS mde_absolute,
+           ROUND(((CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE)) *
+                  SQRT(2 * p * (1 - p) / (CAST(n_users AS DOUBLE) / 2))) / p,
+                 6) AS mde_relative
+    FROM base
+    """,
+)
+def ab_mde_calculator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect — the experiment-design number computed
+    BEFORE launching: with the observed baseline purchase rate and the
+    available user count split 50/50, the smallest absolute and
+    relative lift a two-proportion test (alpha 0.05 two-sided, power
+    0.8; z constants fixed to 6 dp so both engines share them exactly)
+    can reliably detect. Completes the experimentation suite next to
+    the SRM, z-test, SPRT, DiD, QTE, and IPS queries."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("p"),
+    )
+    z = F.lit(1.959964) + F.lit(0.841621)
+    mde = z * F.sqrt(
+        2 * F.col("p") * (1 - F.col("p"))
+        / (F.col("n_users").cast("double") / 2)
+    )
+    return base.select(
+        "n_users",
+        F.round("p", 6).alias("baseline_rate"),
+        F.round(mde, 6).alias("mde_absolute"),
+        F.round(mde / F.col("p"), 6).alias("mde_relative"),
+    )
+
+
+@register(
+    "partial_correlation_audit",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(l_quantity AS DECIMAL(38,0)) AS x,
+             CAST(FLOOR(l_extendedprice) AS DECIMAL(38,0)) AS y,
+             CAST(ROUND(l_discount * 100, 0) AS DECIMAL(38,0)) AS z
+      FROM lineitem),
+    s AS (
+      SELECT COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(z) AS sz,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(z * z) AS szz,
+             SUM(x * y) AS sxy, SUM(x * z) AS sxz, SUM(y * z) AS syz
+      FROM v),
+    r AS (
+      SELECT
+        CAST(n * sxy - sx * sy AS DOUBLE) /
+        SQRT(CAST(n * sxx - sx * sx AS DOUBLE) *
+             CAST(n * syy - sy * sy AS DOUBLE)) AS rxy,
+        CAST(n * sxz - sx * sz AS DOUBLE) /
+        SQRT(CAST(n * sxx - sx * sx AS DOUBLE) *
+             CAST(n * szz - sz * sz AS DOUBLE)) AS rxz,
+        CAST(n * syz - sy * sz AS DOUBLE) /
+        SQRT(CAST(n * syy - sy * sy AS DOUBLE) *
+             CAST(n * szz - sz * sz AS DOUBLE)) AS ryz
+      FROM s)
+    SELECT ROUND(rxy, 6) AS r_qty_price,
+           ROUND(rxz, 6) AS r_qty_discount,
+           ROUND(ryz, 6) AS r_price_discount,
+           ROUND((rxy - rxz * ryz) /
+                 SQRT((1 - rxz * rxz) * (1 - ryz * ryz)), 6)
+             AS partial_r_given_discount
+    FROM r
+    """,
+)
+def partial_correlation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation — the quantity-price association with the
+    discount CONTROLLED away, the confounder check a raw correlation
+    matrix can't answer: r_xy·z = (r_xy − r_xz·r_yz) / sqrt((1−r_xz²)
+    (1−r_yz²)). All second moments accumulate as DECIMAL(38,0) integer
+    sums (quantity, floored price, per-cent discount), so the three
+    pairwise r's and the partial r are single-expression doubles from
+    exact numerators — no float accumulation anywhere."""
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_quantity").cast("decimal(38,0)").alias("x"),
+        F.floor("l_extendedprice").cast("decimal(38,0)").alias("y"),
+        F.round(F.col("l_discount") * 100, 0).cast("decimal(38,0)").alias("z"),
+    )
+    s = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).alias("syz"),
+    )
+
+    def corr(sab, sa, sb, saa, sbb):
+        return (
+            (F.col("n") * F.col(sab) - F.col(sa) * F.col(sb)).cast("double")
+            / F.sqrt(
+                (F.col("n") * F.col(saa) - F.col(sa) * F.col(sa)).cast(
+                    "double"
+                )
+                * (F.col("n") * F.col(sbb) - F.col(sb) * F.col(sb)).cast(
+                    "double"
+                )
+            )
+        )
+
+    r = s.select(
+        corr("sxy", "sx", "sy", "sxx", "syy").alias("rxy"),
+        corr("sxz", "sx", "sz", "sxx", "szz").alias("rxz"),
+        corr("syz", "sy", "sz", "syy", "szz").alias("ryz"),
+    )
+    return r.select(
+        F.round("rxy", 6).alias("r_qty_price"),
+        F.round("rxz", 6).alias("r_qty_discount"),
+        F.round("ryz", 6).alias("r_price_discount"),
+        F.round(
+            (F.col("rxy") - F.col("rxz") * F.col("ryz"))
+            / F.sqrt(
+                (1 - F.col("rxz") * F.col("rxz"))
+                * (1 - F.col("ryz") * F.col("ryz"))
+            ),
+            6,
+        ).alias("partial_r_given_discount"),
+    )
