@@ -24560,3 +24560,71 @@ def partial_correlation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("partial_r_given_discount"),
     )
+
+
+@register(
+    "slope_heterogeneity_by_priority",
+    oracle="""
+    WITH j AS (
+      SELECT o.o_orderpriority AS pr,
+             CAST(l.l_quantity AS DECIMAL(38,0)) AS x,
+             CAST(FLOOR(l.l_extendedprice) AS DECIMAL(38,0)) AS y
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    s AS (
+      SELECT pr, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM j GROUP BY pr),
+    slopes AS (
+      SELECT pr, CAST(n AS BIGINT) AS n,
+             ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+                   CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
+      FROM s)
+    SELECT pr AS priority, n, slope,
+           ROUND(MAX(slope) OVER () - MIN(slope) OVER (), 6)
+             AS slope_spread
+    FROM slopes ORDER BY priority
+    """,
+)
+def slope_heterogeneity_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slope heterogeneity — does the quantity-price relationship differ
+    by order priority? Per-group OLS slopes from exact DECIMAL(38,0)
+    moment sums (the grouped version of the regression family), with
+    the max-min slope spread carried on every row: a spread near zero
+    licenses a pooled model, a wide one demands interaction terms. One
+    grouped aggregate; the window over five rows is free."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = o.join(li, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("pr"),
+        F.col("l_quantity").cast("decimal(38,0)").alias("x"),
+        F.floor("l_extendedprice").cast("decimal(38,0)").alias("y"),
+    )
+    s = j.groupBy("pr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slopes = s.select(
+        F.col("pr").alias("priority"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            ),
+            6,
+        ).alias("slope"),
+    )
+    wg = Window.partitionBy()
+    return slopes.select(
+        "priority",
+        "n",
+        "slope",
+        F.round(
+            F.max("slope").over(wg) - F.min("slope").over(wg), 6
+        ).alias("slope_spread"),
+    ).orderBy("priority")
