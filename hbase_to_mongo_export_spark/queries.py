@@ -24628,3 +24628,96 @@ def slope_heterogeneity_by_priority(spark: SparkSession, sf_dir: str) -> DataFra
             F.max("slope").over(wg) - F.min("slope").over(wg), 6
         ).alias("slope_spread"),
     ).orderBy("priority")
+
+
+@register(
+    "lead_lag_correlation_scan",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+      FROM events GROUP BY 1),
+    lags AS (SELECT unnest(range(0, 8)) AS lag),
+    aligned AS (
+      SELECT l.lag, a.c AS x, b.p AS y
+      FROM lags l
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.d = a.d + CAST(l.lag AS INT)),
+    s AS (
+      SELECT lag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM aligned GROUP BY lag),
+    r AS (
+      SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_days,
+             ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+                   SQRT(CAST(n * sxx - sx * sx AS DOUBLE) *
+                        CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r
+      FROM s)
+    SELECT lag, n_days, r,
+           CASE WHEN ABS(r) = MAX(ABS(r)) OVER () THEN 1 ELSE 0 END
+             AS is_best_lag
+    FROM r ORDER BY lag
+    """,
+)
+def lead_lag_correlation_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation scan: the Pearson correlation between
+    daily clicks and purchases LAGGED 0-7 days — which offset best
+    predicts conversions, the first screen before any causal story.
+    Each lag aligns by a calendar self-join (never a window over
+    shifted copies), correlations come from exact integer moment sums,
+    and the best-lag flag compares the identical doubles both engines
+    computed."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "c"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("p"),
+    )
+    daily = op_cache.track(daily.cache())
+    lags = spark.range(0, 8).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select(F.col("d").alias("da"), F.col("c").alias("x"))
+    b = daily.select(F.col("d").alias("db"), F.col("p").alias("y"))
+    aligned = (
+        lags.crossJoin(a)
+        .join(b, F.col("db") == F.expr("date_add(da, lag)"))
+        .select("lag", "x", "y")
+    )
+    s = aligned.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    r = s.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                    "double"
+                )
+            ),
+            6,
+        ).alias("r"),
+    )
+    wg = Window.partitionBy()
+    return r.select(
+        "lag",
+        "n_days",
+        "r",
+        F.when(F.abs("r") == F.max(F.abs("r")).over(wg), 1)
+        .otherwise(0)
+        .alias("is_best_lag"),
+    ).orderBy("lag")
