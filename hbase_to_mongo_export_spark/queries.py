@@ -1471,8 +1471,10 @@ def window_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_custkey", "rnk", "o_orderkey")
 
 
-@register("winnowing_fingerprints")  # xxhash64-valued: rows-only check;
-# exact semantics verified in tests/test_operators.py vs a Python model
+@register("winnowing_fingerprints_xxhash")  # xxhash64-valued: rows-only
+# check; exact semantics verified in tests/test_operators.py vs a Python
+# model. The driver-gated name `winnowing_fingerprints` is the md5-portable
+# pipeline with a full DuckDB value oracle (see its registration below).
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprint selection over the documents table."""
     docs = _t(spark, sf_dir, "documents")
@@ -5342,10 +5344,14 @@ def _winnow_portable_oracle(k: int = 5, window: int = 4) -> str:
     """
 
 
+@register("winnowing_fingerprints", oracle=_winnow_portable_oracle())
 @register("winnowing_fingerprints_portable", oracle=_winnow_portable_oracle())
 def winnowing_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprints with the md5-portable hash — k-gram
-    rolling selection value-checked against a DuckDB window-min."""
+    rolling selection value-checked against a DuckDB window-min. The
+    xxhash64-valued scale path stays available as
+    ``winnowing_fingerprints_xxhash`` (rows-only: hash values are
+    JVM-specific, semantics pinned in tests/test_operators.py)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup_mod.winnow_fingerprints(
         docs, "doc_id", "text", hash_fn="md5"
