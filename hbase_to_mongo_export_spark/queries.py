@@ -24727,3 +24727,356 @@ def lead_lag_correlation_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_best_lag"),
     ).orderBy("lag")
+
+
+@register(
+    "misra_gries_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+      FROM documents),
+    t2 AS (SELECT w FROM toks WHERE w <> ''),
+    tot AS (SELECT COUNT(*) AS n FROM t2),
+    cnt AS (SELECT w, COUNT(*) AS c FROM t2 GROUP BY w)
+    SELECT cnt.w AS token, CAST(cnt.c AS BIGINT) AS freq,
+           ROUND(CAST(cnt.c AS DOUBLE) / CAST(tot.n AS DOUBLE), 6) AS share
+    FROM cnt, tot
+    WHERE cnt.c * 200 > tot.n
+    ORDER BY freq DESC, token
+    """,
+)
+def misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Misra-Gries heavy hitters over the token stream: each
+    partition keeps a k-counter MG summary (mapInPandas, one pass, O(k)
+    memory), the union of survivors is the candidate set, and a second
+    exact pass counts ONLY the candidates (broadcast semi-join) and keeps
+    tokens with freq * k > n. Pigeonhole + the per-partition MG guarantee
+    (any item with local count > n_p/k survives) make the candidate set a
+    superset of the true heavy hitters on EVERY partitioning, so the
+    exact-filtered output is deterministic and the oracle is a plain
+    frequency filter. This is the 100 TB shape for "top 0.5% tokens":
+    the first pass never shuffles, the second shuffles only candidate
+    rows (≤ k·partitions keys)."""
+    k = 200
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+        ).alias("w")
+    ).filter(F.col("w") != "")
+
+    def mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for w in pdf["w"]:
+                c = counters.get(w)
+                if c is not None:
+                    counters[w] = c + 1
+                elif len(counters) < k:
+                    counters[w] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        nv = counters[key] - 1
+                        counters[key] = nv
+                        if nv == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"w": list(counters.keys())})
+
+    cands = toks.mapInPandas(mg_partition, "w string").distinct()
+    counts = toks.join(F.broadcast(cands), "w").groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("freq") * k > F.col("n"))
+        .select(
+            F.col("w").alias("token"),
+            F.col("freq").cast("bigint").alias("freq"),
+            F.round(
+                F.col("freq").cast("double") / F.col("n").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy(F.desc("freq"), "token")
+    )
+
+
+@register(
+    "fellegi_sunter_linkage",
+    oracle="""
+    WITH p AS (SELECT p_partkey AS id, p_brand,
+                      p_type AS ft, p_size AS fs,
+                      string_split(p_name, ' ')[2] AS fw
+               FROM part),
+    nn AS (SELECT COUNT(*) AS n FROM p),
+    ut AS (SELECT CAST(SUM(c*(c-1)) AS DOUBLE) /
+                  CAST((SELECT n*(n-1) FROM nn) AS DOUBLE) AS u
+           FROM (SELECT COUNT(*) AS c FROM p GROUP BY ft)),
+    us AS (SELECT CAST(SUM(c*(c-1)) AS DOUBLE) /
+                  CAST((SELECT n*(n-1) FROM nn) AS DOUBLE) AS u
+           FROM (SELECT COUNT(*) AS c FROM p GROUP BY fs)),
+    uw AS (SELECT CAST(SUM(c*(c-1)) AS DOUBLE) /
+                  CAST((SELECT n*(n-1) FROM nn) AS DOUBLE) AS u
+           FROM (SELECT COUNT(*) AS c FROM p GROUP BY fw)),
+    wts AS (SELECT
+      ROUND(LN(CAST(0.95 AS DOUBLE) / ut.u), 6) AS wt_a,
+      ROUND(LN(CAST(0.05 AS DOUBLE) / (1 - ut.u)), 6) AS wt_d,
+      ROUND(LN(CAST(0.9 AS DOUBLE) / us.u), 6) AS ws_a,
+      ROUND(LN(CAST(0.1 AS DOUBLE) / (1 - us.u)), 6) AS ws_d,
+      ROUND(LN(CAST(0.95 AS DOUBLE) / uw.u), 6) AS ww_a,
+      ROUND(LN(CAST(0.05 AS DOUBLE) / (1 - uw.u)), 6) AS ww_d
+      FROM ut, us, uw),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CASE WHEN a.ft = b.ft THEN 1 ELSE 0 END AS agt,
+             CASE WHEN a.fs = b.fs THEN 1 ELSE 0 END AS ags,
+             CASE WHEN a.fw = b.fw THEN 1 ELSE 0 END AS agw
+      FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.id < b.id),
+    scored AS (
+      SELECT id_a, id_b, agt + ags + agw AS n_agree,
+             ROUND((CASE WHEN agt = 1 THEN wt_a ELSE wt_d END) +
+                   (CASE WHEN ags = 1 THEN ws_a ELSE ws_d END) +
+                   (CASE WHEN agw = 1 THEN ww_a ELSE ww_d END), 6) AS score
+      FROM cand, wts)
+    SELECT id_a, id_b, CAST(n_agree AS INT) AS n_agree, score
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            ORDER BY score DESC, id_a, id_b) AS rn
+          FROM scored WHERE score > 0)
+    WHERE rn <= 100
+    ORDER BY score DESC, id_a, id_b
+    """,
+)
+def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage: candidate pairs come
+    from blocking on p_brand, each comparison field (type, size, the
+    product noun from the name) gets a data-derived u-probability (the
+    chance two RANDOM records agree: Σ c_v(c_v-1)/(N(N-1)), one tiny
+    aggregate per field), fixed m-probabilities, and every pair scores
+    the sum of log(m/u) / log((1-m)/(1-u)) agreement weights. Top-100
+    by score. The u-stats and weights are one-row broadcasts; the pair
+    join never leaves the brand blocks — the classic ER scale shape
+    (cost Σ block², not N²)."""
+    part = _t(spark, sf_dir, "part")
+    p = part.select(
+        F.col("p_partkey").alias("id"),
+        "p_brand",
+        F.col("p_type").alias("ft"),
+        F.col("p_size").alias("fs"),
+        F.split("p_name", " ").getItem(1).alias("fw"),
+    )
+    p = op_cache.track(p.cache())
+    nn = p.agg(F.count(F.lit(1)).alias("n"))
+
+    def u_of(field: str) -> DataFrame:
+        c = p.groupBy(field).agg(F.count(F.lit(1)).alias("c"))
+        return (
+            c.agg(F.sum(F.col("c") * (F.col("c") - 1)).alias("agree"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                (
+                    F.col("agree").cast("double")
+                    / (F.col("n") * (F.col("n") - 1)).cast("double")
+                ).alias(f"u_{field}")
+            )
+        )
+
+    wts = (
+        u_of("ft")
+        .crossJoin(u_of("fs"))
+        .crossJoin(u_of("fw"))
+        .select(
+            F.round(F.log(F.lit(0.95).cast("double") / F.col("u_ft")), 6).alias("wt_a"),
+            F.round(
+                F.log(F.lit(0.05).cast("double") / (F.lit(1) - F.col("u_ft"))), 6
+            ).alias("wt_d"),
+            F.round(F.log(F.lit(0.9).cast("double") / F.col("u_fs")), 6).alias("ws_a"),
+            F.round(
+                F.log(F.lit(0.1).cast("double") / (F.lit(1) - F.col("u_fs"))), 6
+            ).alias("ws_d"),
+            F.round(F.log(F.lit(0.95).cast("double") / F.col("u_fw")), 6).alias("ww_a"),
+            F.round(
+                F.log(F.lit(0.05).cast("double") / (F.lit(1) - F.col("u_fw"))), 6
+            ).alias("ww_d"),
+        )
+    )
+    a = p.select(
+        F.col("p_brand").alias("ba"),
+        F.col("id").alias("id_a"),
+        F.col("ft").alias("fta"),
+        F.col("fs").alias("fsa"),
+        F.col("fw").alias("fwa"),
+    )
+    b = p.select(
+        F.col("p_brand").alias("bb"),
+        F.col("id").alias("id_b"),
+        F.col("ft").alias("ftb"),
+        F.col("fs").alias("fsb"),
+        F.col("fw").alias("fwb"),
+    )
+    cand = a.join(
+        b, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b"))
+    ).select(
+        "id_a",
+        "id_b",
+        F.when(F.col("fta") == F.col("ftb"), 1).otherwise(0).alias("agt"),
+        F.when(F.col("fsa") == F.col("fsb"), 1).otherwise(0).alias("ags"),
+        F.when(F.col("fwa") == F.col("fwb"), 1).otherwise(0).alias("agw"),
+    )
+    scored = cand.crossJoin(F.broadcast(wts)).select(
+        "id_a",
+        "id_b",
+        (F.col("agt") + F.col("ags") + F.col("agw")).cast("int").alias("n_agree"),
+        F.round(
+            F.when(F.col("agt") == 1, F.col("wt_a")).otherwise(F.col("wt_d"))
+            + F.when(F.col("ags") == 1, F.col("ws_a")).otherwise(F.col("ws_d"))
+            + F.when(F.col("agw") == 1, F.col("ww_a")).otherwise(F.col("ww_d")),
+            6,
+        ).alias("score"),
+    )
+    return (
+        scored.filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), "id_a", "id_b")
+        .limit(100)
+        .orderBy(F.desc("score"), "id_a", "id_b")
+    )
+
+
+@register(
+    "hill_tail_index",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_totalprice AS x,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders),
+    top AS (SELECT * FROM ranked WHERE rn <= 101),
+    xm AS (SELECT x AS xmin FROM top WHERE rn = 101),
+    terms AS (
+      SELECT t.rn, LN(t.x / xm.xmin) AS term
+      FROM top t, xm WHERE t.rn <= 100),
+    s AS (SELECT list_reduce(list(term ORDER BY rn), (a, b) -> a + b)
+            AS hsum FROM terms)
+    SELECT CAST(100 AS INT) AS k,
+           ROUND(xm.xmin, 2) AS xmin_threshold,
+           ROUND(s.hsum / CAST(100 AS DOUBLE), 6) AS hill_mean_log,
+           ROUND(CAST(100 AS DOUBLE) / s.hsum, 6) AS alpha
+    FROM s, xm
+    """,
+)
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the power-law tail index of order totals:
+    alpha^-1 = mean of ln(x_(i)/x_(k+1)) over the top-k order statistics
+    (k=100). The top-(k+1) rows come from orderBy().limit() — Spark plans
+    TakeOrderedAndProject, a per-partition heap + driver merge, NOT a
+    global sort, so this is the 100 TB-safe way to reach the tail. The
+    log-sum folds rank-ascending (array_sort + aggregate) to stay
+    bit-identical with DuckDB's list_reduce."""
+    k = 100
+    orders = _t(spark, sf_dir, "orders")
+    top = (
+        orders.select(F.col("o_totalprice").alias("x"), "o_orderkey")
+        .orderBy(F.desc("x"), "o_orderkey")
+        .limit(k + 1)
+    )
+    w = Window.orderBy(F.desc("x"), "o_orderkey")
+    ranked = top.select("x", F.row_number().over(w).alias("rn"))
+    xm = ranked.filter(F.col("rn") == k + 1).select(F.col("x").alias("xmin"))
+    terms = (
+        ranked.filter(F.col("rn") <= k)
+        .crossJoin(F.broadcast(xm))
+        .select("rn", F.log(F.col("x") / F.col("xmin")).alias("term"))
+    )
+    s = terms.agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(rn, term))), "
+            "cast(0 as double), (acc, e) -> acc + e.term)"
+        ).alias("hsum")
+    )
+    return s.crossJoin(F.broadcast(xm)).select(
+        F.lit(k).cast("int").alias("k"),
+        F.round("xmin", 2).alias("xmin_threshold"),
+        F.round(F.col("hsum") / F.lit(k).cast("double"), 6).alias("hill_mean_log"),
+        F.round(F.lit(k).cast("double") / F.col("hsum"), 6).alias("alpha"),
+    )
+
+
+@register(
+    "calibration_reliability_bins",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      FROM events GROUP BY user_id),
+    scored AS (
+      SELECT user_id, y,
+             CAST(c AS DOUBLE) / CAST(c + 3 AS DOUBLE) AS score,
+             CAST((10 * c) // (c + 3) AS INT) AS bin
+      FROM per_user),
+    binned AS (
+      SELECT bin, COUNT(*) AS n_users, SUM(y) AS n_pos,
+             list_reduce(list(score ORDER BY user_id),
+                         (a, b) -> a + b) AS score_sum,
+             list_reduce(list((score - y) * (score - y) ORDER BY user_id),
+                         (a, b) -> a + b) AS brier_sum
+      FROM scored GROUP BY bin)
+    SELECT bin, CAST(n_users AS BIGINT) AS n_users,
+           ROUND(score_sum / CAST(n_users AS DOUBLE), 6) AS avg_pred,
+           ROUND(CAST(n_pos AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+             AS frac_pos,
+           ROUND(brier_sum / CAST(n_users AS DOUBLE), 6) AS brier
+    FROM binned ORDER BY bin
+    """,
+)
+def calibration_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of a deterministic conversion scorer: per user
+    the rational score c/(c+3) (c = click count — exact, no exp) predicts
+    whether the user ever purchased; users bucket into 10 reliability
+    bins by integer arithmetic (10c div (c+3)), and each bin reports
+    mean predicted probability vs empirical positive rate plus the Brier
+    score. Per-bin double sums fold user-ascending so both engines add
+    in the same order. One groupBy(user) + one groupBy(bin) — two
+    narrow-key shuffles, scale-safe."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+    )
+    scored = per_user.select(
+        "user_id",
+        "y",
+        (F.col("c").cast("double") / (F.col("c") + 3).cast("double")).alias(
+            "score"
+        ),
+        F.expr("CAST((10 * c) DIV (c + 3) AS INT)").alias("bin"),
+    )
+    binned = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("y").alias("n_pos"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(user_id, score))), "
+            "cast(0 as double), (acc, e) -> acc + e.score)"
+        ).alias("score_sum"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(user_id, "
+            "(score - y) * (score - y) AS sq))), "
+            "cast(0 as double), (acc, e) -> acc + e.sq)"
+        ).alias("brier_sum"),
+    )
+    return binned.select(
+        "bin",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.round(F.col("score_sum") / F.col("n_users").cast("double"), 6).alias(
+            "avg_pred"
+        ),
+        F.round(
+            F.col("n_pos").cast("double") / F.col("n_users").cast("double"), 6
+        ).alias("frac_pos"),
+        F.round(F.col("brier_sum") / F.col("n_users").cast("double"), 6).alias(
+            "brier"
+        ),
+    ).orderBy("bin")
