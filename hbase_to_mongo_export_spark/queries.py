@@ -25080,3 +25080,460 @@ def calibration_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brier"
         ),
     ).orderBy("bin")
+
+
+@register(
+    "kneser_ney_bigram_top30",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+      FROM documents),
+    bg AS (
+      SELECT ws[i+1] AS w1, ws[i+2] AS w2
+      FROM words, unnest(range(0, greatest(len(ws) - 1, 0))) AS t(i)
+      WHERE ws[i+1] <> '' AND ws[i+2] <> ''),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(c) AS tot, COUNT(*) AS nl FROM c12 GROUP BY w1),
+    cr AS (SELECT w2, COUNT(*) AS nr FROM c12 GROUP BY w2),
+    bt AS (SELECT COUNT(*) AS b FROM c12),
+    p AS (
+      SELECT c12.w1, c12.w2, c12.c,
+             (CAST(c12.c AS DOUBLE) - CAST(0.75 AS DOUBLE))
+               / CAST(c1.tot AS DOUBLE)
+             + CAST(0.75 AS DOUBLE) * CAST(c1.nl AS DOUBLE)
+               / CAST(c1.tot AS DOUBLE)
+               * (CAST(cr.nr AS DOUBLE) / CAST(bt.b AS DOUBLE)) AS pkn
+      FROM c12 JOIN c1 USING (w1) JOIN cr USING (w2), bt)
+    SELECT w1, w2, CAST(c AS BIGINT) AS c12, ROUND(pkn, 6) AS p_kn
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY c DESC, w1, w2) AS rn FROM p)
+    WHERE rn <= 30
+    ORDER BY c12 DESC, w1, w2
+    """,
+)
+def kneser_ney_bigram_top30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney smoothed bigram probabilities (d=0.75) for
+    the corpus's 30 most frequent bigrams: discounted ML estimate plus
+    the continuation-probability backoff N1+(·w2)/|bigram types| — the
+    smoothing used by every serious count-based LM. All inputs are exact
+    integer counts; the probability arithmetic is double with identical
+    operation order in both engines. Count tables shuffle once each on
+    narrow keys; the continuation/left-type tables are aggregates OF the
+    bigram table, so the corpus is tokenized exactly once."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.split(
+            F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "
+        ).alias("ws")
+    )
+    bg = (
+        words.select(
+            F.expr(
+                "CASE WHEN size(ws) >= 2 THEN "
+                "transform(sequence(1, size(ws) - 1), "
+                "i -> struct(ws[i-1] AS w1, ws[i] AS w2)) "
+                "ELSE array() END"
+            ).alias("pairs")
+        )
+        .select(F.explode("pairs").alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c12 = op_cache.track(c12.cache())
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c").alias("tot"), F.count(F.lit(1)).alias("nl")
+    )
+    cr = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("nr"))
+    bt = c12.agg(F.count(F.lit(1)).alias("b"))
+    d = F.lit(0.75).cast("double")
+    p = (
+        c12.join(c1, "w1")
+        .join(cr, "w2")
+        .crossJoin(F.broadcast(bt))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            (
+                (F.col("c").cast("double") - d) / F.col("tot").cast("double")
+                + d
+                * F.col("nl").cast("double")
+                / F.col("tot").cast("double")
+                * (F.col("nr").cast("double") / F.col("b").cast("double"))
+            ).alias("pkn"),
+        )
+    )
+    return (
+        p.orderBy(F.desc("c"), "w1", "w2")
+        .limit(30)
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("bigint").alias("c12"),
+            F.round("pkn", 6).alias("p_kn"),
+        )
+        .orderBy(F.desc("c12"), "w1", "w2")
+    )
+
+
+@register(
+    "shapley_attribution_channels",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           + 2 * MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+           + 4 * MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+           + 8 * MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             AS mask,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id),
+    mask_conv AS (
+      SELECT mask, COUNT(*) AS n_conv FROM per_user
+      WHERE conv = 1 GROUP BY mask),
+    subsets AS (SELECT unnest(range(0, 16)) AS s),
+    v AS (
+      SELECT s.s, COALESCE(SUM(m.n_conv), 0) AS v
+      FROM subsets s LEFT JOIN mask_conv m ON (m.mask & (15 - s.s)) = 0
+      GROUP BY s.s),
+    channels AS (
+      SELECT * FROM (VALUES ('view', 1), ('click', 2),
+                            ('signup', 4), ('error', 8)) AS t(channel, bit)),
+    contrib AS (
+      SELECT c.channel,
+             CASE bit_count(CAST(sv.s AS BIGINT))
+               WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END
+             * (vi.v - sv.v) AS term
+      FROM channels c
+      JOIN v sv ON (sv.s & c.bit) = 0
+      JOIN v vi ON vi.s = sv.s + c.bit),
+    phi AS (
+      SELECT channel, SUM(term) AS phi24 FROM contrib GROUP BY channel),
+    tot AS (SELECT COALESCE(SUM(n_conv), 0) AS t FROM mask_conv)
+    SELECT channel, CAST(phi24 AS BIGINT) AS phi24,
+           ROUND(CAST(phi24 AS DOUBLE) / CAST(24 AS DOUBLE), 6) AS phi,
+           ROUND(CAST(phi24 AS DOUBLE) / CAST(24 * tot.t AS DOUBLE), 6)
+             AS share
+    FROM phi, tot
+    ORDER BY channel
+    """,
+)
+def shapley_attribution_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value channel attribution: each converting user's
+    touched-channel set defines the coalition game v(S) = number of
+    converters whose channels ⊆ S, and each channel gets its Shapley
+    value φ_i = Σ_S |S|!(3-|S|)!/4! · [v(S∪{i})-v(S)] — the
+    order-fair split of total conversions (Σφ = v(full)). The 100 TB
+    shape: ONE user-keyed aggregate compresses the data to ≤16 mask
+    counts; the factorial-weighted subset enumeration (16×4 rows) is
+    driver-trivial and exact in scaled integers (φ·24), no floats until
+    the final report."""
+    ev = _t(spark, sf_dir, "events")
+    has = lambda t: F.max(  # noqa: E731
+        F.when(F.col("event_type") == t, 1).otherwise(0)
+    )
+    per_user = ev.groupBy("user_id").agg(
+        (
+            has("view")
+            + 2 * has("click")
+            + 4 * has("signup")
+            + 8 * has("error")
+        ).alias("mask"),
+        has("purchase").alias("conv"),
+    )
+    mask_conv = (
+        per_user.filter(F.col("conv") == 1)
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("n_conv"))
+    )
+    mask_conv = op_cache.track(mask_conv.cache())
+    subsets = spark.range(0, 16).select(F.col("id").cast("int").alias("s"))
+    v = (
+        subsets.join(
+            F.broadcast(mask_conv),
+            F.expr("(mask & (15 - s)) = 0"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).alias("v"))
+    )
+    v = op_cache.track(v.cache())
+    channels = spark.createDataFrame(
+        [("view", 1), ("click", 2), ("signup", 4), ("error", 8)],
+        "channel string, bit int",
+    )
+    sv = v.select(F.col("s").alias("s0"), F.col("v").alias("v0"))
+    vi = v.select(F.col("s").alias("s1"), F.col("v").alias("v1"))
+    contrib = (
+        channels.join(F.broadcast(sv), F.expr("(s0 & bit) = 0"))
+        .join(F.broadcast(vi), F.expr("s1 = s0 + bit"))
+        .select(
+            "channel",
+            (
+                F.when(F.bit_count(F.col("s0").cast("bigint")) == 0, 6)
+                .when(F.bit_count(F.col("s0").cast("bigint")) == 1, 2)
+                .when(F.bit_count(F.col("s0").cast("bigint")) == 2, 2)
+                .otherwise(6)
+                * (F.col("v1") - F.col("v0"))
+            ).alias("term"),
+        )
+    )
+    phi = contrib.groupBy("channel").agg(F.sum("term").alias("phi24"))
+    tot = mask_conv.agg(F.coalesce(F.sum("n_conv"), F.lit(0)).alias("t"))
+    return (
+        phi.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            F.col("phi24").cast("bigint").alias("phi24"),
+            F.round(
+                F.col("phi24").cast("double") / F.lit(24).cast("double"), 6
+            ).alias("phi"),
+            F.round(
+                F.col("phi24").cast("double")
+                / (F.lit(24) * F.col("t")).cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("channel")
+    )
+
+
+@register(
+    "dsir_importance_weights",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+      FROM documents),
+    feat AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substring(md5(w), 1, 15)) AS BIGINT) % 1024
+               AS f,
+             COUNT(*) AS n
+      FROM toks WHERE w <> '' GROUP BY doc_id, lang, 3),
+    ct AS (SELECT f, SUM(n) AS c FROM feat WHERE lang = 'en' GROUP BY f),
+    cs AS (SELECT f, SUM(n) AS c FROM feat GROUP BY f),
+    tt AS (SELECT COALESCE(SUM(n), 0) AS t FROM feat WHERE lang = 'en'),
+    ts AS (SELECT COALESCE(SUM(n), 0) AS t FROM feat),
+    terms AS (
+      SELECT feat.doc_id, feat.lang, feat.f,
+             CAST(feat.n AS DOUBLE) * LN(
+               (CAST(COALESCE(ct.c, 0) + 1 AS DOUBLE)
+                  / CAST(tt.t + 1024 AS DOUBLE))
+               / (CAST(cs.c + 1 AS DOUBLE) / CAST(ts.t + 1024 AS DOUBLE))
+             ) AS term
+      FROM feat LEFT JOIN ct USING (f) JOIN cs USING (f), tt, ts),
+    w AS (
+      SELECT doc_id, lang,
+             ROUND(list_reduce(list(term ORDER BY f), (a, b) -> a + b), 6)
+               AS log_weight
+      FROM terms GROUP BY doc_id, lang)
+    SELECT doc_id, lang, log_weight
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            ORDER BY log_weight DESC, doc_id) AS rn FROM w)
+    WHERE rn <= 40
+    ORDER BY log_weight DESC, doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights for domain-targeted data selection:
+    documents score Σ_f n_f · ln(p_target(f)/p_source(f)) over 1024
+    hashed unigram features (md5-portable bucket hash, add-1 smoothing),
+    with the 'en' slice as the target distribution and the whole corpus
+    as source. Top-40 docs by weight. The feature vocabulary is CAPPED
+    at 1024 buckets by construction — the hashed-ngram trick that makes
+    importance resampling feasible at 100 TB: bucket stats are a
+    broadcast-size table no matter how large the corpus, and each doc's
+    log-weight folds feature-ascending for bit-stable float sums."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+        ).alias("w"),
+    ).filter(F.col("w") != "")
+    feat = toks.groupBy(
+        "doc_id",
+        "lang",
+        F.expr("CAST(conv(substring(md5(w),1,15),16,10) AS BIGINT) % 1024").alias(
+            "f"
+        ),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    feat = op_cache.track(feat.cache())
+    ct = (
+        feat.filter(F.col("lang") == "en")
+        .groupBy("f")
+        .agg(F.sum("n").alias("ct_c"))
+    )
+    cs = feat.groupBy("f").agg(F.sum("n").alias("cs_c"))
+    tt = feat.filter(F.col("lang") == "en").agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("tt_t")
+    )
+    ts = feat.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("ts_t"))
+    bucket_stats = (
+        cs.join(ct, "f", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(ts))
+        .select(
+            "f",
+            F.log(
+                (
+                    (F.coalesce(F.col("ct_c"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tt_t") + 1024).cast("double")
+                )
+                / (
+                    (F.col("cs_c") + 1).cast("double")
+                    / (F.col("ts_t") + 1024).cast("double")
+                )
+            ).alias("lr"),
+        )
+    )
+    terms = feat.join(F.broadcast(bucket_stats), "f").select(
+        "doc_id",
+        "lang",
+        "f",
+        (F.col("n").cast("double") * F.col("lr")).alias("term"),
+    )
+    w = terms.groupBy("doc_id", "lang").agg(
+        F.round(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(f, term))), "
+                "cast(0 as double), (acc, e) -> acc + e.term)"
+            ),
+            6,
+        ).alias("log_weight")
+    )
+    return (
+        w.orderBy(F.desc("log_weight"), "doc_id")
+        .limit(40)
+        .select("doc_id", "lang", "log_weight")
+        .orderBy(F.desc("log_weight"), "doc_id")
+    )
+
+
+# One-sided BH critical values Φ^{-1}(1 - 0.05·i/25), i = 1..25, computed
+# once offline (bisection on erf, double precision) and pinned as literals
+# in BOTH engines — the inverse normal CDF is configuration, not data.
+_BH_CRIT = [
+    2.878162, 2.65207, 2.512144, 2.408916, 2.326348, 2.257129, 2.197286,
+    2.144411, 2.096927, 2.053749, 2.014091, 1.977368, 1.943134, 1.911036,
+    1.880794, 1.85218, 1.825007, 1.799118, 1.774382, 1.750686, 1.727934,
+    1.706043, 1.684941, 1.664563, 1.644854,
+]
+
+
+def _bh_crit_sql() -> str:
+    rows = ", ".join(
+        f"({i + 1}, CAST({c} AS DOUBLE))" for i, c in enumerate(_BH_CRIT)
+    )
+    return f"(VALUES {rows}) AS crit(rank, c)"
+
+
+@register(
+    "benjamini_hochberg_fdr",
+    oracle=f"""
+    WITH li AS (
+      SELECT s.s_nationkey, l.l_returnflag
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+    per_nation AS (
+      SELECT n.n_name AS nation, COUNT(*) AS n,
+             SUM(CASE WHEN li.l_returnflag = 'R' THEN 1 ELSE 0 END) AS x
+      FROM li JOIN nation n ON li.s_nationkey = n.n_nationkey
+      GROUP BY n.n_name),
+    gl AS (
+      SELECT CAST(SUM(x) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS p0
+      FROM per_nation),
+    z AS (
+      SELECT nation, n, x,
+             (CAST(x AS DOUBLE) - CAST(n AS DOUBLE) * gl.p0)
+               / SQRT(CAST(n AS DOUBLE) * gl.p0 * (1 - gl.p0)) AS z
+      FROM per_nation, gl),
+    ranked AS (
+      SELECT nation, n, x, z,
+             ROW_NUMBER() OVER (ORDER BY z DESC, nation) AS rank
+      FROM z),
+    flagged AS (
+      SELECT r.nation, r.n, r.x, r.z, r.rank, crit.c,
+             CASE WHEN r.z >= crit.c THEN r.rank ELSE 0 END AS pass_rank
+      FROM ranked r JOIN {_bh_crit_sql()} ON crit.rank = r.rank),
+    k AS (SELECT MAX(pass_rank) AS k FROM flagged)
+    SELECT nation, CAST(n AS BIGINT) AS n, CAST(x AS BIGINT) AS x,
+           ROUND(z, 6) AS z, CAST(rank AS INT) AS rank,
+           c AS crit_z,
+           CASE WHEN rank <= k.k THEN 1 ELSE 0 END AS rejected
+    FROM flagged, k
+    ORDER BY rank
+    """,
+)
+def benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over 25 simultaneous one-sided
+    tests: per supplier nation, is the return rate elevated vs the
+    global rate? z-scores come from exact integer counts; the BH step-up
+    compares the i-th largest z against pinned critical values
+    Φ^{-1}(1-αi/m) (α=.05) and rejects every rank ≤ the largest passing
+    rank — the multiple-testing guard any per-segment anomaly scan
+    needs before alerting. One fact-side shuffle (nation agg after a
+    broadcast supplier join); the 25-row BH machinery is broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    per_nation = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("x"),
+        )
+    )
+    per_nation = op_cache.track(per_nation.cache())
+    glob = per_nation.agg(
+        (
+            F.sum("x").cast("double") / F.sum("n").cast("double")
+        ).alias("p0")
+    )
+    z = per_nation.crossJoin(F.broadcast(glob)).select(
+        "nation",
+        "n",
+        "x",
+        (
+            (F.col("x").cast("double") - F.col("n").cast("double") * F.col("p0"))
+            / F.sqrt(
+                F.col("n").cast("double") * F.col("p0") * (F.lit(1) - F.col("p0"))
+            )
+        ).alias("z"),
+    )
+    wr = Window.orderBy(F.desc("z"), "nation")
+    ranked = z.select("nation", "n", "x", "z", F.row_number().over(wr).alias("rank"))
+    crit = spark.createDataFrame(
+        [(i + 1, c) for i, c in enumerate(_BH_CRIT)], "rank int, c double"
+    )
+    flagged = ranked.join(F.broadcast(crit), "rank").select(
+        "nation",
+        "n",
+        "x",
+        "z",
+        "rank",
+        "c",
+        F.when(F.col("z") >= F.col("c"), F.col("rank")).otherwise(0).alias(
+            "pass_rank"
+        ),
+    )
+    k = flagged.agg(F.max("pass_rank").alias("k"))
+    return (
+        flagged.crossJoin(F.broadcast(k))
+        .select(
+            "nation",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("x").cast("bigint").alias("x"),
+            F.round("z", 6).alias("z"),
+            F.col("rank").cast("int").alias("rank"),
+            F.round("c", 6).alias("crit_z"),
+            F.when(F.col("rank") <= F.col("k"), 1).otherwise(0).alias("rejected"),
+        )
+        .orderBy("rank")
+    )
