@@ -505,3 +505,49 @@ class TestRound3PlanShapes:
             registry.queries()["markov_next_event_accuracy"](spark, sf_dir)
         )
         assert "BroadcastHashJoin" in plan
+
+
+class TestRound4PlanShapes:
+    """Plan pins for the round-4 operators' scale-critical properties."""
+
+    def test_hill_tail_index_uses_top_k_not_global_sort(self, spark, sf_dir):
+        """The top-(k+1) must plan as TakeOrderedAndProject (per-partition
+        heap + driver merge), never a full global sort of orders."""
+        plan = plan_of(registry.queries()["hill_tail_index"](spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, plan
+
+    def test_bh_fdr_broadcasts_dims(self, spark, sf_dir):
+        plan = plan_of(registry.queries()["benjamini_hochberg_fdr"](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_fellegi_sunter_no_cartesian(self, spark, sf_dir):
+        """Candidate pairs must come from the brand-block equi-join — a
+        cartesian product over parts would be the N² disaster."""
+        plan = plan_of(registry.queries()["fellegi_sunter_linkage"](spark, sf_dir))
+        assert "CartesianProduct" not in plan, plan
+
+    def test_misra_gries_two_pass_shape(self, spark, sf_dir):
+        """Pass 1 is mapInPandas (per-partition MG summaries); pass 2
+        joins the tiny candidate set back by broadcast."""
+        plan = plan_of(
+            registry.queries()["misra_gries_heavy_hitters"](spark, sf_dir)
+        )
+        assert "MapInPandas" in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+
+    def test_wasserstein_pushes_priority_filters(self, spark, sf_dir):
+        plan = plan_of(registry.queries()["wasserstein_1d_drift"](spark, sf_dir))
+        assert re.search(r"PushedFilters:.*o_orderpriority", plan), plan
+
+    def test_glm_fits_have_no_cartesian_blowup(self, spark, sf_dir):
+        for q in ["logistic_newton_glm", "poisson_glm_newton"]:
+            plan = plan_of(registry.queries()[q](spark, sf_dir))
+            assert "CartesianProduct" not in plan, q
+
+    def test_texttiling_no_cartesian(self, spark, sf_dir):
+        plan = plan_of(
+            registry.queries()["texttiling_chunk_boundaries"](spark, sf_dir)
+        )
+        assert "CartesianProduct" not in plan, plan
