@@ -70,6 +70,12 @@ BENCH_QUERIES = [
     "bpe_train_3rounds",
     "graph_neighborhood_function_fm",
     "streaming_restart_state_recovery",
+    # this round: sketch + in-engine ML + sequence-fold flagships
+    "misra_gries_heavy_hitters",
+    "logistic_newton_glm",
+    "hmm_forward_loglik",
+    "knn_shapley_data_values",
+    "wasserstein_1d_drift",
 ]
 
 
