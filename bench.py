@@ -76,6 +76,14 @@ BENCH_QUERIES = [
     "hmm_forward_loglik",
     "knn_shapley_data_values",
     "wasserstein_1d_drift",
+    # round 4c: survival regression, matrix profile, histogram-EM,
+    # rank tests on value histograms, robust fitting
+    "cox_proportional_hazards",
+    "matrix_profile_weekly_motif",
+    "em_gaussian_mixture_1d",
+    "kruskal_wallis_h",
+    "ransac_line_fit",
+    "theil_inequality_decomposition",
 ]
 
 
