@@ -19,12 +19,51 @@ Scale notes:
 
 from __future__ import annotations
 
+import json
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
 class ConnectorUnavailable(RuntimeError):
     pass
+
+
+# The reference's qualified-table pattern (TextUtils.kt:7-8): an optional
+# leading environment prefix (`db.`), then namespace, then table —
+# `db.core.claimant` / `core.claimant` both map to namespace `core`,
+# table `claimant`. Hyphens become underscores in the HBase name
+# (HBaseReader.kt:121-128).
+_QUALIFIED_TABLE = re.compile(r"^(?:\w+\.)?([-\w]+)\.([-\w]+)$")
+
+
+def topic_to_table(name: str) -> tuple[str, str]:
+    """Map a topic name (or an already-qualified ``namespace:table``) to
+    the (namespace, table) pair the HBase catalog needs.
+
+    Mirrors ``TextUtils.topicNameTableMatcher`` + the qualified-name
+    construction in ``HBaseReader.newScanner`` (HBaseReader.kt:121-128):
+    ``db.core.claimant-data`` → ``("core", "claimant_data")``. Raises a
+    clear ``ValueError`` for malformed names instead of the opaque
+    format-string crash a bare ``split(':')`` used to produce."""
+    if ":" in name:
+        namespace, _, table = name.partition(":")
+        if not namespace or not table or ":" in table:
+            raise ValueError(
+                f"malformed qualified table name {name!r}; expected "
+                "'namespace:table'"
+            )
+        # reference replaces '-' across the whole qualified name
+        # (HBaseReader.kt:124): namespace AND table
+        return namespace.replace("-", "_"), table.replace("-", "_")
+    m = _QUALIFIED_TABLE.match(name)
+    if not m:
+        raise ValueError(
+            f"malformed topic name {name!r}; expected "
+            "'[db.]namespace.table' (TextUtils.kt:7-8) or 'namespace:table'"
+        )
+    return m.group(1).replace("-", "_"), m.group(2).replace("-", "_")
 
 
 def _probe_format(spark: SparkSession, fmt: str, options: dict) -> DataFrame:
@@ -56,13 +95,17 @@ def read_hbase(
     block-cache opt-out for the one-shot snapshot scan
     (``scan.cache.blocks``), and TIMELINE consistency for region-replica
     reads (``HBaseReader.kt:152-154``)."""
-    catalog = (
-        '{"table":{"namespace":"%s","name":"%s"},'
-        '"rowkey":"key",'
-        '"columns":{'
-        '"key":{"cf":"rowkey","col":"key","type":"binary"},'
-        '"value":{"cf":"cf","col":"record","type":"string"}}}'
-        % tuple(table.split(":", 1))
+    namespace, table_name = topic_to_table(table)
+    catalog = json.dumps(
+        {
+            "table": {"namespace": namespace, "name": table_name},
+            "rowkey": "key",
+            "columns": {
+                "key": {"cf": "rowkey", "col": "key", "type": "binary"},
+                "value": {"cf": "cf", "col": "record", "type": "string"},
+            },
+        },
+        separators=(",", ":"),
     )
     options = {"catalog": catalog, "hbase.spark.use.hbasecontext": "false"}
     if ts_start is not None:
