@@ -709,3 +709,82 @@ class TestS3ObjectStore:
         assert len(lines) == 60
         # nothing leaked to the default output dir
         assert not glob.glob(str(tmp_path / "out" / "*.txt"))
+
+
+class TestGoldenFileList:
+    """Full object-listing parity with the reference integration run
+    (UberTestSpec.kt:513-592): the 10k-record fixture exported at
+    output.batch.size.max.bytes=100000 must produce EXACTLY the
+    reference's file set — same splits, same per-split file counts from
+    the cap-before-append rotation, same `-%06d` sequences (data from
+    000001, manifests from 000000), same `.txt.bz2.enc` naming."""
+
+    def _names(self, res):
+        return (
+            sorted(os.path.basename(f) for f in res.files),
+            sorted(os.path.basename(f) for f in res.manifest_files),
+        )
+
+    def test_main_export_file_list(self, spark, tmp_path):
+        src = fixtures.source_records(spark, n=10_000)
+        res = run_export(
+            spark,
+            src,
+            cfg(
+                tmp_path,
+                strict_sink=True,
+                signed_splits=True,
+                scan_width=40,
+                max_batch_bytes=100_000,
+                compression="bzip2",
+                encrypt_output=True,
+            ),
+        )
+        files, manifests = self._names(res)
+        splits = ["000-040", "008-000", "040-080", "048-008", "080-120",
+                  "088-048", "120-128", "128-088"]
+        counts = {"008-000": 1, "120-128": 1}  # narrow splits: one file
+        expected = [
+            f"db.database.collection-{s}-{i:06d}.txt.bz2.enc"
+            for s in splits
+            for i in range(1, counts.get(s, 3) + 1)
+        ]
+        # UberTestSpec.kt:515-552 expectedExports(), verbatim shape
+        assert files == sorted(expected)
+        expected_manifests = [
+            f"db.database.collection-{s}-{i:06d}.csv"
+            for s in splits
+            for i in range(counts.get(s, 3))
+        ]
+        assert manifests == sorted(expected_manifests)
+
+    def test_equality_export_file_list(self, spark, tmp_path):
+        src = fixtures.source_records(
+            spark, n=10_000, database="data", collection="equality"
+        )
+        res = run_export(
+            spark,
+            src,
+            cfg(
+                tmp_path,
+                topic="data.equality",
+                strict_sink=True,
+                signed_splits=True,
+                scan_width=256,
+                max_batch_bytes=100_000,
+                compression="bzip2",
+                encrypt_output=True,
+            ),
+        )
+        files, manifests = self._names(res)
+        # UberTestSpec.kt:516-533: 9 files per split, both splits
+        assert files == sorted(
+            f"data.equality-{s}-{i:06d}.txt.bz2.enc"
+            for s in ("000-128", "128-000")
+            for i in range(1, 10)
+        )
+        assert manifests == sorted(
+            f"data.equality-{s}-{i:06d}.csv"
+            for s in ("000-128", "128-000")
+            for i in range(9)
+        )
