@@ -6,8 +6,10 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Methodology: each query runs once untimed (JIT/codegen warm-up — the
 first execution of a plan shape pays multi-second JVM compilation that a
-long-running production session amortizes away), then once timed. No
-input caching — the timed run pays the full parquet scan.
+long-running production session amortizes away), then THREE timed runs;
+the reported value is the median and `spread_min_max` carries the
+per-query [min, max] so regression can be told apart from noise. No
+input caching — every timed run pays the full parquet scan.
 """
 
 from __future__ import annotations
@@ -108,22 +110,28 @@ def main() -> None:
         # without paying driver-side row serialization.
         df.write.format("noop").mode("overwrite").save()
 
-    def timed(build) -> float:
-        # best-of-2 after warm-up — single timed runs show 2× run-to-run
-        # variance from JIT/GC noise on a shared box.
+    spreads: dict[str, list[float]] = {}
+
+    def timed(build, name: str) -> float:
+        # median of 3 timed runs after one warm-up: the r4 audit saw a
+        # uniform ~11% drift on unchanged queries that a single sample
+        # cannot distinguish from regression; the min/max spread is
+        # reported alongside so a reviewer can see the noise floor.
         run(build())
-        best = float("inf")
-        for _ in range(2):
+        samples = []
+        for _ in range(3):
             t0 = time.perf_counter()
             run(build())
-            best = min(best, time.perf_counter() - t0)
-        return round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        spreads[name] = [round(samples[0], 3), round(samples[-1], 3)]
+        return round(samples[1], 3)
 
     from hbase_to_mongo_export_spark.operators import _cache as op_cache
 
     for name in BENCH_QUERIES:
         fn = qmap[name]
-        timings[name] = timed(lambda: fn(spark, sf_dir))
+        timings[name] = timed(lambda: fn(spark, sf_dir), name)
         # free cached intermediates (tfidf weights, minhash sigs, ...) so
         # storage doesn't accumulate across the 24-query session
         op_cache.release_all()
@@ -142,7 +150,8 @@ def main() -> None:
         src = spark.read.parquet(src_path)
         cfg = ExportConfig(topic="db.database.collection", output_dir=f"{td}/out")
         timings["export_pipeline_10k"] = timed(
-            lambda: build_export(src, cfg)[0].select("record")
+            lambda: build_export(src, cfg)[0].select("record"),
+            "export_pipeline_10k",
         )
 
     total = round(sum(timings.values()), 3)
@@ -153,6 +162,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread_min_max": spreads,
                 "sf": sf_num,
             }
         )
