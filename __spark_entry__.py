@@ -6,7 +6,8 @@ matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Implementation lives in ``hbase_to_mongo_export_spark`` — this module is a
-thin adapter over its query registry (hbase_to_mongo_export_spark/queries.py).
+thin adapter over its query registry (the hbase_to_mongo_export_spark/queries/
+package; shared registry in queries/_core.py).
 """
 
 from __future__ import annotations

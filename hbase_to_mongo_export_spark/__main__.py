@@ -156,7 +156,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "query":
         from . import queries as registry
 
-        qmap = registry.queries()
+        qmap = {**registry.queries(), **registry.demo_queries()}
         if args.list_queries or args.name == "list":
             for name in sorted(qmap):
                 print(name)

@@ -117,3 +117,15 @@ def test_spark_entry_contract(spark):
     qs, os_ = E.queries(), E.oracle_sql()
     assert set(os_) <= set(qs)  # every oracle belongs to a query
     assert all(callable(fn) for fn in qs.values())
+
+
+def test_coverage_md_in_sync():
+    """COVERAGE.md is generated; this guard goes red if the registry
+    changes without regenerating (the r4 verdict caught a stale header)."""
+    import tools.coverage_audit as cov
+
+    with open("/root/repo/COVERAGE.md") as f:
+        on_disk = f.read()
+    assert on_disk == cov.render(), (
+        "COVERAGE.md is stale — run `python tools/coverage_audit.py`"
+    )

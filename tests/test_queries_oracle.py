@@ -77,8 +77,16 @@ def test_query_matches_oracle(spark, duck, name):
     )
 
 
-@pytest.mark.parametrize("name", [n for n in ALL if n not in WITH_ORACLE])
-def test_query_runs_rows_only(spark, name):
-    sdf = registry.queries()[name](spark, SF_DIR)
+def test_every_registered_query_has_an_oracle():
+    """Driver-gate hygiene: the driver samples ``queries()`` and records a
+    red `no_oracle` row for any entry without an ``oracle_sql()`` twin.
+    Policy: every driver-facing registration carries a value oracle;
+    un-oracle-able demos live in ``demo_queries()`` instead."""
+    assert ALL == WITH_ORACLE
+
+
+@pytest.mark.parametrize("name", sorted(registry.demo_queries()))
+def test_demo_query_runs_rows_only(spark, name):
+    sdf = registry.demo_queries()[name](spark, SF_DIR)
     assert sdf.count() >= 0
     assert sdf.columns
