@@ -86,6 +86,9 @@ BENCH_QUERIES = [
     "kruskal_wallis_h",
     "ransac_line_fit",
     "theil_inequality_decomposition",
+    # round 5: lakehouse table format — copy-on-write MERGE with file
+    # pruning (manifest commit + rewrite of touched files only)
+    "merge_upsert_orders",
 ]
 
 

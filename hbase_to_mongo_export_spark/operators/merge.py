@@ -26,6 +26,22 @@ are visible and testable:
   (the same multi-match ambiguity Delta raises as an error).
 - **time travel**: ``read(version=N)`` reads any retained version's
   file list; ``history()`` lists commits.
+- **merge-on-read deletion vectors** (Iceberg v2 position deletes /
+  Delta deletion vectors): ``delete_where(cond)`` writes a tiny
+  position-delete file — ``(file_path, row_index)`` pairs from the
+  parquet ``_metadata`` hidden columns — instead of rewriting data
+  files. Readers apply the vector as a broadcast anti-join. At 100 TB,
+  deleting 0.001% of rows costs KBs of IO instead of rewriting every
+  file that contains a victim row; ``compact()`` later materializes
+  (purges) the deletes.
+- **change data feed** (Delta CDF): every commit records its row-level
+  changes — inserts by *reference* to the freshly-added data files
+  (zero extra write, Delta's insert-only optimization), updates and
+  deletes as explicit change files with ``_change_type`` in
+  {``update_preimage``, ``update_postimage``, ``delete``}.
+  ``read_changes(from_v, to_v)`` replays them; applying the feed to the
+  v0 snapshot reconstructs any later version, which is what downstream
+  incremental consumers (a 100 TB lake's materialized views) rely on.
 
 Scale posture: the only shuffles are the key semi-join (source side is
 the small delta — broadcast) and the merge join over touched files;
@@ -37,6 +53,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 
@@ -46,6 +63,18 @@ from pyspark.sql import functions as F
 
 class MergeError(ValueError):
     pass
+
+
+#: change-row schema marker column (Delta CDF naming)
+CHANGE_TYPE = "_change_type"
+COMMIT_VERSION = "_commit_version"
+
+
+def _norm_file(col: Column) -> Column:
+    """Normalize a file path/URI to a plain absolute path so that
+    ``_metadata.file_path`` (``file:/x``), ``input_file_name()``
+    (``file:///x``) and manifest entries (``/x``) all compare equal."""
+    return F.regexp_replace(col, "^file:/+", "/")
 
 
 def src(name: str) -> Column:
@@ -84,13 +113,32 @@ class ParquetMergeTable:
         with open(os.path.join(self.manifest_dir, f"v{version}.json")) as f:
             return json.load(f)
 
-    def _commit(self, files: list[str], operation: str, stats: dict) -> int:
+    def _commit(
+        self,
+        files: list[str],
+        operation: str,
+        stats: dict,
+        delete_files: list[str] | None = None,
+        change_files: list[str] | None = None,
+        insert_files: list[str] | None = None,
+        mixed_schema: bool = False,
+    ) -> int:
         vs = self._versions()
         next_v = (vs[-1] + 1) if vs else 0
         os.makedirs(self.manifest_dir, exist_ok=True)
         manifest = {
             "version": next_v,
             "files": sorted(files),
+            # merge-on-read position deletes still pending against `files`
+            "delete_files": sorted(delete_files or []),
+            # CDF: explicit update/delete change rows for THIS commit
+            "change_files": sorted(change_files or []),
+            # CDF: data files added by this commit that are pure inserts —
+            # read_changes() derives insert rows from them by reference
+            "insert_files": sorted(insert_files or []),
+            # True while data files of different schemas coexist (after a
+            # schema-evolving MERGE, until compact rewrites uniformly)
+            "mixed_schema": mixed_schema,
             "operation": operation,
             "stats": stats,
             "committed_at": time.time(),
@@ -115,20 +163,180 @@ class ParquetMergeTable:
             if f.endswith(".parquet")
         ]
 
+    # -- merge-on-read plumbing ---------------------------------------------
+    def _delete_entries(self, delete_files: list[str]) -> DataFrame | None:
+        """Union of position-delete files: (file_path, row_index) victims."""
+        if not delete_files:
+            return None
+        return self.spark.read.parquet(*delete_files)
+
+    def _read_data(self, files: list[str], mixed_schema: bool) -> DataFrame:
+        """Raw data-file read. ``mixed_schema`` (set by a schema-evolving
+        MERGE, cleared by compact) turns on parquet schema merging so
+        files written before the evolution surface the new columns as
+        nulls — the footer-union cost is paid only while the table
+        actually is mixed."""
+        r = self.spark.read
+        if mixed_schema:
+            r = r.option("mergeSchema", "true")
+        return r.parquet(*files)
+
+    def _scan(
+        self, files: list[str], delete_files: list[str], mixed_schema: bool = False
+    ) -> DataFrame:
+        """Read data files with hidden position columns ``_file``/``_pos``
+        and any pending deletion vectors already applied. The delete side
+        is small by construction (it's the thing MoR keeps tiny), so the
+        anti-join broadcasts — no shuffle of the data side."""
+        df = self._read_data(files, mixed_schema).select(
+            "*",
+            _norm_file(F.col("_metadata.file_path")).alias("_file"),
+            F.col("_metadata.row_index").alias("_pos"),
+        )
+        dels = self._delete_entries(delete_files)
+        if dels is not None:
+            df = df.join(
+                F.broadcast(dels),
+                (df["_file"] == dels["file_path"]) & (df["_pos"] == dels["row_index"]),
+                "anti",
+            )
+        return df
+
     # -- public API --------------------------------------------------------
     def create(self, df: DataFrame, max_records_per_file: int | None = None) -> int:
         files = self._stage_files(df, max_records_per_file)
-        return self._commit(files, "create", {"files_written": len(files)})
+        return self._commit(
+            files, "create", {"files_written": len(files)}, insert_files=files
+        )
 
     def read(self, version: int | None = None) -> DataFrame:
         v = self.current_version() if version is None else version
-        files = self._manifest(v)["files"]
+        m = self._manifest(v)
+        files = m["files"]
         if not files:
             raise MergeError(f"version {v} has no files")
-        return self.spark.read.parquet(*files)
+        dels = m.get("delete_files", [])
+        mixed = m.get("mixed_schema", False)
+        if not dels:
+            return self._read_data(files, mixed)
+        cols = self._read_data(files, mixed).columns
+        return self._scan(files, dels, mixed).select(*cols)
 
     def history(self) -> list[dict]:
         return [self._manifest(v) for v in self._versions()]
+
+    def delete_where(self, condition: Column) -> dict:
+        """Merge-on-read DELETE: append a position-delete file instead of
+        rewriting data. One pruned scan finds victim rows (with any
+        pending deletes already applied, so a row can't be deleted
+        twice); their ``(file_path, row_index)`` pairs become the new
+        deletion-vector entries and their column values become the CDF
+        ``delete`` change rows. Data files are untouched — at 100 TB a
+        small delete costs KBs, and readers pay one broadcast anti-join
+        until ``compact()`` purges."""
+        v = self.current_version()
+        m = self._manifest(v)
+        files, dels = m["files"], m.get("delete_files", [])
+        mixed = m.get("mixed_schema", False)
+        live = self._scan(files, dels, mixed)
+        data_cols = [c for c in live.columns if c not in ("_file", "_pos")]
+
+        # one pass over the table: stage victims (data cols + position)
+        stage = os.path.join(self.path, f"_deletes/victims-{uuid.uuid4().hex[:12]}")
+        live.filter(condition).write.mode("overwrite").parquet(stage)
+        victims = self.spark.read.parquet(stage)
+        n_victims = victims.count()
+        if n_victims == 0:
+            shutil.rmtree(stage, ignore_errors=True)
+            new_v = self._commit(
+                files, "delete", {"rows_deleted": 0}, delete_files=dels,
+                mixed_schema=mixed,
+            )
+            return {"rows_deleted": 0, "version": new_v}
+
+        # the small artifacts both derive from the staged victims file
+        entry_path = os.path.join(self.path, f"_deletes/del-{uuid.uuid4().hex[:12]}")
+        victims.select(
+            F.col("_file").alias("file_path"), F.col("_pos").alias("row_index")
+        ).coalesce(1).write.mode("overwrite").parquet(entry_path)
+        change_path = os.path.join(self.path, f"_changes/chg-{uuid.uuid4().hex[:12]}")
+        victims.select(*data_cols).withColumn(
+            CHANGE_TYPE, F.lit("delete")
+        ).coalesce(1).write.mode("overwrite").parquet(change_path)
+
+        def _parts(d: str) -> list[str]:
+            return [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
+
+        shutil.rmtree(stage, ignore_errors=True)  # scratch; both artifacts written
+        stats = {"rows_deleted": n_victims, "delete_files_total": len(dels) + len(_parts(entry_path))}
+        new_v = self._commit(
+            files, "delete", stats,
+            delete_files=dels + _parts(entry_path),
+            change_files=_parts(change_path),
+            mixed_schema=mixed,
+        )
+        stats["version"] = new_v
+        return stats
+
+    def read_changes(
+        self, from_version: int = 0, to_version: int | None = None
+    ) -> DataFrame:
+        """Change data feed: row-level changes committed in
+        ``[from_version, to_version]``, with ``_change_type`` in
+        {insert, update_preimage, update_postimage, delete} and
+        ``_commit_version``. Inserts are derived by REFERENCE from the
+        commit's freshly-added data files (no change rows were written
+        for them — Delta's insert-only optimization); updates/deletes
+        come from the explicit change files. Replaying the feed over the
+        starting snapshot reconstructs the ending snapshot."""
+        spark = self.spark
+        to_v = self.current_version() if to_version is None else to_version
+        end_schema = self.read(to_v).schema
+        cols = [f.name for f in end_schema.fields]
+        types = {f.name: f.dataType for f in end_schema.fields}
+
+        def _pad(df: DataFrame) -> DataFrame:
+            # files written before a schema evolution lack the new
+            # columns — surface them as typed NULLs like Delta CDF does
+            return df.select(
+                *[
+                    df[c] if c in df.columns else F.lit(None).cast(types[c]).alias(c)
+                    for c in cols
+                ],
+                *([df[CHANGE_TYPE]] if CHANGE_TYPE in df.columns else []),
+            )
+
+        parts: list[DataFrame] = []
+        for v in range(from_version, to_v + 1):
+            m = self._manifest(v)
+            ins = m.get("insert_files", [])
+            if ins:
+                parts.append(
+                    _pad(spark.read.parquet(*ins))
+                    .withColumn(CHANGE_TYPE, F.lit("insert"))
+                    .withColumn(COMMIT_VERSION, F.lit(v))
+                )
+            chg = m.get("change_files", [])
+            if chg:
+                parts.append(
+                    _pad(spark.read.parquet(*chg))
+                    .withColumn(COMMIT_VERSION, F.lit(v))
+                )
+        if not parts:
+            from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+            empty = StructType(
+                list(end_schema.fields)
+                + [
+                    StructField(CHANGE_TYPE, StringType()),
+                    StructField(COMMIT_VERSION, LongType()),
+                ]
+            )
+            return spark.createDataFrame([], empty)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def merge(
         self,
@@ -138,6 +346,7 @@ class ParquetMergeTable:
         when_matched_delete: Column | None = None,
         insert_not_matched: bool = True,
         max_records_per_file: int | None = None,
+        schema_evolution: bool = False,
     ) -> dict:
         """MERGE ``source`` into the table on equality of ``on`` keys.
 
@@ -148,11 +357,21 @@ class ParquetMergeTable:
         Column over target cols and ``src("name")`` source refs);
         unmatched source rows insert when ``insert_not_matched``.
         Returns commit stats.
+
+        ``schema_evolution`` (Delta ``autoMerge``): source columns absent
+        from the table become new table columns — rewritten/inserted
+        rows carry them (matched rows take the value only if the update
+        clause sets it), carried files surface them as NULL via parquet
+        schema merging until ``compact()`` rewrites uniformly. With the
+        flag off (default), extra source columns are clause inputs only
+        and never change the table schema.
         """
         spark = self.spark
         v = self.current_version()
-        all_files = self._manifest(v)["files"]
-        key_cols = [F.col(k) for k in on]
+        m = self._manifest(v)
+        all_files = m["files"]
+        pending_dels = m.get("delete_files", [])
+        was_mixed = m.get("mixed_schema", False)
 
         # 1) duplicate-source guard (Delta raises on multi-match):
         dup = (
@@ -163,36 +382,64 @@ class ParquetMergeTable:
                 "source has duplicate merge keys — MERGE would be ambiguous"
             )
 
-        # 2) file pruning: which data files contain matched keys? Reads
-        # only the key columns; the source side of the join is the small
-        # delta → broadcast.
-        target_keys = spark.read.parquet(*all_files).select(
-            *on, F.input_file_name().alias("_file")
-        )
+        # 2) file pruning: which data files contain matched LIVE keys?
+        # Reads only the key columns (+ hidden position cols); pending
+        # deletion vectors are applied so a MoR-deleted row can't match.
+        # The source side of the join is the small delta → broadcast.
+        abs_to_orig = {os.path.abspath(f): f for f in all_files}
+        live = self._scan(all_files, pending_dels, was_mixed)
         touched = sorted(
-            r["_file"]
-            for r in target_keys.join(
-                F.broadcast(source.select(*on).dropDuplicates(on)), on, "semi"
-            )
+            abs_to_orig.get(r["_file"], r["_file"])
+            for r in live.select(*on, "_file")
+            .join(F.broadcast(source.select(*on).dropDuplicates(on)), on, "semi")
             .select("_file")
             .distinct()
             .collect()
         )
-        # input_file_name returns URIs (file://...); map back to our paths
-        def _localize(uri: str) -> str:
-            return uri[7:] if uri.startswith("file://") else uri
-
-        touched = [_localize(t) for t in touched]
         untouched = [f for f in all_files if f not in set(touched)]
 
-        # 3) row-level merge over ONLY the touched files
+        def _parts(d: str) -> list[str]:
+            return [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
+
+        # 3) deletion-vector carry: entries pointing at untouched files
+        # stay valid; entries for touched files die with the rewrite
+        # (their rows are physically dropped by the _scan below).
+        carried_dels: list[str] = []
+        if pending_dels:
+            if not touched:
+                carried_dels = pending_dels
+            else:
+                untouched_abs = [os.path.abspath(f) for f in untouched]
+                kept = self._delete_entries(pending_dels).filter(
+                    F.col("file_path").isin(untouched_abs)
+                )
+                keep_dir = os.path.join(
+                    self.path, f"_deletes/del-{uuid.uuid4().hex[:12]}"
+                )
+                kept.coalesce(1).write.mode("overwrite").parquet(keep_dir)
+                if spark.read.parquet(keep_dir).limit(1).count():
+                    carried_dels = _parts(keep_dir)
+
+        # 4) row-level merge over ONLY the touched files
         stats = {
             "files_total": len(all_files),
             "files_touched": len(touched),
             "files_carried": len(untouched),
         }
         new_files: list[str] = list(untouched)
-        target_cols = spark.read.parquet(*all_files).columns
+        tgt_schema = self._read_data(all_files, was_mixed).schema
+        target_cols = [f.name for f in tgt_schema.fields]
+        tgt_types = {f.name: f.dataType for f in tgt_schema.fields}
+        # schema evolution: extra source columns become table columns;
+        # otherwise they are clause inputs only
+        new_cols = (
+            [c for c in source.columns if c not in target_cols]
+            if schema_evolution
+            else []
+        )
+        src_types = {f.name: f.dataType for f in source.schema.fields}
+        out_target_cols = target_cols + new_cols
+        now_mixed = was_mixed or (bool(new_cols) and bool(untouched))
         src_aliased = source.select(
             *[F.col(c).alias(f"_src_{c}") for c in source.columns]
         )
@@ -200,8 +447,9 @@ class ParquetMergeTable:
             F.col(k).eqNullSafe(F.col(f"_src_{k}")) for k in on
         ]
 
+        change_files: list[str] = []
         if touched:
-            tgt = spark.read.parquet(*touched)
+            tgt = self._scan(touched, pending_dels, was_mixed).select(*target_cols)
             joined = tgt.join(F.broadcast(src_aliased), join_cond, "left")
             matched = F.col(f"_src_{on[0]}").isNotNull()
             # delete clause
@@ -219,27 +467,92 @@ class ParquetMergeTable:
                     )
                 else:
                     out_cols.append(F.col(c))
+            for c in new_cols:
+                upd = (when_matched_update or {}).get(c)
+                null = F.lit(None).cast(src_types[c])
+                out_cols.append(
+                    (F.when(matched, upd).otherwise(null) if upd is not None else null)
+                    .alias(c)
+                )
             rewritten = joined.filter(keep).select(*out_cols)
             new_files += self._stage_files(rewritten, max_records_per_file)
 
-        # 4) inserts: source rows matching NO target key anywhere
+            # CDF: update/delete change rows from the SAME pruned join —
+            # touched files only, so the extra passes never scan the
+            # carried bulk of the table.
+            pieces: list[DataFrame] = []
+            if when_matched_delete is not None:
+                pieces.append(
+                    joined.filter(matched & when_matched_delete)
+                    .select(*target_cols)
+                    .withColumn(CHANGE_TYPE, F.lit("delete"))
+                )
+            if when_matched_update:
+                upd_rows = joined.filter(matched & keep)
+                pieces.append(
+                    upd_rows.select(*target_cols)
+                    .withColumn(CHANGE_TYPE, F.lit("update_preimage"))
+                )
+                pieces.append(
+                    upd_rows.select(*out_cols)
+                    .withColumn(CHANGE_TYPE, F.lit("update_postimage"))
+                )
+            if pieces:
+                chg = pieces[0]
+                for p in pieces[1:]:
+                    # pre-images keep the pre-evolution schema; missing
+                    # new columns become NULL in the change file
+                    chg = chg.unionByName(p, allowMissingColumns=True)
+                chg_dir = os.path.join(
+                    self.path, f"_changes/chg-{uuid.uuid4().hex[:12]}"
+                )
+                chg.write.mode("overwrite").parquet(chg_dir)
+                counts = {
+                    r[CHANGE_TYPE]: r["count"]
+                    for r in spark.read.parquet(chg_dir)
+                    .groupBy(CHANGE_TYPE)
+                    .count()
+                    .collect()
+                }
+                stats["rows_updated"] = counts.get("update_postimage", 0)
+                stats["rows_deleted"] = counts.get("delete", 0)
+                if counts:
+                    change_files = _parts(chg_dir)
+
+        # 5) inserts: source rows matching NO live target key anywhere
+        # (a MoR-deleted key is insertable again)
+        insert_files: list[str] = []
         if insert_not_matched:
             inserts = source.join(
-                spark.read.parquet(*all_files).select(*on).dropDuplicates(on),
+                live.select(*on).dropDuplicates(on),
                 on,
                 "anti",
             ).select(
                 *[
-                    F.col(c) if c in source.columns else F.lit(None).alias(c)
-                    for c in target_cols
+                    F.col(c)
+                    if c in source.columns
+                    # typed null, not NullType — parquet can't store void
+                    else F.lit(None).cast(tgt_types[c]).alias(c)
+                    for c in out_target_cols
                 ]
             )
             n_ins = inserts.count()
             stats["rows_inserted"] = n_ins
             if n_ins:
-                new_files += self._stage_files(inserts, max_records_per_file)
+                insert_files = self._stage_files(inserts, max_records_per_file)
+                new_files += insert_files
 
-        new_v = self._commit(new_files, "merge", stats)
+        if new_cols:
+            stats["columns_added"] = new_cols
+        new_v = self._commit(
+            new_files,
+            "merge",
+            stats,
+            delete_files=carried_dels,
+            change_files=change_files,
+            insert_files=insert_files,
+            mixed_schema=now_mixed,
+        )
         stats["version"] = new_v
         return stats
 
@@ -251,8 +564,10 @@ class ParquetMergeTable:
     ) -> dict:
         """OPTIMIZE: rewrite the current version into ``target_files``
         right-sized files (range-clustered on ``sort_col`` so parquet
-        min/max stats prune key ranges afterwards). Old versions keep
-        their file lists — time travel still works until ``vacuum``."""
+        min/max stats prune key ranges afterwards). Pending deletion
+        vectors are MATERIALIZED (``read()`` applies them), so the new
+        version carries none — this is the MoR purge step. Old versions
+        keep their file lists — time travel still works until ``vacuum``."""
         df = self.read()
         if target_files is None:
             target_files = int(
@@ -277,12 +592,20 @@ class ParquetMergeTable:
         vs = self._versions()
         keep_vs = vs[-retain_last:]
         drop_vs = vs[: -retain_last]
+
+        def _all_refs(man: dict) -> list[str]:
+            return (
+                man["files"]
+                + man.get("delete_files", [])
+                + man.get("change_files", [])
+            )
+
         live = set()
         for v in keep_vs:
-            live.update(self._manifest(v)["files"])
+            live.update(_all_refs(self._manifest(v)))
         removed = 0
         for v in drop_vs:
-            for f in self._manifest(v)["files"]:
+            for f in _all_refs(self._manifest(v)):
                 if f not in live and os.path.exists(f):
                     os.remove(f)
                     removed += 1

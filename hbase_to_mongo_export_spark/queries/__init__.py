@@ -31,3 +31,4 @@ from .stats_p3 import *  # noqa: F401,F403,E402
 from .stats_p4 import *  # noqa: F401,F403,E402
 from .stats_p5 import *  # noqa: F401,F403,E402
 from .composed import *  # noqa: F401,F403,E402
+from .lakehouse import *  # noqa: F401,F403,E402

@@ -1,0 +1,273 @@
+"""Lakehouse table-format queries: the versioned parquet MERGE table
+(operators/merge.py) driven end-to-end — copy-on-write upsert,
+merge-on-read deletion vectors, change data feed, time travel — each
+with a plain-SQL oracle that recomputes the same logical result
+directly from the source table.
+
+Why these are driver-gated queries and not just pytest: the reference
+pipeline (dwp/hbase-to-mongo-export, HBaseReader.kt full-table rescan →
+full rewrite) has no incremental story; the lakehouse MERGE is the
+engine behavior that replaces it at 100 TB. The oracle checks prove the
+TABLE-FORMAT MACHINERY (manifests, file pruning, deletion vectors, CDF
+files) preserves exact relational semantics — any row lost or doubled
+by the copy-on-write rewrite, a stale deletion vector, or a wrong
+change record shifts the aggregates and fails the hash.
+
+Each query rebuilds its table from scratch in a process-local staging
+dir, so results are deterministic across runs and processes.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from ._core import *  # noqa: F401,F403
+from ._core import _DEC, _qstage, _t, register
+from ..operators.merge import ParquetMergeTable, src
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _orders_table(spark: SparkSession, sf_dir: str, tag: str) -> ParquetMergeTable:
+    """v0 = orders rows with o_orderkey % 3 != 0 (so the delta below has
+    both matches and inserts), range-clustered on the key so MERGE file
+    pruning has ranges to prune."""
+    path = _qstage(f"lakehouse_{tag}_" + sf_dir.strip("/").replace("/", "_"))
+    shutil.rmtree(path, ignore_errors=True)
+    t = ParquetMergeTable(spark, path)
+    target = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .filter(F.col("o_orderkey") % 3 != 0)
+    )
+    t.create(
+        target.repartitionByRange(8, F.col("o_orderkey")).sortWithinPartitions(
+            "o_orderkey"
+        )
+    )
+    return t
+
+
+def _delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The upsert delta: every even order key, re-priced +1000 and
+    re-statused 'U'. Even ∩ (key%3==0) keys are new → inserts."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+        )
+    )
+
+
+def _status_agg(df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_TARGET_CTE = """
+    target AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    delta AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             o_totalprice + CAST(1000 AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    merged AS (
+      SELECT t.o_orderkey, t.o_custkey,
+             COALESCE(d.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+             COALESCE(d.o_totalprice, t.o_totalprice) AS o_totalprice
+      FROM target t LEFT JOIN delta d ON t.o_orderkey = d.o_orderkey
+      UNION ALL
+      SELECT d.o_orderkey, d.o_custkey, d.o_orderstatus, d.o_totalprice
+      FROM delta d
+      WHERE NOT EXISTS (SELECT 1 FROM target t
+                        WHERE t.o_orderkey = d.o_orderkey)
+    )
+"""
+
+_STATUS_AGG_SQL = """
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM {rel} GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@register(
+    "merge_upsert_orders",
+    oracle=f"WITH {_TARGET_CTE} " + _STATUS_AGG_SQL.format(rel="merged"),
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE INTO: upsert a re-priced delta into the
+    versioned table (matched → update status+price, unmatched → insert),
+    then aggregate the final state. The MERGE prunes to the files that
+    contain matched keys — untouched files carry by reference — so a
+    wrong pruning decision or a dropped/duplicated row in the rewrite
+    changes the aggregate and fails the oracle."""
+    t = _orders_table(spark, sf_dir, "upsert")
+    t.merge(
+        _delta(spark, sf_dir),
+        on=["o_orderkey"],
+        when_matched_update={
+            "o_orderstatus": src("o_orderstatus"),
+            "o_totalprice": src("o_totalprice"),
+        },
+    )
+    return _status_agg(t.read())
+
+
+@register(
+    "merge_mor_delete_orders",
+    oracle="WITH "
+    + """
+    target AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    remaining AS (
+      SELECT * FROM target
+      WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)
+    )
+"""
+    + _STATUS_AGG_SQL.format(rel="remaining"),
+)
+def merge_mor_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors: the delete writes only
+    (file, row_index) entries — zero data files rewritten (pytest pins
+    that) — and every subsequent read applies the vector as a broadcast
+    anti-join. The oracle checks the read path: exactly the victim rows
+    vanish, everything else survives bit-for-bit."""
+    t = _orders_table(spark, sf_dir, "mor")
+    t.delete_where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 5 == 0)
+    )
+    return _status_agg(t.read())
+
+
+@register(
+    "merge_cdf_orders",
+    oracle=f"""
+    WITH {_TARGET_CTE},
+    matched AS (
+      SELECT t.o_orderkey FROM target t
+      JOIN delta d ON t.o_orderkey = d.o_orderkey
+    ),
+    ins AS (
+      SELECT d.o_orderkey FROM delta d
+      WHERE NOT EXISTS (SELECT 1 FROM target t
+                        WHERE t.o_orderkey = d.o_orderkey)
+    ),
+    del_v2 AS (
+      SELECT o_orderkey FROM merged
+      WHERE o_orderstatus = 'U' AND o_custkey % 7 = 0
+    ),
+    feed AS (
+      SELECT 1 AS commit_version, 'insert' AS change_type,
+             COUNT(*) AS n_changes,
+             CAST(COALESCE(SUM(o_orderkey), 0) AS BIGINT) AS key_sum FROM ins
+      UNION ALL
+      SELECT 1, 'update_preimage', COUNT(*),
+             CAST(COALESCE(SUM(o_orderkey), 0) AS BIGINT) FROM matched
+      UNION ALL
+      SELECT 1, 'update_postimage', COUNT(*),
+             CAST(COALESCE(SUM(o_orderkey), 0) AS BIGINT) FROM matched
+      UNION ALL
+      SELECT 2, 'delete', COUNT(*),
+             CAST(COALESCE(SUM(o_orderkey), 0) AS BIGINT) FROM del_v2
+    )
+    SELECT * FROM feed WHERE n_changes > 0
+    ORDER BY commit_version, change_type
+    """,
+)
+def merge_cdf_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed across two commits: v1 = the upsert MERGE
+    (inserts recorded by file reference, updates as pre/post-image
+    change rows), v2 = a MoR delete of updated rows owned by custkeys
+    divisible by 7. The oracle recomputes every change cohort's row
+    count and key checksum from the source table — a change row that
+    is missing, doubled, or carries the wrong image breaks the sum."""
+    t = _orders_table(spark, sf_dir, "cdf")
+    t.merge(
+        _delta(spark, sf_dir),
+        on=["o_orderkey"],
+        when_matched_update={
+            "o_orderstatus": src("o_orderstatus"),
+            "o_totalprice": src("o_totalprice"),
+        },
+    )
+    t.delete_where((F.col("o_orderstatus") == "U") & (F.col("o_custkey") % 7 == 0))
+    feed = t.read_changes(from_version=1, to_version=2)
+    return (
+        feed.groupBy(
+            F.col("_commit_version").cast("int").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_changes"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+        .orderBy("commit_version", "change_type")
+    )
+
+
+@register(
+    "merge_time_travel_orders",
+    oracle=f"""
+    WITH {_TARGET_CTE},
+    v0 AS (
+      SELECT 0 AS version, COUNT(*) AS n_orders,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_price
+      FROM target
+    ),
+    v1 AS (
+      SELECT 1 AS version, COUNT(*) AS n_orders,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_price
+      FROM merged
+    )
+    SELECT * FROM v0 UNION ALL SELECT * FROM v1 ORDER BY version
+    """,
+)
+def merge_time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: after the upsert commit, read BOTH versions through
+    their manifests and aggregate each. v0 must still be byte-identical
+    to the pre-merge snapshot even though the merge rewrote some of its
+    files' successors — snapshot isolation by immutable manifest."""
+    t = _orders_table(spark, sf_dir, "tt")
+    t.merge(
+        _delta(spark, sf_dir),
+        on=["o_orderkey"],
+        when_matched_update={
+            "o_orderstatus": src("o_orderstatus"),
+            "o_totalprice": src("o_totalprice"),
+        },
+    )
+    parts = []
+    for v in (0, 1):
+        parts.append(
+            t.read(version=v)
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2)
+                .cast("double")
+                .alias("total_price"),
+            )
+            .select(F.lit(v).alias("version"), "n_orders", "total_price")
+        )
+    return parts[0].unionByName(parts[1]).orderBy("version")

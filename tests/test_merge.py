@@ -178,6 +178,241 @@ class TestMaintenance:
         assert _as_dict(table.read())[0] == ("name0", 0.0)
 
 
+class TestDeletionVectors:
+    def test_mor_delete_touches_no_data_files(self, spark, table):
+        v0_files = set(table._manifest(0)["files"])
+        stats = table.delete_where(F.col("id") % 10 == 3)
+        assert stats["rows_deleted"] == 10
+        m1 = table._manifest(stats["version"])
+        assert set(m1["files"]) == v0_files  # zero data files rewritten
+        assert len(m1["delete_files"]) >= 1
+        got = _as_dict(table.read())
+        assert len(got) == 90 and 3 not in got and 13 not in got
+        assert got[4] == ("name4", 40.0)
+
+    def test_stacked_deletes_and_no_double_delete(self, spark, table):
+        table.delete_where(F.col("id") < 5)
+        stats2 = table.delete_where(F.col("id") < 10)  # 0-4 already gone
+        assert stats2["rows_deleted"] == 5
+        assert len(table.read().collect()) == 90
+
+    def test_delete_nothing_is_cheap_noop(self, spark, table):
+        stats = table.delete_where(F.col("id") > 10_000)
+        assert stats["rows_deleted"] == 0
+        assert len(_as_dict(table.read())) == 100
+
+    def test_deleted_key_is_insertable_again(self, spark, table):
+        table.delete_where(F.col("id") == 7)
+        source = spark.createDataFrame(
+            [(7, "reborn", 1.0)], "id bigint, name string, amount double"
+        )
+        stats = table.merge(source, on=["id"])
+        assert stats["rows_inserted"] == 1
+        assert _as_dict(table.read())[7] == ("reborn", 1.0)
+
+    def test_merge_rewrite_drops_stale_entries_keeps_valid_ones(
+        self, spark, table
+    ):
+        # delete one row in the ids 0-9 file and one in the 90-99 file
+        table.delete_where(F.col("id").isin(2, 95))
+        # update id=5 → rewrites ONLY the 0-9 file; its delete entry (id=2)
+        # materializes away while the 90-99 entry must carry
+        source = spark.createDataFrame(
+            [(5, "u", 0.0)], "id bigint, name string, amount double"
+        )
+        stats = table.merge(
+            source, on=["id"],
+            when_matched_update={"name": src("name")},
+            insert_not_matched=False,
+        )
+        assert stats["files_touched"] == 1
+        got = _as_dict(table.read())
+        assert 2 not in got and 95 not in got  # both deletes still effective
+        assert got[5] == ("u", 50.0)
+        assert len(got) == 98
+
+    def test_compact_purges_deletion_vectors(self, spark, table):
+        table.delete_where(F.col("id") < 50)
+        res = table.compact(sort_col="id", target_files=2)
+        m = table._manifest(res["version"])
+        assert m["delete_files"] == []
+        assert len(_as_dict(table.read())) == 50
+
+    def test_time_travel_respects_per_version_vectors(self, spark, table):
+        table.delete_where(F.col("id") == 0)
+        assert len(_as_dict(table.read(version=0))) == 100
+        assert len(_as_dict(table.read(version=1))) == 99
+
+
+class TestChangeDataFeed:
+    def _feed(self, table, **kw):
+        rows = table.read_changes(**kw).collect()
+        by_type = {}
+        for r in rows:
+            by_type.setdefault(r["_change_type"], []).append(r)
+        return by_type
+
+    def test_create_inserts_by_reference(self, spark, table):
+        feed = self._feed(table, from_version=0, to_version=0)
+        assert len(feed["insert"]) == 100
+        assert all(r["_commit_version"] == 0 for r in feed["insert"])
+
+    def test_merge_emits_pre_and_post_images(self, spark, table):
+        source = spark.createDataFrame(
+            [(5, "new5", 500.0, "u"), (7, None, None, "d"), (200, "n", 1.0, "i")],
+            "id bigint, name string, amount double, op string",
+        )
+        table.merge(
+            source, on=["id"],
+            when_matched_update={"name": src("name"), "amount": src("amount")},
+            when_matched_delete=src("op") == "d",
+        )
+        feed = self._feed(table, from_version=1, to_version=1)
+        assert [(r["id"], r["name"]) for r in feed["insert"]] == [(200, "n")]
+        (pre,) = feed["update_preimage"]
+        (post,) = feed["update_postimage"]
+        assert (pre["id"], pre["name"], pre["amount"]) == (5, "name5", 50.0)
+        assert (post["id"], post["name"], post["amount"]) == (5, "new5", 500.0)
+        (del_,) = feed["delete"]
+        assert (del_["id"], del_["name"]) == (7, "name7")
+
+    def test_mor_delete_emits_delete_changes(self, spark, table):
+        table.delete_where(F.col("id") % 25 == 1)
+        feed = self._feed(table, from_version=1, to_version=1)
+        assert sorted(r["id"] for r in feed["delete"]) == [1, 26, 51, 76]
+        assert set(feed) == {"delete"}
+
+    def test_replaying_feed_reconstructs_table(self, spark, table):
+        table.merge(
+            spark.createDataFrame(
+                [(3, "u3", -3.0), (300, "i300", 3.0)],
+                "id bigint, name string, amount double",
+            ),
+            on=["id"],
+            when_matched_update={"name": src("name"), "amount": src("amount")},
+        )
+        table.delete_where(F.col("id").isin(4, 50))
+        # apply the v1..v2 feed to the v0 snapshot: delete preimages of
+        # updates and deletes, union inserts and postimages (key sets are
+        # disjoint across the two commits, so the set-algebra replay is
+        # order-free)
+        feed = table.read_changes(from_version=1)
+        removed = feed.filter(
+            F.col("_change_type").isin("update_preimage", "delete")
+        ).select("id")
+        added = feed.filter(
+            F.col("_change_type").isin("update_postimage", "insert")
+        ).select("id", "name", "amount")
+        rebuilt = (
+            table.read(version=0).join(removed, "id", "anti").unionByName(added)
+        )
+        assert _as_dict(rebuilt) == _as_dict(table.read())
+
+    def test_compact_is_no_logical_change(self, spark, table):
+        table.compact(target_files=2)
+        feed = self._feed(table, from_version=1, to_version=1)
+        assert feed == {}
+
+    def test_vacuum_keeps_retained_change_and_delete_files(self, spark, table):
+        table.delete_where(F.col("id") == 1)
+        table.merge(
+            spark.createDataFrame([(2, "u", 0.0)], "id bigint, name string, amount double"),
+            on=["id"], when_matched_update={"name": src("name")},
+            insert_not_matched=False,
+        )
+        table.vacuum(retain_last=2)  # drops only v0
+        # v1's delete entry and change file must survive: reads + CDF intact
+        got = _as_dict(table.read())
+        assert 1 not in got and got[2] == ("u", 20.0)
+        feed = self._feed(table, from_version=1, to_version=2)
+        assert sorted(feed) == ["delete", "update_postimage", "update_preimage"]
+
+
+class TestSchemaEvolution:
+    def test_new_source_column_joins_the_schema(self, spark, table):
+        source = spark.createDataFrame(
+            [(5, "eur", 1.0), (200, "gbp", 2.0)],
+            "id bigint, currency string, amount double",
+        )
+        stats = table.merge(
+            source,
+            on=["id"],
+            when_matched_update={"currency": src("currency")},
+            schema_evolution=True,
+        )
+        assert stats["columns_added"] == ["currency"]
+        df = table.read()
+        assert set(df.columns) == {"id", "name", "amount", "currency"}
+        got = {r["id"]: r["currency"] for r in df.collect()}
+        assert got[5] == "eur"       # matched row took the clause value
+        assert got[200] == "gbp"     # insert carries the new column
+        assert got[4] is None        # carried file surfaces NULL
+        assert got[6] is None        # rewritten-but-unmatched row too
+        # old data intact
+        assert {r["id"]: r["name"] for r in df.collect()}[5] == "name5"
+
+    def test_default_merge_never_evolves(self, spark, table):
+        source = spark.createDataFrame(
+            [(5, "x", 0.0)], "id bigint, extra string, amount double"
+        )
+        table.merge(source, on=["id"], insert_not_matched=False)
+        assert set(table.read().columns) == {"id", "name", "amount"}
+
+    def test_insert_missing_target_column_is_typed_null(self, spark, table):
+        # source lacks `amount` entirely — the insert must write a typed
+        # NULL (double), not a void column parquet would reject
+        source = spark.createDataFrame([(500, "n500")], "id bigint, name string")
+        table.merge(source, on=["id"])
+        row = table.read().filter(F.col("id") == 500).collect()[0]
+        assert row["amount"] is None
+        assert dict(table.read().dtypes)["amount"] == "double"
+
+    def test_time_travel_keeps_old_schema(self, spark, table):
+        source = spark.createDataFrame(
+            [(5, 9)], "id bigint, flag int"
+        )
+        table.merge(
+            source, on=["id"],
+            when_matched_update={"flag": src("flag")},
+            insert_not_matched=False,
+            schema_evolution=True,
+        )
+        assert "flag" not in table.read(version=0).columns
+        assert "flag" in table.read(version=1).columns
+
+    def test_cdf_pads_pre_evolution_changes(self, spark, table):
+        # v1: plain update (old schema); v2: evolving merge
+        table.merge(
+            spark.createDataFrame([(1, "u1", 1.0)], "id bigint, name string, amount double"),
+            on=["id"], when_matched_update={"name": src("name")},
+            insert_not_matched=False,
+        )
+        table.merge(
+            spark.createDataFrame([(2, "tag2")], "id bigint, tag string"),
+            on=["id"], when_matched_update={"tag": src("tag")},
+            insert_not_matched=False, schema_evolution=True,
+        )
+        feed = table.read_changes(from_version=1, to_version=2)
+        assert "tag" in feed.columns
+        v1 = {r["_change_type"]: r for r in feed.filter(F.col("_commit_version") == 1).collect()}
+        assert v1["update_postimage"]["tag"] is None  # padded
+        v2 = {r["_change_type"]: r for r in feed.filter(F.col("_commit_version") == 2).collect()}
+        assert v2["update_postimage"]["tag"] == "tag2"
+        assert v2["update_preimage"]["tag"] is None
+
+    def test_compact_unifies_schema(self, spark, table):
+        table.merge(
+            spark.createDataFrame([(5, 1.5)], "id bigint, score double"),
+            on=["id"], when_matched_update={"score": src("score")},
+            insert_not_matched=False, schema_evolution=True,
+        )
+        assert table._manifest(1)["mixed_schema"] is True
+        res = table.compact(sort_col="id", target_files=2)
+        assert table._manifest(res["version"])["mixed_schema"] is False
+        got = {r["id"]: r["score"] for r in table.read().collect()}
+        assert got[5] == 1.5 and got[6] is None
+
+
 class TestStreamMergeUpsert:
     def test_foreachbatch_upsert(self, spark, tmp_path):
         from hbase_to_mongo_export_spark.operators.merge import (

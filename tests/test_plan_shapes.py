@@ -551,3 +551,38 @@ class TestRound4PlanShapes:
             registry.queries()["texttiling_chunk_boundaries"](spark, sf_dir)
         )
         assert "CartesianProduct" not in plan, plan
+
+
+class TestLakehousePlans:
+    def test_mor_read_broadcasts_deletion_vector(self, spark, tmp_path):
+        """The deletion-vector anti-join must broadcast the (tiny) delete
+        side — the data side of a 100 TB table cannot shuffle just to
+        apply a KB-sized vector."""
+        from hbase_to_mongo_export_spark.operators.merge import (
+            ParquetMergeTable,
+        )
+
+        t = ParquetMergeTable(spark, str(tmp_path / "tbl"))
+        t.create(
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(1000)], "id bigint, val double"
+            ).repartitionByRange(4, F.col("id"))
+        )
+        t.delete_where(F.col("id") % 100 == 7)
+        plan = plan_of(t.read())
+        assert re.search(r"BroadcastHashJoin.*LeftAnti", plan), plan
+        assert "SortMergeJoin" not in plan, plan
+
+    def test_clean_read_has_no_join_at_all(self, spark, tmp_path):
+        """A table without pending deletes must read as a bare scan —
+        no anti-join, no metadata columns in the plan."""
+        from hbase_to_mongo_export_spark.operators.merge import (
+            ParquetMergeTable,
+        )
+
+        t = ParquetMergeTable(spark, str(tmp_path / "tbl"))
+        t.create(
+            spark.createDataFrame([(1, 2.0)], "id bigint, val double")
+        )
+        plan = plan_of(t.read())
+        assert "Join" not in plan, plan
