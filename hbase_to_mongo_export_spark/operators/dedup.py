@@ -284,8 +284,13 @@ def _lsh_candidates(
         id_col, F.explode(F.expr(f"array({band_structs})")).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
 
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # Force sort-merge: both sides are the SAME exploded band table, so a
+    # broadcast is never right — and the static size estimate of an
+    # aggregate->explode chain is unreliable enough that the planner has
+    # been seen broadcasting a ~1 GB side at 1M docs (driver OOM). SMJ
+    # keeps it distributed at any scale; AQE still handles skewed buckets.
+    a = banded.hint("merge").alias("a")
+    b = banded.hint("merge").alias("b")
     return (
         a.join(
             b,
@@ -329,7 +334,11 @@ def minhash_lsh_pairs(
         hash_fn,
     )
 
-    sh = df.select(F.col(id_col), word_shingles(F.col(text_col), n).alias("sh"))
+    # hint("merge"): the shingle side is corpus-sized — never a broadcast
+    # candidate, whatever the static estimate says (see _lsh_candidates).
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("sh")
+    ).hint("merge")
     verified = (
         candidates.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

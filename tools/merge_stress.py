@@ -1,0 +1,134 @@
+"""MERGE-pruning evidence run: copy-on-write upsert economics at scale.
+
+The 100 TB claim in operators/merge.py is that a small delta rewrites
+only the data files that contain matched keys. This script measures that
+directly: it builds a versioned table from the sf0.1 lineitem table
+(~600k rows, key-clustered into --files data files), merges a --delta-pct
+delta (re-priced rows spanning a narrow key range, the clustered-update
+shape of a daily feed), and reports how many files were rewritten, how
+many bytes the new version wrote vs the table size, and wall time —
+then repeats with a SCATTERED delta (same row count, keys spread
+uniformly) to show the worst case where clustering doesn't help.
+
+Run:  python tools/merge_stress.py [--files 64] [--delta-pct 0.1]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _dir_bytes(files: list[str]) -> int:
+    return sum(os.path.getsize(f) for f in files if os.path.exists(f))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--files", type=int, default=64)
+    ap.add_argument("--delta-pct", type=float, default=0.1)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    args = ap.parse_args()
+
+    import shutil
+    import tempfile
+
+    from pyspark.sql import SparkSession, Window
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.appName("merge-stress")
+        .master(f"local[{args.cpus}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from hbase_to_mongo_export_spark.operators.merge import (
+        ParquetMergeTable,
+        src,
+    )
+
+    li = (
+        spark.read.parquet(os.path.join(args.sf_dir, "lineitem.parquet"))
+        .select(
+            F.monotonically_increasing_id().alias("row_id"),
+            "l_orderkey",
+            "l_partkey",
+            "l_quantity",
+            "l_extendedprice",
+        )
+        # stable synthetic unique key clustered like the order key
+        .withColumn(
+            "key",
+            F.row_number().over(
+                Window.orderBy("l_orderkey", "l_partkey", "row_id")
+            ),
+        )
+        .drop("row_id")
+    )
+
+    out: dict = {"delta_pct": args.delta_pct, "files": args.files}
+    root = tempfile.mkdtemp(prefix="merge_stress_")
+    try:
+        for shape in ("clustered", "scattered"):
+            t = ParquetMergeTable(spark, os.path.join(root, shape))
+            t.create(
+                li.repartitionByRange(args.files, F.col("key")).sortWithinPartitions(
+                    "key"
+                )
+            )
+            n = t.read().count()
+            k = max(1, int(n * args.delta_pct / 100.0))
+            if shape == "clustered":
+                delta_filter = F.col("key") <= k  # one contiguous key range
+            else:
+                stride = max(1, n // k)
+                delta_filter = F.col("key") % stride == 0  # uniform spread
+            delta = (
+                t.read()
+                .filter(delta_filter)
+                .select(
+                    "key",
+                    (F.col("l_extendedprice") + F.lit(1.0)).alias(
+                        "l_extendedprice"
+                    ),
+                )
+            )
+            table_bytes = _dir_bytes(t._manifest(0)["files"])
+            t0 = time.perf_counter()
+            stats = t.merge(
+                delta,
+                on=["key"],
+                when_matched_update={"l_extendedprice": src("l_extendedprice")},
+                insert_not_matched=False,
+            )
+            sec = round(time.perf_counter() - t0, 2)
+            m1 = t._manifest(stats["version"])
+            rewritten = [f for f in m1["files"] if f not in set(t._manifest(0)["files"])]
+            out[shape] = {
+                "rows": n,
+                "delta_rows": k,
+                "files_total": stats["files_total"],
+                "files_touched": stats["files_touched"],
+                "table_mb": round(table_bytes / 1e6, 1),
+                "rewritten_mb": round(_dir_bytes(rewritten) / 1e6, 1),
+                "sec": sec,
+            }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
