@@ -142,7 +142,13 @@ def ngram_jaccard_pairs(
         *([F.col(block_col)] if block_col else [F.lit(1).alias("__block")]),
     )
     sizes = base.select(F.col(id_col), F.size("sh").alias("sz"))
-    inv = base.select(F.col(id_col), F.col(block), F.explode("sh").alias("s"))
+    # hint("merge"): the inverted index is corpus-sized on BOTH sides and
+    # the static size estimate of an explode chain is unreliable — a
+    # mis-planned broadcast collects the corpus to the driver (the
+    # observed failure mode in SCALE_EVIDENCE.md §1).
+    inv = base.select(
+        F.col(id_col), F.col(block), F.explode("sh").alias("s")
+    ).hint("merge")
     a, b = inv.alias("a"), inv.alias("b")
     common = (
         a.join(
@@ -415,6 +421,10 @@ def simhash_pairs(
             )
         ).alias("c"),
     ).select(id_col, "simhash", "c.ci", "c.cv")
+    # hint("merge"): both sides are the same corpus-sized chunk table —
+    # never broadcastable, whatever the static explode estimate says
+    # (SCALE_EVIDENCE.md §1).
+    chunked = chunked.hint("merge")
     a = chunked.alias("a")
     b = chunked.alias("b")
     cand = (
@@ -514,7 +524,9 @@ def winnow_overlap_pairs(
         winnow_fingerprints(df, id_col, text_col, k, window, hash_fn).cache()
     )
     counts = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    a, b = fps.alias("a"), fps.alias("b")
+    # hint("merge"): the fingerprint table self-join is corpus-sized on
+    # both sides (SCALE_EVIDENCE.md §1).
+    a, b = fps.hint("merge").alias("a"), fps.hint("merge").alias("b")
     shared = (
         a.join(
             b,
@@ -572,11 +584,14 @@ def minhash_estimate_pairs(
             f"IF(a.m{i} = b.m{i}, 1, 0)" for i in range(num_hashes)
         )
     )
+    # hint("merge") on the corpus-sized signature/shingle sides: their
+    # static estimates (agg/explode chains) are unreliable and a
+    # mis-planned broadcast collects the corpus (SCALE_EVIDENCE.md §1)
     est = (
         candidates.join(
-            sig.alias("a"), F.col("id_a") == F.col(f"a.{id_col}")
+            sig.hint("merge").alias("a"), F.col("id_a") == F.col(f"a.{id_col}")
         )
-        .join(sig.alias("b"), F.col("id_b") == F.col(f"b.{id_col}"))
+        .join(sig.hint("merge").alias("b"), F.col("id_b") == F.col(f"b.{id_col}"))
         .select(
             "id_a",
             "id_b",
@@ -585,7 +600,9 @@ def minhash_estimate_pairs(
             ).alias("est_jaccard"),
         )
     )
-    sh = df.select(F.col(id_col), word_shingles(F.col(text_col), n).alias("sh"))
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("sh")
+    ).hint("merge")
     return (
         est.join(
             sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"),
@@ -715,14 +732,17 @@ def jaccard_prefix_filter_pairs(
     prefix = exploded.withColumn("rn", rn).filter(
         F.col("rn") <= F.col("sz") - overlap_bound + 1
     )
-    a = prefix.select(F.col(id_col).alias("id_a"), F.col("s"))
-    b = prefix.select(F.col(id_col).alias("id_b"), F.col("s"))
+    # hint("merge"): prefix index and shingle sets are corpus-sized on
+    # both sides — never broadcast candidates of a self-join
+    # (SCALE_EVIDENCE.md §1)
+    a = prefix.hint("merge").select(F.col(id_col).alias("id_a"), F.col("s"))
+    b = prefix.hint("merge").select(F.col(id_col).alias("id_b"), F.col("s"))
     candidates = (
         a.join(b, (a.s == b.s) & (F.col("id_a") < F.col("id_b")))
         .select("id_a", "id_b")
         .distinct()
     )
-    sh = base
+    sh = base.hint("merge")
     verified = (
         candidates.join(
             sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"),
@@ -766,7 +786,13 @@ def ngram_containment_pairs(
         *([F.col(block_col)] if block_col else [F.lit(1).alias("__block")]),
     )
     sizes = base.select(F.col(id_col), F.size("sh").alias("sz"))
-    inv = base.select(F.col(id_col), F.col(block), F.explode("sh").alias("s"))
+    # hint("merge"): the inverted index is corpus-sized on BOTH sides and
+    # the static size estimate of an explode chain is unreliable — a
+    # mis-planned broadcast collects the corpus to the driver (the
+    # observed failure mode in SCALE_EVIDENCE.md §1).
+    inv = base.select(
+        F.col(id_col), F.col(block), F.explode("sh").alias("s")
+    ).hint("merge")
     a, b = inv.alias("a"), inv.alias("b")
     common = (
         a.join(

@@ -220,6 +220,10 @@ def embedding_near_dup_pairs(
     base = df.select(
         F.col(id_col), F.col(vec_col).alias("v")
     ).withColumn("bucket", bucket_id(F.col("v"), planes))
+    # hint("merge"): both sides are the full embedding table — a
+    # mis-estimated broadcast would collect it to the driver
+    # (SCALE_EVIDENCE.md §1)
+    base = base.hint("merge")
     a = base.alias("a")
     b = base.alias("b")
     pairs = a.join(
@@ -428,7 +432,10 @@ def tfidf_cosine_pairs(
     norms = weights.groupBy(id_col).agg(
         F.sum(F.col("w") * F.col("w")).alias("norm_sq")
     )
-    a, b = weights.alias("a"), weights.alias("b")
+    # hint("merge"): the inverted-index self-join sides are corpus-sized
+    # (SCALE_EVIDENCE.md §1); the cached table's runtime size is known
+    # to AQE, but the static planner must never pick broadcast here
+    a, b = weights.hint("merge").alias("a"), weights.hint("merge").alias("b")
     dots = (
         a.join(
             b,
