@@ -561,23 +561,49 @@ class ParquetMergeTable:
         sort_col: str | None = None,
         target_files: int | None = None,
         max_records_per_file: int | None = None,
+        zorder: tuple[str, str] | None = None,
     ) -> dict:
         """OPTIMIZE: rewrite the current version into ``target_files``
         right-sized files (range-clustered on ``sort_col`` so parquet
-        min/max stats prune key ranges afterwards). Pending deletion
+        min/max stats prune key ranges afterwards, or Z-ordered on a
+        ``zorder`` column pair — Delta/Iceberg ``OPTIMIZE ZORDER BY`` —
+        so files stay narrow in BOTH dimensions). Pending deletion
         vectors are MATERIALIZED (``read()`` applies them), so the new
-        version carries none — this is the MoR purge step. Old versions
-        keep their file lists — time travel still works until ``vacuum``."""
+        version carries none — this is the MoR purge step. A
+        schema-evolved mixed table is rewritten uniformly (flag cleared).
+        Old versions keep their file lists — time travel still works
+        until ``vacuum``."""
+        if sort_col and zorder:
+            raise MergeError("pass sort_col OR zorder, not both")
         df = self.read()
         if target_files is None:
             target_files = int(
                 self.spark.conf.get("spark.sql.shuffle.partitions", "32")
             )
-        out = (
-            df.repartitionByRange(target_files, F.col(sort_col))
-            if sort_col
-            else df.repartition(target_files)
-        )
+        if zorder:
+            from pyspark.sql.window import Window as W
+
+            from ..plans.layout import morton_code
+
+            bits = 16
+            ca, cb = zorder
+            coded = df.withColumn(
+                "__z",
+                morton_code(
+                    F.ntile(1 << bits).over(W.orderBy(F.col(ca))) - 1,
+                    F.ntile(1 << bits).over(W.orderBy(F.col(cb))) - 1,
+                    bits,
+                ),
+            )
+            out = (
+                coded.repartitionByRange(target_files, F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif sort_col:
+            out = df.repartitionByRange(target_files, F.col(sort_col))
+        else:
+            out = df.repartition(target_files)
         files = self._stage_files(out, max_records_per_file)
         v = self._commit(files, "compact", {"files_written": len(files)})
         return {"version": v, "files_written": len(files)}

@@ -172,6 +172,28 @@ class TestMaintenance:
         with pytest.raises(FileNotFoundError):
             table.read(version=0)
 
+    def test_compact_zorder_preserves_data_and_prunes_both_dims(
+        self, spark, table
+    ):
+        res = table.compact(zorder=("id", "amount"), target_files=4)
+        assert res["files_written"] == 4
+        assert _as_dict(table.read()) == _as_dict(table.read(version=0))
+        # each output file should cover a narrow range in BOTH dimensions:
+        # check the id-ranges of the 4 files overlap less than a random
+        # layout would (sum of per-file spans < 2x the global span)
+        import pyarrow.parquet as pq
+
+        spans = []
+        for f in table._manifest(res["version"])["files"]:
+            t = pq.read_table(f, columns=["id"])
+            ids = t["id"].to_pylist()
+            spans.append(max(ids) - min(ids))
+        assert sum(spans) < 2 * 100
+
+    def test_compact_rejects_both_layouts(self, spark, table):
+        with pytest.raises(MergeError, match="sort_col OR zorder"):
+            table.compact(sort_col="id", zorder=("id", "amount"))
+
     def test_vacuum_retain_all_is_noop(self, spark, table):
         res = table.vacuum(retain_last=5)
         assert res["files_removed"] == 0

@@ -39,6 +39,12 @@ def main() -> None:
     ap.add_argument("--heap", default="2g")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    ap.add_argument(
+        "--pipeline",
+        choices=["minhash", "simhash"],
+        default="minhash",
+        help="which near-dup pipeline to stress",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -59,7 +65,10 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    from hbase_to_mongo_export_spark.operators.dedup import minhash_lsh_pairs
+    from hbase_to_mongo_export_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
 
     docs = spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet"))
     # MULT copies per doc with a REALISTIC near-dup rate (~2%): copy 0 is
@@ -94,7 +103,10 @@ def main() -> None:
     n_docs = scaled.count()
 
     t0 = time.perf_counter()
-    pairs = minhash_lsh_pairs(scaled, "doc_id", "text", threshold=0.8)
+    if args.pipeline == "minhash":
+        pairs = minhash_lsh_pairs(scaled, "doc_id", "text", threshold=0.8)
+    else:
+        pairs = simhash_pairs(scaled, "doc_id", "text", max_hamming=3)
     n_pairs = pairs.count()
     sec = round(time.perf_counter() - t0, 1)
 
@@ -106,6 +118,7 @@ def main() -> None:
     )
     mb = lambda b: round(b / 1e6, 1)  # noqa: E731
     out = {
+        "pipeline": args.pipeline,
         "docs": n_docs,
         "pairs": n_pairs,
         "sec": sec,
