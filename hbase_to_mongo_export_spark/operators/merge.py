@@ -556,6 +556,112 @@ class ParquetMergeTable:
         stats["version"] = new_v
         return stats
 
+    def overwrite_where(
+        self,
+        condition: Column,
+        replacement: DataFrame,
+        max_records_per_file: int | None = None,
+    ) -> dict:
+        """Transactional partial overwrite (Delta ``replaceWhere`` /
+        dynamic partition overwrite): atomically replace exactly the rows
+        matching ``condition`` with ``replacement`` in ONE commit —
+        readers see either the old state or the new, never the gap a
+        delete-then-append pair would expose.
+
+        Files with no matching row carry by reference (same pruning as
+        MERGE); files that match are rewritten without their victims;
+        ``replacement`` stages as new files. Rows of ``replacement`` that
+        violate ``condition`` are rejected (Delta's constraint check) —
+        otherwise "replace yesterday's partition" could silently write
+        into other days. CDF: removed rows are ``delete`` changes, the
+        replacement is an insert-by-reference."""
+        spark = self.spark
+        v = self.current_version()
+        m = self._manifest(v)
+        all_files = m["files"]
+        pending_dels = m.get("delete_files", [])
+        mixed = m.get("mixed_schema", False)
+
+        target_cols = [
+            f.name for f in self._read_data(all_files, mixed).schema.fields
+        ]
+        bad = replacement.filter(~condition).limit(1).count()
+        if bad:
+            raise MergeError(
+                "replacement rows must satisfy the overwrite condition"
+            )
+
+        live = self._scan(all_files, pending_dels, mixed)
+        abs_to_orig = {os.path.abspath(f): f for f in all_files}
+        touched = sorted(
+            abs_to_orig.get(r["_file"], r["_file"])
+            for r in live.filter(condition).select("_file").distinct().collect()
+        )
+        untouched = [f for f in all_files if f not in set(touched)]
+
+        def _parts(d: str) -> list[str]:
+            return [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
+
+        # deletion-vector carry (same rule as MERGE: touched-file entries
+        # die with the rewrite, untouched-file entries stay valid)
+        carried_dels: list[str] = []
+        if pending_dels:
+            if not touched:
+                carried_dels = pending_dels
+            else:
+                untouched_abs = [os.path.abspath(f) for f in untouched]
+                kept = self._delete_entries(pending_dels).filter(
+                    F.col("file_path").isin(untouched_abs)
+                )
+                keep_dir = os.path.join(
+                    self.path, f"_deletes/del-{uuid.uuid4().hex[:12]}"
+                )
+                kept.coalesce(1).write.mode("overwrite").parquet(keep_dir)
+                if spark.read.parquet(keep_dir).limit(1).count():
+                    carried_dels = _parts(keep_dir)
+
+        new_files: list[str] = list(untouched)
+        change_files: list[str] = []
+        n_removed = 0
+        if touched:
+            tgt = self._scan(touched, pending_dels, mixed).select(*target_cols)
+            new_files += self._stage_files(
+                tgt.filter(~condition), max_records_per_file
+            )
+            chg_dir = os.path.join(
+                self.path, f"_changes/chg-{uuid.uuid4().hex[:12]}"
+            )
+            tgt.filter(condition).withColumn(
+                CHANGE_TYPE, F.lit("delete")
+            ).write.mode("overwrite").parquet(chg_dir)
+            n_removed = (
+                spark.read.parquet(chg_dir).count()
+            )
+            if n_removed:
+                change_files = _parts(chg_dir)
+
+        insert_files = self._stage_files(
+            replacement.select(*target_cols), max_records_per_file
+        )
+        new_files += insert_files
+        stats = {
+            "files_total": len(all_files),
+            "files_touched": len(touched),
+            "files_carried": len(untouched),
+            "rows_removed": n_removed,
+        }
+        new_v = self._commit(
+            new_files,
+            "overwrite_where",
+            stats,
+            delete_files=carried_dels,
+            change_files=change_files,
+            insert_files=insert_files,
+            mixed_schema=mixed,
+        )
+        stats["version"] = new_v
+        return stats
+
     def compact(
         self,
         sort_col: str | None = None,

@@ -226,6 +226,49 @@ def merge_cdf_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "merge_replace_where_orders",
+    oracle="WITH "
+    + """
+    target AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    kept AS (SELECT * FROM target WHERE o_orderkey % 4 <> 1),
+    repl AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice + CAST(500 AS DOUBLE) AS o_totalprice
+      FROM target WHERE o_orderkey % 8 = 1
+    ),
+    final AS (SELECT * FROM kept UNION ALL SELECT * FROM repl)
+"""
+    + _STATUS_AGG_SQL.format(rel="final"),
+)
+def merge_replace_where_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional partial overwrite (replaceWhere) followed by Z-order
+    compaction: atomically swap the ``o_orderkey % 4 == 1`` slice for a
+    re-priced half of itself (one commit — readers never see the slice
+    missing), then OPTIMIZE the table Z-ordered on (key, custkey). The
+    oracle checks the final state, which proves both the overwrite's
+    exact row accounting AND that the Morton rewrite is content-
+    preserving."""
+    t = _orders_table(spark, sf_dir, "rw")
+    cond = F.col("o_orderkey") % 4 == 1
+    repl = (
+        t.read()
+        .filter(F.col("o_orderkey") % 8 == 1)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") + F.lit(500.0)).alias("o_totalprice"),
+        )
+    )
+    t.overwrite_where(cond, repl)
+    t.compact(zorder=("o_orderkey", "o_custkey"), target_files=8)
+    return _status_agg(t.read())
+
+
+@register(
     "merge_time_travel_orders",
     oracle=f"""
     WITH {_TARGET_CTE},

@@ -350,6 +350,63 @@ class TestChangeDataFeed:
         assert sorted(feed) == ["delete", "update_postimage", "update_preimage"]
 
 
+class TestOverwriteWhere:
+    def test_replaces_exactly_the_predicate_rows(self, spark, table):
+        repl = spark.createDataFrame(
+            [(3, "r3", -3.0), (7, "r7", -7.0)],
+            "id bigint, name string, amount double",
+        )
+        stats = table.overwrite_where(
+            (F.col("id") >= 0) & (F.col("id") < 10), repl
+        )
+        got = _as_dict(table.read())
+        assert stats["rows_removed"] == 10
+        assert len(got) == 92  # 100 - 10 victims + 2 replacements
+        assert got[3] == ("r3", -3.0) and got[7] == ("r7", -7.0)
+        assert 5 not in got          # removed, not re-inserted
+        assert got[10] == ("name10", 100.0)  # outside predicate: intact
+        # only the one file covering ids 0-9 was rewritten
+        assert stats["files_touched"] == 1 and stats["files_carried"] == 9
+
+    def test_out_of_bounds_replacement_rejected(self, spark, table):
+        bad = spark.createDataFrame(
+            [(500, "x", 0.0)], "id bigint, name string, amount double"
+        )
+        with pytest.raises(MergeError, match="satisfy the overwrite"):
+            table.overwrite_where(F.col("id") < 10, bad)
+        # table unchanged, no partial commit
+        assert table.current_version() == 0
+        assert len(_as_dict(table.read())) == 100
+
+    def test_atomic_single_commit_and_cdf(self, spark, table):
+        repl = spark.createDataFrame(
+            [(2, "r2", 2.0)], "id bigint, name string, amount double"
+        )
+        table.overwrite_where(F.col("id") < 5, repl)
+        assert [h["operation"] for h in table.history()] == [
+            "create",
+            "overwrite_where",
+        ]
+        feed = table.read_changes(from_version=1, to_version=1)
+        by = {}
+        for r in feed.collect():
+            by.setdefault(r["_change_type"], []).append(r["id"])
+        assert sorted(by["delete"]) == [0, 1, 2, 3, 4]
+        assert by["insert"] == [2]
+
+    def test_respects_pending_deletion_vectors(self, spark, table):
+        table.delete_where(F.col("id") == 1)
+        repl = spark.createDataFrame(
+            [(0, "r0", 0.0)], "id bigint, name string, amount double"
+        )
+        stats = table.overwrite_where(F.col("id") < 5, repl)
+        # id=1 was already MoR-deleted: only 0,2,3,4 remove now
+        assert stats["rows_removed"] == 4
+        got = _as_dict(table.read())
+        assert 1 not in got and got[0] == ("r0", 0.0)
+        assert len(got) == 96
+
+
 class TestSchemaEvolution:
     def test_new_source_column_joins_the_schema(self, spark, table):
         source = spark.createDataFrame(
