@@ -62,6 +62,33 @@ def _build_parser() -> argparse.ArgumentParser:
     s.add_argument("--format", default="parquet",
                    choices=["parquet", "json", "csv", "orc"])
 
+    t = sub.add_parser(
+        "table",
+        help="versioned MERGE-table operations (operators/merge.py): "
+             "create/read/history/changes/delete-where/compact/vacuum",
+    )
+    t.add_argument(
+        "action",
+        choices=[
+            "create", "read", "history", "changes",
+            "delete-where", "compact", "vacuum",
+        ],
+    )
+    t.add_argument("path", help="table directory")
+    t.add_argument("--source", default=None,
+                   help="create: parquet path of the initial data")
+    t.add_argument("--version", type=int, default=None, help="read: time travel")
+    t.add_argument("--from-version", type=int, default=0, help="changes")
+    t.add_argument("--to-version", type=int, default=None, help="changes")
+    t.add_argument("--where", default=None,
+                   help="delete-where: SQL boolean expression")
+    t.add_argument("--sort-col", default=None, help="compact: range-cluster key")
+    t.add_argument("--zorder", default=None,
+                   help="compact: two comma-separated columns to Z-order")
+    t.add_argument("--target-files", type=int, default=None)
+    t.add_argument("--retain-last", type=int, default=1, help="vacuum")
+    t.add_argument("--limit", type=int, default=100, help="read/changes print cap")
+
     q = sub.add_parser("query", help="run a named query from the registry")
     q.add_argument("name", help="registry key (see 'query --list')")
     q.add_argument("--sf-dir", default=None)
@@ -172,6 +199,59 @@ def main(argv: list[str] | None = None) -> int:
             from .operators import _cache as op_cache
 
             op_cache.release_all()
+        return 0
+
+    if args.cmd == "table":
+        from pyspark.sql import functions as F
+
+        from .operators.merge import ParquetMergeTable
+
+        t = ParquetMergeTable(spark, args.path)
+        if args.action == "create":
+            if not args.source:
+                print("create requires --source", file=sys.stderr)
+                return 2
+            v = t.create(spark.read.parquet(args.source))
+            print(json.dumps({"version": v, "path": args.path}))
+        elif args.action == "read":
+            df = t.read(version=args.version)
+            for r in df.limit(args.limit).collect():
+                print(json.dumps(r.asDict(), default=str))
+        elif args.action == "history":
+            for man in t.history():
+                print(
+                    json.dumps(
+                        {
+                            "version": man["version"],
+                            "operation": man["operation"],
+                            "files": len(man["files"]),
+                            "delete_files": len(man.get("delete_files", [])),
+                            "stats": man.get("stats", {}),
+                        }
+                    )
+                )
+        elif args.action == "changes":
+            df = t.read_changes(args.from_version, args.to_version)
+            for r in df.limit(args.limit).collect():
+                print(json.dumps(r.asDict(), default=str))
+        elif args.action == "delete-where":
+            if not args.where:
+                print("delete-where requires --where", file=sys.stderr)
+                return 2
+            print(json.dumps(t.delete_where(F.expr(args.where))))
+        elif args.action == "compact":
+            zorder = tuple(args.zorder.split(",")) if args.zorder else None
+            print(
+                json.dumps(
+                    t.compact(
+                        sort_col=args.sort_col,
+                        target_files=args.target_files,
+                        zorder=zorder,  # type: ignore[arg-type]
+                    )
+                )
+            )
+        elif args.action == "vacuum":
+            print(json.dumps(t.vacuum(retain_last=args.retain_last)))
         return 0
 
     if args.cmd == "completion-status":

@@ -129,3 +129,48 @@ def test_coverage_md_in_sync():
     assert on_disk == cov.render(), (
         "COVERAGE.md is stale — run `python tools/coverage_audit.py`"
     )
+
+
+def test_table_subcommand_lifecycle(tmp_path, capsys, spark):
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "id bigint, val double"
+    ).write.parquet(src)
+    tbl = str(tmp_path / "tbl")
+
+    assert main(["table", "create", tbl, "--source", src]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["version"] == 0
+
+    assert main(["table", "delete-where", tbl, "--where", "id % 10 = 0"]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["rows_deleted"] == 5
+
+    assert main(["table", "read", tbl, "--limit", "100"]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 45 and all(r["id"] % 10 != 0 for r in rows)
+
+    assert main(["table", "compact", tbl, "--sort-col", "id",
+                 "--target-files", "2"]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["files_written"] == 2
+
+    assert main(["table", "history", tbl]) == 0
+    hist = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert [h["operation"] for h in hist] == ["create", "delete", "compact"]
+    assert hist[1]["delete_files"] == 1 and hist[2]["delete_files"] == 0
+
+    assert main(["table", "changes", tbl, "--from-version", "1",
+                 "--to-version", "1"]) == 0
+    chg = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert {c["_change_type"] for c in chg} == {"delete"} and len(chg) == 5
+
+    assert main(["table", "vacuum", tbl, "--retain-last", "1"]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["versions_dropped"] == 2
+
+
+def test_table_subcommand_arg_errors(tmp_path, capsys, spark):
+    tbl = str(tmp_path / "tbl")
+    assert main(["table", "create", tbl]) == 2  # missing --source
+    capsys.readouterr()
+    spark.createDataFrame([(1,)], "id bigint").write.parquet(str(tmp_path / "s"))
+    assert main(["table", "create", tbl, "--source", str(tmp_path / "s")]) == 0
+    capsys.readouterr()
+    assert main(["table", "delete-where", tbl]) == 2  # missing --where
