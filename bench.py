@@ -158,6 +158,13 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
+    # The min/max spread goes to stderr: the driver tail-captures stdout and
+    # truncates long lines, so the final stdout line must stay compact
+    # (metric/value/unit/queries/sf only — the ~2.3 KB shape that parses).
+    print(
+        json.dumps({"spread_min_max": spreads}),
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {
@@ -165,7 +172,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "spread_min_max": spreads,
                 "sf": sf_num,
             }
         )

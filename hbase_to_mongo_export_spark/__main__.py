@@ -240,13 +240,22 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
             print(json.dumps(t.delete_where(F.expr(args.where))))
         elif args.action == "compact":
-            zorder = tuple(args.zorder.split(",")) if args.zorder else None
+            zorder = None
+            if args.zorder:
+                cols = [c.strip() for c in args.zorder.split(",") if c.strip()]
+                if len(cols) != 2:
+                    print(
+                        "--zorder needs exactly two comma-separated columns",
+                        file=sys.stderr,
+                    )
+                    return 2
+                zorder = (cols[0], cols[1])
             print(
                 json.dumps(
                     t.compact(
                         sort_col=args.sort_col,
                         target_files=args.target_files,
-                        zorder=zorder,  # type: ignore[arg-type]
+                        zorder=zorder,
                     )
                 )
             )

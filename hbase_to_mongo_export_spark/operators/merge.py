@@ -1,58 +1,75 @@
 """Versioned parquet table with copy-on-write MERGE — the Delta/Iceberg
-pattern built from first principles on plain parquet + a JSON manifest.
+pattern built from first principles on plain parquet + a JSON commit log.
 
 Why this exists: the reference pipeline is snapshot-only (full rescan →
-full rewrite). A 100 TB lake cannot afford that for incremental updates;
-the standard answer is a transactional table format whose MERGE rewrites
-only the data files that actually contain matched keys. This module
-implements that engine behavior with Spark primitives so its mechanics
-are visible and testable:
+full rewrite, HBaseReader.kt / JobConfiguration.kt:31-76). A 100 TB lake
+cannot afford that for incremental updates; the standard answer is a
+transactional table format whose MERGE rewrites only the data files that
+actually contain matched keys. This module implements that engine
+behavior with Spark primitives so its mechanics are visible and testable:
 
-- **manifest commit**: each version is a JSON file listing its data
-  files. Readers resolve the latest committed version; writers stage new
-  files then commit by writing manifest ``v{N+1}.json`` — readers never
-  see a half-written version (the atomicity unit is one manifest write,
-  the same contract as Delta's _delta_log).
-- **file-pruned copy-on-write**: MERGE first runs a broadcast-friendly
-  semi-join of target against source keys with ``input_file_name()`` to
-  find TOUCHED files. Untouched files are carried into the new version
-  by reference — zero IO. Only touched files are read back, merged
-  row-level, and rewritten. At 100 TB with a 0.1% daily delta this is
-  the difference between rewriting ~everything (clustered keys: a few
-  files) and rewriting the whole table.
+- **delta-log commit protocol** (Delta's _delta_log): each version is a
+  JSON log entry recording the files ADDED and REMOVED by that commit —
+  never the full file list, so a commit against a 10⁶-file table writes
+  KBs. Readers resolve a version by loading the nearest CHECKPOINT
+  (a full snapshot written every ``CHECKPOINT_INTERVAL`` commits) and
+  replaying at most ``CHECKPOINT_INTERVAL`` small entries.
+- **optimistic concurrency**: the commit point is an atomic
+  create-if-absent of ``v{N+1}.json`` (``os.link``, which fails with
+  EEXIST if another writer got there first). Two concurrent writers
+  cannot both commit the same version — the loser gets a clean
+  ``ConcurrentWriteError`` and no data is lost; it re-reads and retries.
+  This is Delta's conflict-detection protocol reduced to its essence.
+- **file-pruned copy-on-write**: MERGE first runs a key semi-join of
+  target against source keys with the parquet ``_metadata`` file column
+  to find TOUCHED files. Untouched files are carried into the new
+  version by reference — zero IO. Only touched files are read back,
+  merged row-level, and rewritten. At 100 TB with a 0.1% daily delta
+  this is the difference between rewriting ~everything and rewriting a
+  few files. The source side broadcasts ONLY when its key count is
+  provably small (``BROADCAST_MAX_SOURCE_ROWS``); a table-sized backfill
+  delta falls back to a sort-merge join instead of handing the driver a
+  corpus-sized broadcast (the OOM class SCALE_EVIDENCE.md §1 measured).
 - **row-level semantics** (SQL:2003 MERGE / Delta MERGE INTO):
   WHEN MATCHED [AND cond] THEN UPDATE / DELETE,
   WHEN NOT MATCHED THEN INSERT. Duplicate source keys are rejected
-  (the same multi-match ambiguity Delta raises as an error).
+  (the same multi-match ambiguity Delta raises as an error). Join keys
+  compare with plain (null-unsafe) equality — Delta's ON semantics — so
+  the matched set, the pruning semi-join, and the insert anti-join all
+  agree on what "matched" means even for NULL key components.
 - **time travel**: ``read(version=N)`` reads any retained version's
   file list; ``history()`` lists commits.
 - **merge-on-read deletion vectors** (Iceberg v2 position deletes /
   Delta deletion vectors): ``delete_where(cond)`` writes a tiny
   position-delete file — ``(file_path, row_index)`` pairs from the
   parquet ``_metadata`` hidden columns — instead of rewriting data
-  files. Readers apply the vector as a broadcast anti-join. At 100 TB,
-  deleting 0.001% of rows costs KBs of IO instead of rewriting every
-  file that contains a victim row; ``compact()`` later materializes
-  (purges) the deletes.
+  files. Readers apply the vector as an anti-join: broadcast while the
+  accumulated vector is small (the manifest tracks its exact row count),
+  sort-merge once it crosses ``DELETE_BROADCAST_MAX_ROWS`` — an
+  unbounded broadcast here would recreate the LSH driver-OOM at scale.
+  ``compact()`` later materializes (purges) the deletes.
 - **change data feed** (Delta CDF): every commit records its row-level
   changes — inserts by *reference* to the freshly-added data files
   (zero extra write, Delta's insert-only optimization), updates and
   deletes as explicit change files with ``_change_type`` in
   {``update_preimage``, ``update_postimage``, ``delete``}.
-  ``read_changes(from_v, to_v)`` replays them; applying the feed to the
-  v0 snapshot reconstructs any later version, which is what downstream
-  incremental consumers (a 100 TB lake's materialized views) rely on.
+  ``read_changes(from_v, to_v)`` replays them; ``spool_changes`` +
+  ``changes_stream`` + ``stream_apply_changes`` expose the feed as a
+  rate-limited Structured Streaming source so a downstream materialized
+  view replays ``snapshot(v0) + feed == snapshot(vN)`` continuously —
+  the loop a 100 TB lake's incremental consumers actually run.
 
-Scale posture: the only shuffles are the key semi-join (source side is
-the small delta — broadcast) and the merge join over touched files;
-untouched data is never scanned past the pruning pass. The pruning scan
-itself reads ONLY the key columns (parquet column pruning).
+Scale posture: the only shuffles are the key semi-join and the merge
+join over touched files; untouched data is never scanned past the
+pruning pass. The pruning scan itself reads ONLY the key columns
+(parquet column pruning — pinned by tests/test_plan_shapes.py).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -65,9 +82,19 @@ class MergeError(ValueError):
     pass
 
 
+class ConcurrentWriteError(MergeError):
+    """Another writer committed the version this operation was about to
+    write. The table is intact (the other commit won); re-read and
+    retry the operation against the new current version."""
+
+
 #: change-row schema marker column (Delta CDF naming)
 CHANGE_TYPE = "_change_type"
 COMMIT_VERSION = "_commit_version"
+
+#: a full-snapshot checkpoint is written every N commits so version
+#: resolution replays at most N delta entries (Delta's 10-commit default)
+CHECKPOINT_INTERVAL = 10
 
 
 def _norm_file(col: Column) -> Column:
@@ -77,6 +104,15 @@ def _norm_file(col: Column) -> Column:
     return F.regexp_replace(col, "^file:/+", "/")
 
 
+def _parquet_rows(path: str) -> int:
+    """Exact row count from the parquet footer — the per-file stats a
+    real table format (Delta numRecords / Iceberg manifests) carries, at
+    the cost of one footer read per NEWLY ADDED file per commit."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def src(name: str) -> Column:
     """Reference a SOURCE column inside a merge clause (update/delete
     expressions), e.g. ``when_matched_update={"o_totalprice": src("price")}``."""
@@ -84,23 +120,53 @@ def src(name: str) -> Column:
 
 
 class ParquetMergeTable:
-    """A directory of immutable parquet data files + ``_manifests/vN.json``
-    commit logs. Not concurrency-safe across writers (single-writer, like
-    a single daily pipeline); readers are isolated by the manifest."""
+    """A directory of immutable parquet data files + a ``_manifests/``
+    commit log (delta entries + periodic checkpoints). Concurrent
+    writers are safe: commits are atomic create-if-absent, so exactly
+    one writer wins each version and losers fail cleanly with
+    ``ConcurrentWriteError``. Readers are isolated by the manifest."""
+
+    #: max source-key rows the MERGE joins will broadcast; beyond this the
+    #: source side sort-merges (Catalyst's static estimate cannot be
+    #: trusted to make this call — see SCALE_EVIDENCE.md §1)
+    BROADCAST_MAX_SOURCE_ROWS = 1_000_000
+    #: max accumulated deletion-vector rows the read path will broadcast;
+    #: beyond this the MoR anti-join sort-merges (and the right answer is
+    #: to compact) — the manifest tracks the exact count
+    DELETE_BROADCAST_MAX_ROWS = 2_000_000
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
         self.manifest_dir = os.path.join(path, "_manifests")
+        # resolved snapshots are immutable once committed — cache them
+        self._cache: dict[int, dict] = {}
 
-    # -- manifest plumbing -------------------------------------------------
+    # -- commit-log plumbing -------------------------------------------------
+    def _log_path(self, v: int) -> str:
+        return os.path.join(self.manifest_dir, f"v{v}.json")
+
+    def _ckpt_path(self, v: int) -> str:
+        return os.path.join(self.manifest_dir, f"ckpt-v{v}.json")
+
     def _versions(self) -> list[int]:
         if not os.path.isdir(self.manifest_dir):
             return []
         out = []
         for f in os.listdir(self.manifest_dir):
-            if f.startswith("v") and f.endswith(".json"):
-                out.append(int(f[1:-5]))
+            m = re.match(r"^v(\d+)\.json$", f)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def _checkpoints(self) -> list[int]:
+        if not os.path.isdir(self.manifest_dir):
+            return []
+        out = []
+        for f in os.listdir(self.manifest_dir):
+            m = re.match(r"^ckpt-v(\d+)\.json$", f)
+            if m:
+                out.append(int(m.group(1)))
         return sorted(out)
 
     def current_version(self) -> int:
@@ -109,12 +175,88 @@ class ParquetMergeTable:
             raise MergeError(f"no committed version in {self.path}")
         return vs[-1]
 
-    def _manifest(self, version: int) -> dict:
-        with open(os.path.join(self.manifest_dir, f"v{version}.json")) as f:
+    @staticmethod
+    def _read_json(path: str) -> dict:
+        with open(path) as f:
             return json.load(f)
+
+    @staticmethod
+    def _resolved(entry: dict, file_rows: dict, delete_file_rows: dict) -> dict:
+        """Build the resolved-snapshot view of a version from its log
+        entry plus the accumulated file state."""
+        return {
+            "version": entry["version"],
+            "operation": entry["operation"],
+            "stats": entry["stats"],
+            "committed_at": entry["committed_at"],
+            "files": sorted(file_rows),
+            "delete_files": sorted(delete_file_rows),
+            "file_rows": file_rows,
+            "delete_file_rows": delete_file_rows,
+            "change_files": entry["change_files"],
+            "insert_files": entry["insert_files"],
+            "mixed_schema": entry["mixed_schema"],
+            "rows_total": sum(file_rows.values()) - sum(delete_file_rows.values()),
+            "delete_rows_total": sum(delete_file_rows.values()),
+        }
+
+    def _manifest(self, version: int) -> dict:
+        """Resolve a version to its full snapshot: nearest checkpoint (or
+        cached predecessor) + replay of at most CHECKPOINT_INTERVAL
+        delta entries. Raises FileNotFoundError for vacuumed versions."""
+        if version in self._cache:
+            return self._cache[version]
+        ckpts = [c for c in self._checkpoints() if c <= version]
+        cached = [c for c in self._cache if c < version]
+        start_ck = max(ckpts) if ckpts else None
+        start_cache = max(cached) if cached else None
+        file_rows: dict[str, int] = {}
+        del_rows: dict[str, int] = {}
+        replay_from = 0
+        if start_cache is not None and (start_ck is None or start_cache >= start_ck):
+            prev = self._cache[start_cache]
+            file_rows = dict(prev["file_rows"])
+            del_rows = dict(prev["delete_file_rows"])
+            replay_from = start_cache + 1
+        elif start_ck is not None:
+            ck = self._read_json(self._ckpt_path(start_ck))
+            file_rows = dict(ck["file_rows"])
+            del_rows = dict(ck["delete_file_rows"])
+            replay_from = start_ck + 1
+        entry = None
+        for w in range(replay_from, version + 1):
+            entry = self._read_json(self._log_path(w))
+            for f in entry["remove_files"]:
+                file_rows.pop(f, None)
+            file_rows.update(entry["file_rows"])
+            for f in entry["remove_delete_files"]:
+                del_rows.pop(f, None)
+            del_rows.update(entry["delete_file_rows"])
+        if entry is None:  # checkpoint landed exactly on `version`
+            entry = self._read_json(self._log_path(version))
+        resolved = self._resolved(entry, file_rows, del_rows)
+        self._cache[version] = resolved
+        return resolved
+
+    def _write_checkpoint(self, resolved: dict) -> None:
+        """Checkpoints are derived data (idempotent, re-creatable from the
+        log) so a plain atomic replace suffices — no conflict protocol."""
+        ck = {
+            "version": resolved["version"],
+            "file_rows": resolved["file_rows"],
+            "delete_file_rows": resolved["delete_file_rows"],
+            "mixed_schema": resolved["mixed_schema"],
+        }
+        tmp = os.path.join(
+            self.manifest_dir, f".ckpt-{uuid.uuid4().hex[:8]}.json.tmp"
+        )
+        with open(tmp, "w") as f:
+            json.dump(ck, f)
+        os.replace(tmp, self._ckpt_path(resolved["version"]))
 
     def _commit(
         self,
+        base: dict | None,
         files: list[str],
         operation: str,
         stats: dict,
@@ -123,31 +265,69 @@ class ParquetMergeTable:
         insert_files: list[str] | None = None,
         mixed_schema: bool = False,
     ) -> int:
-        vs = self._versions()
-        next_v = (vs[-1] + 1) if vs else 0
-        os.makedirs(self.manifest_dir, exist_ok=True)
-        manifest = {
+        """Commit a new version on top of ``base`` (the resolved manifest
+        this writer READ; None for table creation). The log entry stores
+        only the add/remove diffs. The commit point is the atomic
+        create-if-absent of the entry file: if another writer committed
+        ``base.version + 1`` first, raises ConcurrentWriteError and
+        leaves the table exactly as the winner wrote it."""
+        next_v = 0 if base is None else base["version"] + 1
+        files_s = sorted(files)
+        dels_s = sorted(delete_files or [])
+        prev_files = set(base["files"]) if base else set()
+        prev_dels = set(base["delete_files"]) if base else set()
+        add_files = [f for f in files_s if f not in prev_files]
+        remove_files = sorted(prev_files - set(files_s))
+        add_dels = [f for f in dels_s if f not in prev_dels]
+        remove_dels = sorted(prev_dels - set(dels_s))
+        entry = {
             "version": next_v,
-            "files": sorted(files),
-            # merge-on-read position deletes still pending against `files`
-            "delete_files": sorted(delete_files or []),
-            # CDF: explicit update/delete change rows for THIS commit
-            "change_files": sorted(change_files or []),
-            # CDF: data files added by this commit that are pure inserts —
-            # read_changes() derives insert rows from them by reference
-            "insert_files": sorted(insert_files or []),
-            # True while data files of different schemas coexist (after a
-            # schema-evolving MERGE, until compact rewrites uniformly)
-            "mixed_schema": mixed_schema,
             "operation": operation,
             "stats": stats,
             "committed_at": time.time(),
+            "add_files": add_files,
+            "remove_files": remove_files,
+            # exact per-file row counts from the parquet footers — only
+            # the newly added files pay a footer read
+            "file_rows": {f: _parquet_rows(f) for f in add_files},
+            "add_delete_files": add_dels,
+            "remove_delete_files": remove_dels,
+            "delete_file_rows": {f: _parquet_rows(f) for f in add_dels},
+            "change_files": sorted(change_files or []),
+            "insert_files": sorted(insert_files or []),
+            "mixed_schema": mixed_schema,
         }
-        tmp = os.path.join(self.manifest_dir, f".v{next_v}.json.tmp")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        tmp = os.path.join(
+            self.manifest_dir, f".v{next_v}.{uuid.uuid4().hex[:8]}.json.tmp"
+        )
         with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        # atomic publish: rename is the commit point
-        os.rename(tmp, os.path.join(self.manifest_dir, f"v{next_v}.json"))
+            json.dump(entry, f)
+        try:
+            # atomic create-if-absent: THE commit point. os.rename would
+            # silently clobber a concurrent winner; link raises EEXIST.
+            os.link(tmp, self._log_path(next_v))
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"version {next_v} was committed by another writer while "
+                f"this operation ran against version {next_v - 1}; "
+                "re-read the table and retry"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        # resolved snapshot straight from base + entry (no replay)
+        all_rows = dict(base["file_rows"]) if base else {}
+        for f in remove_files:
+            all_rows.pop(f, None)
+        all_rows.update(entry["file_rows"])
+        all_del_rows = dict(base["delete_file_rows"]) if base else {}
+        for f in remove_dels:
+            all_del_rows.pop(f, None)
+        all_del_rows.update(entry["delete_file_rows"])
+        resolved = self._resolved(entry, all_rows, all_del_rows)
+        self._cache[next_v] = resolved
+        if next_v and next_v % CHECKPOINT_INTERVAL == 0:
+            self._write_checkpoint(resolved)
         return next_v
 
     def _stage_files(self, df: DataFrame, max_records_per_file: int | None) -> list[str]:
@@ -182,12 +362,19 @@ class ParquetMergeTable:
         return r.parquet(*files)
 
     def _scan(
-        self, files: list[str], delete_files: list[str], mixed_schema: bool = False
+        self,
+        files: list[str],
+        delete_files: list[str],
+        mixed_schema: bool = False,
+        delete_rows: int | None = None,
     ) -> DataFrame:
         """Read data files with hidden position columns ``_file``/``_pos``
         and any pending deletion vectors already applied. The delete side
-        is small by construction (it's the thing MoR keeps tiny), so the
-        anti-join broadcasts — no shuffle of the data side."""
+        broadcasts while its exact manifest-tracked row count stays under
+        DELETE_BROADCAST_MAX_ROWS — the normal MoR regime where deletes
+        are tiny. Past the threshold (a delete_where that hit a large
+        fraction of the table) the anti-join falls back to sort-merge:
+        slower, but it cannot OOM the driver, and compact() is the cure."""
         df = self._read_data(files, mixed_schema).select(
             "*",
             _norm_file(F.col("_metadata.file_path")).alias("_file"),
@@ -195,18 +382,48 @@ class ParquetMergeTable:
         )
         dels = self._delete_entries(delete_files)
         if dels is not None:
+            small = (
+                delete_rows is None
+                or delete_rows <= self.DELETE_BROADCAST_MAX_ROWS
+            )
+            side = F.broadcast(dels) if small else dels.hint("merge")
             df = df.join(
-                F.broadcast(dels),
+                side,
                 (df["_file"] == dels["file_path"]) & (df["_pos"] == dels["row_index"]),
                 "anti",
             )
         return df
 
+    def _live_scan(self, m: dict) -> DataFrame:
+        """The current live rows of a resolved manifest (deletes applied)."""
+        return self._scan(
+            m["files"],
+            m["delete_files"],
+            m["mixed_schema"],
+            m["delete_rows_total"],
+        )
+
+    def _pruning_df(
+        self, live: DataFrame, source: DataFrame, on: list[str], small_source: bool
+    ) -> DataFrame:
+        """The copy-on-write file-pruning plan: distinct ``_file`` values
+        of live rows whose key semi-joins the source keys. Reads ONLY the
+        key columns from the data files (parquet column pruning) — plan
+        pinned by tests/test_plan_shapes.py."""
+        keys = source.select(*on)
+        side = F.broadcast(keys) if small_source else keys.hint("merge")
+        return (
+            live.select(*on, "_file")
+            .join(side, on, "semi")
+            .select("_file")
+            .distinct()
+        )
+
     # -- public API --------------------------------------------------------
     def create(self, df: DataFrame, max_records_per_file: int | None = None) -> int:
         files = self._stage_files(df, max_records_per_file)
         return self._commit(
-            files, "create", {"files_written": len(files)}, insert_files=files
+            None, files, "create", {"files_written": len(files)}, insert_files=files
         )
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -215,12 +432,10 @@ class ParquetMergeTable:
         files = m["files"]
         if not files:
             raise MergeError(f"version {v} has no files")
-        dels = m.get("delete_files", [])
-        mixed = m.get("mixed_schema", False)
-        if not dels:
-            return self._read_data(files, mixed)
-        cols = self._read_data(files, mixed).columns
-        return self._scan(files, dels, mixed).select(*cols)
+        if not m["delete_files"]:
+            return self._read_data(files, m["mixed_schema"])
+        cols = self._read_data(files, m["mixed_schema"]).columns
+        return self._live_scan(m).select(*cols)
 
     def history(self) -> list[dict]:
         return [self._manifest(v) for v in self._versions()]
@@ -234,11 +449,9 @@ class ParquetMergeTable:
         ``delete`` change rows. Data files are untouched — at 100 TB a
         small delete costs KBs, and readers pay one broadcast anti-join
         until ``compact()`` purges."""
-        v = self.current_version()
-        m = self._manifest(v)
-        files, dels = m["files"], m.get("delete_files", [])
-        mixed = m.get("mixed_schema", False)
-        live = self._scan(files, dels, mixed)
+        m = self._manifest(self.current_version())
+        files, dels, mixed = m["files"], m["delete_files"], m["mixed_schema"]
+        live = self._live_scan(m)
         data_cols = [c for c in live.columns if c not in ("_file", "_pos")]
 
         # one pass over the table: stage victims (data cols + position)
@@ -249,7 +462,7 @@ class ParquetMergeTable:
         if n_victims == 0:
             shutil.rmtree(stage, ignore_errors=True)
             new_v = self._commit(
-                files, "delete", {"rows_deleted": 0}, delete_files=dels,
+                m, files, "delete", {"rows_deleted": 0}, delete_files=dels,
                 mixed_schema=mixed,
             )
             return {"rows_deleted": 0, "version": new_v}
@@ -270,7 +483,7 @@ class ParquetMergeTable:
         shutil.rmtree(stage, ignore_errors=True)  # scratch; both artifacts written
         stats = {"rows_deleted": n_victims, "delete_files_total": len(dels) + len(_parts(entry_path))}
         new_v = self._commit(
-            files, "delete", stats,
+            m, files, "delete", stats,
             delete_files=dels + _parts(entry_path),
             change_files=_parts(change_path),
             mixed_schema=mixed,
@@ -309,30 +522,21 @@ class ParquetMergeTable:
         parts: list[DataFrame] = []
         for v in range(from_version, to_v + 1):
             m = self._manifest(v)
-            ins = m.get("insert_files", [])
+            ins = m["insert_files"]
             if ins:
                 parts.append(
                     _pad(spark.read.parquet(*ins))
                     .withColumn(CHANGE_TYPE, F.lit("insert"))
                     .withColumn(COMMIT_VERSION, F.lit(v))
                 )
-            chg = m.get("change_files", [])
+            chg = m["change_files"]
             if chg:
                 parts.append(
                     _pad(spark.read.parquet(*chg))
                     .withColumn(COMMIT_VERSION, F.lit(v))
                 )
         if not parts:
-            from pyspark.sql.types import LongType, StringType, StructField, StructType
-
-            empty = StructType(
-                list(end_schema.fields)
-                + [
-                    StructField(CHANGE_TYPE, StringType()),
-                    StructField(COMMIT_VERSION, LongType()),
-                ]
-            )
-            return spark.createDataFrame([], empty)
+            return spark.createDataFrame([], changes_schema_of(end_schema))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -365,36 +569,45 @@ class ParquetMergeTable:
         schema merging until ``compact()`` rewrites uniformly. With the
         flag off (default), extra source columns are clause inputs only
         and never change the table schema.
+
+        Join strategy: one pass over the source both rejects duplicate
+        keys AND counts them; the source side broadcasts only when that
+        exact count is under ``BROADCAST_MAX_SOURCE_ROWS``, else every
+        source-side join sort-merges. The insert anti-join's target-key
+        side likewise sort-merges once the manifest's exact
+        ``rows_total`` says the table is too big to broadcast — Catalyst
+        static estimates make neither call reliably.
         """
         spark = self.spark
-        v = self.current_version()
-        m = self._manifest(v)
+        m = self._manifest(self.current_version())
         all_files = m["files"]
-        pending_dels = m.get("delete_files", [])
-        was_mixed = m.get("mixed_schema", False)
+        pending_dels = m["delete_files"]
+        was_mixed = m["mixed_schema"]
 
-        # 1) duplicate-source guard (Delta raises on multi-match):
-        dup = (
-            source.groupBy(*on).count().filter(F.col("count") > 1).limit(1).count()
+        # 1) one aggregate pass over the source: the duplicate-key guard
+        # (Delta raises on multi-match) and the exact key count that
+        # drives the broadcast decision.
+        key_stats = (
+            source.groupBy(*on)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.max("_n").alias("max_dup"), F.count(F.lit(1)).alias("n_keys"))
+            .first()
         )
-        if dup:
+        if (key_stats["max_dup"] or 0) > 1:
             raise MergeError(
                 "source has duplicate merge keys — MERGE would be ambiguous"
             )
+        n_src_keys = key_stats["n_keys"] or 0
+        small_src = n_src_keys <= self.BROADCAST_MAX_SOURCE_ROWS
 
         # 2) file pruning: which data files contain matched LIVE keys?
         # Reads only the key columns (+ hidden position cols); pending
         # deletion vectors are applied so a MoR-deleted row can't match.
-        # The source side of the join is the small delta → broadcast.
         abs_to_orig = {os.path.abspath(f): f for f in all_files}
-        live = self._scan(all_files, pending_dels, was_mixed)
+        live = self._live_scan(m)
         touched = sorted(
             abs_to_orig.get(r["_file"], r["_file"])
-            for r in live.select(*on, "_file")
-            .join(F.broadcast(source.select(*on).dropDuplicates(on)), on, "semi")
-            .select("_file")
-            .distinct()
-            .collect()
+            for r in self._pruning_df(live, source, on, small_src).collect()
         )
         untouched = [f for f in all_files if f not in set(touched)]
 
@@ -440,18 +653,29 @@ class ParquetMergeTable:
         src_types = {f.name: f.dataType for f in source.schema.fields}
         out_target_cols = target_cols + new_cols
         now_mixed = was_mixed or (bool(new_cols) and bool(untouched))
+        # a literal marker column decides matched-ness after the left
+        # join: NULL only for unmatched target rows, independent of any
+        # NULLs inside composite source key values
         src_aliased = source.select(
-            *[F.col(c).alias(f"_src_{c}") for c in source.columns]
+            *[F.col(c).alias(f"_src_{c}") for c in source.columns],
+            F.lit(True).alias("_src__matched"),
         )
-        join_cond = [
-            F.col(k).eqNullSafe(F.col(f"_src_{k}")) for k in on
-        ]
+        # plain (null-unsafe) equality — Delta's ON semantics, and the
+        # SAME predicate the pruning semi-join and insert anti-join use,
+        # so a (1, NULL) composite key can never be updated by one join
+        # and re-inserted by the other
+        join_cond = [F.col(k) == F.col(f"_src_{k}") for k in on]
 
         change_files: list[str] = []
         if touched:
-            tgt = self._scan(touched, pending_dels, was_mixed).select(*target_cols)
-            joined = tgt.join(F.broadcast(src_aliased), join_cond, "left")
-            matched = F.col(f"_src_{on[0]}").isNotNull()
+            tgt = self._scan(
+                touched, pending_dels, was_mixed, m["delete_rows_total"]
+            ).select(*target_cols)
+            src_side = (
+                F.broadcast(src_aliased) if small_src else src_aliased.hint("merge")
+            )
+            joined = tgt.join(src_side, join_cond, "left")
+            matched = F.col("_src__matched").isNotNull()
             # delete clause
             keep = (
                 ~(matched & when_matched_delete)
@@ -523,11 +747,12 @@ class ParquetMergeTable:
         # (a MoR-deleted key is insertable again)
         insert_files: list[str] = []
         if insert_not_matched:
-            inserts = source.join(
-                live.select(*on).dropDuplicates(on),
-                on,
-                "anti",
-            ).select(
+            live_keys = live.select(*on).dropDuplicates(on)
+            if m["rows_total"] > self.BROADCAST_MAX_SOURCE_ROWS:
+                # the manifest KNOWS the table is too big to broadcast —
+                # don't let a Catalyst misestimate hand it to the driver
+                live_keys = live_keys.hint("merge")
+            inserts = source.join(live_keys, on, "anti").select(
                 *[
                     F.col(c)
                     if c in source.columns
@@ -545,6 +770,7 @@ class ParquetMergeTable:
         if new_cols:
             stats["columns_added"] = new_cols
         new_v = self._commit(
+            m,
             new_files,
             "merge",
             stats,
@@ -570,32 +796,37 @@ class ParquetMergeTable:
 
         Files with no matching row carry by reference (same pruning as
         MERGE); files that match are rewritten without their victims;
-        ``replacement`` stages as new files. Rows of ``replacement`` that
-        violate ``condition`` are rejected (Delta's constraint check) —
+        ``replacement`` stages as new files. Rows of ``replacement``
+        where the condition is not TRUE — including NULL under SQL
+        three-valued logic — are rejected (Delta's constraint check):
         otherwise "replace yesterday's partition" could silently write
-        into other days. CDF: removed rows are ``delete`` changes, the
-        replacement is an insert-by-reference."""
+        rows a later overwrite of the same predicate would never see.
+        CDF: removed rows are ``delete`` changes, the replacement is an
+        insert-by-reference."""
         spark = self.spark
-        v = self.current_version()
-        m = self._manifest(v)
+        m = self._manifest(self.current_version())
         all_files = m["files"]
-        pending_dels = m.get("delete_files", [])
-        mixed = m.get("mixed_schema", False)
+        pending_dels = m["delete_files"]
+        mixed = m["mixed_schema"]
+        # three-valued logic: rows where the condition evaluates to NULL
+        # neither match the predicate nor may they sneak in as
+        # replacements — fold NULL to FALSE once and use it everywhere
+        cond_true = F.coalesce(condition, F.lit(False))
 
         target_cols = [
             f.name for f in self._read_data(all_files, mixed).schema.fields
         ]
-        bad = replacement.filter(~condition).limit(1).count()
+        bad = replacement.filter(~cond_true).limit(1).count()
         if bad:
             raise MergeError(
                 "replacement rows must satisfy the overwrite condition"
             )
 
-        live = self._scan(all_files, pending_dels, mixed)
+        live = self._live_scan(m)
         abs_to_orig = {os.path.abspath(f): f for f in all_files}
         touched = sorted(
             abs_to_orig.get(r["_file"], r["_file"])
-            for r in live.filter(condition).select("_file").distinct().collect()
+            for r in live.filter(cond_true).select("_file").distinct().collect()
         )
         untouched = [f for f in all_files if f not in set(touched)]
 
@@ -624,14 +855,16 @@ class ParquetMergeTable:
         change_files: list[str] = []
         n_removed = 0
         if touched:
-            tgt = self._scan(touched, pending_dels, mixed).select(*target_cols)
+            tgt = self._scan(
+                touched, pending_dels, mixed, m["delete_rows_total"]
+            ).select(*target_cols)
             new_files += self._stage_files(
-                tgt.filter(~condition), max_records_per_file
+                tgt.filter(~cond_true), max_records_per_file
             )
             chg_dir = os.path.join(
                 self.path, f"_changes/chg-{uuid.uuid4().hex[:12]}"
             )
-            tgt.filter(condition).withColumn(
+            tgt.filter(cond_true).withColumn(
                 CHANGE_TYPE, F.lit("delete")
             ).write.mode("overwrite").parquet(chg_dir)
             n_removed = (
@@ -651,6 +884,7 @@ class ParquetMergeTable:
             "rows_removed": n_removed,
         }
         new_v = self._commit(
+            m,
             new_files,
             "overwrite_where",
             stats,
@@ -673,7 +907,10 @@ class ParquetMergeTable:
         right-sized files (range-clustered on ``sort_col`` so parquet
         min/max stats prune key ranges afterwards, or Z-ordered on a
         ``zorder`` column pair — Delta/Iceberg ``OPTIMIZE ZORDER BY`` —
-        so files stay narrow in BOTH dimensions). Pending deletion
+        so files stay narrow in BOTH dimensions). Z-order coordinates
+        are rank-normalized with sampled approx-quantile bucket edges
+        (plans/layout.py) — a single distributed pass, never a global
+        window, so no task ever holds the whole table. Pending deletion
         vectors are MATERIALIZED (``read()`` applies them), so the new
         version carries none — this is the MoR purge step. A
         schema-evolved mixed table is rewritten uniformly (flag cleared).
@@ -681,28 +918,19 @@ class ParquetMergeTable:
         until ``vacuum``."""
         if sort_col and zorder:
             raise MergeError("pass sort_col OR zorder, not both")
+        m = self._manifest(self.current_version())
         df = self.read()
         if target_files is None:
             target_files = int(
                 self.spark.conf.get("spark.sql.shuffle.partitions", "32")
             )
         if zorder:
-            from pyspark.sql.window import Window as W
+            from ..plans.layout import morton_clustered
 
-            from ..plans.layout import morton_code
-
-            bits = 16
             ca, cb = zorder
-            coded = df.withColumn(
-                "__z",
-                morton_code(
-                    F.ntile(1 << bits).over(W.orderBy(F.col(ca))) - 1,
-                    F.ntile(1 << bits).over(W.orderBy(F.col(cb))) - 1,
-                    bits,
-                ),
-            )
             out = (
-                coded.repartitionByRange(target_files, F.col("__z"))
+                morton_clustered(df, ca, cb)
+                .repartitionByRange(target_files, F.col("__z"))
                 .sortWithinPartitions("__z")
                 .drop("__z")
             )
@@ -711,37 +939,49 @@ class ParquetMergeTable:
         else:
             out = df.repartition(target_files)
         files = self._stage_files(out, max_records_per_file)
-        v = self._commit(files, "compact", {"files_written": len(files)})
+        v = self._commit(m, files, "compact", {"files_written": len(files)})
         return {"version": v, "files_written": len(files)}
 
     def vacuum(self, retain_last: int = 1) -> dict:
         """Delete data files referenced ONLY by versions older than the
-        last ``retain_last`` commits, then drop those manifests. Mirrors
-        Delta VACUUM: shared (carried-by-reference) files survive as long
-        as any retained version lists them."""
+        last ``retain_last`` commits, then drop those log entries.
+        Mirrors Delta VACUUM: shared (carried-by-reference) files survive
+        as long as any retained version lists them. Before truncating the
+        log, a checkpoint is written at the oldest retained version so
+        resolution never needs the dropped prefix."""
         if retain_last < 1:
             raise MergeError("retain_last must be >= 1")
         vs = self._versions()
         keep_vs = vs[-retain_last:]
         drop_vs = vs[: -retain_last]
 
-        def _all_refs(man: dict) -> list[str]:
+        def _all_refs(man: dict) -> set[str]:
             return (
-                man["files"]
-                + man.get("delete_files", [])
-                + man.get("change_files", [])
+                set(man["files"])
+                | set(man["delete_files"])
+                | set(man["change_files"])
             )
 
-        live = set()
-        for v in keep_vs:
-            live.update(_all_refs(self._manifest(v)))
+        # resolve everything BEFORE the log prefix disappears
+        keep_manifests = [self._manifest(v) for v in keep_vs]
+        drop_manifests = [self._manifest(v) for v in drop_vs]
+        if drop_vs:
+            self._write_checkpoint(keep_manifests[0])
+        live: set[str] = set()
+        for man in keep_manifests:
+            live |= _all_refs(man)
         removed = 0
-        for v in drop_vs:
-            for f in _all_refs(self._manifest(v)):
+        for man in drop_manifests:
+            for f in _all_refs(man):
                 if f not in live and os.path.exists(f):
                     os.remove(f)
                     removed += 1
-            os.remove(os.path.join(self.manifest_dir, f"v{v}.json"))
+        for v in drop_vs:
+            os.remove(self._log_path(v))
+            self._cache.pop(v, None)
+        for c in self._checkpoints():
+            if c < keep_vs[0]:
+                os.remove(self._ckpt_path(c))
         return {
             "files_removed": removed,
             "versions_dropped": len(drop_vs),
@@ -784,6 +1024,144 @@ def stream_merge_upsert(
 
     return (
         stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+
+
+# -- change data feed as a streaming source ---------------------------------
+
+def changes_schema_of(end_schema) -> "StructType":  # noqa: F821
+    """The CDF row schema for a table with data schema ``end_schema``."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    return StructType(
+        list(end_schema.fields)
+        + [
+            StructField(CHANGE_TYPE, StringType()),
+            StructField(COMMIT_VERSION, LongType()),
+        ]
+    )
+
+
+def changes_schema(table: ParquetMergeTable, version: int | None = None):
+    """The CDF schema of ``table`` as of ``version`` (default: current)."""
+    return changes_schema_of(table.read(version).schema)
+
+
+def spool_changes(
+    table: ParquetMergeTable,
+    spool_dir: str,
+    from_version: int = 0,
+    to_version: int | None = None,
+) -> list[int]:
+    """Export each commit's CDF rows into a FLAT parquet spool directory
+    (one file per commit, named by zero-padded version) that Structured
+    Streaming's file source can tail. Idempotent and incremental:
+    versions already spooled are skipped, so a maintenance job can call
+    this after every commit. A commit with no logical changes (compact)
+    still spools an empty file — that file IS the done-marker. Returns
+    the versions spooled by this call."""
+    os.makedirs(spool_dir, exist_ok=True)
+    done = set()
+    for f in os.listdir(spool_dir):
+        mm = re.match(r"^cdf-v(\d+)\.parquet$", f)
+        if mm:
+            done.add(int(mm.group(1)))
+    to_v = table.current_version() if to_version is None else to_version
+    spooled: list[int] = []
+    for v in range(from_version, to_v + 1):
+        if v in done:
+            continue
+        df = table.read_changes(v, v)
+        tmp = os.path.join(spool_dir, f".spool-{uuid.uuid4().hex[:12]}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        parts = [p for p in os.listdir(tmp) if p.endswith(".parquet")]
+        os.rename(
+            os.path.join(tmp, parts[0]),
+            os.path.join(spool_dir, f"cdf-v{v:010d}.parquet"),
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+        spooled.append(v)
+    return spooled
+
+
+def changes_stream(
+    spark: SparkSession,
+    spool_dir: str,
+    schema,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """A rate-limited Structured Streaming read of a CDF spool directory:
+    ``maxFilesPerTrigger`` bounds each micro-batch to N commits' worth of
+    changes — the flow control a downstream view needs when catching up
+    on a 100 TB table's backlog. Files written before a schema evolution
+    surface the newer columns as NULL (parquet scan with the superset
+    schema)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(spool_dir)
+
+
+def stream_apply_changes(
+    replica: ParquetMergeTable,
+    changes: DataFrame,
+    on: list[str],
+    checkpoint_dir: str,
+):
+    """Materialized-view maintenance: a ``foreachBatch`` sink that replays
+    a CDF stream into ``replica`` so that
+    ``snapshot(v0) + streamed feed == snapshot(vN)``.
+
+    Each micro-batch may span several commits and touch a key several
+    times; the batch first reduces to the TERMINAL change per key —
+    preimages drop, the highest ``_commit_version`` wins, and within one
+    commit an insert/postimage outranks a delete (an overwrite_where can
+    delete and re-insert the same key in one commit). The reduced batch
+    then applies as one delete-MERGE plus one upsert-MERGE — both
+    idempotent, so checkpoint-replayed batches after a restart are
+    harmless."""
+
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        data_cols = [c for c in batch_df.columns if c not in (CHANGE_TYPE, COMMIT_VERSION)]
+        others = [c for c in data_cols if c not in on]
+        rank = F.when(F.col(CHANGE_TYPE) == "delete", F.lit(0)).otherwise(F.lit(1))
+        latest = (
+            batch_df.filter(F.col(CHANGE_TYPE) != "update_preimage")
+            .groupBy(*on)
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col(COMMIT_VERSION).alias("_cdf_v"),
+                        rank.alias("_cdf_r"),
+                        *[F.col(c).alias(c) for c in others],
+                        F.col(CHANGE_TYPE).alias("_cdf_ct"),
+                    )
+                ).alias("_s")
+            )
+            .select(
+                *on,
+                *[F.col(f"_s.{c}").alias(c) for c in others],
+                F.col("_s._cdf_ct").alias("_cdf_ct"),
+            )
+        )
+        dels = latest.filter(F.col("_cdf_ct") == "delete").select(*on, *others)
+        ups = latest.filter(F.col("_cdf_ct") != "delete").select(*on, *others)
+        if not ups.isEmpty():
+            replica.merge(
+                ups, on=on, when_matched_update={c: src(c) for c in others}
+            )
+        if not dels.isEmpty():
+            replica.merge(
+                dels,
+                on=on,
+                when_matched_delete=F.lit(True),
+                insert_not_matched=False,
+            )
+
+    return (
+        changes.writeStream.foreachBatch(_apply)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )

@@ -23,7 +23,14 @@ import shutil
 
 from ._core import *  # noqa: F401,F403
 from ._core import _DEC, _qstage, _t, register
-from ..operators.merge import ParquetMergeTable, src
+from ..operators.merge import (
+    ParquetMergeTable,
+    changes_schema,
+    changes_stream,
+    spool_changes,
+    src,
+    stream_apply_changes,
+)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -266,6 +273,65 @@ def merge_replace_where_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.overwrite_where(cond, repl)
     t.compact(zorder=("o_orderkey", "o_custkey"), target_files=8)
     return _status_agg(t.read())
+
+
+@register(
+    "merge_cdf_stream_replay",
+    oracle=f"""
+    WITH {_TARGET_CTE},
+    final AS (
+      SELECT * FROM merged
+      WHERE NOT (o_orderstatus = 'U' AND o_custkey % 7 = 0)
+    )
+    """
+    + _STATUS_AGG_SQL.format(rel="final"),
+)
+def merge_cdf_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed as a STREAMING source: after the upsert MERGE
+    (v1) and a MoR delete (v2), the commits' CDF rows are spooled and
+    replayed through Structured Streaming — rate-limited to one commit
+    per micro-batch — into a replica table seeded from the v0 snapshot
+    (``stream_apply_changes`` reduces each batch to the terminal change
+    per key, then applies one delete-MERGE + one upsert-MERGE). The
+    oracle recomputes the final state directly from the source table:
+    ``snapshot(v0) + streamed feed == snapshot(vN)`` is exactly the
+    contract a 100 TB lake's downstream materialized views run on."""
+    t = _orders_table(spark, sf_dir, "cdfstream")
+    t.merge(
+        _delta(spark, sf_dir),
+        on=["o_orderkey"],
+        when_matched_update={
+            "o_orderstatus": src("o_orderstatus"),
+            "o_totalprice": src("o_totalprice"),
+        },
+    )
+    t.delete_where((F.col("o_orderstatus") == "U") & (F.col("o_custkey") % 7 == 0))
+
+    rpath = _qstage(
+        "lakehouse_cdfstream_replica_" + sf_dir.strip("/").replace("/", "_")
+    )
+    shutil.rmtree(rpath, ignore_errors=True)
+    replica = ParquetMergeTable(spark, rpath)
+    replica.create(
+        t.read(version=0)
+        .repartitionByRange(8, F.col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+    )
+    spool = rpath + "_spool"
+    ckpt = rpath + "_ckpt"
+    shutil.rmtree(spool, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    spool_changes(t, spool, from_version=1)
+    stream = changes_stream(
+        spark, spool, changes_schema(t), max_files_per_trigger=1
+    )
+    q = (
+        stream_apply_changes(replica, stream, on=["o_orderkey"], checkpoint_dir=ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _status_agg(replica.read())
 
 
 @register(

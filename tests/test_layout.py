@@ -44,6 +44,58 @@ class TestCompaction:
         assert len(files) >= 3  # 25 rows / 10 per file
 
 
+class TestBucketExpr:
+    """The approx-quantile bucket map (the scale-safe replacement for the
+    global-window ntile) must agree exactly with a reference binary
+    search over the same edges — including duplicate-heavy edges."""
+
+    def _check(self, spark, df):
+        import numpy as np
+
+        from hbase_to_mongo_export_spark.plans.layout import (
+            bucket_expr,
+            quantile_edges,
+        )
+
+        edges = quantile_edges(df, ["v"], 256)["v"]
+        got = df.select("v", bucket_expr("v", edges).alias("b")).collect()
+        arr = np.array(edges)
+        for r in got:
+            assert r["b"] == int(np.searchsorted(arr, r["v"], side="right")), r
+
+    def test_uniform_values(self, spark):
+        df = spark.range(4000).select((F.col("id") % 997).cast("double").alias("v"))
+        self._check(spark, df)
+
+    def test_heavy_duplicate_skew(self, spark):
+        # 90% of rows share one value: edges collapse but bucket ids stay
+        # rank-proportional, so the skewed dimension still spreads
+        df = spark.range(4000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0.0))
+            .otherwise(F.col("id").cast("double"))
+            .alias("v")
+        )
+        self._check(spark, df)
+
+    def test_null_maps_to_bucket_zero(self, spark):
+        from hbase_to_mongo_export_spark.plans.layout import bucket_expr
+
+        df = spark.createDataFrame([(None,), (5.0,)], "v double")
+        got = {r["v"]: r["b"] for r in df.select(
+            "v", bucket_expr("v", [1.0, 4.0, 9.0]).alias("b")
+        ).collect()}
+        assert got[None] == 0 and got[5.0] == 2
+
+    def test_non_numeric_column_rejected(self, spark):
+        from hbase_to_mongo_export_spark.plans.layout import morton_clustered
+
+        df = spark.createDataFrame([("a", 1.0)], "s string, v double")
+        import pytest
+
+        with pytest.raises(ValueError, match="must be numeric"):
+            morton_clustered(df, "s", "v")
+
+
 class TestMortonClustering:
     def test_zorder_narrows_both_dimensions(self, spark, sf_dir, tmp_path):
         """After Z-ordering on (o_custkey, o_totalprice), a typical file

@@ -492,6 +492,361 @@ class TestSchemaEvolution:
         assert got[5] == 1.5 and got[6] is None
 
 
+class TestOptimisticConcurrency:
+    def test_two_writers_one_wins_no_lost_update(self, spark, table):
+        """A second writer commits mid-merge: the merge's commit must fail
+        cleanly (ConcurrentWriteError) and the winner's commit survives —
+        never a silent clobber of v1."""
+        from hbase_to_mongo_export_spark.operators.merge import (
+            ConcurrentWriteError,
+        )
+
+        t2 = ParquetMergeTable(spark, table.path)
+        orig = t2._stage_files
+
+        def hijack(df, mrpf):
+            t2._stage_files = orig  # interleave exactly once
+            table.delete_where(F.col("id") == 3)  # the OTHER writer wins v1
+            return orig(df, mrpf)
+
+        t2._stage_files = hijack
+        source = spark.createDataFrame(
+            [(5, "loser", 0.0)], "id bigint, name string, amount double"
+        )
+        with pytest.raises(ConcurrentWriteError, match="another writer"):
+            t2.merge(
+                source, on=["id"],
+                when_matched_update={"name": src("name")},
+                insert_not_matched=False,
+            )
+        assert table.current_version() == 1  # only the winner committed
+        got = _as_dict(table.read())
+        assert 3 not in got            # winner's delete intact
+        assert got[5] == ("name5", 50.0)  # loser's update NOT applied
+
+    def test_retry_after_conflict_succeeds(self, spark, table):
+        from hbase_to_mongo_export_spark.operators.merge import (
+            ConcurrentWriteError,
+        )
+
+        t2 = ParquetMergeTable(spark, table.path)
+        orig = t2._stage_files
+
+        def hijack(df, mrpf):
+            t2._stage_files = orig
+            table.delete_where(F.col("id") == 3)
+            return orig(df, mrpf)
+
+        t2._stage_files = hijack
+        source = spark.createDataFrame(
+            [(5, "retry", 0.0)], "id bigint, name string, amount double"
+        )
+        kw = dict(
+            on=["id"],
+            when_matched_update={"name": src("name")},
+            insert_not_matched=False,
+        )
+        with pytest.raises(ConcurrentWriteError):
+            t2.merge(source, **kw)
+        stats = t2.merge(source, **kw)  # retry re-reads v1 and wins v2
+        assert stats["version"] == 2
+        got = _as_dict(table.read())
+        assert got[5] == ("retry", 50.0) and 3 not in got
+
+    def test_create_over_existing_table_conflicts(self, spark, table):
+        from hbase_to_mongo_export_spark.operators.merge import (
+            ConcurrentWriteError,
+        )
+
+        t2 = ParquetMergeTable(spark, table.path)
+        with pytest.raises(ConcurrentWriteError):
+            t2.create(
+                spark.createDataFrame([(1, "x", 0.0)],
+                                      "id bigint, name string, amount double")
+            )
+
+    def test_no_tmp_leftovers_after_conflict(self, spark, table):
+        from hbase_to_mongo_export_spark.operators.merge import (
+            ConcurrentWriteError,
+        )
+
+        t2 = ParquetMergeTable(spark, table.path)
+        with pytest.raises(ConcurrentWriteError):
+            t2.create(
+                spark.createDataFrame([(1, "x", 0.0)],
+                                      "id bigint, name string, amount double")
+            )
+        assert not [
+            f for f in os.listdir(table.manifest_dir) if f.endswith(".tmp")
+        ]
+
+
+class TestCheckpointedManifests:
+    def test_checkpoint_written_on_interval(self, spark, table):
+        from hbase_to_mongo_export_spark.operators.merge import (
+            CHECKPOINT_INTERVAL,
+        )
+
+        for i in range(CHECKPOINT_INTERVAL + 2):
+            table.delete_where(F.col("id") == i)
+        assert os.path.exists(
+            os.path.join(table.manifest_dir, f"ckpt-v{CHECKPOINT_INTERVAL}.json")
+        )
+
+    def test_fresh_reader_replays_at_most_interval_entries(self, spark, table):
+        """Version resolution must load the checkpoint + a bounded suffix
+        of delta entries — never the whole log (the manifest-scalability
+        contract at 10^6 commits)."""
+        from hbase_to_mongo_export_spark.operators import merge as M
+
+        n = M.CHECKPOINT_INTERVAL + 2
+        for i in range(n):
+            table.delete_where(F.col("id") == i)
+        t2 = ParquetMergeTable(spark, table.path)
+        reads: list[str] = []
+        orig = M.ParquetMergeTable._read_json
+
+        def counting(path):
+            reads.append(os.path.basename(path))
+            return orig(path)
+
+        t2._read_json = counting
+        m = t2._manifest(n)
+        log_reads = [p for p in reads if p.startswith("v")]
+        ckpt_reads = [p for p in reads if p.startswith("ckpt-")]
+        assert len(log_reads) <= M.CHECKPOINT_INTERVAL, reads
+        assert ckpt_reads == [f"ckpt-v{M.CHECKPOINT_INTERVAL}.json"]
+        # and the resolved state is right: n rows MoR-deleted so far
+        assert m["delete_rows_total"] == n
+        assert m["rows_total"] == 100 - n
+
+    def test_manifest_tracks_exact_row_counts(self, spark, table):
+        m0 = table._manifest(0)
+        assert m0["rows_total"] == 100
+        assert sum(m0["file_rows"].values()) == 100
+        table.merge(
+            spark.createDataFrame(
+                [(200, "n", 1.0), (201, "n", 1.0)],
+                "id bigint, name string, amount double",
+            ),
+            on=["id"],
+        )
+        assert table._manifest(1)["rows_total"] == 102
+        table.delete_where(F.col("id") < 10)
+        m2 = table._manifest(2)
+        assert m2["rows_total"] == 92 and m2["delete_rows_total"] == 10
+
+    def test_vacuum_checkpoints_oldest_retained_version(self, spark, table):
+        """After the log prefix is truncated, a FRESH instance must still
+        resolve every retained version (via the vacuum-written
+        checkpoint), and dropped versions raise FileNotFoundError."""
+        for i in range(4):
+            table.delete_where(F.col("id") == i)
+        table.vacuum(retain_last=2)  # keeps v3, v4
+        t2 = ParquetMergeTable(spark, table.path)
+        assert len(_as_dict(t2.read(version=3))) == 97
+        assert len(_as_dict(t2.read(version=4))) == 96
+        with pytest.raises(FileNotFoundError):
+            t2._manifest(1)
+
+
+class TestOverwriteThreeValuedLogic:
+    @pytest.fixture()
+    def nulltable(self, spark, tmp_path):
+        t = ParquetMergeTable(spark, str(tmp_path / "nulltbl"))
+        t.create(
+            spark.createDataFrame(
+                [(1, 10.0), (2, None), (3, 30.0)], "id bigint, amount double"
+            )
+        )
+        return t
+
+    def test_null_condition_replacement_rejected(self, spark, nulltable):
+        # condition over the replacement row evaluates NULL (amount NULL):
+        # NOT TRUE → must be rejected, not silently inserted
+        bad = spark.createDataFrame([(9, None)], "id bigint, amount double")
+        with pytest.raises(MergeError, match="satisfy the overwrite"):
+            nulltable.overwrite_where(F.col("amount") > 5, bad)
+        assert nulltable.current_version() == 0
+
+    def test_null_condition_rows_survive_the_rewrite(self, spark, nulltable):
+        # rows where the predicate is NULL are NOT victims — they must
+        # neither be replaced nor silently dropped by the rewrite
+        repl = spark.createDataFrame([(7, 70.0)], "id bigint, amount double")
+        stats = nulltable.overwrite_where(F.col("amount") > 5, repl)
+        assert stats["rows_removed"] == 2  # ids 1 and 3 only
+        got = {r["id"]: r["amount"] for r in nulltable.read().collect()}
+        assert got == {2: None, 7: 70.0}
+
+
+class TestCompositeNullKeys:
+    def test_null_key_component_never_matches(self, spark, tmp_path):
+        """Delta ON semantics: NULL = NULL is not a match. A (1, NULL)
+        source row must NOT update the (1, NULL) target row — and must
+        insert exactly once (the update join and the insert anti-join
+        agree on matched-ness)."""
+        t = ParquetMergeTable(spark, str(tmp_path / "tbl"))
+        t.create(
+            spark.createDataFrame(
+                [(1, None, "old"), (1, 2, "two")], "a bigint, b bigint, v string"
+            )
+        )
+        source = spark.createDataFrame(
+            [(1, None, "new")], "a bigint, b bigint, v string"
+        )
+        stats = t.merge(source, on=["a", "b"], when_matched_update={"v": src("v")})
+        assert stats.get("rows_updated", 0) == 0
+        assert stats["rows_inserted"] == 1
+        vals = sorted(r["v"] for r in t.read().collect())
+        assert vals == ["new", "old", "two"]
+
+    def test_non_null_composite_keys_match_normally(self, spark, tmp_path):
+        t = ParquetMergeTable(spark, str(tmp_path / "tbl"))
+        t.create(
+            spark.createDataFrame(
+                [(1, 2, "x"), (1, 3, "y")], "a bigint, b bigint, v string"
+            )
+        )
+        stats = t.merge(
+            spark.createDataFrame([(1, 2, "upd")], "a bigint, b bigint, v string"),
+            on=["a", "b"],
+            when_matched_update={"v": src("v")},
+        )
+        assert stats["rows_updated"] == 1 and stats["rows_inserted"] == 0
+        got = {(r["a"], r["b"]): r["v"] for r in t.read().collect()}
+        assert got == {(1, 2): "upd", (1, 3): "y"}
+
+
+def _plan_of(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+class TestBroadcastGuards:
+    def test_oversized_delete_vector_falls_back_to_sort_merge(
+        self, spark, table, monkeypatch
+    ):
+        """Past the manifest-tracked row threshold the MoR anti-join must
+        NOT broadcast (a corpus-sized broadcast is the driver-OOM class
+        SCALE_EVIDENCE.md §1 measured) — and reads stay correct."""
+        monkeypatch.setattr(ParquetMergeTable, "DELETE_BROADCAST_MAX_ROWS", 0)
+        table.delete_where(F.col("id") < 5)
+        plan = _plan_of(table.read())
+        assert "SortMergeJoin" in plan and "LeftAnti" in plan, plan
+        assert "BroadcastHashJoin" not in plan, plan
+        assert len(_as_dict(table.read())) == 95
+
+    def test_small_delete_vector_still_broadcasts(self, spark, table):
+        table.delete_where(F.col("id") < 5)
+        plan = _plan_of(table.read())
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+    def test_oversized_source_merges_without_broadcast(
+        self, spark, table, monkeypatch
+    ):
+        """With the source over the broadcast cap, the whole MERGE runs on
+        sort-merge joins — same results, no forced broadcast anywhere."""
+        monkeypatch.setattr(ParquetMergeTable, "BROADCAST_MAX_SOURCE_ROWS", 0)
+        source = spark.createDataFrame(
+            [
+                (5, "updated5", 999.0, "update"),
+                (7, None, None, "delete"),
+                (200, "new200", 1.0, "insert"),
+            ],
+            "id bigint, name string, amount double, op string",
+        )
+        stats = table.merge(
+            source,
+            on=["id"],
+            when_matched_update={"name": src("name"), "amount": src("amount")},
+            when_matched_delete=src("op") == "delete",
+        )
+        got = _as_dict(table.read())
+        assert got[5] == ("updated5", 999.0)
+        assert 7 not in got and got[200] == ("new200", 1.0)
+        assert len(got) == 100
+        assert stats["rows_inserted"] == 1
+
+    def test_pruning_join_strategy_follows_source_size(self, spark, table):
+        src_df = spark.createDataFrame(
+            [(1, "x", 0.0)], "id bigint, name string, amount double"
+        )
+        m = table._manifest(0)
+        live = table._live_scan(m)
+        small = _plan_of(table._pruning_df(live, src_df, ["id"], True))
+        assert "BroadcastHashJoin" in small, small
+        big = _plan_of(table._pruning_df(live, src_df, ["id"], False))
+        assert "SortMergeJoin" in big and "BroadcastHashJoin" not in big, big
+
+
+class TestChangeDataFeedStreaming:
+    def test_streamed_feed_reconstructs_table(self, spark, table, tmp_path):
+        """snapshot(v0) + the CDF replayed THROUGH Structured Streaming
+        (rate-limited to one commit per micro-batch) == snapshot(vN),
+        across a merge, a MoR delete, and a replaceWhere that deletes and
+        re-inserts the same key in one commit."""
+        from hbase_to_mongo_export_spark.operators.merge import (
+            changes_schema,
+            changes_stream,
+            spool_changes,
+            stream_apply_changes,
+        )
+
+        table.merge(
+            spark.createDataFrame(
+                [(3, "u3", -3.0), (300, "i300", 3.0)],
+                "id bigint, name string, amount double",
+            ),
+            on=["id"],
+            when_matched_update={"name": src("name"), "amount": src("amount")},
+        )
+        table.delete_where(F.col("id").isin(4, 50))
+        repl = spark.createDataFrame(
+            [(90, "r90", -90.0)], "id bigint, name string, amount double"
+        )
+        table.overwrite_where((F.col("id") >= 90) & (F.col("id") < 95), repl)
+
+        replica = ParquetMergeTable(spark, str(tmp_path / "replica"))
+        replica.create(table.read(version=0))
+        spool = str(tmp_path / "spool")
+        assert spool_changes(table, spool, from_version=1) == [1, 2, 3]
+        stream = changes_stream(
+            spark, spool, changes_schema(table), max_files_per_trigger=1
+        )
+        q = (
+            stream_apply_changes(
+                replica, stream, on=["id"], checkpoint_dir=str(tmp_path / "ck")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        assert _as_dict(replica.read()) == _as_dict(table.read())
+
+    def test_spool_is_idempotent_and_incremental(self, spark, table, tmp_path):
+        from hbase_to_mongo_export_spark.operators.merge import spool_changes
+
+        table.delete_where(F.col("id") == 1)
+        spool = str(tmp_path / "spool")
+        assert spool_changes(table, spool) == [0, 1]
+        assert spool_changes(table, spool) == []  # nothing re-spooled
+        table.delete_where(F.col("id") == 2)
+        assert spool_changes(table, spool) == [2]  # only the new commit
+
+    def test_no_change_commit_spools_empty_marker(self, spark, table, tmp_path):
+        from hbase_to_mongo_export_spark.operators.merge import spool_changes
+
+        table.compact(target_files=2)  # no logical change
+        spool = str(tmp_path / "spool")
+        assert spool_changes(table, spool, from_version=1) == [1]
+        f = os.path.join(spool, "cdf-v0000000001.parquet")
+        assert os.path.exists(f)
+        assert spark.read.parquet(f).count() == 0
+
+
 class TestStreamMergeUpsert:
     def test_foreachbatch_upsert(self, spark, tmp_path):
         from hbase_to_mongo_export_spark.operators.merge import (

@@ -586,3 +586,70 @@ class TestLakehousePlans:
         )
         plan = plan_of(t.read())
         assert "Join" not in plan, plan
+
+    def test_merge_pruning_scan_reads_only_key_columns(self, spark, tmp_path):
+        """The copy-on-write file-pruning pass must scan ONLY the merge
+        key (+ hidden _metadata) — reading the full row width here would
+        double the IO of every MERGE at 100 TB."""
+        from hbase_to_mongo_export_spark.operators.merge import (
+            ParquetMergeTable,
+        )
+
+        t = ParquetMergeTable(spark, str(tmp_path / "tbl"))
+        t.create(
+            spark.createDataFrame(
+                [(i, f"n{i}", float(i)) for i in range(100)],
+                "id bigint, name string, amount double",
+            )
+        )
+        m = t._manifest(0)
+        source = spark.createDataFrame(
+            [(1, "x", 0.0)], "id bigint, name string, amount double"
+        )
+        plan = plan_of(t._pruning_df(t._live_scan(m), source, ["id"], True))
+        mm = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert mm, plan
+        read_cols = {c.split(":")[0] for c in mm.group(1).split(",") if c}
+        assert read_cols == {"id"}, plan
+
+    def test_oversized_mor_vector_plans_sort_merge(self, spark, tmp_path, monkeypatch):
+        """Past the manifest-tracked delete-row threshold, the MoR
+        anti-join must not broadcast — the guarded fallback that keeps a
+        huge deletion vector from OOMing the driver."""
+        from hbase_to_mongo_export_spark.operators.merge import (
+            ParquetMergeTable,
+        )
+
+        monkeypatch.setattr(ParquetMergeTable, "DELETE_BROADCAST_MAX_ROWS", 0)
+        t = ParquetMergeTable(spark, str(tmp_path / "tbl"))
+        t.create(
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(1000)], "id bigint, val double"
+            ).repartitionByRange(4, F.col("id"))
+        )
+        t.delete_where(F.col("id") % 2 == 0)
+        plan = plan_of(t.read())
+        assert re.search(r"SortMergeJoin.*LeftAnti", plan), plan
+        assert "BroadcastHashJoin" not in plan, plan
+
+    def test_zorder_compact_plan_has_no_single_partition_stage(
+        self, spark, tmp_path
+    ):
+        """OPTIMIZE ZORDER must never funnel the table through one task:
+        the rank normalization is approx-quantile bucket edges + a CASE
+        tree — no global-window ntile, no Exchange SinglePartition, no
+        Window at all."""
+        from hbase_to_mongo_export_spark.plans.layout import morton_clustered
+
+        df = spark.range(10_000).select(
+            F.col("id"), (F.col("id") * 7 % 1000).cast("double").alias("x")
+        )
+        out = (
+            morton_clustered(df, "id", "x")
+            .repartitionByRange(8, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+        plan = plan_of(out)
+        assert "SinglePartition" not in plan, plan
+        assert "Window" not in plan, plan

@@ -10,6 +10,16 @@ many bytes the new version wrote vs the table size, and wall time —
 then repeats with a SCATTERED delta (same row count, keys spread
 uniformly) to show the worst case where clustering doesn't help.
 
+The ``full`` shape is the broadcast-guard stress: a TABLE-SIZED delta
+(every row re-priced) that, before round 6, was force-broadcast into
+every MERGE join — the same driver-OOM class SCALE_EVIDENCE.md §1
+measured for LSH. With --broadcast-max-rows below the delta size the
+source side sort-merges instead; run with --driver-memory 2g to prove a
+full-table backfill completes under a heap the broadcast would kill:
+
+    python tools/merge_stress.py --shapes full \
+        --broadcast-max-rows 100000 --driver-memory 2g
+
 Run:  python tools/merge_stress.py [--files 64] [--delta-pct 0.1]
 Prints one JSON line.
 """
@@ -35,6 +45,19 @@ def main() -> None:
     ap.add_argument("--delta-pct", type=float, default=0.1)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    ap.add_argument(
+        "--shapes", default="clustered,scattered",
+        help="comma list of clustered|scattered|full",
+    )
+    ap.add_argument(
+        "--broadcast-max-rows", type=int, default=None,
+        help="override ParquetMergeTable.BROADCAST_MAX_SOURCE_ROWS",
+    )
+    ap.add_argument(
+        "--driver-memory", default=None,
+        help="JVM heap for the local driver+executors (e.g. 2g) — use with "
+             "--shapes full to prove the guarded path survives small heaps",
+    )
     args = ap.parse_args()
 
     import shutil
@@ -43,20 +66,25 @@ def main() -> None:
     from pyspark.sql import SparkSession, Window
     from pyspark.sql import functions as F
 
-    spark = (
+    builder = (
         SparkSession.builder.appName("merge-stress")
         .master(f"local[{args.cpus}]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
     )
+    if args.driver_memory:
+        builder = builder.config("spark.driver.memory", args.driver_memory)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     from hbase_to_mongo_export_spark.operators.merge import (
         ParquetMergeTable,
         src,
     )
+
+    if args.broadcast_max_rows is not None:
+        ParquetMergeTable.BROADCAST_MAX_SOURCE_ROWS = args.broadcast_max_rows
 
     li = (
         spark.read.parquet(os.path.join(args.sf_dir, "lineitem.parquet"))
@@ -77,10 +105,15 @@ def main() -> None:
         .drop("row_id")
     )
 
-    out: dict = {"delta_pct": args.delta_pct, "files": args.files}
+    out: dict = {
+        "delta_pct": args.delta_pct,
+        "files": args.files,
+        "broadcast_max_rows": ParquetMergeTable.BROADCAST_MAX_SOURCE_ROWS,
+        "driver_memory": args.driver_memory,
+    }
     root = tempfile.mkdtemp(prefix="merge_stress_")
     try:
-        for shape in ("clustered", "scattered"):
+        for shape in [s.strip() for s in args.shapes.split(",") if s.strip()]:
             t = ParquetMergeTable(spark, os.path.join(root, shape))
             t.create(
                 li.repartitionByRange(args.files, F.col("key")).sortWithinPartitions(
@@ -88,10 +121,16 @@ def main() -> None:
                 )
             )
             n = t.read().count()
-            k = max(1, int(n * args.delta_pct / 100.0))
-            if shape == "clustered":
+            if shape == "full":
+                # table-sized backfill: every row is a matched key — the
+                # worst case for both pruning AND the broadcast decision
+                k = n
+                delta_filter = F.lit(True)
+            elif shape == "clustered":
+                k = max(1, int(n * args.delta_pct / 100.0))
                 delta_filter = F.col("key") <= k  # one contiguous key range
             else:
+                k = max(1, int(n * args.delta_pct / 100.0))
                 stride = max(1, n // k)
                 delta_filter = F.col("key") % stride == 0  # uniform spread
             delta = (
@@ -118,6 +157,7 @@ def main() -> None:
             out[shape] = {
                 "rows": n,
                 "delta_rows": k,
+                "source_broadcast": k <= ParquetMergeTable.BROADCAST_MAX_SOURCE_ROWS,
                 "files_total": stats["files_total"],
                 "files_touched": stats["files_touched"],
                 "table_mb": round(table_bytes / 1e6, 1),
