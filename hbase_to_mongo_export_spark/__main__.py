@@ -78,6 +78,12 @@ def _build_parser() -> argparse.ArgumentParser:
     t.add_argument("--source", default=None,
                    help="create: parquet path of the initial data")
     t.add_argument("--version", type=int, default=None, help="read: time travel")
+    t.add_argument(
+        "--range", action="append", default=None, metavar="COL,OP,VALUE",
+        help="read: data-skipping conjunct, e.g. --range o_orderkey,>=,800 "
+             "(repeatable; files outside the manifest stats range are "
+             "never opened)",
+    )
     t.add_argument("--from-version", type=int, default=0, help="changes")
     t.add_argument("--to-version", type=int, default=None, help="changes")
     t.add_argument("--where", default=None,
@@ -214,7 +220,31 @@ def main(argv: list[str] | None = None) -> int:
             v = t.create(spark.read.parquet(args.source))
             print(json.dumps({"version": v, "path": args.path}))
         elif args.action == "read":
-            df = t.read(version=args.version)
+            where = None
+            if args.range:
+                where = []
+                for spec in args.range:
+                    parts = spec.split(",", 2)
+                    if len(parts) != 3:
+                        print(
+                            "--range needs COL,OP,VALUE (e.g. key,>=,800)",
+                            file=sys.stderr,
+                        )
+                        return 2
+                    col, op, raw = parts
+                    try:
+                        val = int(raw)
+                    except ValueError:
+                        try:
+                            val = float(raw)
+                        except ValueError:
+                            print(
+                                f"--range value {raw!r} must be numeric",
+                                file=sys.stderr,
+                            )
+                            return 2
+                    where.append((col, op, val))
+            df = t.read(version=args.version, where=where)
             for r in df.limit(args.limit).collect():
                 print(json.dumps(r.asDict(), default=str))
         elif args.action == "history":

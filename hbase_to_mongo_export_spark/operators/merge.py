@@ -104,13 +104,64 @@ def _norm_file(col: Column) -> Column:
     return F.regexp_replace(col, "^file:/+", "/")
 
 
-def _parquet_rows(path: str) -> int:
-    """Exact row count from the parquet footer — the per-file stats a
-    real table format (Delta numRecords / Iceberg manifests) carries, at
-    the cost of one footer read per NEWLY ADDED file per commit."""
+def _parquet_file_meta(path: str) -> tuple[int, dict]:
+    """Exact row count + per-column [min, max] from the parquet footer —
+    the per-file stats a real table format (Delta numRecords +
+    stats_parsed / Iceberg manifests) carries, at the cost of one footer
+    read per NEWLY ADDED file per commit. Only JSON-clean scalar types
+    (int/float/bool) are kept: strings can be truncated by writers and
+    temporal types don't round-trip JSON — a column without stats simply
+    never skips, which is always correct."""
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(path).metadata.num_rows
+    md = pq.ParquetFile(path).metadata
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            if "." in name:  # nested fields don't participate in skipping
+                continue
+            lo, hi = st.min, st.max
+            if not isinstance(lo, (int, float, bool)) or isinstance(lo, complex):
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    stats = {c: [mins[c], maxs[c]] for c in mins}
+    return md.num_rows, stats
+
+
+#: data-skipping conjunct operators → (uses_min, uses_max) can-match rule
+_SKIP_OPS = {"=", "<", "<=", ">", ">="}
+
+
+def _file_can_match(stats: dict | None, conjuncts: list[tuple]) -> bool:
+    """Interval check: can ANY row of a file with these [min, max] stats
+    satisfy every ``(col, op, literal)`` conjunct? Missing stats for a
+    column → that conjunct can't prune (keep the file)."""
+    if not stats:
+        return True
+    for col, op, val in conjuncts:
+        rng = stats.get(col)
+        if rng is None:
+            continue
+        lo, hi = rng
+        if op == "=" and not (lo <= val <= hi):
+            return False
+        if op == "<" and not (lo < val):
+            return False
+        if op == "<=" and not (lo <= val):
+            return False
+        if op == ">" and not (hi > val):
+            return False
+        if op == ">=" and not (hi >= val):
+            return False
+    return True
 
 
 def src(name: str) -> Column:
@@ -181,7 +232,9 @@ class ParquetMergeTable:
             return json.load(f)
 
     @staticmethod
-    def _resolved(entry: dict, file_rows: dict, delete_file_rows: dict) -> dict:
+    def _resolved(
+        entry: dict, file_rows: dict, delete_file_rows: dict, file_stats: dict
+    ) -> dict:
         """Build the resolved-snapshot view of a version from its log
         entry plus the accumulated file state."""
         return {
@@ -193,6 +246,7 @@ class ParquetMergeTable:
             "delete_files": sorted(delete_file_rows),
             "file_rows": file_rows,
             "delete_file_rows": delete_file_rows,
+            "file_stats": file_stats,
             "change_files": entry["change_files"],
             "insert_files": entry["insert_files"],
             "mixed_schema": entry["mixed_schema"],
@@ -212,29 +266,34 @@ class ParquetMergeTable:
         start_cache = max(cached) if cached else None
         file_rows: dict[str, int] = {}
         del_rows: dict[str, int] = {}
+        file_stats: dict[str, dict] = {}
         replay_from = 0
         if start_cache is not None and (start_ck is None or start_cache >= start_ck):
             prev = self._cache[start_cache]
             file_rows = dict(prev["file_rows"])
             del_rows = dict(prev["delete_file_rows"])
+            file_stats = dict(prev["file_stats"])
             replay_from = start_cache + 1
         elif start_ck is not None:
             ck = self._read_json(self._ckpt_path(start_ck))
             file_rows = dict(ck["file_rows"])
             del_rows = dict(ck["delete_file_rows"])
+            file_stats = dict(ck.get("file_stats", {}))
             replay_from = start_ck + 1
         entry = None
         for w in range(replay_from, version + 1):
             entry = self._read_json(self._log_path(w))
             for f in entry["remove_files"]:
                 file_rows.pop(f, None)
+                file_stats.pop(f, None)
             file_rows.update(entry["file_rows"])
+            file_stats.update(entry.get("file_stats", {}))
             for f in entry["remove_delete_files"]:
                 del_rows.pop(f, None)
             del_rows.update(entry["delete_file_rows"])
         if entry is None:  # checkpoint landed exactly on `version`
             entry = self._read_json(self._log_path(version))
-        resolved = self._resolved(entry, file_rows, del_rows)
+        resolved = self._resolved(entry, file_rows, del_rows, file_stats)
         self._cache[version] = resolved
         return resolved
 
@@ -245,6 +304,7 @@ class ParquetMergeTable:
             "version": resolved["version"],
             "file_rows": resolved["file_rows"],
             "delete_file_rows": resolved["delete_file_rows"],
+            "file_stats": resolved["file_stats"],
             "mixed_schema": resolved["mixed_schema"],
         }
         tmp = os.path.join(
@@ -280,6 +340,10 @@ class ParquetMergeTable:
         remove_files = sorted(prev_files - set(files_s))
         add_dels = [f for f in dels_s if f not in prev_dels]
         remove_dels = sorted(prev_dels - set(dels_s))
+        # exact per-file row counts AND column min/max from the parquet
+        # footers — only the newly added files pay a footer read; the
+        # stats power read(where=...) data skipping
+        add_meta = {f: _parquet_file_meta(f) for f in add_files}
         entry = {
             "version": next_v,
             "operation": operation,
@@ -287,12 +351,11 @@ class ParquetMergeTable:
             "committed_at": time.time(),
             "add_files": add_files,
             "remove_files": remove_files,
-            # exact per-file row counts from the parquet footers — only
-            # the newly added files pay a footer read
-            "file_rows": {f: _parquet_rows(f) for f in add_files},
+            "file_rows": {f: add_meta[f][0] for f in add_files},
+            "file_stats": {f: add_meta[f][1] for f in add_files},
             "add_delete_files": add_dels,
             "remove_delete_files": remove_dels,
-            "delete_file_rows": {f: _parquet_rows(f) for f in add_dels},
+            "delete_file_rows": {f: _parquet_file_meta(f)[0] for f in add_dels},
             "change_files": sorted(change_files or []),
             "insert_files": sorted(insert_files or []),
             "mixed_schema": mixed_schema,
@@ -317,14 +380,17 @@ class ParquetMergeTable:
             os.unlink(tmp)
         # resolved snapshot straight from base + entry (no replay)
         all_rows = dict(base["file_rows"]) if base else {}
+        all_stats = dict(base["file_stats"]) if base else {}
         for f in remove_files:
             all_rows.pop(f, None)
+            all_stats.pop(f, None)
         all_rows.update(entry["file_rows"])
+        all_stats.update(entry["file_stats"])
         all_del_rows = dict(base["delete_file_rows"]) if base else {}
         for f in remove_dels:
             all_del_rows.pop(f, None)
         all_del_rows.update(entry["delete_file_rows"])
-        resolved = self._resolved(entry, all_rows, all_del_rows)
+        resolved = self._resolved(entry, all_rows, all_del_rows, all_stats)
         self._cache[next_v] = resolved
         if next_v and next_v % CHECKPOINT_INTERVAL == 0:
             self._write_checkpoint(resolved)
@@ -426,16 +492,54 @@ class ParquetMergeTable:
             None, files, "create", {"files_written": len(files)}, insert_files=files
         )
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        where: list[tuple] | None = None,
+    ) -> DataFrame:
+        """Read a version. ``where`` — an optional conjunction of
+        ``(column, op, literal)`` tuples, op in {=, <, <=, >, >=} —
+        turns on DATA SKIPPING: files whose manifest [min, max] stats
+        cannot satisfy every conjunct are dropped from the scan WITHOUT
+        opening them (Delta stats-based pruning / Iceberg manifest
+        filtering). This is what makes ``compact(sort_col=...)`` and
+        Z-order pay off at the FILE level: after clustering, a narrow
+        range predicate opens a handful of files out of thousands. The
+        predicate is ALSO applied as a residual row filter, so results
+        are exact whatever the stats coverage (columns without stats
+        simply never skip)."""
+        import functools
+        import operator as pyop
+
         v = self.current_version() if version is None else version
         m = self._manifest(v)
         files = m["files"]
         if not files:
             raise MergeError(f"version {v} has no files")
+        residual = None
+        if where:
+            bad = sorted({op for _, op, _ in where} - _SKIP_OPS)
+            if bad:
+                raise MergeError(f"unsupported data-skipping operator(s): {bad}")
+            stats = m["file_stats"]
+            files = [f for f in files if _file_can_match(stats.get(f), where)]
+            op_fn = {"=": pyop.eq, "<": pyop.lt, "<=": pyop.le,
+                     ">": pyop.gt, ">=": pyop.ge}
+            residual = functools.reduce(
+                lambda a, b: a & b,
+                [op_fn[op](F.col(c), F.lit(val)) for c, op, val in where],
+            )
+        if not files:  # every file skipped: empty result, correct schema
+            schema = self._read_data(m["files"], m["mixed_schema"]).schema
+            return self.spark.createDataFrame([], schema)
         if not m["delete_files"]:
-            return self._read_data(files, m["mixed_schema"])
-        cols = self._read_data(files, m["mixed_schema"]).columns
-        return self._live_scan(m).select(*cols)
+            df = self._read_data(files, m["mixed_schema"])
+        else:
+            cols = self._read_data(files, m["mixed_schema"]).columns
+            df = self._scan(
+                files, m["delete_files"], m["mixed_schema"], m["delete_rows_total"]
+            ).select(*cols)
+        return df.filter(residual) if residual is not None else df
 
     def history(self) -> list[dict]:
         return [self._manifest(v) for v in self._versions()]
@@ -987,6 +1091,22 @@ class ParquetMergeTable:
             "versions_dropped": len(drop_vs),
             "versions_retained": keep_vs,
         }
+
+
+def retry_on_conflict(fn, attempts: int = 3):
+    """Delta's optimistic retry loop: run a table operation, re-running
+    it when another writer wins the commit race. Each attempt of ``fn``
+    re-reads the table's current version, so the retry computes against
+    the winner's committed state — the semantics stay those of running
+    the operations serially in either order. Raises the last
+    ConcurrentWriteError once ``attempts`` are exhausted (a persistently
+    hot table needs coordination above this layer)."""
+    for i in range(attempts):
+        try:
+            return fn()
+        except ConcurrentWriteError:
+            if i == attempts - 1:
+                raise
 
 
 def stream_merge_upsert(

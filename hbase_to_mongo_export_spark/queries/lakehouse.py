@@ -276,6 +276,35 @@ def merge_replace_where_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "merge_data_skipping_read",
+    oracle="WITH "
+    + """
+    target AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    hit AS (
+      SELECT * FROM target WHERE o_orderkey >= 800 AND o_orderkey < 4000
+    )
+"""
+    + _STATUS_AGG_SQL.format(rel="hit"),
+)
+def merge_data_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-based data skipping: the manifest carries per-file column
+    [min, max] (footer stats captured at commit), and
+    ``read(where=...)`` drops files whose range cannot satisfy the
+    predicate BEFORE the scan — on this range-clustered table a narrow
+    key range opens ~1/8 of the files (pytest pins the inputFiles
+    count). The oracle recomputes the same slice from the source table,
+    proving the skip decision + residual filter lose and double
+    nothing."""
+    t = _orders_table(spark, sf_dir, "skip")
+    return _status_agg(
+        t.read(where=[("o_orderkey", ">=", 800), ("o_orderkey", "<", 4000)])
+    )
+
+
+@register(
     "merge_cdf_stream_replay",
     oracle=f"""
     WITH {_TARGET_CTE},

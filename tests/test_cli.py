@@ -152,6 +152,13 @@ def test_table_subcommand_lifecycle(tmp_path, capsys, spark):
                  "--target-files", "2"]) == 0
     assert json.loads(capsys.readouterr().out.strip())["files_written"] == 2
 
+    # data-skipping read: conjuncts prune files via manifest stats, the
+    # residual filter trims to exact rows
+    assert main(["table", "read", tbl, "--limit", "100",
+                 "--range", "id,>=,20", "--range", "id,<,25"]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert sorted(r["id"] for r in rows) == [21, 22, 23, 24]  # 20 deleted
+
     assert main(["table", "history", tbl]) == 0
     hist = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert [h["operation"] for h in hist] == ["create", "delete", "compact"]
@@ -174,3 +181,9 @@ def test_table_subcommand_arg_errors(tmp_path, capsys, spark):
     assert main(["table", "create", tbl, "--source", str(tmp_path / "s")]) == 0
     capsys.readouterr()
     assert main(["table", "delete-where", tbl]) == 2  # missing --where
+    capsys.readouterr()
+    assert main(["table", "compact", tbl, "--zorder", "id"]) == 2  # arity
+    capsys.readouterr()
+    assert main(["table", "read", tbl, "--range", "id,>=,notanumber"]) == 2
+    capsys.readouterr()
+    assert main(["table", "read", tbl, "--range", "id>=3"]) == 2  # bad shape

@@ -553,6 +553,34 @@ class TestOptimisticConcurrency:
         got = _as_dict(table.read())
         assert got[5] == ("retry", 50.0) and 3 not in got
 
+    def test_retry_on_conflict_helper(self, spark, table):
+        from hbase_to_mongo_export_spark.operators.merge import (
+            retry_on_conflict,
+        )
+
+        t2 = ParquetMergeTable(spark, table.path)
+        orig = t2._stage_files
+
+        def hijack(df, mrpf):
+            t2._stage_files = orig
+            table.delete_where(F.col("id") == 3)
+            return orig(df, mrpf)
+
+        t2._stage_files = hijack
+        source = spark.createDataFrame(
+            [(5, "auto", 0.0)], "id bigint, name string, amount double"
+        )
+        stats = retry_on_conflict(
+            lambda: t2.merge(
+                source, on=["id"],
+                when_matched_update={"name": src("name")},
+                insert_not_matched=False,
+            )
+        )
+        assert stats["version"] == 2  # lost v1, won v2 on retry
+        got = _as_dict(table.read())
+        assert got[5] == ("auto", 50.0) and 3 not in got
+
     def test_create_over_existing_table_conflicts(self, spark, table):
         from hbase_to_mongo_export_spark.operators.merge import (
             ConcurrentWriteError,
@@ -780,6 +808,71 @@ class TestBroadcastGuards:
         assert "BroadcastHashJoin" in small, small
         big = _plan_of(table._pruning_df(live, src_df, ["id"], False))
         assert "SortMergeJoin" in big and "BroadcastHashJoin" not in big, big
+
+
+class TestDataSkipping:
+    """read(where=...) file pruning from the manifest's per-file
+    [min, max] stats — the Delta/Iceberg data-skipping contract that
+    makes sort/Z-order clustering pay off at the FILE level."""
+
+    def test_range_read_skips_files_and_is_exact(self, spark, table):
+        # fixture: 100 rows range-clustered into 10 files of 10 ids each
+        where = [("id", ">=", 20), ("id", "<", 40)]
+        df = table.read(where=where)
+        assert len(df.inputFiles()) <= 3  # 2 hit files (+1 boundary max)
+        assert sorted(_as_dict(df)) == list(range(20, 40))
+
+    def test_equality_point_read_opens_one_file(self, spark, table):
+        df = table.read(where=[("id", "=", 55)])
+        assert len(df.inputFiles()) == 1
+        assert sorted(_as_dict(df)) == [55]
+
+    def test_skipping_respects_deletion_vectors(self, spark, table):
+        table.delete_where(F.col("id") == 25)
+        got = sorted(_as_dict(table.read(where=[("id", ">=", 20), ("id", "<", 30)])))
+        assert got == [20, 21, 22, 23, 24, 26, 27, 28, 29]
+
+    def test_all_files_skipped_returns_empty_with_schema(self, spark, table):
+        df = table.read(where=[("id", ">", 10_000)])
+        assert df.count() == 0
+        assert set(df.columns) == {"id", "name", "amount"}
+
+    def test_residual_filter_makes_results_exact(self, spark, table):
+        # the predicate column has stats, but skipping alone would keep
+        # whole files — the residual filter must trim to exact rows
+        got = sorted(_as_dict(table.read(where=[("id", ">=", 25), ("id", "<=", 26)])))
+        assert got == [25, 26]
+
+    def test_unsupported_operator_rejected(self, spark, table):
+        with pytest.raises(MergeError, match="unsupported data-skipping"):
+            table.read(where=[("id", "!=", 3)])
+
+    def test_stats_survive_checkpoint_and_fresh_reader(self, spark, table):
+        from hbase_to_mongo_export_spark.operators.merge import (
+            CHECKPOINT_INTERVAL,
+        )
+
+        for i in range(CHECKPOINT_INTERVAL):
+            table.delete_where(F.col("id") == i)
+        t2 = ParquetMergeTable(spark, table.path)  # resolves via checkpoint
+        df = t2.read(where=[("id", ">=", 90)])
+        # inputFiles includes the deletion-vector side; count data files
+        data_files = [f for f in df.inputFiles() if "/_deletes/" not in f]
+        assert len(data_files) == 1
+        assert sorted(_as_dict(df)) == list(range(90, 100))
+
+    def test_merge_rewritten_files_get_fresh_stats(self, spark, table):
+        table.merge(
+            spark.createDataFrame(
+                [(5, "u", 0.0)], "id bigint, name string, amount double"
+            ),
+            on=["id"],
+            when_matched_update={"name": src("name")},
+            insert_not_matched=False,
+        )
+        df = table.read(where=[("id", ">=", 0), ("id", "<", 10)])
+        assert len(df.inputFiles()) == 1
+        assert _as_dict(df)[5] == ("u", 50.0)
 
 
 class TestChangeDataFeedStreaming:
