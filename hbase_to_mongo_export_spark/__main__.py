@@ -90,7 +90,7 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="delete-where: SQL boolean expression")
     t.add_argument("--sort-col", default=None, help="compact: range-cluster key")
     t.add_argument("--zorder", default=None,
-                   help="compact: two comma-separated columns to Z-order")
+                   help="compact: 2+ comma-separated columns to Z-order")
     t.add_argument("--target-files", type=int, default=None)
     t.add_argument("--retain-last", type=int, default=1, help="vacuum")
     t.add_argument("--limit", type=int, default=100, help="read/changes print cap")
@@ -273,13 +273,13 @@ def main(argv: list[str] | None = None) -> int:
             zorder = None
             if args.zorder:
                 cols = [c.strip() for c in args.zorder.split(",") if c.strip()]
-                if len(cols) != 2:
+                if len(cols) < 2:
                     print(
-                        "--zorder needs exactly two comma-separated columns",
+                        "--zorder needs at least two comma-separated columns",
                         file=sys.stderr,
                     )
                     return 2
-                zorder = (cols[0], cols[1])
+                zorder = tuple(cols)
             print(
                 json.dumps(
                     t.compact(

@@ -1005,13 +1005,13 @@ class ParquetMergeTable:
         sort_col: str | None = None,
         target_files: int | None = None,
         max_records_per_file: int | None = None,
-        zorder: tuple[str, str] | None = None,
+        zorder: tuple[str, ...] | None = None,
     ) -> dict:
         """OPTIMIZE: rewrite the current version into ``target_files``
         right-sized files (range-clustered on ``sort_col`` so parquet
         min/max stats prune key ranges afterwards, or Z-ordered on a
-        ``zorder`` column pair — Delta/Iceberg ``OPTIMIZE ZORDER BY`` —
-        so files stay narrow in BOTH dimensions). Z-order coordinates
+        ``zorder`` tuple of 2+ columns — Delta/Iceberg ``OPTIMIZE ZORDER
+        BY`` — so files stay narrow in EVERY dimension). Z-order coordinates
         are rank-normalized with sampled approx-quantile bucket edges
         (plans/layout.py) — a single distributed pass, never a global
         window, so no task ever holds the whole table. Pending deletion
@@ -1031,9 +1031,8 @@ class ParquetMergeTable:
         if zorder:
             from ..plans.layout import morton_clustered
 
-            ca, cb = zorder
             out = (
-                morton_clustered(df, ca, cb)
+                morton_clustered(df, *zorder)
                 .repartitionByRange(target_files, F.col("__z"))
                 .sortWithinPartitions("__z")
                 .drop("__z")

@@ -71,18 +71,28 @@ def compact(
     writer.parquet(path)
 
 
+def morton_code_n(cols: list[Column], bits: int = ZORDER_BITS) -> Column:
+    """Interleave the low ``bits`` bits of N non-negative int columns
+    into a single Z-order key: bit ``i`` of column ``j`` lands at
+    position ``i*N + j`` (column 0 in the lowest lane). ``bits * N``
+    must fit a signed long."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("morton_code_n needs at least two columns")
+    if bits * n > 62:
+        raise ValueError(f"{bits} bits x {n} columns overflows a long")
+    code = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
+            code = code.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return code
+
+
 def morton_code(a: Column, b: Column, bits: int = ZORDER_BITS) -> Column:
     """Interleave the low ``bits`` bits of two non-negative int columns
     into a single Z-order key (a's bits in even positions)."""
-    code = F.lit(0).cast("long")
-    for i in range(bits):
-        abit = F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1))
-        bbit = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
-        code = (
-            code.bitwiseOR(F.shiftleft(abit, 2 * i))
-            .bitwiseOR(F.shiftleft(bbit, 2 * i + 1))
-        )
-    return code
+    return morton_code_n([a, b], bits)
 
 
 def quantile_edges(
@@ -138,30 +148,29 @@ def bucket_expr(colname: str, edges: list[float]) -> Column:
 
 def morton_clustered(
     df: DataFrame,
-    col_a: str,
-    col_b: str,
+    *cols: str,
     bits: int = ZORDER_BITS,
     relative_error: float | None = None,
 ) -> DataFrame:
-    """``df`` plus a ``__z`` Morton key over approx-rank-normalized
-    (col_a, col_b). One sampled quantile pass + a narrow projection —
-    NO global window, no single-partition stage at any scale."""
-    for c in (col_a, col_b):
-        dtype = dict(df.dtypes).get(c)
+    """``df`` plus a ``__z`` Morton key over N approx-rank-normalized
+    columns (Delta's ``OPTIMIZE ZORDER BY (c1, ..., cN)``). One sampled
+    quantile pass + a narrow projection — NO global window, no
+    single-partition stage at any scale."""
+    if len(cols) < 2:
+        raise ValueError("Z-order needs at least two columns")
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        dtype = dtypes.get(c)
         if dtype is None or not dtype.startswith(_NUMERIC_PREFIXES):
             raise ValueError(
                 f"Z-order column {c!r} must be numeric (got {dtype!r}); "
                 "derive a numeric surrogate (e.g. xxhash64 or a cast) first"
             )
     n = 1 << bits
-    edges = quantile_edges(df, [col_a, col_b], n, relative_error)
+    edges = quantile_edges(df, list(cols), n, relative_error)
     return df.withColumn(
         "__z",
-        morton_code(
-            bucket_expr(col_a, edges[col_a]),
-            bucket_expr(col_b, edges[col_b]),
-            bits,
-        ),
+        morton_code_n([bucket_expr(c, edges[c]) for c in cols], bits),
     )
 
 
@@ -176,7 +185,7 @@ def morton_cluster(
     """Rewrite ``df`` Z-ordered on (col_a, col_b): approx-quantile rank
     buckets → Morton interleave → one range exchange on the code."""
     (
-        morton_clustered(df, col_a, col_b, bits)
+        morton_clustered(df, col_a, col_b, bits=bits)
         .repartitionByRange(target_files, F.col("__z"))
         .sortWithinPartitions("__z")
         .drop("__z")

@@ -96,6 +96,65 @@ class TestBucketExpr:
             morton_clustered(df, "s", "v")
 
 
+class TestMortonCodeN:
+    def test_bit_interleave_positions(self, spark):
+        """bit i of column j lands at position i*N + j — checked against
+        a hand-computed 3-column example."""
+        from hbase_to_mongo_export_spark.plans.layout import morton_code_n
+
+        df = spark.createDataFrame([(0b101, 0b011, 0b110)], "a long, b long, c long")
+        got = df.select(
+            morton_code_n([F.col("a"), F.col("b"), F.col("c")], bits=3).alias("z")
+        ).first()["z"]
+        expect = 0
+        for i in range(3):
+            expect |= ((0b101 >> i) & 1) << (3 * i)
+            expect |= ((0b011 >> i) & 1) << (3 * i + 1)
+            expect |= ((0b110 >> i) & 1) << (3 * i + 2)
+        assert got == expect
+
+    def test_overflow_and_arity_guards(self, spark):
+        from hbase_to_mongo_export_spark.plans.layout import morton_code_n
+
+        import pytest
+
+        with pytest.raises(ValueError, match="at least two"):
+            morton_code_n([F.col("a")])
+        with pytest.raises(ValueError, match="overflows"):
+            morton_code_n([F.col("a")] * 8, bits=8)
+
+    def test_three_column_clustering_narrows_every_dim(self, spark, sf_dir, tmp_path):
+        from hbase_to_mongo_export_spark.plans.layout import morton_clustered
+        from hbase_to_mongo_export_spark.sources.catalog import load_table
+
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        out = str(tmp_path / "orders_z3")
+        (
+            morton_clustered(orders, "o_orderkey", "o_custkey", "o_totalprice")
+            .repartitionByRange(8, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        assert spark.read.parquet(out).count() == orders.count()
+        glob_spans = orders.agg(
+            (F.max("o_orderkey") - F.min("o_orderkey")).alias("k"),
+            (F.max("o_custkey") - F.min("o_custkey")).alias("c"),
+            (F.max("o_totalprice") - F.min("o_totalprice")).alias("p"),
+        ).first()
+        for col, dom in (("o_orderkey", glob_spans.k),
+                         ("o_custkey", glob_spans.c),
+                         ("o_totalprice", glob_spans.p)):
+            spans = _per_file_spans(spark, out, col)
+            avg = sum(hi - lo for lo, hi in spans) / len(spans)
+            # with 8 files and 3 dims, each dim's mean span must stay
+            # meaningfully under the full domain (2^(1/3) split per dim)
+            assert avg < 0.85 * dom, (col, avg, dom)
+
+
 class TestMortonClustering:
     def test_zorder_narrows_both_dimensions(self, spark, sf_dir, tmp_path):
         """After Z-ordering on (o_custkey, o_totalprice), a typical file
