@@ -78,6 +78,11 @@ def _build_parser() -> argparse.ArgumentParser:
     t.add_argument("--source", default=None,
                    help="create: parquet path of the initial data")
     t.add_argument("--version", type=int, default=None, help="read: time travel")
+    t.add_argument("--as-of-timestamp", type=float, default=None,
+                   help="read: TIMESTAMP AS OF (unix seconds)")
+    t.add_argument("--bin-pack-bytes", type=int, default=None,
+                   help="compact: incremental bin-packing — rewrite only "
+                        "files smaller than this many bytes")
     t.add_argument(
         "--range", action="append", default=None, metavar="COL,OP,VALUE",
         help="read: data-skipping conjunct, e.g. --range o_orderkey,>=,800 "
@@ -244,7 +249,11 @@ def main(argv: list[str] | None = None) -> int:
                             )
                             return 2
                     where.append((col, op, val))
-            df = t.read(version=args.version, where=where)
+            df = t.read(
+                version=args.version,
+                where=where,
+                as_of_timestamp=args.as_of_timestamp,
+            )
             for r in df.limit(args.limit).collect():
                 print(json.dumps(r.asDict(), default=str))
         elif args.action == "history":
@@ -286,6 +295,7 @@ def main(argv: list[str] | None = None) -> int:
                         sort_col=args.sort_col,
                         target_files=args.target_files,
                         zorder=zorder,
+                        bin_pack_bytes=args.bin_pack_bytes,
                     )
                 )
             )

@@ -233,7 +233,11 @@ class ParquetMergeTable:
 
     @staticmethod
     def _resolved(
-        entry: dict, file_rows: dict, delete_file_rows: dict, file_stats: dict
+        entry: dict,
+        file_rows: dict,
+        delete_file_rows: dict,
+        file_stats: dict,
+        file_bytes: dict,
     ) -> dict:
         """Build the resolved-snapshot view of a version from its log
         entry plus the accumulated file state."""
@@ -247,6 +251,7 @@ class ParquetMergeTable:
             "file_rows": file_rows,
             "delete_file_rows": delete_file_rows,
             "file_stats": file_stats,
+            "file_bytes": file_bytes,
             "change_files": entry["change_files"],
             "insert_files": entry["insert_files"],
             "mixed_schema": entry["mixed_schema"],
@@ -267,18 +272,21 @@ class ParquetMergeTable:
         file_rows: dict[str, int] = {}
         del_rows: dict[str, int] = {}
         file_stats: dict[str, dict] = {}
+        file_bytes: dict[str, int] = {}
         replay_from = 0
         if start_cache is not None and (start_ck is None or start_cache >= start_ck):
             prev = self._cache[start_cache]
             file_rows = dict(prev["file_rows"])
             del_rows = dict(prev["delete_file_rows"])
             file_stats = dict(prev["file_stats"])
+            file_bytes = dict(prev["file_bytes"])
             replay_from = start_cache + 1
         elif start_ck is not None:
             ck = self._read_json(self._ckpt_path(start_ck))
             file_rows = dict(ck["file_rows"])
             del_rows = dict(ck["delete_file_rows"])
             file_stats = dict(ck.get("file_stats", {}))
+            file_bytes = dict(ck.get("file_bytes", {}))
             replay_from = start_ck + 1
         entry = None
         for w in range(replay_from, version + 1):
@@ -286,14 +294,16 @@ class ParquetMergeTable:
             for f in entry["remove_files"]:
                 file_rows.pop(f, None)
                 file_stats.pop(f, None)
+                file_bytes.pop(f, None)
             file_rows.update(entry["file_rows"])
             file_stats.update(entry.get("file_stats", {}))
+            file_bytes.update(entry.get("file_bytes", {}))
             for f in entry["remove_delete_files"]:
                 del_rows.pop(f, None)
             del_rows.update(entry["delete_file_rows"])
         if entry is None:  # checkpoint landed exactly on `version`
             entry = self._read_json(self._log_path(version))
-        resolved = self._resolved(entry, file_rows, del_rows, file_stats)
+        resolved = self._resolved(entry, file_rows, del_rows, file_stats, file_bytes)
         self._cache[version] = resolved
         return resolved
 
@@ -305,6 +315,7 @@ class ParquetMergeTable:
             "file_rows": resolved["file_rows"],
             "delete_file_rows": resolved["delete_file_rows"],
             "file_stats": resolved["file_stats"],
+            "file_bytes": resolved["file_bytes"],
             "mixed_schema": resolved["mixed_schema"],
         }
         tmp = os.path.join(
@@ -342,7 +353,8 @@ class ParquetMergeTable:
         remove_dels = sorted(prev_dels - set(dels_s))
         # exact per-file row counts AND column min/max from the parquet
         # footers — only the newly added files pay a footer read; the
-        # stats power read(where=...) data skipping
+        # stats power read(where=...) data skipping, the byte sizes
+        # power incremental bin-packing OPTIMIZE
         add_meta = {f: _parquet_file_meta(f) for f in add_files}
         entry = {
             "version": next_v,
@@ -353,6 +365,7 @@ class ParquetMergeTable:
             "remove_files": remove_files,
             "file_rows": {f: add_meta[f][0] for f in add_files},
             "file_stats": {f: add_meta[f][1] for f in add_files},
+            "file_bytes": {f: os.path.getsize(f) for f in add_files},
             "add_delete_files": add_dels,
             "remove_delete_files": remove_dels,
             "delete_file_rows": {f: _parquet_file_meta(f)[0] for f in add_dels},
@@ -381,16 +394,21 @@ class ParquetMergeTable:
         # resolved snapshot straight from base + entry (no replay)
         all_rows = dict(base["file_rows"]) if base else {}
         all_stats = dict(base["file_stats"]) if base else {}
+        all_bytes = dict(base["file_bytes"]) if base else {}
         for f in remove_files:
             all_rows.pop(f, None)
             all_stats.pop(f, None)
+            all_bytes.pop(f, None)
         all_rows.update(entry["file_rows"])
         all_stats.update(entry["file_stats"])
+        all_bytes.update(entry["file_bytes"])
         all_del_rows = dict(base["delete_file_rows"]) if base else {}
         for f in remove_dels:
             all_del_rows.pop(f, None)
         all_del_rows.update(entry["delete_file_rows"])
-        resolved = self._resolved(entry, all_rows, all_del_rows, all_stats)
+        resolved = self._resolved(
+            entry, all_rows, all_del_rows, all_stats, all_bytes
+        )
         self._cache[next_v] = resolved
         if next_v and next_v % CHECKPOINT_INTERVAL == 0:
             self._write_checkpoint(resolved)
@@ -469,6 +487,32 @@ class ParquetMergeTable:
             m["delete_rows_total"],
         )
 
+    def _carry_delete_files(
+        self, pending_dels: list[str], rewritten: list[str], carried: list[str]
+    ) -> list[str]:
+        """Deletion-vector carry across a partial rewrite: entries
+        pointing at CARRIED files stay valid; entries for REWRITTEN
+        files die with the rewrite (their rows were physically dropped
+        by the scan that produced the new files). Returns the new
+        version's delete-file list."""
+        if not pending_dels:
+            return []
+        if not rewritten:
+            return pending_dels
+        carried_abs = [os.path.abspath(f) for f in carried]
+        kept = self._delete_entries(pending_dels).filter(
+            F.col("file_path").isin(carried_abs)
+        )
+        keep_dir = os.path.join(self.path, f"_deletes/del-{uuid.uuid4().hex[:12]}")
+        kept.coalesce(1).write.mode("overwrite").parquet(keep_dir)
+        if self.spark.read.parquet(keep_dir).limit(1).count():
+            return [
+                os.path.join(keep_dir, f)
+                for f in os.listdir(keep_dir)
+                if f.endswith(".parquet")
+            ]
+        return []
+
     def _pruning_df(
         self, live: DataFrame, source: DataFrame, on: list[str], small_source: bool
     ) -> DataFrame:
@@ -492,10 +536,38 @@ class ParquetMergeTable:
             None, files, "create", {"files_written": len(files)}, insert_files=files
         )
 
+    def version_at(self, timestamp: float) -> int:
+        """``TIMESTAMP AS OF`` resolution: the latest version committed
+        at or before ``timestamp`` (unix seconds). Commit times are
+        monotone because versions are serialized by the commit protocol,
+        so a binary search over the retained log costs O(log V) entry
+        reads — never a full-history scan."""
+        vs = self._versions()
+        if not vs:
+            raise MergeError(f"no committed version in {self.path}")
+
+        def t_of(v: int) -> float:
+            return self._read_json(self._log_path(v))["committed_at"]
+
+        if timestamp < t_of(vs[0]):
+            raise MergeError(
+                "timestamp precedes the first retained commit "
+                f"(v{vs[0]}) — older versions were vacuumed or never existed"
+            )
+        lo, hi = 0, len(vs) - 1
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if t_of(vs[mid]) <= timestamp:
+                lo = mid
+            else:
+                hi = mid - 1
+        return vs[lo]
+
     def read(
         self,
         version: int | None = None,
         where: list[tuple] | None = None,
+        as_of_timestamp: float | None = None,
     ) -> DataFrame:
         """Read a version. ``where`` — an optional conjunction of
         ``(column, op, literal)`` tuples, op in {=, <, <=, >, >=} —
@@ -507,10 +579,15 @@ class ParquetMergeTable:
         range predicate opens a handful of files out of thousands. The
         predicate is ALSO applied as a residual row filter, so results
         are exact whatever the stats coverage (columns without stats
-        simply never skip)."""
+        simply never skip). ``as_of_timestamp`` (unix seconds) reads the
+        snapshot current at that moment — ``TIMESTAMP AS OF``."""
         import functools
         import operator as pyop
 
+        if as_of_timestamp is not None:
+            if version is not None:
+                raise MergeError("pass version OR as_of_timestamp, not both")
+            version = self.version_at(as_of_timestamp)
         v = self.current_version() if version is None else version
         m = self._manifest(v)
         files = m["files"]
@@ -718,24 +795,8 @@ class ParquetMergeTable:
         def _parts(d: str) -> list[str]:
             return [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
 
-        # 3) deletion-vector carry: entries pointing at untouched files
-        # stay valid; entries for touched files die with the rewrite
-        # (their rows are physically dropped by the _scan below).
-        carried_dels: list[str] = []
-        if pending_dels:
-            if not touched:
-                carried_dels = pending_dels
-            else:
-                untouched_abs = [os.path.abspath(f) for f in untouched]
-                kept = self._delete_entries(pending_dels).filter(
-                    F.col("file_path").isin(untouched_abs)
-                )
-                keep_dir = os.path.join(
-                    self.path, f"_deletes/del-{uuid.uuid4().hex[:12]}"
-                )
-                kept.coalesce(1).write.mode("overwrite").parquet(keep_dir)
-                if spark.read.parquet(keep_dir).limit(1).count():
-                    carried_dels = _parts(keep_dir)
+        # 3) deletion-vector carry across the partial rewrite
+        carried_dels = self._carry_delete_files(pending_dels, touched, untouched)
 
         # 4) row-level merge over ONLY the touched files
         stats = {
@@ -939,21 +1000,7 @@ class ParquetMergeTable:
 
         # deletion-vector carry (same rule as MERGE: touched-file entries
         # die with the rewrite, untouched-file entries stay valid)
-        carried_dels: list[str] = []
-        if pending_dels:
-            if not touched:
-                carried_dels = pending_dels
-            else:
-                untouched_abs = [os.path.abspath(f) for f in untouched]
-                kept = self._delete_entries(pending_dels).filter(
-                    F.col("file_path").isin(untouched_abs)
-                )
-                keep_dir = os.path.join(
-                    self.path, f"_deletes/del-{uuid.uuid4().hex[:12]}"
-                )
-                kept.coalesce(1).write.mode("overwrite").parquet(keep_dir)
-                if spark.read.parquet(keep_dir).limit(1).count():
-                    carried_dels = _parts(keep_dir)
+        carried_dels = self._carry_delete_files(pending_dels, touched, untouched)
 
         new_files: list[str] = list(untouched)
         change_files: list[str] = []
@@ -1006,6 +1053,7 @@ class ParquetMergeTable:
         target_files: int | None = None,
         max_records_per_file: int | None = None,
         zorder: tuple[str, ...] | None = None,
+        bin_pack_bytes: int | None = None,
     ) -> dict:
         """OPTIMIZE: rewrite the current version into ``target_files``
         right-sized files (range-clustered on ``sort_col`` so parquet
@@ -1019,10 +1067,25 @@ class ParquetMergeTable:
         version carries none — this is the MoR purge step. A
         schema-evolved mixed table is rewritten uniformly (flag cleared).
         Old versions keep their file lists — time travel still works
-        until ``vacuum``."""
+        until ``vacuum``.
+
+        ``bin_pack_bytes`` switches to INCREMENTAL bin-packing (Delta's
+        default OPTIMIZE): only files smaller than the threshold are
+        rewritten, into ~threshold-sized outputs; right-sized files
+        carry by reference, their pending deletion vectors carry with
+        them. At 100 TB the whole-table rewrite above is a rare luxury
+        job — this is what the nightly small-file maintenance loop runs,
+        with cost proportional to the backlog, not the table."""
         if sort_col and zorder:
             raise MergeError("pass sort_col OR zorder, not both")
+        if bin_pack_bytes and zorder:
+            raise MergeError(
+                "bin_pack_bytes is an incremental rewrite; Z-order is a "
+                "whole-table layout — run them as separate OPTIMIZE passes"
+            )
         m = self._manifest(self.current_version())
+        if bin_pack_bytes:
+            return self._bin_pack(m, bin_pack_bytes, sort_col, max_records_per_file)
         df = self.read()
         if target_files is None:
             target_files = int(
@@ -1044,6 +1107,65 @@ class ParquetMergeTable:
         files = self._stage_files(out, max_records_per_file)
         v = self._commit(m, files, "compact", {"files_written": len(files)})
         return {"version": v, "files_written": len(files)}
+
+    def _bin_pack(
+        self,
+        m: dict,
+        threshold: int,
+        sort_col: str | None,
+        max_records_per_file: int | None,
+    ) -> dict:
+        """Incremental OPTIMIZE: rewrite the files under ``threshold``
+        bytes into ~threshold-sized outputs; larger files carry by
+        reference (same paths, zero IO). Deletion-vector entries for the
+        packed files materialize away with the rewrite; entries for
+        carried files stay pending. With fewer than two undersized files
+        there is nothing to pack — no commit, the current version is
+        returned unchanged."""
+        import math
+
+        sizes = m["file_bytes"]
+        packed = [f for f in m["files"] if sizes.get(f, 0) < threshold]
+        carried = [f for f in m["files"] if f not in set(packed)]
+        if len(packed) < 2:
+            return {
+                "version": m["version"],
+                "files_packed": 0,
+                "files_carried": len(m["files"]),
+                "files_written": 0,
+            }
+        target_cols = [
+            f.name
+            for f in self._read_data(m["files"], m["mixed_schema"]).schema.fields
+        ]
+        df = self._scan(
+            packed, m["delete_files"], m["mixed_schema"], m["delete_rows_total"]
+        ).select(*target_cols)
+        n_out = max(1, math.ceil(sum(sizes.get(f, 0) for f in packed) / threshold))
+        out = (
+            df.repartitionByRange(n_out, F.col(sort_col))
+            if sort_col
+            else df.repartition(n_out)
+        )
+        new_files = list(carried) + self._stage_files(out, max_records_per_file)
+        carried_dels = self._carry_delete_files(m["delete_files"], packed, carried)
+        stats = {
+            "files_packed": len(packed),
+            "files_carried": len(carried),
+            "files_written": len(new_files) - len(carried),
+        }
+        new_v = self._commit(
+            m,
+            new_files,
+            "compact",
+            stats,
+            delete_files=carried_dels,
+            # carried files may predate a schema evolution; only a
+            # full rewrite clears the mixed flag
+            mixed_schema=m["mixed_schema"] and bool(carried),
+        )
+        stats["version"] = new_v
+        return stats
 
     def vacuum(self, retain_last: int = 1) -> dict:
         """Delete data files referenced ONLY by versions older than the

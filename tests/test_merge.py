@@ -810,6 +810,88 @@ class TestBroadcastGuards:
         assert "SortMergeJoin" in big and "BroadcastHashJoin" not in big, big
 
 
+class TestBinPackCompact:
+    """Incremental OPTIMIZE: only undersized files rewrite; right-sized
+    files carry by reference — the maintenance job whose cost tracks the
+    small-file backlog, not the table size."""
+
+    @pytest.fixture()
+    def ragged(self, spark, tmp_path):
+        t = ParquetMergeTable(spark, str(tmp_path / "ragged"))
+        big = spark.createDataFrame(
+            [(i,) for i in range(5000)], "id bigint"
+        ).selectExpr("id", "sha2(cast(id as string), 256) as pad").coalesce(1)
+        t.create(big)  # one ~incompressible big file
+        for j in range(3):  # three tiny single-row appends
+            t.merge(
+                spark.createDataFrame(
+                    [(10_000 + j, "tiny")], "id bigint, pad string"
+                ),
+                on=["id"],
+            )
+        return t
+
+    def test_packs_only_small_files(self, spark, ragged):
+        m = ragged._manifest(ragged.current_version())
+        big_files = {f for f, b in m["file_bytes"].items() if b >= 20_000}
+        assert big_files and len(m["files"]) > len(big_files)
+        stats = ragged.compact(bin_pack_bytes=20_000)
+        assert stats["files_packed"] >= 3
+        assert stats["files_written"] == 1  # tiny backlog → one output
+        m2 = ragged._manifest(stats["version"])
+        # the big file carried BY REFERENCE — identical path, zero IO
+        assert big_files <= set(m2["files"])
+        assert ragged.read().count() == 5003
+        assert ragged._manifest(stats["version"])["operation"] == "compact"
+
+    def test_noop_when_nothing_to_pack(self, spark, ragged):
+        v = ragged.current_version()
+        stats = ragged.compact(bin_pack_bytes=1)  # nothing is that small
+        assert stats["files_packed"] == 0
+        assert ragged.current_version() == v  # no empty commit
+
+    def test_deletes_materialize_for_packed_carry_for_big(self, spark, ragged):
+        ragged.delete_where(F.col("id") == 0)        # victim in the BIG file
+        ragged.delete_where(F.col("id") == 10_001)   # victim in a tiny file
+        assert ragged._manifest(ragged.current_version())["delete_rows_total"] == 2
+        stats = ragged.compact(bin_pack_bytes=20_000)
+        m2 = ragged._manifest(stats["version"])
+        # tiny-file entry materialized away with the rewrite; big-file
+        # entry must survive (its data file was not rewritten)
+        assert m2["delete_rows_total"] == 1
+        got = {r["id"] for r in ragged.read().collect()}
+        assert 0 not in got and 10_001 not in got
+        assert len(got) == 5001
+
+    def test_bin_pack_rejects_zorder(self, spark, ragged):
+        with pytest.raises(MergeError, match="separate OPTIMIZE passes"):
+            ragged.compact(bin_pack_bytes=100, zorder=("id", "id"))
+
+
+class TestTimestampTimeTravel:
+    def test_reads_snapshot_current_at_timestamp(self, spark, table):
+        import time as _time
+
+        t0 = table._manifest(0)["committed_at"]
+        _time.sleep(0.05)
+        table.delete_where(F.col("id") == 0)
+        t1 = table._manifest(1)["committed_at"]
+        mid = (t0 + t1) / 2
+        assert table.version_at(mid) == 0
+        assert len(_as_dict(table.read(as_of_timestamp=mid))) == 100
+        assert table.version_at(t1 + 3600) == 1
+        assert len(_as_dict(table.read(as_of_timestamp=t1 + 3600))) == 99
+
+    def test_timestamp_before_first_commit_rejected(self, spark, table):
+        t0 = table._manifest(0)["committed_at"]
+        with pytest.raises(MergeError, match="precedes the first retained"):
+            table.version_at(t0 - 10)
+
+    def test_version_and_timestamp_are_exclusive(self, spark, table):
+        with pytest.raises(MergeError, match="not both"):
+            table.read(version=0, as_of_timestamp=1e18)
+
+
 class TestDataSkipping:
     """read(where=...) file pruning from the manifest's per-file
     [min, max] stats — the Delta/Iceberg data-skipping contract that
