@@ -732,6 +732,9 @@ class ParquetMergeTable:
         insert_not_matched: bool = True,
         max_records_per_file: int | None = None,
         schema_evolution: bool = False,
+        when_matched_update_condition: Column | None = None,
+        insert_condition: Column | None = None,
+        when_not_matched_insert: dict[str, Column] | None = None,
     ) -> dict:
         """MERGE ``source`` into the table on equality of ``on`` keys.
 
@@ -739,9 +742,16 @@ class ParquetMergeTable:
         ``when_matched_delete`` (a boolean Column; source columns via the
         module's ``src("name")`` helper); if it doesn't fire,
         ``when_matched_update`` applies (mapping of target column ->
-        Column over target cols and ``src("name")`` source refs);
-        unmatched source rows insert when ``insert_not_matched``.
-        Returns commit stats.
+        Column over target cols and ``src("name")`` source refs),
+        gated by ``when_matched_update_condition`` when given (Delta's
+        ``WHEN MATCHED AND cond THEN UPDATE`` — a matched row failing the
+        condition carries unchanged); unmatched source rows insert when
+        ``insert_not_matched``, optionally filtered by
+        ``insert_condition`` (``WHEN NOT MATCHED AND cond``) and
+        value-mapped by ``when_not_matched_insert`` (``THEN INSERT
+        (...)``) — both evaluate over the PLAIN source columns (no
+        ``src()`` prefix): insert clauses see the source relation itself,
+        not a join. Returns commit stats.
 
         ``schema_evolution`` (Delta ``autoMerge``): source columns absent
         from the table become new table columns — rewritten/inserted
@@ -847,12 +857,19 @@ class ParquetMergeTable:
                 if when_matched_delete is not None
                 else F.lit(True)
             )
+            # conditional update: WHEN MATCHED [AND cond] THEN UPDATE —
+            # a matched row failing the condition carries unchanged
+            upd_fires = (
+                matched & F.coalesce(when_matched_update_condition, F.lit(False))
+                if when_matched_update_condition is not None
+                else matched
+            )
             out_cols = []
             for c in target_cols:
                 upd = (when_matched_update or {}).get(c)
                 if upd is not None:
                     out_cols.append(
-                        F.when(matched, upd).otherwise(F.col(c)).alias(c)
+                        F.when(upd_fires, upd).otherwise(F.col(c)).alias(c)
                     )
                 else:
                     out_cols.append(F.col(c))
@@ -860,7 +877,7 @@ class ParquetMergeTable:
                 upd = (when_matched_update or {}).get(c)
                 null = F.lit(None).cast(src_types[c])
                 out_cols.append(
-                    (F.when(matched, upd).otherwise(null) if upd is not None else null)
+                    (F.when(upd_fires, upd).otherwise(null) if upd is not None else null)
                     .alias(c)
                 )
             rewritten = joined.filter(keep).select(*out_cols)
@@ -877,7 +894,8 @@ class ParquetMergeTable:
                     .withColumn(CHANGE_TYPE, F.lit("delete"))
                 )
             if when_matched_update:
-                upd_rows = joined.filter(matched & keep)
+                # change rows only for rows the update actually touched
+                upd_rows = joined.filter(upd_fires & keep)
                 pieces.append(
                     upd_rows.select(*target_cols)
                     .withColumn(CHANGE_TYPE, F.lit("update_preimage"))
@@ -917,15 +935,20 @@ class ParquetMergeTable:
                 # the manifest KNOWS the table is too big to broadcast —
                 # don't let a Catalyst misestimate hand it to the driver
                 live_keys = live_keys.hint("merge")
-            inserts = source.join(live_keys, on, "anti").select(
-                *[
-                    F.col(c)
-                    if c in source.columns
-                    # typed null, not NullType — parquet can't store void
-                    else F.lit(None).cast(tgt_types[c]).alias(c)
-                    for c in out_target_cols
-                ]
-            )
+            unmatched = source.join(live_keys, on, "anti")
+            if insert_condition is not None:
+                unmatched = unmatched.filter(insert_condition)
+            ins_map = when_not_matched_insert or {}
+
+            def _ins_col(c: str) -> Column:
+                if c in ins_map:
+                    return ins_map[c].alias(c)
+                if c in source.columns:
+                    return F.col(c)
+                # typed null, not NullType — parquet can't store void
+                return F.lit(None).cast(tgt_types[c]).alias(c)
+
+            inserts = unmatched.select(*[_ins_col(c) for c in out_target_cols])
             n_ins = inserts.count()
             stats["rows_inserted"] = n_ins
             if n_ins:

@@ -88,6 +88,62 @@ class TestMergeSemantics:
         assert stats["rows_inserted"] == 1
 
 
+class TestConditionalClauses:
+    """Delta's full MERGE INTO clause surface: WHEN MATCHED AND cond
+    THEN UPDATE, WHEN NOT MATCHED AND cond, THEN INSERT (values)."""
+
+    def test_conditional_update_only_fires_on_condition(self, spark, table):
+        source = spark.createDataFrame(
+            [(5, "u5", 1.0, "hot"), (6, "u6", 1.0, "cold")],
+            "id bigint, name string, amount double, tag string",
+        )
+        stats = table.merge(
+            source, on=["id"],
+            when_matched_update={"name": src("name")},
+            when_matched_update_condition=src("tag") == "hot",
+            insert_not_matched=False,
+        )
+        got = _as_dict(table.read())
+        assert got[5] == ("u5", 50.0)
+        assert got[6] == ("name6", 60.0)  # matched, condition false → carried
+        assert stats["rows_updated"] == 1  # CDF records only the fired row
+
+    def test_null_update_condition_never_fires(self, spark, table):
+        source = spark.createDataFrame(
+            [(5, "u5", None)], "id bigint, name string, flag string"
+        )
+        table.merge(
+            source, on=["id"],
+            when_matched_update={"name": src("name")},
+            when_matched_update_condition=src("flag") == "x",  # NULL → 3VL false
+            insert_not_matched=False,
+        )
+        assert _as_dict(table.read())[5] == ("name5", 50.0)
+
+    def test_conditional_insert_filters_source(self, spark, table):
+        source = spark.createDataFrame(
+            [(200, "a", 1.0, True), (201, "b", 1.0, False)],
+            "id bigint, name string, amount double, ok boolean",
+        )
+        stats = table.merge(source, on=["id"], insert_condition=F.col("ok"))
+        got = _as_dict(table.read())
+        assert 200 in got and 201 not in got
+        assert stats["rows_inserted"] == 1
+
+    def test_insert_value_mapping(self, spark, table):
+        source = spark.createDataFrame(
+            [(300, "n", 5.0)], "id bigint, name string, amount double"
+        )
+        table.merge(
+            source, on=["id"],
+            when_not_matched_insert={
+                "amount": F.col("amount") * 2,
+                "name": F.upper(F.col("name")),
+            },
+        )
+        assert _as_dict(table.read())[300] == ("N", 10.0)
+
+
 class TestCopyOnWrite:
     def test_untouched_files_carried_by_reference(self, spark, table):
         v0_files = set(table._manifest(0)["files"])
