@@ -169,6 +169,18 @@ def test_table_subcommand_lifecycle(tmp_path, capsys, spark):
     chg = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert {c["_change_type"] for c in chg} == {"delete"} and len(chg) == 5
 
+    # timestamp time travel: any instant after the last commit reads head
+    import time as _time
+
+    assert main(["table", "read", tbl, "--limit", "100",
+                 "--as-of-timestamp", str(_time.time() + 60)]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 45
+
+    # incremental bin-packing: threshold below every file size → no-op
+    assert main(["table", "compact", tbl, "--bin-pack-bytes", "1"]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["files_packed"] == 0
+
     assert main(["table", "vacuum", tbl, "--retain-last", "1"]) == 0
     assert json.loads(capsys.readouterr().out.strip())["versions_dropped"] == 2
 
