@@ -98,6 +98,12 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="compact: 2+ comma-separated columns to Z-order")
     t.add_argument("--target-files", type=int, default=None)
     t.add_argument("--retain-last", type=int, default=1, help="vacuum")
+    t.add_argument("--sweep-orphans", action="store_true",
+                   help="vacuum: also remove unreferenced parquet files "
+                        "older than the grace window (crash leftovers)")
+    t.add_argument("--orphan-grace-seconds", type=float, default=86_400.0,
+                   help="vacuum --sweep-orphans: minimum age before an "
+                        "unreferenced file is swept")
     t.add_argument("--limit", type=int, default=100, help="read/changes print cap")
 
     q = sub.add_parser("query", help="run a named query from the registry")
@@ -300,7 +306,15 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
         elif args.action == "vacuum":
-            print(json.dumps(t.vacuum(retain_last=args.retain_last)))
+            print(
+                json.dumps(
+                    t.vacuum(
+                        retain_last=args.retain_last,
+                        sweep_orphans=args.sweep_orphans,
+                        orphan_grace_seconds=args.orphan_grace_seconds,
+                    )
+                )
+            )
         return 0
 
     if args.cmd == "completion-status":

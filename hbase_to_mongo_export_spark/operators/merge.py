@@ -15,11 +15,15 @@ behavior with Spark primitives so its mechanics are visible and testable:
   (a full snapshot written every ``CHECKPOINT_INTERVAL`` commits) and
   replaying at most ``CHECKPOINT_INTERVAL`` small entries.
 - **optimistic concurrency**: the commit point is an atomic
-  create-if-absent of ``v{N+1}.json`` (``os.link``, which fails with
-  EEXIST if another writer got there first). Two concurrent writers
-  cannot both commit the same version — the loser gets a clean
-  ``ConcurrentWriteError`` and no data is lost; it re-reads and retries.
-  This is Delta's conflict-detection protocol reduced to its essence.
+  create-if-absent of ``v{N+1}.json``, abstracted behind a two-method
+  ``LogStore`` seam (Delta's pluggable LogStore split): the default
+  ``LocalLogStore`` uses ``os.link`` (EEXIST if another writer got
+  there first); an object-store backend would use a conditional PUT —
+  a new backend, not a rewrite. Two concurrent writers cannot both
+  commit the same version — the loser gets a clean
+  ``ConcurrentWriteError``, its orphaned staging files are removed, and
+  no data is lost; it re-reads and retries. This is Delta's
+  conflict-detection protocol reduced to its essence.
 - **file-pruned copy-on-write**: MERGE first runs a key semi-join of
   target against source keys with the parquet ``_metadata`` file column
   to find TOUCHED files. Untouched files are carried into the new
@@ -67,12 +71,15 @@ pruning pass. The pruning scan itself reads ONLY the key columns
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
+import math
 import os
 import re
 import shutil
 import time
 import uuid
+from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -96,6 +103,15 @@ COMMIT_VERSION = "_commit_version"
 #: resolution replays at most N delta entries (Delta's 10-commit default)
 CHECKPOINT_INTERVAL = 10
 
+#: delta-log entry format version; entries without a recognizable
+#: delta-log shape fail loudly instead of KeyError-ing mid-replay
+MANIFEST_FORMAT = 2
+
+#: string min/max bounds kept in the manifest are truncated to this many
+#: characters (Delta keeps 32-char prefixes); a truncated MAX is rounded
+#: UP so it stays a valid upper bound
+STRING_STAT_PREFIX = 32
+
 
 def _norm_file(col: Column) -> Column:
     """Normalize a file path/URI to a plain absolute path so that
@@ -104,19 +120,80 @@ def _norm_file(col: Column) -> Column:
     return F.regexp_replace(col, "^file:/+", "/")
 
 
+def _round_up_str(prefix: str) -> str | None:
+    """The smallest string that upper-bounds EVERY string starting with
+    ``prefix``: bump the last bumpable code point and drop the tail
+    (Delta's truncated-max rounding). None when no code point can be
+    bumped (all U+10FFFF) — the caller then drops the bound."""
+    for i in range(len(prefix) - 1, -1, -1):
+        cp = ord(prefix[i])
+        if cp < 0x10FFFF:
+            return prefix[:i] + chr(cp + 1)
+    return None
+
+
+def _enc_bound(v, is_max: bool):
+    """Encode one footer-stat bound as a JSON-clean manifest value.
+    int/float/bool/short-str store plainly; date/timestamp as tagged
+    dicts (ordinal days / ISO micros on the naive-UTC timeline); long
+    strings as ``STRING_STAT_PREFIX``-char prefixes — a truncated max
+    ROUNDS UP to stay a valid upper bound. None = unusable (the caller
+    drops the column's stats, so it simply never skips)."""
+    if isinstance(v, bool) or isinstance(v, int):
+        return v
+    if isinstance(v, float):
+        return v if math.isfinite(v) else None  # NaN/inf poison intervals
+    if isinstance(v, _dt.datetime):  # before date: datetime IS a date
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return {"t": "ts", "v": v.isoformat()}
+    if isinstance(v, _dt.date):
+        return {"t": "d", "v": v.toordinal()}
+    if isinstance(v, str):
+        if len(v) <= STRING_STAT_PREFIX:
+            return v
+        if not is_max:
+            return v[:STRING_STAT_PREFIX]  # prefix ≤ v: valid lower bound
+        return _round_up_str(v[:STRING_STAT_PREFIX])
+    return None  # bytes / Decimal / anything exotic: never skips
+
+
+def _dec_bound(v):
+    """Decode a manifest stat bound back to a comparable Python value.
+    Plain scalars (including pre-round-7 manifests, which stored only
+    int/float/bool) pass through; unknown tags decode to None (unusable,
+    the file is kept)."""
+    if isinstance(v, dict):
+        t = v.get("t")
+        if t == "d":
+            return _dt.date.fromordinal(v["v"])
+        if t == "ts":
+            return _dt.datetime.fromisoformat(v["v"])
+        return None
+    return v
+
+
+@lru_cache(maxsize=65536)
 def _parquet_file_meta(path: str) -> tuple[int, dict]:
     """Exact row count + per-column [min, max] from the parquet footer —
     the per-file stats a real table format (Delta numRecords +
     stats_parsed / Iceberg manifests) carries, at the cost of one footer
-    read per NEWLY ADDED file per commit. Only JSON-clean scalar types
-    (int/float/bool) are kept: strings can be truncated by writers and
-    temporal types don't round-trip JSON — a column without stats simply
-    never skips, which is always correct."""
+    read per NEWLY ADDED file per commit. Covers int/float/bool, date,
+    timestamp (normalized to the naive-UTC timeline — Spark writes
+    UTC-adjusted micros) and strings (truncated per ``_enc_bound``).
+    A column's stats are kept ONLY when every row group contributed
+    min/max: a row group without statistics (legal parquet, e.g. some
+    non-Spark writers, or INT96 timestamps) would make the recorded
+    range under-cover and silently skip files containing matches — a
+    stat-less column never skips, which is always correct. Results are
+    memoized: data files are immutable and uuid-named, and the commit
+    path reads the same footers the staging path just counted."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
     mins: dict[str, object] = {}
     maxs: dict[str, object] = {}
+    seen: dict[str, int] = {}
     for rg in range(md.num_row_groups):
         row_group = md.row_group(rg)
         for ci in range(row_group.num_columns):
@@ -128,11 +205,21 @@ def _parquet_file_meta(path: str) -> tuple[int, dict]:
             if "." in name:  # nested fields don't participate in skipping
                 continue
             lo, hi = st.min, st.max
-            if not isinstance(lo, (int, float, bool)) or isinstance(lo, complex):
+            try:
+                mins[name] = lo if name not in mins else min(mins[name], lo)
+                maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+            except TypeError:  # mixed stat types across row groups
+                seen[name] = -md.num_row_groups
                 continue
-            mins[name] = lo if name not in mins else min(mins[name], lo)
-            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
-    stats = {c: [mins[c], maxs[c]] for c in mins}
+            seen[name] = seen.get(name, 0) + 1
+    stats = {}
+    for c in mins:
+        if seen.get(c) != md.num_row_groups:
+            continue  # partial coverage → range under-covers → no skip
+        lo = _enc_bound(mins[c], is_max=False)
+        hi = _enc_bound(maxs[c], is_max=True)
+        if lo is not None and hi is not None:
+            stats[c] = [lo, hi]
     return md.num_rows, stats
 
 
@@ -143,25 +230,75 @@ _SKIP_OPS = {"=", "<", "<=", ">", ">="}
 def _file_can_match(stats: dict | None, conjuncts: list[tuple]) -> bool:
     """Interval check: can ANY row of a file with these [min, max] stats
     satisfy every ``(col, op, literal)`` conjunct? Missing stats for a
-    column → that conjunct can't prune (keep the file)."""
+    column — or bounds that aren't comparable with the literal's type —
+    mean that conjunct can't prune (keep the file, let the residual row
+    filter decide)."""
     if not stats:
         return True
     for col, op, val in conjuncts:
         rng = stats.get(col)
         if rng is None:
             continue
-        lo, hi = rng
-        if op == "=" and not (lo <= val <= hi):
-            return False
-        if op == "<" and not (lo < val):
-            return False
-        if op == "<=" and not (lo <= val):
-            return False
-        if op == ">" and not (hi > val):
-            return False
-        if op == ">=" and not (hi >= val):
-            return False
+        lo, hi = _dec_bound(rng[0]), _dec_bound(rng[1])
+        if lo is None or hi is None:
+            continue
+        try:
+            if op == "=" and not (lo <= val <= hi):
+                return False
+            if op == "<" and not (lo < val):
+                return False
+            if op == "<=" and not (lo <= val):
+                return False
+            if op == ">" and not (hi > val):
+                return False
+            if op == ">=" and not (hi >= val):
+                return False
+        except TypeError:
+            # incomparable types (date vs datetime, str vs int, tz
+            # mismatch): skipping must stay conservative — keep the file
+            continue
     return True
+
+
+class LogStore:
+    """The commit-log storage primitive, split out Delta-LogStore-style:
+    the ONE thing the optimistic-concurrency protocol needs from storage
+    is ``write_new`` — an ATOMIC create-if-absent (mutual exclusion per
+    log path). POSIX filesystems get it from ``os.link``; an object
+    store (S3 has no atomic rename-if-absent) would back this with a
+    conditional PUT or an external coordination table — a new backend,
+    not a rewrite of the table logic. Checkpoint files are derived,
+    idempotent data and stay outside the seam."""
+
+    def write_new(self, path: str, data: bytes) -> None:
+        """Create ``path`` with ``data`` iff it does not exist; raise
+        ``FileExistsError`` (never clobber) when another writer got
+        there first. Durable before returning."""
+        raise NotImplementedError
+
+    def read(self, path: str) -> bytes:
+        raise NotImplementedError
+
+
+class LocalLogStore(LogStore):
+    """POSIX implementation: write a temp file, then ``os.link`` it to
+    the final name — link fails with EEXIST if the version was taken,
+    and never exposes a partially written entry."""
+
+    def write_new(self, path: str, data: bytes) -> None:
+        tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        try:
+            # atomic create-if-absent: THE commit point. os.rename would
+            # silently clobber a concurrent winner; link raises EEXIST.
+            os.link(tmp, path)
+        finally:
+            os.unlink(tmp)
+
+    def read(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
 
 
 def src(name: str) -> Column:
@@ -186,10 +323,20 @@ class ParquetMergeTable:
     #: to compact) — the manifest tracks the exact count
     DELETE_BROADCAST_MAX_ROWS = 2_000_000
 
-    def __init__(self, spark: SparkSession, path: str):
+    #: target rows per position-delete file: a delete_where that hits a
+    #: large fraction of the table writes its vector with a proportional
+    #: number of tasks instead of funneling through one
+    DELETE_ROWS_PER_FILE = 2_000_000
+    #: target rows per CDF change file (full-width rows, so smaller)
+    CHANGE_ROWS_PER_FILE = 1_000_000
+
+    def __init__(
+        self, spark: SparkSession, path: str, log_store: LogStore | None = None
+    ):
         self.spark = spark
         self.path = path
         self.manifest_dir = os.path.join(path, "_manifests")
+        self.log_store = log_store or LocalLogStore()
         # resolved snapshots are immutable once committed — cache them
         self._cache: dict[int, dict] = {}
 
@@ -226,10 +373,8 @@ class ParquetMergeTable:
             raise MergeError(f"no committed version in {self.path}")
         return vs[-1]
 
-    @staticmethod
-    def _read_json(path: str) -> dict:
-        with open(path) as f:
-            return json.load(f)
+    def _read_json(self, path: str) -> dict:
+        return json.loads(self.log_store.read(path))
 
     @staticmethod
     def _resolved(
@@ -291,6 +436,13 @@ class ParquetMergeTable:
         entry = None
         for w in range(replay_from, version + 1):
             entry = self._read_json(self._log_path(w))
+            if "remove_files" not in entry:
+                raise MergeError(
+                    f"unsupported manifest format at version {w} of "
+                    f"{self.path}: entry predates the delta-log format "
+                    "(no add/remove diffs) — rebuild the table or "
+                    "migrate its log"
+                )
             for f in entry["remove_files"]:
                 file_rows.pop(f, None)
                 file_stats.pop(f, None)
@@ -357,6 +509,7 @@ class ParquetMergeTable:
         # power incremental bin-packing OPTIMIZE
         add_meta = {f: _parquet_file_meta(f) for f in add_files}
         entry = {
+            "format": MANIFEST_FORMAT,
             "version": next_v,
             "operation": operation,
             "stats": stats,
@@ -374,23 +527,25 @@ class ParquetMergeTable:
             "mixed_schema": mixed_schema,
         }
         os.makedirs(self.manifest_dir, exist_ok=True)
-        tmp = os.path.join(
-            self.manifest_dir, f".v{next_v}.{uuid.uuid4().hex[:8]}.json.tmp"
-        )
-        with open(tmp, "w") as f:
-            json.dump(entry, f)
         try:
-            # atomic create-if-absent: THE commit point. os.rename would
-            # silently clobber a concurrent winner; link raises EEXIST.
-            os.link(tmp, self._log_path(next_v))
+            # the commit point: atomic create-if-absent through the
+            # LogStore seam (POSIX link locally; conditional PUT on an
+            # object store)
+            self.log_store.write_new(
+                self._log_path(next_v), json.dumps(entry).encode()
+            )
         except FileExistsError:
+            # the loser's freshly staged files are referenced by no
+            # manifest — remove them NOW or every lost race (and every
+            # retry_on_conflict attempt) leaks orphans forever
+            self._discard_staged(
+                add_files + add_dels + list(entry["change_files"])
+            )
             raise ConcurrentWriteError(
                 f"version {next_v} was committed by another writer while "
                 f"this operation ran against version {next_v - 1}; "
                 "re-read the table and retry"
             ) from None
-        finally:
-            os.unlink(tmp)
         # resolved snapshot straight from base + entry (no replay)
         all_rows = dict(base["file_rows"]) if base else {}
         all_stats = dict(base["file_stats"]) if base else {}
@@ -427,6 +582,29 @@ class ParquetMergeTable:
             if f.endswith(".parquet")
         ]
 
+    def _discard_staged(self, paths: list[str]) -> None:
+        """Remove files this writer staged for a commit that lost the
+        race (they are referenced by no manifest, and vacuum only sweeps
+        files referenced by dropped versions). Every staged file lives
+        in a per-operation directory under the table root — remove the
+        directory too once no parquet parts remain."""
+        parents: set[str] = set()
+        for p in paths:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+            parents.add(os.path.dirname(p))
+        root = os.path.abspath(self.path)
+        for d in parents:
+            ad = os.path.abspath(d)
+            if (
+                ad.startswith(root + os.sep)
+                and os.path.isdir(ad)
+                and not any(f.endswith(".parquet") for f in os.listdir(ad))
+            ):
+                shutil.rmtree(ad, ignore_errors=True)
+
     # -- merge-on-read plumbing ---------------------------------------------
     def _delete_entries(self, delete_files: list[str]) -> DataFrame | None:
         """Union of position-delete files: (file_path, row_index) victims."""
@@ -434,14 +612,22 @@ class ParquetMergeTable:
             return None
         return self.spark.read.parquet(*delete_files)
 
-    def _read_data(self, files: list[str], mixed_schema: bool) -> DataFrame:
+    def _read_data(
+        self, files: list[str], mixed_schema: bool, schema=None
+    ) -> DataFrame:
         """Raw data-file read. ``mixed_schema`` (set by a schema-evolving
         MERGE, cleared by compact) turns on parquet schema merging so
         files written before the evolution surface the new columns as
         nulls — the footer-union cost is paid only while the table
-        actually is mixed."""
+        actually is mixed. An explicit ``schema`` overrides both: the
+        scan projects exactly those columns, filling ones absent from a
+        file with typed NULLs — required when reading a SUBSET of a
+        mixed table's files whose union schema would under-cover (e.g.
+        bin-packing only pre-evolution small files)."""
         r = self.spark.read
-        if mixed_schema:
+        if schema is not None:
+            r = r.schema(schema)
+        elif mixed_schema:
             r = r.option("mergeSchema", "true")
         return r.parquet(*files)
 
@@ -451,6 +637,7 @@ class ParquetMergeTable:
         delete_files: list[str],
         mixed_schema: bool = False,
         delete_rows: int | None = None,
+        schema=None,
     ) -> DataFrame:
         """Read data files with hidden position columns ``_file``/``_pos``
         and any pending deletion vectors already applied. The delete side
@@ -459,7 +646,7 @@ class ParquetMergeTable:
         are tiny. Past the threshold (a delete_where that hit a large
         fraction of the table) the anti-join falls back to sort-merge:
         slower, but it cannot OOM the driver, and compact() is the cure."""
-        df = self._read_data(files, mixed_schema).select(
+        df = self._read_data(files, mixed_schema, schema).select(
             "*",
             _norm_file(F.col("_metadata.file_path")).alias("_file"),
             F.col("_metadata.row_index").alias("_pos"),
@@ -488,13 +675,20 @@ class ParquetMergeTable:
         )
 
     def _carry_delete_files(
-        self, pending_dels: list[str], rewritten: list[str], carried: list[str]
+        self,
+        pending_dels: list[str],
+        rewritten: list[str],
+        carried: list[str],
+        pending_rows: int | None = None,
     ) -> list[str]:
         """Deletion-vector carry across a partial rewrite: entries
         pointing at CARRIED files stay valid; entries for REWRITTEN
         files die with the rewrite (their rows were physically dropped
         by the scan that produced the new files). Returns the new
-        version's delete-file list."""
+        version's delete-file list. The rewrite is sized from the
+        manifest's exact pending-entry count (an upper bound on the kept
+        entries) — a huge accumulated vector is rewritten by
+        proportionally many tasks, never funneled through one."""
         if not pending_dels:
             return []
         if not rewritten:
@@ -503,14 +697,21 @@ class ParquetMergeTable:
         kept = self._delete_entries(pending_dels).filter(
             F.col("file_path").isin(carried_abs)
         )
+        n_parts = max(1, -(-(pending_rows or 0) // self.DELETE_ROWS_PER_FILE))
         keep_dir = os.path.join(self.path, f"_deletes/del-{uuid.uuid4().hex[:12]}")
-        kept.coalesce(1).write.mode("overwrite").parquet(keep_dir)
-        if self.spark.read.parquet(keep_dir).limit(1).count():
-            return [
-                os.path.join(keep_dir, f)
-                for f in os.listdir(keep_dir)
-                if f.endswith(".parquet")
-            ]
+        kept.coalesce(n_parts).write.mode("overwrite").parquet(keep_dir)
+        parts = [
+            os.path.join(keep_dir, f)
+            for f in os.listdir(keep_dir)
+            if f.endswith(".parquet")
+        ]
+        # drop zero-row parts (coalesce can emit schema-only files); an
+        # entirely empty carry means every pending entry died with the
+        # rewrite
+        live_parts = [f for f in parts if _parquet_file_meta(f)[0] > 0]
+        if live_parts:
+            return live_parts
+        shutil.rmtree(keep_dir, ignore_errors=True)
         return []
 
     def _pruning_df(
@@ -563,6 +764,28 @@ class ParquetMergeTable:
                 hi = mid - 1
         return vs[lo]
 
+    def _skip_literal(self, val):
+        """Place a predicate literal on the manifest stats' comparison
+        domain. Timestamps normalize to the naive-UTC timeline the stats
+        are stored on: a NAIVE literal is interpreted in the Spark
+        session time zone — exactly what ``F.lit`` does in the residual
+        row filter, so the skip decision and the filter agree. Returns
+        None when the literal can't be placed (unresolvable zone, NULL):
+        the conjunct then filters rows but never skips files."""
+        if val is None:
+            return None
+        if isinstance(val, _dt.datetime):
+            if val.tzinfo is None:
+                tz = self.spark.conf.get("spark.sql.session.timeZone", "UTC")
+                try:
+                    from zoneinfo import ZoneInfo
+
+                    val = val.replace(tzinfo=ZoneInfo(tz))
+                except Exception:
+                    return None
+            return val.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return val
+
     def read(
         self,
         version: int | None = None,
@@ -599,7 +822,12 @@ class ParquetMergeTable:
             if bad:
                 raise MergeError(f"unsupported data-skipping operator(s): {bad}")
             stats = m["file_stats"]
-            files = [f for f in files if _file_can_match(stats.get(f), where)]
+            skip = []
+            for c, op, val in where:
+                norm = self._skip_literal(val)
+                if norm is not None:
+                    skip.append((c, op, norm))
+            files = [f for f in files if _file_can_match(stats.get(f), skip)]
             op_fn = {"=": pyop.eq, "<": pyop.lt, "<=": pyop.le,
                      ">": pyop.gt, ">=": pyop.ge}
             residual = functools.reduce(
@@ -648,15 +876,20 @@ class ParquetMergeTable:
             )
             return {"rows_deleted": 0, "version": new_v}
 
-        # the small artifacts both derive from the staged victims file
+        # both artifacts derive from the staged victims file; the writer
+        # task count is proportional to the exact victim count, so a
+        # delete matching a large fraction of the table never pushes its
+        # (file, row) pairs through a single task
+        n_del_parts = max(1, -(-n_victims // self.DELETE_ROWS_PER_FILE))
         entry_path = os.path.join(self.path, f"_deletes/del-{uuid.uuid4().hex[:12]}")
         victims.select(
             F.col("_file").alias("file_path"), F.col("_pos").alias("row_index")
-        ).coalesce(1).write.mode("overwrite").parquet(entry_path)
+        ).coalesce(n_del_parts).write.mode("overwrite").parquet(entry_path)
+        n_chg_parts = max(1, -(-n_victims // self.CHANGE_ROWS_PER_FILE))
         change_path = os.path.join(self.path, f"_changes/chg-{uuid.uuid4().hex[:12]}")
         victims.select(*data_cols).withColumn(
             CHANGE_TYPE, F.lit("delete")
-        ).coalesce(1).write.mode("overwrite").parquet(change_path)
+        ).coalesce(n_chg_parts).write.mode("overwrite").parquet(change_path)
 
         def _parts(d: str) -> list[str]:
             return [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
@@ -806,7 +1039,9 @@ class ParquetMergeTable:
             return [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
 
         # 3) deletion-vector carry across the partial rewrite
-        carried_dels = self._carry_delete_files(pending_dels, touched, untouched)
+        carried_dels = self._carry_delete_files(
+            pending_dels, touched, untouched, m["delete_rows_total"]
+        )
 
         # 4) row-level merge over ONLY the touched files
         stats = {
@@ -851,12 +1086,17 @@ class ParquetMergeTable:
             )
             joined = tgt.join(src_side, join_cond, "left")
             matched = F.col("_src__matched").isNotNull()
-            # delete clause
-            keep = (
-                ~(matched & when_matched_delete)
+            # delete clause under SQL three-valued logic: a condition
+            # evaluating to NULL must NOT fire (otherwise the row would
+            # silently vanish from the rewrite with no CDF delete row) —
+            # fold NULL to FALSE once and use the same expression for
+            # both the keep-filter and the change rows
+            del_fires = (
+                matched & F.coalesce(when_matched_delete, F.lit(False))
                 if when_matched_delete is not None
-                else F.lit(True)
+                else F.lit(False)
             )
+            keep = ~del_fires
             # conditional update: WHEN MATCHED [AND cond] THEN UPDATE —
             # a matched row failing the condition carries unchanged
             upd_fires = (
@@ -889,7 +1129,7 @@ class ParquetMergeTable:
             pieces: list[DataFrame] = []
             if when_matched_delete is not None:
                 pieces.append(
-                    joined.filter(matched & when_matched_delete)
+                    joined.filter(del_fires)
                     .select(*target_cols)
                     .withColumn(CHANGE_TYPE, F.lit("delete"))
                 )
@@ -949,11 +1189,20 @@ class ParquetMergeTable:
                 return F.lit(None).cast(tgt_types[c]).alias(c)
 
             inserts = unmatched.select(*[_ins_col(c) for c in out_target_cols])
-            n_ins = inserts.count()
-            stats["rows_inserted"] = n_ins
-            if n_ins:
-                insert_files = self._stage_files(inserts, max_records_per_file)
-                new_files += insert_files
+            # single pass: stage the anti-join result directly, then take
+            # the inserted-row count from the freshly written parquet
+            # footers (memoized — _commit reads the same ones). The old
+            # pre-write .count() ran the scan + anti-join twice.
+            staged = self._stage_files(inserts, max_records_per_file)
+            staged_rows = {f: _parquet_file_meta(f)[0] for f in staged}
+            stats["rows_inserted"] = sum(staged_rows.values())
+            insert_files = [f for f in staged if staged_rows[f] > 0]
+            for f in staged:  # Spark can emit a schema-only empty part
+                if staged_rows[f] == 0:
+                    os.remove(f)
+            if staged and not insert_files:
+                shutil.rmtree(os.path.dirname(staged[0]), ignore_errors=True)
+            new_files += insert_files
 
         if new_cols:
             stats["columns_added"] = new_cols
@@ -1023,7 +1272,9 @@ class ParquetMergeTable:
 
         # deletion-vector carry (same rule as MERGE: touched-file entries
         # die with the rewrite, untouched-file entries stay valid)
-        carried_dels = self._carry_delete_files(pending_dels, touched, untouched)
+        carried_dels = self._carry_delete_files(
+            pending_dels, touched, untouched, m["delete_rows_total"]
+        )
 
         new_files: list[str] = list(untouched)
         change_files: list[str] = []
@@ -1145,8 +1396,6 @@ class ParquetMergeTable:
         carried files stay pending. With fewer than two undersized files
         there is nothing to pack — no commit, the current version is
         returned unchanged."""
-        import math
-
         sizes = m["file_bytes"]
         packed = [f for f in m["files"] if sizes.get(f, 0) < threshold]
         carried = [f for f in m["files"] if f not in set(packed)]
@@ -1157,12 +1406,18 @@ class ParquetMergeTable:
                 "files_carried": len(m["files"]),
                 "files_written": 0,
             }
-        target_cols = [
-            f.name
-            for f in self._read_data(m["files"], m["mixed_schema"]).schema.fields
-        ]
+        # the packed SUBSET may consist entirely of pre-evolution files;
+        # scan it with the FULL table schema (absent columns surface as
+        # typed NULLs) or the select below would raise on a legitimate
+        # mixed-schema table state
+        full_schema = self._read_data(m["files"], m["mixed_schema"]).schema
+        target_cols = [f.name for f in full_schema.fields]
         df = self._scan(
-            packed, m["delete_files"], m["mixed_schema"], m["delete_rows_total"]
+            packed,
+            m["delete_files"],
+            m["mixed_schema"],
+            m["delete_rows_total"],
+            schema=full_schema,
         ).select(*target_cols)
         n_out = max(1, math.ceil(sum(sizes.get(f, 0) for f in packed) / threshold))
         out = (
@@ -1171,7 +1426,9 @@ class ParquetMergeTable:
             else df.repartition(n_out)
         )
         new_files = list(carried) + self._stage_files(out, max_records_per_file)
-        carried_dels = self._carry_delete_files(m["delete_files"], packed, carried)
+        carried_dels = self._carry_delete_files(
+            m["delete_files"], packed, carried, m["delete_rows_total"]
+        )
         stats = {
             "files_packed": len(packed),
             "files_carried": len(carried),
@@ -1190,13 +1447,26 @@ class ParquetMergeTable:
         stats["version"] = new_v
         return stats
 
-    def vacuum(self, retain_last: int = 1) -> dict:
+    def vacuum(
+        self,
+        retain_last: int = 1,
+        sweep_orphans: bool = False,
+        orphan_grace_seconds: float = 86_400.0,
+    ) -> dict:
         """Delete data files referenced ONLY by versions older than the
         last ``retain_last`` commits, then drop those log entries.
         Mirrors Delta VACUUM: shared (carried-by-reference) files survive
         as long as any retained version lists them. Before truncating the
         log, a checkpoint is written at the oldest retained version so
-        resolution never needs the dropped prefix."""
+        resolution never needs the dropped prefix.
+
+        ``sweep_orphans`` additionally removes parquet files under the
+        table directory referenced by NO retained version — crash
+        leftovers a writer staged before dying (a LOST race cleans after
+        itself, but a killed process cannot). Like Delta VACUUM's
+        retention check, only files older than ``orphan_grace_seconds``
+        (mtime) are swept, so a concurrent writer's in-flight staging
+        can't be yanked out from under it mid-commit."""
         if retain_last < 1:
             raise MergeError("retain_last must be >= 1")
         vs = self._versions()
@@ -1230,8 +1500,29 @@ class ParquetMergeTable:
         for c in self._checkpoints():
             if c < keep_vs[0]:
                 os.remove(self._ckpt_path(c))
+        orphans_removed = 0
+        if sweep_orphans:
+            live_abs = {os.path.abspath(f) for f in live}
+            cutoff = time.time() - orphan_grace_seconds
+            man_dir = os.path.abspath(self.manifest_dir)
+            for root_dir, _dirs, files in os.walk(self.path):
+                if os.path.abspath(root_dir) == man_dir:
+                    continue
+                for f in files:
+                    p = os.path.join(root_dir, f)
+                    if not f.endswith(".parquet"):
+                        continue
+                    if os.path.abspath(p) in live_abs:
+                        continue
+                    try:
+                        if os.path.getmtime(p) <= cutoff:
+                            os.remove(p)
+                            orphans_removed += 1
+                    except OSError:
+                        pass  # raced with another cleaner — fine
         return {
             "files_removed": removed,
+            "orphans_removed": orphans_removed,
             "versions_dropped": len(drop_vs),
             "versions_retained": keep_vs,
         }
@@ -1313,23 +1604,43 @@ def changes_schema(table: ParquetMergeTable, version: int | None = None):
     return changes_schema_of(table.read(version).schema)
 
 
+#: target rows per spooled CDF file before a commit splits into a
+#: multi-file unit written by multiple tasks
+SPOOL_ROWS_PER_FILE = 1_000_000
+
+
 def spool_changes(
     table: ParquetMergeTable,
     spool_dir: str,
     from_version: int = 0,
     to_version: int | None = None,
+    key_cols: list[str] | None = None,
+    rows_per_file: int = SPOOL_ROWS_PER_FILE,
 ) -> list[int]:
-    """Export each commit's CDF rows into a FLAT parquet spool directory
-    (one file per commit, named by zero-padded version) that Structured
-    Streaming's file source can tail. Idempotent and incremental:
+    """Export each commit's CDF rows into a parquet spool that Structured
+    Streaming's file source can tail. Each commit spools as ONE unit:
+    a small commit as a flat ``cdf-v{v}.parquet`` file, a commit larger
+    than ``rows_per_file`` as a ``cdf-v{v}/`` DIRECTORY of
+    ~``rows_per_file``-row parts written by proportionally many tasks —
+    a full-table backfill's change set no longer funnels through a
+    single writer. The unit lands in the spool via one atomic rename, so
+    a crashed spool never leaves a half-written commit behind for the
+    idempotency scan to mistake for done. Idempotent and incremental:
     versions already spooled are skipped, so a maintenance job can call
     this after every commit. A commit with no logical changes (compact)
-    still spools an empty file — that file IS the done-marker. Returns
-    the versions spooled by this call."""
+    still spools an empty file — that file IS the done-marker.
+
+    ``key_cols``: when a commit IS split, rows sharing these columns
+    co-locate in one part. An ``overwrite_where`` can delete and
+    re-insert the same key in one commit; co-location keeps both rows in
+    the same micro-batch whatever ``maxFilesPerTrigger`` a consumer
+    picks, so ``stream_apply_changes``'s terminal-change reduction sees
+    them together. Pass the table's merge keys when consumers replay
+    per-key. Returns the versions spooled by this call."""
     os.makedirs(spool_dir, exist_ok=True)
     done = set()
     for f in os.listdir(spool_dir):
-        mm = re.match(r"^cdf-v(\d+)\.parquet$", f)
+        mm = re.match(r"^cdf-v(\d+)(\.parquet)?$", f)
         if mm:
             done.add(int(mm.group(1)))
     to_v = table.current_version() if to_version is None else to_version
@@ -1338,14 +1649,31 @@ def spool_changes(
         if v in done:
             continue
         df = table.read_changes(v, v)
-        tmp = os.path.join(spool_dir, f".spool-{uuid.uuid4().hex[:12]}")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        parts = [p for p in os.listdir(tmp) if p.endswith(".parquet")]
-        os.rename(
-            os.path.join(tmp, parts[0]),
-            os.path.join(spool_dir, f"cdf-v{v:010d}.parquet"),
+        # exact change-row count straight from the manifest + footers —
+        # no counting job: inserts are referenced data files (rows
+        # already tracked), change files pay one memoized footer read
+        m = table._manifest(v)
+        n_rows = sum(m["file_rows"].get(f, 0) for f in m["insert_files"]) + sum(
+            _parquet_file_meta(f)[0] for f in m["change_files"]
         )
-        shutil.rmtree(tmp, ignore_errors=True)
+        n_parts = max(1, -(-n_rows // rows_per_file))
+        tmp = os.path.join(spool_dir, f".spool-{uuid.uuid4().hex[:12]}")
+        if n_parts == 1:
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            parts = [p for p in os.listdir(tmp) if p.endswith(".parquet")]
+            os.rename(
+                os.path.join(tmp, parts[0]),
+                os.path.join(spool_dir, f"cdf-v{v:010d}.parquet"),
+            )
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            out = (
+                df.repartition(n_parts, *key_cols)
+                if key_cols
+                else df.repartition(n_parts)
+            )
+            out.write.mode("overwrite").parquet(tmp)
+            os.rename(tmp, os.path.join(spool_dir, f"cdf-v{v:010d}"))
         spooled.append(v)
     return spooled
 
@@ -1357,12 +1685,16 @@ def changes_stream(
     max_files_per_trigger: int | None = 1,
 ) -> DataFrame:
     """A rate-limited Structured Streaming read of a CDF spool directory:
-    ``maxFilesPerTrigger`` bounds each micro-batch to N commits' worth of
-    changes — the flow control a downstream view needs when catching up
-    on a 100 TB table's backlog. Files written before a schema evolution
-    surface the newer columns as NULL (parquet scan with the superset
-    schema)."""
-    reader = spark.readStream.schema(schema)
+    ``maxFilesPerTrigger`` bounds each micro-batch to N spool FILES'
+    worth of changes (one file = one commit unless the commit exceeded
+    ``rows_per_file`` at spool time) — the flow control a downstream
+    view needs when catching up on a 100 TB table's backlog. The lookup
+    is recursive so multi-file commit DIRECTORIES and legacy flat files
+    both stream. Files written before a schema evolution surface the
+    newer columns as NULL (parquet scan with the superset schema)."""
+    reader = spark.readStream.schema(schema).option(
+        "recursiveFileLookup", "true"
+    )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(spool_dir)

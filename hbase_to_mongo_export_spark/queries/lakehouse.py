@@ -305,6 +305,61 @@ def merge_data_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "merge_data_skipping_dates",
+    oracle="WITH "
+    + """
+    target AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+             o_orderstatus, o_totalprice
+      FROM orders
+    ),
+    hit AS (
+      SELECT * FROM target
+      WHERE o_orderdate >= DATE '1994-01-01'
+        AND o_orderdate <  DATE '1995-01-01'
+    )
+"""
+    + _STATUS_AGG_SQL.format(rel="hit"),
+)
+def merge_data_skipping_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATE-range data skipping — the predicate shape a time-partitioned
+    100 TB lake sees daily (the reference's whole incremental mode is a
+    time-range scan, HBaseReader.kt:131-150). Round 7 extended the
+    manifest footer stats beyond int/float/bool to date/timestamp/string
+    (operators/merge.py:_enc_bound), so this one-year slice of a
+    date-clustered table opens ~1/7 of the files (pytest pins the file
+    count on a synthetic date table) while the oracle recomputes the
+    same slice from the source — skipping must lose and double
+    nothing."""
+    import datetime
+
+    path = _qstage(
+        "lakehouse_dateskip_" + sf_dir.strip("/").replace("/", "_")
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    t = ParquetMergeTable(spark, path)
+    target = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    t.create(
+        target.repartitionByRange(12, F.col("o_orderdate")).sortWithinPartitions(
+            "o_orderdate"
+        )
+    )
+    return _status_agg(
+        t.read(
+            where=[
+                ("o_orderdate", ">=", datetime.date(1994, 1, 1)),
+                ("o_orderdate", "<", datetime.date(1995, 1, 1)),
+            ]
+        )
+    )
+
+
+@register(
     "merge_cdf_stream_replay",
     oracle=f"""
     WITH {_TARGET_CTE},

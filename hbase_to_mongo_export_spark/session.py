@@ -56,6 +56,11 @@ def get_spark(
         ),
         "spark.sql.parquet.filterPushdown": "true",
         "spark.sql.parquet.enableVectorizedReader": "true",
+        # Write timestamps as TIMESTAMP_MICROS, not legacy INT96: INT96
+        # carries NO parquet min/max statistics, so timestamp predicates
+        # could never data-skip on MERGE-table files (and Iceberg/Delta
+        # forbid INT96 outright).
+        "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
         # Driver testdata uses TIMESTAMP(NANOS); read as long + convert
         # (sources.catalog truncates to microseconds, DuckDB-compatible).
         "spark.sql.legacy.parquet.nanosAsLong": "true",

@@ -181,8 +181,21 @@ def test_table_subcommand_lifecycle(tmp_path, capsys, spark):
     assert main(["table", "compact", tbl, "--bin-pack-bytes", "1"]) == 0
     assert json.loads(capsys.readouterr().out.strip())["files_packed"] == 0
 
-    assert main(["table", "vacuum", tbl, "--retain-last", "1"]) == 0
-    assert json.loads(capsys.readouterr().out.strip())["versions_dropped"] == 2
+    # crash-leftover orphan: unreferenced, aged past the grace window
+    import os as _os
+
+    stray = _os.path.join(tbl, "stage-crashed", "part-0.parquet")
+    _os.makedirs(_os.path.dirname(stray))
+    with open(stray, "wb") as f:
+        f.write(b"leftover")
+    _os.utime(stray, (_time.time() - 100, _time.time() - 100))
+
+    assert main(["table", "vacuum", tbl, "--retain-last", "1",
+                 "--sweep-orphans", "--orphan-grace-seconds", "50"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["versions_dropped"] == 2
+    assert out["orphans_removed"] == 1
+    assert not _os.path.exists(stray)
 
 
 def test_table_subcommand_arg_errors(tmp_path, capsys, spark):

@@ -692,7 +692,7 @@ class TestCheckpointedManifests:
 
         def counting(path):
             reads.append(os.path.basename(path))
-            return orig(path)
+            return orig(t2, path)
 
         t2._read_json = counting
         m = t2._manifest(n)
@@ -1120,3 +1120,514 @@ class TestStreamMergeUpsert:
         assert got[0] == -1.0 and got[7] == 107.0 and len(got) == 15
         ops = [h["operation"] for h in t.history()]
         assert ops[0] == "create" and ops.count("merge") >= 2
+
+
+class TestTypedDataSkipping:
+    """Round-7 skipping coverage: date / timestamp / string footer stats
+    (pre-r7 only int/float/bool could skip, so a date-range predicate —
+    the single most common shape on a time-partitioned lake, and the
+    reference's own incremental mode (HBaseReader.kt:131-150) — scanned
+    every file)."""
+
+    @pytest.fixture()
+    def date_table(self, spark, tmp_path):
+        import datetime
+
+        t = ParquetMergeTable(spark, str(tmp_path / "dtbl"))
+        base = spark.createDataFrame(
+            [
+                (i, datetime.date(1994, 1, 1) + datetime.timedelta(days=i))
+                for i in range(100)
+            ],
+            "id bigint, d date",
+        )
+        t.create(base.repartitionByRange(10, F.col("d")).sortWithinPartitions("d"))
+        return t
+
+    def test_date_range_skips_files_and_is_exact(self, spark, date_table):
+        import datetime
+
+        lo = datetime.date(1994, 1, 21)
+        hi = datetime.date(1994, 2, 10)
+        df = date_table.read(where=[("d", ">=", lo), ("d", "<", hi)])
+        data_files = [f for f in df.inputFiles() if "/_deletes/" not in f]
+        assert len(data_files) <= 3  # 2 hit files (+1 boundary max)
+        got = sorted(r["id"] for r in df.collect())
+        assert got == list(range(20, 40))
+
+    def test_date_point_read_opens_one_file(self, spark, date_table):
+        import datetime
+
+        df = date_table.read(where=[("d", "=", datetime.date(1994, 2, 25))])
+        assert len(df.inputFiles()) == 1
+        assert [r["id"] for r in df.collect()] == [55]
+
+    @pytest.fixture()
+    def str_table(self, spark, tmp_path):
+        t = ParquetMergeTable(spark, str(tmp_path / "stbl"))
+        base = spark.createDataFrame(
+            [(i, f"key{i:04d}") for i in range(100)], "id bigint, k string"
+        )
+        t.create(base.repartitionByRange(10, F.col("k")).sortWithinPartitions("k"))
+        return t
+
+    def test_string_range_skips_files_and_is_exact(self, spark, str_table):
+        df = str_table.read(where=[("k", ">=", "key0020"), ("k", "<", "key0040")])
+        assert len(df.inputFiles()) <= 3
+        got = sorted(r["id"] for r in df.collect())
+        assert got == list(range(20, 40))
+
+    def test_timestamp_stats_skip_on_utc_timeline(self, spark, tmp_path):
+        """pyarrow-written timestamp stats are tz-aware UTC; a NAIVE
+        predicate literal (interpreted in the UTC session zone) must
+        land on the same timeline and prune correctly."""
+        import datetime
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from hbase_to_mongo_export_spark.operators.merge import (
+            _file_can_match,
+            _parquet_file_meta,
+        )
+
+        p = str(tmp_path / "ts.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array(
+                        [
+                            datetime.datetime(2020, 1, 1),
+                            datetime.datetime(2020, 6, 1),
+                        ],
+                        type=pa.timestamp("us", tz="UTC"),
+                    )
+                }
+            ),
+            p,
+        )
+        _, stats = _parquet_file_meta(p)
+        assert "ts" in stats
+        # literal after the range → file prunable
+        assert not _file_can_match(
+            stats, [("ts", ">", datetime.datetime(2021, 1, 1))]
+        )
+        # literal inside the range → file kept
+        assert _file_can_match(
+            stats, [("ts", ">", datetime.datetime(2020, 3, 1))]
+        )
+
+    def test_string_truncation_rounds_max_up(self):
+        from hbase_to_mongo_export_spark.operators.merge import (
+            STRING_STAT_PREFIX,
+            _enc_bound,
+            _round_up_str,
+        )
+
+        long = "a" * 40 + "zzz"
+        lo = _enc_bound(long, is_max=False)
+        hi = _enc_bound(long, is_max=True)
+        assert lo == "a" * STRING_STAT_PREFIX
+        assert len(hi) <= STRING_STAT_PREFIX
+        assert hi > long  # rounded UP: still a valid upper bound
+        assert _round_up_str("ab") == "ac"
+        assert _round_up_str(chr(0x10FFFF)) is None
+
+    def test_stats_less_file_never_skips(self, tmp_path):
+        """A parquet file whose row groups carry no statistics (legal —
+        some non-Spark writers) must record NO stats, so no predicate
+        can ever skip it (wrong-result guard from ADVICE r6)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from hbase_to_mongo_export_spark.operators.merge import (
+            _file_can_match,
+            _parquet_file_meta,
+        )
+
+        p = str(tmp_path / "nostats.parquet")
+        pq.write_table(
+            pa.table({"x": pa.array([1, 2, 3])}), p, write_statistics=False
+        )
+        n, stats = _parquet_file_meta(p)
+        assert n == 3 and stats == {}
+        assert _file_can_match(stats, [("x", ">", 100)])
+
+    def test_incomparable_literal_keeps_file(self):
+        from hbase_to_mongo_export_spark.operators.merge import _file_can_match
+
+        # string stats vs int literal: TypeError inside → conservative keep
+        assert _file_can_match({"k": ["a", "b"]}, [("k", ">", 99)])
+
+    def test_nonfinite_float_bounds_dropped(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from hbase_to_mongo_export_spark.operators.merge import _parquet_file_meta
+
+        p = str(tmp_path / "nan.parquet")
+        pq.write_table(
+            pa.table({"x": pa.array([float("nan"), 1.0]), "y": pa.array([1.0, 2.0])}),
+            p,
+        )
+        _, stats = _parquet_file_meta(p)
+        assert "y" in stats
+        # a NaN bound poisons interval logic → the column must not skip
+        assert "x" not in stats or all(
+            isinstance(b, float) and b == b for b in stats["x"]
+        )
+
+
+class TestDeleteVectorParallelism:
+    """Round-7: delete-vector / CDF-change writes are sized from the
+    exact victim count — a huge delete_where never funnels its
+    (file, row) pairs through one task (r6's weak item)."""
+
+    def test_large_delete_writes_multiple_vector_files(self, spark, table):
+        table.DELETE_ROWS_PER_FILE = 10
+        table.CHANGE_ROWS_PER_FILE = 10
+        stats = table.delete_where(F.col("id") < 30)
+        assert stats["rows_deleted"] == 30
+        m = table._manifest(stats["version"])
+        assert len(m["delete_files"]) > 1  # multi-task vector write
+        assert m["delete_rows_total"] == 30
+        got = sorted(_as_dict(table.read()))
+        assert got == list(range(30, 100))
+
+    def test_carried_vector_rewrite_is_parallel(self, spark, table):
+        table.DELETE_ROWS_PER_FILE = 10
+        table.delete_where(F.col("id") < 30)  # vectors on files 0-2
+        # merge touches only the last file → the carry rewrites the
+        # vector (proportionally many parts), entries stay valid
+        table.merge(
+            spark.createDataFrame(
+                [(95, "u", 0.0)], "id bigint, name string, amount double"
+            ),
+            on=["id"],
+            when_matched_update={"name": src("name")},
+            insert_not_matched=False,
+        )
+        m = table._manifest(table.current_version())
+        assert m["delete_rows_total"] == 30
+        assert len(m["delete_files"]) > 1
+        got = _as_dict(table.read())
+        assert sorted(got) == list(range(30, 100))
+        assert got[95] == ("u", 950.0)
+
+
+class TestSpoolSplitting:
+    """Round-7: a commit whose change set exceeds rows_per_file spools
+    as a multi-part DIRECTORY written by multiple tasks; the streaming
+    replay contract survives the split."""
+
+    def test_big_commit_spools_as_directory(self, spark, table, tmp_path):
+        from hbase_to_mongo_export_spark.operators.merge import spool_changes
+
+        spool = str(tmp_path / "spool")
+        # v0 create = 100 insert rows; split at 30 rows/file
+        assert spool_changes(table, spool, rows_per_file=30) == [0]
+        unit = os.path.join(spool, "cdf-v0000000000")
+        assert os.path.isdir(unit)
+        parts = [f for f in os.listdir(unit) if f.endswith(".parquet")]
+        assert len(parts) > 1
+        assert spool_changes(table, spool, rows_per_file=30) == []  # idempotent
+
+    def test_split_spool_replays_exactly(self, spark, table, tmp_path):
+        from hbase_to_mongo_export_spark.operators.merge import (
+            changes_schema,
+            changes_stream,
+            spool_changes,
+            stream_apply_changes,
+        )
+
+        table.merge(
+            spark.createDataFrame(
+                [(3, "u3", -3.0), (300, "i300", 3.0)],
+                "id bigint, name string, amount double",
+            ),
+            on=["id"],
+            when_matched_update={"name": src("name"), "amount": src("amount")},
+        )
+        repl = spark.createDataFrame(
+            [(90, "r90", -90.0)], "id bigint, name string, amount double"
+        )
+        # one commit that deletes and re-inserts key 90: key_cols keeps
+        # both rows in ONE part even when the commit splits
+        table.overwrite_where((F.col("id") >= 90) & (F.col("id") < 95), repl)
+
+        replica = ParquetMergeTable(spark, str(tmp_path / "replica"))
+        replica.create(table.read(version=0))
+        spool = str(tmp_path / "spool")
+        spool_changes(
+            table, spool, from_version=1, key_cols=["id"], rows_per_file=2
+        )
+        assert any(
+            os.path.isdir(os.path.join(spool, f)) for f in os.listdir(spool)
+        )
+        stream = changes_stream(
+            spark, spool, changes_schema(table), max_files_per_trigger=1
+        )
+        q = (
+            stream_apply_changes(
+                replica, stream, on=["id"], checkpoint_dir=str(tmp_path / "ck")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        assert _as_dict(replica.read()) == _as_dict(table.read())
+
+
+class TestLogStoreSeam:
+    """Round-7: the commit point is pluggable (Delta's LogStore split) —
+    conflict detection and orphan cleanup must work through ANY backend
+    that raises FileExistsError on create-if-absent."""
+
+    def test_conflict_through_mock_backend(self, spark, table):
+        from hbase_to_mongo_export_spark.operators.merge import (
+            ConcurrentWriteError,
+            LocalLogStore,
+        )
+
+        class AlwaysTaken(LocalLogStore):
+            def write_new(self, path, data):
+                raise FileExistsError(path)
+
+        table.log_store = AlwaysTaken()
+        with pytest.raises(ConcurrentWriteError, match="another writer"):
+            table.delete_where(F.col("id") == 5)
+
+    def test_lost_race_leaves_no_orphan_files(self, spark, table):
+        from hbase_to_mongo_export_spark.operators.merge import (
+            ConcurrentWriteError,
+            LocalLogStore,
+        )
+
+        class AlwaysTaken(LocalLogStore):
+            def write_new(self, path, data):
+                raise FileExistsError(path)
+
+        def on_disk_parquet():
+            out = set()
+            for root, _dirs, files in os.walk(table.path):
+                if "_manifests" in root:
+                    continue
+                for f in files:
+                    if f.endswith(".parquet"):
+                        out.add(os.path.join(root, f))
+            return out
+
+        before = on_disk_parquet()
+        good_store = table.log_store
+        table.log_store = AlwaysTaken()
+        with pytest.raises(ConcurrentWriteError):
+            table.merge(
+                spark.createDataFrame(
+                    [(5, "u", 0.0), (300, "i", 1.0)],
+                    "id bigint, name string, amount double",
+                ),
+                on=["id"],
+                when_matched_update={"name": src("name")},
+            )
+        # every file the losing merge staged (rewrite + insert + change)
+        # must be gone — lost races must not leak orphans
+        assert on_disk_parquet() == before
+        # and the table still works with the real store
+        table.log_store = good_store
+        assert len(_as_dict(table.read())) == 100
+
+    def test_memory_backed_commit_point(self, spark, table):
+        """A backend that keeps its OWN record of taken versions (the
+        conditional-PUT shape an object store provides) drives the same
+        protocol: first writer wins, second gets ConcurrentWriteError."""
+        from hbase_to_mongo_export_spark.operators.merge import (
+            ConcurrentWriteError,
+            LocalLogStore,
+        )
+
+        class ConditionalPut(LocalLogStore):
+            def __init__(self):
+                self.taken = set()
+
+            def write_new(self, path, data):
+                if path in self.taken:
+                    raise FileExistsError(path)
+                self.taken.add(path)
+                super().write_new(path, data)
+
+        store = ConditionalPut()
+        table.log_store = store
+        table.delete_where(F.col("id") == 5)  # commits v1 through the seam
+        assert any(p.endswith("v1.json") for p in store.taken)
+        # second writer against the same version: simulate by re-marking
+        next_path = table._log_path(2)
+        store.taken.add(next_path)
+        with pytest.raises(ConcurrentWriteError):
+            table.delete_where(F.col("id") == 6)
+
+
+class TestManifestFormatGuard:
+    def test_pre_deltalog_entry_fails_loudly(self, spark, table, tmp_path):
+        """An entry without the delta-log diff shape (e.g. written by the
+        old full-file-list format) must raise an explicit MergeError, not
+        KeyError mid-replay."""
+        import json
+
+        legacy = {
+            "version": 1,
+            "operation": "merge",
+            "stats": {},
+            "committed_at": 0.0,
+            "files": ["/nope.parquet"],  # old full-list format
+            "change_files": [],
+            "insert_files": [],
+            "mixed_schema": False,
+        }
+        with open(table._log_path(1), "w") as f:
+            json.dump(legacy, f)
+        t2 = ParquetMergeTable(spark, table.path)
+        with pytest.raises(MergeError, match="unsupported manifest format"):
+            t2.read(version=1)
+
+
+class TestBinPackMixedSchema:
+    def test_bin_pack_packs_pre_evolution_files(self, spark, tmp_path):
+        """ADVICE r6 repro: every undersized file predates a schema
+        evolution; bin-packing must scan them with the FULL table schema
+        (typed NULLs for the evolved column) instead of raising."""
+        t = ParquetMergeTable(spark, str(tmp_path / "tbl"))
+        base = spark.createDataFrame(
+            [(i, float(i)) for i in range(20)], "id bigint, amount double"
+        )
+        t.create(base.repartition(2))  # 2 small old-schema files
+        # schema-evolving insert-only merge adds one BIG new-schema file
+        big = spark.createDataFrame(
+            [(i, float(i), f"tag{i}" * 50) for i in range(1000, 3000)],
+            "id bigint, amount double, tag string",
+        )
+        t.merge(big, on=["id"], schema_evolution=True)
+        sizes = t._manifest(t.current_version())["file_bytes"]
+        small = sorted(sizes.values())[:2]
+        threshold = max(small) * 3  # packs the 2 old files, carries the big one
+        stats = t.compact(bin_pack_bytes=int(threshold))
+        assert stats["files_packed"] == 2
+        got = t.read()
+        assert got.count() == 2020
+        old = got.filter(F.col("id") < 20)
+        assert old.filter(F.col("tag").isNull()).count() == 20
+
+
+class TestThreeValuedDelete:
+    def test_null_delete_condition_keeps_row_and_writes_no_change(
+        self, spark, table
+    ):
+        """ADVICE r6: a delete condition evaluating to NULL must NOT
+        fire — before the fix the row vanished from the rewrite with no
+        CDF delete row, breaking snapshot+feed==snapshot."""
+        source = spark.createDataFrame(
+            [(5, "x"), (6, None), (7, "del")], "id bigint, flag string"
+        )
+        stats = table.merge(
+            source,
+            on=["id"],
+            when_matched_delete=src("flag") == "del",
+            insert_not_matched=False,
+        )
+        got = _as_dict(table.read())
+        assert 7 not in got  # condition TRUE → deleted
+        assert got[5] == ("name5", 50.0)  # FALSE → kept
+        assert got[6] == ("name6", 60.0)  # NULL → 3VL: kept
+        assert stats["rows_deleted"] == 1
+        feed = table.read_changes(1, 1)
+        dels = [
+            r["id"] for r in feed.filter(F.col("_change_type") == "delete").collect()
+        ]
+        assert dels == [7]
+
+
+class TestSinglePassInsert:
+    def test_merge_never_counts_the_insert_antijoin(self, spark, table):
+        """Round-7: rows_inserted comes from the staged parquet footers;
+        the scan + anti-join must run ONCE (the write), never a second
+        time for a pre-count."""
+        from pyspark.sql import DataFrame
+
+        calls = []
+        orig = DataFrame.count
+
+        def spy(self):
+            calls.append(1)
+            return orig(self)
+
+        DataFrame.count = spy
+        try:
+            stats = table.merge(
+                spark.createDataFrame(
+                    [(500, "n", 1.0), (501, "n", 1.0)],
+                    "id bigint, name string, amount double",
+                ),
+                on=["id"],  # insert-only merge: no matched clauses
+            )
+        finally:
+            DataFrame.count = orig
+        assert stats["rows_inserted"] == 2
+        assert not calls  # no DataFrame.count anywhere in the path
+        assert sorted(_as_dict(table.read())) == list(range(100)) + [500, 501]
+
+    def test_empty_insert_set_stages_nothing(self, spark, table):
+        stats = table.merge(
+            spark.createDataFrame(
+                [(5, "u", 0.0)], "id bigint, name string, amount double"
+            ),
+            on=["id"],
+            when_matched_update={"name": src("name")},
+        )
+        assert stats["rows_inserted"] == 0
+        m = table._manifest(stats["version"])
+        assert m["insert_files"] == []
+        assert m["rows_total"] == 100
+
+
+class TestVacuumOrphanSweep:
+    def test_sweeps_stale_unreferenced_files_only(self, spark, table):
+        """A writer killed mid-merge leaves staged files no manifest
+        references (the lost-RACE path cleans up, a dead process can't).
+        vacuum(sweep_orphans=True) removes them once they age past the
+        grace window — never a fresh file (could be an in-flight
+        writer's staging) and never live data."""
+        import time
+
+        stray_dir = os.path.join(table.path, "stage-deadbeef")
+        os.makedirs(stray_dir)
+        stray = os.path.join(stray_dir, "part-00000.parquet")
+        with open(stray, "wb") as f:
+            f.write(b"crash leftover")
+        fresh = os.path.join(stray_dir, "part-00001.parquet")
+        with open(fresh, "wb") as f:
+            f.write(b"in-flight staging")
+        old = time.time() - 100
+        os.utime(stray, (old, old))
+        stats = table.vacuum(sweep_orphans=True, orphan_grace_seconds=50)
+        assert stats["orphans_removed"] == 1
+        assert not os.path.exists(stray)
+        assert os.path.exists(fresh)  # within grace → kept
+        assert sorted(_as_dict(table.read())) == list(range(100))
+
+    def test_sweep_never_touches_retained_version_files(self, spark, table):
+        import time
+
+        table.delete_where(F.col("id") == 1)
+        before = set(table._manifest(1)["files"]) | set(
+            table._manifest(1)["delete_files"]
+        )
+        # age EVERYTHING, then sweep with retain_last=2 (both versions live)
+        for f in before:
+            os.utime(f, (time.time() - 100, time.time() - 100))
+        stats = table.vacuum(
+            retain_last=2, sweep_orphans=True, orphan_grace_seconds=50
+        )
+        assert stats["orphans_removed"] == 0
+        assert all(os.path.exists(f) for f in before)
+        assert sorted(_as_dict(table.read())) == list(range(0, 1)) + list(
+            range(2, 100)
+        )

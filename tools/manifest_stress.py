@@ -79,7 +79,7 @@ def main() -> None:
             r = M.ParquetMergeTable(spark, t.path)
             reads = []
             orig = M.ParquetMergeTable._read_json
-            r._read_json = lambda p: (reads.append(p), orig(p))[1]
+            r._read_json = lambda p: (reads.append(p), orig(r, p))[1]
             s = time.perf_counter()
             got = r._manifest(v)
             return got["rows_total"], round(time.perf_counter() - s, 4), len(reads)

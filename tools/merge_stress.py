@@ -47,11 +47,21 @@ def main() -> None:
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "8"))
     ap.add_argument(
         "--shapes", default="clustered,scattered",
-        help="comma list of clustered|scattered|full",
+        help="comma list of clustered|scattered|full|bigdelete|cdfspool",
     )
     ap.add_argument(
         "--broadcast-max-rows", type=int, default=None,
         help="override ParquetMergeTable.BROADCAST_MAX_SOURCE_ROWS",
+    )
+    ap.add_argument(
+        "--delete-rows-per-file", type=int, default=None,
+        help="override ParquetMergeTable.DELETE_ROWS_PER_FILE (bigdelete: "
+             "prove the vector write fans out past one task)",
+    )
+    ap.add_argument(
+        "--spool-rows-per-file", type=int, default=100_000,
+        help="cdfspool: rows per spooled CDF part before a commit splits "
+             "into a multi-task directory unit",
     )
     ap.add_argument(
         "--driver-memory", default=None,
@@ -85,6 +95,9 @@ def main() -> None:
 
     if args.broadcast_max_rows is not None:
         ParquetMergeTable.BROADCAST_MAX_SOURCE_ROWS = args.broadcast_max_rows
+    if args.delete_rows_per_file is not None:
+        ParquetMergeTable.DELETE_ROWS_PER_FILE = args.delete_rows_per_file
+        ParquetMergeTable.CHANGE_ROWS_PER_FILE = args.delete_rows_per_file
 
     li = (
         spark.read.parquet(os.path.join(args.sf_dir, "lineitem.parquet"))
@@ -121,6 +134,69 @@ def main() -> None:
                 )
             )
             n = t.read().count()
+            if shape == "bigdelete":
+                # ~30%-of-table MoR delete: before round 7 the position-
+                # delete vector and the CDF change file each funneled
+                # through coalesce(1); now the writer task count is
+                # proportional to the exact victim count
+                t0 = time.perf_counter()
+                stats = t.delete_where(F.col("key") % 10 < 3)
+                sec = round(time.perf_counter() - t0, 2)
+                m1 = t._manifest(stats["version"])
+                out[shape] = {
+                    "rows": n,
+                    "rows_deleted": stats["rows_deleted"],
+                    "delete_files": len(m1["delete_files"]),
+                    "delete_rows_per_file":
+                        ParquetMergeTable.DELETE_ROWS_PER_FILE,
+                    "rows_after_read": t.read().count(),
+                    "sec": sec,
+                }
+                continue
+            if shape == "cdfspool":
+                # full-table update, then spool its CDF: the spooled unit
+                # must be a multi-part directory written by >1 task (the
+                # old spool pushed every commit through coalesce(1))
+                from hbase_to_mongo_export_spark.operators.merge import (
+                    spool_changes,
+                )
+
+                delta = t.read().select(
+                    "key",
+                    (F.col("l_extendedprice") + F.lit(1.0)).alias(
+                        "l_extendedprice"
+                    ),
+                )
+                t.merge(
+                    delta,
+                    on=["key"],
+                    when_matched_update={
+                        "l_extendedprice": src("l_extendedprice")
+                    },
+                    insert_not_matched=False,
+                )
+                spool = os.path.join(root, "spool")
+                t0 = time.perf_counter()
+                spool_changes(
+                    t, spool, from_version=1, key_cols=["key"],
+                    rows_per_file=args.spool_rows_per_file,
+                )
+                sec = round(time.perf_counter() - t0, 2)
+                unit = os.path.join(spool, "cdf-v0000000001")
+                parts = (
+                    [f for f in os.listdir(unit) if f.endswith(".parquet")]
+                    if os.path.isdir(unit)
+                    else []
+                )
+                out[shape] = {
+                    "rows": n,
+                    "change_rows": 2 * n,  # pre+post images
+                    "spool_unit_is_dir": os.path.isdir(unit),
+                    "spool_parts": len(parts),
+                    "spool_rows_per_file": args.spool_rows_per_file,
+                    "sec": sec,
+                }
+                continue
             if shape == "full":
                 # table-sized backfill: every row is a matched key — the
                 # worst case for both pruning AND the broadcast decision
