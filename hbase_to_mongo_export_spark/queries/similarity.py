@@ -760,11 +760,20 @@ def embedding_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame
     embedding matrix by TWO power-iteration steps on the 64x64 Gram
     matrix — distributed PCA the way it actually runs at scale: the only
     corpus-sized operation is the Gram accumulation (one self-join per
-    vector's 64x64 outer product, map-side combinable); the iteration
-    itself lives on 64 rows. Exact arithmetic throughout: integer Gram,
-    FLOOR-rescale between steps (floor semantics match across engines,
-    unlike integer div on negatives), DECIMAL squares for the norm. Sign
-    is pinned by the all-ones start vector."""
+    vector's 64x64 outer product, map-side combinable to 4096 cells).
+    The Gram is VERTEX-sized (64x64 whatever the corpus), so the
+    iteration runs on the collected cells driver-side in exact integer
+    arithmetic — the same split Spark MLlib's PCA uses (RowMatrix
+    collects the Gramian and eigendecomposes locally). The previous
+    all-DataFrame formulation chained three broadcast jobs + a cache
+    over those 4096 rows and its wall time was pure job-scheduling
+    overhead (profiled: ~1.8s of which the Gram was 0.07s). FLOOR-
+    rescale between steps matches across engines (unlike integer div on
+    negatives); the float-sensitive tail (norm, divide, round) stays in
+    Spark SQL on a local 64-row relation so the reported doubles keep
+    engine semantics bit-for-bit."""
+    import math
+
     emb = _t(spark, sf_dir, "embeddings")
     q = sim_mod.quantize_for_kmeans(emb, "vec_id", "embedding").select(
         "vec_id", F.expr("transform(qv, x -> x - 192)").alias("xc")
@@ -772,24 +781,24 @@ def embedding_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame
     expl = q.select(
         "vec_id", F.posexplode("xc").alias("i0", "x")
     ).select("vec_id", (F.col("i0") + 1).alias("i"), "x")
-    g = (
+    g_rows = (
         expl.alias("a")
         .join(expl.alias("b"), "vec_id")
         .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
         .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("gij"))
+        .collect()  # 4096 integer cells — corpus-independent
     )
-    g = op_cache.track(g.cache())
-    v1 = g.groupBy("j").agg(F.sum("gij").alias("v"))
-    s1 = v1.select(
-        F.col("j").alias("i"),
-        F.floor(F.col("v").cast("double") / 16384).cast("bigint").alias("s"),
+    G = {(r["i"], r["j"]): r["gij"] for r in g_rows}
+    dims = sorted({i for i, _ in G})
+    # step 1: v1 = G · 1, rescaled by floor(v/16384) in DOUBLE (exact:
+    # |v1| < 2^53). step 2: v2 = G · s1 — pure int64, overflow-free.
+    v1 = {j: sum(G[(i, j)] for i in dims) for j in dims}
+    s1 = {i: math.floor(float(v1[i]) / 16384) for i in dims}
+    v2 = {j: sum(G[(i, j)] * s1[i] for i in dims) for j in dims}
+    v2_df = spark.createDataFrame(
+        [(j, v2[j]) for j in dims], "j int, v bigint"
     )
-    v2 = (
-        g.join(F.broadcast(s1), "i")
-        .groupBy("j")
-        .agg(F.sum(F.col("gij") * F.col("s")).alias("v"))
-    )
-    nrm = v2.agg(
+    nrm = v2_df.agg(
         F.sqrt(
             F.sum(
                 F.col("v").cast("decimal(19,0)") * F.col("v").cast("decimal(19,0)")
@@ -797,7 +806,7 @@ def embedding_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("nn")
     )
     return (
-        v2.crossJoin(F.broadcast(nrm))
+        v2_df.crossJoin(F.broadcast(nrm))
         .select(
             F.col("j").cast("int").alias("dim"),
             F.round(F.col("v").cast("double") / F.col("nn"), 6).alias("loading"),
