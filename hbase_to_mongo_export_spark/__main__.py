@@ -72,6 +72,7 @@ def _build_parser() -> argparse.ArgumentParser:
         choices=[
             "create", "read", "history", "changes",
             "delete-where", "compact", "vacuum",
+            "add-constraint", "drop-constraint",
         ],
     )
     t.add_argument("path", help="table directory")
@@ -98,6 +99,11 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="compact: 2+ comma-separated columns to Z-order")
     t.add_argument("--target-files", type=int, default=None)
     t.add_argument("--retain-last", type=int, default=1, help="vacuum")
+    t.add_argument("--name", default=None,
+                   help="add-constraint/drop-constraint: constraint name")
+    t.add_argument("--expr", default=None,
+                   help="add-constraint: SQL CHECK expression over the "
+                        "table's columns (NULL passes, FALSE violates)")
     t.add_argument("--sweep-orphans", action="store_true",
                    help="vacuum: also remove unreferenced parquet files "
                         "older than the grace window (crash leftovers)")
@@ -305,6 +311,29 @@ def main(argv: list[str] | None = None) -> int:
                     )
                 )
             )
+        elif args.action == "add-constraint":
+            from .operators.merge import MergeError
+
+            if not args.name or not args.expr:
+                print("add-constraint requires --name and --expr",
+                      file=sys.stderr)
+                return 2
+            try:
+                print(json.dumps(t.add_constraint(args.name, args.expr)))
+            except MergeError as e:
+                print(str(e), file=sys.stderr)
+                return 1
+        elif args.action == "drop-constraint":
+            from .operators.merge import MergeError
+
+            if not args.name:
+                print("drop-constraint requires --name", file=sys.stderr)
+                return 2
+            try:
+                print(json.dumps(t.drop_constraint(args.name)))
+            except MergeError as e:
+                print(str(e), file=sys.stderr)
+                return 1
         elif args.action == "vacuum":
             print(
                 json.dumps(

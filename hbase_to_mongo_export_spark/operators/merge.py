@@ -43,6 +43,11 @@ behavior with Spark primitives so its mechanics are visible and testable:
   agree on what "matched" means even for NULL key components.
 - **time travel**: ``read(version=N)`` reads any retained version's
   file list; ``history()`` lists commits.
+- **CHECK constraints** (Delta ``ADD CONSTRAINT``): ``add_constraint``
+  validates the whole current table once; afterwards every MERGE /
+  overwrite validates ONLY the rows it stages (carried files were
+  valid when written) and aborts — staged files removed, table
+  unchanged — on a violation. SQL three-valued logic: NULL passes.
 - **merge-on-read deletion vectors** (Iceberg v2 position deletes /
   Delta deletion vectors): ``delete_where(cond)`` writes a tiny
   position-delete file — ``(file_path, row_index)`` pairs from the
@@ -93,6 +98,13 @@ class ConcurrentWriteError(MergeError):
     """Another writer committed the version this operation was about to
     write. The table is intact (the other commit won); re-read and
     retry the operation against the new current version."""
+
+
+class ConstraintViolation(MergeError):
+    """A write produced rows for which a table CHECK constraint
+    evaluates to FALSE (SQL semantics: NULL passes). The operation is
+    aborted before commit; staged files are removed; the table is
+    unchanged."""
 
 
 #: change-row schema marker column (Delta CDF naming)
@@ -400,6 +412,7 @@ class ParquetMergeTable:
             "change_files": entry["change_files"],
             "insert_files": entry["insert_files"],
             "mixed_schema": entry["mixed_schema"],
+            "constraints": entry.get("constraints", {}),
             "rows_total": sum(file_rows.values()) - sum(delete_file_rows.values()),
             "delete_rows_total": sum(delete_file_rows.values()),
         }
@@ -487,6 +500,7 @@ class ParquetMergeTable:
         change_files: list[str] | None = None,
         insert_files: list[str] | None = None,
         mixed_schema: bool = False,
+        constraints: dict | None = None,
     ) -> int:
         """Commit a new version on top of ``base`` (the resolved manifest
         this writer READ; None for table creation). The log entry stores
@@ -525,6 +539,13 @@ class ParquetMergeTable:
             "change_files": sorted(change_files or []),
             "insert_files": sorted(insert_files or []),
             "mixed_schema": mixed_schema,
+            # every entry carries the FULL (small) constraint map, so
+            # resolution needs no replay-time merging
+            "constraints": (
+                constraints
+                if constraints is not None
+                else (base.get("constraints", {}) if base else {})
+            ),
         }
         os.makedirs(self.manifest_dir, exist_ok=True)
         try:
@@ -713,6 +734,76 @@ class ParquetMergeTable:
             return live_parts
         shutil.rmtree(keep_dir, ignore_errors=True)
         return []
+
+    @staticmethod
+    def _violation_cond(expr: str) -> Column:
+        """SQL CHECK semantics: a row violates only when the expression
+        evaluates FALSE — NULL passes (standard, and Delta's)."""
+        return ~F.coalesce(F.expr(expr), F.lit(True))
+
+    def _check_constraints(
+        self, files: list[str], constraints: dict, discard: list[str]
+    ) -> None:
+        """Validate FRESHLY STAGED data files against the table's CHECK
+        constraints — Delta's enforcement point: only new rows pay (a
+        carried file was validated by the write that created it, and
+        ``add_constraint`` validated the whole table once). On violation
+        the aborted operation's staged files are removed and the table
+        is unchanged."""
+        if not constraints or not files:
+            return
+        df = self.spark.read.parquet(*files)
+        for name, expr in sorted(constraints.items()):
+            if df.filter(self._violation_cond(expr)).limit(1).count():
+                self._discard_staged(discard)
+                raise ConstraintViolation(
+                    f"CHECK constraint '{name}' ({expr}) is violated by "
+                    "rows this operation writes — aborted, table unchanged"
+                )
+
+    def add_constraint(self, name: str, expr: str) -> dict:
+        """Delta ``ALTER TABLE ADD CONSTRAINT name CHECK (expr)``:
+        ``expr`` (a SQL boolean over the table's columns) must hold for
+        every CURRENT row — validated here with one scan — and every
+        subsequent MERGE / overwrite validates the rows it stages before
+        committing. Adding the constraint is itself a commit, so time
+        travel to earlier versions sees the pre-constraint state."""
+        m = self._manifest(self.current_version())
+        cons = dict(m.get("constraints", {}))
+        if name in cons:
+            raise MergeError(f"constraint '{name}' already exists")
+        if self.read().filter(self._violation_cond(expr)).limit(1).count():
+            raise ConstraintViolation(
+                f"existing rows violate CHECK constraint '{name}' ({expr})"
+            )
+        cons[name] = expr
+        v = self._commit(
+            m,
+            m["files"],
+            "add_constraint",
+            {"constraint": name},
+            delete_files=m["delete_files"],
+            mixed_schema=m["mixed_schema"],
+            constraints=cons,
+        )
+        return {"version": v, "constraints": dict(cons)}
+
+    def drop_constraint(self, name: str) -> dict:
+        m = self._manifest(self.current_version())
+        cons = dict(m.get("constraints", {}))
+        if name not in cons:
+            raise MergeError(f"no such constraint: '{name}'")
+        del cons[name]
+        v = self._commit(
+            m,
+            m["files"],
+            "drop_constraint",
+            {"constraint": name},
+            delete_files=m["delete_files"],
+            mixed_schema=m["mixed_schema"],
+            constraints=cons,
+        )
+        return {"version": v, "constraints": dict(cons)}
 
     def _pruning_df(
         self, live: DataFrame, source: DataFrame, on: list[str], small_source: bool
@@ -1206,6 +1297,16 @@ class ParquetMergeTable:
 
         if new_cols:
             stats["columns_added"] = new_cols
+        # CHECK constraints: validate only the rows this merge WROTE
+        # (rewritten + inserted files); carried files were valid already
+        fresh_data = [f for f in new_files if f not in set(untouched)]
+        self._check_constraints(
+            fresh_data,
+            m.get("constraints", {}),
+            discard=fresh_data
+            + [f for f in carried_dels if f not in set(pending_dels)]
+            + change_files,
+        )
         new_v = self._commit(
             m,
             new_files,
@@ -1308,6 +1409,14 @@ class ParquetMergeTable:
             "files_carried": len(untouched),
             "rows_removed": n_removed,
         }
+        fresh_data = [f for f in new_files if f not in set(untouched)]
+        self._check_constraints(
+            fresh_data,
+            m.get("constraints", {}),
+            discard=fresh_data
+            + [f for f in carried_dels if f not in set(pending_dels)]
+            + change_files,
+        )
         new_v = self._commit(
             m,
             new_files,

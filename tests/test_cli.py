@@ -181,6 +181,20 @@ def test_table_subcommand_lifecycle(tmp_path, capsys, spark):
     assert main(["table", "compact", tbl, "--bin-pack-bytes", "1"]) == 0
     assert json.loads(capsys.readouterr().out.strip())["files_packed"] == 0
 
+    # CHECK constraints: add validates existing rows, writes validate
+    # staged rows, drop reopens
+    assert main(["table", "add-constraint", tbl,
+                 "--name", "val_nonneg", "--expr", "val >= 0"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["constraints"] == {"val_nonneg": "val >= 0"}
+    assert main(["table", "add-constraint", tbl,
+                 "--name", "impossible", "--expr", "val > 1000"]) == 1
+    capsys.readouterr()
+    assert main(["table", "drop-constraint", tbl, "--name", "val_nonneg"]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["constraints"] == {}
+    assert main(["table", "add-constraint", tbl, "--name", "x"]) == 2  # no --expr
+    capsys.readouterr()
+
     # crash-leftover orphan: unreferenced, aged past the grace window
     import os as _os
 
@@ -193,7 +207,8 @@ def test_table_subcommand_lifecycle(tmp_path, capsys, spark):
     assert main(["table", "vacuum", tbl, "--retain-last", "1",
                  "--sweep-orphans", "--orphan-grace-seconds", "50"]) == 0
     out = json.loads(capsys.readouterr().out.strip())
-    assert out["versions_dropped"] == 2
+    # create, delete, compact, add-constraint, drop-constraint = v0..v4
+    assert out["versions_dropped"] == 4
     assert out["orphans_removed"] == 1
     assert not _os.path.exists(stray)
 

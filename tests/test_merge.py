@@ -1631,3 +1631,133 @@ class TestVacuumOrphanSweep:
         assert sorted(_as_dict(table.read())) == list(range(0, 1)) + list(
             range(2, 100)
         )
+
+
+class TestCheckConstraints:
+    """Delta ALTER TABLE ADD CONSTRAINT parity: adding validates the
+    whole table once; afterwards every MERGE/overwrite validates only
+    the rows it stages and aborts cleanly on violation."""
+
+    def test_add_validates_existing_rows(self, spark, table):
+        from hbase_to_mongo_export_spark.operators.merge import (
+            ConstraintViolation,
+        )
+
+        with pytest.raises(ConstraintViolation, match="existing rows"):
+            table.add_constraint("amount_big", "amount >= 100.0")
+        # no commit happened
+        assert table.current_version() == 0
+
+    def test_violating_insert_aborts_and_cleans_up(self, spark, table):
+        from hbase_to_mongo_export_spark.operators.merge import (
+            ConstraintViolation,
+        )
+
+        out = table.add_constraint("amount_nonneg", "amount >= 0")
+        assert out["version"] == 1
+
+        def on_disk_parquet():
+            files = set()
+            for root, _d, fs in os.walk(table.path):
+                if "_manifests" in root:
+                    continue
+                files |= {os.path.join(root, f) for f in fs if f.endswith(".parquet")}
+            return files
+
+        before = on_disk_parquet()
+        with pytest.raises(ConstraintViolation, match="amount_nonneg"):
+            table.merge(
+                spark.createDataFrame(
+                    [(500, "bad", -1.0)], "id bigint, name string, amount double"
+                ),
+                on=["id"],
+            )
+        assert on_disk_parquet() == before  # staged files discarded
+        assert table.current_version() == 1  # no commit
+        assert 500 not in _as_dict(table.read())
+
+    def test_violating_update_aborts(self, spark, table):
+        from hbase_to_mongo_export_spark.operators.merge import (
+            ConstraintViolation,
+        )
+
+        table.add_constraint("amount_nonneg", "amount >= 0")
+        with pytest.raises(ConstraintViolation):
+            table.merge(
+                spark.createDataFrame([(5, -9.0)], "id bigint, amt double"),
+                on=["id"],
+                when_matched_update={"amount": src("amt")},
+                insert_not_matched=False,
+            )
+        assert _as_dict(table.read())[5] == ("name5", 50.0)
+
+    def test_null_check_passes_sql_3vl(self, spark, table):
+        table.add_constraint("name_prefix", "name LIKE 'n%'")
+        # NULL name → constraint evaluates NULL → passes (SQL CHECK)
+        stats = table.merge(
+            spark.createDataFrame(
+                [(600, None, 1.0)], "id bigint, name string, amount double"
+            ),
+            on=["id"],
+        )
+        assert stats["rows_inserted"] == 1
+        assert _as_dict(table.read())[600] == (None, 1.0)
+
+    def test_valid_writes_pass_and_constraint_survives_fresh_reader(
+        self, spark, table
+    ):
+        from hbase_to_mongo_export_spark.operators.merge import (
+            ConstraintViolation,
+        )
+
+        table.add_constraint("amount_nonneg", "amount >= 0")
+        table.merge(
+            spark.createDataFrame(
+                [(700, "ok", 7.0)], "id bigint, name string, amount double"
+            ),
+            on=["id"],
+        )
+        t2 = ParquetMergeTable(spark, table.path)  # fresh resolution
+        assert t2._manifest(t2.current_version())["constraints"] == {
+            "amount_nonneg": "amount >= 0"
+        }
+        with pytest.raises(ConstraintViolation):
+            t2.merge(
+                spark.createDataFrame(
+                    [(701, "bad", -7.0)], "id bigint, name string, amount double"
+                ),
+                on=["id"],
+            )
+
+    def test_overwrite_where_replacement_validated(self, spark, table):
+        from hbase_to_mongo_export_spark.operators.merge import (
+            ConstraintViolation,
+        )
+
+        table.add_constraint("amount_nonneg", "amount >= 0")
+        repl = spark.createDataFrame(
+            [(5, "r5", -5.0)], "id bigint, name string, amount double"
+        )
+        with pytest.raises(ConstraintViolation):
+            table.overwrite_where(F.col("id") == 5, repl)
+        assert _as_dict(table.read())[5] == ("name5", 50.0)
+
+    def test_drop_constraint_reopens_writes(self, spark, table):
+        table.add_constraint("amount_nonneg", "amount >= 0")
+        table.drop_constraint("amount_nonneg")
+        stats = table.merge(
+            spark.createDataFrame(
+                [(800, "neg", -1.0)], "id bigint, name string, amount double"
+            ),
+            on=["id"],
+        )
+        assert stats["rows_inserted"] == 1
+        ops = [h["operation"] for h in table.history()]
+        assert ops == ["create", "add_constraint", "drop_constraint", "merge"]
+
+    def test_duplicate_and_missing_names_rejected(self, spark, table):
+        table.add_constraint("c1", "amount >= 0")
+        with pytest.raises(MergeError, match="already exists"):
+            table.add_constraint("c1", "amount >= 0")
+        with pytest.raises(MergeError, match="no such constraint"):
+            table.drop_constraint("nope")
