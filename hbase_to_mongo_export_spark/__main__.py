@@ -70,7 +70,7 @@ def _build_parser() -> argparse.ArgumentParser:
     t.add_argument(
         "action",
         choices=[
-            "create", "read", "history", "changes",
+            "create", "append", "read", "history", "changes",
             "delete-where", "compact", "vacuum",
             "add-constraint", "drop-constraint",
         ],
@@ -236,6 +236,17 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
             v = t.create(spark.read.parquet(args.source))
             print(json.dumps({"version": v, "path": args.path}))
+        elif args.action == "append":
+            from .operators.merge import MergeError
+
+            if not args.source:
+                print("append requires --source", file=sys.stderr)
+                return 2
+            try:
+                print(json.dumps(t.append(spark.read.parquet(args.source))))
+            except MergeError as e:
+                print(str(e), file=sys.stderr)
+                return 1
         elif args.action == "read":
             where = None
             if args.range:

@@ -501,6 +501,7 @@ class ParquetMergeTable:
         insert_files: list[str] | None = None,
         mixed_schema: bool = False,
         constraints: dict | None = None,
+        discard_on_conflict: bool = True,
     ) -> int:
         """Commit a new version on top of ``base`` (the resolved manifest
         this writer READ; None for table creation). The log entry stores
@@ -558,10 +559,12 @@ class ParquetMergeTable:
         except FileExistsError:
             # the loser's freshly staged files are referenced by no
             # manifest — remove them NOW or every lost race (and every
-            # retry_on_conflict attempt) leaks orphans forever
-            self._discard_staged(
-                add_files + add_dels + list(entry["change_files"])
-            )
+            # retry_on_conflict attempt) leaks orphans forever. A caller
+            # that can REBASE (blind append) keeps them and re-commits.
+            if discard_on_conflict:
+                self._discard_staged(
+                    add_files + add_dels + list(entry["change_files"])
+                )
             raise ConcurrentWriteError(
                 f"version {next_v} was committed by another writer while "
                 f"this operation ran against version {next_v - 1}; "
@@ -742,17 +745,27 @@ class ParquetMergeTable:
         return ~F.coalesce(F.expr(expr), F.lit(True))
 
     def _check_constraints(
-        self, files: list[str], constraints: dict, discard: list[str]
+        self,
+        files: list[str],
+        constraints: dict,
+        discard: list[str],
+        schema=None,
     ) -> None:
         """Validate FRESHLY STAGED data files against the table's CHECK
         constraints — Delta's enforcement point: only new rows pay (a
         carried file was validated by the write that created it, and
         ``add_constraint`` validated the whole table once). On violation
         the aborted operation's staged files are removed and the table
-        is unchanged."""
+        is unchanged. ``schema``: read the files under this (wider)
+        schema so a constraint on a column the files don't carry sees
+        NULL — which passes under SQL 3VL — instead of failing to
+        resolve."""
         if not constraints or not files:
             return
-        df = self.spark.read.parquet(*files)
+        r = self.spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        df = r.parquet(*files)
         for name, expr in sorted(constraints.items()):
             if df.filter(self._violation_cond(expr)).limit(1).count():
                 self._discard_staged(discard)
@@ -827,6 +840,83 @@ class ParquetMergeTable:
         return self._commit(
             None, files, "create", {"files_written": len(files)}, insert_files=files
         )
+
+    def append(
+        self,
+        df: DataFrame,
+        max_records_per_file: int | None = None,
+        max_rebase_attempts: int = 20,
+    ) -> dict:
+        """Blind append — the highest-volume write a 100 TB ingestion
+        path runs, and the ONLY operation that can survive a lost commit
+        race WITHOUT recomputing (Delta's AppendOnly non-conflict rule):
+        an append reads nothing, so no concurrent winner can invalidate
+        it. The rows are staged ONCE; losing the race re-reads the new
+        head and re-commits the SAME staged files at the next version
+        (a rebase, not a retry). Metadata changes by the winner are
+        honored on rebase: new CHECK constraints re-validate the staged
+        rows, and a schema evolution marks the commit mixed-schema so
+        readers surface the evolved columns as NULLs for these files.
+        The dataframe must carry exactly the table's columns
+        (``merge(schema_evolution=True)`` is the way to evolve)."""
+        m = self._manifest(self.current_version())
+        table_cols = [
+            f.name for f in self._read_data(m["files"], m["mixed_schema"]).schema.fields
+        ]
+        if set(df.columns) != set(table_cols):
+            raise MergeError(
+                f"append schema mismatch: table has {sorted(table_cols)}, "
+                f"dataframe has {sorted(df.columns)}"
+            )
+        staged = self._stage_files(
+            df.select(*[c for c in table_cols if c in df.columns]),
+            max_records_per_file,
+        )
+        staged_rows = {f: _parquet_file_meta(f)[0] for f in staged}
+        for f in staged:
+            if staged_rows[f] == 0:
+                os.remove(f)
+        files = [f for f in staged if staged_rows[f] > 0]
+        n_rows = sum(staged_rows.values())
+        if not files:
+            if staged:
+                shutil.rmtree(os.path.dirname(staged[0]), ignore_errors=True)
+            return {"rows_appended": 0, "version": m["version"]}
+        validated_against = m.get("constraints", {})
+        self._check_constraints(files, validated_against, discard=files)
+        staged_cols = set(df.columns)
+        for attempt in range(max_rebase_attempts):
+            cur_schema = self._read_data(m["files"], m["mixed_schema"]).schema
+            cons = m.get("constraints", {})
+            if cons != validated_against:
+                # the winner changed table metadata — re-validate the
+                # staged rows against the NEW constraint set, under the
+                # current table schema (an evolved column the staged
+                # files lack reads as NULL, which passes 3VL)
+                self._check_constraints(
+                    files, cons, discard=files, schema=cur_schema
+                )
+                validated_against = cons
+            cur_cols = {f.name for f in cur_schema.fields}
+            now_mixed = m["mixed_schema"] or not cur_cols.issubset(staged_cols)
+            try:
+                v = self._commit(
+                    m,
+                    m["files"] + files,
+                    "append",
+                    {"rows_appended": n_rows},
+                    delete_files=m["delete_files"],
+                    insert_files=files,
+                    mixed_schema=now_mixed,
+                    discard_on_conflict=False,
+                )
+                return {"rows_appended": n_rows, "version": v}
+            except ConcurrentWriteError:
+                if attempt == max_rebase_attempts - 1:
+                    self._discard_staged(files)
+                    raise
+                m = self._manifest(self.current_version())
+        raise AssertionError("unreachable")
 
     def version_at(self, timestamp: float) -> int:
         """``TIMESTAMP AS OF`` resolution: the latest version committed

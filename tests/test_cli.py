@@ -212,6 +212,17 @@ def test_table_subcommand_lifecycle(tmp_path, capsys, spark):
     assert out["orphans_removed"] == 1
     assert not _os.path.exists(stray)
 
+    # blind append through the CLI
+    src2 = str(tmp_path / "src2")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(100, 110)], "id bigint, val double"
+    ).write.parquet(src2)
+    assert main(["table", "append", tbl, "--source", src2]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["rows_appended"] == 10
+    assert main(["table", "read", tbl, "--limit", "100"]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 55  # 45 survivors + 10 appended
+
 
 def test_table_subcommand_arg_errors(tmp_path, capsys, spark):
     tbl = str(tmp_path / "tbl")

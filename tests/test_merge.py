@@ -1761,3 +1761,117 @@ class TestCheckConstraints:
             table.add_constraint("c1", "amount >= 0")
         with pytest.raises(MergeError, match="no such constraint"):
             table.drop_constraint("nope")
+
+
+class TestBlindAppend:
+    """append() — Delta's AppendOnly commit: stages once, and a lost
+    commit race REBASES the same staged files onto the new head instead
+    of recomputing (an append reads nothing, so no winner can invalidate
+    it)."""
+
+    SCHEMA = "id bigint, name string, amount double"
+
+    def test_append_adds_rows_and_cdf_inserts(self, spark, table):
+        out = table.append(
+            spark.createDataFrame([(500, "a500", 5.0), (501, "a501", 5.1)], self.SCHEMA)
+        )
+        assert out["rows_appended"] == 2 and out["version"] == 1
+        got = _as_dict(table.read())
+        assert len(got) == 102 and got[500] == ("a500", 5.0)
+        feed = table.read_changes(1, 1)
+        assert [r["_change_type"] for r in feed.collect()] == ["insert", "insert"]
+
+    def test_schema_mismatch_rejected(self, spark, table):
+        with pytest.raises(MergeError, match="schema mismatch"):
+            table.append(spark.createDataFrame([(1,)], "id bigint"))
+
+    def test_empty_append_is_noop(self, spark, table):
+        out = table.append(spark.createDataFrame([], self.SCHEMA))
+        assert out["rows_appended"] == 0
+        assert table.current_version() == 0  # no commit
+
+    def test_lost_race_rebases_same_staged_files(self, spark, table):
+        from hbase_to_mongo_export_spark.operators.merge import LocalLogStore
+
+        t2 = ParquetMergeTable(spark, table.path)
+
+        class RaceOnce(LocalLogStore):
+            fired = False
+
+            def write_new(self, path, data):
+                if not RaceOnce.fired:
+                    RaceOnce.fired = True
+                    # a winner commits the contested version first; the
+                    # super().write_new below then fails EEXIST naturally
+                    t2.delete_where(F.col("id") == 7)
+                super().write_new(path, data)
+
+        table.log_store = RaceOnce()
+        stage_calls = []
+        orig_stage = table._stage_files
+
+        def counting(df, mrpf):
+            out = orig_stage(df, mrpf)
+            stage_calls.append(len(out))
+            return out
+
+        table._stage_files = counting
+        out = table.append(
+            spark.createDataFrame([(900, "a900", 9.0)], self.SCHEMA)
+        )
+        assert len(stage_calls) == 1  # staged ONCE — rebase, not retry
+        assert out["version"] == 2  # winner took v1
+        got = _as_dict(table.read())
+        assert 7 not in got  # winner's delete survived
+        assert got[900] == ("a900", 9.0)
+        assert len(got) == 100  # 100 - 1 deleted + 1 appended
+
+    def test_rebase_revalidates_winner_constraint(self, spark, table):
+        from hbase_to_mongo_export_spark.operators.merge import (
+            ConstraintViolation,
+            LocalLogStore,
+        )
+
+        t2 = ParquetMergeTable(spark, table.path)
+
+        class RaceOnce(LocalLogStore):
+            fired = False
+
+            def write_new(self, path, data):
+                if not RaceOnce.fired:
+                    RaceOnce.fired = True
+                    t2.add_constraint("amount_cap", "amount <= 2000")
+                super().write_new(path, data)
+
+        table.log_store = RaceOnce()
+        with pytest.raises(ConstraintViolation, match="amount_cap"):
+            table.append(
+                spark.createDataFrame([(901, "big", 5000.0)], self.SCHEMA)
+            )
+        # winner's constraint commit survived; the append never landed
+        assert table.current_version() == 1
+        assert 901 not in _as_dict(table.read())
+
+    def test_append_after_schema_evolution_marks_mixed(self, spark, table):
+        table.merge(
+            spark.createDataFrame(
+                [(950, "e", 1.0, "tagged")],
+                "id bigint, name string, amount double, tag string",
+            ),
+            on=["id"],
+            schema_evolution=True,
+        )
+        with pytest.raises(MergeError, match="schema mismatch"):
+            table.append(
+                spark.createDataFrame([(960, "x", 2.0)], self.SCHEMA)
+            )
+        out = table.append(
+            spark.createDataFrame(
+                [(961, "y", 3.0, None)],
+                "id bigint, name string, amount double, tag string",
+            )
+        )
+        assert out["rows_appended"] == 1
+        df = table.read()
+        row = {r["id"]: r for r in df.collect()}
+        assert row[961]["tag"] is None and row[950]["tag"] == "tagged"
