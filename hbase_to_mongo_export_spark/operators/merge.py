@@ -72,6 +72,18 @@ Scale posture: the only shuffles are the key semi-join and the merge
 join over touched files; untouched data is never scanned past the
 pruning pass. The pruning scan itself reads ONLY the key columns
 (parquet column pruning — pinned by tests/test_plan_shapes.py).
+
+Why no hive-style partition columns: the pruning story here is
+STATS-BASED (per-file min/max + sort/Z-order clustering), which is the
+direction the table formats themselves moved — Delta's liquid
+clustering explicitly replaces hive partitioning because fixed
+partition columns lock the layout to one predicate shape, create the
+small-file problem at high cardinality, and can't serve two access
+patterns at once. ``compact(sort_col=...)`` / ``compact(zorder=...)``
+plus ``read(where=...)`` give the same file-level pruning for ANY
+clustered column (including dates — the partition column 99% of hive
+tables would have picked) without freezing the layout into the
+directory structure.
 """
 
 from __future__ import annotations
@@ -236,7 +248,7 @@ def _parquet_file_meta(path: str) -> tuple[int, dict]:
 
 
 #: data-skipping conjunct operators → (uses_min, uses_max) can-match rule
-_SKIP_OPS = {"=", "<", "<=", ">", ">="}
+_SKIP_OPS = {"=", "<", "<=", ">", ">=", "in"}
 
 
 def _file_can_match(stats: dict | None, conjuncts: list[tuple]) -> bool:
@@ -253,6 +265,20 @@ def _file_can_match(stats: dict | None, conjuncts: list[tuple]) -> bool:
             continue
         lo, hi = _dec_bound(rng[0]), _dec_bound(rng[1])
         if lo is None or hi is None:
+            continue
+        if op == "in":
+            # the file can match iff ANY list element falls in [lo, hi];
+            # an element that can't be compared keeps the file
+            ok_any, unsure = False, False
+            for v in val:
+                try:
+                    if lo <= v <= hi:
+                        ok_any = True
+                        break
+                except TypeError:
+                    unsure = True
+            if not ok_any and not unsure:
+                return False
             continue
         try:
             if op == "=" and not (lo <= val <= hi):
@@ -974,8 +1000,10 @@ class ParquetMergeTable:
         as_of_timestamp: float | None = None,
     ) -> DataFrame:
         """Read a version. ``where`` — an optional conjunction of
-        ``(column, op, literal)`` tuples, op in {=, <, <=, >, >=} —
-        turns on DATA SKIPPING: files whose manifest [min, max] stats
+        ``(column, op, literal)`` tuples, op in {=, <, <=, >, >=, in}
+        (``in`` takes a list literal: the multi-tenant / blocked-topics
+        predicate shape) — turns on DATA SKIPPING: files whose manifest
+        [min, max] stats
         cannot satisfy every conjunct are dropped from the scan WITHOUT
         opening them (Delta stats-based pruning / Iceberg manifest
         filtering). This is what makes ``compact(sort_col=...)`` and
@@ -1005,15 +1033,26 @@ class ParquetMergeTable:
             stats = m["file_stats"]
             skip = []
             for c, op, val in where:
-                norm = self._skip_literal(val)
-                if norm is not None:
-                    skip.append((c, op, norm))
+                if op == "in":
+                    norm = [self._skip_literal(v) for v in val]
+                    if all(v is not None for v in norm):
+                        skip.append((c, op, norm))
+                else:
+                    norm = self._skip_literal(val)
+                    if norm is not None:
+                        skip.append((c, op, norm))
             files = [f for f in files if _file_can_match(stats.get(f), skip)]
             op_fn = {"=": pyop.eq, "<": pyop.lt, "<=": pyop.le,
                      ">": pyop.gt, ">=": pyop.ge}
+
+            def _residual_of(c, op, val):
+                if op == "in":
+                    return F.col(c).isin(*val) if val else F.lit(False)
+                return op_fn[op](F.col(c), F.lit(val))
+
             residual = functools.reduce(
                 lambda a, b: a & b,
-                [op_fn[op](F.col(c), F.lit(val)) for c, op, val in where],
+                [_residual_of(c, op, val) for c, op, val in where],
             )
         if not files:  # every file skipped: empty result, correct schema
             schema = self._read_data(m["files"], m["mixed_schema"]).schema

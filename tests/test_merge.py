@@ -1875,3 +1875,35 @@ class TestBlindAppend:
         df = table.read()
         row = {r["id"]: r for r in df.collect()}
         assert row[961]["tag"] is None and row[950]["tag"] == "tagged"
+
+
+class TestInListSkipping:
+    def test_in_list_prunes_to_matching_files(self, spark, table):
+        # fixture: 100 rows range-clustered into 10 files of 10 ids
+        df = table.read(where=[("id", "in", [5, 7, 93])])
+        assert len(df.inputFiles()) == 2  # file 0 and file 9
+        assert sorted(_as_dict(df)) == [5, 7, 93]
+
+    def test_empty_in_list_matches_nothing(self, spark, table):
+        df = table.read(where=[("id", "in", [])])
+        assert df.count() == 0
+        assert set(df.columns) == {"id", "name", "amount"}
+
+    def test_in_combines_with_range_conjunct(self, spark, table):
+        df = table.read(
+            where=[("id", "in", [5, 55, 95]), ("id", ">=", 50)]
+        )
+        assert sorted(_as_dict(df)) == [55, 95]
+
+    def test_string_in_list(self, spark, tmp_path):
+        t = ParquetMergeTable(spark, str(tmp_path / "stbl"))
+        base = spark.createDataFrame(
+            [(i, f"topic{i // 10}") for i in range(100)], "id bigint, topic string"
+        )
+        t.create(
+            base.repartitionByRange(10, F.col("topic")).sortWithinPartitions("topic")
+        )
+        df = t.read(where=[("topic", "in", ["topic2", "topic7"])])
+        assert len(df.inputFiles()) <= 4
+        got = sorted(r["id"] for r in df.collect())
+        assert got == list(range(20, 30)) + list(range(70, 80))
