@@ -993,6 +993,42 @@ class ParquetMergeTable:
             return val.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return val
 
+    def _predicate(self, where: list[tuple]):
+        """Compile a ``(col, op, literal)`` conjunction into its two
+        halves: the EXACT residual row filter (a Column) and the
+        conservative skip-conjunct list `_file_can_match` consumes.
+        Shared by ``read``, ``delete_where`` and ``overwrite_where`` so
+        every stats-pruned path applies the identical semantics."""
+        import functools
+        import operator as pyop
+
+        bad = sorted({op for _, op, _ in where} - _SKIP_OPS)
+        if bad:
+            raise MergeError(f"unsupported data-skipping operator(s): {bad}")
+        skip = []
+        for c, op, val in where:
+            if op == "in":
+                norm = [self._skip_literal(v) for v in val]
+                if all(v is not None for v in norm):
+                    skip.append((c, op, norm))
+            else:
+                norm = self._skip_literal(val)
+                if norm is not None:
+                    skip.append((c, op, norm))
+        op_fn = {"=": pyop.eq, "<": pyop.lt, "<=": pyop.le,
+                 ">": pyop.gt, ">=": pyop.ge}
+
+        def _residual_of(c, op, val):
+            if op == "in":
+                return F.col(c).isin(*val) if val else F.lit(False)
+            return op_fn[op](F.col(c), F.lit(val))
+
+        residual = functools.reduce(
+            lambda a, b: a & b,
+            [_residual_of(c, op, val) for c, op, val in where],
+        )
+        return residual, skip
+
     def read(
         self,
         version: int | None = None,
@@ -1013,9 +1049,6 @@ class ParquetMergeTable:
         are exact whatever the stats coverage (columns without stats
         simply never skip). ``as_of_timestamp`` (unix seconds) reads the
         snapshot current at that moment — ``TIMESTAMP AS OF``."""
-        import functools
-        import operator as pyop
-
         if as_of_timestamp is not None:
             if version is not None:
                 raise MergeError("pass version OR as_of_timestamp, not both")
@@ -1027,33 +1060,9 @@ class ParquetMergeTable:
             raise MergeError(f"version {v} has no files")
         residual = None
         if where:
-            bad = sorted({op for _, op, _ in where} - _SKIP_OPS)
-            if bad:
-                raise MergeError(f"unsupported data-skipping operator(s): {bad}")
+            residual, skip = self._predicate(where)
             stats = m["file_stats"]
-            skip = []
-            for c, op, val in where:
-                if op == "in":
-                    norm = [self._skip_literal(v) for v in val]
-                    if all(v is not None for v in norm):
-                        skip.append((c, op, norm))
-                else:
-                    norm = self._skip_literal(val)
-                    if norm is not None:
-                        skip.append((c, op, norm))
             files = [f for f in files if _file_can_match(stats.get(f), skip)]
-            op_fn = {"=": pyop.eq, "<": pyop.lt, "<=": pyop.le,
-                     ">": pyop.gt, ">=": pyop.ge}
-
-            def _residual_of(c, op, val):
-                if op == "in":
-                    return F.col(c).isin(*val) if val else F.lit(False)
-                return op_fn[op](F.col(c), F.lit(val))
-
-            residual = functools.reduce(
-                lambda a, b: a & b,
-                [_residual_of(c, op, val) for c, op, val in where],
-            )
         if not files:  # every file skipped: empty result, correct schema
             schema = self._read_data(m["files"], m["mixed_schema"]).schema
             return self.spark.createDataFrame([], schema)
@@ -1069,7 +1078,7 @@ class ParquetMergeTable:
     def history(self) -> list[dict]:
         return [self._manifest(v) for v in self._versions()]
 
-    def delete_where(self, condition: Column) -> dict:
+    def delete_where(self, condition) -> dict:
         """Merge-on-read DELETE: append a position-delete file instead of
         rewriting data. One pruned scan finds victim rows (with any
         pending deletes already applied, so a row can't be deleted
@@ -1077,10 +1086,31 @@ class ParquetMergeTable:
         deletion-vector entries and their column values become the CDF
         ``delete`` change rows. Data files are untouched — at 100 TB a
         small delete costs KBs, and readers pay one broadcast anti-join
-        until ``compact()`` purges."""
+        until ``compact()`` purges.
+
+        ``condition``: a boolean Column, or a list of ``(col, op,
+        literal)`` tuples (the ``read(where=...)`` shape). The tuple
+        form additionally DATA-SKIPS the victim scan: files whose
+        manifest stats cannot contain a match are never opened, so the
+        retention/GDPR shape — delete one day from a date-clustered
+        table — scans that day's files, not the table. An opaque Column
+        can't be introspected, so it scans everything (Delta derives
+        the same pruning from the expression tree)."""
         m = self._manifest(self.current_version())
         files, dels, mixed = m["files"], m["delete_files"], m["mixed_schema"]
-        live = self._live_scan(m)
+        scanned = files
+        if isinstance(condition, (list, tuple)):
+            condition, skip = self._predicate(list(condition))
+            fstats = m["file_stats"]
+            scanned = [f for f in files if _file_can_match(fstats.get(f), skip)]
+        if not scanned:
+            new_v = self._commit(
+                m, files, "delete",
+                {"rows_deleted": 0, "files_scanned": 0},
+                delete_files=dels, mixed_schema=mixed,
+            )
+            return {"rows_deleted": 0, "version": new_v, "files_scanned": 0}
+        live = self._scan(scanned, dels, mixed, m["delete_rows_total"])
         data_cols = [c for c in live.columns if c not in ("_file", "_pos")]
 
         # one pass over the table: stage victims (data cols + position)
@@ -1091,10 +1121,15 @@ class ParquetMergeTable:
         if n_victims == 0:
             shutil.rmtree(stage, ignore_errors=True)
             new_v = self._commit(
-                m, files, "delete", {"rows_deleted": 0}, delete_files=dels,
-                mixed_schema=mixed,
+                m, files, "delete",
+                {"rows_deleted": 0, "files_scanned": len(scanned)},
+                delete_files=dels, mixed_schema=mixed,
             )
-            return {"rows_deleted": 0, "version": new_v}
+            return {
+                "rows_deleted": 0,
+                "version": new_v,
+                "files_scanned": len(scanned),
+            }
 
         # both artifacts derive from the staged victims file; the writer
         # task count is proportional to the exact victim count, so a
@@ -1115,7 +1150,11 @@ class ParquetMergeTable:
             return [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
 
         shutil.rmtree(stage, ignore_errors=True)  # scratch; both artifacts written
-        stats = {"rows_deleted": n_victims, "delete_files_total": len(dels) + len(_parts(entry_path))}
+        stats = {
+            "rows_deleted": n_victims,
+            "files_scanned": len(scanned),
+            "delete_files_total": len(dels) + len(_parts(entry_path)),
+        }
         new_v = self._commit(
             m, files, "delete", stats,
             delete_files=dels + _parts(entry_path),
@@ -1451,7 +1490,7 @@ class ParquetMergeTable:
 
     def overwrite_where(
         self,
-        condition: Column,
+        condition: Column | list,
         replacement: DataFrame,
         max_records_per_file: int | None = None,
     ) -> dict:
@@ -1469,12 +1508,25 @@ class ParquetMergeTable:
         otherwise "replace yesterday's partition" could silently write
         rows a later overwrite of the same predicate would never see.
         CDF: removed rows are ``delete`` changes, the replacement is an
-        insert-by-reference."""
+        insert-by-reference.
+
+        ``condition`` may also be a list of ``(col, op, literal)``
+        tuples (the ``read(where=...)`` shape): the tuple form DATA-
+        SKIPS the touched-file detection scan — replacing one partition
+        slice of a clustered 100 TB table opens that slice's files, not
+        the table."""
         spark = self.spark
         m = self._manifest(self.current_version())
         all_files = m["files"]
         pending_dels = m["delete_files"]
         mixed = m["mixed_schema"]
+        scanned = all_files
+        if isinstance(condition, (list, tuple)):
+            condition, skip = self._predicate(list(condition))
+            fstats = m["file_stats"]
+            scanned = [
+                f for f in all_files if _file_can_match(fstats.get(f), skip)
+            ]
         # three-valued logic: rows where the condition evaluates to NULL
         # neither match the predicate nor may they sneak in as
         # replacements — fold NULL to FALSE once and use it everywhere
@@ -1489,12 +1541,17 @@ class ParquetMergeTable:
                 "replacement rows must satisfy the overwrite condition"
             )
 
-        live = self._live_scan(m)
         abs_to_orig = {os.path.abspath(f): f for f in all_files}
-        touched = sorted(
-            abs_to_orig.get(r["_file"], r["_file"])
-            for r in live.filter(cond_true).select("_file").distinct().collect()
-        )
+        if scanned:
+            live = self._scan(
+                scanned, pending_dels, mixed, m["delete_rows_total"]
+            )
+            touched = sorted(
+                abs_to_orig.get(r["_file"], r["_file"])
+                for r in live.filter(cond_true).select("_file").distinct().collect()
+            )
+        else:
+            touched = []
         untouched = [f for f in all_files if f not in set(touched)]
 
         def _parts(d: str) -> list[str]:
@@ -1534,6 +1591,7 @@ class ParquetMergeTable:
         new_files += insert_files
         stats = {
             "files_total": len(all_files),
+            "files_scanned": len(scanned),
             "files_touched": len(touched),
             "files_carried": len(untouched),
             "rows_removed": n_removed,

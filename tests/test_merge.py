@@ -1907,3 +1907,57 @@ class TestInListSkipping:
         assert len(df.inputFiles()) <= 4
         got = sorted(r["id"] for r in df.collect())
         assert got == list(range(20, 30)) + list(range(70, 80))
+
+
+class TestPrunedDeleteAndOverwrite:
+    """Tuple-form predicates data-skip the victim/touched-file scans:
+    the retention-delete shape (drop one slice of a clustered table)
+    opens that slice's files, not the table."""
+
+    def test_tuple_delete_scans_only_candidate_files(self, spark, table):
+        # fixture: 100 rows range-clustered into 10 files of 10 ids
+        stats = table.delete_where([("id", ">=", 90)])
+        assert stats["rows_deleted"] == 10
+        assert stats["files_scanned"] == 1
+        assert sorted(_as_dict(table.read())) == list(range(90))
+
+    def test_in_list_delete(self, spark, table):
+        stats = table.delete_where([("id", "in", [5, 95])])
+        assert stats["rows_deleted"] == 2
+        assert stats["files_scanned"] == 2
+        got = sorted(_as_dict(table.read()))
+        assert 5 not in got and 95 not in got and len(got) == 98
+
+    def test_no_candidate_files_commits_empty_delete(self, spark, table):
+        stats = table.delete_where([("id", ">", 10_000)])
+        assert stats["rows_deleted"] == 0 and stats["files_scanned"] == 0
+        assert stats["version"] == 1  # still a commit (CDF done-marker)
+
+    def test_tuple_delete_respects_pending_vectors(self, spark, table):
+        table.delete_where(F.col("id") == 95)
+        stats = table.delete_where([("id", ">=", 90)])
+        assert stats["rows_deleted"] == 9  # 95 was already MoR-deleted
+        assert sorted(_as_dict(table.read())) == list(range(90))
+
+    def test_tuple_overwrite_scans_only_candidates(self, spark, table):
+        repl = spark.createDataFrame(
+            [(95, "r95", -1.0)], "id bigint, name string, amount double"
+        )
+        stats = table.overwrite_where(
+            [("id", ">=", 90), ("id", "<", 100)], repl
+        )
+        assert stats["files_scanned"] == 1
+        assert stats["files_touched"] == 1
+        assert stats["rows_removed"] == 10
+        got = _as_dict(table.read())
+        assert len(got) == 91 and got[95] == ("r95", -1.0) and 91 not in got
+
+    def test_tuple_overwrite_replacement_still_constraint_checked(
+        self, spark, table
+    ):
+        # a replacement row OUTSIDE the tuple predicate must be rejected
+        repl = spark.createDataFrame(
+            [(5, "sneak", 0.0)], "id bigint, name string, amount double"
+        )
+        with pytest.raises(MergeError, match="must satisfy"):
+            table.overwrite_where([("id", ">=", 90)], repl)
