@@ -65,20 +65,21 @@ def _build_parser() -> argparse.ArgumentParser:
     t = sub.add_parser(
         "table",
         help="versioned MERGE-table operations (operators/merge.py): "
-             "create/read/history/changes/delete-where/compact/vacuum",
+             "create/read/history/changes/delete-where/compact/vacuum/restore",
     )
     t.add_argument(
         "action",
         choices=[
             "create", "append", "read", "history", "changes",
-            "delete-where", "compact", "vacuum",
+            "delete-where", "compact", "vacuum", "restore",
             "add-constraint", "drop-constraint",
         ],
     )
     t.add_argument("path", help="table directory")
     t.add_argument("--source", default=None,
                    help="create: parquet path of the initial data")
-    t.add_argument("--version", type=int, default=None, help="read: time travel")
+    t.add_argument("--version", type=int, default=None,
+                   help="read: time travel / restore: target version")
     t.add_argument("--as-of-timestamp", type=float, default=None,
                    help="read: TIMESTAMP AS OF (unix seconds)")
     t.add_argument("--bin-pack-bytes", type=int, default=None,
@@ -342,6 +343,17 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
             try:
                 print(json.dumps(t.drop_constraint(args.name)))
+            except MergeError as e:
+                print(str(e), file=sys.stderr)
+                return 1
+        elif args.action == "restore":
+            from .operators.merge import MergeError
+
+            if args.version is None:
+                print("restore requires --version", file=sys.stderr)
+                return 2
+            try:
+                print(json.dumps(t.restore(args.version)))
             except MergeError as e:
                 print(str(e), file=sys.stderr)
                 return 1

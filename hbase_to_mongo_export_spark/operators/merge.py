@@ -439,6 +439,7 @@ class ParquetMergeTable:
             "insert_files": entry["insert_files"],
             "mixed_schema": entry["mixed_schema"],
             "constraints": entry.get("constraints", {}),
+            "txns": entry.get("txns", {}),
             "rows_total": sum(file_rows.values()) - sum(delete_file_rows.values()),
             "delete_rows_total": sum(delete_file_rows.values()),
         }
@@ -528,6 +529,7 @@ class ParquetMergeTable:
         mixed_schema: bool = False,
         constraints: dict | None = None,
         discard_on_conflict: bool = True,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Commit a new version on top of ``base`` (the resolved manifest
         this writer READ; None for table creation). The log entry stores
@@ -549,6 +551,13 @@ class ParquetMergeTable:
         # stats power read(where=...) data skipping, the byte sizes
         # power incremental bin-packing OPTIMIZE
         add_meta = {f: _parquet_file_meta(f) for f in add_files}
+        # the idempotent-writer map (Delta txnAppId/txnVersion): app_id →
+        # highest committed txn version. Carried FULL in every entry like
+        # the constraint map — it is one small dict per streaming app, so
+        # resolution needs no replay-time merging.
+        txns = dict(base.get("txns", {})) if base else {}
+        if txn is not None:
+            txns[txn[0]] = int(txn[1])
         entry = {
             "format": MANIFEST_FORMAT,
             "version": next_v,
@@ -573,6 +582,7 @@ class ParquetMergeTable:
                 if constraints is not None
                 else (base.get("constraints", {}) if base else {})
             ),
+            "txns": txns,
         }
         os.makedirs(self.manifest_dir, exist_ok=True)
         try:
@@ -860,6 +870,37 @@ class ParquetMergeTable:
             .distinct()
         )
 
+    # -- idempotent-writer (txnAppId/txnVersion) plumbing --------------------
+    @staticmethod
+    def _txn_of(app_id: str | None, version: int | None) -> tuple[str, int] | None:
+        if (app_id is None) != (version is None):
+            raise MergeError(
+                "txn_app_id and txn_version must be given together"
+            )
+        return None if app_id is None else (app_id, int(version))
+
+    @staticmethod
+    def _txn_already_applied(m: dict, txn: tuple[str, int] | None) -> bool:
+        """True when the commit log already records this application's
+        transaction at ``txn[1]`` or later — the write is a redelivery
+        (streaming batch replay after a restart) and must be skipped."""
+        if txn is None:
+            return False
+        prev = m.get("txns", {}).get(txn[0])
+        return prev is not None and prev >= txn[1]
+
+    def last_txn_version(self, app_id: str) -> int | None:
+        """Highest transaction version committed for ``app_id`` (Delta's
+        ``txnAppId``/``txnVersion`` idempotent-write protocol). A writer
+        that stamps each commit with a monotonically increasing version
+        can detect — across restarts AND across processes, because the
+        map lives in the commit log itself — that a write it is about to
+        retry already landed. This is what makes a blind-append
+        streaming sink exactly-once: Structured Streaming redelivers a
+        micro-batch whenever a crash falls between the sink write and
+        the checkpoint write, and an append replay would double rows."""
+        return self._manifest(self.current_version()).get("txns", {}).get(app_id)
+
     # -- public API --------------------------------------------------------
     def create(self, df: DataFrame, max_records_per_file: int | None = None) -> int:
         files = self._stage_files(df, max_records_per_file)
@@ -872,6 +913,8 @@ class ParquetMergeTable:
         df: DataFrame,
         max_records_per_file: int | None = None,
         max_rebase_attempts: int = 20,
+        txn_app_id: str | None = None,
+        txn_version: int | None = None,
     ) -> dict:
         """Blind append — the highest-volume write a 100 TB ingestion
         path runs, and the ONLY operation that can survive a lost commit
@@ -884,8 +927,21 @@ class ParquetMergeTable:
         rows, and a schema evolution marks the commit mixed-schema so
         readers surface the evolved columns as NULLs for these files.
         The dataframe must carry exactly the table's columns
-        (``merge(schema_evolution=True)`` is the way to evolve)."""
+        (``merge(schema_evolution=True)`` is the way to evolve).
+
+        ``txn_app_id``/``txn_version`` (Delta's idempotent-write
+        protocol): when given, a version already recorded for the app in
+        the commit log skips the write entirely (``txn_skipped``) — the
+        exactly-once guarantee a redelivering streaming sink needs,
+        since a replayed blind append would otherwise double rows."""
+        txn = self._txn_of(txn_app_id, txn_version)
         m = self._manifest(self.current_version())
+        if self._txn_already_applied(m, txn):
+            return {
+                "rows_appended": 0,
+                "version": m["version"],
+                "txn_skipped": True,
+            }
         table_cols = [
             f.name for f in self._read_data(m["files"], m["mixed_schema"]).schema.fields
         ]
@@ -907,7 +963,11 @@ class ParquetMergeTable:
         if not files:
             if staged:
                 shutil.rmtree(os.path.dirname(staged[0]), ignore_errors=True)
-            return {"rows_appended": 0, "version": m["version"]}
+            if txn is None:
+                return {"rows_appended": 0, "version": m["version"]}
+            # an EMPTY batch still records its txn version (Delta does
+            # the same): otherwise a restart could replay a later,
+            # non-empty batch out of order past the gap
         validated_against = m.get("constraints", {})
         self._check_constraints(files, validated_against, discard=files)
         staged_cols = set(df.columns)
@@ -935,6 +995,7 @@ class ParquetMergeTable:
                     insert_files=files,
                     mixed_schema=now_mixed,
                     discard_on_conflict=False,
+                    txn=txn,
                 )
                 return {"rows_appended": n_rows, "version": v}
             except ConcurrentWriteError:
@@ -942,6 +1003,16 @@ class ParquetMergeTable:
                     self._discard_staged(files)
                     raise
                 m = self._manifest(self.current_version())
+                if self._txn_already_applied(m, txn):
+                    # the winner was a TWIN of this writer (same app id,
+                    # e.g. a zombie instance of the same stream) and it
+                    # committed this very batch — drop our copy
+                    self._discard_staged(files)
+                    return {
+                        "rows_appended": 0,
+                        "version": m["version"],
+                        "txn_skipped": True,
+                    }
         raise AssertionError("unreachable")
 
     def version_at(self, timestamp: float) -> int:
@@ -1227,6 +1298,8 @@ class ParquetMergeTable:
         when_matched_update_condition: Column | None = None,
         insert_condition: Column | None = None,
         when_not_matched_insert: dict[str, Column] | None = None,
+        txn_app_id: str | None = None,
+        txn_version: int | None = None,
     ) -> dict:
         """MERGE ``source`` into the table on equality of ``on`` keys.
 
@@ -1260,9 +1333,21 @@ class ParquetMergeTable:
         side likewise sort-merges once the manifest's exact
         ``rows_total`` says the table is too big to broadcast — Catalyst
         static estimates make neither call reliably.
+
+        ``txn_app_id``/``txn_version``: idempotent-writer stamp (Delta
+        txnAppId/txnVersion) — a version already recorded for the app in
+        the commit log makes this call a no-op (``txn_skipped``), which
+        is what lets a redelivered streaming micro-batch skip the whole
+        pruning/rewrite pipeline instead of re-running it.
         """
         spark = self.spark
+        txn = self._txn_of(txn_app_id, txn_version)
         m = self._manifest(self.current_version())
+        if self._txn_already_applied(m, txn):
+            # idempotent-writer skip (Delta txnAppId/txnVersion): this
+            # application already committed this transaction — a
+            # streaming-batch redelivery, not new work
+            return {"version": m["version"], "txn_skipped": True}
         all_files = m["files"]
         pending_dels = m["delete_files"]
         was_mixed = m["mixed_schema"]
@@ -1484,6 +1569,7 @@ class ParquetMergeTable:
             change_files=change_files,
             insert_files=insert_files,
             mixed_schema=now_mixed,
+            txn=txn,
         )
         stats["version"] = new_v
         return stats
@@ -1823,6 +1909,190 @@ class ParquetMergeTable:
             "versions_retained": keep_vs,
         }
 
+    def restore(self, version: int) -> dict:
+        """Delta ``RESTORE TABLE ... TO VERSION AS OF``: make the
+        CURRENT state equal a retained earlier version's, as a NEW
+        commit — history is preserved, so time travel still sees every
+        state after the restore point, and a bad restore is itself
+        restorable. This is the undo button a 100 TB lake needs after a
+        bad backfill: a METADATA operation, not a data rewrite — the new
+        manifest simply references the old version's data files and
+        deletion vectors (no data file is copied or rewritten).
+
+        The change data feed stays consistent (``snapshot(v0) + feed ==
+        snapshot(vN)`` keeps holding through the restore): the commit
+        records row-level ``delete``/``insert`` change rows for exactly
+        the VISIBLE row difference between the two states. Computing
+        that difference is file-pruned — only files whose manifest
+        membership changed between the versions, plus files whose
+        deletion-vector coverage changed, are scanned; the identical
+        carried bulk of the table contributes nothing and is never read.
+
+        If the schema evolved after ``version``, the restored table
+        reverts to the old schema (the file set IS the old file set);
+        the diff is computed under that schema, so a CDF consumer sees
+        the later-added columns disappear as a schema change, not as
+        row churn. CHECK constraints added after ``version`` are KEPT
+        and re-validated against the rows the restore resurrects (the
+        row-level insert diff) — restoring into a violation aborts with
+        the table unchanged, which is stricter than Delta (it restores
+        blind) but consistent with this table's constraint story."""
+        cur = self._manifest(self.current_version())
+        if version > cur["version"]:
+            raise MergeError(
+                f"cannot restore to version {version}: current is "
+                f"{cur['version']} (restore only goes backwards)"
+            )
+        if version == cur["version"]:
+            return {
+                "version": cur["version"],
+                "restored_version": version,
+                "rows_restore_deleted": 0,
+                "rows_restore_inserted": 0,
+            }
+        tgt = self._manifest(version)  # raises for a vacuumed version
+        missing = [f for f in tgt["files"] if not os.path.exists(f)]
+        if missing:
+            raise MergeError(
+                f"cannot restore to version {version}: {len(missing)} of "
+                "its data files were vacuumed (e.g. "
+                f"{missing[0]!r})"
+            )
+        cur_files, tgt_files = set(cur["files"]), set(tgt["files"])
+        removed = sorted(cur_files - tgt_files)
+        readded = sorted(tgt_files - cur_files)
+        common = cur_files & tgt_files
+
+        # a COMMON file's visible rows change only if a deletion-vector
+        # entry targeting it appeared or disappeared between the two
+        # versions — find those files by reading just the CHANGED
+        # vector files (tiny relative to data)
+        dels_changed = sorted(
+            set(cur["delete_files"]) ^ set(tgt["delete_files"])
+        )
+        affected: set[str] = set()
+        if dels_changed:
+            affected = {
+                r["file_path"]
+                for r in self.spark.read.parquet(*dels_changed)
+                .select("file_path")
+                .distinct()
+                .collect()
+            }
+        common_affected = [
+            f for f in sorted(common) if os.path.abspath(f) in affected
+        ]
+        scan_cur = removed + common_affected
+        scan_tgt = readded + common_affected
+
+        # the diff runs under the TARGET (restored) schema: columns
+        # added after `version` vanish with the restore, so they must
+        # not make otherwise-identical rows look different
+        tgt_schema = self._read_data(tgt["files"], tgt["mixed_schema"]).schema
+        cols = [f.name for f in tgt_schema.fields]
+
+        def _visible(scan: list[str], m: dict) -> DataFrame | None:
+            if not scan:
+                return None
+            return self._scan(
+                scan,
+                m["delete_files"],
+                m["mixed_schema"],
+                m["delete_rows_total"],
+                schema=tgt_schema,
+            ).select(*cols)
+
+        cur_rows = _visible(scan_cur, cur)
+        tgt_rows = _visible(scan_tgt, tgt)
+        empty = self.spark.createDataFrame([], tgt_schema)
+        deletes = (cur_rows or empty).exceptAll(tgt_rows or empty)
+        inserts = (tgt_rows or empty).exceptAll(cur_rows or empty)
+
+        change_files: list[str] = []
+        n_del = n_ins = 0
+        diff = deletes.withColumn(CHANGE_TYPE, F.lit("delete")).unionByName(
+            inserts.withColumn(CHANGE_TYPE, F.lit("insert"))
+        )
+        # stage once, size the final change files from the exact staged
+        # count (the delete_where pattern) — a restore that flips a
+        # large fraction of the table never funnels through one task
+        scratch = os.path.join(self.path, f"_changes/restore-{uuid.uuid4().hex[:12]}")
+        diff.write.mode("overwrite").parquet(scratch)
+        scratch_parts = [
+            os.path.join(scratch, f)
+            for f in os.listdir(scratch)
+            if f.endswith(".parquet")
+        ]
+        counts: dict[str, int] = {}
+        if scratch_parts:
+            staged = self.spark.read.parquet(*scratch_parts)
+            counts = {
+                r[CHANGE_TYPE]: r["n"]
+                for r in staged.groupBy(CHANGE_TYPE).agg(
+                    F.count(F.lit(1)).alias("n")
+                ).collect()
+            }
+        n_del = counts.get("delete", 0)
+        n_ins = counts.get("insert", 0)
+        if n_del + n_ins:
+            # constraints added after `version` must hold for the rows
+            # this restore RESURRECTS (carried rows were already valid)
+            for name, expr in sorted(cur.get("constraints", {}).items()):
+                bad = (
+                    staged.filter(F.col(CHANGE_TYPE) == "insert")
+                    .filter(self._violation_cond(expr))
+                    .limit(1)
+                    .count()
+                )
+                if bad:
+                    shutil.rmtree(scratch, ignore_errors=True)
+                    raise ConstraintViolation(
+                        f"CHECK constraint '{name}' ({expr}) is violated "
+                        f"by rows version {version} would resurrect — "
+                        "restore aborted, table unchanged (drop the "
+                        "constraint first to force)"
+                    )
+            n_parts = max(1, -(-(n_del + n_ins) // self.CHANGE_ROWS_PER_FILE))
+            chg_dir = os.path.join(
+                self.path, f"_changes/chg-{uuid.uuid4().hex[:12]}"
+            )
+            staged.coalesce(n_parts).write.mode("overwrite").parquet(chg_dir)
+            change_files = [
+                os.path.join(chg_dir, f)
+                for f in os.listdir(chg_dir)
+                if f.endswith(".parquet")
+            ]
+        shutil.rmtree(scratch, ignore_errors=True)
+
+        stats = {
+            "restored_version": version,
+            "rows_restore_deleted": n_del,
+            "rows_restore_inserted": n_ins,
+            "files_removed": len(removed),
+            "files_readded": len(readded),
+        }
+        try:
+            new_v = self._commit(
+                cur,
+                tgt["files"],
+                "restore",
+                stats,
+                delete_files=tgt["delete_files"],
+                change_files=change_files,
+                mixed_schema=tgt["mixed_schema"],
+                # constraints stay CURRENT (metadata is not restored)
+                constraints=cur.get("constraints", {}),
+                # the "added" files are the old version's — still
+                # referenced by retained manifests, so the default
+                # lost-race discard must NOT delete them
+                discard_on_conflict=False,
+            )
+        except ConcurrentWriteError:
+            self._discard_staged(change_files)
+            raise
+        stats["version"] = new_v
+        return stats
+
 
 def retry_on_conflict(fn, attempts: int = 3):
     """Delta's optimistic retry loop: run a table operation, re-running
@@ -1846,19 +2116,26 @@ def stream_merge_upsert(
     on: list[str],
     update_cols: list[str],
     checkpoint_dir: str,
+    txn_app_id: str | None = None,
 ):
     """Continuous upsert: a Structured Streaming ``foreachBatch`` sink
     that MERGEs each micro-batch into the versioned table (matched →
     update ``update_cols`` from source, not-matched → insert). Batches
-    may redeliver after restart — MERGE is idempotent for upserts, which
-    is exactly why lakehouse streaming ingestion standardizes on it.
-    Micro-batches can carry several rows per key (rapid updates); MERGE
-    requires unique source keys, so each batch is first reduced to one
-    row per key via a max-struct aggregate over the non-key columns
-    (deterministic; order an event-time column first to get
-    latest-wins)."""
+    may redeliver after restart — the sink stamps each merge with
+    ``(txn_app_id, batch_id)`` so the commit log detects the replay and
+    skips the whole pruning/rewrite pipeline (upserts are also
+    VALUE-idempotent, so even a pre-txn table replays safely — the txn
+    stamp just makes the replay free). Lost commit races against other
+    writers retry via ``retry_on_conflict`` (the re-run re-reads the
+    winner's state, and a twin of this very stream is caught by the txn
+    check inside the retried merge). Micro-batches can carry several
+    rows per key (rapid updates); MERGE requires unique source keys, so
+    each batch is first reduced to one row per key via a max-struct
+    aggregate over the non-key columns (deterministic; order an
+    event-time column first to get latest-wins)."""
+    app = txn_app_id or f"stream_merge_upsert:{os.path.abspath(checkpoint_dir)}"
 
-    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.columns:
             return
         others = [c for c in batch_df.columns if c not in on]
@@ -1867,16 +2144,58 @@ def stream_merge_upsert(
             .agg(F.max(F.struct(*others)).alias("_s"))
             .select(*on, *[F.col(f"_s.{c}").alias(c) for c in others])
         )
-        table.merge(
-            latest,
-            on=on,
-            when_matched_update={c: src(c) for c in update_cols},
+        retry_on_conflict(
+            lambda: table.merge(
+                latest,
+                on=on,
+                when_matched_update={c: src(c) for c in update_cols},
+                txn_app_id=app,
+                txn_version=batch_id,
+            )
         )
 
     return (
         stream_df.writeStream.foreachBatch(_apply)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
+    )
+
+
+def stream_append(
+    table: ParquetMergeTable,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    txn_app_id: str | None = None,
+    max_records_per_file: int | None = None,
+):
+    """Exactly-once streaming ingestion: a ``foreachBatch`` sink that
+    blind-APPENDS each micro-batch, stamping the commit with
+    ``(txn_app_id, batch_id)`` — Delta's idempotent-sink pattern.
+    Structured Streaming redelivers a batch whenever a crash lands
+    between the sink write and the checkpoint write; unlike the upsert
+    sink, an append replay is NOT value-idempotent (it would double
+    rows), so the txn map in the commit log is what carries the
+    exactly-once guarantee — across restarts and across processes.
+    Concurrent writers don't force a batch recompute either: the
+    underlying ``append`` survives lost commit races by REBASING its
+    already-staged files (and a twin instance of this same stream that
+    wins the race is detected by app id and the batch is dropped)."""
+    app = txn_app_id or f"stream_append:{os.path.abspath(checkpoint_dir)}"
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.columns:
+            return
+        table.append(
+            batch_df,
+            max_records_per_file=max_records_per_file,
+            txn_app_id=app,
+            txn_version=batch_id,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
     )
 
 

@@ -464,3 +464,101 @@ def merge_time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(v).alias("version"), "n_orders", "total_price")
         )
     return parts[0].unionByName(parts[1]).orderBy("version")
+
+
+@register(
+    "merge_restore_orders",
+    oracle=f"""
+    WITH {_TARGET_CTE}
+    SELECT 'a_restored' AS stage, o_orderstatus, COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM target GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'b_remerged' AS stage, o_orderstatus, COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM merged GROUP BY o_orderstatus
+    ORDER BY stage, o_orderstatus
+    """,
+)
+def merge_restore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta RESTORE (operators/merge.py restore): v1 upserts the delta,
+    v2 MoR-deletes every re-priced row, v3 RESTOREs v0 — a metadata-only
+    commit re-referencing v0's files, with CDF delete/insert change rows
+    for the visible diff — and v4 re-applies the delta to prove the
+    restored table is fully writable. The 'a_restored' stage must equal
+    the ORIGINAL target aggregate exactly (any row the restore lost,
+    resurrected twice, or left vector-deleted shifts it); 'b_remerged'
+    must equal the one-merge result (a restore that corrupted manifests
+    or left stale deletion vectors would break the second merge)."""
+    t = _orders_table(spark, sf_dir, "restore")
+    delta = _delta(spark, sf_dir)
+    upd = {
+        "o_orderstatus": src("o_orderstatus"),
+        "o_totalprice": src("o_totalprice"),
+    }
+    t.merge(delta, on=["o_orderkey"], when_matched_update=upd)     # v1
+    t.delete_where(F.col("o_orderstatus") == "U")                  # v2
+    t.restore(0)                                                   # v3
+    t.merge(delta, on=["o_orderkey"], when_matched_update=upd)     # v4
+    restored = _status_agg(t.read(version=3)).withColumn(
+        "stage", F.lit("a_restored")
+    )
+    remerged = _status_agg(t.read()).withColumn("stage", F.lit("b_remerged"))
+    return (
+        restored.unionByName(remerged)
+        .select("stage", "o_orderstatus", "n_orders", "total_price")
+        .orderBy("stage", "o_orderstatus")
+    )
+
+
+@register(
+    "merge_stream_append_orders",
+    oracle=f"""
+    WITH {_TARGET_CTE}
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM (
+      SELECT * FROM target
+      UNION ALL
+      SELECT * FROM delta WHERE o_orderkey % 3 = 0
+    ) GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def merge_stream_append_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingestion (operators/merge.py
+    stream_append): the new-key rows of the delta arrive as a
+    Structured Streaming file source and blind-APPEND into the table
+    through a foreachBatch sink that stamps each commit with
+    (txn_app_id, batch_id). After the stream drains, batch 0 is
+    REDELIVERED by hand — exactly what a crash between the table commit
+    and the checkpoint write does — and the commit log's txn map must
+    skip it. An append replay is not value-idempotent, so a broken
+    guarantee doubles those rows and shifts the aggregate."""
+    import os as _os
+
+    t = _orders_table(spark, sf_dir, "streamappend")
+    new_rows = _delta(spark, sf_dir).filter(F.col("o_orderkey") % 3 == 0)
+    stage = _qstage(
+        "lakehouse_streamappend_src_" + sf_dir.strip("/").replace("/", "_")
+    )
+    shutil.rmtree(stage, ignore_errors=True)
+    src_dir = _os.path.join(stage, "incoming")
+    ckpt = _os.path.join(stage, "ckpt")
+    new_rows.coalesce(1).write.mode("overwrite").parquet(src_dir)
+
+    from ..operators.merge import stream_append
+
+    stream = spark.readStream.schema(new_rows.schema).parquet(src_dir)
+    (
+        stream_append(t, stream, checkpoint_dir=ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    # redeliver batch 0 by hand: the txn map must make this a no-op
+    app = f"stream_append:{_os.path.abspath(ckpt)}"
+    t.append(new_rows, txn_app_id=app, txn_version=0)
+    return _status_agg(t.read())

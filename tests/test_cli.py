@@ -223,6 +223,19 @@ def test_table_subcommand_lifecycle(tmp_path, capsys, spark):
     rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert len(rows) == 55  # 45 survivors + 10 appended
 
+    # restore through the CLI: undo the append (metadata-only commit)
+    assert main(["table", "history", tbl]) == 0
+    hist = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    pre_append = hist[-2]["version"]
+    assert main(["table", "restore", tbl, "--version", str(pre_append)]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["restored_version"] == pre_append
+    assert out["rows_restore_deleted"] == 10
+    assert main(["table", "read", tbl, "--limit", "100"]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 45  # the appended rows are gone again
+    assert main(["table", "restore", tbl]) == 2  # missing --version
+
 
 def test_table_subcommand_arg_errors(tmp_path, capsys, spark):
     tbl = str(tmp_path / "tbl")

@@ -1961,3 +1961,341 @@ class TestPrunedDeleteAndOverwrite:
         )
         with pytest.raises(MergeError, match="must satisfy"):
             table.overwrite_where([("id", ">=", 90)], repl)
+
+
+class TestTxnIdempotence:
+    """Delta's txnAppId/txnVersion idempotent-writer protocol: a commit
+    stamped with an (app, version) pair already recorded in the log is a
+    redelivery and must be skipped — across restarts and processes."""
+
+    def _batch(self, spark, lo, hi):
+        return spark.createDataFrame(
+            [(i, f"name{i}", float(i * 10)) for i in range(lo, hi)],
+            "id bigint, name string, amount double",
+        )
+
+    def test_append_replay_is_skipped(self, spark, table):
+        r1 = table.append(self._batch(spark, 100, 110), txn_app_id="app",
+                          txn_version=0)
+        assert r1["rows_appended"] == 10 and "txn_skipped" not in r1
+        r2 = table.append(self._batch(spark, 100, 110), txn_app_id="app",
+                          txn_version=0)
+        assert r2 == {
+            "rows_appended": 0,
+            "version": r1["version"],
+            "txn_skipped": True,
+        }
+        assert table.read().count() == 110  # no doubled rows
+        r3 = table.append(self._batch(spark, 110, 115), txn_app_id="app",
+                          txn_version=1)
+        assert r3["rows_appended"] == 5
+        assert table.last_txn_version("app") == 1
+        assert table.last_txn_version("other") is None
+
+    def test_older_txn_version_also_skips(self, spark, table):
+        table.append(self._batch(spark, 100, 101), txn_app_id="a",
+                     txn_version=7)
+        r = table.append(self._batch(spark, 101, 102), txn_app_id="a",
+                         txn_version=3)
+        assert r["txn_skipped"] is True and table.read().count() == 101
+
+    def test_merge_replay_is_skipped(self, spark, table):
+        src_df = spark.createDataFrame(
+            [(5, "u5", 1.0), (200, "i200", 2.0)],
+            "id bigint, name string, amount double",
+        )
+        r1 = table.merge(
+            src_df, on=["id"],
+            when_matched_update={"amount": src("amount")},
+            txn_app_id="stream", txn_version=42,
+        )
+        assert r1["rows_inserted"] == 1
+        r2 = table.merge(
+            src_df, on=["id"],
+            when_matched_update={"amount": src("amount")},
+            txn_app_id="stream", txn_version=42,
+        )
+        assert r2 == {"version": r1["version"], "txn_skipped": True}
+        got = _as_dict(table.read())
+        assert got[5] == ("name5", 1.0) and len(got) == 101
+
+    def test_app_id_and_version_must_pair(self, spark, table):
+        with pytest.raises(MergeError, match="together"):
+            table.append(self._batch(spark, 100, 101), txn_app_id="a")
+        with pytest.raises(MergeError, match="together"):
+            table.merge(
+                self._batch(spark, 100, 101), on=["id"], txn_version=1
+            )
+
+    def test_empty_batch_still_records_txn(self, spark, table):
+        empty = self._batch(spark, 0, 0)
+        r = table.append(empty, txn_app_id="a", txn_version=0)
+        assert r["rows_appended"] == 0
+        assert table.last_txn_version("a") == 0  # gap-free bookkeeping
+
+    def test_txn_map_survives_reopen_and_checkpoint(self, spark, table):
+        # cross CHECKPOINT_INTERVAL so resolution goes through a
+        # checkpoint + delta replay, then reopen with a fresh instance
+        for v in range(12):
+            table.append(
+                self._batch(spark, 100 + v, 101 + v),
+                txn_app_id="app", txn_version=v,
+            )
+        t2 = ParquetMergeTable(spark, table.path)
+        assert t2.last_txn_version("app") == 11
+        r = t2.append(self._batch(spark, 0, 1), txn_app_id="app",
+                      txn_version=11)
+        assert r["txn_skipped"] is True
+
+    def test_twin_writer_race_drops_duplicate_batch(self, spark, table):
+        """A zombie twin of the same stream wins the commit race with the
+        SAME batch: the loser must detect the app's txn on rebase and
+        drop its copy instead of double-appending."""
+        t2 = ParquetMergeTable(spark, table.path)
+        orig = t2._stage_files
+
+        def hijack(df, mrpf):
+            t2._stage_files = orig  # interleave exactly once
+            table.append(self._batch(spark, 100, 110), txn_app_id="app",
+                         txn_version=0)  # the twin wins v1 with batch 0
+            return orig(df, mrpf)
+
+        t2._stage_files = hijack
+        r = t2.append(self._batch(spark, 100, 110), txn_app_id="app",
+                      txn_version=0)
+        assert r["txn_skipped"] is True
+        assert table.read().count() == 110  # batch landed exactly once
+
+    def test_distinct_writer_race_still_rebases(self, spark, table):
+        """A DIFFERENT app losing the race must still rebase-append, not
+        skip — the txn check is per app id."""
+        t2 = ParquetMergeTable(spark, table.path)
+        orig = t2._stage_files
+
+        def hijack(df, mrpf):
+            t2._stage_files = orig
+            table.append(self._batch(spark, 100, 110), txn_app_id="appA",
+                         txn_version=0)
+            return orig(df, mrpf)
+
+        t2._stage_files = hijack
+        r = t2.append(self._batch(spark, 200, 205), txn_app_id="appB",
+                      txn_version=0)
+        assert r["rows_appended"] == 5
+        assert table.read().count() == 115
+        assert table.last_txn_version("appA") == 0
+        assert table.last_txn_version("appB") == 0
+
+
+class TestStreamAppendExactlyOnce:
+    def test_stream_append_ingests_and_replays_safely(self, spark, tmp_path):
+        from hbase_to_mongo_export_spark.operators.merge import stream_append
+
+        t = ParquetMergeTable(spark, str(tmp_path / "tbl"))
+        t.create(
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(5)], "id bigint, val double"
+            )
+        )
+        src_dir = tmp_path / "incoming"
+        src_dir.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        stream = spark.readStream.schema("id bigint, val double").parquet(
+            str(src_dir)
+        )
+        writer = stream_append(t, stream, checkpoint_dir=ckpt)
+
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(5, 10)], "id bigint, val double"
+        ).coalesce(1).write.mode("append").parquet(str(src_dir))
+        writer.trigger(availableNow=True).start().awaitTermination(120)
+        assert t.read().count() == 10
+
+        # restart on the same checkpoint with no new data: nothing lands
+        writer.trigger(availableNow=True).start().awaitTermination(120)
+        assert t.read().count() == 10
+
+        # second file, restart: only the new batch appends
+        spark.createDataFrame(
+            [(10, 10.0)], "id bigint, val double"
+        ).coalesce(1).write.mode("append").parquet(str(src_dir))
+        writer.trigger(availableNow=True).start().awaitTermination(120)
+        assert t.read().count() == 11
+
+        # the exactly-once mechanism itself: redeliver batch 0 by hand
+        # (what a crash between table-commit and checkpoint-write does)
+        app = f"stream_append:{os.path.abspath(ckpt)}"
+        assert t.last_txn_version(app) is not None
+        r = t.append(
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(5, 10)], "id bigint, val double"
+            ),
+            txn_app_id=app, txn_version=0,
+        )
+        assert r["txn_skipped"] is True
+        assert t.read().count() == 11  # still exactly once
+
+
+class TestRestore:
+    def _mutate(self, spark, table):
+        """v1: merge (update 5, insert 200); v2: MoR delete ids 1,2."""
+        table.merge(
+            spark.createDataFrame(
+                [(5, "u5", -5.0), (200, "i200", 2.0)],
+                "id bigint, name string, amount double",
+            ),
+            on=["id"],
+            when_matched_update={"name": src("name"), "amount": src("amount")},
+        )
+        table.delete_where(F.col("id").isin(1, 2))
+
+    def test_restore_undoes_merge_and_mor_delete(self, spark, table):
+        before = _as_dict(table.read(version=0))
+        self._mutate(spark, table)
+        assert _as_dict(table.read()) != before
+        stats = table.restore(0)
+        assert stats["version"] == 3
+        assert stats["restored_version"] == 0
+        assert _as_dict(table.read()) == before
+        # history preserved: the mutated states are still time-travelable
+        assert [h["operation"] for h in table.history()][:4] == [
+            "create", "merge", "delete", "restore",
+        ]
+        got_v2 = _as_dict(table.read(version=2))
+        assert 1 not in got_v2 and got_v2[5] == ("u5", -5.0)
+
+    def test_restore_is_metadata_only(self, spark, table):
+        self._mutate(spark, table)
+        v2_files = set(table._manifest(2)["files"])
+        table.restore(0)
+        m = table._manifest(3)
+        assert set(m["files"]) == set(table._manifest(0)["files"])
+        assert m["delete_files"] == []
+        # no data file was rewritten — the restore reused v0's files
+        assert not (set(m["files"]) - set(table._manifest(0)["files"]))
+        # and v2's files still exist on disk for time travel
+        assert all(os.path.exists(f) for f in v2_files)
+
+    def test_restore_emits_cdf_consistent_changes(self, spark, table):
+        self._mutate(spark, table)
+        table.restore(0)
+        # full-row multiset replay of the feed over snapshot(v0), one
+        # commit at a time (the restore touches rows earlier commits
+        # touched, so replay must be sequential), must reconstruct
+        # snapshot(v3) — the contract restore must not break
+        data_cols = ["id", "name", "amount"]
+        rebuilt = table.read(version=0)
+        for v in range(1, table.current_version() + 1):
+            f = table.read_changes(from_version=v, to_version=v)
+            removed = f.filter(
+                F.col("_change_type").isin("update_preimage", "delete")
+            ).select(*data_cols)
+            added = f.filter(
+                F.col("_change_type").isin("update_postimage", "insert")
+            ).select(*data_cols)
+            rebuilt = rebuilt.exceptAll(removed).unionByName(added)
+        assert sorted(map(tuple, rebuilt.collect())) == sorted(
+            map(tuple, table.read().collect())
+        )
+        # the restore commit's own change rows: deletes for the merge's
+        # insert+update, an insert resurrecting the updated row's old
+        # values, and inserts resurrecting the MoR-deleted rows
+        rows3 = table.read_changes(from_version=3, to_version=3).collect()
+        by_type = {}
+        for r in rows3:
+            by_type.setdefault(r["_change_type"], set()).add(
+                (r["id"], r["name"], r["amount"])
+            )
+        assert (200, "i200", 2.0) in by_type["delete"]
+        assert (5, "u5", -5.0) in by_type["delete"]
+        assert (5, "name5", 50.0) in by_type["insert"]
+        assert (1, "name1", 10.0) in by_type["insert"]
+        assert (2, "name2", 20.0) in by_type["insert"]
+
+    def test_restore_forward_and_noop(self, spark, table):
+        self._mutate(spark, table)
+        with pytest.raises(MergeError, match="backwards"):
+            table.restore(99)
+        r = table.restore(table.current_version())
+        assert r["rows_restore_deleted"] == 0
+        assert r["version"] == table.current_version()
+
+    def test_restore_reverts_schema_evolution(self, spark, table):
+        table.merge(
+            spark.createDataFrame(
+                [(5, "u5", 1.0, "extra")],
+                "id bigint, name string, amount double, note string",
+            ),
+            on=["id"],
+            when_matched_update={"note": src("note")},
+            schema_evolution=True,
+        )
+        assert "note" in table.read().columns
+        table.restore(0)
+        assert "note" not in table.read().columns
+        assert _as_dict(table.read()) == _as_dict(table.read(version=0))
+
+    def test_restore_rechecks_later_constraints(self, spark, table):
+        from hbase_to_mongo_export_spark.operators.merge import (
+            ConstraintViolation,
+        )
+
+        # v1 deletes the negative-amount candidates... (none negative yet)
+        table.delete_where(F.col("id") >= 50)
+        # v2 adds a constraint the REMAINING rows satisfy
+        table.add_constraint("small_id", "id < 50")
+        # restoring v0 would resurrect rows violating it
+        v_before = table.current_version()
+        with pytest.raises(ConstraintViolation, match="small_id"):
+            table.restore(0)
+        assert table.current_version() == v_before  # unchanged
+        table.drop_constraint("small_id")
+        table.restore(0)
+        assert table.read().count() == 100
+
+    def test_restore_after_compact_emits_no_change_rows(self, spark, table):
+        """compact() is physical, not logical — restoring across it must
+        produce a commit with ZERO change rows (the visible-row diff is
+        empty) while still swapping the file lists."""
+        table.compact(target_files=2)
+        stats = table.restore(0)
+        assert stats["rows_restore_deleted"] == 0
+        assert stats["rows_restore_inserted"] == 0
+        assert stats["files_removed"] == 2
+        assert stats["files_readded"] == 10
+        assert table.read().count() == 100
+        assert (
+            table.read_changes(from_version=2, to_version=2).count() == 0
+        )
+
+    def test_restore_lost_race_keeps_old_data_files(self, spark, table):
+        """The files a restore 're-adds' belong to retained history — a
+        lost commit race must NOT sweep them like fresh staging."""
+        from hbase_to_mongo_export_spark.operators.merge import (
+            ConcurrentWriteError,
+            LocalLogStore,
+        )
+
+        self._mutate(spark, table)
+        v0_files = table._manifest(0)["files"]
+
+        class AlwaysTaken(LocalLogStore):
+            def write_new(self, path, data):
+                raise FileExistsError(path)
+
+        real = table.log_store
+        table.log_store = AlwaysTaken()
+        with pytest.raises(ConcurrentWriteError):
+            table.restore(0)
+        table.log_store = real
+        assert all(os.path.exists(f) for f in v0_files)
+        assert _as_dict(table.read(version=0))  # v0 still readable
+        table.restore(0)  # and the retry succeeds
+        assert table.read().count() == 100
+
+    def test_restore_vacuumed_version_fails_loudly(self, spark, table):
+        self._mutate(spark, table)
+        table.compact()           # v3 rewrites files
+        table.vacuum(retain_last=1)
+        with pytest.raises((MergeError, FileNotFoundError)):
+            table.restore(0)
