@@ -65,14 +65,14 @@ def _build_parser() -> argparse.ArgumentParser:
     t = sub.add_parser(
         "table",
         help="versioned MERGE-table operations (operators/merge.py): "
-             "create/read/history/changes/delete-where/compact/vacuum/restore",
+             "create/read/history/changes/delete-where/update-where/compact/vacuum/restore/clone",
     )
     t.add_argument(
         "action",
         choices=[
             "create", "append", "read", "history", "changes",
-            "delete-where", "compact", "vacuum", "restore",
-            "add-constraint", "drop-constraint",
+            "delete-where", "update-where", "compact", "vacuum",
+            "restore", "clone", "add-constraint", "drop-constraint",
         ],
     )
     t.add_argument("path", help="table directory")
@@ -94,7 +94,14 @@ def _build_parser() -> argparse.ArgumentParser:
     t.add_argument("--from-version", type=int, default=0, help="changes")
     t.add_argument("--to-version", type=int, default=None, help="changes")
     t.add_argument("--where", default=None,
-                   help="delete-where: SQL boolean expression")
+                   help="delete-where/update-where: SQL boolean expression")
+    t.add_argument(
+        "--set", action="append", default=None, metavar="COL=EXPR",
+        help="update-where: assignment, e.g. --set \"price=price*1.1\" "
+             "(repeatable; EXPR is SQL over the row's own columns)",
+    )
+    t.add_argument("--dest", default=None,
+                   help="clone: destination table directory")
     t.add_argument("--sort-col", default=None, help="compact: range-cluster key")
     t.add_argument("--zorder", default=None,
                    help="compact: 2+ comma-separated columns to Z-order")
@@ -346,6 +353,25 @@ def main(argv: list[str] | None = None) -> int:
             except MergeError as e:
                 print(str(e), file=sys.stderr)
                 return 1
+        elif args.action == "update-where":
+            if not args.where or not args.set:
+                print("update-where requires --where and --set",
+                      file=sys.stderr)
+                return 2
+            set_map = {}
+            for a in args.set:
+                col, eq, expr = a.partition("=")
+                if not eq or not col.strip():
+                    print(f"bad --set (want COL=EXPR): {a!r}", file=sys.stderr)
+                    return 2
+                set_map[col.strip()] = F.expr(expr)
+            print(json.dumps(t.update_where(F.expr(args.where), set_map)))
+        elif args.action == "clone":
+            if not args.dest:
+                print("clone requires --dest", file=sys.stderr)
+                return 2
+            c = t.clone(args.dest, version=args.version)
+            print(json.dumps(c._manifest(0)["stats"]))
         elif args.action == "restore":
             from .operators.merge import MergeError
 

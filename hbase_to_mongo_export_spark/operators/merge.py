@@ -530,6 +530,7 @@ class ParquetMergeTable:
         constraints: dict | None = None,
         discard_on_conflict: bool = True,
         txn: tuple[str, int] | None = None,
+        known_meta: dict | None = None,
     ) -> int:
         """Commit a new version on top of ``base`` (the resolved manifest
         this writer READ; None for table creation). The log entry stores
@@ -549,8 +550,13 @@ class ParquetMergeTable:
         # exact per-file row counts AND column min/max from the parquet
         # footers — only the newly added files pay a footer read; the
         # stats power read(where=...) data skipping, the byte sizes
-        # power incremental bin-packing OPTIMIZE
-        add_meta = {f: _parquet_file_meta(f) for f in add_files}
+        # power incremental bin-packing OPTIMIZE. ``known_meta`` lets a
+        # caller that already HAS the (rows, stats) pair — a shallow
+        # clone copying another manifest's stats — skip the footer reads
+        known_meta = known_meta or {}
+        add_meta = {
+            f: known_meta.get(f) or _parquet_file_meta(f) for f in add_files
+        }
         # the idempotent-writer map (Delta txnAppId/txnVersion): app_id →
         # highest committed txn version. Carried FULL in every entry like
         # the constraint map — it is one small dict per streaming app, so
@@ -1703,6 +1709,193 @@ class ParquetMergeTable:
         stats["version"] = new_v
         return stats
 
+    def update_where(
+        self,
+        condition: Column | list,
+        set_map: dict[str, Column],
+        max_records_per_file: int | None = None,
+    ) -> dict:
+        """Row-level SQL UPDATE (Delta ``UPDATE t SET ... WHERE ...``):
+        copy-on-write rewrite of exactly the files containing a matching
+        row. Assignments evaluate over the row's OWN columns (e.g.
+        ``{"o_totalprice": F.col("o_totalprice") * 1.1}``) — the
+        self-referential shape MERGE can't express without a synthetic
+        source. Untouched files carry by reference; a condition that
+        evaluates NULL doesn't fire (SQL 3VL). CDF records
+        ``update_preimage``/``update_postimage`` pairs for fired rows
+        only.
+
+        ``condition`` may be a boolean Column or the ``(col, op,
+        literal)`` tuple list: the tuple form DATA-SKIPS the touched-file
+        detection scan — repricing one date slice of a clustered 100 TB
+        table opens that slice's files, not the table."""
+        m = self._manifest(self.current_version())
+        all_files = m["files"]
+        pending_dels = m["delete_files"]
+        mixed = m["mixed_schema"]
+        scanned = all_files
+        if isinstance(condition, (list, tuple)):
+            condition, skip = self._predicate(list(condition))
+            fstats = m["file_stats"]
+            scanned = [
+                f for f in all_files if _file_can_match(fstats.get(f), skip)
+            ]
+        cond_true = F.coalesce(condition, F.lit(False))
+        target_cols = [
+            f.name for f in self._read_data(all_files, mixed).schema.fields
+        ]
+        unknown = sorted(set(set_map) - set(target_cols))
+        if unknown:
+            raise MergeError(f"UPDATE sets unknown column(s): {unknown}")
+
+        abs_to_orig = {os.path.abspath(f): f for f in all_files}
+        if scanned:
+            live = self._scan(
+                scanned, pending_dels, mixed, m["delete_rows_total"]
+            )
+            touched = sorted(
+                abs_to_orig.get(r["_file"], r["_file"])
+                for r in live.filter(cond_true).select("_file").distinct().collect()
+            )
+        else:
+            touched = []
+        untouched = [f for f in all_files if f not in set(touched)]
+
+        def _parts(d: str) -> list[str]:
+            return [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
+
+        carried_dels = self._carry_delete_files(
+            pending_dels, touched, untouched, m["delete_rows_total"]
+        )
+        new_files: list[str] = list(untouched)
+        change_files: list[str] = []
+        rows_updated = 0
+        if touched:
+            tgt = self._scan(
+                touched, pending_dels, mixed, m["delete_rows_total"]
+            ).select(*target_cols)
+
+            def _upd(c: str) -> Column:
+                if c in set_map:
+                    return (
+                        F.when(cond_true, set_map[c])
+                        .otherwise(F.col(c))
+                        .alias(c)
+                    )
+                return F.col(c)
+
+            new_files += self._stage_files(
+                tgt.select(*[_upd(c) for c in target_cols]),
+                max_records_per_file,
+            )
+            fired = tgt.filter(cond_true)
+            post = fired.select(
+                *[
+                    (set_map[c].alias(c) if c in set_map else F.col(c))
+                    for c in target_cols
+                ]
+            )
+            chg = fired.withColumn(
+                CHANGE_TYPE, F.lit("update_preimage")
+            ).unionByName(post.withColumn(CHANGE_TYPE, F.lit("update_postimage")))
+            chg_dir = os.path.join(
+                self.path, f"_changes/chg-{uuid.uuid4().hex[:12]}"
+            )
+            chg.write.mode("overwrite").parquet(chg_dir)
+            # pre+post pairs → fired-row count from the footers _commit
+            # reads anyway; no extra counting job
+            parts = _parts(chg_dir)
+            rows_updated = sum(_parquet_file_meta(f)[0] for f in parts) // 2
+            if rows_updated:
+                change_files = parts
+            else:
+                shutil.rmtree(chg_dir, ignore_errors=True)
+
+        stats = {
+            "files_total": len(all_files),
+            "files_scanned": len(scanned),
+            "files_touched": len(touched),
+            "files_carried": len(untouched),
+            "rows_updated": rows_updated,
+        }
+        fresh_data = [f for f in new_files if f not in set(untouched)]
+        self._check_constraints(
+            fresh_data,
+            m.get("constraints", {}),
+            discard=fresh_data
+            + [f for f in carried_dels if f not in set(pending_dels)]
+            + change_files,
+        )
+        new_v = self._commit(
+            m,
+            new_files,
+            "update",
+            stats,
+            delete_files=carried_dels,
+            change_files=change_files,
+            mixed_schema=mixed,
+        )
+        stats["version"] = new_v
+        return stats
+
+    def clone(
+        self,
+        dest_path: str,
+        version: int | None = None,
+        log_store: LogStore | None = None,
+    ) -> "ParquetMergeTable":
+        """Delta SHALLOW CLONE: create a NEW table at ``dest_path``
+        whose v0 manifest REFERENCES this table's data files and
+        deletion vectors as of ``version`` — zero bytes copied, so
+        cloning a 100 TB table costs one manifest write. The clone is
+        fully independent from then on: its MERGEs copy-on-write into
+        its OWN directory, it inherits the source's CHECK constraints
+        (but an EMPTY txn map — streams targeting the clone are new
+        writers), and the source never observes clone writes (the
+        dev/test-against-production pattern clones exist for). Per-file
+        stats are COPIED from the source manifest, not re-read, so the
+        clone commit is manifest-sized work even at 10⁶ files.
+
+        Safety: a clone's ``vacuum`` can never delete source data — the
+        removal path refuses any file outside the table's own root.
+        ``compact()`` on the clone rewrites everything into clone-local
+        files, severing the last dependency on the source (do that
+        before vacuuming the SOURCE, whose own vacuum knows nothing of
+        clones — same contract as Delta shallow clones). The clone's v0
+        emits no CDF rows (a pending source deletion vector would make
+        insert-by-reference over-report); consumers start from the
+        snapshot."""
+        v = self.current_version() if version is None else version
+        m = self._manifest(v)
+        dest = ParquetMergeTable(
+            self.spark, dest_path, log_store or self.log_store.__class__()
+        )
+        if os.path.isdir(dest.manifest_dir) and dest._versions():
+            raise MergeError(f"clone destination {dest_path} is already a table")
+        # absolute paths: the references must survive the clone being
+        # opened from a different working directory than the source
+        dest._commit(
+            None,
+            [os.path.abspath(f) for f in m["files"]],
+            "clone",
+            {
+                "source_path": os.path.abspath(self.path),
+                "source_version": v,
+                "files_referenced": len(m["files"]),
+            },
+            delete_files=[os.path.abspath(f) for f in m["delete_files"]],
+            mixed_schema=m["mixed_schema"],
+            constraints=m.get("constraints", {}),
+            known_meta={
+                os.path.abspath(f): (
+                    m["file_rows"][f],
+                    m["file_stats"].get(f, {}),
+                )
+                for f in m["files"]
+            },
+        )
+        return dest
+
     def compact(
         self,
         sort_col: str | None = None,
@@ -1871,9 +2064,15 @@ class ParquetMergeTable:
         for man in keep_manifests:
             live |= _all_refs(man)
         removed = 0
+        own_root = os.path.abspath(self.path) + os.sep
         for man in drop_manifests:
             for f in _all_refs(man):
                 if f not in live and os.path.exists(f):
+                    if not os.path.abspath(f).startswith(own_root):
+                        # a cross-table reference (shallow clone): the
+                        # file belongs to the SOURCE table — dropping
+                        # clone history must never reach into it
+                        continue
                     os.remove(f)
                     removed += 1
         for v in drop_vs:

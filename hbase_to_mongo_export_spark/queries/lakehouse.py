@@ -562,3 +562,89 @@ def merge_stream_append_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     app = f"stream_append:{_os.path.abspath(ckpt)}"
     t.append(new_rows, txn_app_id=app, txn_version=0)
     return _status_agg(t.read())
+
+
+@register(
+    "merge_update_where_orders",
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    updated AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderstatus = 'O' THEN 'R' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CASE WHEN o_orderstatus = 'O'
+                  THEN o_totalprice + CAST(500 AS DOUBLE)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM target
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM updated GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def merge_update_where_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level SQL UPDATE (operators/merge.py update_where): reprice
+    and re-status every open order in ONE copy-on-write commit — the
+    self-referential assignment shape (SET price = price + 500) MERGE
+    cannot express without synthesizing a source. Files with no 'O' row
+    carry by reference; CDF gets pre/post image pairs for exactly the
+    fired rows. The aggregate catches a row updated twice (two files
+    containing it), not updated, or lost by the rewrite."""
+    t = _orders_table(spark, sf_dir, "updwhere")
+    t.update_where(
+        F.col("o_orderstatus") == "O",
+        {
+            "o_orderstatus": F.lit("R"),
+            "o_totalprice": F.col("o_totalprice") + F.lit(500.0),
+        },
+    )
+    return _status_agg(t.read())
+
+
+@register(
+    "merge_shallow_clone_orders",
+    oracle=f"""
+    WITH {_TARGET_CTE}
+    SELECT 'a_clone_merged' AS stage, o_orderstatus, COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM merged GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'b_source_intact' AS stage, o_orderstatus, COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM target GROUP BY o_orderstatus
+    ORDER BY stage, o_orderstatus
+    """,
+)
+def merge_shallow_clone_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta SHALLOW CLONE (operators/merge.py clone): clone the orders
+    table by reference (zero bytes copied — the clone commit carries the
+    source manifest's per-file stats), then MERGE the delta into the
+    CLONE. 'a_clone_merged' must equal the one-merge result (the clone's
+    copy-on-write must rewrite source-referenced files into clone-local
+    ones correctly) and 'b_source_intact' must equal the untouched
+    target (isolation: clone writes never leak into the source)."""
+    t = _orders_table(spark, sf_dir, "clonesrc")
+    dst = _qstage("lakehouse_clonedst_" + sf_dir.strip("/").replace("/", "_"))
+    shutil.rmtree(dst, ignore_errors=True)
+    c = t.clone(dst)
+    c.merge(
+        _delta(spark, sf_dir),
+        on=["o_orderkey"],
+        when_matched_update={
+            "o_orderstatus": src("o_orderstatus"),
+            "o_totalprice": src("o_totalprice"),
+        },
+    )
+    clone_agg = _status_agg(c.read()).withColumn("stage", F.lit("a_clone_merged"))
+    src_agg = _status_agg(t.read()).withColumn("stage", F.lit("b_source_intact"))
+    return (
+        clone_agg.unionByName(src_agg)
+        .select("stage", "o_orderstatus", "n_orders", "total_price")
+        .orderBy("stage", "o_orderstatus")
+    )

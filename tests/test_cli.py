@@ -235,6 +235,31 @@ def test_table_subcommand_lifecycle(tmp_path, capsys, spark):
     rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert len(rows) == 45  # the appended rows are gone again
     assert main(["table", "restore", tbl]) == 2  # missing --version
+    capsys.readouterr()
+
+    # row-level UPDATE through the CLI
+    assert main(["table", "update-where", tbl, "--where", "id < 5",
+                 "--set", "val=val+100"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["rows_updated"] == 4  # ids 1..4 (0 was deleted)
+    assert main(["table", "read", tbl, "--limit", "100"]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert {r["id"]: r["val"] for r in rows}[3] == 103.0
+    assert main(["table", "update-where", tbl, "--where", "id<5"]) == 2
+    capsys.readouterr()
+    assert main(["table", "update-where", tbl, "--where", "id<5",
+                 "--set", "noequals"]) == 2
+    capsys.readouterr()
+
+    # shallow clone through the CLI
+    dest = str(tmp_path / "clone")
+    assert main(["table", "clone", tbl, "--dest", dest]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["files_referenced"] >= 1
+    assert main(["table", "read", dest, "--limit", "100"]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 45
+    assert main(["table", "clone", tbl]) == 2  # missing --dest
 
 
 def test_table_subcommand_arg_errors(tmp_path, capsys, spark):

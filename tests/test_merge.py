@@ -2299,3 +2299,184 @@ class TestRestore:
         table.vacuum(retain_last=1)
         with pytest.raises((MergeError, FileNotFoundError)):
             table.restore(0)
+
+
+class TestUpdateWhere:
+    """Row-level SQL UPDATE: copy-on-write over touched files only,
+    self-referential assignments, 3VL condition, CDF image pairs."""
+
+    def test_update_reprices_matching_rows(self, spark, table):
+        stats = table.update_where(
+            F.col("id") < 20,
+            {"amount": F.col("amount") + 1.0, "name": F.lit("upd")},
+        )
+        assert stats["rows_updated"] == 20
+        got = _as_dict(table.read())
+        assert got[5] == ("upd", 51.0)
+        assert got[50] == ("name50", 500.0)
+        assert len(got) == 100
+
+    def test_update_rewrites_only_touched_files(self, spark, table):
+        # ids 0..9 live in one of the 10 range-clustered files
+        stats = table.update_where(
+            F.col("id") < 10, {"amount": F.lit(0.0)}
+        )
+        assert stats["files_touched"] == 1
+        assert stats["files_carried"] == 9
+
+    def test_tuple_condition_data_skips_detection_scan(self, spark, table):
+        stats = table.update_where(
+            [("id", ">=", 90)], {"amount": F.lit(-1.0)}
+        )
+        assert stats["files_scanned"] == 1
+        assert stats["files_touched"] == 1
+        assert stats["rows_updated"] == 10
+        assert _as_dict(table.read())[95] == ("name95", -1.0)
+
+    def test_null_condition_does_not_fire(self, spark, table):
+        # NULL comparison → 3VL NULL → row must carry unchanged
+        t2 = ParquetMergeTable(spark, table.path)
+        t2.merge(
+            spark.createDataFrame(
+                [(5, None, None)], "id bigint, name string, amount double"
+            ),
+            on=["id"],
+            when_matched_update={"amount": src("amount")},
+        )
+        stats = t2.update_where(
+            F.col("amount") > 1e9, {"name": F.lit("never")}
+        )
+        assert stats["rows_updated"] == 0
+        assert _as_dict(t2.read())[5][0] == "name5"
+
+    def test_unknown_set_column_rejected(self, spark, table):
+        with pytest.raises(MergeError, match="unknown column"):
+            table.update_where(F.col("id") < 5, {"nope": F.lit(1)})
+
+    def test_cdf_emits_image_pairs(self, spark, table):
+        table.update_where(F.col("id") == 7, {"amount": F.lit(0.5)})
+        rows = table.read_changes(from_version=1, to_version=1).collect()
+        by_type = {r["_change_type"]: r for r in rows}
+        assert len(rows) == 2
+        assert by_type["update_preimage"]["amount"] == 70.0
+        assert by_type["update_postimage"]["amount"] == 0.5
+
+    def test_update_respects_pending_deletion_vectors(self, spark, table):
+        table.delete_where(F.col("id") == 3)
+        stats = table.update_where(
+            F.col("id").isin(3, 4), {"amount": F.lit(9.0)}
+        )
+        assert stats["rows_updated"] == 1  # 3 is MoR-deleted
+        got = _as_dict(table.read())
+        assert 3 not in got and got[4] == ("name4", 9.0)
+
+    def test_update_checks_constraints(self, spark, table):
+        from hbase_to_mongo_export_spark.operators.merge import (
+            ConstraintViolation,
+        )
+
+        table.add_constraint("amount_nonneg", "amount >= 0")
+        with pytest.raises(ConstraintViolation, match="amount_nonneg"):
+            table.update_where(F.col("id") == 1, {"amount": F.lit(-5.0)})
+        assert _as_dict(table.read())[1] == ("name1", 10.0)
+
+
+class TestShallowClone:
+    def test_clone_is_zero_copy_and_independent(self, spark, table, tmp_path):
+        import glob
+
+        dest = str(tmp_path / "clone")
+        c = table.clone(dest)
+        assert _as_dict(c.read()) == _as_dict(table.read())
+        # zero data copied: the clone dir holds no parquet of its own
+        assert glob.glob(os.path.join(dest, "**", "*.parquet"),
+                         recursive=True) == []
+        # writes to the clone never touch the source
+        c.merge(
+            spark.createDataFrame(
+                [(5, "cloned", 0.0), (500, "new", 1.0)],
+                "id bigint, name string, amount double",
+            ),
+            on=["id"],
+            when_matched_update={"name": src("name")},
+        )
+        assert _as_dict(c.read())[5][0] == "cloned"
+        assert 500 in _as_dict(c.read())
+        assert _as_dict(table.read())[5][0] == "name5"
+        assert 500 not in _as_dict(table.read())
+        # and source writes never show up in the clone
+        table.delete_where(F.col("id") == 9)
+        assert 9 in _as_dict(c.read())
+
+    def test_clone_copies_stats_not_footers(self, spark, table, tmp_path):
+        c = table.clone(str(tmp_path / "clone"))
+        m_src = table._manifest(table.current_version())
+        m_cl = c._manifest(0)
+        src_stats = {os.path.abspath(f): s for f, s in m_src["file_stats"].items()}
+        assert {os.path.abspath(f): s for f, s in m_cl["file_stats"].items()} == src_stats
+        # data skipping works through the clone's copied stats
+        assert c.read(where=[("id", ">=", 90)]).count() == 10
+
+    def test_clone_carries_vectors_and_constraints(self, spark, table, tmp_path):
+        from hbase_to_mongo_export_spark.operators.merge import (
+            ConstraintViolation,
+        )
+
+        table.delete_where(F.col("id") == 3)
+        table.add_constraint("amount_nonneg", "amount >= 0")
+        c = table.clone(str(tmp_path / "clone"))
+        assert 3 not in _as_dict(c.read())
+        with pytest.raises(ConstraintViolation):
+            c.update_where(F.col("id") == 1, {"amount": F.lit(-1.0)})
+        # txn map starts EMPTY: a stream moving to the clone re-ingests
+        assert c.last_txn_version("anything") is None
+
+    def test_clone_at_version_time_travels(self, spark, table, tmp_path):
+        table.delete_where(F.col("id") < 50)
+        c = table.clone(str(tmp_path / "clone"), version=0)
+        assert c.read().count() == 100
+
+    def test_clone_vacuum_never_deletes_source_files(self, spark, table, tmp_path):
+        c = table.clone(str(tmp_path / "clone"))
+        # clone rewrites everything (compact = materialize), then drops
+        # its v0 — the source-referenced files leave the clone's history
+        c.compact(target_files=2)
+        src_files = table._manifest(table.current_version())["files"]
+        c.vacuum(retain_last=1)
+        assert all(os.path.exists(f) for f in src_files)
+        assert _as_dict(table.read())  # source intact
+        assert c.read().count() == 100  # clone intact, now self-contained
+
+    def test_clone_onto_existing_table_rejected(self, spark, table, tmp_path):
+        dest = str(tmp_path / "clone")
+        table.clone(dest)
+        with pytest.raises(MergeError, match="already a table"):
+            table.clone(dest)
+
+
+class TestRestoreScanPruning:
+    def test_restore_diff_scans_only_changed_files(self, spark, table):
+        """The restore CDF diff must read only files whose membership or
+        vector coverage changed — never the carried bulk."""
+        # touch ONE file's worth of keys (ids 0..9 = first range file)
+        table.merge(
+            spark.createDataFrame(
+                [(5, "u5", -5.0)], "id bigint, name string, amount double"
+            ),
+            on=["id"],
+            when_matched_update={"amount": src("amount")},
+        )
+        scanned: list[list[str]] = []
+        orig = table._scan
+
+        def spy(files, *a, **kw):
+            scanned.append(sorted(files))
+            return orig(files, *a, **kw)
+
+        table._scan = spy
+        stats = table.restore(0)
+        table._scan = orig
+        assert stats["files_removed"] == 1 and stats["files_readded"] == 1
+        # two diff scans (cur side, tgt side), each over exactly 1 file
+        assert len(scanned) == 2
+        assert all(len(s) == 1 for s in scanned)
