@@ -73,6 +73,7 @@ def _build_parser() -> argparse.ArgumentParser:
             "create", "append", "read", "history", "changes",
             "delete-where", "update-where", "compact", "vacuum",
             "restore", "clone", "add-constraint", "drop-constraint",
+            "rename-column", "drop-column",
         ],
     )
     t.add_argument("path", help="table directory")
@@ -102,6 +103,10 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     t.add_argument("--dest", default=None,
                    help="clone: destination table directory")
+    t.add_argument("--column", default=None,
+                   help="rename-column/drop-column: the (logical) column")
+    t.add_argument("--to", default=None,
+                   help="rename-column: the new logical name")
     t.add_argument("--sort-col", default=None, help="compact: range-cluster key")
     t.add_argument("--zorder", default=None,
                    help="compact: 2+ comma-separated columns to Z-order")
@@ -372,6 +377,29 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
             c = t.clone(args.dest, version=args.version)
             print(json.dumps(c._manifest(0)["stats"]))
+        elif args.action == "rename-column":
+            from .operators.merge import MergeError
+
+            if not args.column or not args.to:
+                print("rename-column requires --column and --to",
+                      file=sys.stderr)
+                return 2
+            try:
+                print(json.dumps(t.rename_column(args.column, args.to)))
+            except MergeError as e:
+                print(str(e), file=sys.stderr)
+                return 1
+        elif args.action == "drop-column":
+            from .operators.merge import MergeError
+
+            if not args.column:
+                print("drop-column requires --column", file=sys.stderr)
+                return 2
+            try:
+                print(json.dumps(t.drop_column(args.column)))
+            except MergeError as e:
+                print(str(e), file=sys.stderr)
+                return 1
         elif args.action == "restore":
             from .operators.merge import MergeError
 

@@ -440,6 +440,8 @@ class ParquetMergeTable:
             "mixed_schema": entry["mixed_schema"],
             "constraints": entry.get("constraints", {}),
             "txns": entry.get("txns", {}),
+            "column_mapping": entry.get("column_mapping", []),
+            "retired_physical": entry.get("retired_physical", []),
             "rows_total": sum(file_rows.values()) - sum(delete_file_rows.values()),
             "delete_rows_total": sum(delete_file_rows.values()),
         }
@@ -531,6 +533,8 @@ class ParquetMergeTable:
         discard_on_conflict: bool = True,
         txn: tuple[str, int] | None = None,
         known_meta: dict | None = None,
+        column_mapping: list | None = None,
+        retired_physical: list | None = None,
     ) -> int:
         """Commit a new version on top of ``base`` (the resolved manifest
         this writer READ; None for table creation). The log entry stores
@@ -589,6 +593,21 @@ class ParquetMergeTable:
                 else (base.get("constraints", {}) if base else {})
             ),
             "txns": txns,
+            # column mapping (ordered [logical, physical] pairs; [] =
+            # identity) and the physical names retired by DROP COLUMN —
+            # carried full per entry like constraints, so resolution
+            # needs no replay-time merging and a retired name is never
+            # reused (reuse would resurrect old files' data)
+            "column_mapping": (
+                column_mapping
+                if column_mapping is not None
+                else (base.get("column_mapping", []) if base else [])
+            ),
+            "retired_physical": (
+                retired_physical
+                if retired_physical is not None
+                else (base.get("retired_physical", []) if base else [])
+            ),
         }
         os.makedirs(self.manifest_dir, exist_ok=True)
         try:
@@ -635,8 +654,22 @@ class ParquetMergeTable:
             self._write_checkpoint(resolved)
         return next_v
 
-    def _stage_files(self, df: DataFrame, max_records_per_file: int | None) -> list[str]:
-        """Write df's rows as new immutable data files, return their paths."""
+    def _stage_files(
+        self,
+        df: DataFrame,
+        max_records_per_file: int | None,
+        mapping: list | None = None,
+    ) -> list[str]:
+        """Write df's rows as new immutable data files, return their
+        paths. ``df`` carries LOGICAL column names; under a column
+        mapping the file is written with the PHYSICAL names (stable
+        across renames — Delta column mapping), so a later rename is a
+        manifest edit, never a rewrite."""
+        md = dict(mapping or [])
+        if md:
+            df = df.select(
+                *[F.col(c).alias(md.get(c, c)) for c in df.columns]
+            )
         stage = os.path.join(self.path, f"stage-{uuid.uuid4().hex[:12]}")
         w = df.write.mode("overwrite")
         if max_records_per_file:
@@ -679,7 +712,12 @@ class ParquetMergeTable:
         return self.spark.read.parquet(*delete_files)
 
     def _read_data(
-        self, files: list[str], mixed_schema: bool, schema=None
+        self,
+        files: list[str],
+        mixed_schema: bool,
+        schema=None,
+        mapping: list | None = None,
+        with_position: bool = False,
     ) -> DataFrame:
         """Raw data-file read. ``mixed_schema`` (set by a schema-evolving
         MERGE, cleared by compact) turns on parquet schema merging so
@@ -689,13 +727,55 @@ class ParquetMergeTable:
         scan projects exactly those columns, filling ones absent from a
         file with typed NULLs — required when reading a SUBSET of a
         mixed table's files whose union schema would under-cover (e.g.
-        bin-packing only pre-evolution small files)."""
+        bin-packing only pre-evolution small files).
+
+        ``mapping`` is the manifest's column mapping — ordered
+        ``[logical, physical]`` pairs, empty for a table that never
+        renamed/dropped a column (then physical == logical and this
+        function behaves exactly as before). ``schema`` is always
+        expressed in LOGICAL names; the physical projection and the
+        rename back to logical happen here, so every caller above this
+        boundary lives purely in logical-column space.
+        ``with_position`` appends the hidden ``_file``/``_pos`` columns
+        in the same projection (the ``_metadata`` pseudo-column is only
+        reachable on the raw scan, before any select)."""
+        md = dict(mapping or [])
         r = self.spark.read
         if schema is not None:
-            r = r.schema(schema)
+            phys_schema = schema
+            if md:
+                from pyspark.sql.types import StructField, StructType
+
+                phys_schema = StructType(
+                    [
+                        StructField(md.get(f.name, f.name), f.dataType, f.nullable)
+                        for f in schema.fields
+                    ]
+                )
+            r = r.schema(phys_schema)
         elif mixed_schema:
             r = r.option("mergeSchema", "true")
-        return r.parquet(*files)
+        df = r.parquet(*files)
+        pos_cols = (
+            [
+                _norm_file(F.col("_metadata.file_path")).alias("_file"),
+                F.col("_metadata.row_index").alias("_pos"),
+            ]
+            if with_position
+            else []
+        )
+        if md and schema is not None:
+            return df.select(
+                *[F.col(md.get(f.name, f.name)).alias(f.name) for f in schema.fields],
+                *pos_cols,
+            )
+        if md:
+            return df.select(
+                *[F.col(p).alias(l) for l, p in mapping], *pos_cols
+            )
+        if pos_cols:
+            return df.select("*", *pos_cols)
+        return df
 
     def _scan(
         self,
@@ -704,6 +784,7 @@ class ParquetMergeTable:
         mixed_schema: bool = False,
         delete_rows: int | None = None,
         schema=None,
+        mapping: list | None = None,
     ) -> DataFrame:
         """Read data files with hidden position columns ``_file``/``_pos``
         and any pending deletion vectors already applied. The delete side
@@ -712,10 +793,8 @@ class ParquetMergeTable:
         are tiny. Past the threshold (a delete_where that hit a large
         fraction of the table) the anti-join falls back to sort-merge:
         slower, but it cannot OOM the driver, and compact() is the cure."""
-        df = self._read_data(files, mixed_schema, schema).select(
-            "*",
-            _norm_file(F.col("_metadata.file_path")).alias("_file"),
-            F.col("_metadata.row_index").alias("_pos"),
+        df = self._read_data(
+            files, mixed_schema, schema, mapping, with_position=True
         )
         dels = self._delete_entries(delete_files)
         if dels is not None:
@@ -738,6 +817,7 @@ class ParquetMergeTable:
             m["delete_files"],
             m["mixed_schema"],
             m["delete_rows_total"],
+            mapping=m["column_mapping"],
         )
 
     def _carry_delete_files(
@@ -792,6 +872,7 @@ class ParquetMergeTable:
         constraints: dict,
         discard: list[str],
         schema=None,
+        mapping: list | None = None,
     ) -> None:
         """Validate FRESHLY STAGED data files against the table's CHECK
         constraints — Delta's enforcement point: only new rows pay (a
@@ -804,10 +885,10 @@ class ParquetMergeTable:
         resolve."""
         if not constraints or not files:
             return
-        r = self.spark.read
-        if schema is not None:
-            r = r.schema(schema)
-        df = r.parquet(*files)
+        # constraint expressions are written over LOGICAL names; staged
+        # files carry physical ones — _read_data renames at the boundary
+        df = self._read_data(files, mixed_schema=False, schema=schema,
+                             mapping=mapping)
         for name, expr in sorted(constraints.items()):
             if df.filter(self._violation_cond(expr)).limit(1).count():
                 self._discard_staged(discard)
@@ -875,6 +956,103 @@ class ParquetMergeTable:
             .select("_file")
             .distinct()
         )
+
+    def _current_pairs(self, m: dict) -> list:
+        """The manifest's column mapping as explicit [logical, physical]
+        pairs, materializing the identity for a table that never
+        renamed/dropped (the first rename/drop freezes physical names)."""
+        if m["column_mapping"]:
+            return [list(p) for p in m["column_mapping"]]
+        cols = self._read_data(m["files"], m["mixed_schema"]).schema.fieldNames()
+        return [[c, c] for c in cols]
+
+    @staticmethod
+    def _constraint_references(constraints: dict, col: str) -> list[str]:
+        pat = re.compile(rf"(?<![A-Za-z0-9_`]){re.escape(col)}(?![A-Za-z0-9_])")
+        return sorted(n for n, e in constraints.items() if pat.search(e))
+
+    def rename_column(self, old: str, new: str) -> dict:
+        """``ALTER TABLE RENAME COLUMN`` as a METADATA-ONLY commit
+        (Delta column mapping): the logical name changes, the stable
+        PHYSICAL name in every parquet file does not — zero bytes
+        rewritten at any table size. Per-file stats are keyed by the
+        physical name, so data skipping on the renamed column keeps
+        working with no stats rebuild, and the change data feed replays
+        across the rename via the physical identity. Renaming a column
+        a CHECK constraint references is rejected (the expression would
+        silently stop resolving) — drop the constraint first."""
+        m = self._manifest(self.current_version())
+        pairs = self._current_pairs(m)
+        logical = [l for l, _ in pairs]
+        if old not in logical:
+            raise MergeError(f"no such column: '{old}'")
+        if new in logical:
+            raise MergeError(f"column '{new}' already exists")
+        refs = self._constraint_references(m.get("constraints", {}), old)
+        if refs:
+            raise MergeError(
+                f"cannot rename '{old}': CHECK constraint(s) {refs} "
+                "reference it — drop them first"
+            )
+        new_pairs = [[new if l == old else l, p] for l, p in pairs]
+        v = self._commit(
+            m,
+            m["files"],
+            "rename_column",
+            {"renamed": [old, new]},
+            delete_files=m["delete_files"],
+            mixed_schema=m["mixed_schema"],
+            column_mapping=new_pairs,
+        )
+        return {"version": v, "renamed": [old, new]}
+
+    def drop_column(self, col: str) -> dict:
+        """``ALTER TABLE DROP COLUMN`` as a METADATA-ONLY commit: the
+        column leaves the mapping, its physical name is RETIRED, and no
+        file is touched — the bytes become invisible immediately and are
+        physically shed as files get rewritten by later MERGEs /
+        OPTIMIZE. A retired physical name is never reused: a later
+        re-add of the same logical name gets a fresh physical name, so
+        carried files' old values can never resurrect. Dropping a column
+        a CHECK constraint references is rejected."""
+        m = self._manifest(self.current_version())
+        pairs = self._current_pairs(m)
+        logical = [l for l, _ in pairs]
+        if col not in logical:
+            raise MergeError(f"no such column: '{col}'")
+        if len(logical) == 1:
+            raise MergeError("cannot drop the table's only column")
+        refs = self._constraint_references(m.get("constraints", {}), col)
+        if refs:
+            raise MergeError(
+                f"cannot drop '{col}': CHECK constraint(s) {refs} "
+                "reference it — drop them first"
+            )
+        phys = dict(pairs)[col]
+        new_pairs = [[l, p] for l, p in pairs if l != col]
+        v = self._commit(
+            m,
+            m["files"],
+            "drop_column",
+            {"dropped": col},
+            delete_files=m["delete_files"],
+            mixed_schema=m["mixed_schema"],
+            column_mapping=new_pairs,
+            retired_physical=sorted(set(m["retired_physical"]) | {phys}),
+        )
+        return {"version": v, "dropped": col}
+
+    # -- column-mapping plumbing ---------------------------------------------
+    @staticmethod
+    def _physical_conjuncts(skip: list, mapping: list) -> list:
+        """Rewrite skip-conjunct column names logical → physical: the
+        manifest's per-file stats are keyed by the footer's (physical)
+        names, so data skipping keeps working across renames with no
+        stats rebuild."""
+        if not mapping:
+            return skip
+        md = dict(mapping)
+        return [(md.get(c, c), op, val) for c, op, val in skip]
 
     # -- idempotent-writer (txnAppId/txnVersion) plumbing --------------------
     @staticmethod
@@ -949,7 +1127,10 @@ class ParquetMergeTable:
                 "txn_skipped": True,
             }
         table_cols = [
-            f.name for f in self._read_data(m["files"], m["mixed_schema"]).schema.fields
+            f.name
+            for f in self._read_data(
+                m["files"], m["mixed_schema"], mapping=m["column_mapping"]
+            ).schema.fields
         ]
         if set(df.columns) != set(table_cols):
             raise MergeError(
@@ -959,6 +1140,7 @@ class ParquetMergeTable:
         staged = self._stage_files(
             df.select(*[c for c in table_cols if c in df.columns]),
             max_records_per_file,
+            mapping=m["column_mapping"],
         )
         staged_rows = {f: _parquet_file_meta(f)[0] for f in staged}
         for f in staged:
@@ -975,10 +1157,14 @@ class ParquetMergeTable:
             # the same): otherwise a restart could replay a later,
             # non-empty batch out of order past the gap
         validated_against = m.get("constraints", {})
-        self._check_constraints(files, validated_against, discard=files)
+        self._check_constraints(
+            files, validated_against, discard=files, mapping=m["column_mapping"]
+        )
         staged_cols = set(df.columns)
         for attempt in range(max_rebase_attempts):
-            cur_schema = self._read_data(m["files"], m["mixed_schema"]).schema
+            cur_schema = self._read_data(
+                m["files"], m["mixed_schema"], mapping=m["column_mapping"]
+            ).schema
             cons = m.get("constraints", {})
             if cons != validated_against:
                 # the winner changed table metadata — re-validate the
@@ -986,7 +1172,11 @@ class ParquetMergeTable:
                 # current table schema (an evolved column the staged
                 # files lack reads as NULL, which passes 3VL)
                 self._check_constraints(
-                    files, cons, discard=files, schema=cur_schema
+                    files,
+                    cons,
+                    discard=files,
+                    schema=cur_schema,
+                    mapping=m["column_mapping"],
                 )
                 validated_against = cons
             cur_cols = {f.name for f in cur_schema.fields}
@@ -1135,20 +1325,32 @@ class ParquetMergeTable:
         files = m["files"]
         if not files:
             raise MergeError(f"version {v} has no files")
+        mapping = m["column_mapping"]
         residual = None
         if where:
             residual, skip = self._predicate(where)
             stats = m["file_stats"]
+            # manifest stats are keyed by PHYSICAL column names (footer
+            # truth) — a rename costs no stats: map the conjuncts over
+            skip = self._physical_conjuncts(skip, mapping)
             files = [f for f in files if _file_can_match(stats.get(f), skip)]
         if not files:  # every file skipped: empty result, correct schema
-            schema = self._read_data(m["files"], m["mixed_schema"]).schema
+            schema = self._read_data(
+                m["files"], m["mixed_schema"], mapping=mapping
+            ).schema
             return self.spark.createDataFrame([], schema)
         if not m["delete_files"]:
-            df = self._read_data(files, m["mixed_schema"])
+            df = self._read_data(files, m["mixed_schema"], mapping=mapping)
         else:
-            cols = self._read_data(files, m["mixed_schema"]).columns
+            cols = self._read_data(
+                files, m["mixed_schema"], mapping=mapping
+            ).columns
             df = self._scan(
-                files, m["delete_files"], m["mixed_schema"], m["delete_rows_total"]
+                files,
+                m["delete_files"],
+                m["mixed_schema"],
+                m["delete_rows_total"],
+                mapping=mapping,
             ).select(*cols)
         return df.filter(residual) if residual is not None else df
 
@@ -1175,10 +1377,12 @@ class ParquetMergeTable:
         the same pruning from the expression tree)."""
         m = self._manifest(self.current_version())
         files, dels, mixed = m["files"], m["delete_files"], m["mixed_schema"]
+        mapping = m["column_mapping"]
         scanned = files
         if isinstance(condition, (list, tuple)):
             condition, skip = self._predicate(list(condition))
             fstats = m["file_stats"]
+            skip = self._physical_conjuncts(skip, mapping)
             scanned = [f for f in files if _file_can_match(fstats.get(f), skip)]
         if not scanned:
             new_v = self._commit(
@@ -1187,7 +1391,9 @@ class ParquetMergeTable:
                 delete_files=dels, mixed_schema=mixed,
             )
             return {"rows_deleted": 0, "version": new_v, "files_scanned": 0}
-        live = self._scan(scanned, dels, mixed, m["delete_rows_total"])
+        live = self._scan(
+            scanned, dels, mixed, m["delete_rows_total"], mapping=mapping
+        )
         data_cols = [c for c in live.columns if c not in ("_file", "_pos")]
 
         # one pass over the table: stage victims (data cols + position)
@@ -1257,32 +1463,45 @@ class ParquetMergeTable:
         end_schema = self.read(to_v).schema
         cols = [f.name for f in end_schema.fields]
         types = {f.name: f.dataType for f in end_schema.fields}
+        end_md = dict(self._manifest(to_v)["column_mapping"])
 
-        def _pad(df: DataFrame) -> DataFrame:
+        def _pad(df: DataFrame, v_map: list, physical_names: bool) -> DataFrame:
             # files written before a schema evolution lack the new
-            # columns — surface them as typed NULLs like Delta CDF does
+            # columns — surface them as typed NULLs like Delta CDF does.
+            # Across a RENAME the bridge is the stable PHYSICAL name:
+            # insert files carry physical columns directly; change files
+            # carry the LOGICAL names current at their commit, which map
+            # to the same physical identity via that version's mapping.
+            v_inv = {p: l for l, p in v_map}
+            outs = []
+            for c in cols:
+                p = end_md.get(c, c)
+                srcn = p if physical_names else v_inv.get(p, p)
+                outs.append(
+                    df[srcn].alias(c)
+                    if srcn in df.columns
+                    else F.lit(None).cast(types[c]).alias(c)
+                )
             return df.select(
-                *[
-                    df[c] if c in df.columns else F.lit(None).cast(types[c]).alias(c)
-                    for c in cols
-                ],
+                *outs,
                 *([df[CHANGE_TYPE]] if CHANGE_TYPE in df.columns else []),
             )
 
         parts: list[DataFrame] = []
         for v in range(from_version, to_v + 1):
             m = self._manifest(v)
+            v_map = m["column_mapping"]
             ins = m["insert_files"]
             if ins:
                 parts.append(
-                    _pad(spark.read.parquet(*ins))
+                    _pad(spark.read.parquet(*ins), v_map, physical_names=True)
                     .withColumn(CHANGE_TYPE, F.lit("insert"))
                     .withColumn(COMMIT_VERSION, F.lit(v))
                 )
             chg = m["change_files"]
             if chg:
                 parts.append(
-                    _pad(spark.read.parquet(*chg))
+                    _pad(spark.read.parquet(*chg), v_map, physical_names=False)
                     .withColumn(COMMIT_VERSION, F.lit(v))
                 )
         if not parts:
@@ -1400,7 +1619,8 @@ class ParquetMergeTable:
             "files_carried": len(untouched),
         }
         new_files: list[str] = list(untouched)
-        tgt_schema = self._read_data(all_files, was_mixed).schema
+        mapping = m["column_mapping"]
+        tgt_schema = self._read_data(all_files, was_mixed, mapping=mapping).schema
         target_cols = [f.name for f in tgt_schema.fields]
         tgt_types = {f.name: f.dataType for f in tgt_schema.fields}
         # schema evolution: extra source columns become table columns;
@@ -1426,10 +1646,25 @@ class ParquetMergeTable:
         # and re-inserted by the other
         join_cond = [F.col(k) == F.col(f"_src_{k}") for k in on]
 
+        # schema evolution under a column mapping: each new logical
+        # column gets a physical name that never collides with any
+        # CURRENT or RETIRED physical name (reuse would resurrect the
+        # dropped column's old data from carried files)
+        out_mapping = mapping
+        if new_cols and mapping:
+            taken = {p for _, p in mapping} | set(m["retired_physical"])
+            pairs = list(mapping)
+            for c in new_cols:
+                phys = c if c not in taken else f"{c}__{uuid.uuid4().hex[:8]}"
+                pairs.append([c, phys])
+                taken.add(phys)
+            out_mapping = pairs
+
         change_files: list[str] = []
         if touched:
             tgt = self._scan(
-                touched, pending_dels, was_mixed, m["delete_rows_total"]
+                touched, pending_dels, was_mixed, m["delete_rows_total"],
+                mapping=mapping,
             ).select(*target_cols)
             src_side = (
                 F.broadcast(src_aliased) if small_src else src_aliased.hint("merge")
@@ -1471,7 +1706,9 @@ class ParquetMergeTable:
                     .alias(c)
                 )
             rewritten = joined.filter(keep).select(*out_cols)
-            new_files += self._stage_files(rewritten, max_records_per_file)
+            new_files += self._stage_files(
+                rewritten, max_records_per_file, mapping=out_mapping
+            )
 
             # CDF: update/delete change rows from the SAME pruned join —
             # touched files only, so the extra passes never scan the
@@ -1543,7 +1780,9 @@ class ParquetMergeTable:
             # the inserted-row count from the freshly written parquet
             # footers (memoized — _commit reads the same ones). The old
             # pre-write .count() ran the scan + anti-join twice.
-            staged = self._stage_files(inserts, max_records_per_file)
+            staged = self._stage_files(
+                inserts, max_records_per_file, mapping=out_mapping
+            )
             staged_rows = {f: _parquet_file_meta(f)[0] for f in staged}
             stats["rows_inserted"] = sum(staged_rows.values())
             insert_files = [f for f in staged if staged_rows[f] > 0]
@@ -1565,6 +1804,7 @@ class ParquetMergeTable:
             discard=fresh_data
             + [f for f in carried_dels if f not in set(pending_dels)]
             + change_files,
+            mapping=out_mapping,
         )
         new_v = self._commit(
             m,
@@ -1576,6 +1816,7 @@ class ParquetMergeTable:
             insert_files=insert_files,
             mixed_schema=now_mixed,
             txn=txn,
+            column_mapping=out_mapping,
         )
         stats["version"] = new_v
         return stats
@@ -1612,10 +1853,12 @@ class ParquetMergeTable:
         all_files = m["files"]
         pending_dels = m["delete_files"]
         mixed = m["mixed_schema"]
+        mapping = m["column_mapping"]
         scanned = all_files
         if isinstance(condition, (list, tuple)):
             condition, skip = self._predicate(list(condition))
             fstats = m["file_stats"]
+            skip = self._physical_conjuncts(skip, mapping)
             scanned = [
                 f for f in all_files if _file_can_match(fstats.get(f), skip)
             ]
@@ -1625,7 +1868,10 @@ class ParquetMergeTable:
         cond_true = F.coalesce(condition, F.lit(False))
 
         target_cols = [
-            f.name for f in self._read_data(all_files, mixed).schema.fields
+            f.name
+            for f in self._read_data(
+                all_files, mixed, mapping=mapping
+            ).schema.fields
         ]
         bad = replacement.filter(~cond_true).limit(1).count()
         if bad:
@@ -1636,7 +1882,8 @@ class ParquetMergeTable:
         abs_to_orig = {os.path.abspath(f): f for f in all_files}
         if scanned:
             live = self._scan(
-                scanned, pending_dels, mixed, m["delete_rows_total"]
+                scanned, pending_dels, mixed, m["delete_rows_total"],
+                mapping=mapping,
             )
             touched = sorted(
                 abs_to_orig.get(r["_file"], r["_file"])
@@ -1660,10 +1907,11 @@ class ParquetMergeTable:
         n_removed = 0
         if touched:
             tgt = self._scan(
-                touched, pending_dels, mixed, m["delete_rows_total"]
+                touched, pending_dels, mixed, m["delete_rows_total"],
+                mapping=mapping,
             ).select(*target_cols)
             new_files += self._stage_files(
-                tgt.filter(~cond_true), max_records_per_file
+                tgt.filter(~cond_true), max_records_per_file, mapping=mapping
             )
             chg_dir = os.path.join(
                 self.path, f"_changes/chg-{uuid.uuid4().hex[:12]}"
@@ -1678,7 +1926,8 @@ class ParquetMergeTable:
                 change_files = _parts(chg_dir)
 
         insert_files = self._stage_files(
-            replacement.select(*target_cols), max_records_per_file
+            replacement.select(*target_cols), max_records_per_file,
+            mapping=mapping,
         )
         new_files += insert_files
         stats = {
@@ -1695,6 +1944,7 @@ class ParquetMergeTable:
             discard=fresh_data
             + [f for f in carried_dels if f not in set(pending_dels)]
             + change_files,
+            mapping=mapping,
         )
         new_v = self._commit(
             m,
@@ -1733,16 +1983,21 @@ class ParquetMergeTable:
         all_files = m["files"]
         pending_dels = m["delete_files"]
         mixed = m["mixed_schema"]
+        mapping = m["column_mapping"]
         scanned = all_files
         if isinstance(condition, (list, tuple)):
             condition, skip = self._predicate(list(condition))
             fstats = m["file_stats"]
+            skip = self._physical_conjuncts(skip, mapping)
             scanned = [
                 f for f in all_files if _file_can_match(fstats.get(f), skip)
             ]
         cond_true = F.coalesce(condition, F.lit(False))
         target_cols = [
-            f.name for f in self._read_data(all_files, mixed).schema.fields
+            f.name
+            for f in self._read_data(
+                all_files, mixed, mapping=mapping
+            ).schema.fields
         ]
         unknown = sorted(set(set_map) - set(target_cols))
         if unknown:
@@ -1751,7 +2006,8 @@ class ParquetMergeTable:
         abs_to_orig = {os.path.abspath(f): f for f in all_files}
         if scanned:
             live = self._scan(
-                scanned, pending_dels, mixed, m["delete_rows_total"]
+                scanned, pending_dels, mixed, m["delete_rows_total"],
+                mapping=mapping,
             )
             touched = sorted(
                 abs_to_orig.get(r["_file"], r["_file"])
@@ -1772,7 +2028,8 @@ class ParquetMergeTable:
         rows_updated = 0
         if touched:
             tgt = self._scan(
-                touched, pending_dels, mixed, m["delete_rows_total"]
+                touched, pending_dels, mixed, m["delete_rows_total"],
+                mapping=mapping,
             ).select(*target_cols)
 
             def _upd(c: str) -> Column:
@@ -1787,6 +2044,7 @@ class ParquetMergeTable:
             new_files += self._stage_files(
                 tgt.select(*[_upd(c) for c in target_cols]),
                 max_records_per_file,
+                mapping=mapping,
             )
             fired = tgt.filter(cond_true)
             post = fired.select(
@@ -1825,6 +2083,7 @@ class ParquetMergeTable:
             discard=fresh_data
             + [f for f in carried_dels if f not in set(pending_dels)]
             + change_files,
+            mapping=mapping,
         )
         new_v = self._commit(
             m,
@@ -1886,6 +2145,8 @@ class ParquetMergeTable:
             delete_files=[os.path.abspath(f) for f in m["delete_files"]],
             mixed_schema=m["mixed_schema"],
             constraints=m.get("constraints", {}),
+            column_mapping=m["column_mapping"],
+            retired_physical=m["retired_physical"],
             known_meta={
                 os.path.abspath(f): (
                     m["file_rows"][f],
@@ -1953,7 +2214,9 @@ class ParquetMergeTable:
             out = df.repartitionByRange(target_files, F.col(sort_col))
         else:
             out = df.repartition(target_files)
-        files = self._stage_files(out, max_records_per_file)
+        files = self._stage_files(
+            out, max_records_per_file, mapping=m["column_mapping"]
+        )
         v = self._commit(m, files, "compact", {"files_written": len(files)})
         return {"version": v, "files_written": len(files)}
 
@@ -1985,7 +2248,9 @@ class ParquetMergeTable:
         # scan it with the FULL table schema (absent columns surface as
         # typed NULLs) or the select below would raise on a legitimate
         # mixed-schema table state
-        full_schema = self._read_data(m["files"], m["mixed_schema"]).schema
+        full_schema = self._read_data(
+            m["files"], m["mixed_schema"], mapping=m["column_mapping"]
+        ).schema
         target_cols = [f.name for f in full_schema.fields]
         df = self._scan(
             packed,
@@ -1993,6 +2258,7 @@ class ParquetMergeTable:
             m["mixed_schema"],
             m["delete_rows_total"],
             schema=full_schema,
+            mapping=m["column_mapping"],
         ).select(*target_cols)
         n_out = max(1, math.ceil(sum(sizes.get(f, 0) for f in packed) / threshold))
         out = (
@@ -2000,7 +2266,9 @@ class ParquetMergeTable:
             if sort_col
             else df.repartition(n_out)
         )
-        new_files = list(carried) + self._stage_files(out, max_records_per_file)
+        new_files = list(carried) + self._stage_files(
+            out, max_records_per_file, mapping=m["column_mapping"]
+        )
         carried_dels = self._carry_delete_files(
             m["delete_files"], packed, carried, m["delete_rows_total"]
         )
@@ -2187,18 +2455,24 @@ class ParquetMergeTable:
         # the diff runs under the TARGET (restored) schema: columns
         # added after `version` vanish with the restore, so they must
         # not make otherwise-identical rows look different
-        tgt_schema = self._read_data(tgt["files"], tgt["mixed_schema"]).schema
+        tgt_schema = self._read_data(
+            tgt["files"], tgt["mixed_schema"], mapping=tgt["column_mapping"]
+        ).schema
         cols = [f.name for f in tgt_schema.fields]
 
         def _visible(scan: list[str], m: dict) -> DataFrame | None:
             if not scan:
                 return None
+            # both sides project under the TARGET's logical schema; the
+            # physical names behind it are version-independent (renames
+            # never rewrite), so the tgt mapping reads cur files too
             return self._scan(
                 scan,
                 m["delete_files"],
                 m["mixed_schema"],
                 m["delete_rows_total"],
                 schema=tgt_schema,
+                mapping=tgt["column_mapping"],
             ).select(*cols)
 
         cur_rows = _visible(scan_cur, cur)
@@ -2281,6 +2555,12 @@ class ParquetMergeTable:
                 mixed_schema=tgt["mixed_schema"],
                 # constraints stay CURRENT (metadata is not restored)
                 constraints=cur.get("constraints", {}),
+                # the column mapping IS schema — it restores with the
+                # data; retired names stay retired forever (monotone)
+                column_mapping=tgt["column_mapping"],
+                retired_physical=sorted(
+                    set(cur["retired_physical"]) | set(tgt["retired_physical"])
+                ),
                 # the "added" files are the old version's — still
                 # referenced by retained manifests, so the default
                 # lost-race discard must NOT delete them

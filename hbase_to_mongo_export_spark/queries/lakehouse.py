@@ -648,3 +648,42 @@ def merge_shallow_clone_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("stage", "o_orderstatus", "n_orders", "total_price")
         .orderBy("stage", "o_orderstatus")
     )
+
+
+@register(
+    "merge_column_mapping_orders",
+    oracle=f"""
+    WITH {_TARGET_CTE}
+    SELECT o_orderkey, o_orderstatus, o_totalprice AS price
+    FROM merged
+    ORDER BY price DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def merge_column_mapping_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping (operators/merge.py rename_column/drop_column —
+    Delta column mapping): RENAME o_totalprice → price as a metadata-only
+    commit (physical names in every parquet file stay put — zero bytes
+    rewritten), MERGE the delta under the NEW logical name (carried
+    files still physically say 'o_totalprice'; the mapping bridges), then
+    DROP o_custkey (instant, physical name retired). The oracle's schema
+    compare proves the drop (a surviving o_custkey mismatches) and the
+    top-20 values prove reads, the merge rewrite, and data skipping all
+    resolve the renamed column through the stable physical identity."""
+    t = _orders_table(spark, sf_dir, "colmap")
+    t.rename_column("o_totalprice", "price")
+    t.merge(
+        _delta(spark, sf_dir).withColumnRenamed("o_totalprice", "price"),
+        on=["o_orderkey"],
+        when_matched_update={
+            "o_orderstatus": src("o_orderstatus"),
+            "price": src("price"),
+        },
+    )
+    t.drop_column("o_custkey")
+    return (
+        t.read()
+        .select("o_orderkey", "o_orderstatus", "price")
+        .orderBy(F.desc("price"), "o_orderkey")
+        .limit(20)
+    )

@@ -276,3 +276,38 @@ def test_table_subcommand_arg_errors(tmp_path, capsys, spark):
     assert main(["table", "read", tbl, "--range", "id,>=,notanumber"]) == 2
     capsys.readouterr()
     assert main(["table", "read", tbl, "--range", "id>=3"]) == 2  # bad shape
+
+
+def test_table_column_mapping_cli(tmp_path, capsys, spark):
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "id bigint, val double"
+    ).write.parquet(src)
+    tbl = str(tmp_path / "tbl")
+    assert main(["table", "create", tbl, "--source", src]) == 0
+    capsys.readouterr()
+
+    assert main(["table", "rename-column", tbl,
+                 "--column", "val", "--to", "price"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["renamed"] == ["val", "price"]
+    assert main(["table", "read", tbl, "--limit", "5"]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert "price" in rows[0] and "val" not in rows[0]
+
+    # data skipping still prunes on the renamed column (stats are
+    # keyed by the stable physical name)
+    assert main(["table", "read", tbl, "--range", "price,>=,15",
+                 "--limit", "100"]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 5
+
+    assert main(["table", "drop-column", tbl, "--column", "price"]) == 0
+    capsys.readouterr()
+    assert main(["table", "read", tbl, "--limit", "5"]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert set(rows[0]) == {"id"}
+
+    assert main(["table", "rename-column", tbl, "--column", "id"]) == 2
+    capsys.readouterr()
+    assert main(["table", "drop-column", tbl, "--column", "id"]) == 1  # only col

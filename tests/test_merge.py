@@ -560,10 +560,10 @@ class TestOptimisticConcurrency:
         t2 = ParquetMergeTable(spark, table.path)
         orig = t2._stage_files
 
-        def hijack(df, mrpf):
+        def hijack(df, mrpf, *a, **kw):
             t2._stage_files = orig  # interleave exactly once
             table.delete_where(F.col("id") == 3)  # the OTHER writer wins v1
-            return orig(df, mrpf)
+            return orig(df, mrpf, *a, **kw)
 
         t2._stage_files = hijack
         source = spark.createDataFrame(
@@ -588,10 +588,10 @@ class TestOptimisticConcurrency:
         t2 = ParquetMergeTable(spark, table.path)
         orig = t2._stage_files
 
-        def hijack(df, mrpf):
+        def hijack(df, mrpf, *a, **kw):
             t2._stage_files = orig
             table.delete_where(F.col("id") == 3)
-            return orig(df, mrpf)
+            return orig(df, mrpf, *a, **kw)
 
         t2._stage_files = hijack
         source = spark.createDataFrame(
@@ -617,10 +617,10 @@ class TestOptimisticConcurrency:
         t2 = ParquetMergeTable(spark, table.path)
         orig = t2._stage_files
 
-        def hijack(df, mrpf):
+        def hijack(df, mrpf, *a, **kw):
             t2._stage_files = orig
             table.delete_where(F.col("id") == 3)
-            return orig(df, mrpf)
+            return orig(df, mrpf, *a, **kw)
 
         t2._stage_files = hijack
         source = spark.createDataFrame(
@@ -1810,8 +1810,8 @@ class TestBlindAppend:
         stage_calls = []
         orig_stage = table._stage_files
 
-        def counting(df, mrpf):
-            out = orig_stage(df, mrpf)
+        def counting(df, mrpf, *a, **kw):
+            out = orig_stage(df, mrpf, *a, **kw)
             stage_calls.append(len(out))
             return out
 
@@ -2054,11 +2054,11 @@ class TestTxnIdempotence:
         t2 = ParquetMergeTable(spark, table.path)
         orig = t2._stage_files
 
-        def hijack(df, mrpf):
+        def hijack(df, mrpf, *a, **kw):
             t2._stage_files = orig  # interleave exactly once
             table.append(self._batch(spark, 100, 110), txn_app_id="app",
                          txn_version=0)  # the twin wins v1 with batch 0
-            return orig(df, mrpf)
+            return orig(df, mrpf, *a, **kw)
 
         t2._stage_files = hijack
         r = t2.append(self._batch(spark, 100, 110), txn_app_id="app",
@@ -2072,11 +2072,11 @@ class TestTxnIdempotence:
         t2 = ParquetMergeTable(spark, table.path)
         orig = t2._stage_files
 
-        def hijack(df, mrpf):
+        def hijack(df, mrpf, *a, **kw):
             t2._stage_files = orig
             table.append(self._batch(spark, 100, 110), txn_app_id="appA",
                          txn_version=0)
-            return orig(df, mrpf)
+            return orig(df, mrpf, *a, **kw)
 
         t2._stage_files = hijack
         r = t2.append(self._batch(spark, 200, 205), txn_app_id="appB",
@@ -2480,3 +2480,184 @@ class TestRestoreScanPruning:
         # two diff scans (cur side, tgt side), each over exactly 1 file
         assert len(scanned) == 2
         assert all(len(s) == 1 for s in scanned)
+
+
+class TestColumnMapping:
+    """Delta column mapping: RENAME/DROP COLUMN as metadata-only commits
+    over stable physical names — no rewrite at any size, stats-based
+    skipping survives renames, CDF replays across them."""
+
+    def test_rename_is_metadata_only(self, spark, table):
+        files_before = set(table._manifest(table.current_version())["files"])
+        mtimes = {f: os.path.getmtime(f) for f in files_before}
+        r = table.rename_column("amount", "price")
+        assert r["renamed"] == ["amount", "price"]
+        m = table._manifest(table.current_version())
+        assert set(m["files"]) == files_before  # zero files rewritten
+        assert all(os.path.getmtime(f) == mtimes[f] for f in files_before)
+        assert table.read().columns == ["id", "name", "price"]
+        got = {r["id"]: r["price"] for r in table.read().collect()}
+        assert got[5] == 50.0
+        # time travel still shows the OLD logical name
+        assert table.read(version=0).columns == ["id", "name", "amount"]
+
+    def test_skipping_survives_rename_without_stats_rebuild(self, spark, table):
+        table.rename_column("id", "order_id")
+        # stats were collected under the physical name 'id' at create
+        # time; the renamed predicate must still prune files
+        df = table.read(where=[("order_id", ">=", 90)])
+        assert df.count() == 10
+        assert {r["order_id"] for r in df.collect()} == set(range(90, 100))
+        # the scan was pruned: only 1 of the 10 range files qualifies
+        m = table._manifest(table.current_version())
+        skip = table._physical_conjuncts(
+            [("order_id", ">=", 90)], m["column_mapping"]
+        )
+        from hbase_to_mongo_export_spark.operators.merge import _file_can_match
+        kept = [f for f in m["files"]
+                if _file_can_match(m["file_stats"].get(f), skip)]
+        assert len(kept) == 1
+
+    def test_merge_after_rename_uses_logical_names(self, spark, table):
+        table.rename_column("amount", "price")
+        table.merge(
+            spark.createDataFrame(
+                [(5, "u5", -1.0), (200, "i", 2.0)],
+                "id bigint, name string, price double",
+            ),
+            on=["id"],
+            when_matched_update={"price": src("price")},
+        )
+        got = {r["id"]: r["price"] for r in table.read().collect()}
+        assert got[5] == -1.0 and got[200] == 2.0 and len(got) == 101
+        # carried (v0) files still physical-named 'amount'; fresh files
+        # physical-named 'amount' too (stable physical identity)
+        import pyarrow.parquet as pq
+        m = table._manifest(table.current_version())
+        for f in m["files"]:
+            assert "amount" in pq.read_schema(f).names
+            assert "price" not in pq.read_schema(f).names
+
+    def test_drop_column_hides_data_and_never_resurrects(self, spark, table):
+        table.drop_column("name")
+        assert table.read().columns == ["id", "amount"]
+        # re-add the same logical name via schema evolution: fresh
+        # physical name, old values must NOT resurrect from carried files
+        table.merge(
+            spark.createDataFrame(
+                [(5, "fresh5", -5.0)], "id bigint, name string, amount double"
+            ),
+            on=["id"],
+            when_matched_update={"name": src("name"), "amount": src("amount")},
+            schema_evolution=True,
+        )
+        got = _as_dict(table.read())
+        assert got[5] == ("fresh5", -5.0)
+        assert got[6] == (None, 60.0)  # carried row: NULL, not 'name6'
+        m = table._manifest(table.current_version())
+        md = dict(m["column_mapping"])
+        assert md["name"] != "name"  # fresh physical, retired not reused
+        assert "name" in m["retired_physical"]
+
+    def test_update_delete_after_rename(self, spark, table):
+        table.rename_column("amount", "price")
+        table.update_where([("id", ">=", 90)], {"price": F.lit(0.0)})
+        table.delete_where([("id", "<", 10)])
+        got = {r["id"]: r["price"] for r in table.read().collect()}
+        assert len(got) == 90 and got[95] == 0.0 and got[50] == 500.0
+
+    def test_cdf_replays_across_rename(self, spark, table):
+        table.merge(
+            spark.createDataFrame(
+                [(5, "u5", -5.0)], "id bigint, name string, amount double"
+            ),
+            on=["id"],
+            when_matched_update={"amount": src("amount")},
+        )
+        table.rename_column("amount", "price")
+        table.update_where(F.col("id") == 7, {"price": F.lit(0.7)})
+        # sequential full-row replay from v0 under the END schema: one
+        # feed read (end schema = post-rename), sliced per commit
+        data_cols = ["id", "name", "price"]
+        feed = table.read_changes(from_version=1)
+        rebuilt = table.read(version=0).withColumnRenamed("amount", "price")
+        for v in range(1, table.current_version() + 1):
+            f = feed.filter(F.col("_commit_version") == v)
+            removed = f.filter(
+                F.col("_change_type").isin("update_preimage", "delete")
+            ).select(*data_cols)
+            added = f.filter(
+                F.col("_change_type").isin("update_postimage", "insert")
+            ).select(*data_cols)
+            rebuilt = rebuilt.exceptAll(removed).unionByName(added)
+        assert sorted(map(tuple, rebuilt.collect())) == sorted(
+            map(tuple, table.read().collect())
+        )
+
+    def test_restore_reverts_rename_and_drop(self, spark, table):
+        table.rename_column("amount", "price")
+        table.drop_column("name")
+        assert table.read().columns == ["id", "price"]
+        stats = table.restore(0)
+        assert table.read().columns == ["id", "name", "amount"]
+        assert _as_dict(table.read()) == _as_dict(table.read(version=0))
+        # pure metadata ops → restoring across them moves no rows
+        assert stats["rows_restore_deleted"] == 0
+        assert stats["rows_restore_inserted"] == 0
+
+    def test_clone_carries_mapping(self, spark, table, tmp_path):
+        table.rename_column("amount", "price")
+        c = table.clone(str(tmp_path / "clone"))
+        assert c.read().columns == ["id", "name", "price"]
+        assert {r["id"]: r["price"] for r in c.read().collect()}[5] == 50.0
+
+    def test_compact_after_drop_sheds_retired_bytes(self, spark, table):
+        import pyarrow.parquet as pq
+
+        table.drop_column("name")
+        table.compact(target_files=2)
+        m = table._manifest(table.current_version())
+        for f in m["files"]:
+            assert "name" not in pq.read_schema(f).names
+        assert table.read().count() == 100
+
+    def test_constraint_reference_blocks_rename_and_drop(self, spark, table):
+        table.add_constraint("amount_nonneg", "amount >= 0")
+        with pytest.raises(MergeError, match="amount_nonneg"):
+            table.rename_column("amount", "price")
+        with pytest.raises(MergeError, match="amount_nonneg"):
+            table.drop_column("amount")
+        table.drop_constraint("amount_nonneg")
+        table.rename_column("amount", "price")  # now fine
+
+    def test_rename_validation(self, spark, table):
+        with pytest.raises(MergeError, match="no such column"):
+            table.rename_column("nope", "x")
+        with pytest.raises(MergeError, match="already exists"):
+            table.rename_column("amount", "name")
+
+    def test_append_after_rename(self, spark, table):
+        table.rename_column("amount", "price")
+        r = table.append(
+            spark.createDataFrame(
+                [(100, "n100", 1.0)], "id bigint, name string, price double"
+            )
+        )
+        assert r["rows_appended"] == 1
+        assert {r["id"]: r["price"] for r in table.read().collect()}[100] == 1.0
+        with pytest.raises(MergeError, match="schema mismatch"):
+            table.append(
+                spark.createDataFrame(
+                    [(101, "x", 1.0)], "id bigint, name string, amount double"
+                )
+            )
+
+    def test_overwrite_where_after_rename(self, spark, table):
+        table.rename_column("amount", "price")
+        repl = spark.createDataFrame(
+            [(95, "r95", -1.0)], "id bigint, name string, price double"
+        )
+        stats = table.overwrite_where([("id", ">=", 90)], repl)
+        assert stats["files_scanned"] == 1
+        got = {r["id"]: (r["name"], r["price"]) for r in table.read().collect()}
+        assert len(got) == 91 and got[95] == ("r95", -1.0)
