@@ -197,6 +197,52 @@ def main() -> None:
                     "sec": sec,
                 }
                 continue
+            if shape == "colmap":
+                # metadata-only schema surgery: RENAME + DROP on the full
+                # table must write zero data bytes and commit in ~ms
+                # regardless of table size, and data skipping must keep
+                # pruning on the renamed column without a stats rebuild
+                data_bytes0 = _dir_bytes(t._manifest(0)["files"])
+                t0 = time.perf_counter()
+                t.rename_column("l_extendedprice", "price")
+                rename_sec = round(time.perf_counter() - t0, 4)
+                t0 = time.perf_counter()
+                t.drop_column("l_partkey")
+                drop_sec = round(time.perf_counter() - t0, 4)
+                m1 = t._manifest(t.current_version())
+                pruned = t.read(where=[("key", "<=", 1000)])
+                out[shape] = {
+                    "rows": n,
+                    "rename_sec": rename_sec,
+                    "drop_sec": drop_sec,
+                    "data_bytes_written": _dir_bytes(m1["files"]) - data_bytes0,
+                    "files_unchanged": m1["files"] == t._manifest(0)["files"],
+                    "skipping_rows_after_rename": pruned.count(),
+                    "columns": t.read().columns,
+                }
+                continue
+            if shape == "clone":
+                # shallow clone: zero bytes copied at any size — the
+                # clone commit is one manifest write carrying the
+                # source's per-file stats (no footer re-reads)
+                import glob as _glob
+
+                dest = os.path.join(root, "clone_dest")
+                t0 = time.perf_counter()
+                c = t.clone(dest)
+                sec = round(time.perf_counter() - t0, 4)
+                out[shape] = {
+                    "rows": n,
+                    "clone_sec": sec,
+                    "clone_local_parquet": len(
+                        _glob.glob(os.path.join(dest, "**", "*.parquet"),
+                                   recursive=True)
+                    ),
+                    "clone_rows": c.read().count(),
+                    "skipping_through_copied_stats":
+                        c.read(where=[("key", "<=", 1000)]).count(),
+                }
+                continue
             if shape == "full":
                 # table-sized backfill: every row is a matched key — the
                 # worst case for both pruning AND the broadcast decision
