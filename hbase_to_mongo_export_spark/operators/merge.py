@@ -2855,3 +2855,109 @@ def stream_apply_changes(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+
+
+# -- slowly changing dimension (type 2) over the MERGE table -----------------
+
+def scd2_prepare(
+    df: DataFrame,
+    ts: float,
+    valid_from: str = "_valid_from",
+    valid_to: str = "_valid_to",
+    current: str = "_is_current",
+) -> DataFrame:
+    """Shape an initial dimension load for SCD Type 2 tracking: every
+    row becomes the CURRENT version effective at ``ts`` (``valid_to``
+    NULL = open-ended). Create the table from this, then evolve it with
+    ``scd2_apply``."""
+    return df.select(
+        "*",
+        F.lit(float(ts)).alias(valid_from),
+        F.lit(None).cast("double").alias(valid_to),
+        F.lit(True).alias(current),
+    )
+
+
+def scd2_apply(
+    table: ParquetMergeTable,
+    updates: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    ts: float,
+    valid_from: str = "_valid_from",
+    valid_to: str = "_valid_to",
+    current: str = "_is_current",
+) -> dict:
+    """SCD Type 2 in ONE atomic MERGE commit (the lakehouse
+    dimension-history pattern): for each update row whose TRACKED
+    attributes differ from the key's current version — or whose key is
+    new — CLOSE the old version (``valid_to = ts``, no longer current)
+    and INSERT the new version effective at ``ts``. Unchanged rows do
+    nothing. Readers see either the old history or the new, never a
+    closed row without its successor.
+
+    How it maps onto MERGE without Delta's NULL-mergeKey trick (which
+    would trip this table's duplicate-source-key guard): the join key is
+    ``key_cols + [valid_from]``. A CLOSE row carries the existing
+    version's ``valid_from`` → always matches → the update clause fires
+    (gated on the row's action marker). An INSERT row carries
+    ``valid_from = ts`` → never matches (ts is new) → inserts. Replaying
+    the same batch is a NO-OP: the re-sent insert rows now MATCH their
+    previously inserted selves, fail the action gate, and carry
+    unchanged — pair with txn stamps for free skips. ``updates`` must
+    have one row per key (reduce rapid-fire updates first, as
+    ``stream_merge_upsert`` does)."""
+    scd_cols = {valid_from, valid_to, current}
+    data_cols = [c for c in table.read().columns if c not in scd_cols]
+    missing = sorted((set(key_cols) | set(tracked_cols)) - set(updates.columns))
+    if missing:
+        raise MergeError(f"updates missing column(s): {missing}")
+    import functools
+    import operator as pyop
+
+    u = updates.alias("u")
+    cur = table.read().filter(F.col(current)).alias("t")
+    key_eq = [F.col(f"u.{k}").eqNullSafe(F.col(f"t.{k}")) for k in key_cols]
+    joined = u.join(cur, functools.reduce(pyop.and_, key_eq), "left")
+    no_cur = F.col(f"t.{valid_from}").isNull()
+    differs = functools.reduce(
+        pyop.or_,
+        [~F.col(f"u.{c}").eqNullSafe(F.col(f"t.{c}")) for c in tracked_cols],
+    )
+    need = joined.filter(no_cur | differs)
+
+    def _u(c):
+        return F.col(f"u.{c}")
+
+    close_rows = need.filter(~no_cur).select(
+        *[_u(c).alias(c) for c in key_cols],
+        F.col(f"t.{valid_from}").alias(valid_from),
+        F.lit("close").alias("_scd_action"),
+    )
+    insert_rows = need.select(
+        *[
+            (_u(c) if c in updates.columns else F.col(f"t.{c}")).alias(c)
+            for c in data_cols
+        ],
+        F.lit(float(ts)).alias(valid_from),
+        F.lit(None).cast("double").alias(valid_to),
+        F.lit(True).alias(current),
+        F.lit("insert").alias("_scd_action"),
+    )
+    # align the two shapes: close rows only need the join key + marker;
+    # missing data columns ride as typed NULLs (never read by a clause)
+    source = insert_rows.unionByName(close_rows, allowMissingColumns=True)
+    stats = table.merge(
+        source,
+        on=key_cols + [valid_from],
+        when_matched_update={
+            valid_to: F.lit(float(ts)),
+            current: F.lit(False),
+        },
+        when_matched_update_condition=src("_scd_action") == "close",
+    )
+    return {
+        "rows_closed": stats.get("rows_updated", 0),
+        "rows_inserted": stats.get("rows_inserted", 0),
+        "version": stats["version"],
+    }

@@ -687,3 +687,65 @@ def merge_column_mapping_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("price"), "o_orderkey")
         .limit(20)
     )
+
+
+@register(
+    "merge_scd2_customers",
+    oracle="""
+    WITH cust AS (
+      SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+    ),
+    changed AS (SELECT * FROM cust WHERE c_custkey % 4 = 0)
+    SELECT is_current, n_rows, balance FROM (
+      SELECT FALSE AS is_current, COUNT(*) AS n_rows,
+             CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS balance
+      FROM changed
+      UNION ALL
+      SELECT TRUE AS is_current, (SELECT COUNT(*) FROM cust) AS n_rows,
+             CAST(ROUND(SUM(CAST(
+               CASE WHEN c_custkey % 4 = 0
+                    THEN c_acctbal + CAST(100 AS DOUBLE)
+                    ELSE c_acctbal END AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS balance
+      FROM cust
+    ) ORDER BY is_current
+    """,
+)
+def merge_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly changing dimension type 2 (operators/merge.py scd2_apply):
+    the customer dimension loads at ts=0, then every 4th customer's
+    balance changes at ts=1 — ONE atomic MERGE closes each old version
+    (valid_to=1, no longer current) and inserts its successor. The
+    closed cohort must carry the OLD balances and the current cohort
+    the table-wide NEW state: a row closed without its successor, a
+    double-insert on replay, or an unchanged row wrongly versioned all
+    shift the (count, balance) pairs."""
+    from ..operators.merge import scd2_apply, scd2_prepare
+
+    path = _qstage("lakehouse_scd2_" + sf_dir.strip("/").replace("/", "_"))
+    shutil.rmtree(path, ignore_errors=True)
+    t = ParquetMergeTable(spark, path)
+    base = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    t.create(
+        scd2_prepare(base, ts=0.0).repartitionByRange(
+            8, F.col("c_custkey")
+        ).sortWithinPartitions("c_custkey")
+    )
+    updates = base.filter(F.col("c_custkey") % 4 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + F.lit(100.0)
+    )
+    scd2_apply(t, updates, ["c_custkey"], ["c_acctbal"], ts=1.0)
+    return (
+        t.read()
+        .groupBy(F.col("_is_current").alias("is_current"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("c_acctbal").cast(_DEC)), 2)
+            .cast("double")
+            .alias("balance"),
+        )
+        .orderBy("is_current")
+    )

@@ -2661,3 +2661,103 @@ class TestColumnMapping:
         assert stats["files_scanned"] == 1
         got = {r["id"]: (r["name"], r["price"]) for r in table.read().collect()}
         assert len(got) == 91 and got[95] == ("r95", -1.0)
+
+
+class TestScd2:
+    def _dim(self, spark, tmp_path):
+        from hbase_to_mongo_export_spark.operators.merge import scd2_prepare
+
+        t = ParquetMergeTable(spark, str(tmp_path / "dim"))
+        base = spark.createDataFrame(
+            [(1, "addr1", "gold"), (2, "addr2", "silver"), (3, "addr3", "gold")],
+            "cust bigint, address string, tier string",
+        )
+        t.create(scd2_prepare(base, ts=0.0))
+        return t
+
+    def test_changed_new_and_unchanged_rows(self, spark, tmp_path):
+        from hbase_to_mongo_export_spark.operators.merge import scd2_apply
+
+        t = self._dim(spark, tmp_path)
+        updates = spark.createDataFrame(
+            [
+                (1, "addr1-new", "gold"),   # address changed → new version
+                (2, "addr2", "silver"),     # unchanged → nothing
+                (9, "addr9", "bronze"),     # new key → insert
+            ],
+            "cust bigint, address string, tier string",
+        )
+        r = scd2_apply(t, updates, ["cust"], ["address", "tier"], ts=5.0)
+        assert r["rows_closed"] == 1 and r["rows_inserted"] == 2
+        rows = {
+            (x["cust"], x["_valid_from"]): x for x in t.read().collect()
+        }
+        assert len(rows) == 5  # 3 original + 2 new versions
+        old1 = rows[(1, 0.0)]
+        assert old1["_is_current"] is False and old1["_valid_to"] == 5.0
+        new1 = rows[(1, 5.0)]
+        assert new1["_is_current"] is True and new1["address"] == "addr1-new"
+        assert new1["_valid_to"] is None
+        assert rows[(2, 0.0)]["_is_current"] is True  # untouched
+        assert rows[(9, 5.0)]["_is_current"] is True
+
+    def test_replay_is_noop(self, spark, tmp_path):
+        from hbase_to_mongo_export_spark.operators.merge import scd2_apply
+
+        t = self._dim(spark, tmp_path)
+        updates = spark.createDataFrame(
+            [(1, "addr1-new", "gold")], "cust bigint, address string, tier string"
+        )
+        scd2_apply(t, updates, ["cust"], ["address", "tier"], ts=5.0)
+        before = sorted(map(tuple, t.read().collect()))
+        r = scd2_apply(t, updates, ["cust"], ["address", "tier"], ts=5.0)
+        assert r["rows_closed"] == 0 and r["rows_inserted"] == 0
+        assert sorted(map(tuple, t.read().collect())) == before
+
+    def test_history_chains_across_multiple_applies(self, spark, tmp_path):
+        from hbase_to_mongo_export_spark.operators.merge import scd2_apply
+
+        t = self._dim(spark, tmp_path)
+        for ts, addr in [(1.0, "a"), (2.0, "b"), (3.0, "c")]:
+            scd2_apply(
+                t,
+                spark.createDataFrame(
+                    [(1, addr, "gold")], "cust bigint, address string, tier string"
+                ),
+                ["cust"], ["address", "tier"], ts=ts,
+            )
+        hist = sorted(
+            (r["_valid_from"], r["_valid_to"], r["address"], r["_is_current"])
+            for r in t.read().filter(F.col("cust") == 1).collect()
+        )
+        assert hist == [
+            (0.0, 1.0, "addr1", False),
+            (1.0, 2.0, "a", False),
+            (2.0, 3.0, "b", False),
+            (3.0, None, "c", True),
+        ]
+
+    def test_null_safe_tracked_comparison(self, spark, tmp_path):
+        from hbase_to_mongo_export_spark.operators.merge import scd2_apply
+
+        t = self._dim(spark, tmp_path)
+        # NULL address incoming: differs from 'addr1' → closes; a second
+        # apply with NULL again → eqNullSafe says unchanged → no-op
+        upd = spark.createDataFrame(
+            [(1, None, "gold")], "cust bigint, address string, tier string"
+        )
+        r1 = scd2_apply(t, upd, ["cust"], ["address", "tier"], ts=1.0)
+        assert r1["rows_closed"] == 1 and r1["rows_inserted"] == 1
+        r2 = scd2_apply(t, upd, ["cust"], ["address", "tier"], ts=2.0)
+        assert r2["rows_closed"] == 0 and r2["rows_inserted"] == 0
+
+    def test_missing_columns_rejected(self, spark, tmp_path):
+        from hbase_to_mongo_export_spark.operators.merge import scd2_apply
+
+        t = self._dim(spark, tmp_path)
+        with pytest.raises(MergeError, match="missing column"):
+            scd2_apply(
+                t,
+                spark.createDataFrame([(1,)], "cust bigint"),
+                ["cust"], ["address"], ts=1.0,
+            )

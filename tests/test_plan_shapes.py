@@ -653,3 +653,54 @@ class TestLakehousePlans:
         plan = plan_of(out)
         assert "SinglePartition" not in plan, plan
         assert "Window" not in plan, plan
+
+
+class TestRound7bLakehousePlans:
+    def _table(self, spark, tmp_path):
+        from hbase_to_mongo_export_spark.operators.merge import (
+            ParquetMergeTable,
+        )
+        from pyspark.sql import functions as F
+
+        t = ParquetMergeTable(spark, str(tmp_path / "tbl"))
+        t.create(
+            spark.createDataFrame(
+                [(i, f"n{i}", float(i)) for i in range(100)],
+                "id bigint, name string, amount double",
+            ).repartitionByRange(4, F.col("id"))
+        )
+        return t
+
+    def test_update_detection_scan_prunes_to_predicate_columns(
+        self, spark, tmp_path
+    ):
+        """update_where/overwrite_where's touched-file detection plan
+        (filter → select _file → distinct over the live scan) must read
+        ONLY the predicate column — full-width detection would double
+        the IO of every UPDATE at 100 TB. Catalyst's column pruning does
+        this for free BECAUSE the scan is declared as a plain projection;
+        this pin fails if some future change (a UDF in the path, a
+        non-prunable wrapper) breaks that."""
+        from pyspark.sql import functions as F
+
+        t = self._table(spark, tmp_path)
+        m = t._manifest(0)
+        live = t._scan(m["files"], [], False, 0)
+        detection = live.filter(F.col("id") < 10).select("_file").distinct()
+        plan = plan_of(detection)
+        mm = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert mm, plan
+        read_cols = {c.split(":")[0] for c in mm.group(1).split(",") if c}
+        assert read_cols == {"id"}, plan
+
+    def test_mapped_read_still_pushes_residual_filter(self, spark, tmp_path):
+        """After a rename, read(where=...) must still push the residual
+        predicate into the parquet scan (PushedFilters on the PHYSICAL
+        column) — the logical alias is a projection on top, which
+        Catalyst pushes through."""
+        t = self._table(spark, tmp_path)
+        t.rename_column("amount", "price")
+        df = t.read(where=[("price", ">=", 90.0)])
+        plan = plan_of(df)
+        assert "PushedFilters: [" in plan, plan
+        assert "GreaterThanOrEqual(amount,90.0)" in plan, plan
