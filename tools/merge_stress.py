@@ -197,6 +197,65 @@ def main() -> None:
                     "sec": sec,
                 }
                 continue
+            if shape == "contended":
+                # REAL concurrent writers (not the pytest single-
+                # interleave): N threads blind-append M batches each
+                # through their own table handles. Every lost commit race
+                # must REBASE (same staged files re-committed on the new
+                # head), so the protocol proof is exact: N*M commits on
+                # top of v0, zero lost updates, zero duplicated rows.
+                import threading
+
+                n_writers, n_batches, batch_rows = 4, 5, 1000
+                base_rows = n
+                errors: list = []
+                top = t.read().agg(F.max("key")).first()[0]
+
+                def writer(w: int) -> None:
+                    try:
+                        h = ParquetMergeTable(spark, t.path)
+                        for b in range(n_batches):
+                            lo = top + 1 + (w * n_batches + b) * batch_rows
+                            df = spark.range(lo, lo + batch_rows).select(
+                                F.col("id").alias("l_orderkey"),
+                                F.col("id").alias("l_partkey"),
+                                F.lit(1.0).alias("l_quantity"),
+                                F.lit(1.0).alias("l_extendedprice"),
+                                F.col("id").alias("key"),
+                            )
+                            h.append(df, txn_app_id=f"w{w}", txn_version=b)
+                    except Exception as e:  # pragma: no cover
+                        errors.append(repr(e))
+
+                t0 = time.perf_counter()
+                threads = [
+                    threading.Thread(target=writer, args=(w,))
+                    for w in range(n_writers)
+                ]
+                for th in threads:
+                    th.start()
+                for th in threads:
+                    th.join()
+                sec = round(time.perf_counter() - t0, 2)
+                final = ParquetMergeTable(spark, t.path)
+                got = final.read().count()
+                expect = base_rows + n_writers * n_batches * batch_rows
+                out[shape] = {
+                    "writers": n_writers,
+                    "batches_per_writer": n_batches,
+                    "errors": errors,
+                    "versions": final.current_version(),
+                    "expected_versions": n_writers * n_batches,
+                    "rows": got,
+                    "expected_rows": expect,
+                    "lost_updates": expect - got,
+                    "txn_heads": {
+                        f"w{w}": final.last_txn_version(f"w{w}")
+                        for w in range(n_writers)
+                    },
+                    "sec": sec,
+                }
+                continue
             if shape == "colmap":
                 # metadata-only schema surgery: RENAME + DROP on the full
                 # table must write zero data bytes and commit in ~ms
