@@ -2887,6 +2887,7 @@ def scd2_apply(
     valid_from: str = "_valid_from",
     valid_to: str = "_valid_to",
     current: str = "_is_current",
+    delete_keys: DataFrame | None = None,
 ) -> dict:
     """SCD Type 2 in ONE atomic MERGE commit (the lakehouse
     dimension-history pattern): for each update row whose TRACKED
@@ -2906,7 +2907,15 @@ def scd2_apply(
     previously inserted selves, fail the action gate, and carry
     unchanged — pair with txn stamps for free skips. ``updates`` must
     have one row per key (reduce rapid-fire updates first, as
-    ``stream_merge_upsert`` does)."""
+    ``stream_merge_upsert`` does).
+
+    ``delete_keys`` (rows carrying just ``key_cols``) CLOSES those keys'
+    current versions at ``ts`` with no successor — the member-retired
+    case: history stays queryable, nothing is physically deleted. A key
+    appearing in both ``updates`` (with changed attributes) and
+    ``delete_keys`` would stage two close rows for the same version and
+    is rejected by MERGE's duplicate-source-key guard — split it into
+    two applies if you really mean "new version, then retire it"."""
     scd_cols = {valid_from, valid_to, current}
     data_cols = [c for c in table.read().columns if c not in scd_cols]
     missing = sorted((set(key_cols) | set(tracked_cols)) - set(updates.columns))
@@ -2944,6 +2953,19 @@ def scd2_apply(
         F.lit(True).alias(current),
         F.lit("insert").alias("_scd_action"),
     )
+    if delete_keys is not None:
+        d = delete_keys.alias("u")
+        dkey_eq = [
+            F.col(f"u.{k}").eqNullSafe(F.col(f"t.{k}")) for k in key_cols
+        ]
+        retire_rows = (
+            d.join(cur, functools.reduce(pyop.and_, dkey_eq), "inner").select(
+                *[_u(c).alias(c) for c in key_cols],
+                F.col(f"t.{valid_from}").alias(valid_from),
+                F.lit("close").alias("_scd_action"),
+            )
+        )
+        close_rows = close_rows.unionByName(retire_rows)
     # align the two shapes: close rows only need the join key + marker;
     # missing data columns ride as typed NULLs (never read by a clause)
     source = insert_rows.unionByName(close_rows, allowMissingColumns=True)

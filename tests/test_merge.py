@@ -2761,3 +2761,43 @@ class TestScd2:
                 spark.createDataFrame([(1,)], "cust bigint"),
                 ["cust"], ["address"], ts=1.0,
             )
+
+
+class TestScd2Deletes:
+    def test_delete_keys_close_without_successor(self, spark, tmp_path):
+        from hbase_to_mongo_export_spark.operators.merge import (
+            scd2_apply,
+            scd2_prepare,
+        )
+
+        t = ParquetMergeTable(spark, str(tmp_path / "dim"))
+        t.create(
+            scd2_prepare(
+                spark.createDataFrame(
+                    [(1, "a"), (2, "b"), (3, "c")], "cust bigint, addr string"
+                ),
+                ts=0.0,
+            )
+        )
+        updates = spark.createDataFrame(
+            [(1, "a2")], "cust bigint, addr string"
+        )
+        dels = spark.createDataFrame([(3,), (99,)], "cust bigint")
+        r = scd2_apply(
+            t, updates, ["cust"], ["addr"], ts=5.0, delete_keys=dels
+        )
+        assert r["rows_closed"] == 2  # cust 1 (changed) + cust 3 (retired)
+        assert r["rows_inserted"] == 1  # only cust 1 gets a successor
+        rows = {(x["cust"], x["_valid_from"]): x for x in t.read().collect()}
+        retired = rows[(3, 0.0)]
+        assert retired["_is_current"] is False and retired["_valid_to"] == 5.0
+        assert (3, 5.0) not in rows  # no successor
+        assert rows[(2, 0.0)]["_is_current"] is True  # untouched
+        assert rows[(1, 5.0)]["addr"] == "a2"
+        # retire replay: cust 3 no longer current → inner join empty → noop
+        r2 = scd2_apply(
+            t,
+            spark.createDataFrame([], "cust bigint, addr string"),
+            ["cust"], ["addr"], ts=6.0, delete_keys=dels,
+        )
+        assert r2["rows_closed"] == 0 and r2["rows_inserted"] == 0
