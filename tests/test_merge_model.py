@@ -1,0 +1,123 @@
+"""Model-based randomized testing of the MERGE table: a seeded random
+sequence of table operations runs against BOTH the real engine and a
+driver-side dict model; after every commit the live snapshot must equal
+the model, every historical version must still time-travel to its
+model snapshot, and at the end the change feed must replay snapshot(0)
+into the final state. This catches interaction bugs no single-feature
+test does (a deletion vector surviving a restore, a CDF row missed by
+an update that followed a compact, ...).
+
+Ops are weighted toward the mutating paths; compact() is the physical
+no-op that must never change logical state. Each seed commits ~12
+versions; 4 seeds keep the suite under ~2 minutes at local[32]."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_to_mongo_export_spark.operators.merge import (
+    ParquetMergeTable,
+    src,
+)
+
+KEYSPACE = 60
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(k, n, a) for k, (n, a) in sorted(rows.items())],
+        "id bigint, name string, amount double",
+    )
+
+
+def _snap(table, version=None):
+    return {
+        r["id"]: (r["name"], r["amount"])
+        for r in table.read(version=version).collect()
+    }
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_random_op_sequences_match_model(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    model = {k: (f"n{k}", float(k)) for k in range(0, KEYSPACE, 2)}
+    t = ParquetMergeTable(spark, str(tmp_path / f"tbl{seed}"))
+    t.create(_df(spark, model).repartitionByRange(4, F.col("id")))
+    history = [dict(model)]  # model snapshot per committed version
+
+    def do_merge():
+        ks = rng.sample(range(KEYSPACE), rng.randint(1, 8))
+        delta = {k: (f"m{k}_{len(history)}", rng.uniform(-100, 100)) for k in ks}
+        t.merge(
+            _df(spark, delta),
+            on=["id"],
+            when_matched_update={"name": src("name"), "amount": src("amount")},
+        )
+        model.update(delta)
+
+    def do_delete():
+        mod, rem = rng.randint(3, 9), rng.randint(0, 2)
+        t.delete_where(F.col("id") % mod == rem)
+        for k in [k for k in model if k % mod == rem]:
+            del model[k]
+
+    def do_update():
+        cut = rng.randint(0, KEYSPACE)
+        bump = float(rng.randint(1, 50))
+        t.update_where(
+            F.col("id") >= cut, {"amount": F.col("amount") + F.lit(bump)}
+        )
+        for k in [k for k in model if k >= cut]:
+            model[k] = (model[k][0], model[k][1] + bump)
+
+    def do_append():
+        base = KEYSPACE + len(history) * 100
+        rows = {base + i: (f"a{base + i}", 1.0) for i in range(rng.randint(1, 4))}
+        t.append(_df(spark, rows))
+        model.update(rows)
+
+    def do_compact():
+        if rng.random() < 0.5:
+            t.compact(target_files=rng.randint(1, 4))
+        else:
+            t.compact(sort_col="id", target_files=rng.randint(2, 4))
+
+    def do_restore():
+        if len(history) < 2:  # nothing earlier to restore yet
+            return do_compact()
+        # strictly earlier: restore(current) is a documented no-op that
+        # does NOT commit, which would break the op↔version alignment
+        v = rng.randrange(len(history) - 1)
+        t.restore(v)
+        model.clear()
+        model.update(history[v])
+
+    ops = [do_merge, do_delete, do_update, do_append, do_compact, do_restore]
+    weights = [4, 3, 3, 2, 2, 1]
+    for _ in range(12):
+        rng.choices(ops, weights=weights, k=1)[0]()
+        history.append(dict(model))
+        assert t.current_version() == len(history) - 1, "op/version slip"
+        assert _snap(t) == model, f"live state diverged at v{len(history) - 1}"
+
+    # every retained version still time-travels to its model snapshot
+    for v, snap in enumerate(history):
+        assert _snap(t, version=v) == snap, f"time travel diverged at v{v}"
+
+    # CDF replay: snapshot(0) + feed == final state (sequential,
+    # full-row multiset — the invariant every incremental consumer runs)
+    cols = ["id", "name", "amount"]
+    feed = t.read_changes(from_version=1)
+    rebuilt = t.read(version=0)
+    for v in range(1, t.current_version() + 1):
+        f = feed.filter(F.col("_commit_version") == v)
+        removed = f.filter(
+            F.col("_change_type").isin("update_preimage", "delete")
+        ).select(*cols)
+        added = f.filter(
+            F.col("_change_type").isin("update_postimage", "insert")
+        ).select(*cols)
+        rebuilt = rebuilt.exceptAll(removed).unionByName(added)
+    got = {r["id"]: (r["name"], r["amount"]) for r in rebuilt.collect()}
+    assert got == model, "CDF replay diverged from final state"
