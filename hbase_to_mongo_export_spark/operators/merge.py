@@ -1391,8 +1391,10 @@ class ParquetMergeTable:
                 delete_files=dels, mixed_schema=mixed,
             )
             return {"rows_deleted": 0, "version": new_v, "files_scanned": 0}
+        full_schema = self._read_data(files, mixed, mapping=mapping).schema
         live = self._scan(
-            scanned, dels, mixed, m["delete_rows_total"], mapping=mapping
+            scanned, dels, mixed, m["delete_rows_total"],
+            schema=full_schema, mapping=mapping,
         )
         data_cols = [c for c in live.columns if c not in ("_file", "_pos")]
 
@@ -1662,9 +1664,13 @@ class ParquetMergeTable:
 
         change_files: list[str] = []
         if touched:
+            # explicit FULL logical schema: the touched SUBSET may consist
+            # entirely of pre-evolution files whose merged footer schema
+            # under-covers — absent columns surface as typed NULLs (the
+            # _bin_pack r6 fix, applied to every subset scan)
             tgt = self._scan(
                 touched, pending_dels, was_mixed, m["delete_rows_total"],
-                mapping=mapping,
+                schema=tgt_schema, mapping=mapping,
             ).select(*target_cols)
             src_side = (
                 F.broadcast(src_aliased) if small_src else src_aliased.hint("merge")
@@ -1867,12 +1873,8 @@ class ParquetMergeTable:
         # replacements — fold NULL to FALSE once and use it everywhere
         cond_true = F.coalesce(condition, F.lit(False))
 
-        target_cols = [
-            f.name
-            for f in self._read_data(
-                all_files, mixed, mapping=mapping
-            ).schema.fields
-        ]
+        full_schema = self._read_data(all_files, mixed, mapping=mapping).schema
+        target_cols = [f.name for f in full_schema.fields]
         bad = replacement.filter(~cond_true).limit(1).count()
         if bad:
             raise MergeError(
@@ -1881,9 +1883,10 @@ class ParquetMergeTable:
 
         abs_to_orig = {os.path.abspath(f): f for f in all_files}
         if scanned:
+            # full schema on BOTH subset scans (see merge above)
             live = self._scan(
                 scanned, pending_dels, mixed, m["delete_rows_total"],
-                mapping=mapping,
+                schema=full_schema, mapping=mapping,
             )
             touched = sorted(
                 abs_to_orig.get(r["_file"], r["_file"])
@@ -1908,7 +1911,7 @@ class ParquetMergeTable:
         if touched:
             tgt = self._scan(
                 touched, pending_dels, mixed, m["delete_rows_total"],
-                mapping=mapping,
+                schema=full_schema, mapping=mapping,
             ).select(*target_cols)
             new_files += self._stage_files(
                 tgt.filter(~cond_true), max_records_per_file, mapping=mapping
@@ -1993,21 +1996,19 @@ class ParquetMergeTable:
                 f for f in all_files if _file_can_match(fstats.get(f), skip)
             ]
         cond_true = F.coalesce(condition, F.lit(False))
-        target_cols = [
-            f.name
-            for f in self._read_data(
-                all_files, mixed, mapping=mapping
-            ).schema.fields
-        ]
+        full_schema = self._read_data(all_files, mixed, mapping=mapping).schema
+        target_cols = [f.name for f in full_schema.fields]
         unknown = sorted(set(set_map) - set(target_cols))
         if unknown:
             raise MergeError(f"UPDATE sets unknown column(s): {unknown}")
 
         abs_to_orig = {os.path.abspath(f): f for f in all_files}
         if scanned:
+            # full schema on BOTH subset scans: a stats-pruned or touched
+            # subset may predate a schema evolution (see merge above)
             live = self._scan(
                 scanned, pending_dels, mixed, m["delete_rows_total"],
-                mapping=mapping,
+                schema=full_schema, mapping=mapping,
             )
             touched = sorted(
                 abs_to_orig.get(r["_file"], r["_file"])
@@ -2029,7 +2030,7 @@ class ParquetMergeTable:
         if touched:
             tgt = self._scan(
                 touched, pending_dels, mixed, m["delete_rows_total"],
-                mapping=mapping,
+                schema=full_schema, mapping=mapping,
             ).select(*target_cols)
 
             def _upd(c: str) -> Column:

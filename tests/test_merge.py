@@ -2801,3 +2801,80 @@ class TestScd2Deletes:
             ["cust"], ["addr"], ts=6.0, delete_keys=dels,
         )
         assert r2["rows_closed"] == 0 and r2["rows_inserted"] == 0
+
+
+class TestMixedSchemaSubsetScans:
+    """The _bin_pack r6 ADVICE bug class, hunted in every other subset
+    scan: when ALL the files an operation touches predate a schema
+    evolution, the touched-file scan's merged schema under-covers and
+    .select(full_cols) must still work (typed NULLs, not
+    UNRESOLVED_COLUMN)."""
+
+    def _mixed(self, spark, tmp_path):
+        """10 one-key files; a schema-evolving merge touches ONLY key 99
+        (the last file), so files holding keys 0..9 stay pre-evolution."""
+        t = ParquetMergeTable(spark, str(tmp_path / "tbl"))
+        t.create(
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(10)] + [(99, 99.0)],
+                "id bigint, val double",
+            ).repartitionByRange(2, F.col("id"))
+        )
+        t.merge(
+            spark.createDataFrame(
+                [(99, 1.0, "x")], "id bigint, val double, note string"
+            ),
+            on=["id"],
+            when_matched_update={"note": src("note")},
+            schema_evolution=True,
+        )
+        return t
+
+    def test_merge_touching_only_old_files(self, spark, tmp_path):
+        t = self._mixed(spark, tmp_path)
+        stats = t.merge(
+            spark.createDataFrame(
+                [(1, -1.0, None)], "id bigint, val double, note string"
+            ),
+            on=["id"],
+            when_matched_update={"val": src("val")},
+        )
+        got = {r["id"]: (r["val"], r["note"]) for r in t.read().collect()}
+        assert got[1] == (-1.0, None) and got[99] == (99.0, "x")
+
+    def test_update_where_touching_only_old_files(self, spark, tmp_path):
+        t = self._mixed(spark, tmp_path)
+        stats = t.update_where(F.col("id") == 1, {"val": F.lit(-1.0)})
+        assert stats["rows_updated"] == 1
+        got = {r["id"]: (r["val"], r["note"]) for r in t.read().collect()}
+        assert got[1] == (-1.0, None) and got[99] == (99.0, "x")
+
+    def test_overwrite_where_touching_only_old_files(self, spark, tmp_path):
+        t = self._mixed(spark, tmp_path)
+        repl = spark.createDataFrame(
+            [(1, -1.0, None)], "id bigint, val double, note string"
+        )
+        stats = t.overwrite_where(F.col("id") == 1, repl)
+        assert stats["rows_removed"] == 1
+        got = {r["id"]: (r["val"], r["note"]) for r in t.read().collect()}
+        assert got[1] == (-1.0, None) and got[99] == (99.0, "x")
+
+    def test_delete_where_pruned_to_old_files_keeps_full_change_width(
+        self, spark, tmp_path
+    ):
+        t = self._mixed(spark, tmp_path)
+        t.compact(sort_col="id", target_files=3)  # restore stats clustering
+        t.merge(
+            spark.createDataFrame(
+                [(100, 1.0, "y")], "id bigint, val double, note string"
+            ),
+            on=["id"],
+            schema_evolution=True,
+        )
+        stats = t.delete_where(F.col("id") == 1)
+        feed = t.read_changes(
+            from_version=t.current_version(), to_version=t.current_version()
+        )
+        assert "note" in feed.columns
+        (row,) = feed.collect()
+        assert row["id"] == 1 and row["_change_type"] == "delete"
