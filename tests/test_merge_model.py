@@ -121,3 +121,89 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
         rebuilt = rebuilt.exceptAll(removed).unionByName(added)
     got = {r["id"]: (r["name"], r["amount"]) for r in rebuilt.collect()}
     assert got == model, "CDF replay diverged from final state"
+
+
+@pytest.mark.parametrize("seed", [10, 11])
+def test_random_ops_with_renames_match_model(spark, tmp_path, seed):
+    """Same model net with RENAME COLUMN woven through the sequence:
+    every subsequent merge/update/append/delete must resolve the
+    renamed column, restore must bring back the OLD name with the old
+    rows, and time travel must show each version under the name it had
+    then."""
+    rng = random.Random(seed)
+    model = {k: (f"n{k}", float(k)) for k in range(0, KEYSPACE, 2)}
+    amt = "amount"  # current logical name of the amount column
+    t = ParquetMergeTable(spark, str(tmp_path / f"tbl{seed}"))
+    t.create(
+        spark.createDataFrame(
+            [(k, n, a) for k, (n, a) in sorted(model.items())],
+            f"id bigint, name string, {amt} double",
+        ).repartitionByRange(4, F.col("id"))
+    )
+    history = [(dict(model), amt)]
+
+    def df_of(rows, amt_name):
+        return spark.createDataFrame(
+            [(k, n, a) for k, (n, a) in sorted(rows.items())],
+            f"id bigint, name string, {amt_name} double",
+        )
+
+    def snap(version=None):
+        a = amt if version is None else history[version][1]
+        return {
+            r["id"]: (r["name"], r[a])
+            for r in t.read(version=version).collect()
+        }
+
+    def do_merge():
+        ks = rng.sample(range(KEYSPACE), rng.randint(1, 6))
+        delta = {k: (f"m{k}_{len(history)}", rng.uniform(-9, 9)) for k in ks}
+        t.merge(
+            df_of(delta, amt),
+            on=["id"],
+            when_matched_update={"name": src("name"), amt: src(amt)},
+        )
+        model.update(delta)
+
+    def do_rename():
+        nonlocal amt
+        new = f"amt_{len(history)}"
+        t.rename_column(amt, new)
+        amt = new
+
+    def do_delete():
+        mod, rem = rng.randint(3, 9), rng.randint(0, 2)
+        t.delete_where(F.col("id") % mod == rem)
+        for k in [k for k in model if k % mod == rem]:
+            del model[k]
+
+    def do_update():
+        cut, bump = rng.randint(0, KEYSPACE), float(rng.randint(1, 9))
+        t.update_where(
+            [("id", ">=", cut)], {amt: F.col(amt) + F.lit(bump)}
+        )
+        for k in [k for k in model if k >= cut]:
+            model[k] = (model[k][0], model[k][1] + bump)
+
+    def do_restore():
+        nonlocal amt
+        if len(history) < 2:
+            return do_merge()
+        v = rng.randrange(len(history) - 1)
+        t.restore(v)
+        rows, amt = history[v]
+        model.clear()
+        model.update(rows)
+
+    ops = [do_merge, do_rename, do_delete, do_update, do_restore]
+    weights = [4, 2, 2, 3, 1]
+    for _ in range(10):
+        rng.choices(ops, weights=weights, k=1)[0]()
+        history.append((dict(model), amt))
+        assert t.current_version() == len(history) - 1, "op/version slip"
+        assert snap() == model
+        assert t.read().columns == ["id", "name", amt]
+
+    for v, (rows, a) in enumerate(history):
+        assert t.read(version=v).columns == ["id", "name", a], f"v{v} cols"
+        assert snap(version=v) == rows, f"time travel diverged at v{v}"
