@@ -2878,3 +2878,55 @@ class TestMixedSchemaSubsetScans:
         assert "note" in feed.columns
         (row,) = feed.collect()
         assert row["id"] == 1 and row["_change_type"] == "delete"
+
+
+class TestStreamReplayAcrossRestore:
+    def test_streamed_feed_spanning_a_restore_reconstructs_table(
+        self, spark, table, tmp_path
+    ):
+        """The CDF stream contract must survive a RESTORE in the feed:
+        a restore commit carries delete+insert rows for the same key
+        (the value flips back), pure deletes (keys the restore removes),
+        and pure inserts (keys it resurrects) — the terminal-change
+        reduction and the two-merge apply must land the replica exactly
+        on the restored-and-then-mutated final state."""
+        from hbase_to_mongo_export_spark.operators.merge import (
+            changes_schema,
+            changes_stream,
+            spool_changes,
+            stream_apply_changes,
+        )
+
+        table.merge(
+            spark.createDataFrame(
+                [(3, "u3", -3.0), (300, "i300", 3.0)],
+                "id bigint, name string, amount double",
+            ),
+            on=["id"],
+            when_matched_update={"name": src("name"), "amount": src("amount")},
+        )                                        # v1: update 3, insert 300
+        table.delete_where(F.col("id").isin(4, 50))   # v2: MoR delete
+        table.restore(0)                              # v3: flip it all back
+        table.update_where(F.col("id") == 7, {"amount": F.lit(0.7)})  # v4
+
+        replica = ParquetMergeTable(spark, str(tmp_path / "replica"))
+        replica.create(table.read(version=0))
+        spool = str(tmp_path / "spool")
+        assert spool_changes(table, spool, from_version=1) == [1, 2, 3, 4]
+        stream = changes_stream(
+            spark, spool, changes_schema(table), max_files_per_trigger=1
+        )
+        q = (
+            stream_apply_changes(
+                replica, stream, on=["id"], checkpoint_dir=str(tmp_path / "ck")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        assert _as_dict(replica.read()) == _as_dict(table.read())
+        got = _as_dict(replica.read())
+        assert got[3] == ("name3", 30.0)   # v1 update rolled back by v3
+        assert 300 not in got              # v1 insert rolled back
+        assert got[4] == ("name4", 40.0)   # v2 delete resurrected
+        assert got[7] == ("name7", 0.7)    # v4 applied on top
