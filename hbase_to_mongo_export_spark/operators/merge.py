@@ -1357,7 +1357,12 @@ class ParquetMergeTable:
     def history(self) -> list[dict]:
         return [self._manifest(v) for v in self._versions()]
 
-    def delete_where(self, condition) -> dict:
+    def delete_where(
+        self,
+        condition,
+        txn_app_id: str | None = None,
+        txn_version: int | None = None,
+    ) -> dict:
         """Merge-on-read DELETE: append a position-delete file instead of
         rewriting data. One pruned scan finds victim rows (with any
         pending deletes already applied, so a row can't be deleted
@@ -1374,8 +1379,14 @@ class ParquetMergeTable:
         retention/GDPR shape — delete one day from a date-clustered
         table — scans that day's files, not the table. An opaque Column
         can't be introspected, so it scans everything (Delta derives
-        the same pruning from the expression tree)."""
+        the same pruning from the expression tree).
+
+        ``txn_app_id``/``txn_version``: idempotent-writer stamp — an
+        already-recorded version makes this a no-op (``txn_skipped``)."""
+        txn = self._txn_of(txn_app_id, txn_version)
         m = self._manifest(self.current_version())
+        if self._txn_already_applied(m, txn):
+            return {"version": m["version"], "txn_skipped": True}
         files, dels, mixed = m["files"], m["delete_files"], m["mixed_schema"]
         mapping = m["column_mapping"]
         scanned = files
@@ -1388,7 +1399,7 @@ class ParquetMergeTable:
             new_v = self._commit(
                 m, files, "delete",
                 {"rows_deleted": 0, "files_scanned": 0},
-                delete_files=dels, mixed_schema=mixed,
+                delete_files=dels, mixed_schema=mixed, txn=txn,
             )
             return {"rows_deleted": 0, "version": new_v, "files_scanned": 0}
         full_schema = self._read_data(files, mixed, mapping=mapping).schema
@@ -1408,7 +1419,7 @@ class ParquetMergeTable:
             new_v = self._commit(
                 m, files, "delete",
                 {"rows_deleted": 0, "files_scanned": len(scanned)},
-                delete_files=dels, mixed_schema=mixed,
+                delete_files=dels, mixed_schema=mixed, txn=txn,
             )
             return {
                 "rows_deleted": 0,
@@ -1444,7 +1455,7 @@ class ParquetMergeTable:
             m, files, "delete", stats,
             delete_files=dels + _parts(entry_path),
             change_files=_parts(change_path),
-            mixed_schema=mixed,
+            mixed_schema=mixed, txn=txn,
         )
         stats["version"] = new_v
         return stats
@@ -1832,6 +1843,8 @@ class ParquetMergeTable:
         condition: Column | list,
         replacement: DataFrame,
         max_records_per_file: int | None = None,
+        txn_app_id: str | None = None,
+        txn_version: int | None = None,
     ) -> dict:
         """Transactional partial overwrite (Delta ``replaceWhere`` /
         dynamic partition overwrite): atomically replace exactly the rows
@@ -1853,9 +1866,14 @@ class ParquetMergeTable:
         tuples (the ``read(where=...)`` shape): the tuple form DATA-
         SKIPS the touched-file detection scan — replacing one partition
         slice of a clustered 100 TB table opens that slice's files, not
-        the table."""
+        the table. ``txn_app_id``/``txn_version``: idempotent-writer
+        stamp — what makes a foreachBatch partition-overwrite sink (the
+        streaming replaceWhere pattern) exactly-once."""
         spark = self.spark
+        txn = self._txn_of(txn_app_id, txn_version)
         m = self._manifest(self.current_version())
+        if self._txn_already_applied(m, txn):
+            return {"version": m["version"], "txn_skipped": True}
         all_files = m["files"]
         pending_dels = m["delete_files"]
         mixed = m["mixed_schema"]
@@ -1958,6 +1976,7 @@ class ParquetMergeTable:
             change_files=change_files,
             insert_files=insert_files,
             mixed_schema=mixed,
+            txn=txn,
         )
         stats["version"] = new_v
         return stats
@@ -1967,6 +1986,8 @@ class ParquetMergeTable:
         condition: Column | list,
         set_map: dict[str, Column],
         max_records_per_file: int | None = None,
+        txn_app_id: str | None = None,
+        txn_version: int | None = None,
     ) -> dict:
         """Row-level SQL UPDATE (Delta ``UPDATE t SET ... WHERE ...``):
         copy-on-write rewrite of exactly the files containing a matching
@@ -1981,8 +2002,12 @@ class ParquetMergeTable:
         ``condition`` may be a boolean Column or the ``(col, op,
         literal)`` tuple list: the tuple form DATA-SKIPS the touched-file
         detection scan — repricing one date slice of a clustered 100 TB
-        table opens that slice's files, not the table."""
+        table opens that slice's files, not the table.
+        ``txn_app_id``/``txn_version``: idempotent-writer stamp."""
+        txn = self._txn_of(txn_app_id, txn_version)
         m = self._manifest(self.current_version())
+        if self._txn_already_applied(m, txn):
+            return {"version": m["version"], "txn_skipped": True}
         all_files = m["files"]
         pending_dels = m["delete_files"]
         mixed = m["mixed_schema"]
@@ -2094,6 +2119,7 @@ class ParquetMergeTable:
             delete_files=carried_dels,
             change_files=change_files,
             mixed_schema=mixed,
+            txn=txn,
         )
         stats["version"] = new_v
         return stats

@@ -2930,3 +2930,41 @@ class TestStreamReplayAcrossRestore:
         assert 300 not in got              # v1 insert rolled back
         assert got[4] == ("name4", 40.0)   # v2 delete resurrected
         assert got[7] == ("name7", 0.7)    # v4 applied on top
+
+
+class TestTxnOnAllMutators:
+    """The idempotent-writer stamp must cover EVERY mutating operation,
+    not just append/merge — a foreachBatch sink can delete, update, or
+    partition-overwrite per batch."""
+
+    def test_delete_update_overwrite_replays_skip(self, spark, table):
+        r1 = table.delete_where(F.col("id") < 5, txn_app_id="s", txn_version=0)
+        assert r1["rows_deleted"] == 5
+        r = table.delete_where(F.col("id") < 20, txn_app_id="s", txn_version=0)
+        assert r == {"version": r1["version"], "txn_skipped": True}
+        assert table.read().count() == 95  # the replay deleted nothing
+
+        r2 = table.update_where(
+            F.col("id") == 7, {"amount": F.lit(1.0)},
+            txn_app_id="s", txn_version=1,
+        )
+        r = table.update_where(
+            F.col("id") == 7, {"amount": F.lit(2.0)},
+            txn_app_id="s", txn_version=1,
+        )
+        assert r["txn_skipped"] is True
+        assert _as_dict(table.read())[7] == ("name7", 1.0)
+
+        repl = spark.createDataFrame(
+            [(95, "r", 0.0)], "id bigint, name string, amount double"
+        )
+        r3 = table.overwrite_where(
+            [("id", ">=", 90)], repl, txn_app_id="s", txn_version=2
+        )
+        assert r3["rows_removed"] == 10
+        r = table.overwrite_where(
+            [("id", ">=", 90)], repl, txn_app_id="s", txn_version=2
+        )
+        assert r["txn_skipped"] is True
+        assert table.read().count() == 86  # not overwritten twice
+        assert table.last_txn_version("s") == 2
