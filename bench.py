@@ -89,6 +89,10 @@ BENCH_QUERIES = [
     # round 5: lakehouse table format — copy-on-write MERGE with file
     # pruning (manifest commit + rewrite of touched files only)
     "merge_upsert_orders",
+    # round-7b engine paths: row-level UPDATE (stats-pruned CoW) and
+    # RESTORE (metadata-only commit + file-pruned CDF diff)
+    "merge_update_where_orders",
+    "merge_restore_orders",
 ]
 
 
