@@ -1,3 +1,3 @@
-from . import asof, dedup, multimodal, similarity
+from . import asof, dedup, merge, multimodal, similarity
 
-__all__ = ["asof", "dedup", "multimodal", "similarity"]
+__all__ = ["asof", "dedup", "merge", "multimodal", "similarity"]
