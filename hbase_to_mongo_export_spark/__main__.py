@@ -70,7 +70,7 @@ def _build_parser() -> argparse.ArgumentParser:
     t.add_argument(
         "action",
         choices=[
-            "create", "append", "read", "history", "changes",
+            "create", "append", "read", "history", "changes", "detail",
             "delete-where", "update-where", "compact", "vacuum",
             "restore", "clone", "add-constraint", "drop-constraint",
             "rename-column", "drop-column",
@@ -292,6 +292,8 @@ def main(argv: list[str] | None = None) -> int:
             )
             for r in df.limit(args.limit).collect():
                 print(json.dumps(r.asDict(), default=str))
+        elif args.action == "detail":
+            print(json.dumps(t.detail(version=args.version)))
         elif args.action == "history":
             for man in t.history():
                 print(

@@ -2403,6 +2403,37 @@ class ParquetMergeTable:
             "versions_retained": keep_vs,
         }
 
+    def detail(self, version: int | None = None) -> dict:
+        """Delta ``DESCRIBE DETAIL``: one dict of operational facts a
+        maintenance loop keys off — file/byte/row footprint, pending
+        deletion-vector load (is a compact due?), schema posture
+        (mixed? mapped? which columns), constraints, and the
+        idempotent-writer txn heads."""
+        v = self.current_version() if version is None else version
+        m = self._manifest(v)
+        mapping = m["column_mapping"]
+        cols = (
+            [l for l, _ in mapping]
+            if mapping
+            else self._read_data(m["files"], m["mixed_schema"]).schema.fieldNames()
+        )
+        return {
+            "path": os.path.abspath(self.path),
+            "version": v,
+            "operation": m["operation"],
+            "num_files": len(m["files"]),
+            "size_bytes": sum(m["file_bytes"].values()),
+            "rows_total": m["rows_total"],
+            "delete_files": len(m["delete_files"]),
+            "delete_rows_pending": m["delete_rows_total"],
+            "mixed_schema": m["mixed_schema"],
+            "columns": cols,
+            "column_mapping": {l: p for l, p in mapping},
+            "retired_physical": list(m["retired_physical"]),
+            "constraints": dict(m.get("constraints", {})),
+            "txns": dict(m.get("txns", {})),
+        }
+
     def restore(self, version: int) -> dict:
         """Delta ``RESTORE TABLE ... TO VERSION AS OF``: make the
         CURRENT state equal a retained earlier version's, as a NEW

@@ -2968,3 +2968,27 @@ class TestTxnOnAllMutators:
         assert r["txn_skipped"] is True
         assert table.read().count() == 86  # not overwritten twice
         assert table.last_txn_version("s") == 2
+
+
+class TestDescribeDetail:
+    def test_detail_reports_operational_facts(self, spark, table, tmp_path):
+        table.delete_where(F.col("id") < 5)
+        table.rename_column("amount", "price")
+        table.add_constraint("amt", "price >= 0")
+        table.append(
+            spark.createDataFrame(
+                [(100, "x", 1.0)], "id bigint, name string, price double"
+            ),
+            txn_app_id="s", txn_version=3,
+        )
+        d = table.detail()
+        assert d["version"] == 4
+        assert d["rows_total"] == 96
+        assert d["delete_rows_pending"] == 5
+        assert d["columns"] == ["id", "name", "price"]
+        assert d["column_mapping"]["price"] == "amount"
+        assert d["constraints"] == {"amt": "price >= 0"}
+        assert d["txns"] == {"s": 3}
+        assert d["num_files"] >= 11 and d["size_bytes"] > 0
+        d0 = table.detail(version=0)
+        assert d0["rows_total"] == 100 and d0["columns"][-1] == "amount"
