@@ -442,6 +442,7 @@ class ParquetMergeTable:
             "txns": entry.get("txns", {}),
             "column_mapping": entry.get("column_mapping", []),
             "retired_physical": entry.get("retired_physical", []),
+            "clustering": entry.get("clustering", []),
             "rows_total": sum(file_rows.values()) - sum(delete_file_rows.values()),
             "delete_rows_total": sum(delete_file_rows.values()),
         }
@@ -535,6 +536,7 @@ class ParquetMergeTable:
         known_meta: dict | None = None,
         column_mapping: list | None = None,
         retired_physical: list | None = None,
+        clustering: list | None = None,
     ) -> int:
         """Commit a new version on top of ``base`` (the resolved manifest
         this writer READ; None for table creation). The log entry stores
@@ -607,6 +609,14 @@ class ParquetMergeTable:
                 retired_physical
                 if retired_physical is not None
                 else (base.get("retired_physical", []) if base else [])
+            ),
+            # preferred clustering, by stable PHYSICAL column names so it
+            # survives renames and restores (Delta liquid clustering's
+            # CLUSTER BY, minus the incremental clustering machinery)
+            "clustering": (
+                clustering
+                if clustering is not None
+                else (base.get("clustering", []) if base else [])
             ),
         }
         os.makedirs(self.manifest_dir, exist_ok=True)
@@ -1039,6 +1049,7 @@ class ParquetMergeTable:
             mixed_schema=m["mixed_schema"],
             column_mapping=new_pairs,
             retired_physical=sorted(set(m["retired_physical"]) | {phys}),
+            clustering=[p for p in m["clustering"] if p != phys],
         )
         return {"version": v, "dropped": col}
 
@@ -2221,7 +2232,18 @@ class ParquetMergeTable:
                 "whole-table layout — run them as separate OPTIMIZE passes"
             )
         m = self._manifest(self.current_version())
+        if not sort_col and not zorder:
+            # fall back to the table's declared clustering (CLUSTER BY)
+            cl = self._clustering_logical(m)
+            if len(cl) == 1:
+                sort_col = cl[0]
+            elif len(cl) >= 2:
+                zorder = tuple(cl)
         if bin_pack_bytes:
+            if zorder:
+                # incremental packing cannot Z-order (whole-table layout);
+                # cluster the packed subset on the leading column
+                sort_col, zorder = zorder[0], None
             return self._bin_pack(m, bin_pack_bytes, sort_col, max_records_per_file)
         df = self.read()
         if target_files is None:
@@ -2403,6 +2425,55 @@ class ParquetMergeTable:
             "versions_retained": keep_vs,
         }
 
+    def set_clustering(self, *cols: str) -> dict:
+        """Declare the table's preferred clustering (Delta liquid
+        clustering's ``ALTER TABLE ... CLUSTER BY``): a METADATA commit
+        recording which columns ``compact()`` should cluster on when
+        called without an explicit layout — one column range-clusters,
+        two or more Z-order. Stored by STABLE PHYSICAL name, so renames
+        never dangle it and a restore across a rename keeps it valid.
+        Pass no columns to clear. Unlike hive partitioning this freezes
+        nothing: it is a default for the NEXT optimize, changeable any
+        time, and data skipping works off the resulting file stats."""
+        m = self._manifest(self.current_version())
+        md = dict(m["column_mapping"])
+        logical = (
+            [l for l, _ in m["column_mapping"]]
+            if m["column_mapping"]
+            else self._read_data(m["files"], m["mixed_schema"]).schema.fieldNames()
+        )
+        missing = sorted(set(cols) - set(logical))
+        if missing:
+            raise MergeError(f"no such column(s): {missing}")
+        phys = [md.get(c, c) for c in cols]
+        v = self._commit(
+            m,
+            m["files"],
+            "set_clustering",
+            {"clustering": list(cols)},
+            delete_files=m["delete_files"],
+            mixed_schema=m["mixed_schema"],
+            clustering=phys,
+        )
+        return {"version": v, "clustering": list(cols)}
+
+    def _clustering_logical(self, m: dict) -> list[str]:
+        """The manifest's clustering as CURRENT logical names, silently
+        dropping entries whose column no longer exists (a restore can
+        rewind past the evolution that added it)."""
+        if not m["clustering"]:
+            return []
+        if m["column_mapping"]:
+            inv = {p: l for l, p in m["column_mapping"]}
+        else:
+            inv = {
+                c: c
+                for c in self._read_data(
+                    m["files"], m["mixed_schema"]
+                ).schema.fieldNames()
+            }
+        return [inv[p] for p in m["clustering"] if p in inv]
+
     def detail(self, version: int | None = None) -> dict:
         """Delta ``DESCRIBE DETAIL``: one dict of operational facts a
         maintenance loop keys off — file/byte/row footprint, pending
@@ -2430,6 +2501,7 @@ class ParquetMergeTable:
             "columns": cols,
             "column_mapping": {l: p for l, p in mapping},
             "retired_physical": list(m["retired_physical"]),
+            "clustering": self._clustering_logical(m),
             "constraints": dict(m.get("constraints", {})),
             "txns": dict(m.get("txns", {})),
         }

@@ -2992,3 +2992,42 @@ class TestDescribeDetail:
         assert d["num_files"] >= 11 and d["size_bytes"] > 0
         d0 = table.detail(version=0)
         assert d0["rows_total"] == 100 and d0["columns"][-1] == "amount"
+
+
+class TestDeclaredClustering:
+    def test_compact_defaults_to_declared_clustering(self, spark, table):
+        table.set_clustering("id")
+        # scramble the layout, then a bare compact() must re-cluster on
+        # id — provable via data skipping afterwards
+        table.compact(target_files=5)  # explicit plain repartition
+        table.set_clustering("id")  # (already set; idempotent re-declare)
+        table.compact(target_files=5)  # no layout args → CLUSTER BY id
+        df = table.read(where=[("id", ">=", 90)])
+        assert df.count() == 10
+        m = table._manifest(table.current_version())
+        from hbase_to_mongo_export_spark.operators.merge import (
+            _file_can_match,
+        )
+        kept = [
+            f for f in m["files"]
+            if _file_can_match(m["file_stats"].get(f), [("id", ">=", 90)])
+        ]
+        assert len(kept) == 1  # range-clustered again
+
+    def test_clustering_survives_rename_and_drop_strips_it(self, spark, table):
+        table.set_clustering("amount", "id")
+        table.rename_column("amount", "price")
+        assert table.detail()["clustering"] == ["price", "id"]
+        table.drop_column("price")
+        assert table.detail()["clustering"] == ["id"]
+
+    def test_unknown_clustering_column_rejected(self, spark, table):
+        with pytest.raises(MergeError, match="no such column"):
+            table.set_clustering("nope")
+
+    def test_bin_pack_uses_leading_clustering_column(self, spark, table):
+        table.set_clustering("id", "amount")
+        # threshold below every file → no-op, but must not raise the
+        # zorder-vs-binpack conflict (clustering downgrades to sort)
+        stats = table.compact(bin_pack_bytes=1)
+        assert stats["files_packed"] == 0
