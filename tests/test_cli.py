@@ -260,6 +260,13 @@ def test_table_subcommand_lifecycle(tmp_path, capsys, spark):
     rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert len(rows) == 45
     assert main(["table", "clone", tbl]) == 2  # missing --dest
+    capsys.readouterr()
+
+    # DESCRIBE DETAIL through the CLI
+    assert main(["table", "detail", tbl]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["rows_total"] == 45 and out["columns"] == ["id", "val"]
+    assert out["num_files"] >= 1 and out["size_bytes"] > 0
 
 
 def test_table_subcommand_arg_errors(tmp_path, capsys, spark):
