@@ -38,13 +38,23 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 _QUERIES: dict[str, SparkQuery] = {}
 _ORACLES: dict[str, str] = {}
 _DEMO_QUERIES: dict[str, SparkQuery] = {}
+_REQUIRE_ROWS: set[str] = set()
 
 
-def register(name: str, oracle: str | None = None):
+def register(
+    name: str, oracle: str | None = None, require_rows: bool = False
+):
+    """``require_rows=True`` marks a query whose Spark/oracle comparison is
+    only meaningful when the result is non-empty — a 0==0 match would pass
+    vacuously (e.g. a hard-coded predicate literal drifting outside the
+    data's domain). The local oracle mirror asserts >0 rows for these."""
+
     def deco(fn: SparkQuery) -> SparkQuery:
         _QUERIES[name] = fn
         if oracle is not None:
             _ORACLES[name] = oracle
+        if require_rows:
+            _REQUIRE_ROWS.add(name)
         return fn
 
     return deco
@@ -74,6 +84,11 @@ def demo_queries() -> dict[str, SparkQuery]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(_ORACLES)
+
+
+def require_rows() -> frozenset[str]:
+    """Names whose oracle comparison must be non-empty to count."""
+    return frozenset(_REQUIRE_ROWS)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -3083,6 +3098,8 @@ __all__ = [
     'queries',
     'demo_queries',
     'oracle_sql',
+    'require_rows',
+    '_REQUIRE_ROWS',
     '_t',
     '_DEC',
     '_DEC4',

@@ -315,11 +315,12 @@ def merge_data_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     hit AS (
       SELECT * FROM target
-      WHERE o_orderdate >= DATE '1994-01-01'
-        AND o_orderdate <  DATE '1995-01-01'
+      WHERE o_orderdate >= DATE '1996-01-01'
+        AND o_orderdate <  DATE '1997-01-01'
     )
 """
     + _STATUS_AGG_SQL.format(rel="hit"),
+    require_rows=True,
 )
 def merge_data_skipping_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DATE-range data skipping — the predicate shape a time-partitioned
@@ -330,7 +331,11 @@ def merge_data_skipping_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     date-clustered table opens ~1/7 of the files (pytest pins the file
     count on a synthetic date table) while the oracle recomputes the
     same slice from the source — skipping must lose and double
-    nothing."""
+    nothing. The slice [1996, 1997) sits INSIDE the test data's
+    o_orderdate span (1995-01-01 → 2001-08-01 at every sf) and the
+    registration carries ``require_rows=True``: a 0==0 vacuous pass —
+    which round 7 shipped with a 1994 slice — now fails the oracle
+    mirror."""
     import datetime
 
     path = _qstage(
@@ -352,8 +357,8 @@ def merge_data_skipping_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _status_agg(
         t.read(
             where=[
-                ("o_orderdate", ">=", datetime.date(1994, 1, 1)),
-                ("o_orderdate", "<", datetime.date(1995, 1, 1)),
+                ("o_orderdate", ">=", datetime.date(1996, 1, 1)),
+                ("o_orderdate", "<", datetime.date(1997, 1, 1)),
             ]
         )
     )

@@ -70,6 +70,14 @@ def test_query_matches_oracle(spark, duck, name):
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
     )
+    if name in registry.require_rows():
+        # A 0==0 comparison is vacuous for these (round 7 shipped a
+        # date-skipping gate whose hard-coded slice fell outside the
+        # data's span — it "passed" while proving nothing).
+        assert len(spark_rows) > 0, (
+            f"{name}: declared require_rows but returned an empty result "
+            f"— the oracle comparison is vacuous"
+        )
     s, d = _rowset(spark_cols, spark_rows), _rowset(duck_cols, duck_rows)
     mismatch = [i for i, (a, b) in enumerate(zip(s, d)) if a != b][:5]
     assert s == d, f"{name}: first diffs at {mismatch}: " + "; ".join(
