@@ -3041,11 +3041,17 @@ def scd2_apply(
 
     ``delete_keys`` (rows carrying just ``key_cols``) CLOSES those keys'
     current versions at ``ts`` with no successor — the member-retired
-    case: history stays queryable, nothing is physically deleted. A key
-    appearing in both ``updates`` (with changed attributes) and
-    ``delete_keys`` would stage two close rows for the same version and
-    is rejected by MERGE's duplicate-source-key guard — split it into
-    two applies if you really mean "new version, then retire it"."""
+    case: history stays queryable, nothing is physically deleted.
+
+    Preconditions checked UP FRONT with named errors (both would
+    otherwise surface as a confusing duplicate-source-key failure from
+    deep inside MERGE): ``updates`` must be pre-reduced to one row per
+    key (fold rapid-fire updates to the terminal row first, as
+    ``stream_merge_upsert`` does), and a key must not appear in both
+    ``updates`` and ``delete_keys`` — split into two applies if you
+    really mean "new version, then retire it". Both checks are one
+    count-aggregate job over the (dimension-delta-sized) source, the
+    same driver-side validation Delta's MERGE performs."""
     scd_cols = {valid_from, valid_to, current}
     data_cols = [c for c in table.read().columns if c not in scd_cols]
     missing = sorted((set(key_cols) | set(tracked_cols)) - set(updates.columns))
@@ -3053,6 +3059,49 @@ def scd2_apply(
         raise MergeError(f"updates missing column(s): {missing}")
     import functools
     import operator as pyop
+
+    dup_keys = [
+        tuple(r)
+        for r in updates.groupBy(*key_cols)
+        .count()
+        .filter(F.col("count") > 1)
+        .select(*key_cols)
+        .limit(5)
+        .collect()
+    ]
+    if dup_keys:
+        raise MergeError(
+            "scd2_apply: updates must carry ONE row per key; duplicate "
+            f"key(s) {dup_keys} — reduce rapid-fire updates to the "
+            "terminal row per key first (as stream_merge_upsert does)"
+        )
+    if delete_keys is not None:
+        _u_keys = updates.select(*key_cols).alias("u")
+        _d_keys = delete_keys.select(*key_cols).alias("d")
+        overlap = [
+            tuple(r)
+            for r in _u_keys.join(
+                _d_keys,
+                functools.reduce(
+                    pyop.and_,
+                    [
+                        F.col(f"u.{k}").eqNullSafe(F.col(f"d.{k}"))
+                        for k in key_cols
+                    ],
+                ),
+                "inner",
+            )
+            .select(*[F.col(f"u.{k}") for k in key_cols])
+            .limit(5)
+            .collect()
+        ]
+        if overlap:
+            raise MergeError(
+                "scd2_apply: key(s) present in BOTH updates and "
+                f"delete_keys: {overlap} — this would stage two close "
+                "rows for the same current version; split it into two "
+                "applies if you mean 'new version, then retire it'"
+            )
 
     u = updates.alias("u")
     cur = table.read().filter(F.col(current)).alias("t")

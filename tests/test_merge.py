@@ -2802,6 +2802,65 @@ class TestScd2Deletes:
         )
         assert r2["rows_closed"] == 0 and r2["rows_inserted"] == 0
 
+    def test_duplicate_update_keys_named_error(self, spark, tmp_path):
+        """Two rows for the same key in `updates` used to surface as the
+        duplicate-source-key guard firing from deep inside merge; the
+        pre-check names the offending key and the fix."""
+        from hbase_to_mongo_export_spark.operators.merge import (
+            scd2_apply,
+            scd2_prepare,
+        )
+
+        t = ParquetMergeTable(spark, str(tmp_path / "dim"))
+        t.create(
+            scd2_prepare(
+                spark.createDataFrame([(1, "a")], "cust bigint, addr string"),
+                ts=0.0,
+            )
+        )
+        dup = spark.createDataFrame(
+            [(1, "x"), (1, "y")], "cust bigint, addr string"
+        )
+        with pytest.raises(
+            MergeError, match=r"ONE row per key.*\(1,\).*terminal row"
+        ):
+            scd2_apply(t, dup, ["cust"], ["addr"], ts=5.0)
+
+    def test_key_in_both_updates_and_delete_keys_named_error(
+        self, spark, tmp_path
+    ):
+        from hbase_to_mongo_export_spark.operators.merge import (
+            scd2_apply,
+            scd2_prepare,
+        )
+
+        t = ParquetMergeTable(spark, str(tmp_path / "dim"))
+        t.create(
+            scd2_prepare(
+                spark.createDataFrame(
+                    [(1, "a"), (2, "b")], "cust bigint, addr string"
+                ),
+                ts=0.0,
+            )
+        )
+        upd = spark.createDataFrame([(1, "a2")], "cust bigint, addr string")
+        dels = spark.createDataFrame([(1,)], "cust bigint")
+        with pytest.raises(
+            MergeError,
+            match=r"BOTH updates and delete_keys.*\(1,\).*two applies",
+        ):
+            scd2_apply(
+                t, upd, ["cust"], ["addr"], ts=5.0, delete_keys=dels
+            )
+        # the check is on the SOURCE key sets, not the table: a key with
+        # no current version still collides (it would race on replay)
+        dels9 = spark.createDataFrame([(9,)], "cust bigint")
+        upd9 = spark.createDataFrame([(9, "z")], "cust bigint, addr string")
+        with pytest.raises(MergeError, match="BOTH updates and delete_keys"):
+            scd2_apply(
+                t, upd9, ["cust"], ["addr"], ts=5.0, delete_keys=dels9
+            )
+
 
 class TestMixedSchemaSubsetScans:
     """The _bin_pack r6 ADVICE bug class, hunted in every other subset
