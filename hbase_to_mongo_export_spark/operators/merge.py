@@ -182,6 +182,84 @@ def _enc_bound(v, is_max: bool):
     return None  # bytes / Decimal / anything exotic: never skips
 
 
+#: integral widening ladder (Spark typeName → rank)
+_INT_RANK = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+#: decimal digits needed to hold each integral type exactly
+_INT_DECIMAL_DIGITS = {"byte": 3, "short": 5, "integer": 10, "long": 19}
+
+
+def _is_type_widening(frm, to) -> bool:
+    """True when every ``frm`` value reads LOSSLESSLY as ``to`` AND the
+    Spark 4 vectorized parquet reader promotes ``frm``-typed files
+    natively under a ``to``-typed read schema (SPARK-40876 widening
+    promotions — the same lattice as Delta's type-widening table
+    feature): byte→short→int→long, byte/short/int→double, float→double,
+    integrals→decimal(p,0) with enough precision, decimal growth with
+    non-shrinking integer digits and scale, date→timestamp_ntz.
+    long→double is NOT a widening (lossy above 2^53; the reader refuses
+    it too). Every rule here was probed against this Spark build —
+    an unreadable promotion must never reach a manifest."""
+    from pyspark.sql.types import (
+        DateType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        TimestampNTZType,
+    )
+
+    if frm == to:
+        return False
+    fr, tr = frm.typeName(), to.typeName()
+    if fr in _INT_RANK and tr in _INT_RANK:
+        return _INT_RANK[fr] < _INT_RANK[tr]
+    if isinstance(to, DoubleType):
+        return fr in ("byte", "short", "integer") or isinstance(frm, FloatType)
+    if isinstance(to, DecimalType):
+        need = _INT_DECIMAL_DIGITS.get(fr)
+        if need is not None:
+            return to.scale == 0 and to.precision >= need
+        if isinstance(frm, DecimalType):
+            return (
+                to.scale >= frm.scale
+                and to.precision - to.scale >= frm.precision - frm.scale
+            )
+        return False
+    if isinstance(frm, DateType) and isinstance(to, TimestampNTZType):
+        return True
+    return False
+
+
+def _widened_common(a, b):
+    """The type files of both ``a`` and ``b`` read as without loss —
+    ``a``/``b`` itself when one widens to the other, None when the two
+    are incompatible. (No least-upper-bound search: table evolution only
+    ever compares the current table type with one source type.)"""
+    if a == b:
+        return a
+    if _is_type_widening(a, b):
+        return b
+    if _is_type_widening(b, a):
+        return a
+    return None
+
+
+def _schema_json_of(schema) -> str:
+    """Canonical manifest form of a table schema: logical names, all
+    fields nullable (carried pre-evolution files surface absent columns
+    as NULL, so nothing is provably non-null across versions)."""
+    from pyspark.sql.types import StructField, StructType
+
+    return StructType(
+        [StructField(f.name, f.dataType, True) for f in schema.fields]
+    ).json()
+
+
+def _schema_from_json(s: str):
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(json.loads(s))
+
+
 def _dec_bound(v):
     """Decode a manifest stat bound back to a comparable Python value.
     Plain scalars (including pre-round-7 manifests, which stored only
@@ -339,6 +417,79 @@ class LocalLogStore(LogStore):
             return f.read()
 
 
+class CrashPoint(RuntimeError):
+    """Raised by ``ConditionalPutLogStore`` at an injected crash ordinal —
+    stands in for the process dying at that exact protocol point. The
+    table must be recoverable by OTHER writers/readers from whatever
+    artifacts the 'dead' writer left behind."""
+
+
+class ConditionalPutLogStore(LogStore):
+    """An object-store-shaped commit backend: the conditional-PUT
+    protocol a cloud lake commits through (S3 ``If-None-Match: *`` /
+    GCS ``x-goods-if-generation-match: 0`` / ABFS create-if-absent),
+    emulated over a directory with injectable LATENCY and CRASH POINTS
+    so the optimistic-concurrency protocol can be raced and killed
+    under timings a microsecond-fast POSIX ``os.link`` never exposes.
+
+    Semantics (vs ``LocalLogStore``'s link trick):
+    - ``write_new`` is ONE exclusive create (``O_CREAT|O_EXCL`` — the
+      filesystem's conditional PUT) followed by fsync of the entry AND
+      its directory: the PUT either fully lands durable or raises
+      ``FileExistsError``; no temp file, no second hop, no torn entry.
+    - every call pays ``latency_s`` first (object-store RTT), so the
+      stage→commit race window is wide enough that concurrent writers
+      GENUINELY overlap inside the protocol instead of winning by
+      scheduler luck — the contention stress runs through this.
+    - ``crash_before_commit`` / ``crash_after_commit`` (1-based
+      ``write_new`` ordinals): raise ``CrashPoint`` just before /
+      just after the Nth commit attempt on this handle. Before = a
+      writer that staged data files but never committed (orphans —
+      ``vacuum(sweep_orphans=True)``'s job); after = a writer whose
+      commit LANDED but who never learned it won (the entry must be
+      visible and the table consistent for everyone else; a txn-stamped
+      retry by its successor must skip)."""
+
+    def __init__(
+        self,
+        latency_s: float = 0.0,
+        crash_before_commit: int | None = None,
+        crash_after_commit: int | None = None,
+    ) -> None:
+        self.latency_s = latency_s
+        self.crash_before_commit = crash_before_commit
+        self.crash_after_commit = crash_after_commit
+        self.commit_attempts = 0
+
+    def _rtt(self) -> None:
+        if self.latency_s:
+            time.sleep(self.latency_s)
+
+    def write_new(self, path: str, data: bytes) -> None:
+        self._rtt()
+        self.commit_attempts += 1
+        if self.commit_attempts == self.crash_before_commit:
+            raise CrashPoint(f"injected crash BEFORE commit of {path}")
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        try:
+            os.write(fd, data)
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+        if self.commit_attempts == self.crash_after_commit:
+            raise CrashPoint(f"injected crash AFTER commit of {path}")
+
+    def read(self, path: str) -> bytes:
+        self._rtt()
+        with open(path, "rb") as f:
+            return f.read()
+
+
 def src(name: str) -> Column:
     """Reference a SOURCE column inside a merge clause (update/delete
     expressions), e.g. ``when_matched_update={"o_totalprice": src("price")}``."""
@@ -443,6 +594,7 @@ class ParquetMergeTable:
             "column_mapping": entry.get("column_mapping", []),
             "retired_physical": entry.get("retired_physical", []),
             "clustering": entry.get("clustering", []),
+            "schema_json": entry.get("schema_json"),
             "rows_total": sum(file_rows.values()) - sum(delete_file_rows.values()),
             "delete_rows_total": sum(delete_file_rows.values()),
         }
@@ -537,6 +689,7 @@ class ParquetMergeTable:
         column_mapping: list | None = None,
         retired_physical: list | None = None,
         clustering: list | None = None,
+        schema_json: str | None = None,
     ) -> int:
         """Commit a new version on top of ``base`` (the resolved manifest
         this writer READ; None for table creation). The log entry stores
@@ -617,6 +770,18 @@ class ParquetMergeTable:
                 clustering
                 if clustering is not None
                 else (base.get("clustering", []) if base else [])
+            ),
+            # the table's full LOGICAL schema (names + types), the single
+            # source of truth reads scan under — required once a column
+            # has been type-WIDENED (files of mixed physical width can't
+            # be footer-union-merged; an explicit schema promotes them
+            # natively). None only for pre-widening-era entries; any
+            # mutator that computes the schema backfills it. Carried
+            # full per entry like constraints — one small string.
+            "schema_json": (
+                schema_json
+                if schema_json is not None
+                else (base.get("schema_json") if base else None)
             ),
         }
         os.makedirs(self.manifest_dir, exist_ok=True)
@@ -787,6 +952,90 @@ class ParquetMergeTable:
             return df.select("*", *pos_cols)
         return df
 
+    def _table_schema(self, m: dict):
+        """The manifest-recorded logical schema (None for entries that
+        predate schema tracking). When present it is ALWAYS the scan
+        schema: files narrower than a widened column promote natively,
+        files predating an added column surface it as NULL — and the
+        footer-union (mergeSchema) cost disappears."""
+        sj = m.get("schema_json")
+        return _schema_from_json(sj) if sj else None
+
+    def _schema_or_read(self, m: dict):
+        """The table's full logical schema: manifest truth when recorded,
+        else derived from the version's data files (legacy entries)."""
+        s = self._table_schema(m)
+        if s is not None:
+            return s
+        return self._read_data(
+            m["files"], m["mixed_schema"], mapping=m["column_mapping"]
+        ).schema
+
+    def _coerce_source(
+        self,
+        df: DataFrame,
+        tbl_schema,
+        context: str,
+        allow_widening: bool,
+        widen_hint: str = "",
+    ):
+        """Align an incoming dataframe's column types with the table's:
+        a source column safely NARROWER than the table upcasts silently
+        (lossless — Delta's implicit assignment cast); a source column
+        safely WIDER widens the table schema when ``allow_widening``
+        (Delta's type-widening feature), else raises naming the column
+        and the fix; incompatible types always raise. Returns
+        ``(coerced_df, widen_map)`` where ``widen_map`` is
+        {column: new wider DataType} for the table to record. Columns
+        absent from the table (evolution candidates / clause inputs)
+        pass through untouched."""
+        tbl_types = {f.name: f.dataType for f in tbl_schema.fields}
+        casts: dict[str, object] = {}
+        widen: dict[str, object] = {}
+        for f in df.schema.fields:
+            t = tbl_types.get(f.name)
+            if t is None or f.dataType == t:
+                continue
+            if _is_type_widening(f.dataType, t):
+                casts[f.name] = t
+            elif _is_type_widening(t, f.dataType):
+                if not allow_widening:
+                    raise MergeError(
+                        f"{context}: column '{f.name}' is "
+                        f"{f.dataType.simpleString()} but the table has "
+                        f"{t.simpleString()} — a safe type widening"
+                        + (f"; {widen_hint}" if widen_hint else "")
+                    )
+                widen[f.name] = f.dataType
+            else:
+                raise MergeError(
+                    f"{context}: column '{f.name}' type "
+                    f"{f.dataType.simpleString()} is incompatible with "
+                    f"the table's {t.simpleString()}"
+                )
+        if casts:
+            df = df.select(
+                *[
+                    F.col(c).cast(casts[c]).alias(c) if c in casts else F.col(c)
+                    for c in df.columns
+                ]
+            )
+        return df, widen
+
+    @staticmethod
+    def _widen_schema(schema, widen: dict):
+        """``schema`` with the columns in ``widen`` at their wider types."""
+        if not widen:
+            return schema
+        from pyspark.sql.types import StructField, StructType
+
+        return StructType(
+            [
+                StructField(f.name, widen.get(f.name, f.dataType), True)
+                for f in schema.fields
+            ]
+        )
+
     def _scan(
         self,
         files: list[str],
@@ -827,6 +1076,7 @@ class ParquetMergeTable:
             m["delete_files"],
             m["mixed_schema"],
             m["delete_rows_total"],
+            schema=self._table_schema(m),
             mapping=m["column_mapping"],
         )
 
@@ -973,8 +1223,7 @@ class ParquetMergeTable:
         renamed/dropped (the first rename/drop freezes physical names)."""
         if m["column_mapping"]:
             return [list(p) for p in m["column_mapping"]]
-        cols = self._read_data(m["files"], m["mixed_schema"]).schema.fieldNames()
-        return [[c, c] for c in cols]
+        return [[c, c] for c in self._schema_or_read(m).fieldNames()]
 
     @staticmethod
     def _constraint_references(constraints: dict, col: str) -> list[str]:
@@ -1005,6 +1254,14 @@ class ParquetMergeTable:
                 "reference it — drop them first"
             )
         new_pairs = [[new if l == old else l, p] for l, p in pairs]
+        from pyspark.sql.types import StructField, StructType
+
+        new_schema = StructType(
+            [
+                StructField(new if f.name == old else f.name, f.dataType, True)
+                for f in self._schema_or_read(m).fields
+            ]
+        )
         v = self._commit(
             m,
             m["files"],
@@ -1013,6 +1270,7 @@ class ParquetMergeTable:
             delete_files=m["delete_files"],
             mixed_schema=m["mixed_schema"],
             column_mapping=new_pairs,
+            schema_json=new_schema.json(),
         )
         return {"version": v, "renamed": [old, new]}
 
@@ -1040,6 +1298,15 @@ class ParquetMergeTable:
             )
         phys = dict(pairs)[col]
         new_pairs = [[l, p] for l, p in pairs if l != col]
+        from pyspark.sql.types import StructField, StructType
+
+        new_schema = StructType(
+            [
+                StructField(f.name, f.dataType, True)
+                for f in self._schema_or_read(m).fields
+                if f.name != col
+            ]
+        )
         v = self._commit(
             m,
             m["files"],
@@ -1050,6 +1317,7 @@ class ParquetMergeTable:
             column_mapping=new_pairs,
             retired_physical=sorted(set(m["retired_physical"]) | {phys}),
             clustering=[p for p in m["clustering"] if p != phys],
+            schema_json=new_schema.json(),
         )
         return {"version": v, "dropped": col}
 
@@ -1100,7 +1368,8 @@ class ParquetMergeTable:
     def create(self, df: DataFrame, max_records_per_file: int | None = None) -> int:
         files = self._stage_files(df, max_records_per_file)
         return self._commit(
-            None, files, "create", {"files_written": len(files)}, insert_files=files
+            None, files, "create", {"files_written": len(files)},
+            insert_files=files, schema_json=_schema_json_of(df.schema),
         )
 
     def append(
@@ -1121,8 +1390,13 @@ class ParquetMergeTable:
         honored on rebase: new CHECK constraints re-validate the staged
         rows, and a schema evolution marks the commit mixed-schema so
         readers surface the evolved columns as NULLs for these files.
-        The dataframe must carry exactly the table's columns
-        (``merge(schema_evolution=True)`` is the way to evolve).
+        The dataframe must carry exactly the table's columns — NEW
+        columns need ``merge(schema_evolution=True)`` — but TYPES may
+        drift safely in either direction: a narrower incoming column
+        upcasts silently, a safely wider one (int→bigint, float→double,
+        date→timestamp_ntz, decimal growth) WIDENS the table schema in
+        this commit (Delta type widening) — carried narrow files read
+        through the parquet reader's native promotion, zero rewrite.
 
         ``txn_app_id``/``txn_version`` (Delta's idempotent-write
         protocol): when given, a version already recorded for the app in
@@ -1137,17 +1411,21 @@ class ParquetMergeTable:
                 "version": m["version"],
                 "txn_skipped": True,
             }
-        table_cols = [
-            f.name
-            for f in self._read_data(
-                m["files"], m["mixed_schema"], mapping=m["column_mapping"]
-            ).schema.fields
-        ]
+        tbl_schema = self._schema_or_read(m)
+        table_cols = [f.name for f in tbl_schema.fields]
         if set(df.columns) != set(table_cols):
             raise MergeError(
                 f"append schema mismatch: table has {sorted(table_cols)}, "
                 f"dataframe has {sorted(df.columns)}"
             )
+        # type alignment: a NARROWER incoming column upcasts silently; a
+        # safely WIDER one widens the table (Delta type widening) — the
+        # growing-key ingest case where int overflows and the producer
+        # switches to long must not block the highest-volume write path.
+        # Incompatible types still raise.
+        df, _ = self._coerce_source(
+            df, tbl_schema, "append", allow_widening=True
+        )  # the rebase loop derives the final schema from the staged types
         staged = self._stage_files(
             df.select(*[c for c in table_cols if c in df.columns]),
             max_records_per_file,
@@ -1172,26 +1450,57 @@ class ParquetMergeTable:
             files, validated_against, discard=files, mapping=m["column_mapping"]
         )
         staged_cols = set(df.columns)
+        staged_types = {f.name: f.dataType for f in df.schema.fields}
         for attempt in range(max_rebase_attempts):
-            cur_schema = self._read_data(
-                m["files"], m["mixed_schema"], mapping=m["column_mapping"]
-            ).schema
+            cur_schema = self._schema_or_read(m)
+            # schema union on rebase: a concurrent winner may itself have
+            # evolved or widened columns — the staged files re-commit
+            # under the common widened type (both generations of files
+            # read through the parquet reader's native promotion). Types
+            # that no longer reconcile abort cleanly.
+            from pyspark.sql.types import StructField, StructType
+
+            out_fields = []
+            types_differ = False
+            for f in cur_schema.fields:
+                st = staged_types.get(f.name)
+                common = (
+                    f.dataType
+                    if st is None or st == f.dataType
+                    else _widened_common(f.dataType, st)
+                )
+                if common is None:
+                    self._discard_staged(files)
+                    raise MergeError(
+                        f"append rebase: column '{f.name}' changed to "
+                        f"{f.dataType.simpleString()} by a concurrent "
+                        "writer, incompatible with the staged "
+                        f"{st.simpleString()}"
+                    )
+                types_differ = types_differ or (st is not None and st != f.dataType)
+                out_fields.append(StructField(f.name, common, True))
+            out_schema = StructType(out_fields)
             cons = m.get("constraints", {})
             if cons != validated_against:
                 # the winner changed table metadata — re-validate the
                 # staged rows against the NEW constraint set, under the
-                # current table schema (an evolved column the staged
-                # files lack reads as NULL, which passes 3VL)
+                # unioned schema (an evolved column the staged files
+                # lack reads as NULL, which passes 3VL; a widened one
+                # reads through promotion)
                 self._check_constraints(
                     files,
                     cons,
                     discard=files,
-                    schema=cur_schema,
+                    schema=out_schema,
                     mapping=m["column_mapping"],
                 )
                 validated_against = cons
             cur_cols = {f.name for f in cur_schema.fields}
-            now_mixed = m["mixed_schema"] or not cur_cols.issubset(staged_cols)
+            now_mixed = (
+                m["mixed_schema"]
+                or not cur_cols.issubset(staged_cols)
+                or types_differ
+            )
             try:
                 v = self._commit(
                     m,
@@ -1203,6 +1512,7 @@ class ParquetMergeTable:
                     mixed_schema=now_mixed,
                     discard_on_conflict=False,
                     txn=txn,
+                    schema_json=_schema_json_of(out_schema),
                 )
                 return {"rows_appended": n_rows, "version": v}
             except ConcurrentWriteError:
@@ -1346,21 +1656,25 @@ class ParquetMergeTable:
             skip = self._physical_conjuncts(skip, mapping)
             files = [f for f in files if _file_can_match(stats.get(f), skip)]
         if not files:  # every file skipped: empty result, correct schema
-            schema = self._read_data(
-                m["files"], m["mixed_schema"], mapping=mapping
-            ).schema
-            return self.spark.createDataFrame([], schema)
+            return self.spark.createDataFrame([], self._schema_or_read(m))
+        ts = self._table_schema(m)
         if not m["delete_files"]:
-            df = self._read_data(files, m["mixed_schema"], mapping=mapping)
+            df = self._read_data(files, m["mixed_schema"], schema=ts,
+                                 mapping=mapping)
         else:
-            cols = self._read_data(
-                files, m["mixed_schema"], mapping=mapping
-            ).columns
+            cols = (
+                ts.fieldNames()
+                if ts is not None
+                else self._read_data(
+                    files, m["mixed_schema"], mapping=mapping
+                ).columns
+            )
             df = self._scan(
                 files,
                 m["delete_files"],
                 m["mixed_schema"],
                 m["delete_rows_total"],
+                schema=ts,
                 mapping=mapping,
             ).select(*cols)
         return df.filter(residual) if residual is not None else df
@@ -1413,7 +1727,7 @@ class ParquetMergeTable:
                 delete_files=dels, mixed_schema=mixed, txn=txn,
             )
             return {"rows_deleted": 0, "version": new_v, "files_scanned": 0}
-        full_schema = self._read_data(files, mixed, mapping=mapping).schema
+        full_schema = self._schema_or_read(m)
         live = self._scan(
             scanned, dels, mixed, m["delete_rows_total"],
             schema=full_schema, mapping=mapping,
@@ -1487,6 +1801,26 @@ class ParquetMergeTable:
         end_schema = self.read(to_v).schema
         cols = [f.name for f in end_schema.fields]
         types = {f.name: f.dataType for f in end_schema.fields}
+        # the feed's value domain: a change row at version v describes
+        # rows that existed at v-1, so fold each range version's recorded
+        # schema AND its predecessor's into the column types, widening
+        # where a type evolved. A feed that crosses a RESTORE past a type
+        # widening thereby keeps the wide delete rows exact instead of
+        # wrapping them through a narrowing cast.
+        for v in range(max(0, from_version - 1), to_v + 1):
+            try:
+                s = self._table_schema(self._manifest(v))
+            except (MergeError, FileNotFoundError):
+                continue  # vacuumed predecessor — its schema is gone too
+            if s is None:
+                continue
+            for f in s.fields:
+                cur_t = types.get(f.name)
+                if cur_t is None or f.dataType == cur_t:
+                    continue
+                w = _widened_common(cur_t, f.dataType)
+                if w is not None:
+                    types[f.name] = w
         end_md = dict(self._manifest(to_v)["column_mapping"])
 
         def _pad(df: DataFrame, v_map: list, physical_names: bool) -> DataFrame:
@@ -1496,13 +1830,15 @@ class ParquetMergeTable:
             # insert files carry physical columns directly; change files
             # carry the LOGICAL names current at their commit, which map
             # to the same physical identity via that version's mapping.
+            # The cast to the END schema's type is what lets files from
+            # before a type WIDENING union with post-widening parts.
             v_inv = {p: l for l, p in v_map}
             outs = []
             for c in cols:
                 p = end_md.get(c, c)
                 srcn = p if physical_names else v_inv.get(p, p)
                 outs.append(
-                    df[srcn].alias(c)
+                    df[srcn].cast(types[c]).alias(c)
                     if srcn in df.columns
                     else F.lit(None).cast(types[c]).alias(c)
                 )
@@ -1529,7 +1865,12 @@ class ParquetMergeTable:
                     .withColumn(COMMIT_VERSION, F.lit(v))
                 )
         if not parts:
-            return spark.createDataFrame([], changes_schema_of(end_schema))
+            from pyspark.sql.types import StructField, StructType
+
+            folded = StructType(
+                [StructField(c, types[c], True) for c in cols]
+            )
+            return spark.createDataFrame([], changes_schema_of(folded))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -1573,7 +1914,13 @@ class ParquetMergeTable:
         clause sets it), carried files surface them as NULL via parquet
         schema merging until ``compact()`` rewrites uniformly. With the
         flag off (default), extra source columns are clause inputs only
-        and never change the table schema.
+        and never change the table schema. The flag ALSO gates type
+        WIDENING (Delta's type-widening feature): a source column safely
+        wider than the table's (int→bigint, float→double,
+        date→timestamp_ntz, decimal growth) widens the table schema in
+        the same commit — carried narrow files read through the parquet
+        reader's native promotion, zero rewrite. A NARROWER source
+        column upcasts silently with or without the flag (lossless).
 
         Join strategy: one pass over the source both rejects duplicate
         keys AND counts them; the source side broadcasts only when that
@@ -1600,6 +1947,25 @@ class ParquetMergeTable:
         all_files = m["files"]
         pending_dels = m["delete_files"]
         was_mixed = m["mixed_schema"]
+        mapping = m["column_mapping"]
+        tgt_schema = self._schema_or_read(m)
+        # type alignment FIRST — before any join can hit Spark's implicit
+        # (and for string-vs-number, runtime-exploding) cast: narrower
+        # source columns upcast silently; a safely WIDER source column
+        # widens the table schema — gated on schema_evolution like added
+        # columns (Delta type widening). Touched files are scanned
+        # directly AT the widened schema (the parquet reader's native
+        # promotion), so the rewrite and the inserts come out uniformly
+        # wide; carried files stay narrow and promote at read time —
+        # zero rewrite beyond the touched set.
+        source, widen = self._coerce_source(
+            source,
+            tgt_schema,
+            "merge",
+            allow_widening=schema_evolution,
+            widen_hint="pass schema_evolution=True to widen the table",
+        )
+        read_schema = self._widen_schema(tgt_schema, widen)
 
         # 1) one aggregate pass over the source: the duplicate-key guard
         # (Delta raises on multi-match) and the exact key count that
@@ -1643,10 +2009,8 @@ class ParquetMergeTable:
             "files_carried": len(untouched),
         }
         new_files: list[str] = list(untouched)
-        mapping = m["column_mapping"]
-        tgt_schema = self._read_data(all_files, was_mixed, mapping=mapping).schema
-        target_cols = [f.name for f in tgt_schema.fields]
-        tgt_types = {f.name: f.dataType for f in tgt_schema.fields}
+        target_cols = [f.name for f in read_schema.fields]
+        tgt_types = {f.name: f.dataType for f in read_schema.fields}
         # schema evolution: extra source columns become table columns;
         # otherwise they are clause inputs only
         new_cols = (
@@ -1656,7 +2020,9 @@ class ParquetMergeTable:
         )
         src_types = {f.name: f.dataType for f in source.schema.fields}
         out_target_cols = target_cols + new_cols
-        now_mixed = was_mixed or (bool(new_cols) and bool(untouched))
+        now_mixed = was_mixed or (
+            (bool(new_cols) or bool(widen)) and bool(untouched)
+        )
         # a literal marker column decides matched-ness after the left
         # join: NULL only for unmatched target rows, independent of any
         # NULLs inside composite source key values
@@ -1692,7 +2058,7 @@ class ParquetMergeTable:
             # _bin_pack r6 fix, applied to every subset scan)
             tgt = self._scan(
                 touched, pending_dels, was_mixed, m["delete_rows_total"],
-                schema=tgt_schema, mapping=mapping,
+                schema=read_schema, mapping=mapping,
             ).select(*target_cols)
             src_side = (
                 F.broadcast(src_aliased) if small_src else src_aliased.hint("merge")
@@ -1823,6 +2189,16 @@ class ParquetMergeTable:
 
         if new_cols:
             stats["columns_added"] = new_cols
+        if widen:
+            stats["columns_widened"] = {
+                c: t.simpleString() for c, t in sorted(widen.items())
+            }
+        from pyspark.sql.types import StructField, StructType
+
+        out_schema = StructType(
+            list(read_schema.fields)
+            + [StructField(c, src_types[c], True) for c in new_cols]
+        )
         # CHECK constraints: validate only the rows this merge WROTE
         # (rewritten + inserted files); carried files were valid already
         fresh_data = [f for f in new_files if f not in set(untouched)]
@@ -1845,6 +2221,7 @@ class ParquetMergeTable:
             mixed_schema=now_mixed,
             txn=txn,
             column_mapping=out_mapping,
+            schema_json=_schema_json_of(out_schema),
         )
         stats["version"] = new_v
         return stats
@@ -1902,8 +2279,19 @@ class ParquetMergeTable:
         # replacements — fold NULL to FALSE once and use it everywhere
         cond_true = F.coalesce(condition, F.lit(False))
 
-        full_schema = self._read_data(all_files, mixed, mapping=mapping).schema
+        full_schema = self._schema_or_read(m)
         target_cols = [f.name for f in full_schema.fields]
+        # narrower replacement columns upcast to the table type; wider or
+        # incompatible ones raise (overwrite replaces rows, not schema —
+        # widen via merge/append first)
+        replacement, _ = self._coerce_source(
+            replacement,
+            full_schema,
+            "overwrite_where",
+            allow_widening=False,
+            widen_hint="widen the table via merge(schema_evolution=True) "
+            "or append first",
+        )
         bad = replacement.filter(~cond_true).limit(1).count()
         if bad:
             raise MergeError(
@@ -2032,7 +2420,7 @@ class ParquetMergeTable:
                 f for f in all_files if _file_can_match(fstats.get(f), skip)
             ]
         cond_true = F.coalesce(condition, F.lit(False))
-        full_schema = self._read_data(all_files, mixed, mapping=mapping).schema
+        full_schema = self._schema_or_read(m)
         target_cols = [f.name for f in full_schema.fields]
         unknown = sorted(set(set_map) - set(target_cols))
         if unknown:
@@ -2185,6 +2573,7 @@ class ParquetMergeTable:
             constraints=m.get("constraints", {}),
             column_mapping=m["column_mapping"],
             retired_physical=m["retired_physical"],
+            schema_json=m.get("schema_json"),
             known_meta={
                 os.path.abspath(f): (
                     m["file_rows"][f],
@@ -2202,6 +2591,7 @@ class ParquetMergeTable:
         max_records_per_file: int | None = None,
         zorder: tuple[str, ...] | None = None,
         bin_pack_bytes: int | None = None,
+        purge_vectors_over: float | None = None,
     ) -> dict:
         """OPTIMIZE: rewrite the current version into ``target_files``
         right-sized files (range-clustered on ``sort_col`` so parquet
@@ -2230,6 +2620,20 @@ class ParquetMergeTable:
             raise MergeError(
                 "bin_pack_bytes is an incremental rewrite; Z-order is a "
                 "whole-table layout — run them as separate OPTIMIZE passes"
+            )
+        if purge_vectors_over is not None:
+            if not 0.0 <= purge_vectors_over < 1.0:
+                raise MergeError("purge_vectors_over must be in [0, 1)")
+            if sort_col or zorder or bin_pack_bytes or target_files:
+                raise MergeError(
+                    "purge_vectors_over is a targeted vector purge "
+                    "(Delta REORG ... APPLY (PURGE)) — run layout "
+                    "OPTIMIZE passes separately"
+                )
+            return self._purge_vectors(
+                self._manifest(self.current_version()),
+                purge_vectors_over,
+                max_records_per_file,
             )
         m = self._manifest(self.current_version())
         if not sort_col and not zorder:
@@ -2266,7 +2670,10 @@ class ParquetMergeTable:
         files = self._stage_files(
             out, max_records_per_file, mapping=m["column_mapping"]
         )
-        v = self._commit(m, files, "compact", {"files_written": len(files)})
+        v = self._commit(
+            m, files, "compact", {"files_written": len(files)},
+            schema_json=_schema_json_of(df.schema),
+        )
         return {"version": v, "files_written": len(files)}
 
     def _bin_pack(
@@ -2295,11 +2702,9 @@ class ParquetMergeTable:
             }
         # the packed SUBSET may consist entirely of pre-evolution files;
         # scan it with the FULL table schema (absent columns surface as
-        # typed NULLs) or the select below would raise on a legitimate
-        # mixed-schema table state
-        full_schema = self._read_data(
-            m["files"], m["mixed_schema"], mapping=m["column_mapping"]
-        ).schema
+        # typed NULLs, narrow pre-widening files promote) or the select
+        # below would raise on a legitimate mixed-schema table state
+        full_schema = self._schema_or_read(m)
         target_cols = [f.name for f in full_schema.fields]
         df = self._scan(
             packed,
@@ -2334,6 +2739,89 @@ class ParquetMergeTable:
             delete_files=carried_dels,
             # carried files may predate a schema evolution; only a
             # full rewrite clears the mixed flag
+            mixed_schema=m["mixed_schema"] and bool(carried),
+        )
+        stats["version"] = new_v
+        return stats
+
+    def _purge_vectors(
+        self,
+        m: dict,
+        threshold: float,
+        max_records_per_file: int | None,
+    ) -> dict:
+        """Targeted deletion-vector purge (Delta ``REORG TABLE ... APPLY
+        (PURGE)``): rewrite ONLY the data files whose pending deleted-row
+        fraction exceeds ``threshold``, materializing their vectors away;
+        every other file — and its vector entries — carries by reference.
+        The failure mode this cures: repeated small ``delete_where``s
+        against big RIGHT-sized files accumulate vectors that incremental
+        bin-packing never touches (it rewrites UNDERSIZED files) and only
+        a full-table rewrite would clear — read amplification grows
+        unbounded while the layout looks healthy. Cost is proportional to
+        the over-threshold files, not the table; the rewrite scan keeps
+        its input split granularity (no shuffle, no single-task funnel).
+        With no file over the threshold: no commit, version unchanged."""
+        dels = m["delete_files"]
+        none = {
+            "version": m["version"],
+            "files_purged": 0,
+            "files_written": 0,
+            "vector_rows_purged": 0,
+        }
+        if not dels:
+            return none
+        # vectors are manifest-tracked-small (DELETE_ROWS_PER_FILE parts);
+        # one aggregate over them yields the per-file dead-row census
+        per_file = {
+            r["file_path"]: r["n"]
+            for r in self._delete_entries(dels)
+            .groupBy("file_path")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        rows = m["file_rows"]
+        victims = [
+            f
+            for f in m["files"]
+            if rows.get(f, 0)
+            and per_file.get(os.path.abspath(f), 0) / rows[f] > threshold
+        ]
+        if not victims:
+            return none
+        carried = [f for f in m["files"] if f not in set(victims)]
+        full_schema = self._schema_or_read(m)
+        live = self._scan(
+            victims,
+            dels,
+            m["mixed_schema"],
+            m["delete_rows_total"],
+            schema=full_schema,
+            mapping=m["column_mapping"],
+        ).select(*full_schema.fieldNames())
+        new_files = list(carried) + self._stage_files(
+            live, max_records_per_file, mapping=m["column_mapping"]
+        )
+        carried_dels = self._carry_delete_files(
+            dels, victims, carried, m["delete_rows_total"]
+        )
+        stats = {
+            "files_purged": len(victims),
+            "files_carried": len(carried),
+            "files_written": len(new_files) - len(carried),
+            "vector_rows_purged": sum(
+                per_file.get(os.path.abspath(f), 0) for f in victims
+            ),
+            "purge_threshold": threshold,
+        }
+        new_v = self._commit(
+            m,
+            new_files,
+            "reorg_purge",
+            stats,
+            delete_files=carried_dels,
+            # carried files may predate a schema evolution; only a full
+            # rewrite clears the mixed flag
             mixed_schema=m["mixed_schema"] and bool(carried),
         )
         stats["version"] = new_v
@@ -2440,7 +2928,7 @@ class ParquetMergeTable:
         logical = (
             [l for l, _ in m["column_mapping"]]
             if m["column_mapping"]
-            else self._read_data(m["files"], m["mixed_schema"]).schema.fieldNames()
+            else self._schema_or_read(m).fieldNames()
         )
         missing = sorted(set(cols) - set(logical))
         if missing:
@@ -2466,12 +2954,7 @@ class ParquetMergeTable:
         if m["column_mapping"]:
             inv = {p: l for l, p in m["column_mapping"]}
         else:
-            inv = {
-                c: c
-                for c in self._read_data(
-                    m["files"], m["mixed_schema"]
-                ).schema.fieldNames()
-            }
+            inv = {c: c for c in self._schema_or_read(m).fieldNames()}
         return [inv[p] for p in m["clustering"] if p in inv]
 
     def detail(self, version: int | None = None) -> dict:
@@ -2486,7 +2969,7 @@ class ParquetMergeTable:
         cols = (
             [l for l, _ in mapping]
             if mapping
-            else self._read_data(m["files"], m["mixed_schema"]).schema.fieldNames()
+            else self._schema_or_read(m).fieldNames()
         )
         return {
             "path": os.path.abspath(self.path),
@@ -2499,6 +2982,10 @@ class ParquetMergeTable:
             "delete_rows_pending": m["delete_rows_total"],
             "mixed_schema": m["mixed_schema"],
             "columns": cols,
+            "column_types": {
+                f.name: f.dataType.simpleString()
+                for f in self._schema_or_read(m).fields
+            },
             "column_mapping": {l: p for l, p in mapping},
             "retired_physical": list(m["retired_physical"]),
             "clustering": self._clustering_logical(m),
@@ -2582,32 +3069,54 @@ class ParquetMergeTable:
         scan_cur = removed + common_affected
         scan_tgt = readded + common_affected
 
-        # the diff runs under the TARGET (restored) schema: columns
-        # added after `version` vanish with the restore, so they must
-        # not make otherwise-identical rows look different
-        tgt_schema = self._read_data(
-            tgt["files"], tgt["mixed_schema"], mapping=tgt["column_mapping"]
-        ).schema
+        # the diff runs under the TARGET (restored) schema's COLUMNS:
+        # columns added after `version` revert with the restore, so they
+        # must not make otherwise-identical rows look different. Types
+        # take the WIDENED COMMON of the two versions — the current side
+        # may hold post-widening files a narrow read schema could not
+        # even open; the wide diff row identity is exact because
+        # promotion is lossless.
+        tgt_schema = self._schema_or_read(tgt)
         cols = [f.name for f in tgt_schema.fields]
+        cur_types = {
+            f.name: f.dataType for f in self._schema_or_read(cur).fields
+        }
+        from pyspark.sql.types import StructField, StructType
+
+        diff_schema = StructType(
+            [
+                StructField(
+                    f.name,
+                    (
+                        _widened_common(f.dataType, cur_types[f.name])
+                        or f.dataType
+                    )
+                    if f.name in cur_types
+                    else f.dataType,
+                    True,
+                )
+                for f in tgt_schema.fields
+            ]
+        )
 
         def _visible(scan: list[str], m: dict) -> DataFrame | None:
             if not scan:
                 return None
-            # both sides project under the TARGET's logical schema; the
-            # physical names behind it are version-independent (renames
+            # both sides project under the TARGET's logical columns; the
+            # physical names behind them are version-independent (renames
             # never rewrite), so the tgt mapping reads cur files too
             return self._scan(
                 scan,
                 m["delete_files"],
                 m["mixed_schema"],
                 m["delete_rows_total"],
-                schema=tgt_schema,
+                schema=diff_schema,
                 mapping=tgt["column_mapping"],
             ).select(*cols)
 
         cur_rows = _visible(scan_cur, cur)
         tgt_rows = _visible(scan_tgt, tgt)
-        empty = self.spark.createDataFrame([], tgt_schema)
+        empty = self.spark.createDataFrame([], diff_schema)
         deletes = (cur_rows or empty).exceptAll(tgt_rows or empty)
         inserts = (tgt_rows or empty).exceptAll(cur_rows or empty)
 
@@ -2685,9 +3194,12 @@ class ParquetMergeTable:
                 mixed_schema=tgt["mixed_schema"],
                 # constraints stay CURRENT (metadata is not restored)
                 constraints=cur.get("constraints", {}),
-                # the column mapping IS schema — it restores with the
-                # data; retired names stay retired forever (monotone)
+                # the column mapping and type schema ARE schema — they
+                # restore with the data (a widening after `version`
+                # reverts: the restored file set is uniformly narrow);
+                # retired names stay retired forever (monotone)
                 column_mapping=tgt["column_mapping"],
+                schema_json=_schema_json_of(tgt_schema),
                 retired_physical=sorted(
                     set(cur["retired_physical"]) | set(tgt["retired_physical"])
                 ),

@@ -365,6 +365,113 @@ def merge_data_skipping_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "merge_type_widening",
+    oracle="""
+    WITH target AS (
+      SELECT CAST(o_orderkey AS INTEGER) AS o_orderkey, o_orderstatus,
+             o_totalprice, CAST(o_orderdate AS DATE) AS o_orderdate
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    delta AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus,
+             o_totalprice + CAST(1000 AS DOUBLE) AS o_totalprice,
+             CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS o_event
+      FROM orders
+      WHERE o_orderkey % 2 = 0
+        AND o_orderkey * 5 >= 4 * (SELECT MAX(o_orderkey) FROM orders)
+    ),
+    merged AS (
+      SELECT CAST(t.o_orderkey AS BIGINT) AS o_orderkey,
+             COALESCE(d.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+             COALESCE(d.o_totalprice, t.o_totalprice) AS o_totalprice,
+             COALESCE(d.o_event, CAST(t.o_orderdate AS TIMESTAMP)) AS o_event
+      FROM target t LEFT JOIN delta d ON t.o_orderkey = d.o_orderkey
+      UNION ALL
+      SELECT d.o_orderkey, d.o_orderstatus, d.o_totalprice, d.o_event
+      FROM delta d
+      WHERE NOT EXISTS (SELECT 1 FROM target t
+                        WHERE t.o_orderkey = d.o_orderkey)
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           SUM(o_orderkey) AS sum_keys,
+           MAX(o_event) AS max_event,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    require_rows=True,
+)
+def merge_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPE WIDENING through schema evolution (Delta's type-widening
+    table feature, operators/merge.py:_is_type_widening): v0 is built
+    NARROW — o_orderkey INT, o_orderdate DATE — range-clustered into 8
+    files; the delta (the top fifth of the key range, so the LOWER
+    key-range files are carried untouched) arrives WIDE — o_orderkey
+    BIGINT, o_orderdate TIMESTAMP_NTZ — and ``merge(
+    schema_evolution=True)`` widens the table schema in the same
+    commit. The final read mixes carried narrow files with rewritten
+    wide ones: narrow files read through the Spark 4 parquet reader's
+    native widening promotion (SPARK-40876) under the manifest's
+    recorded schema — no rewrite, no footer union. The aggregate sums
+    the widened key column and maxes the widened timestamp, so a
+    mis-promoted value (or a dropped/doubled row at the narrow/wide
+    file boundary) shifts the hash."""
+    path = _qstage(
+        "lakehouse_widen_" + sf_dir.strip("/").replace("/", "_")
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    t = ParquetMergeTable(spark, path)
+    orders = _t(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").cast("int").alias("o_orderkey"),
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+    )
+    t.create(
+        target.repartitionByRange(8, F.col("o_orderkey")).sortWithinPartitions(
+            "o_orderkey"
+        )
+    )
+    max_key = orders.agg(F.max("o_orderkey")).first()[0]
+    delta = orders.filter(
+        (F.col("o_orderkey") % 2 == 0)
+        & (F.col("o_orderkey") * 5 >= F.lit(4 * max_key))
+    ).select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+        F.col("o_orderdate")
+        .cast("date")
+        .cast("timestamp_ntz")
+        .alias("o_orderdate"),
+    )
+    t.merge(
+        delta,
+        on=["o_orderkey"],
+        when_matched_update={
+            "o_orderstatus": src("o_orderstatus"),
+            "o_totalprice": src("o_totalprice"),
+            "o_orderdate": src("o_orderdate"),
+        },
+        schema_evolution=True,
+    )
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("sum_keys"),
+            F.max("o_orderdate").alias("max_event"),
+            F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
     "merge_cdf_stream_replay",
     oracle=f"""
     WITH {_TARGET_CTE},

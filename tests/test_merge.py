@@ -3090,3 +3090,382 @@ class TestDeclaredClustering:
         # zorder-vs-binpack conflict (clustering downgrades to sort)
         stats = table.compact(bin_pack_bytes=1)
         assert stats["files_packed"] == 0
+
+
+class TestTypeWidening:
+    """Delta-style type widening (operators/merge.py:_is_type_widening):
+    the table schema widens through merge(schema_evolution=True) or
+    append; carried NARROW files read through the Spark 4 parquet
+    reader's native widening promotion under the manifest-recorded
+    schema — zero rewrite."""
+
+    def _narrow(self, spark, tmp_path, name="tbl"):
+        import datetime
+
+        t = ParquetMergeTable(spark, str(tmp_path / name))
+        base = spark.createDataFrame(
+            [
+                (i, float(i), datetime.date(2020, 1, 1 + i))
+                for i in range(10)
+            ],
+            "id int, v float, d date",
+        )
+        t.create(base.repartitionByRange(5, F.col("id")).sortWithinPartitions("id"))
+        return t
+
+    def test_merge_widens_with_schema_evolution(self, spark, tmp_path):
+        import datetime
+
+        t = self._narrow(spark, tmp_path)
+        delta = spark.createDataFrame(
+            [(2, 2.5, datetime.datetime(2021, 6, 1, 12, 0))],
+            "id bigint, v double, d timestamp_ntz",
+        )
+        stats = t.merge(
+            delta,
+            on=["id"],
+            when_matched_update={"v": src("v"), "d": src("d")},
+            schema_evolution=True,
+        )
+        assert stats["columns_widened"] == {
+            "d": "timestamp_ntz", "id": "bigint", "v": "double",
+        }
+        # carried narrow files (only the key-2 file was touched) read
+        # through native promotion under the widened schema
+        assert stats["files_touched"] == 1 and stats["files_carried"] == 4
+        got = t.read()
+        types = {f.name: f.dataType.simpleString() for f in got.schema.fields}
+        assert types == {"id": "bigint", "v": "double", "d": "timestamp_ntz"}
+        rows = {r["id"]: (r["v"], r["d"]) for r in got.collect()}
+        assert rows[2] == (2.5, datetime.datetime(2021, 6, 1, 12, 0))
+        assert rows[7] == (7.0, datetime.datetime(2020, 1, 8, 0, 0))
+        assert len(rows) == 10
+
+    def test_merge_widening_requires_schema_evolution_flag(self, spark, tmp_path):
+        t = self._narrow(spark, tmp_path)
+        delta = spark.createDataFrame([(2,)], "id bigint").select(
+            "id", F.lit(2.5).alias("v"), F.lit(None).cast("date").alias("d")
+        )
+        with pytest.raises(
+            MergeError, match="'id' is bigint.*schema_evolution=True"
+        ):
+            t.merge(delta, on=["id"], when_matched_update={"v": src("v")})
+
+    def test_incompatible_type_named_error(self, spark, tmp_path):
+        t = self._narrow(spark, tmp_path)
+        delta = spark.createDataFrame([("x", 1.0, None)], "id string, v float, d date")
+        with pytest.raises(MergeError, match="'id' type string is incompatible"):
+            t.merge(delta, on=["id"], schema_evolution=True)
+        with pytest.raises(MergeError, match="incompatible"):
+            t.append(delta)
+        # long → double is LOSSY above 2^53 — not a widening either
+        from hbase_to_mongo_export_spark.operators.merge import (
+            _is_type_widening,
+        )
+        from pyspark.sql.types import DoubleType, LongType
+
+        assert not _is_type_widening(LongType(), DoubleType())
+
+    def test_append_widens_and_narrow_appends_upcast(self, spark, tmp_path):
+        import datetime
+
+        t = self._narrow(spark, tmp_path)
+        wide = spark.createDataFrame(
+            [(2**40, 99.5, datetime.datetime(2022, 1, 1))],
+            "id bigint, v double, d timestamp_ntz",
+        )
+        r = t.append(wide)
+        assert r["rows_appended"] == 1
+        types = {f.name: f.dataType.simpleString() for f in t.read().schema.fields}
+        assert types["id"] == "bigint" and types["v"] == "double"
+        # a NARROW producer keeps appending after the widening — upcast
+        narrow = spark.createDataFrame(
+            [(100, 1.5, datetime.date(2022, 2, 2))], "id int, v float, d date"
+        )
+        r2 = t.append(narrow)
+        assert r2["rows_appended"] == 1
+        rows = {r["id"]: r for r in t.read().collect()}
+        assert rows[2**40]["v"] == 99.5
+        assert rows[100]["d"] == datetime.datetime(2022, 2, 2, 0, 0)
+        assert len(rows) == 12
+
+    def test_time_travel_keeps_pre_widening_schema(self, spark, tmp_path):
+        t = self._narrow(spark, tmp_path)
+        wide = spark.createDataFrame([(50, 1.0, None)], "id bigint, v double, d date")
+        t.append(wide)
+        v0 = {f.name: f.dataType.simpleString() for f in t.read(version=0).schema.fields}
+        assert v0 == {"id": "int", "v": "float", "d": "date"}
+        v1 = {f.name: f.dataType.simpleString() for f in t.read(version=1).schema.fields}
+        assert v1["id"] == "bigint"
+        assert {r["id"] for r in t.read(version=0).collect()} == set(range(10))
+
+    def test_restore_reverts_widening_and_rewiden_works(self, spark, tmp_path):
+        t = self._narrow(spark, tmp_path)
+        t.append(
+            spark.createDataFrame([(2**40, 1.0, None)], "id bigint, v double, d date")
+        )
+        t.restore(0)
+        types = {f.name: f.dataType.simpleString() for f in t.read().schema.fields}
+        assert types["id"] == "int" and types["v"] == "float"
+        assert t.detail()["column_types"]["id"] == "int"
+        r = t.append(
+            spark.createDataFrame([(2**41, 2.0, None)], "id bigint, v double, d date")
+        )
+        assert r["rows_appended"] == 1
+        assert t.read().filter(F.col("id") == 2**41).count() == 1
+
+    def test_data_skipping_on_widened_column(self, spark, tmp_path):
+        t = self._narrow(spark, tmp_path)
+        t.append(
+            spark.createDataFrame([(2**40, 1.0, None)], "id bigint, v double, d date")
+        )
+        # stats of the narrow files are ints, of the new file a big int —
+        # both compare against the int literal; only matching files open
+        df = t.read(where=[("id", ">=", 8)])
+        assert sorted(r["id"] for r in df.collect()) == [8, 9, 2**40]
+        from hbase_to_mongo_export_spark.operators.merge import _file_can_match
+
+        m = t._manifest(t.current_version())
+        kept = [
+            f for f in m["files"]
+            if _file_can_match(m["file_stats"].get(f), [("id", ">=", 8)])
+        ]
+        assert len(kept) == 2  # the top narrow file + the appended wide one
+
+    def test_cdf_unions_across_widening(self, spark, tmp_path):
+        t = self._narrow(spark, tmp_path)
+        delta = spark.createDataFrame(
+            [(3, 3.5, None)], "id bigint, v double, d timestamp_ntz"
+        )
+        t.merge(
+            delta, on=["id"], when_matched_update={"v": src("v")},
+            schema_evolution=True,
+        )
+        feed = t.read_changes(0)
+        types = {f.name: f.dataType.simpleString() for f in feed.schema.fields}
+        assert types["id"] == "bigint" and types["v"] == "double"
+        by_type = {
+            (r["_change_type"], r["id"]): r["v"] for r in feed.collect()
+        }
+        assert by_type[("update_preimage", 3)] == 3.0
+        assert by_type[("update_postimage", 3)] == 3.5
+        assert by_type[("insert", 7)] == 7.0  # v0 insert file, promoted
+
+    def test_compact_rewrites_uniformly_wide(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        t = self._narrow(spark, tmp_path)
+        t.append(
+            spark.createDataFrame([(2**40, 1.0, None)], "id bigint, v double, d date")
+        )
+        t.compact(target_files=2)
+        m = t._manifest(t.current_version())
+        for f in m["files"]:
+            sch = pq.read_schema(f)
+            assert str(sch.field("id").type) == "int64", f
+        assert t.read().count() == 11
+
+    def test_overwrite_where_narrow_replacement_upcasts(self, spark, tmp_path):
+        t = self._narrow(spark, tmp_path)
+        t.append(
+            spark.createDataFrame([(2**40, 1.0, None)], "id bigint, v double, d date")
+        )
+        repl = spark.createDataFrame([(5, 55.0, None)], "id int, v float, d date")
+        t.overwrite_where([("id", "=", 5)], repl)
+        assert {
+            r["v"] for r in t.read().filter(F.col("id") == 5).collect()
+        } == {55.0}
+        # a WIDER replacement column cannot silently evolve the schema
+        t2 = self._narrow(spark, tmp_path, "tbl2")
+        wide = spark.createDataFrame([(5, 55.0, None)], "id bigint, v double, d date")
+        with pytest.raises(MergeError, match="widening.*merge"):
+            t2.overwrite_where([("id", "=", 5)], wide)
+
+    def test_legacy_manifest_backfills_schema_json(self, spark, tmp_path):
+        """Tables committed before schema tracking (no schema_json in any
+        entry) read via the legacy file-derived path, and the first
+        schema-aware mutator backfills the manifest."""
+        t = self._narrow(spark, tmp_path)
+        # simulate a legacy table: strip schema_json from every entry
+        import json as _json
+
+        for f in os.listdir(t.manifest_dir):
+            if f.startswith("v") and f.endswith(".json"):
+                p = os.path.join(t.manifest_dir, f)
+                e = _json.loads(open(p).read())
+                e.pop("schema_json", None)
+                open(p, "w").write(_json.dumps(e))
+        t._cache.clear()
+        assert t._table_schema(t._manifest(t.current_version())) is None
+        assert t.read().count() == 10  # legacy read path
+        t.append(
+            spark.createDataFrame([(50, 1.0, None)], "id int, v float, d date")
+        )
+        m = t._manifest(t.current_version())
+        assert t._table_schema(m) is not None  # backfilled
+        assert t.read().count() == 11
+
+
+class TestVectorPurge:
+    """compact(purge_vectors_over=...) — Delta REORG APPLY (PURGE): only
+    files whose deleted fraction exceeds the threshold rewrite."""
+
+    def _tbl(self, spark, tmp_path):
+        t = ParquetMergeTable(spark, str(tmp_path / "tbl"))
+        base = spark.createDataFrame(
+            [(i, float(i)) for i in range(100)], "id bigint, v double"
+        )
+        t.create(base.repartitionByRange(5, F.col("id")).sortWithinPartitions("id"))
+        return t
+
+    def test_targeted_purge(self, spark, tmp_path):
+        t = self._tbl(spark, tmp_path)
+        # kill 60% of the first file's rows, 5% of the last file's
+        t.delete_where([("id", "<", 12)])
+        t.delete_where([("id", ">=", 99)])
+        m0 = t._manifest(t.current_version())
+        assert m0["delete_rows_total"] == 13
+        stats = t.compact(purge_vectors_over=0.5)
+        assert stats["files_purged"] == 1
+        assert stats["vector_rows_purged"] == 12
+        m1 = t._manifest(stats["version"])
+        # the under-threshold file's vector entries carry
+        assert m1["delete_rows_total"] == 1
+        assert t.read().count() == 100 - 13
+        assert t.read().filter(F.col("id") < 20).count() == 8  # 12..19
+        # idempotent: nothing else crosses the threshold → no commit
+        again = t.compact(purge_vectors_over=0.5)
+        assert again["files_purged"] == 0
+        assert again["version"] == stats["version"]
+
+    def test_no_vectors_no_commit(self, spark, tmp_path):
+        t = self._tbl(spark, tmp_path)
+        r = t.compact(purge_vectors_over=0.1)
+        assert r["files_purged"] == 0 and r["version"] == 0
+
+    def test_threshold_zero_purges_any_deleted_file(self, spark, tmp_path):
+        t = self._tbl(spark, tmp_path)
+        t.delete_where([("id", "=", 50)])
+        r = t.compact(purge_vectors_over=0.0)
+        assert r["files_purged"] == 1
+        assert t._manifest(r["version"])["delete_rows_total"] == 0
+        assert t.read().count() == 99
+
+    def test_purge_excludes_layout_args(self, spark, tmp_path):
+        t = self._tbl(spark, tmp_path)
+        with pytest.raises(MergeError, match="separately"):
+            t.compact(purge_vectors_over=0.5, sort_col="id")
+        with pytest.raises(MergeError, match=r"in \[0, 1\)"):
+            t.compact(purge_vectors_over=1.5)
+
+
+class TestConditionalPutLogStore:
+    """The object-store-shaped commit backend: exclusive-create-as-
+    conditional-PUT with injected latency and crash points."""
+
+    def _mk(self, spark, tmp_path, store, name="tbl"):
+        t = ParquetMergeTable(spark, str(tmp_path / name), log_store=store)
+        t.create(
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(20)], "id bigint, v double"
+            ).repartitionByRange(2, F.col("id"))
+        )
+        return t
+
+    def test_normal_operation_with_latency(self, spark, tmp_path):
+        from hbase_to_mongo_export_spark.operators.merge import (
+            ConditionalPutLogStore,
+        )
+
+        t = self._mk(spark, tmp_path, ConditionalPutLogStore(latency_s=0.01))
+        t.append(spark.createDataFrame([(100, 1.0)], "id bigint, v double"))
+        t.merge(
+            spark.createDataFrame([(5, 5.5)], "id bigint, v double"),
+            on=["id"],
+            when_matched_update={"v": src("v")},
+        )
+        assert t.read().count() == 21
+        assert t.read().filter(F.col("id") == 5).first()["v"] == 5.5
+
+    def test_conflict_raises_concurrent_write(self, spark, tmp_path):
+        from hbase_to_mongo_export_spark.operators.merge import (
+            ConditionalPutLogStore,
+            ConcurrentWriteError,
+        )
+
+        t = self._mk(spark, tmp_path, ConditionalPutLogStore())
+        # a second handle on the same table wins version 1 first
+        t2 = ParquetMergeTable(
+            spark, t.path, log_store=ConditionalPutLogStore()
+        )
+        m = t._manifest(0)
+        t2.delete_where([("id", "=", 1)])
+        with pytest.raises(ConcurrentWriteError):
+            t._commit(m, m["files"], "compact", {}, discard_on_conflict=False)
+        # append REBASES through the same race instead of failing
+        r = t.append(spark.createDataFrame([(200, 2.0)], "id bigint, v double"))
+        assert r["version"] == 2
+        assert t.read().count() == 20  # 20 - 1 deleted + 1 appended
+
+    def test_crash_before_commit_leaves_sweepable_orphans(self, spark, tmp_path):
+        import glob
+        import time as _time
+
+        from hbase_to_mongo_export_spark.operators.merge import (
+            ConditionalPutLogStore,
+            CrashPoint,
+        )
+
+        # v0 (create) is commit attempt 1 on this handle; the append's
+        # commit is attempt 2 — crash there, after data files staged
+        store = ConditionalPutLogStore(crash_before_commit=2)
+        t = self._mk(spark, tmp_path, store)
+        with pytest.raises(CrashPoint):
+            t.append(
+                spark.createDataFrame([(100, 1.0)], "id bigint, v double"),
+                # pin rebase off so the crash surfaces directly
+                max_rebase_attempts=1,
+            )
+        # the dead writer's staged files are orphans: no manifest
+        # references them, a fresh handle sees v0 intact
+        t2 = ParquetMergeTable(spark, t.path)
+        assert t2.current_version() == 0
+        assert t2.read().count() == 20
+        all_parquet = set(
+            glob.glob(os.path.join(t.path, "**", "*.parquet"), recursive=True)
+        )
+        referenced = {
+            os.path.abspath(f) for f in t2._manifest(0)["files"]
+        }
+        orphans = {os.path.abspath(f) for f in all_parquet} - referenced
+        assert orphans  # the crashed append's staged files
+        for f in orphans:  # age them past the sweep cutoff
+            os.utime(f, (1, 1))
+        swept = t2.vacuum(sweep_orphans=True, orphan_grace_seconds=0)
+        assert swept["orphans_removed"] >= len(orphans)
+        assert t2.read().count() == 20
+
+    def test_crash_after_commit_is_durable_and_txn_skips(self, spark, tmp_path):
+        from hbase_to_mongo_export_spark.operators.merge import (
+            ConditionalPutLogStore,
+            CrashPoint,
+        )
+
+        store = ConditionalPutLogStore(crash_after_commit=2)
+        t = self._mk(spark, tmp_path, store)
+        with pytest.raises(CrashPoint):
+            t.append(
+                spark.createDataFrame([(100, 1.0)], "id bigint, v double"),
+                txn_app_id="ingest", txn_version=7,
+            )
+        # the PUT landed before the 'process' died: everyone else sees it
+        t2 = ParquetMergeTable(spark, t.path)
+        assert t2.current_version() == 1
+        assert t2.read().count() == 21
+        # the successor's redelivery of the same batch skips exactly-once
+        r = t2.append(
+            spark.createDataFrame([(100, 1.0)], "id bigint, v double"),
+            txn_app_id="ingest", txn_version=7,
+        )
+        assert r.get("txn_skipped") is True
+        assert t2.read().count() == 21

@@ -207,3 +207,93 @@ def test_random_ops_with_renames_match_model(spark, tmp_path, seed):
     for v, (rows, a) in enumerate(history):
         assert t.read(version=v).columns == ["id", "name", a], f"v{v} cols"
         assert snap(version=v) == rows, f"time travel diverged at v{v}"
+
+
+@pytest.mark.parametrize("seed", [20, 21])
+def test_random_ops_with_type_widening_match_model(spark, tmp_path, seed):
+    """The model net with TYPE WIDENING woven through the sequence: the
+    table starts NARROW (id int, amount float); widening ops arrive
+    mid-sequence via wide merges/appends; every later narrow write
+    upcasts; restore can rewind PAST a widening (schema reverts) and
+    the sequence re-widens. All amounts stay integral-valued so
+    float32↔float64 promotion is exact and the model dict (Python
+    floats) compares bit-clean against both representations."""
+    rng = random.Random(seed)
+    model = {k: (f"n{k}", float(k)) for k in range(0, KEYSPACE, 2)}
+    t = ParquetMergeTable(spark, str(tmp_path / f"tbl{seed}"))
+    t.create(
+        spark.createDataFrame(
+            [(k, n, a) for k, (n, a) in sorted(model.items())],
+            "id int, name string, amount float",
+        ).repartitionByRange(4, F.col("id"))
+    )
+    history = [dict(model)]
+
+    def df_of(rows, ddl):
+        return spark.createDataFrame(
+            [(k, n, a) for k, (n, a) in sorted(rows.items())], ddl
+        )
+
+    def snap(version=None):
+        return {
+            r["id"]: (r["name"], float(r["amount"]))
+            for r in t.read(version=version).collect()
+        }
+
+    def do_merge_narrow():
+        ks = rng.sample(range(KEYSPACE), rng.randint(1, 6))
+        delta = {k: (f"m{k}_{len(history)}", float(rng.randint(-99, 99))) for k in ks}
+        t.merge(
+            df_of(delta, "id int, name string, amount float"),
+            on=["id"],
+            when_matched_update={"name": src("name"), "amount": src("amount")},
+        )
+        model.update(delta)
+
+    def do_merge_widen():
+        ks = rng.sample(range(KEYSPACE), rng.randint(1, 6))
+        delta = {k: (f"w{k}_{len(history)}", float(rng.randint(-99, 99))) for k in ks}
+        t.merge(
+            df_of(delta, "id bigint, name string, amount double"),
+            on=["id"],
+            when_matched_update={"name": src("name"), "amount": src("amount")},
+            schema_evolution=True,
+        )
+        model.update(delta)
+
+    def do_append_wide():
+        base = KEYSPACE + len(history) * 100
+        rows = {base + i: (f"a{base + i}", 2.0) for i in range(rng.randint(1, 3))}
+        t.append(df_of(rows, "id bigint, name string, amount double"))
+        model.update(rows)
+
+    def do_delete():
+        mod, rem = rng.randint(3, 9), rng.randint(0, 2)
+        t.delete_where(F.col("id") % mod == rem)
+        for k in [k for k in model if k % mod == rem]:
+            del model[k]
+
+    def do_compact():
+        t.compact(target_files=rng.randint(1, 4))
+
+    def do_restore():
+        if len(history) < 2:
+            return do_merge_narrow()
+        v = rng.randrange(len(history) - 1)
+        t.restore(v)
+        model.clear()
+        model.update(history[v])
+
+    ops = [do_merge_narrow, do_merge_widen, do_append_wide, do_delete,
+           do_compact, do_restore]
+    weights = [3, 3, 2, 2, 1, 1]
+    for _ in range(12):
+        rng.choices(ops, weights=weights, k=1)[0]()
+        history.append(dict(model))
+        assert t.current_version() == len(history) - 1, "op/version slip"
+        assert snap() == model, f"live state diverged at v{len(history) - 1}"
+
+    # time travel must still match the model AT EVERY VERSION — including
+    # the pre-widening snapshots read under their narrow schema
+    for v, s in enumerate(history):
+        assert snap(version=v) == s, f"time travel diverged at v{v}"
