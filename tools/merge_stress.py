@@ -39,6 +39,70 @@ def _dir_bytes(files: list[str]) -> int:
     return sum(os.path.getsize(f) for f in files if os.path.exists(f))
 
 
+def _make_store(kind: str, latency_s: float):
+    """None → the table's default LocalLogStore; 'cput' → the emulated
+    conditional-PUT backend with injected per-call latency."""
+    if kind == "cput":
+        from hbase_to_mongo_export_spark.operators.merge import (
+            ConditionalPutLogStore,
+        )
+
+        return ConditionalPutLogStore(latency_s=latency_s)
+    return None
+
+
+def _proc_writer(
+    table_path: str,
+    w: int,
+    n_batches: int,
+    batch_rows: int,
+    top: int,
+    store_kind: str,
+    latency_s: float,
+) -> None:
+    """One CROSS-PROCESS contention writer: its own interpreter, its own
+    JVM/SparkSession, its own LogStore handle — nothing shared with the
+    parent or its siblings except the table directory. If the commit
+    mutex were the GIL, thread scheduling, or in-process memoization,
+    THIS harness would lose updates; only the filesystem create-if-absent
+    primitive serializes these writers."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(
+        0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.appName(f"merge-stress-proc-w{w}")
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from hbase_to_mongo_export_spark.operators.merge import ParquetMergeTable
+
+    store = _make_store(store_kind, latency_s)
+    h = ParquetMergeTable(spark, table_path, log_store=store)
+    try:
+        for b in range(n_batches):
+            lo = top + 1 + (w * n_batches + b) * batch_rows
+            df = spark.range(lo, lo + batch_rows).select(
+                F.col("id").alias("l_orderkey"),
+                F.col("id").alias("l_partkey"),
+                F.lit(1.0).alias("l_quantity"),
+                F.lit(1.0).alias("l_extendedprice"),
+                F.col("id").alias("key"),
+            )
+            h.append(df, txn_app_id=f"w{w}", txn_version=b)
+    finally:
+        spark.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--files", type=int, default=64)
@@ -47,7 +111,18 @@ def main() -> None:
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "8"))
     ap.add_argument(
         "--shapes", default="clustered,scattered",
-        help="comma list of clustered|scattered|full|bigdelete|cdfspool",
+        help="comma list of clustered|scattered|full|bigdelete|cdfspool|"
+             "contended|contended-proc|colmap|clone",
+    )
+    ap.add_argument(
+        "--log-store", default="local", choices=["local", "cput"],
+        help="commit backend for the contended shapes: local (os.link) "
+             "or cput (emulated conditional-PUT with --latency-ms RTT)",
+    )
+    ap.add_argument(
+        "--latency-ms", type=float, default=0.0,
+        help="injected per-call log-store latency for --log-store cput — "
+             "widens the stage→commit race window to object-store RTTs",
     )
     ap.add_argument(
         "--broadcast-max-rows", type=int, default=None,
@@ -213,7 +288,15 @@ def main() -> None:
 
                 def writer(w: int) -> None:
                     try:
-                        h = ParquetMergeTable(spark, t.path)
+                        # each writer gets its OWN LogStore handle (the
+                        # cput backend adds per-call RTT latency so the
+                        # race window is object-store-wide, not µs)
+                        h = ParquetMergeTable(
+                            spark, t.path,
+                            log_store=_make_store(
+                                args.log_store, args.latency_ms / 1000.0
+                            ),
+                        )
                         for b in range(n_batches):
                             lo = top + 1 + (w * n_batches + b) * batch_rows
                             df = spark.range(lo, lo + batch_rows).select(
@@ -243,7 +326,60 @@ def main() -> None:
                 out[shape] = {
                     "writers": n_writers,
                     "batches_per_writer": n_batches,
+                    "log_store": args.log_store,
+                    "latency_ms": args.latency_ms,
                     "errors": errors,
+                    "versions": final.current_version(),
+                    "expected_versions": n_writers * n_batches,
+                    "rows": got,
+                    "expected_rows": expect,
+                    "lost_updates": expect - got,
+                    "txn_heads": {
+                        f"w{w}": final.last_txn_version(f"w{w}")
+                        for w in range(n_writers)
+                    },
+                    "sec": sec,
+                }
+                continue
+            if shape == "contended-proc":
+                # CROSS-PROCESS contention: the same 4-writer × 5-batch
+                # shape, but every writer is a separate OS process with
+                # its own interpreter + JVM + SparkSession — proving the
+                # commit mutex is the filesystem create-if-absent
+                # primitive (or the cput backend's exclusive create),
+                # not the GIL, thread scheduling, or any in-process
+                # shared state the threaded shape can't rule out.
+                import multiprocessing as mp
+
+                n_writers, n_batches, batch_rows = 4, 5, 1000
+                base_rows = n
+                top = t.read().agg(F.max("key")).first()[0]
+                ctx = mp.get_context("spawn")
+                procs = [
+                    ctx.Process(
+                        target=_proc_writer,
+                        args=(
+                            t.path, w, n_batches, batch_rows, top,
+                            args.log_store, args.latency_ms / 1000.0,
+                        ),
+                    )
+                    for w in range(n_writers)
+                ]
+                t0 = time.perf_counter()
+                for p in procs:
+                    p.start()
+                for p in procs:
+                    p.join()
+                sec = round(time.perf_counter() - t0, 2)
+                final = ParquetMergeTable(spark, t.path)
+                got = final.read().count()
+                expect = base_rows + n_writers * n_batches * batch_rows
+                out[shape] = {
+                    "writers": n_writers,
+                    "batches_per_writer": n_batches,
+                    "log_store": args.log_store,
+                    "latency_ms": args.latency_ms,
+                    "exitcodes": [p.exitcode for p in procs],
                     "versions": final.current_version(),
                     "expected_versions": n_writers * n_batches,
                     "rows": got,
