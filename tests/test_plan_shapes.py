@@ -704,3 +704,42 @@ class TestRound7bLakehousePlans:
         plan = plan_of(df)
         assert "PushedFilters: [" in plan, plan
         assert "GreaterThanOrEqual(amount,90.0)" in plan, plan
+
+
+class TestWidenedReadPlans:
+    def test_widened_read_pushes_filters_and_prunes_columns(
+        self, spark, tmp_path
+    ):
+        """After a TYPE WIDENING the scan runs under the manifest's
+        explicit wide schema — pushdown and column pruning must survive
+        that: the filter lands in PushedFilters and ReadSchema carries
+        the WIDE type even though most files are physically narrow."""
+        import re as _re
+
+        from pyspark.sql import functions as F
+
+        from hbase_to_mongo_export_spark.operators.merge import (
+            ParquetMergeTable,
+        )
+
+        t = ParquetMergeTable(spark, str(tmp_path / "tbl"))
+        t.create(
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(100)], "id int, v float"
+            ).repartitionByRange(4, F.col("id"))
+        )
+        t.append(
+            spark.createDataFrame([(2**40, 1.0)], "id bigint, v double")
+        )
+        df = t.read(where=[("id", ">=", 90)])
+        plan = plan_of(df)
+        assert "PushedFilters: [" in plan, plan
+        assert "GreaterThanOrEqual(id,90)" in plan, plan
+        mm = _re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert mm and "id:bigint" in mm.group(1), plan
+        # projection pruning through the wide schema: one column read
+        narrow = t.read().select("v")
+        plan2 = plan_of(narrow)
+        mm2 = _re.search(r"ReadSchema: struct<([^>]*)>", plan2)
+        assert mm2, plan2
+        assert {c.split(":")[0] for c in mm2.group(1).split(",") if c} == {"v"}, plan2
