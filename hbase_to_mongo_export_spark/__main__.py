@@ -86,6 +86,10 @@ def _build_parser() -> argparse.ArgumentParser:
     t.add_argument("--bin-pack-bytes", type=int, default=None,
                    help="compact: incremental bin-packing — rewrite only "
                         "files smaller than this many bytes")
+    t.add_argument("--purge-vectors-over", type=float, default=None,
+                   help="compact: targeted deletion-vector purge (REORG "
+                        "APPLY (PURGE)) — rewrite only files whose deleted "
+                        "fraction exceeds this threshold in [0, 1)")
     t.add_argument(
         "--range", action="append", default=None, metavar="COL,OP,VALUE",
         help="read: data-skipping conjunct, e.g. --range o_orderkey,>=,800 "
@@ -334,6 +338,7 @@ def main(argv: list[str] | None = None) -> int:
                         target_files=args.target_files,
                         zorder=zorder,
                         bin_pack_bytes=args.bin_pack_bytes,
+                        purge_vectors_over=args.purge_vectors_over,
                     )
                 )
             )

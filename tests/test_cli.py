@@ -181,6 +181,11 @@ def test_table_subcommand_lifecycle(tmp_path, capsys, spark):
     assert main(["table", "compact", tbl, "--bin-pack-bytes", "1"]) == 0
     assert json.loads(capsys.readouterr().out.strip())["files_packed"] == 0
 
+    # targeted vector purge: no pending vectors (compact materialized
+    # them) → no commit, version unchanged
+    assert main(["table", "compact", tbl, "--purge-vectors-over", "0.5"]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["files_purged"] == 0
+
     # CHECK constraints: add validates existing rows, writes validate
     # staged rows, drop reopens
     assert main(["table", "add-constraint", tbl,
