@@ -1785,28 +1785,24 @@ class ParquetMergeTable:
         stats["version"] = new_v
         return stats
 
-    def read_changes(
+    def cdf_data_schema(
         self, from_version: int = 0, to_version: int | None = None
-    ) -> DataFrame:
-        """Change data feed: row-level changes committed in
-        ``[from_version, to_version]``, with ``_change_type`` in
-        {insert, update_preimage, update_postimage, delete} and
-        ``_commit_version``. Inserts are derived by REFERENCE from the
-        commit's freshly-added data files (no change rows were written
-        for them — Delta's insert-only optimization); updates/deletes
-        come from the explicit change files. Replaying the feed over the
-        starting snapshot reconstructs the ending snapshot."""
-        spark = self.spark
+    ):
+        """The DATA columns of the change feed over ``[from_version,
+        to_version]``: the end version's logical columns, with each
+        column's type widened over every schema the range saw — a change
+        row at version v describes rows that existed at v-1, so the fold
+        includes each range version's recorded schema AND its
+        predecessor's. A feed that crosses a RESTORE past a type
+        widening thereby keeps the wide delete rows exact instead of
+        wrapping them through a narrowing cast. Pass the result through
+        ``changes_schema_of`` for the schema a CDF spool stream reader
+        needs."""
+        from pyspark.sql.types import StructField, StructType
+
         to_v = self.current_version() if to_version is None else to_version
         end_schema = self.read(to_v).schema
-        cols = [f.name for f in end_schema.fields]
         types = {f.name: f.dataType for f in end_schema.fields}
-        # the feed's value domain: a change row at version v describes
-        # rows that existed at v-1, so fold each range version's recorded
-        # schema AND its predecessor's into the column types, widening
-        # where a type evolved. A feed that crosses a RESTORE past a type
-        # widening thereby keeps the wide delete rows exact instead of
-        # wrapping them through a narrowing cast.
         for v in range(max(0, from_version - 1), to_v + 1):
             try:
                 s = self._table_schema(self._manifest(v))
@@ -1821,6 +1817,26 @@ class ParquetMergeTable:
                 w = _widened_common(cur_t, f.dataType)
                 if w is not None:
                     types[f.name] = w
+        return StructType(
+            [StructField(f.name, types[f.name], True) for f in end_schema.fields]
+        )
+
+    def read_changes(
+        self, from_version: int = 0, to_version: int | None = None
+    ) -> DataFrame:
+        """Change data feed: row-level changes committed in
+        ``[from_version, to_version]``, with ``_change_type`` in
+        {insert, update_preimage, update_postimage, delete} and
+        ``_commit_version``. Inserts are derived by REFERENCE from the
+        commit's freshly-added data files (no change rows were written
+        for them — Delta's insert-only optimization); updates/deletes
+        come from the explicit change files. Replaying the feed over the
+        starting snapshot reconstructs the ending snapshot."""
+        spark = self.spark
+        to_v = self.current_version() if to_version is None else to_version
+        data_schema = self.cdf_data_schema(from_version, to_v)
+        cols = [f.name for f in data_schema.fields]
+        types = {f.name: f.dataType for f in data_schema.fields}
         end_md = dict(self._manifest(to_v)["column_mapping"])
 
         def _pad(df: DataFrame, v_map: list, physical_names: bool) -> DataFrame:
@@ -1865,12 +1881,7 @@ class ParquetMergeTable:
                     .withColumn(COMMIT_VERSION, F.lit(v))
                 )
         if not parts:
-            from pyspark.sql.types import StructField, StructType
-
-            folded = StructType(
-                [StructField(c, types[c], True) for c in cols]
-            )
-            return spark.createDataFrame([], changes_schema_of(folded))
+            return spark.createDataFrame([], changes_schema_of(data_schema))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -3335,9 +3346,17 @@ def changes_schema_of(end_schema) -> "StructType":  # noqa: F821
     )
 
 
-def changes_schema(table: ParquetMergeTable, version: int | None = None):
-    """The CDF schema of ``table`` as of ``version`` (default: current)."""
-    return changes_schema_of(table.read(version).schema)
+def changes_schema(
+    table: ParquetMergeTable,
+    version: int | None = None,
+    from_version: int = 0,
+):
+    """The CDF schema of ``table`` for a feed ending at ``version``
+    (default: current). ``from_version`` matters when the feed crosses a
+    TYPE WIDENING (or a restore past one): the column types fold wide
+    over the whole range so spooled change files from every version in
+    it read exactly (see ``ParquetMergeTable.cdf_data_schema``)."""
+    return changes_schema_of(table.cdf_data_schema(from_version, version))
 
 
 #: target rows per spooled CDF file before a commit splits into a
