@@ -1519,6 +1519,7 @@ class ParquetMergeTable:
                 if attempt == max_rebase_attempts - 1:
                     self._discard_staged(files)
                     raise
+                _conflict_backoff(attempt)
                 m = self._manifest(self.current_version())
                 if self._txn_already_applied(m, txn):
                     # the winner was a TWIN of this writer (same app id,
@@ -3226,20 +3227,36 @@ class ParquetMergeTable:
         return stats
 
 
+def _conflict_backoff(attempt: int, base_s: float = 0.05) -> None:
+    """Jittered exponential backoff between optimistic-concurrency
+    retries (the same shape Delta's commit loop and every object-store
+    SDK use): without it, N writers racing through a latency-bearing
+    backend re-collide in lockstep — each round all losers re-read the
+    head at the same RTT cadence and pile onto the next version slot
+    together. The jitter is derived from pid+attempt (deterministic per
+    process, decorrelated across processes); capped so a long outage
+    degrades to ~1 s polling, not unbounded sleeps."""
+    step = min(base_s * (2**attempt), 1.0)
+    jitter = ((os.getpid() * 1103515245 + attempt * 12345) % 1000) / 1000.0
+    time.sleep(step * (0.5 + 0.5 * jitter))
+
+
 def retry_on_conflict(fn, attempts: int = 3):
     """Delta's optimistic retry loop: run a table operation, re-running
     it when another writer wins the commit race. Each attempt of ``fn``
     re-reads the table's current version, so the retry computes against
     the winner's committed state — the semantics stay those of running
-    the operations serially in either order. Raises the last
-    ConcurrentWriteError once ``attempts`` are exhausted (a persistently
-    hot table needs coordination above this layer)."""
+    the operations serially in either order. Lost races back off with
+    decorrelated jitter before retrying (see ``_conflict_backoff``).
+    Raises the last ConcurrentWriteError once ``attempts`` are exhausted
+    (a persistently hot table needs coordination above this layer)."""
     for i in range(attempts):
         try:
             return fn()
         except ConcurrentWriteError:
             if i == attempts - 1:
                 raise
+            _conflict_backoff(i)
 
 
 def stream_merge_upsert(

@@ -120,6 +120,14 @@ def main() -> None:
              "or cput (emulated conditional-PUT with --latency-ms RTT)",
     )
     ap.add_argument(
+        "--writers", type=int, default=4,
+        help="contended/contended-proc: number of racing writers",
+    )
+    ap.add_argument(
+        "--batches", type=int, default=5,
+        help="contended/contended-proc: blind-append batches per writer",
+    )
+    ap.add_argument(
         "--latency-ms", type=float, default=0.0,
         help="injected per-call log-store latency for --log-store cput — "
              "widens the stage→commit race window to object-store RTTs",
@@ -281,7 +289,7 @@ def main() -> None:
                 # top of v0, zero lost updates, zero duplicated rows.
                 import threading
 
-                n_writers, n_batches, batch_rows = 4, 5, 1000
+                n_writers, n_batches, batch_rows = args.writers, args.batches, 1000
                 base_rows = n
                 errors: list = []
                 top = t.read().agg(F.max("key")).first()[0]
@@ -351,7 +359,7 @@ def main() -> None:
                 # shared state the threaded shape can't rule out.
                 import multiprocessing as mp
 
-                n_writers, n_batches, batch_rows = 4, 5, 1000
+                n_writers, n_batches, batch_rows = args.writers, args.batches, 1000
                 base_rows = n
                 top = t.read().agg(F.max("key")).first()[0]
                 ctx = mp.get_context("spawn")
