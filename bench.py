@@ -93,6 +93,9 @@ BENCH_QUERIES = [
     # RESTORE (metadata-only commit + file-pruned CDF diff)
     "merge_update_where_orders",
     "merge_restore_orders",
+    # round 8: type widening — carried narrow files read through the
+    # parquet reader's native promotion under the manifest schema
+    "merge_type_widening",
 ]
 
 
