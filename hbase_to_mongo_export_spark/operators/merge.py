@@ -3516,9 +3516,17 @@ def stream_apply_changes(
         )
         dels = latest.filter(F.col("_cdf_ct") == "delete").select(*on, *others)
         ups = latest.filter(F.col("_cdf_ct") != "delete").select(*on, *others)
+        # schema_evolution=True: a replica FOLLOWS the source table's
+        # schema — when the feed crosses a type widening (or an added
+        # column), the replayed batch arrives wide and the replica must
+        # widen with it rather than reject the batch (Delta's CDC-apply
+        # behavior)
         if not ups.isEmpty():
             replica.merge(
-                ups, on=on, when_matched_update={c: src(c) for c in others}
+                ups,
+                on=on,
+                when_matched_update={c: src(c) for c in others},
+                schema_evolution=True,
             )
         if not dels.isEmpty():
             replica.merge(
@@ -3526,6 +3534,7 @@ def stream_apply_changes(
                 on=on,
                 when_matched_delete=F.lit(True),
                 insert_not_matched=False,
+                schema_evolution=True,
             )
 
     return (

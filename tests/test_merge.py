@@ -3469,3 +3469,70 @@ class TestConditionalPutLogStore:
         )
         assert r.get("txn_skipped") is True
         assert t2.read().count() == 21
+
+
+class TestStreamReplayAcrossWidening:
+    def test_streamed_feed_spanning_a_widening_follows_schema(
+        self, spark, tmp_path
+    ):
+        """A CDF stream replay whose feed crosses a TYPE WIDENING must
+        carry the wide values exactly (`cdf_data_schema` folds the range
+        types into the spool schema) and the replica must FOLLOW the
+        widening (`stream_apply_changes` merges with schema_evolution) —
+        a replica that rejected the first wide batch would stall every
+        materialized view the moment its source table widened."""
+        from hbase_to_mongo_export_spark.operators.merge import (
+            changes_schema,
+            changes_stream,
+            spool_changes,
+            stream_apply_changes,
+        )
+
+        t = ParquetMergeTable(spark, str(tmp_path / "src"))
+        t.create(
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(10)], "id int, v float"
+            ).repartitionByRange(2, F.col("id"))
+        )
+        # v1: narrow update; v2: WIDE merge (widens id → bigint,
+        # v → double, inserts a beyond-int32 key); v3: delete
+        t.merge(
+            spark.createDataFrame([(3, 3.5)], "id int, v float"),
+            on=["id"], when_matched_update={"v": src("v")},
+        )
+        t.merge(
+            spark.createDataFrame(
+                [(5, 5.5), (2**40, 40.5)], "id bigint, v double"
+            ),
+            on=["id"],
+            when_matched_update={"v": src("v")},
+            schema_evolution=True,
+        )
+        t.delete_where([("id", "=", 7)])
+
+        replica = ParquetMergeTable(spark, str(tmp_path / "replica"))
+        replica.create(t.read(version=0))  # NARROW seed
+        spool = str(tmp_path / "spool")
+        assert spool_changes(t, spool, from_version=1) == [1, 2, 3]
+        # the stream schema folds the widened types over the range
+        sch = changes_schema(t, from_version=1)
+        types = {f.name: f.dataType.simpleString() for f in sch.fields}
+        assert types["id"] == "bigint" and types["v"] == "double"
+        q = (
+            stream_apply_changes(
+                replica,
+                changes_stream(spark, spool, sch, max_files_per_trigger=1),
+                on=["id"],
+                checkpoint_dir=str(tmp_path / "ck"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = {r["id"]: r["v"] for r in replica.read().collect()}
+        want = {r["id"]: r["v"] for r in t.read().collect()}
+        assert got == want
+        assert got[2**40] == 40.5 and got[5] == 5.5 and 7 not in got
+        # the replica's schema followed the source's widening
+        rt = {f.name: f.dataType.simpleString() for f in replica.read().schema.fields}
+        assert rt["id"] == "bigint" and rt["v"] == "double"
