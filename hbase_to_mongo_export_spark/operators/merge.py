@@ -2095,12 +2095,20 @@ class ParquetMergeTable:
                 if when_matched_update_condition is not None
                 else matched
             )
+            # every update expression CASTS to its column's (possibly
+            # widened) type — Delta's ANSI store-assignment: without it
+            # an expression of wider type (src(v) + lit(100.0) on a
+            # float column) would stage files wider than the recorded
+            # schema and poison every later read; an unsafe narrowing
+            # fails loudly at runtime under ANSI instead of silently
             out_cols = []
             for c in target_cols:
                 upd = (when_matched_update or {}).get(c)
                 if upd is not None:
                     out_cols.append(
-                        F.when(upd_fires, upd).otherwise(F.col(c)).alias(c)
+                        F.when(upd_fires, upd.cast(tgt_types[c]))
+                        .otherwise(F.col(c))
+                        .alias(c)
                     )
                 else:
                     out_cols.append(F.col(c))
@@ -2108,8 +2116,11 @@ class ParquetMergeTable:
                 upd = (when_matched_update or {}).get(c)
                 null = F.lit(None).cast(src_types[c])
                 out_cols.append(
-                    (F.when(upd_fires, upd).otherwise(null) if upd is not None else null)
-                    .alias(c)
+                    (
+                        F.when(upd_fires, upd.cast(src_types[c])).otherwise(null)
+                        if upd is not None
+                        else null
+                    ).alias(c)
                 )
             rewritten = joined.filter(keep).select(*out_cols)
             new_files += self._stage_files(
@@ -2174,12 +2185,15 @@ class ParquetMergeTable:
             ins_map = when_not_matched_insert or {}
 
             def _ins_col(c: str) -> Column:
+                col_t = tgt_types.get(c) or src_types[c]
                 if c in ins_map:
-                    return ins_map[c].alias(c)
+                    # store-assignment cast: the insert expression's type
+                    # must not drift the staged files from the schema
+                    return ins_map[c].cast(col_t).alias(c)
                 if c in source.columns:
                     return F.col(c)
                 # typed null, not NullType — parquet can't store void
-                return F.lit(None).cast(tgt_types[c]).alias(c)
+                return F.lit(None).cast(col_t).alias(c)
 
             inserts = unmatched.select(*[_ins_col(c) for c in out_target_cols])
             # single pass: stage the anti-join result directly, then take
@@ -2469,10 +2483,16 @@ class ParquetMergeTable:
                 schema=full_schema, mapping=mapping,
             ).select(*target_cols)
 
+            col_types = {f.name: f.dataType for f in full_schema.fields}
+
             def _upd(c: str) -> Column:
+                # store-assignment cast (Delta UPDATE semantics): a SET
+                # expression of wider type must not stage files wider
+                # than the recorded schema; an unsafe narrowing fails
+                # loudly under ANSI
                 if c in set_map:
                     return (
-                        F.when(cond_true, set_map[c])
+                        F.when(cond_true, set_map[c].cast(col_types[c]))
                         .otherwise(F.col(c))
                         .alias(c)
                     )
@@ -2486,7 +2506,11 @@ class ParquetMergeTable:
             fired = tgt.filter(cond_true)
             post = fired.select(
                 *[
-                    (set_map[c].alias(c) if c in set_map else F.col(c))
+                    (
+                        set_map[c].cast(col_types[c]).alias(c)
+                        if c in set_map
+                        else F.col(c)
+                    )
                     for c in target_cols
                 ]
             )

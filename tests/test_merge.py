@@ -3536,3 +3536,59 @@ class TestStreamReplayAcrossWidening:
         # the replica's schema followed the source's widening
         rt = {f.name: f.dataType.simpleString() for f in replica.read().schema.fields}
         assert rt["id"] == "bigint" and rt["v"] == "double"
+
+
+class TestStoreAssignmentCasts:
+    """Update/insert EXPRESSIONS cast to their column's type at the
+    staging boundary (Delta ANSI store-assignment): an expression of
+    wider type must never stage files wider than the recorded schema —
+    that would poison every later read of the table."""
+
+    def _narrow(self, spark, tmp_path, name="tbl"):
+        t = ParquetMergeTable(spark, str(tmp_path / name))
+        t.create(
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(10)], "id int, v float"
+            ).repartitionByRange(2, F.col("id"))
+        )
+        return t
+
+    def test_update_where_wider_set_expression(self, spark, tmp_path):
+        t = self._narrow(spark, tmp_path)
+        t.update_where(F.col("id") == 3, {"v": F.lit(3.5)})  # double literal
+        got = {r["id"]: r["v"] for r in t.read().collect()}
+        assert got[3] == 3.5 and got[4] == 4.0
+        assert dict(t.read().dtypes)["v"] == "float"  # schema unchanged
+        feed = t.read_changes(1, 1)
+        assert dict(feed.dtypes)["v"] == "float"
+
+    def test_merge_wider_update_expression(self, spark, tmp_path):
+        t = self._narrow(spark, tmp_path)
+        t.merge(
+            spark.createDataFrame([(3, 1.0)], "id int, v float"),
+            on=["id"],
+            when_matched_update={"v": src("v") + F.lit(100.0)},  # double
+        )
+        got = {r["id"]: r["v"] for r in t.read().collect()}
+        assert got[3] == 101.0
+        assert dict(t.read().dtypes)["v"] == "float"
+
+    def test_merge_wider_insert_mapping(self, spark, tmp_path):
+        t = self._narrow(spark, tmp_path)
+        t.merge(
+            spark.createDataFrame([(50, 1.0)], "id int, v float"),
+            on=["id"],
+            when_not_matched_insert={"v": F.lit(0.25)},  # double literal
+        )
+        got = {r["id"]: r["v"] for r in t.read().collect()}
+        assert got[50] == 0.25 and len(got) == 11
+        assert dict(t.read().dtypes)["v"] == "float"
+
+    def test_widened_table_update_expression_casts_to_wide(self, spark, tmp_path):
+        t = self._narrow(spark, tmp_path)
+        t.append(spark.createDataFrame([(2**40, 1.0)], "id bigint, v double"))
+        # SET expression on the WIDENED column casts to the wide type
+        t.update_where(F.col("id") == 2**40, {"v": F.lit(9.125)})
+        got = {r["id"]: r["v"] for r in t.read().collect()}
+        assert got[2**40] == 9.125
+        assert dict(t.read().dtypes)["v"] == "double"
