@@ -112,7 +112,7 @@ def main() -> None:
     ap.add_argument(
         "--shapes", default="clustered,scattered",
         help="comma list of clustered|scattered|full|bigdelete|cdfspool|"
-             "contended|contended-proc|colmap|clone",
+             "vectorpurge|contended|contended-proc|colmap|clone",
     )
     ap.add_argument(
         "--log-store", default="local", choices=["local", "cput"],
@@ -234,6 +234,63 @@ def main() -> None:
                         ParquetMergeTable.DELETE_ROWS_PER_FILE,
                     "rows_after_read": t.read().count(),
                     "sec": sec,
+                }
+                continue
+            if shape == "vectorpurge":
+                # the read-amplification failure mode targeted purge
+                # cures: repeated SMALL deletes against RIGHT-sized files
+                # (retention jobs, GDPR erasure) accumulate deletion
+                # vectors that incremental bin-packing never clears —
+                # the files aren't undersized — so every read pays a
+                # growing anti-join. compact(purge_vectors_over) rewrites
+                # only the heavily-deleted files; untouched files and
+                # their (light) vectors carry.
+                def timed_read() -> float:
+                    t0 = time.perf_counter()
+                    t.read().agg(
+                        F.sum("l_extendedprice"), F.count(F.lit(1))
+                    ).collect()
+                    return round(time.perf_counter() - t0, 3)
+
+                base_read = timed_read()
+                # 12 retention-style deletes, all landing in the LOWER
+                # half of the key range → ~half the files accumulate
+                # ~48% dead rows, the upper half stays clean
+                slice_w = n // 25
+                for k in range(12):
+                    lo = k * slice_w
+                    t.delete_where(
+                        [("key", ">", lo), ("key", "<=", lo + slice_w // 2)]
+                    )
+                m_dirty = t._manifest(t.current_version())
+                dirty_read = timed_read()
+                table_bytes = _dir_bytes(m_dirty["files"])
+                t0 = time.perf_counter()
+                stats = t.compact(purge_vectors_over=0.3)
+                purge_sec = round(time.perf_counter() - t0, 2)
+                m_clean = t._manifest(t.current_version())
+                rewritten = [
+                    f for f in m_clean["files"]
+                    if f not in set(m_dirty["files"])
+                ]
+                clean_read = timed_read()
+                out[shape] = {
+                    "rows": n,
+                    "deletes_applied": 12,
+                    "vector_rows_before": m_dirty["delete_rows_total"],
+                    "vector_files_before": len(m_dirty["delete_files"]),
+                    "files_purged": stats.get("files_purged", 0),
+                    "files_carried": stats.get("files_carried", 0),
+                    "vector_rows_after": m_clean["delete_rows_total"],
+                    "vector_files_after": len(m_clean["delete_files"]),
+                    "table_mb": round(table_bytes / 1e6, 1),
+                    "rewritten_mb": round(_dir_bytes(rewritten) / 1e6, 1),
+                    "purge_sec": purge_sec,
+                    "read_sec_clean_table": base_read,
+                    "read_sec_with_vectors": dirty_read,
+                    "read_sec_after_purge": clean_read,
+                    "rows_visible_unchanged":
+                        t.read().count() == n - m_dirty["delete_rows_total"],
                 }
                 continue
             if shape == "cdfspool":
