@@ -1379,6 +1379,7 @@ class ParquetMergeTable:
         max_rebase_attempts: int = 20,
         txn_app_id: str | None = None,
         txn_version: int | None = None,
+        schema_evolution: bool = False,
     ) -> dict:
         """Blind append — the highest-volume write a 100 TB ingestion
         path runs, and the ONLY operation that can survive a lost commit
@@ -1390,10 +1391,12 @@ class ParquetMergeTable:
         honored on rebase: new CHECK constraints re-validate the staged
         rows, and a schema evolution marks the commit mixed-schema so
         readers surface the evolved columns as NULLs for these files.
-        The dataframe must carry exactly the table's columns — NEW
-        columns need ``merge(schema_evolution=True)`` — but TYPES may
-        drift safely in either direction: a narrower incoming column
-        upcasts silently, a safely wider one (int→bigint, float→double,
+        The dataframe must carry every table column; NEW source columns
+        need ``schema_evolution=True`` (Delta's append+mergeSchema) and
+        join the table schema in this commit — existing files surface
+        them as NULL. TYPES may drift safely in either direction with
+        or without the flag: a narrower incoming column upcasts
+        silently, a safely wider one (int→bigint, float→double,
         date→timestamp_ntz, decimal growth) WIDENS the table schema in
         this commit (Delta type widening) — carried narrow files read
         through the parquet reader's native promotion, zero rewrite.
@@ -1413,10 +1416,18 @@ class ParquetMergeTable:
             }
         tbl_schema = self._schema_or_read(m)
         table_cols = [f.name for f in tbl_schema.fields]
-        if set(df.columns) != set(table_cols):
+        lacking = sorted(set(table_cols) - set(df.columns))
+        if lacking:
             raise MergeError(
-                f"append schema mismatch: table has {sorted(table_cols)}, "
-                f"dataframe has {sorted(df.columns)}"
+                f"append schema mismatch: dataframe lacks table "
+                f"column(s) {lacking}"
+            )
+        extra = [c for c in df.columns if c not in set(table_cols)]
+        if extra and not schema_evolution:
+            raise MergeError(
+                f"append schema mismatch: dataframe has new column(s) "
+                f"{sorted(extra)} — pass schema_evolution=True to add "
+                "them to the table"
             )
         # type alignment: a NARROWER incoming column upcasts silently; a
         # safely WIDER one widens the table (Delta type widening) — the
@@ -1426,10 +1437,27 @@ class ParquetMergeTable:
         df, _ = self._coerce_source(
             df, tbl_schema, "append", allow_widening=True
         )  # the rebase loop derives the final schema from the staged types
+        # NEW columns under a column mapping get physical names that
+        # collide with no CURRENT or RETIRED physical (reuse would
+        # resurrect a dropped column's data from carried files) — the
+        # same rule merge's evolution applies. Identity tables keep
+        # physical == logical. Chosen ONCE, at staging; the rebase loop
+        # re-checks them against each winner's mapping.
+        phys_of_extra = {c: c for c in extra}
+        stage_mapping = m["column_mapping"]
+        if extra and stage_mapping:
+            taken = {p for _, p in stage_mapping} | set(m["retired_physical"])
+            pairs = [list(p) for p in stage_mapping]
+            for c in extra:
+                phys = c if c not in taken else f"{c}__{uuid.uuid4().hex[:8]}"
+                phys_of_extra[c] = phys
+                pairs.append([c, phys])
+                taken.add(phys)
+            stage_mapping = pairs
         staged = self._stage_files(
-            df.select(*[c for c in table_cols if c in df.columns]),
+            df.select(*table_cols, *extra),
             max_records_per_file,
-            mapping=m["column_mapping"],
+            mapping=stage_mapping,
         )
         staged_rows = {f: _parquet_file_meta(f)[0] for f in staged}
         for f in staged:
@@ -1479,7 +1507,37 @@ class ParquetMergeTable:
                     )
                 types_differ = types_differ or (st is not None and st != f.dataType)
                 out_fields.append(StructField(f.name, common, True))
+            cur_names = {f.name for f in cur_schema.fields}
+            new_here = [c for c in extra if c not in cur_names]
+            for c in new_here:  # evolution: our new columns join the schema
+                out_fields.append(StructField(c, staged_types[c], True))
             out_schema = StructType(out_fields)
+            # mapping reconciliation for evolved columns: a concurrent
+            # winner may have added the same logical column under a
+            # DIFFERENT physical name, or retired/claimed the physical
+            # name we staged under — either would make the staged bytes
+            # invisible or resurrect dropped data, so abort cleanly
+            out_mapping_arg = None
+            if extra:
+                cur_map = {l: p for l, p in m["column_mapping"]}
+                taken = set(cur_map.values()) | set(m["retired_physical"])
+                bad = sorted(
+                    c
+                    for c in extra
+                    if (c in cur_map and cur_map[c] != phys_of_extra[c])
+                    or (c not in cur_map and phys_of_extra[c] in taken)
+                )
+                if bad:
+                    self._discard_staged(files)
+                    raise MergeError(
+                        f"append rebase: new column(s) {bad} collide "
+                        "with a concurrent writer's column mapping — "
+                        "re-run the append against the new head"
+                    )
+                if new_here and m["column_mapping"]:
+                    out_mapping_arg = [list(p) for p in m["column_mapping"]] + [
+                        [c, phys_of_extra[c]] for c in new_here
+                    ]
             cons = m.get("constraints", {})
             if cons != validated_against:
                 # the winner changed table metadata — re-validate the
@@ -1492,7 +1550,7 @@ class ParquetMergeTable:
                     cons,
                     discard=files,
                     schema=out_schema,
-                    mapping=m["column_mapping"],
+                    mapping=out_mapping_arg or m["column_mapping"],
                 )
                 validated_against = cons
             cur_cols = {f.name for f in cur_schema.fields}
@@ -1500,6 +1558,7 @@ class ParquetMergeTable:
                 m["mixed_schema"]
                 or not cur_cols.issubset(staged_cols)
                 or types_differ
+                or bool(new_here)
             )
             try:
                 v = self._commit(
@@ -1513,6 +1572,7 @@ class ParquetMergeTable:
                     discard_on_conflict=False,
                     txn=txn,
                     schema_json=_schema_json_of(out_schema),
+                    column_mapping=out_mapping_arg,
                 )
                 return {"rows_appended": n_rows, "version": v}
             except ConcurrentWriteError:
@@ -3340,6 +3400,7 @@ def stream_append(
     checkpoint_dir: str,
     txn_app_id: str | None = None,
     max_records_per_file: int | None = None,
+    schema_evolution: bool = False,
 ):
     """Exactly-once streaming ingestion: a ``foreachBatch`` sink that
     blind-APPENDS each micro-batch, stamping the commit with
@@ -3363,6 +3424,9 @@ def stream_append(
             max_records_per_file=max_records_per_file,
             txn_app_id=app,
             txn_version=batch_id,
+            # an evolving upstream (new producer field, widened key) must
+            # not stall the ingest sink when the caller opts in
+            schema_evolution=schema_evolution,
         )
 
     return (

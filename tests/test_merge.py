@@ -3592,3 +3592,116 @@ class TestStoreAssignmentCasts:
         got = {r["id"]: r["v"] for r in t.read().collect()}
         assert got[2**40] == 9.125
         assert dict(t.read().dtypes)["v"] == "double"
+
+
+class TestAppendSchemaEvolution:
+    """append(schema_evolution=True) — Delta's append+mergeSchema: NEW
+    source columns join the table schema in the commit; existing files
+    surface them as NULL."""
+
+    def _tbl(self, spark, tmp_path, name="tbl"):
+        t = ParquetMergeTable(spark, str(tmp_path / name))
+        t.create(
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(10)], "id bigint, v double"
+            ).repartitionByRange(2, F.col("id"))
+        )
+        return t
+
+    def test_new_column_joins_schema(self, spark, tmp_path):
+        t = self._tbl(spark, tmp_path)
+        new = spark.createDataFrame(
+            [(100, 1.0, "fresh")], "id bigint, v double, note string"
+        )
+        with pytest.raises(MergeError, match="new column.*schema_evolution"):
+            t.append(new)
+        r = t.append(new, schema_evolution=True)
+        assert r["rows_appended"] == 1
+        got = {x["id"]: (x["v"], x["note"]) for x in t.read().collect()}
+        assert got[100] == (1.0, "fresh")
+        assert got[3] == (3.0, None)  # pre-evolution file: typed NULL
+        assert len(got) == 11
+        # the next PLAIN append must now carry the evolved column
+        with pytest.raises(MergeError, match="lacks table column"):
+            t.append(spark.createDataFrame([(101, 2.0)], "id bigint, v double"))
+
+    def test_missing_column_still_rejected(self, spark, tmp_path):
+        t = self._tbl(spark, tmp_path)
+        with pytest.raises(MergeError, match="lacks table column"):
+            t.append(
+                spark.createDataFrame([(100,)], "id bigint"),
+                schema_evolution=True,
+            )
+
+    def test_evolution_under_column_mapping(self, spark, tmp_path):
+        t = self._tbl(spark, tmp_path)
+        t.rename_column("v", "price")
+        t.append(
+            spark.createDataFrame(
+                [(100, 1.0, "x")], "id bigint, price double, tag string"
+            ),
+            schema_evolution=True,
+        )
+        got = {x["id"]: (x["price"], x["tag"]) for x in t.read().collect()}
+        assert got[100] == (1.0, "x") and got[2] == (2.0, None)
+        # CDF insert rows read back through the extended mapping
+        feed = t.read_changes(2, 2).collect()
+        assert {(r["id"], r["tag"]) for r in feed} == {(100, "x")}
+
+    def test_retired_physical_name_never_resurrects(self, spark, tmp_path):
+        """Drop column 'v' (retiring physical 'v'), then append-evolve a
+        NEW column named 'v': it must get a FRESH physical name, so the
+        dropped column's bytes in carried files stay invisible."""
+        t = self._tbl(spark, tmp_path)
+        t.drop_column("v")
+        t.append(
+            spark.createDataFrame([(100, "new-v")], "id bigint, v string"),
+            schema_evolution=True,
+        )
+        got = {x["id"]: x["v"] for x in t.read().collect()}
+        assert got[100] == "new-v"
+        # old rows must read NULL — never the dropped double values
+        assert all(got[i] is None for i in range(10))
+        m = t._manifest(t.current_version())
+        phys = dict(m["column_mapping"])["v"]
+        assert phys != "v" and "v" in m["retired_physical"]
+
+    def test_evolution_plus_widening_in_one_append(self, spark, tmp_path):
+        t = ParquetMergeTable(spark, str(tmp_path / "nw"))
+        t.create(
+            spark.createDataFrame([(1, 1.0)], "id int, v float")
+        )
+        t.append(
+            spark.createDataFrame(
+                [(2**40, 2.5, 7)], "id bigint, v double, extra bigint"
+            ),
+            schema_evolution=True,
+        )
+        types = dict(t.read().dtypes)
+        assert types == {"id": "bigint", "v": "double", "extra": "bigint"}
+        got = {x["id"]: (x["v"], x["extra"]) for x in t.read().collect()}
+        assert got[1] == (1.0, None) and got[2**40] == (2.5, 7)
+
+    def test_stream_append_evolving_source(self, spark, tmp_path):
+        from hbase_to_mongo_export_spark.operators.merge import stream_append
+
+        t = self._tbl(spark, tmp_path)
+        src_dir = str(tmp_path / "in")
+        os.makedirs(src_dir)
+        spark.createDataFrame(
+            [(200, 2.0, "s")], "id bigint, v double, note string"
+        ).coalesce(1).write.mode("overwrite").parquet(src_dir)
+        stream = (
+            spark.readStream.schema("id bigint, v double, note string")
+            .parquet(src_dir)
+        )
+        q = (
+            stream_append(
+                t, stream, str(tmp_path / "ck"), schema_evolution=True
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = {x["id"]: x["note"] for x in t.read().collect()}
+        assert got[200] == "s" and got[3] is None and len(got) == 11
