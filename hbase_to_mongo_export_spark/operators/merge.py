@@ -432,11 +432,16 @@ class ConditionalPutLogStore(LogStore):
     so the optimistic-concurrency protocol can be raced and killed
     under timings a microsecond-fast POSIX ``os.link`` never exposes.
 
-    Semantics (vs ``LocalLogStore``'s link trick):
-    - ``write_new`` is ONE exclusive create (``O_CREAT|O_EXCL`` — the
-      filesystem's conditional PUT) followed by fsync of the entry AND
-      its directory: the PUT either fully lands durable or raises
-      ``FileExistsError``; no temp file, no second hop, no torn entry.
+    Semantics (vs ``LocalLogStore``):
+    - ``write_new`` stages the FULL entry body durably (temp file +
+      fsync — the S3 upload leg) and only then atomically materializes
+      it under the target name if absent (``os.link`` — the
+      conditional-PUT decision leg), then fsyncs the directory. A real
+      conditional PUT is atomic in NAME+DATA together; claiming the
+      name first and writing bytes after (an earlier ``O_EXCL``+write
+      draft of this class) would let a crash between the two leave a
+      TORN committed manifest that bricks the table for every reader —
+      the one failure mode an object store can never produce.
     - every call pays ``latency_s`` first (object-store RTT), so the
       stage→commit race window is wide enough that concurrent writers
       GENUINELY overlap inside the protocol instead of winning by
@@ -470,12 +475,18 @@ class ConditionalPutLogStore(LogStore):
         self.commit_attempts += 1
         if self.commit_attempts == self.crash_before_commit:
             raise CrashPoint(f"injected crash BEFORE commit of {path}")
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        # upload leg: full body, durable, under a private name — a crash
+        # here leaves only an orphaned temp, never a torn entry
+        tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            os.write(fd, data)
-            os.fsync(fd)
+            # decision leg: atomic create-if-absent of NAME+DATA together
+            os.link(tmp, path)
         finally:
-            os.close(fd)
+            os.unlink(tmp)
         dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
         try:
             os.fsync(dfd)
@@ -595,6 +606,7 @@ class ParquetMergeTable:
             "retired_physical": entry.get("retired_physical", []),
             "clustering": entry.get("clustering", []),
             "schema_json": entry.get("schema_json"),
+            "cdf_schema_json": entry.get("cdf_schema_json"),
             "rows_total": sum(file_rows.values()) - sum(delete_file_rows.values()),
             "delete_rows_total": sum(delete_file_rows.values()),
         }
@@ -690,6 +702,7 @@ class ParquetMergeTable:
         retired_physical: list | None = None,
         clustering: list | None = None,
         schema_json: str | None = None,
+        cdf_schema_json: str | None = None,
     ) -> int:
         """Commit a new version on top of ``base`` (the resolved manifest
         this writer READ; None for table creation). The log entry stores
@@ -783,6 +796,11 @@ class ParquetMergeTable:
                 if schema_json is not None
                 else (base.get("schema_json") if base else None)
             ),
+            # per-COMMIT (never carried): the schema this commit's change
+            # files were written at, when it differs from schema_json —
+            # only RESTORE does this (its diff runs at the widened common
+            # of the two versions so wide delete rows stay exact)
+            "cdf_schema_json": cdf_schema_json,
         }
         os.makedirs(self.manifest_dir, exist_ok=True)
         try:
@@ -1391,15 +1409,16 @@ class ParquetMergeTable:
         honored on rebase: new CHECK constraints re-validate the staged
         rows, and a schema evolution marks the commit mixed-schema so
         readers surface the evolved columns as NULLs for these files.
-        The dataframe must carry every table column; NEW source columns
-        need ``schema_evolution=True`` (Delta's append+mergeSchema) and
-        join the table schema in this commit — existing files surface
-        them as NULL. TYPES may drift safely in either direction with
-        or without the flag: a narrower incoming column upcasts
-        silently, a safely wider one (int→bigint, float→double,
-        date→timestamp_ntz, decimal growth) WIDENS the table schema in
-        this commit (Delta type widening) — carried narrow files read
-        through the parquet reader's native promotion, zero rewrite.
+        The dataframe must carry every table column. Schema changes are
+        gated on ``schema_evolution=True`` (Delta's append+mergeSchema):
+        NEW source columns join the table schema in this commit
+        (existing files surface them as NULL), and a safely WIDER
+        incoming type (int→bigint, float→double, date→timestamp_ntz,
+        decimal growth) WIDENS the table schema — carried narrow files
+        read through the parquet reader's native promotion, zero
+        rewrite. A NARROWER incoming column always upcasts silently
+        (lossless, no schema change); anything else raises a named
+        error.
 
         ``txn_app_id``/``txn_version`` (Delta's idempotent-write
         protocol): when given, a version already recorded for the app in
@@ -1430,12 +1449,18 @@ class ParquetMergeTable:
                 "them to the table"
             )
         # type alignment: a NARROWER incoming column upcasts silently; a
-        # safely WIDER one widens the table (Delta type widening) — the
-        # growing-key ingest case where int overflows and the producer
-        # switches to long must not block the highest-volume write path.
-        # Incompatible types still raise.
+        # safely WIDER one widens the table (Delta type widening) but
+        # ONLY under schema_evolution — silently widening on a default
+        # append would let one misconfigured producer batch change the
+        # table schema irreversibly (there is no narrow-back short of
+        # restore) with no error at the point of cause. Incompatible
+        # types always raise.
         df, _ = self._coerce_source(
-            df, tbl_schema, "append", allow_widening=True
+            df,
+            tbl_schema,
+            "append",
+            allow_widening=schema_evolution,
+            widen_hint="pass schema_evolution=True to widen the table",
         )  # the rebase loop derives the final schema from the staged types
         # NEW columns under a column mapping get physical names that
         # collide with no CURRENT or RETIRED physical (reuse would
@@ -1642,35 +1667,87 @@ class ParquetMergeTable:
             return val.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return val
 
-    def _predicate(self, where: list[tuple]):
+    @staticmethod
+    def _skip_literal_ntz(val):
+        """TIMESTAMP_NTZ columns live on the WALL-CLOCK timeline — their
+        footer stats are the literal wall-clock micros, no zone. A naive
+        datetime literal is already on that timeline (no session-tz
+        shift, unlike the instant-typed path); a zone-AWARE literal has
+        no unambiguous wall-clock → never skips (residual still exact)."""
+        if isinstance(val, _dt.datetime) and val.tzinfo is not None:
+            return None
+        return val
+
+    def _predicate(self, where: list[tuple], schema=None):
         """Compile a ``(col, op, literal)`` conjunction into its two
         halves: the EXACT residual row filter (a Column) and the
         conservative skip-conjunct list `_file_can_match` consumes.
-        Shared by ``read``, ``delete_where`` and ``overwrite_where`` so
-        every stats-pruned path applies the identical semantics."""
+        Shared by ``read``, ``delete_where``, ``update_where`` and
+        ``overwrite_where`` so every stats-pruned path applies the
+        identical semantics.
+
+        ``schema`` (the manifest's, when tracked) makes the compilation
+        TYPE-AWARE for timestamp_ntz columns: their stats and values are
+        wall-clock, so the skip literal must NOT be session-tz-shifted
+        to UTC (that is correct only for instant-typed timestamps), and
+        the residual literal round-trips lit→ntz so it compares as the
+        same wall-clock value under ANY session time zone."""
         import functools
         import operator as pyop
 
+        from pyspark.sql.types import TimestampNTZType
+
+        ntz_cols = (
+            {
+                f.name
+                for f in schema.fields
+                if isinstance(f.dataType, TimestampNTZType)
+            }
+            if schema is not None
+            else set()
+        )
         bad = sorted({op for _, op, _ in where} - _SKIP_OPS)
         if bad:
             raise MergeError(f"unsupported data-skipping operator(s): {bad}")
         skip = []
         for c, op, val in where:
+            lit_of = (
+                self._skip_literal_ntz if c in ntz_cols else self._skip_literal
+            )
             if op == "in":
-                norm = [self._skip_literal(v) for v in val]
+                norm = [lit_of(v) for v in val]
                 if all(v is not None for v in norm):
                     skip.append((c, op, norm))
             else:
-                norm = self._skip_literal(val)
+                norm = lit_of(val)
                 if norm is not None:
                     skip.append((c, op, norm))
         op_fn = {"=": pyop.eq, "<": pyop.lt, "<=": pyop.le,
                  ">": pyop.gt, ">=": pyop.ge}
 
+        def _lit(c, v):
+            if c in ntz_cols and isinstance(v, _dt.datetime):
+                if v.tzinfo is None:
+                    # a NAIVE literal is already a wall-clock value: build
+                    # a TIMESTAMP_NTZ literal directly. (lit(naive) would
+                    # interpret it in the PYTHON PROCESS's zone and a
+                    # later cast re-renders in the SESSION zone — two
+                    # zones that need not agree.)
+                    return F.expr(f"TIMESTAMP_NTZ '{v.isoformat(sep=' ')}'")
+                # an AWARE literal is an instant; render its session-tz
+                # wall clock (it never participates in skipping)
+                return F.lit(v).cast("timestamp_ntz")
+            return F.lit(v)
+
         def _residual_of(c, op, val):
             if op == "in":
-                return F.col(c).isin(*val) if val else F.lit(False)
-            return op_fn[op](F.col(c), F.lit(val))
+                if not val:
+                    return F.lit(False)
+                return functools.reduce(
+                    lambda a, b: a | b,
+                    [F.col(c) == _lit(c, v) for v in val],
+                ) if c in ntz_cols else F.col(c).isin(*val)
+            return op_fn[op](F.col(c), _lit(c, val))
 
         residual = functools.reduce(
             lambda a, b: a & b,
@@ -1710,7 +1787,7 @@ class ParquetMergeTable:
         mapping = m["column_mapping"]
         residual = None
         if where:
-            residual, skip = self._predicate(where)
+            residual, skip = self._predicate(where, self._table_schema(m))
             stats = m["file_stats"]
             # manifest stats are keyed by PHYSICAL column names (footer
             # truth) — a rename costs no stats: map the conjuncts over
@@ -1777,7 +1854,9 @@ class ParquetMergeTable:
         mapping = m["column_mapping"]
         scanned = files
         if isinstance(condition, (list, tuple)):
-            condition, skip = self._predicate(list(condition))
+            condition, skip = self._predicate(
+                list(condition), self._table_schema(m)
+            )
             fstats = m["file_stats"]
             skip = self._physical_conjuncts(skip, mapping)
             scanned = [f for f in files if _file_can_match(fstats.get(f), skip)]
@@ -1851,33 +1930,35 @@ class ParquetMergeTable:
     ):
         """The DATA columns of the change feed over ``[from_version,
         to_version]``: the end version's logical columns, with each
-        column's type widened over every schema the range saw — a change
-        row at version v describes rows that existed at v-1, so the fold
-        includes each range version's recorded schema AND its
-        predecessor's. A feed that crosses a RESTORE past a type
-        widening thereby keeps the wide delete rows exact instead of
-        wrapping them through a narrowing cast. Pass the result through
-        ``changes_schema_of`` for the schema a CDF spool stream reader
-        needs."""
+        column's type widened over every schema the range's change and
+        insert files were actually written at — each version's recorded
+        table schema, plus its ``cdf_schema_json`` where the commit's
+        change files deliberately differ (a RESTORE past a type widening
+        writes its delete rows WIDE while reverting the table schema to
+        narrow). Every input lives in the range itself, so vacuuming
+        versions before ``from_version`` can never narrow the fold. Pass
+        the result through ``changes_schema_of`` for the schema a CDF
+        spool stream reader needs."""
         from pyspark.sql.types import StructField, StructType
 
         to_v = self.current_version() if to_version is None else to_version
         end_schema = self.read(to_v).schema
         types = {f.name: f.dataType for f in end_schema.fields}
-        for v in range(max(0, from_version - 1), to_v + 1):
+        for v in range(from_version, to_v + 1):
             try:
-                s = self._table_schema(self._manifest(v))
+                m = self._manifest(v)
             except (MergeError, FileNotFoundError):
-                continue  # vacuumed predecessor — its schema is gone too
-            if s is None:
-                continue
-            for f in s.fields:
-                cur_t = types.get(f.name)
-                if cur_t is None or f.dataType == cur_t:
+                continue  # vacuumed — its change files are unreadable anyway
+            for sj in (m.get("schema_json"), m.get("cdf_schema_json")):
+                if not sj:
                     continue
-                w = _widened_common(cur_t, f.dataType)
-                if w is not None:
-                    types[f.name] = w
+                for f in _schema_from_json(sj).fields:
+                    cur_t = types.get(f.name)
+                    if cur_t is None or f.dataType == cur_t:
+                        continue
+                    w = _widened_common(cur_t, f.dataType)
+                    if w is not None:
+                        types[f.name] = w
         return StructType(
             [StructField(f.name, types[f.name], True) for f in end_schema.fields]
         )
@@ -2354,7 +2435,9 @@ class ParquetMergeTable:
         mapping = m["column_mapping"]
         scanned = all_files
         if isinstance(condition, (list, tuple)):
-            condition, skip = self._predicate(list(condition))
+            condition, skip = self._predicate(
+                list(condition), self._table_schema(m)
+            )
             fstats = m["file_stats"]
             skip = self._physical_conjuncts(skip, mapping)
             scanned = [
@@ -2499,7 +2582,9 @@ class ParquetMergeTable:
         mapping = m["column_mapping"]
         scanned = all_files
         if isinstance(condition, (list, tuple)):
-            condition, skip = self._predicate(list(condition))
+            condition, skip = self._predicate(
+                list(condition), self._table_schema(m)
+            )
             fstats = m["file_stats"]
             skip = self._physical_conjuncts(skip, mapping)
             scanned = [
@@ -3062,11 +3147,8 @@ class ParquetMergeTable:
         v = self.current_version() if version is None else version
         m = self._manifest(v)
         mapping = m["column_mapping"]
-        cols = (
-            [l for l, _ in mapping]
-            if mapping
-            else self._schema_or_read(m).fieldNames()
-        )
+        schema = self._schema_or_read(m)  # derived once; reused below
+        cols = [l for l, _ in mapping] if mapping else schema.fieldNames()
         return {
             "path": os.path.abspath(self.path),
             "version": v,
@@ -3079,8 +3161,7 @@ class ParquetMergeTable:
             "mixed_schema": m["mixed_schema"],
             "columns": cols,
             "column_types": {
-                f.name: f.dataType.simpleString()
-                for f in self._schema_or_read(m).fields
+                f.name: f.dataType.simpleString() for f in schema.fields
             },
             "column_mapping": {l: p for l, p in mapping},
             "retired_physical": list(m["retired_physical"]),
@@ -3296,6 +3377,12 @@ class ParquetMergeTable:
                 # retired names stay retired forever (monotone)
                 column_mapping=tgt["column_mapping"],
                 schema_json=_schema_json_of(tgt_schema),
+                # the diff rows were written WIDE (diff_schema) while the
+                # restored table schema may be narrow — recorded per-commit
+                # so cdf_data_schema never needs a (vacuumable) predecessor
+                cdf_schema_json=(
+                    _schema_json_of(diff_schema) if change_files else None
+                ),
                 retired_physical=sorted(
                     set(cur["retired_physical"]) | set(tgt["retired_physical"])
                 ),
@@ -3318,10 +3405,15 @@ def _conflict_backoff(attempt: int, base_s: float = 0.05) -> None:
     backend re-collide in lockstep — each round all losers re-read the
     head at the same RTT cadence and pile onto the next version slot
     together. The jitter is derived from pid+attempt (deterministic per
-    process, decorrelated across processes); capped so a long outage
-    degrades to ~1 s polling, not unbounded sleeps."""
+    writer, decorrelated across processes AND across threads of one
+    process — pid alone would put N sibling stream sinks back in
+    lockstep); capped so a long outage degrades to ~1 s polling, not
+    unbounded sleeps."""
+    import threading
+
     step = min(base_s * (2**attempt), 1.0)
-    jitter = ((os.getpid() * 1103515245 + attempt * 12345) % 1000) / 1000.0
+    seed = os.getpid() * 31 + threading.get_ident()
+    jitter = ((seed * 1103515245 + attempt * 12345) % 1000) / 1000.0
     time.sleep(step * (0.5 + 0.5 * jitter))
 
 

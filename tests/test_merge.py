@@ -3174,7 +3174,11 @@ class TestTypeWidening:
             [(2**40, 99.5, datetime.datetime(2022, 1, 1))],
             "id bigint, v double, d timestamp_ntz",
         )
-        r = t.append(wide)
+        # widening is opt-in on append too: a misconfigured producer
+        # must not silently change the table schema
+        with pytest.raises(MergeError, match="widening.*schema_evolution"):
+            t.append(wide)
+        r = t.append(wide, schema_evolution=True)
         assert r["rows_appended"] == 1
         types = {f.name: f.dataType.simpleString() for f in t.read().schema.fields}
         assert types["id"] == "bigint" and types["v"] == "double"
@@ -3192,7 +3196,7 @@ class TestTypeWidening:
     def test_time_travel_keeps_pre_widening_schema(self, spark, tmp_path):
         t = self._narrow(spark, tmp_path)
         wide = spark.createDataFrame([(50, 1.0, None)], "id bigint, v double, d date")
-        t.append(wide)
+        t.append(wide, schema_evolution=True)
         v0 = {f.name: f.dataType.simpleString() for f in t.read(version=0).schema.fields}
         assert v0 == {"id": "int", "v": "float", "d": "date"}
         v1 = {f.name: f.dataType.simpleString() for f in t.read(version=1).schema.fields}
@@ -3202,14 +3206,16 @@ class TestTypeWidening:
     def test_restore_reverts_widening_and_rewiden_works(self, spark, tmp_path):
         t = self._narrow(spark, tmp_path)
         t.append(
-            spark.createDataFrame([(2**40, 1.0, None)], "id bigint, v double, d date")
+            spark.createDataFrame([(2**40, 1.0, None)], "id bigint, v double, d date"),
+            schema_evolution=True,
         )
         t.restore(0)
         types = {f.name: f.dataType.simpleString() for f in t.read().schema.fields}
         assert types["id"] == "int" and types["v"] == "float"
         assert t.detail()["column_types"]["id"] == "int"
         r = t.append(
-            spark.createDataFrame([(2**41, 2.0, None)], "id bigint, v double, d date")
+            spark.createDataFrame([(2**41, 2.0, None)], "id bigint, v double, d date"),
+            schema_evolution=True,
         )
         assert r["rows_appended"] == 1
         assert t.read().filter(F.col("id") == 2**41).count() == 1
@@ -3217,7 +3223,8 @@ class TestTypeWidening:
     def test_data_skipping_on_widened_column(self, spark, tmp_path):
         t = self._narrow(spark, tmp_path)
         t.append(
-            spark.createDataFrame([(2**40, 1.0, None)], "id bigint, v double, d date")
+            spark.createDataFrame([(2**40, 1.0, None)], "id bigint, v double, d date"),
+            schema_evolution=True,
         )
         # stats of the narrow files are ints, of the new file a big int —
         # both compare against the int literal; only matching files open
@@ -3256,7 +3263,8 @@ class TestTypeWidening:
 
         t = self._narrow(spark, tmp_path)
         t.append(
-            spark.createDataFrame([(2**40, 1.0, None)], "id bigint, v double, d date")
+            spark.createDataFrame([(2**40, 1.0, None)], "id bigint, v double, d date"),
+            schema_evolution=True,
         )
         t.compact(target_files=2)
         m = t._manifest(t.current_version())
@@ -3268,7 +3276,8 @@ class TestTypeWidening:
     def test_overwrite_where_narrow_replacement_upcasts(self, spark, tmp_path):
         t = self._narrow(spark, tmp_path)
         t.append(
-            spark.createDataFrame([(2**40, 1.0, None)], "id bigint, v double, d date")
+            spark.createDataFrame([(2**40, 1.0, None)], "id bigint, v double, d date"),
+            schema_evolution=True,
         )
         repl = spark.createDataFrame([(5, 55.0, None)], "id int, v float, d date")
         t.overwrite_where([("id", "=", 5)], repl)
@@ -3586,7 +3595,10 @@ class TestStoreAssignmentCasts:
 
     def test_widened_table_update_expression_casts_to_wide(self, spark, tmp_path):
         t = self._narrow(spark, tmp_path)
-        t.append(spark.createDataFrame([(2**40, 1.0)], "id bigint, v double"))
+        t.append(
+            spark.createDataFrame([(2**40, 1.0)], "id bigint, v double"),
+            schema_evolution=True,
+        )
         # SET expression on the WIDENED column casts to the wide type
         t.update_where(F.col("id") == 2**40, {"v": F.lit(9.125)})
         got = {r["id"]: r["v"] for r in t.read().collect()}
@@ -3705,3 +3717,64 @@ class TestAppendSchemaEvolution:
         q.awaitTermination(300)
         got = {x["id"]: x["note"] for x in t.read().collect()}
         assert got[200] == "s" and got[3] is None and len(got) == 11
+
+
+class TestNtzSkippingTimeline:
+    def test_ntz_skipping_exact_under_non_utc_session(self, spark, tmp_path):
+        """timestamp_ntz stats live on the WALL-CLOCK timeline: the skip
+        literal must not be session-tz-shifted to UTC (correct only for
+        instant-typed timestamps) and the residual must compare the same
+        wall-clock value — under a New-York session a shifted literal
+        would prune files that contain matches (silent missing rows)."""
+        import datetime
+
+        tz_before = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        try:
+            t = ParquetMergeTable(spark, str(tmp_path / "ntz"))
+            rows = [
+                (i, datetime.datetime(2021, 3, 1 + i, 1, 0)) for i in range(8)
+            ]
+            t.create(
+                spark.createDataFrame(rows, "id bigint, ts timestamp_ntz")
+                .repartitionByRange(4, F.col("ts"))
+                .sortWithinPartitions("ts")
+            )
+            got = t.read(
+                where=[
+                    ("ts", ">=", datetime.datetime(2021, 3, 3, 0, 0)),
+                    ("ts", "<", datetime.datetime(2021, 3, 5, 0, 0)),
+                ]
+            ).collect()
+            assert sorted(r["id"] for r in got) == [2, 3]
+            assert all(
+                r["ts"].hour == 1 and r["ts"].day in (3, 4) for r in got
+            )
+            # equality + IN on the wall-clock timeline
+            got_eq = t.read(
+                where=[("ts", "=", datetime.datetime(2021, 3, 6, 1, 0))]
+            ).collect()
+            assert [r["id"] for r in got_eq] == [5]
+            got_in = t.read(
+                where=[(
+                    "ts", "in",
+                    [datetime.datetime(2021, 3, 1, 1, 0),
+                     datetime.datetime(2021, 3, 8, 1, 0)],
+                )]
+            ).collect()
+            assert sorted(r["id"] for r in got_in) == [0, 7]
+            # a zone-AWARE literal has no unambiguous wall clock: it must
+            # never SKIP a file (conservative), residual still filters
+            aware = datetime.datetime(
+                2021, 3, 6, 1, 0, tzinfo=datetime.timezone.utc
+            )
+            from hbase_to_mongo_export_spark.operators.merge import (
+                ParquetMergeTable as _T,
+            )
+            _, skip = t._predicate(
+                [("ts", "=", aware)],
+                t._table_schema(t._manifest(t.current_version())),
+            )
+            assert skip == []  # aware literal: no skip conjunct
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", tz_before)

@@ -264,7 +264,10 @@ def test_random_ops_with_type_widening_match_model(spark, tmp_path, seed):
     def do_append_wide():
         base = KEYSPACE + len(history) * 100
         rows = {base + i: (f"a{base + i}", 2.0) for i in range(rng.randint(1, 3))}
-        t.append(df_of(rows, "id bigint, name string, amount double"))
+        t.append(
+            df_of(rows, "id bigint, name string, amount double"),
+            schema_evolution=True,
+        )
         model.update(rows)
 
     def do_delete():

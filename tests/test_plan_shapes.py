@@ -729,7 +729,8 @@ class TestWidenedReadPlans:
             ).repartitionByRange(4, F.col("id"))
         )
         t.append(
-            spark.createDataFrame([(2**40, 1.0)], "id bigint, v double")
+            spark.createDataFrame([(2**40, 1.0)], "id bigint, v double"),
+            schema_evolution=True,
         )
         df = t.read(where=[("id", ">=", 90)])
         plan = plan_of(df)
