@@ -171,13 +171,22 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti_customers_without_orders",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
     ORDER BY c_custkey
     """,
+    require_rows=True,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no HIGH-VALUE order. The anti side
+    is a filtered orders subset (o_totalprice > 400000, pushed to the
+    scan) rather than all orders, because the driver's synthetic data
+    gives every customer ~10 orders — an unfiltered anti-join is empty at
+    every sf and the gate passed 0==0 vacuously (round-8 verdict finding
+    #2). The filtered shape returns 20/202/1997 customers at
+    sf0.001/0.01/0.1, so the anti semantics are actually exercised."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
@@ -853,26 +862,39 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH avg_bal AS (
       SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0)
-    SELECT substr(c_name, 10, 2) AS cntrycode,
+    SELECT substr(c_name, 17, 2) AS cntrycode,
            COUNT(*) AS numcust,
            CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS totacctbal
     FROM customer, avg_bal
     WHERE c_acctbal > a
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
     GROUP BY 1 ORDER BY cntrycode
     """,
+    require_rows=True,
 )
 def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q22-style: scalar-subquery threshold + anti join + substring group."""
+    """Q22-style: scalar-subquery threshold + anti join + substring group.
+
+    Two predicates are loosened vs textbook Q22 so the gate is
+    non-vacuous on the driver's synthetic data (round-8 verdict finding
+    #2): the anti side is orders with o_totalprice > 400000 ("no
+    high-value order" — every customer has SOME order at every sf, so
+    the original was empty at both gate scales), and the country code is
+    the LAST two digits of the 9-digit zero-padded c_name key
+    (substr 17,2) — the original substr(10,2) is constant '00' for the
+    first 10M customers, collapsing the group-by to one group. This
+    shape yields 7/88/944 qualifying customers across tens of groups at
+    sf0.001/0.01/0.1."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
         F.avg("c_acctbal").alias("a")
     )
     rich = cust.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("a"))
     no_orders = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
     return (
-        no_orders.groupBy(F.substring("c_name", 10, 2).alias("cntrycode"))
+        no_orders.groupBy(F.substring("c_name", 17, 2).alias("cntrycode"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
             F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
@@ -1754,39 +1776,61 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_dec
       FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
       JOIN nation ON s_nationkey = n_nationkey
-      WHERE n_name = 'NATION_7'
+      WHERE n_nationkey % 2 = 0
       GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(value_dec) AS DECIMAL(28,2)) AS total_dec,
+             CAST(COUNT(*) AS DECIMAL(6,0)) AS n_parts
+      FROM pv
     )
     SELECT partkey, CAST(value_dec AS DOUBLE) AS part_value
-    FROM pv
-    WHERE value_dec > (SELECT SUM(value_dec) * 0.001 FROM pv)
+    FROM pv, tot
+    WHERE value_dec * CAST(2 AS DECIMAL(1,0)) * n_parts
+          > CAST(3 AS DECIMAL(1,0)) * total_dec
     ORDER BY part_value DESC, partkey
     """,
+    require_rows=True,
 )
 def q11_important_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q11-style important inventory: per-part value for one nation's
-    suppliers, kept only when above a fraction of the global total (the
-    scalar subquery). The global total re-aggregates the per-part result
-    (tiny) and broadcasts back — the fact table shuffles once. The
-    threshold comparison runs in DECIMAL on both engines, so the > cut is
-    exact — no float-boundary flakiness."""
+    """Q11-style important inventory: per-part value for a nation
+    group's suppliers, kept only when above a multiple of the MEAN
+    per-part value (the scalar subquery). The global total re-aggregates
+    the per-part result (tiny) and broadcasts back — the fact table
+    shuffles once. The threshold comparison runs in DECIMAL
+    multiplications only (v·2·n > 3·total ⇔ v > 1.5·mean) so the cut is
+    exact on both engines — no float boundary, no decimal DIVISION
+    (whose engine-specific result scales drift).
+
+    Scale-free by construction (round-9 vacuity fix): the original
+    'value > 0.001 · total' cut is a fixed FRACTION of the table — with
+    20k parts no part holds 0.1% of total value, so the gate was empty
+    at sf0.1 AND at the sf0.001 mirror (single-nation suppliers don't
+    exist there: 10 suppliers over 25 nations). A mean-relative
+    threshold over an even-nationkey supplier group returns 11/124/1087
+    parts at sf0.001/0.01/0.1."""
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
-    supp_n7 = supp.join(
-        F.broadcast(nation.filter(F.col("n_name") == "NATION_7")),
+    supp_even = supp.join(
+        F.broadcast(nation.filter(F.col("n_nationkey") % 2 == 0)),
         supp.s_nationkey == nation.n_nationkey,
     ).select("s_suppkey")
     pv = (
-        li.join(F.broadcast(supp_n7), li.l_suppkey == F.col("s_suppkey"))
+        li.join(F.broadcast(supp_even), li.l_suppkey == F.col("s_suppkey"))
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(F.col("l_extendedprice").cast(_DEC)).alias("value_dec"))
     )
     total = pv.agg(
-        (F.sum("value_dec") * F.lit(0.001).cast("decimal(4,3)")).alias("threshold")
+        F.sum("value_dec").cast("decimal(28,2)").alias("total_dec"),
+        F.count(F.lit(1)).cast("decimal(6,0)").alias("n_parts"),
     )
     return (
-        pv.join(F.broadcast(total), F.col("value_dec") > F.col("threshold"))
+        pv.join(
+            F.broadcast(total),
+            F.col("value_dec") * F.lit(2).cast("decimal(1,0)") * F.col("n_parts")
+            > F.lit(3).cast("decimal(1,0)") * F.col("total_dec"),
+        )
         .select("partkey", F.col("value_dec").cast("double").alias("part_value"))
         .orderBy(F.col("part_value").desc(), "partkey")
     )
@@ -1847,26 +1891,33 @@ def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN tot ON per.pk = tot.pk
     JOIN part ON p_partkey = per.pk AND p_name LIKE 'b%'
     JOIN supplier ON s_suppkey = per.sk
-    JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_2'
+    JOIN nation ON n_nationkey = s_nationkey AND n_nationkey < 13
     WHERE qty > 0.3 * total_qty
     ORDER BY s_suppkey
     """,
+    require_rows=True,
 )
 def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q20-style excess shippers: suppliers in one nation that shipped
-    >30% of a qualifying part's 1996 volume (the classic nested
+    """Q20-style excess shippers: suppliers in a nation group that
+    shipped >30% of a qualifying part's 1996 volume (the classic nested
     correlated '0.5 * sum(qty)' threshold, with availqty replaced by the
     supplier's own shipped share). The correlated subquery becomes a
     window SUM over partkey on the (part,supplier) aggregate; the fact
     shuffles once on the pair key, the window reshuffles only the
-    reduced aggregate. Part/supplier filters broadcast."""
+    reduced aggregate. Part/supplier filters broadcast.
+
+    The nation cut is the keyspace half ``n_nationkey < 13`` rather than
+    one named nation (round-9 vacuity fix: at sf0.001 there are 10
+    suppliers over 25 nations, so any single-nation filter can be empty
+    — the original NATION_2 was, and the gate passed 0==0). Returns
+    3/51/475 suppliers at sf0.001/0.01/0.1."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     part_b = part.filter(F.col("p_name").like("b%")).select("p_partkey")
     supp_n2 = supp.join(
-        F.broadcast(nation.filter(F.col("n_name") == "NATION_2")),
+        F.broadcast(nation.filter(F.col("n_nationkey") < 13)),
         supp.s_nationkey == nation.n_nationkey,
     ).select("s_suppkey", "s_name")
     per = (

