@@ -146,6 +146,45 @@ def main() -> None:
         # storage doesn't accumulate across the 24-query session
         op_cache.release_all()
 
+    # Restore-only timing (round-8 verdict ask #2): the composite
+    # merge_restore_orders entry conflates five commits (create, merge,
+    # delete, restore, re-merge) and its spread widened to 2× same-code.
+    # This entry isolates the restore signal: the scaffold (create +
+    # CoW merge + MoR delete) is built ONCE untimed; each cycle then
+    # re-damages the table OUTSIDE the timer (a MoR delete of every 5th
+    # key) and times ONLY the RESTORE commit plus the post-restore
+    # status aggregate — identical logical work every cycle (restore
+    # from a vector-deleted state back to v0's file set).
+    from pyspark.sql import functions as F  # noqa: E402
+
+    from hbase_to_mongo_export_spark.operators.merge import src as _src
+    from hbase_to_mongo_export_spark.queries import lakehouse as _lake
+
+    t = _lake._orders_table(spark, sf_dir, "benchrestorecommit")
+    t.merge(
+        _lake._delta(spark, sf_dir),
+        on=["o_orderkey"],
+        when_matched_update={
+            "o_orderstatus": _src("o_orderstatus"),
+            "o_totalprice": _src("o_totalprice"),
+        },
+    )
+    restore_samples: list[float] = []
+    for i in range(4):  # 1 warm-up + 3 timed, matching timed()
+        t.delete_where(F.col("o_orderkey") % 5 == 0)  # damage, untimed
+        t0 = time.perf_counter()
+        t.restore(0)
+        run(_lake._status_agg(t.read()))
+        if i > 0:
+            restore_samples.append(time.perf_counter() - t0)
+    restore_samples.sort()
+    spreads["merge_restore_commit"] = [
+        round(restore_samples[0], 3),
+        round(restore_samples[-1], 3),
+    ]
+    timings["merge_restore_commit"] = round(restore_samples[1], 3)
+    op_cache.release_all()
+
     # The HTME export pipeline itself (decrypt + normalize UDFs + sanitise)
     # over a 10k-record envelope fixture — the reference's integration
     # workload size (hbase_data.py: 10,000 records/table).
