@@ -232,15 +232,343 @@ def _is_type_widening(frm, to) -> bool:
 def _widened_common(a, b):
     """The type files of both ``a`` and ``b`` read as without loss —
     ``a``/``b`` itself when one widens to the other, None when the two
-    are incompatible. (No least-upper-bound search: table evolution only
-    ever compares the current table type with one source type.)"""
+    are incompatible. (No least-upper-bound search at the leaves: table
+    evolution only ever compares the current table type with one source
+    type.) Recurses into struct/array/map (nested schema evolution):
+    struct fields merge by NAME with the UNION of both sides' fields —
+    a file lacking a nested field surfaces it as NULL under the merged
+    read schema, and a file narrower in a nested leaf promotes natively
+    (both probed on this Spark build's vectorized reader) — so the
+    union type is readable by both generations of files. Map keys must
+    match exactly (key promotion is not a reader capability)."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
     if a == b:
         return a
+    if isinstance(a, StructType) and isinstance(b, StructType):
+        b_map = {f.name: f.dataType for f in b.fields}
+        fields = []
+        for f in a.fields:
+            bt = b_map.pop(f.name, None)
+            if bt is None:
+                fields.append(StructField(f.name, f.dataType, True))
+                continue
+            w = _widened_common(f.dataType, bt)
+            if w is None:
+                return None
+            fields.append(StructField(f.name, w, True))
+        for f in b.fields:  # b-only fields, in b's order
+            if f.name in b_map:
+                fields.append(StructField(f.name, f.dataType, True))
+        return StructType(fields)
+    if isinstance(a, ArrayType) and isinstance(b, ArrayType):
+        w = _widened_common(a.elementType, b.elementType)
+        return ArrayType(w, True) if w is not None else None
+    if isinstance(a, MapType) and isinstance(b, MapType):
+        if a.keyType != b.keyType:
+            return None
+        w = _widened_common(a.valueType, b.valueType)
+        return MapType(a.keyType, w, True) if w is not None else None
     if _is_type_widening(a, b):
         return b
     if _is_type_widening(b, a):
         return a
     return None
+
+
+def _merge_types(
+    tbl_t,
+    src_t,
+    allow_evolution: bool,
+    context: str,
+    path: str,
+    hint: str = "pass schema_evolution=True to evolve the table",
+):
+    """The table type ``tbl_t`` after aligning with an incoming source
+    type ``src_t`` — Delta mergeSchema recursion. A source leaf safely
+    NARROWER than the table keeps the table type (the caller conforms
+    the source up — lossless, ungated); a source leaf safely WIDER
+    widens the table type; a struct field present only in the source is
+    ADDED at the end of the table struct — both gated on
+    ``allow_evolution`` (merge/append ``schema_evolution=True``). A
+    struct field present only in the TABLE stays (the source fills it
+    with NULL). Arrays recurse on the element, maps on the value (keys
+    must match exactly — the parquet reader promotes values, not keys).
+    Incompatible leaves raise with the full nested path.
+
+    Nested fields keep IDENTITY physical names even under a top-level
+    column mapping: this table's rename/drop API is top-level only, so
+    there is no retired nested physical name a re-added field could
+    collide with (the resurrection hazard that forces Delta's per-field
+    physical ids does not arise)."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if tbl_t == src_t:
+        return tbl_t
+    if isinstance(tbl_t, StructType) and isinstance(src_t, StructType):
+        src_map = {f.name: f.dataType for f in src_t.fields}
+        fields = []
+        for f in tbl_t.fields:
+            st = src_map.pop(f.name, None)
+            nt = (
+                f.dataType
+                if st is None
+                else _merge_types(
+                    f.dataType, st, allow_evolution, context,
+                    f"{path}.{f.name}", hint,
+                )
+            )
+            fields.append(StructField(f.name, nt, True))
+        for f in src_t.fields:  # new nested fields, in source order
+            if f.name not in src_map:
+                continue
+            if not allow_evolution:
+                raise MergeError(
+                    f"{context}: source struct field '{path}.{f.name}' "
+                    f"({f.dataType.simpleString()}) is not in the table "
+                    f"schema — {hint}"
+                )
+            fields.append(StructField(f.name, f.dataType, True))
+        return StructType(fields)
+    if isinstance(tbl_t, ArrayType) and isinstance(src_t, ArrayType):
+        return ArrayType(
+            _merge_types(
+                tbl_t.elementType,
+                src_t.elementType,
+                allow_evolution,
+                context,
+                f"{path}[]",
+                hint,
+            ),
+            True,
+        )
+    if isinstance(tbl_t, MapType) and isinstance(src_t, MapType):
+        if tbl_t.keyType != src_t.keyType:
+            raise MergeError(
+                f"{context}: map key type at '{path}' is "
+                f"{src_t.keyType.simpleString()} but the table has "
+                f"{tbl_t.keyType.simpleString()} — map keys never evolve"
+            )
+        return MapType(
+            tbl_t.keyType,
+            _merge_types(
+                tbl_t.valueType,
+                src_t.valueType,
+                allow_evolution,
+                context,
+                f"{path}{{}}",
+                hint,
+            ),
+            True,
+        )
+    if _is_type_widening(src_t, tbl_t):
+        return tbl_t
+    if _is_type_widening(tbl_t, src_t):
+        if not allow_evolution:
+            raise MergeError(
+                f"{context}: column '{path}' is {src_t.simpleString()} "
+                f"but the table has {tbl_t.simpleString()} — a safe type "
+                f"widening; {hint}"
+            )
+        return src_t
+    raise MergeError(
+        f"{context}: column '{path}' type {src_t.simpleString()} is "
+        f"incompatible with the table's {tbl_t.simpleString()}"
+    )
+
+
+def _conform_expr(col: Column, src_t, tgt_t) -> Column:
+    """An expression reading ``col`` (of ``src_t``) as ``tgt_t``, where
+    ``tgt_t`` is a type ``_merge_types`` produced: nested fields absent
+    from the source fill with typed NULLs, narrower leaves cast up.
+    Structs rebuild BY NAME in target field order (a positional
+    struct-cast would silently pair mismatched fields), preserving
+    struct-level NULLs; arrays/maps conform per element/value via
+    higher-order functions — no Python in the loop."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if src_t == tgt_t:
+        return col
+    if isinstance(src_t, StructType) and isinstance(tgt_t, StructType):
+        src_map = {f.name: f.dataType for f in src_t.fields}
+        parts = []
+        for f in tgt_t.fields:
+            st = src_map.get(f.name)
+            if st is None:
+                parts.append(F.lit(None).cast(f.dataType).alias(f.name))
+            else:
+                parts.append(
+                    _conform_expr(col.getField(f.name), st, f.dataType).alias(
+                        f.name
+                    )
+                )
+        return F.when(col.isNull(), F.lit(None).cast(tgt_t)).otherwise(
+            F.struct(*parts)
+        )
+    if isinstance(src_t, ArrayType) and isinstance(tgt_t, ArrayType):
+        return F.transform(
+            col, lambda x: _conform_expr(x, src_t.elementType, tgt_t.elementType)
+        )
+    if isinstance(src_t, MapType) and isinstance(tgt_t, MapType):
+        return F.transform_values(
+            col, lambda _k, v: _conform_expr(v, src_t.valueType, tgt_t.valueType)
+        )
+    return col.cast(tgt_t)
+
+
+def _contains_map(dtype) -> bool:
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dtype, MapType):
+        return True
+    if isinstance(dtype, StructType):
+        return any(_contains_map(f.dataType) for f in dtype.fields)
+    if isinstance(dtype, ArrayType):
+        return _contains_map(dtype.elementType)
+    return False
+
+
+def _map_free_type(dtype):
+    """``dtype`` with every MapType replaced by a key-sorted
+    array<struct<key,value>> — a shape Spark's set operations accept
+    (exceptAll rejects MAP columns outright). Map keys are unique, so
+    the sorted-entries form is a CANONICAL row identity: two maps are
+    equal iff their encodings are."""
+    from pyspark.sql.types import (
+        ArrayType,
+        MapType,
+        StructField,
+        StructType,
+    )
+
+    if isinstance(dtype, MapType):
+        return ArrayType(
+            StructType(
+                [
+                    StructField("key", dtype.keyType, True),
+                    StructField("value", _map_free_type(dtype.valueType), True),
+                ]
+            ),
+            True,
+        )
+    if isinstance(dtype, StructType):
+        return StructType(
+            [
+                StructField(f.name, _map_free_type(f.dataType), True)
+                for f in dtype.fields
+            ]
+        )
+    if isinstance(dtype, ArrayType):
+        return ArrayType(_map_free_type(dtype.elementType), True)
+    return dtype
+
+
+def _map_free_enc(col: Column, dtype) -> Column:
+    """Encode ``col`` (of ``dtype``) as its ``_map_free_type`` shape."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dtype, MapType):
+        entries = F.transform(
+            F.map_entries(col),
+            lambda e: F.struct(
+                e.getField("key").alias("key"),
+                _map_free_enc(e.getField("value"), dtype.valueType).alias(
+                    "value"
+                ),
+            ),
+        )
+        return F.sort_array(entries)
+    if isinstance(dtype, StructType):
+        if not _contains_map(dtype):
+            return col
+        built = F.struct(
+            *[
+                _map_free_enc(col.getField(f.name), f.dataType).alias(f.name)
+                for f in dtype.fields
+            ]
+        )
+        return F.when(
+            col.isNull(), F.lit(None).cast(_map_free_type(dtype))
+        ).otherwise(built)
+    if isinstance(dtype, ArrayType):
+        if not _contains_map(dtype.elementType):
+            return col
+        return F.transform(
+            col, lambda x: _map_free_enc(x, dtype.elementType)
+        )
+    return col
+
+
+def _map_free_dec(col: Column, dtype) -> Column:
+    """Decode a ``_map_free_enc`` value back to its original ``dtype``."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dtype, MapType):
+        return F.map_from_entries(
+            F.transform(
+                col,
+                lambda e: F.struct(
+                    e.getField("key").alias("key"),
+                    _map_free_dec(e.getField("value"), dtype.valueType).alias(
+                        "value"
+                    ),
+                ),
+            )
+        )
+    if isinstance(dtype, StructType):
+        if not _contains_map(dtype):
+            return col
+        built = F.struct(
+            *[
+                _map_free_dec(col.getField(f.name), f.dataType).alias(f.name)
+                for f in dtype.fields
+            ]
+        )
+        return F.when(col.isNull(), F.lit(None).cast(dtype)).otherwise(built)
+    if isinstance(dtype, ArrayType):
+        if not _contains_map(dtype.elementType):
+            return col
+        return F.transform(col, lambda x: _map_free_dec(x, dtype.elementType))
+    return col
+
+
+def _restore_diff_type(tgt_t, cur_t):
+    """The read type for RESTORE's visible-row diff at one column:
+    shaped by the TARGET version's fields (nested fields added after the
+    restore point revert with the restore — like columns, they must not
+    make otherwise-identical rows look different), with each leaf at the
+    widened common of the two versions so post-widening current files
+    stay readable. ``cur_t`` None (column/field absent from the current
+    schema) keeps the target type — current files fill it with NULL."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if cur_t is None or tgt_t == cur_t:
+        return tgt_t
+    if isinstance(tgt_t, StructType) and isinstance(cur_t, StructType):
+        cur_map = {f.name: f.dataType for f in cur_t.fields}
+        return StructType(
+            [
+                StructField(
+                    f.name,
+                    _restore_diff_type(f.dataType, cur_map.get(f.name)),
+                    True,
+                )
+                for f in tgt_t.fields
+            ]
+        )
+    if isinstance(tgt_t, ArrayType) and isinstance(cur_t, ArrayType):
+        return ArrayType(
+            _restore_diff_type(tgt_t.elementType, cur_t.elementType), True
+        )
+    if isinstance(tgt_t, MapType) and isinstance(cur_t, MapType):
+        if tgt_t.keyType != cur_t.keyType:
+            return tgt_t
+        return MapType(
+            tgt_t.keyType,
+            _restore_diff_type(tgt_t.valueType, cur_t.valueType),
+            True,
+        )
+    return _widened_common(tgt_t, cur_t) or tgt_t
 
 
 def _schema_json_of(schema) -> str:
@@ -392,6 +720,17 @@ class LogStore:
         there first. Durable before returning."""
         raise NotImplementedError
 
+    def write_replace(self, path: str, data: bytes) -> None:
+        """Atomically (re)place DERIVED data at ``path`` — checkpoints,
+        which are idempotent and re-creatable from the delta log, so no
+        conflict protocol: last writer wins, and a reader must never see
+        a torn body (an object-store PUT is atomic; POSIX needs
+        temp+rename). Routed through the LogStore so an object-store
+        backend can inject latency and crash points on the CHECKPOINT
+        path too — a writer dying mid-checkpoint must leave resolution
+        correct from the un-checkpointed log prefix."""
+        raise NotImplementedError
+
     def read(self, path: str) -> bytes:
         raise NotImplementedError
 
@@ -411,6 +750,12 @@ class LocalLogStore(LogStore):
             os.link(tmp, path)
         finally:
             os.unlink(tmp)
+
+    def write_replace(self, path: str, data: bytes) -> None:
+        tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)  # atomic; a crash leaves old-or-new, never torn
 
     def read(self, path: str) -> bytes:
         with open(path, "rb") as f:
@@ -460,11 +805,19 @@ class ConditionalPutLogStore(LogStore):
         latency_s: float = 0.0,
         crash_before_commit: int | None = None,
         crash_after_commit: int | None = None,
+        crash_mid_checkpoint: int | None = None,
     ) -> None:
         self.latency_s = latency_s
         self.crash_before_commit = crash_before_commit
         self.crash_after_commit = crash_after_commit
+        #: 1-based ``write_replace`` ordinal: die AFTER the checkpoint
+        #: body is staged durably but BEFORE it materializes under the
+        #: target name — the S3 "upload finished, PUT never acknowledged"
+        #: point. Leaves an orphaned temp and NO visible checkpoint;
+        #: resolution must keep working from the delta-log prefix.
+        self.crash_mid_checkpoint = crash_mid_checkpoint
         self.commit_attempts = 0
+        self.checkpoint_attempts = 0
 
     def _rtt(self) -> None:
         if self.latency_s:
@@ -494,6 +847,25 @@ class ConditionalPutLogStore(LogStore):
             os.close(dfd)
         if self.commit_attempts == self.crash_after_commit:
             raise CrashPoint(f"injected crash AFTER commit of {path}")
+
+    def write_replace(self, path: str, data: bytes) -> None:
+        self._rtt()
+        self.checkpoint_attempts += 1
+        tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        if self.checkpoint_attempts == self.crash_mid_checkpoint:
+            # body staged, PUT never decided: an orphan temp is all the
+            # dead writer leaves — no visible (let alone torn) checkpoint
+            raise CrashPoint(f"injected crash MID-checkpoint of {path}")
+        os.replace(tmp, path)
+        dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     def read(self, path: str) -> bytes:
         self._rtt()
@@ -668,7 +1040,12 @@ class ParquetMergeTable:
 
     def _write_checkpoint(self, resolved: dict) -> None:
         """Checkpoints are derived data (idempotent, re-creatable from the
-        log) so a plain atomic replace suffices — no conflict protocol."""
+        log) so an atomic replace suffices — no conflict protocol. Routed
+        through the LogStore's ``write_replace`` so an object-store
+        backend's latency/crash injection covers the checkpoint path:
+        a writer dying mid-checkpoint leaves at worst an orphaned temp —
+        resolution replays the delta-log prefix and the NEXT interval (or
+        vacuum) re-derives the same snapshot."""
         ck = {
             "version": resolved["version"],
             "file_rows": resolved["file_rows"],
@@ -677,12 +1054,9 @@ class ParquetMergeTable:
             "file_bytes": resolved["file_bytes"],
             "mixed_schema": resolved["mixed_schema"],
         }
-        tmp = os.path.join(
-            self.manifest_dir, f".ckpt-{uuid.uuid4().hex[:8]}.json.tmp"
+        self.log_store.write_replace(
+            self._ckpt_path(resolved["version"]), json.dumps(ck).encode()
         )
-        with open(tmp, "w") as f:
-            json.dump(ck, f)
-        os.replace(tmp, self._ckpt_path(resolved["version"]))
 
     def _commit(
         self,
@@ -844,7 +1218,17 @@ class ParquetMergeTable:
         )
         self._cache[next_v] = resolved
         if next_v and next_v % CHECKPOINT_INTERVAL == 0:
-            self._write_checkpoint(resolved)
+            # best-effort (Delta semantics): the COMMIT already landed,
+            # and the checkpoint is derived data the next interval
+            # re-creates — a storage blip here must not fail the write.
+            # CrashPoint is NOT swallowed: it simulates the process
+            # dying, and the test asserts recovery by a fresh handle.
+            try:
+                self._write_checkpoint(resolved)
+            except CrashPoint:
+                raise
+            except Exception:
+                pass
         return next_v
 
     def _stage_files(
@@ -997,44 +1381,40 @@ class ParquetMergeTable:
         allow_widening: bool,
         widen_hint: str = "",
     ):
-        """Align an incoming dataframe's column types with the table's:
-        a source column safely NARROWER than the table upcasts silently
-        (lossless — Delta's implicit assignment cast); a source column
-        safely WIDER widens the table schema when ``allow_widening``
-        (Delta's type-widening feature), else raises naming the column
-        and the fix; incompatible types always raise. Returns
-        ``(coerced_df, widen_map)`` where ``widen_map`` is
-        {column: new wider DataType} for the table to record. Columns
-        absent from the table (evolution candidates / clause inputs)
-        pass through untouched."""
+        """Align an incoming dataframe's column types with the table's,
+        recursing into struct/array/map (Delta mergeSchema nesting): a
+        source leaf safely NARROWER than the table upcasts silently
+        (lossless — Delta's implicit assignment cast) and a nested field
+        the source LACKS fills with NULL — both ungated; a source leaf
+        safely WIDER (type widening) or a nested field the TABLE lacks
+        (nested add) evolves the table type when ``allow_widening``,
+        else raises naming the nested path and the fix; incompatible
+        types always raise. Returns ``(coerced_df, widen_map)`` where
+        ``widen_map`` is {column: new evolved DataType} for the table to
+        record — an entry may be a widened scalar OR a struct with
+        added/widened nested fields; carried files read through the
+        parquet reader's native nested promotion/NULL-fill either way.
+        Columns absent from the table (top-level evolution candidates /
+        clause inputs) pass through untouched."""
+        hint = widen_hint or "pass schema_evolution=True to evolve the table"
         tbl_types = {f.name: f.dataType for f in tbl_schema.fields}
-        casts: dict[str, object] = {}
+        conform: dict[str, Column] = {}
         widen: dict[str, object] = {}
         for f in df.schema.fields:
             t = tbl_types.get(f.name)
             if t is None or f.dataType == t:
                 continue
-            if _is_type_widening(f.dataType, t):
-                casts[f.name] = t
-            elif _is_type_widening(t, f.dataType):
-                if not allow_widening:
-                    raise MergeError(
-                        f"{context}: column '{f.name}' is "
-                        f"{f.dataType.simpleString()} but the table has "
-                        f"{t.simpleString()} — a safe type widening"
-                        + (f"; {widen_hint}" if widen_hint else "")
-                    )
-                widen[f.name] = f.dataType
-            else:
-                raise MergeError(
-                    f"{context}: column '{f.name}' type "
-                    f"{f.dataType.simpleString()} is incompatible with "
-                    f"the table's {t.simpleString()}"
-                )
-        if casts:
+            evolved = _merge_types(
+                t, f.dataType, allow_widening, context, f.name, hint
+            )
+            if evolved != t:
+                widen[f.name] = evolved
+            if evolved != f.dataType:
+                conform[f.name] = _conform_expr(F.col(f.name), f.dataType, evolved)
+        if conform:
             df = df.select(
                 *[
-                    F.col(c).cast(casts[c]).alias(c) if c in casts else F.col(c)
+                    conform[c].alias(c) if c in conform else F.col(c)
                     for c in df.columns
                 ]
             )
@@ -1460,7 +1840,7 @@ class ParquetMergeTable:
             tbl_schema,
             "append",
             allow_widening=schema_evolution,
-            widen_hint="pass schema_evolution=True to widen the table",
+            widen_hint="pass schema_evolution=True to evolve the table",
         )  # the rebase loop derives the final schema from the staged types
         # NEW columns under a column mapping get physical names that
         # collide with no CURRENT or RETIRED physical (reuse would
@@ -1988,15 +2368,20 @@ class ParquetMergeTable:
             # insert files carry physical columns directly; change files
             # carry the LOGICAL names current at their commit, which map
             # to the same physical identity via that version's mapping.
-            # The cast to the END schema's type is what lets files from
-            # before a type WIDENING union with post-widening parts.
+            # The conform to the END schema's type is what lets files
+            # from before a type WIDENING union with post-widening parts
+            # — via _conform_expr, not a bare cast: a struct that gained
+            # a nested field after this file was written has a different
+            # arity, which Spark's positional struct-cast rejects, while
+            # the by-name rebuild fills the missing field with NULL.
             v_inv = {p: l for l, p in v_map}
+            file_types = {f.name: f.dataType for f in df.schema.fields}
             outs = []
             for c in cols:
                 p = end_md.get(c, c)
                 srcn = p if physical_names else v_inv.get(p, p)
                 outs.append(
-                    df[srcn].cast(types[c]).alias(c)
+                    _conform_expr(df[srcn], file_types[srcn], types[c]).alias(c)
                     if srcn in df.columns
                     else F.lit(None).cast(types[c]).alias(c)
                 )
@@ -2116,7 +2501,7 @@ class ParquetMergeTable:
             tgt_schema,
             "merge",
             allow_widening=schema_evolution,
-            widen_hint="pass schema_evolution=True to widen the table",
+            widen_hint="pass schema_evolution=True to evolve the table",
         )
         read_schema = self._widen_schema(tgt_schema, widen)
 
@@ -3260,16 +3645,16 @@ class ParquetMergeTable:
         }
         from pyspark.sql.types import StructField, StructType
 
+        # nested fields follow the same rule as columns via
+        # _restore_diff_type: target-version shape (post-`version` nested
+        # adds revert — they must not make identical rows look different;
+        # nested pruning drops them from the current-side scan), leaves
+        # at the widened common of the two versions
         diff_schema = StructType(
             [
                 StructField(
                     f.name,
-                    (
-                        _widened_common(f.dataType, cur_types[f.name])
-                        or f.dataType
-                    )
-                    if f.name in cur_types
-                    else f.dataType,
+                    _restore_diff_type(f.dataType, cur_types.get(f.name)),
                     True,
                 )
                 for f in tgt_schema.fields
@@ -3293,7 +3678,41 @@ class ParquetMergeTable:
 
         cur_rows = _visible(scan_cur, cur)
         tgt_rows = _visible(scan_tgt, tgt)
-        empty = self.spark.createDataFrame([], diff_schema)
+        # exceptAll rejects MAP columns outright: encode any map (at any
+        # nesting depth) as its key-sorted entries array — a canonical,
+        # set-op-friendly identity — and decode the diff back before the
+        # change rows are written. Map-free tables skip this entirely.
+        map_cols = {
+            f.name: f.dataType
+            for f in diff_schema.fields
+            if _contains_map(f.dataType)
+        }
+        if map_cols:
+
+            def _enc(df: DataFrame) -> DataFrame:
+                return df.select(
+                    *[
+                        _map_free_enc(F.col(c), map_cols[c]).alias(c)
+                        if c in map_cols
+                        else F.col(c)
+                        for c in cols
+                    ]
+                )
+
+            cur_rows = _enc(cur_rows) if cur_rows is not None else None
+            tgt_rows = _enc(tgt_rows) if tgt_rows is not None else None
+            from pyspark.sql.types import StructField as _SF
+            from pyspark.sql.types import StructType as _ST
+
+            enc_schema = _ST(
+                [
+                    _SF(f.name, _map_free_type(f.dataType), True)
+                    for f in diff_schema.fields
+                ]
+            )
+            empty = self.spark.createDataFrame([], enc_schema)
+        else:
+            empty = self.spark.createDataFrame([], diff_schema)
         deletes = (cur_rows or empty).exceptAll(tgt_rows or empty)
         inserts = (tgt_rows or empty).exceptAll(cur_rows or empty)
 
@@ -3302,6 +3721,16 @@ class ParquetMergeTable:
         diff = deletes.withColumn(CHANGE_TYPE, F.lit("delete")).unionByName(
             inserts.withColumn(CHANGE_TYPE, F.lit("insert"))
         )
+        if map_cols:
+            diff = diff.select(
+                *[
+                    _map_free_dec(F.col(c), map_cols[c]).alias(c)
+                    if c in map_cols
+                    else F.col(c)
+                    for c in cols
+                ],
+                CHANGE_TYPE,
+            )
         # stage once, size the final change files from the exact staged
         # count (the delete_where pattern) — a restore that flips a
         # large fraction of the table never funnels through one task

@@ -472,6 +472,124 @@ def merge_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "merge_nested_evolution",
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(o_custkey AS INTEGER) AS cust, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    delta AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus,
+             CAST(o_custkey AS BIGINT) AS cust,
+             o_totalprice + CAST(1000 AS DOUBLE) AS price,
+             o_totalprice + CAST(500 AS DOUBLE) AS disc
+      FROM orders
+      WHERE o_orderkey % 2 = 0
+        AND o_orderkey * 5 >= 4 * (SELECT MAX(o_orderkey) FROM orders)
+    ),
+    merged AS (
+      SELECT t.o_orderkey,
+             COALESCE(d.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+             COALESCE(d.cust, t.cust) AS cust,
+             COALESCE(d.price, t.price) AS price,
+             d.disc AS disc
+      FROM target t LEFT JOIN delta d ON t.o_orderkey = d.o_orderkey
+      UNION ALL
+      SELECT d.o_orderkey, d.o_orderstatus, d.cust, d.price, d.disc
+      FROM delta d
+      WHERE NOT EXISTS (SELECT 1 FROM target t
+                        WHERE t.o_orderkey = d.o_orderkey)
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           SUM(cust) AS sum_cust,
+           COUNT(disc) AS n_disc,
+           CAST(ROUND(SUM(CAST(disc AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_disc,
+           CAST(ROUND(SUM(CAST(price AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    require_rows=True,
+)
+def merge_nested_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED schema evolution (Delta mergeSchema recursion into
+    structs, operators/merge.py:_merge_types): v0 packs
+    ``info struct<cust:int, price:double>`` into 8 range-clustered
+    files; the delta (top fifth of the key range, so lower-range files
+    carry untouched) arrives with ``info struct<cust:bigint,
+    price:double, disc:double>`` — the nested ``cust`` field WIDENS
+    int→bigint and ``disc`` is a NEW nested field — and
+    ``merge(schema_evolution=True)`` evolves the struct type in the
+    same commit. The final read mixes carried files (narrow struct, no
+    ``disc``) with rewritten wide ones: carried files read through the
+    parquet reader's native NESTED promotion and NULL-fill under the
+    manifest's recorded schema — zero rewrite of the carried set. The
+    aggregate sums the widened nested field across both file
+    generations, counts and sums the added nested field (NULL on every
+    carried row, populated on rewritten/inserted ones), so a
+    mis-promoted nested value, a wrongly NULL-filled field, or a
+    dropped row at the file boundary shifts the hash."""
+    path = _qstage(
+        "lakehouse_nestedevo_" + sf_dir.strip("/").replace("/", "_")
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    t = ParquetMergeTable(spark, path)
+    orders = _t(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.struct(
+            F.col("o_custkey").cast("int").alias("cust"),
+            F.col("o_totalprice").alias("price"),
+        ).alias("info"),
+    )
+    t.create(
+        target.repartitionByRange(8, F.col("o_orderkey")).sortWithinPartitions(
+            "o_orderkey"
+        )
+    )
+    max_key = orders.agg(F.max("o_orderkey")).first()[0]
+    delta = orders.filter(
+        (F.col("o_orderkey") % 2 == 0)
+        & (F.col("o_orderkey") * 5 >= F.lit(4 * max_key))
+    ).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.struct(
+            F.col("o_custkey").cast("bigint").alias("cust"),
+            (F.col("o_totalprice") + F.lit(1000.0)).alias("price"),
+            (F.col("o_totalprice") + F.lit(500.0)).alias("disc"),
+        ).alias("info"),
+    )
+    t.merge(
+        delta,
+        on=["o_orderkey"],
+        when_matched_update={
+            "o_orderstatus": src("o_orderstatus"),
+            "info": src("info"),
+        },
+        schema_evolution=True,
+    )
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("info.cust").alias("sum_cust"),
+            F.count("info.disc").alias("n_disc"),
+            F.round(F.sum(F.col("info.disc").cast(_DEC)), 2)
+            .cast("double")
+            .alias("total_disc"),
+            F.round(F.sum(F.col("info.price").cast(_DEC)), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
     "merge_cdf_stream_replay",
     oracle=f"""
     WITH {_TARGET_CTE},

@@ -3778,3 +3778,291 @@ class TestNtzSkippingTimeline:
             assert skip == []  # aware literal: no skip conjunct
         finally:
             spark.conf.set("spark.sql.session.timeZone", tz_before)
+
+
+class TestNestedSchemaEvolution:
+    """Schema evolution recursed into struct/array/map (Delta
+    mergeSchema nesting, operators/merge.py:_merge_types): nested field
+    ADD and nested type WIDENING evolve the table type under
+    schema_evolution=True; carried files read through the parquet
+    reader's native nested NULL-fill / promotion — zero rewrite."""
+
+    def _tbl(self, spark, tmp_path, name="tbl"):
+        t = ParquetMergeTable(spark, str(tmp_path / name))
+        base = spark.createDataFrame(
+            [
+                (i, (i * 10, f"y{i}"), [(i,)], {"k": (i,)})
+                for i in range(10)
+            ],
+            "id bigint, s struct<x:int,y:string>, "
+            "arr array<struct<q:int>>, mp map<string,struct<m:int>>",
+        )
+        t.create(base.repartitionByRange(5, F.col("id")).sortWithinPartitions("id"))
+        return t
+
+    def _evolved_delta(self, spark):
+        # s: x widens int->bigint, gains z; arr element gains r;
+        # map value m widens int->bigint
+        return spark.createDataFrame(
+            [
+                (3, (333, "Y3", 7), [(33, "rr")], {"k": (2**40,)}),
+                (100, (1000, "Y100", 8), [(110, "ss")], {"k": (5,)}),
+            ],
+            "id bigint, s struct<x:bigint,y:string,z:bigint>, "
+            "arr array<struct<q:int,r:string>>, "
+            "mp map<string,struct<m:bigint>>",
+        )
+
+    def test_merge_gates_nested_add_and_widen(self, spark, tmp_path):
+        t = self._tbl(spark, tmp_path)
+        with pytest.raises(MergeError, match="'s.x' is bigint.*schema_evolution"):
+            t.merge(
+                self._evolved_delta(spark),
+                on=["id"],
+                when_matched_update={"s": src("s")},
+            )
+        # widen-only source: the nested ADD is the remaining gate
+        add_only = spark.createDataFrame(
+            [(3, (3, "y", 1.5))], "id bigint, s struct<x:int,y:string,w:double>"
+        )
+        with pytest.raises(
+            MergeError, match="struct field 's.w'.*schema_evolution"
+        ):
+            t.merge(add_only, on=["id"], when_matched_update={"s": src("s")})
+
+    def test_merge_evolves_nested_types(self, spark, tmp_path):
+        t = self._tbl(spark, tmp_path)
+        stats = t.merge(
+            self._evolved_delta(spark),
+            on=["id"],
+            when_matched_update={
+                "s": src("s"), "arr": src("arr"), "mp": src("mp"),
+            },
+            schema_evolution=True,
+        )
+        assert set(stats["columns_widened"]) == {"s", "arr", "mp"}
+        assert "z:bigint" in stats["columns_widened"]["s"]
+        # only the file holding id=3 was rewritten
+        assert stats["files_touched"] == 1 and stats["files_carried"] == 4
+        got = {r["id"]: r for r in t.read().collect()}
+        assert len(got) == 11
+        # rewritten + inserted rows carry the new nested values
+        assert got[3]["s"].asDict() == {"x": 333, "y": "Y3", "z": 7}
+        assert got[3]["arr"][0].asDict() == {"q": 33, "r": "rr"}
+        assert got[3]["mp"]["k"]["m"] == 2**40
+        assert got[100]["s"].asDict() == {"x": 1000, "y": "Y100", "z": 8}
+        # carried rows NULL-fill the added fields and promote the
+        # widened ones natively (id=7 lives in an untouched v0 file)
+        assert got[7]["s"].asDict() == {"x": 70, "y": "y7", "z": None}
+        assert got[7]["arr"][0].asDict() == {"q": 7, "r": None}
+        assert got[7]["mp"]["k"]["m"] == 7
+        st = {f.name: f.dataType.simpleString() for f in t.read().schema.fields}
+        assert st["s"] == "struct<x:bigint,y:string,z:bigint>"
+        assert st["arr"] == "array<struct<q:int,r:string>>"
+        assert st["mp"] == "map<string,struct<m:bigint>>"
+
+    def test_source_missing_nested_field_null_fills_ungated(
+        self, spark, tmp_path
+    ):
+        """A source struct LACKING a table field is the narrower side —
+        no gate (Delta inserts NULL), and other fields keep values."""
+        t = self._tbl(spark, tmp_path)
+        slim = spark.createDataFrame(
+            [(4, (44,))], "id bigint, s struct<x:int>"
+        )
+        t.merge(slim, on=["id"], when_matched_update={"s": src("s")})
+        got = {r["id"]: r for r in t.read().collect()}
+        assert got[4]["s"].asDict() == {"x": 44, "y": None}
+        # struct-level NULL stays NULL (not a struct of NULLs)
+        nul = spark.createDataFrame([(5, None)], "id bigint, s struct<x:int>")
+        t.merge(nul, on=["id"], when_matched_update={"s": src("s")})
+        assert {r["id"]: r["s"] for r in t.read().collect()}[5] is None
+
+    def test_incompatible_nested_and_map_key_raise(self, spark, tmp_path):
+        t = self._tbl(spark, tmp_path)
+        bad = spark.createDataFrame(
+            [(3, ("oops", "y"))], "id bigint, s struct<x:string,y:string>"
+        )
+        with pytest.raises(MergeError, match="'s.x' type string is incompatible"):
+            t.merge(bad, on=["id"], when_matched_update={"s": src("s")},
+                    schema_evolution=True)
+        badkey = spark.createDataFrame(
+            [(3, {1: (1,)})], "id bigint, mp map<int,struct<m:int>>"
+        )
+        with pytest.raises(MergeError, match="map key.*never evolve"):
+            t.merge(badkey, on=["id"], when_matched_update={"mp": src("mp")},
+                    schema_evolution=True)
+
+    def test_append_nested_evolution(self, spark, tmp_path):
+        t = self._tbl(spark, tmp_path)
+        row = spark.createDataFrame(
+            [(200, (2000, "Y", 9), [(1, "a")], {"k": (1,)})],
+            "id bigint, s struct<x:int,y:string,z:bigint>, "
+            "arr array<struct<q:int,r:string>>, mp map<string,struct<m:int>>",
+        )
+        with pytest.raises(MergeError, match="struct field 's.z'"):
+            t.append(row)
+        r = t.append(row, schema_evolution=True)
+        assert r["rows_appended"] == 1
+        got = {x["id"]: x for x in t.read().collect()}
+        assert got[200]["s"].asDict() == {"x": 2000, "y": "Y", "z": 9}
+        assert got[2]["s"].asDict() == {"x": 20, "y": "y2", "z": None}
+
+    def test_restore_past_nested_evolution(self, spark, tmp_path):
+        """RESTORE reverts the nested schema; the CDF diff runs under
+        the TARGET shape, so a rewrite that changed ONLY the added
+        nested field produces NO row churn (like a reverted column)."""
+        t = self._tbl(spark, tmp_path)
+        # v1: update id=3 adding z but keeping x/y IDENTICAL
+        same = spark.createDataFrame(
+            [(3, (30, "y3", 7))], "id bigint, s struct<x:int,y:string,z:bigint>"
+        )
+        t.merge(same, on=["id"], when_matched_update={"s": src("s")},
+                schema_evolution=True)
+        r = t.restore(0)
+        assert (r["rows_restore_deleted"], r["rows_restore_inserted"]) == (0, 0)
+        st = {f.name: f.dataType.simpleString() for f in t.read().schema.fields}
+        assert st["s"] == "struct<x:int,y:string>"
+        assert {x["id"]: x["s"].asDict() for x in t.read().collect()}[3] == {
+            "x": 30, "y": "y3",
+        }
+
+    def test_restore_churn_when_target_shape_differs(self, spark, tmp_path):
+        t = self._tbl(spark, tmp_path)
+        diff = spark.createDataFrame(
+            [(3, (999, "y3", 7))], "id bigint, s struct<x:int,y:string,z:bigint>"
+        )
+        t.merge(diff, on=["id"], when_matched_update={"s": src("s")},
+                schema_evolution=True)
+        r = t.restore(0)
+        assert (r["rows_restore_deleted"], r["rows_restore_inserted"]) == (1, 1)
+        assert {x["id"]: x["s"].asDict() for x in t.read().collect()}[3] == {
+            "x": 30, "y": "y3",
+        }
+
+    def test_cdf_conforms_pre_evolution_change_files(self, spark, tmp_path):
+        """Change files written BEFORE a nested evolution have a
+        narrower struct arity; read_changes must NULL-fill by name (a
+        positional struct-cast would reject the arity change)."""
+        t = self._tbl(spark, tmp_path)
+        pre = spark.createDataFrame(
+            [(4, (444, "Y4"))], "id bigint, s struct<x:int,y:string>"
+        )
+        t.merge(pre, on=["id"], when_matched_update={"s": src("s")})  # v1
+        t.merge(                                                      # v2
+            self._evolved_delta(spark),
+            on=["id"],
+            when_matched_update={
+                "s": src("s"), "arr": src("arr"), "mp": src("mp"),
+            },
+            schema_evolution=True,
+        )
+        ch = t.read_changes(0)
+        rows = {
+            (r["id"], r["_change_type"], r["_commit_version"]): r
+            for r in ch.collect()
+        }
+        r1 = rows[(4, "update_postimage", 1)]
+        assert r1["s"].asDict() == {"x": 444, "y": "Y4", "z": None}
+        r2 = rows[(3, "update_postimage", 2)]
+        assert r2["s"].asDict() == {"x": 333, "y": "Y3", "z": 7}
+
+    def test_concurrent_append_rebase_reconciles_nested(self, spark, tmp_path):
+        """Two writers evolve the SAME struct differently (one adds z,
+        one adds w): the rebase commits under the UNION struct type and
+        both generations of staged files stay readable."""
+        t = self._tbl(spark, tmp_path)
+        t2 = ParquetMergeTable(spark, t.path)
+        a = spark.createDataFrame(
+            [(300, (1, "a", 5), [(1,)], {"k": (1,)})],
+            "id bigint, s struct<x:int,y:string,z:bigint>, "
+            "arr array<struct<q:int>>, mp map<string,struct<m:int>>",
+        )
+        b = spark.createDataFrame(
+            [(400, (2, "b", True), [(2,)], {"k": (2,)})],
+            "id bigint, s struct<x:int,y:string,w:boolean>, "
+            "arr array<struct<q:int>>, mp map<string,struct<m:int>>",
+        )
+        t.append(a, schema_evolution=True)
+        t2.append(b, schema_evolution=True)
+        st = {f.name: f.dataType.simpleString() for f in t.read().schema.fields}
+        assert st["s"] == "struct<x:int,y:string,z:bigint,w:boolean>"
+        got = {x["id"]: x["s"].asDict() for x in t.read().collect()}
+        assert got[300] == {"x": 1, "y": "a", "z": 5, "w": None}
+        assert got[400] == {"x": 2, "y": "b", "z": None, "w": True}
+        assert got[1] == {"x": 10, "y": "y1", "z": None, "w": None}
+
+
+class TestCheckpointCrash:
+    """Crash injection on the CHECKPOINT write path (the round-8 ask):
+    checkpoints are derived data, so a writer dying mid-checkpoint —
+    body staged, PUT never acknowledged — must leave resolution fully
+    correct from the un-checkpointed delta-log prefix, and the next
+    checkpointing operation must re-derive the identical snapshot."""
+
+    def test_commit_checkpoint_crash_recovers(self, spark, tmp_path):
+        from hbase_to_mongo_export_spark.operators.merge import (
+            CHECKPOINT_INTERVAL,
+            ConditionalPutLogStore,
+            CrashPoint,
+        )
+
+        path = str(tmp_path / "tbl")
+        store = ConditionalPutLogStore(crash_mid_checkpoint=1)
+        t = ParquetMergeTable(spark, path, log_store=store)
+        t.create(spark.createDataFrame([(0, 0.0)], "id bigint, v double"))
+        row = lambda i: spark.createDataFrame([(i, float(i))], "id bigint, v double")  # noqa: E731
+        for i in range(1, CHECKPOINT_INTERVAL):
+            t.append(row(i))
+        # the interval-th commit LANDS, then the checkpoint write dies
+        with pytest.raises(CrashPoint, match="MID-checkpoint"):
+            t.append(row(CHECKPOINT_INTERVAL))
+        # a fresh reader/writer: the commit is visible, NO checkpoint
+        # exists, resolution replays the delta prefix correctly
+        t2 = ParquetMergeTable(spark, path)
+        assert t2.current_version() == CHECKPOINT_INTERVAL
+        assert t2._checkpoints() == []
+        got = {r["id"] for r in t2.read().collect()}
+        assert got == set(range(CHECKPOINT_INTERVAL + 1))
+        # the orphaned temp is invisible to the manifest scan and the
+        # next checkpointing op (vacuum's truncation checkpoint)
+        # re-derives the snapshot
+        t2.vacuum(retain_last=2)
+        assert t2._checkpoints() == [CHECKPOINT_INTERVAL - 1]
+        assert {r["id"] for r in t2.read().collect()} == set(
+            range(CHECKPOINT_INTERVAL + 1)
+        )
+
+    def test_vacuum_checkpoint_crash_aborts_cleanly(self, spark, tmp_path):
+        from hbase_to_mongo_export_spark.operators.merge import (
+            ConditionalPutLogStore,
+            CrashPoint,
+        )
+
+        path = str(tmp_path / "tbl")
+        t = ParquetMergeTable(spark, path)
+        t.create(spark.createDataFrame([(0, 0.0)], "id bigint, v double"))
+        for i in range(1, 6):
+            t.append(
+                spark.createDataFrame([(i, float(i))], "id bigint, v double")
+            )
+        logs_before = sorted(t._versions())
+        # vacuum writes the truncation checkpoint BEFORE deleting
+        # anything; dying inside that write must abort with the log and
+        # every data file untouched
+        dead = ParquetMergeTable(
+            spark, path, log_store=ConditionalPutLogStore(crash_mid_checkpoint=1)
+        )
+        with pytest.raises(CrashPoint, match="MID-checkpoint"):
+            dead.vacuum(retain_last=2)
+        t3 = ParquetMergeTable(spark, path)
+        assert sorted(t3._versions()) == logs_before  # nothing truncated
+        for v in logs_before:  # every version still resolves and reads
+            assert {r["id"] for r in t3.read(version=v).collect()} == set(
+                range(v + 1)
+            )
+        # the retry (a healthy successor) completes the truncation
+        t3.vacuum(retain_last=2)
+        assert sorted(t3._versions()) == [4, 5]
+        assert t3._checkpoints() == [4]
+        assert {r["id"] for r in t3.read().collect()} == set(range(6))

@@ -300,3 +300,117 @@ def test_random_ops_with_type_widening_match_model(spark, tmp_path, seed):
     # the pre-widening snapshots read under their narrow schema
     for v, s in enumerate(history):
         assert snap(version=v) == s, f"time travel diverged at v{v}"
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_random_ops_with_nested_evolution_match_model(spark, tmp_path, seed):
+    """The model net with NESTED schema evolution woven through the
+    sequence: the table starts with ``s struct<x:int,y:string>``;
+    evolving merges/appends arrive mid-sequence with the struct WIDENED
+    (x int→bigint) and EXTENDED (new field z); later narrow writes
+    conform up (missing z NULL-fills); restore can rewind PAST the
+    nested evolution (the struct schema reverts) and the sequence
+    re-evolves. The model tracks (x, y, z) with z=None wherever no
+    evolved write supplied it — which must equal both a carried file's
+    NULL-fill and a pre-evolution snapshot's absent field."""
+    rng = random.Random(seed)
+    model = {k: (k * 10, f"y{k}", None) for k in range(0, KEYSPACE, 2)}
+    t = ParquetMergeTable(spark, str(tmp_path / f"ntbl{seed}"))
+    t.create(
+        spark.createDataFrame(
+            [(k, (x, y)) for k, (x, y, _z) in sorted(model.items())],
+            "id bigint, s struct<x:int,y:string>",
+        ).repartitionByRange(4, F.col("id"))
+    )
+    history = [dict(model)]
+
+    def snap(version=None):
+        df = t.read(version=version)
+        has_z = "z" in {
+            f.name for f in df.schema["s"].dataType.fields
+        }
+        return {
+            r["id"]: (
+                r["s"]["x"],
+                r["s"]["y"],
+                r["s"]["z"] if has_z else None,
+            )
+            for r in df.collect()
+        }
+
+    def do_merge_narrow():
+        ks = rng.sample(range(KEYSPACE), rng.randint(1, 6))
+        delta = {k: (rng.randint(-99, 99), f"m{k}_{len(history)}") for k in ks}
+        t.merge(
+            spark.createDataFrame(
+                [(k, (x, y)) for k, (x, y) in sorted(delta.items())],
+                "id bigint, s struct<x:int,y:string>",
+            ),
+            on=["id"],
+            when_matched_update={"s": src("s")},
+        )
+        # narrow writes conform up: z NULL-fills on updated rows too
+        model.update({k: (x, y, None) for k, (x, y) in delta.items()})
+
+    def do_merge_evolved():
+        ks = rng.sample(range(KEYSPACE), rng.randint(1, 6))
+        delta = {
+            k: (2**35 + k, f"e{k}_{len(history)}", rng.randint(1, 9))
+            for k in ks
+        }
+        t.merge(
+            spark.createDataFrame(
+                [(k, v) for k, v in sorted(delta.items())],
+                "id bigint, s struct<x:bigint,y:string,z:bigint>",
+            ),
+            on=["id"],
+            when_matched_update={"s": src("s")},
+            schema_evolution=True,
+        )
+        model.update(delta)
+
+    def do_append_evolved():
+        base = KEYSPACE + len(history) * 100
+        rows = {
+            base + i: (base + i, f"a{base + i}", 7)
+            for i in range(rng.randint(1, 3))
+        }
+        t.append(
+            spark.createDataFrame(
+                [(k, v) for k, v in sorted(rows.items())],
+                "id bigint, s struct<x:bigint,y:string,z:bigint>",
+            ),
+            schema_evolution=True,
+        )
+        model.update(rows)
+
+    def do_delete():
+        mod, rem = rng.randint(3, 9), rng.randint(0, 2)
+        t.delete_where(F.col("id") % mod == rem)
+        for k in [k for k in model if k % mod == rem]:
+            del model[k]
+
+    def do_compact():
+        t.compact(target_files=rng.randint(1, 4))
+
+    def do_restore():
+        if len(history) < 2:
+            return do_merge_narrow()
+        v = rng.randrange(len(history) - 1)
+        t.restore(v)
+        model.clear()
+        model.update(history[v])
+
+    ops = [do_merge_narrow, do_merge_evolved, do_append_evolved, do_delete,
+           do_compact, do_restore]
+    weights = [3, 3, 2, 2, 1, 1]
+    for _ in range(12):
+        rng.choices(ops, weights=weights, k=1)[0]()
+        history.append(dict(model))
+        assert t.current_version() == len(history) - 1, "op/version slip"
+        assert snap() == model, f"live state diverged at v{len(history) - 1}"
+
+    # time travel must match the model at EVERY version, including
+    # pre-evolution snapshots read under the field-less struct schema
+    for v, s in enumerate(history):
+        assert snap(version=v) == s, f"time travel diverged at v{v}"

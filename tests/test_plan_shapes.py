@@ -744,3 +744,49 @@ class TestWidenedReadPlans:
         mm2 = _re.search(r"ReadSchema: struct<([^>]*)>", plan2)
         assert mm2, plan2
         assert {c.split(":")[0] for c in mm2.group(1).split(",") if c} == {"v"}, plan2
+
+
+class TestNestedEvolutionPlans:
+    def test_nested_pruning_and_pushdown_survive_evolution(
+        self, spark, tmp_path
+    ):
+        """After a NESTED evolution (struct gains a field, a nested leaf
+        widens) the scan runs under the manifest's explicit evolved
+        schema — nested-field pruning and nested pushdown must survive:
+        a query touching only s.x reads struct<s:struct<x:bigint>> (not
+        the whole evolved struct) and its filter lands in PushedFilters
+        as s.x."""
+        import re as _re
+
+        from hbase_to_mongo_export_spark.operators.merge import (
+            ParquetMergeTable,
+            src,
+        )
+
+        t = ParquetMergeTable(spark, str(tmp_path / "tbl"))
+        t.create(
+            spark.createDataFrame(
+                [(i, (i, f"y{i}")) for i in range(100)],
+                "id bigint, s struct<x:int,y:string>",
+            ).repartitionByRange(4, F.col("id"))
+        )
+        t.merge(
+            spark.createDataFrame(
+                [(3, (2**40, "Y", 7.5))],
+                "id bigint, s struct<x:bigint,y:string,z:double>",
+            ),
+            on=["id"],
+            when_matched_update={"s": src("s")},
+            schema_evolution=True,
+        )
+        df = t.read().select(F.col("s.x").alias("x")).filter(F.col("x") >= 90)
+        plan = df._jdf.queryExecution().explainString(
+            df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(s\.x,90\)", plan), plan
+        mm = re.search(r"ReadSchema: struct<(.*)>$", plan, re.MULTILINE)
+        assert mm, plan
+        # only s.x is read, at the WIDENED nested type, and nothing else
+        assert mm.group(1) == "s:struct<x:bigint>", plan

@@ -112,7 +112,7 @@ def main() -> None:
     ap.add_argument(
         "--shapes", default="clustered,scattered",
         help="comma list of clustered|scattered|full|bigdelete|cdfspool|"
-             "vectorpurge|contended|contended-proc|colmap|clone",
+             "vectorpurge|contended|contended-proc|ckptcrash|colmap|clone",
     )
     ap.add_argument(
         "--log-store", default="local", choices=["local", "cput"],
@@ -454,6 +454,110 @@ def main() -> None:
                         f"w{w}": final.last_txn_version(f"w{w}")
                         for w in range(n_writers)
                     },
+                    "sec": sec,
+                }
+                continue
+            if shape == "ckptcrash":
+                # CRASH-DURING-CHECKPOINT under contention (round-8 ask):
+                # every writer commits through the conditional-PUT
+                # backend with crash_mid_checkpoint=1 — the FIRST time a
+                # writer lands a CHECKPOINT_INTERVAL-boundary commit, it
+                # dies with the checkpoint body staged but never
+                # materialized. The harness then resumes each dead
+                # writer as a healthy successor retrying the SAME batch
+                # with the SAME txn stamp: the commit landed before the
+                # checkpoint attempt, so the retry must be skipped by
+                # the txn map (a double-append would show in the count).
+                # Proof: zero lost updates, every version resolvable by
+                # a fresh reader, un-checkpointed intervals replay from
+                # the delta-log prefix.
+                import threading
+
+                from hbase_to_mongo_export_spark.operators.merge import (
+                    CHECKPOINT_INTERVAL,
+                    ConditionalPutLogStore,
+                    CrashPoint,
+                )
+
+                n_writers, n_batches, batch_rows = args.writers, args.batches, 1000
+                base_rows = n
+                errors: list = []
+                crashes: list = []
+                skipped: list = []
+                top = t.read().agg(F.max("key")).first()[0]
+
+                def writer(w: int) -> None:
+                    try:
+                        h = ParquetMergeTable(
+                            spark, t.path,
+                            log_store=ConditionalPutLogStore(
+                                latency_s=args.latency_ms / 1000.0,
+                                crash_mid_checkpoint=1,
+                            ),
+                        )
+                        for b in range(n_batches):
+                            lo = top + 1 + (w * n_batches + b) * batch_rows
+                            df = spark.range(lo, lo + batch_rows).select(
+                                F.col("id").alias("l_orderkey"),
+                                F.col("id").alias("l_partkey"),
+                                F.lit(1.0).alias("l_quantity"),
+                                F.lit(1.0).alias("l_extendedprice"),
+                                F.col("id").cast("int").alias("key"),
+                            )
+                            try:
+                                h.append(df, txn_app_id=f"w{w}", txn_version=b)
+                            except CrashPoint:
+                                crashes.append((w, b))
+                                # successor: fresh healthy handle, SAME
+                                # txn stamp — must skip (commit landed)
+                                h = ParquetMergeTable(spark, t.path)
+                                r = h.append(
+                                    df, txn_app_id=f"w{w}", txn_version=b
+                                )
+                                if r.get("txn_skipped"):
+                                    skipped.append((w, b))
+                    except Exception as e:  # pragma: no cover
+                        errors.append(repr(e))
+
+                t0 = time.perf_counter()
+                threads = [
+                    threading.Thread(target=writer, args=(w,))
+                    for w in range(n_writers)
+                ]
+                for th in threads:
+                    th.start()
+                for th in threads:
+                    th.join()
+                sec = round(time.perf_counter() - t0, 2)
+                final = ParquetMergeTable(spark, t.path)
+                got = final.read().count()
+                expect = base_rows + n_writers * n_batches * batch_rows
+                boundaries = [
+                    v
+                    for v in range(1, final.current_version() + 1)
+                    if v % CHECKPOINT_INTERVAL == 0
+                ]
+                # every version must resolve from whatever checkpoint
+                # prefix survived the crashes
+                resolvable = all(
+                    final._manifest(v)["version"] == v
+                    for v in range(final.current_version() + 1)
+                )
+                out[shape] = {
+                    "writers": n_writers,
+                    "batches_per_writer": n_batches,
+                    "latency_ms": args.latency_ms,
+                    "errors": errors,
+                    "crashes_injected": len(crashes),
+                    "txn_skipped_retries": len(skipped),
+                    "checkpoint_boundaries": boundaries,
+                    "checkpoints_present": final._checkpoints(),
+                    "all_versions_resolvable": resolvable,
+                    "versions": final.current_version(),
+                    "expected_versions": n_writers * n_batches,
+                    "rows": got,
+                    "expected_rows": expect,
+                    "lost_updates": expect - got,
                     "sec": sec,
                 }
                 continue
