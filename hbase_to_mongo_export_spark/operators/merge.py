@@ -416,6 +416,61 @@ def _conform_expr(col: Column, src_t, tgt_t) -> Column:
     return col.cast(tgt_t)
 
 
+def _assert_assignable(src_t, tgt_t, context: str, path: str) -> None:
+    """Reject a nested store-assignment that would silently DROP data:
+    a source struct field the target lacks has nowhere to go (ANSI
+    store assignment errors on unknown fields; schema evolution is the
+    explicit opt-in path for new fields, not an update expression)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(src_t, StructType) and isinstance(tgt_t, StructType):
+        tgt_map = {f.name: f.dataType for f in tgt_t.fields}
+        for f in src_t.fields:
+            if f.name not in tgt_map:
+                raise MergeError(
+                    f"{context}: expression field '{path}.{f.name}' is not "
+                    f"in the column's type {tgt_t.simpleString()} — a "
+                    "store assignment cannot drop or add fields"
+                )
+            _assert_assignable(
+                f.dataType, tgt_map[f.name], context, f"{path}.{f.name}"
+            )
+    elif isinstance(src_t, ArrayType) and isinstance(tgt_t, ArrayType):
+        _assert_assignable(
+            src_t.elementType, tgt_t.elementType, context, f"{path}[]"
+        )
+    elif isinstance(src_t, MapType) and isinstance(tgt_t, MapType):
+        _assert_assignable(
+            src_t.valueType, tgt_t.valueType, context, f"{path}{{}}"
+        )
+
+
+def _store_assign_expr(scope_df: DataFrame, expr: Column, tgt_t,
+                       context: str, path: str) -> Column:
+    """ANSI store-assignment of an arbitrary expression to a column's
+    (possibly evolved) type — BY NAME for nested shapes. A bare
+    ``expr.cast(struct)`` pairs struct fields POSITIONALLY: an update
+    expression built with fields in a different order than the table
+    would silently write swapped values, and one built in a
+    pre-evolution arity would fail with an opaque cast error. This
+    derives the expression's type from an analysis-only select (driver
+    cost, no job), errors on fields the target lacks (naming the full
+    nested path), NULL-fills target fields the expression lacks, and
+    rebuilds structs by name; scalars keep the plain ANSI cast (an
+    unsafe narrowing still fails loudly at runtime)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    src_t = scope_df.select(expr.alias("__sa")).schema[0].dataType
+    if src_t == tgt_t:
+        return expr
+    if isinstance(tgt_t, (StructType, ArrayType, MapType)) and isinstance(
+        src_t, (StructType, ArrayType, MapType)
+    ):
+        _assert_assignable(src_t, tgt_t, context, path)
+        return _conform_expr(expr, src_t, tgt_t)
+    return expr.cast(tgt_t)
+
+
 def _contains_map(dtype) -> bool:
     from pyspark.sql.types import ArrayType, MapType, StructType
 
@@ -728,8 +783,19 @@ class LogStore:
         temp+rename). Routed through the LogStore so an object-store
         backend can inject latency and crash points on the CHECKPOINT
         path too — a writer dying mid-checkpoint must leave resolution
-        correct from the un-checkpointed log prefix."""
-        raise NotImplementedError
+        correct from the un-checkpointed log prefix.
+
+        CONCRETE here (POSIX temp+rename), not abstract: a LogStore
+        subclass written against the original two-method seam
+        (write_new/read only) must keep checkpointing — the periodic
+        checkpoint call is best-effort, so an abstract method would
+        turn into a silently-swallowed NotImplementedError and the
+        table would never checkpoint (unbounded O(V) log replay per
+        resolution) while vacuum's mandatory call hard-failed."""
+        tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)  # atomic; a crash leaves old-or-new, never torn
 
     def read(self, path: str) -> bytes:
         raise NotImplementedError
@@ -750,12 +816,6 @@ class LocalLogStore(LogStore):
             os.link(tmp, path)
         finally:
             os.unlink(tmp)
-
-    def write_replace(self, path: str, data: bytes) -> None:
-        tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
-        with open(tmp, "wb") as f:
-            f.write(data)
-        os.replace(tmp, path)  # atomic; a crash leaves old-or-new, never torn
 
     def read(self, path: str) -> bytes:
         with open(path, "rb") as f:
@@ -2631,8 +2691,11 @@ class ParquetMergeTable:
             for c in target_cols:
                 upd = (when_matched_update or {}).get(c)
                 if upd is not None:
+                    upd = _store_assign_expr(
+                        joined, upd, tgt_types[c], "merge", c
+                    )
                     out_cols.append(
-                        F.when(upd_fires, upd.cast(tgt_types[c]))
+                        F.when(upd_fires, upd)
                         .otherwise(F.col(c))
                         .alias(c)
                     )
@@ -2643,7 +2706,12 @@ class ParquetMergeTable:
                 null = F.lit(None).cast(src_types[c])
                 out_cols.append(
                     (
-                        F.when(upd_fires, upd.cast(src_types[c])).otherwise(null)
+                        F.when(
+                            upd_fires,
+                            _store_assign_expr(
+                                joined, upd, src_types[c], "merge", c
+                            ),
+                        ).otherwise(null)
                         if upd is not None
                         else null
                     ).alias(c)
@@ -2713,9 +2781,12 @@ class ParquetMergeTable:
             def _ins_col(c: str) -> Column:
                 col_t = tgt_types.get(c) or src_types[c]
                 if c in ins_map:
-                    # store-assignment cast: the insert expression's type
-                    # must not drift the staged files from the schema
-                    return ins_map[c].cast(col_t).alias(c)
+                    # store-assignment: the insert expression's type must
+                    # not drift the staged files from the schema; nested
+                    # shapes assign BY NAME (_store_assign_expr)
+                    return _store_assign_expr(
+                        unmatched, ins_map[c], col_t, "merge insert", c
+                    ).alias(c)
                 if c in source.columns:
                     return F.col(c)
                 # typed null, not NullType — parquet can't store void
@@ -3022,7 +3093,13 @@ class ParquetMergeTable:
                 # loudly under ANSI
                 if c in set_map:
                     return (
-                        F.when(cond_true, set_map[c].cast(col_types[c]))
+                        F.when(
+                            cond_true,
+                            _store_assign_expr(
+                                tgt, set_map[c], col_types[c],
+                                "update_where", c,
+                            ),
+                        )
                         .otherwise(F.col(c))
                         .alias(c)
                     )
@@ -3472,6 +3549,21 @@ class ParquetMergeTable:
                             orphans_removed += 1
                     except OSError:
                         pass  # raced with another cleaner — fine
+            # manifest-dir temps: a writer dying between staging a
+            # checkpoint/entry body and its atomic rename leaves a
+            # .tmp invisible to the ^v\d+/^ckpt-v\d+ scans — with no
+            # other removal path, repeated crashes would pile them up
+            # forever. Same mtime grace as data orphans.
+            for f in os.listdir(self.manifest_dir):
+                if not f.endswith(".tmp"):
+                    continue
+                p = os.path.join(self.manifest_dir, f)
+                try:
+                    if os.path.getmtime(p) <= cutoff:
+                        os.remove(p)
+                        orphans_removed += 1
+                except OSError:
+                    pass  # raced with another cleaner — fine
         return {
             "files_removed": removed,
             "orphans_removed": orphans_removed,
@@ -3701,12 +3793,9 @@ class ParquetMergeTable:
 
             cur_rows = _enc(cur_rows) if cur_rows is not None else None
             tgt_rows = _enc(tgt_rows) if tgt_rows is not None else None
-            from pyspark.sql.types import StructField as _SF
-            from pyspark.sql.types import StructType as _ST
-
-            enc_schema = _ST(
+            enc_schema = StructType(
                 [
-                    _SF(f.name, _map_free_type(f.dataType), True)
+                    StructField(f.name, _map_free_type(f.dataType), True)
                     for f in diff_schema.fields
                 ]
             )

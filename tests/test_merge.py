@@ -4066,3 +4066,90 @@ class TestCheckpointCrash:
         assert sorted(t3._versions()) == [4, 5]
         assert t3._checkpoints() == [4]
         assert {r["id"] for r in t3.read().collect()} == set(range(6))
+
+
+class TestStoreAssignByName:
+    """_store_assign_expr: update/insert expressions assign to struct
+    columns BY NAME (a positional cast would silently pair mismatched
+    fields), NULL-fill fields the expression lacks, and ERROR on fields
+    the column's type lacks (a store assignment must not drop data)."""
+
+    def _tbl(self, spark, tmp_path):
+        t = ParquetMergeTable(spark, str(tmp_path / "tbl"))
+        t.create(
+            spark.createDataFrame(
+                [(1, (10, 100)), (2, (20, 200))],
+                "id bigint, s struct<x:int,y:int>",
+            )
+        )
+        return t
+
+    def test_update_struct_fields_pair_by_name(self, spark, tmp_path):
+        t = self._tbl(spark, tmp_path)
+        delta = spark.createDataFrame([(1, 0)], "id bigint, dummy int")
+        # expression lists y BEFORE x — a positional cast would swap them
+        t.merge(
+            delta,
+            on=["id"],
+            when_matched_update={
+                "s": F.struct(
+                    F.lit(999).alias("y"), F.lit(111).alias("x")
+                )
+            },
+        )
+        got = {r["id"]: r["s"].asDict() for r in t.read().collect()}
+        assert got[1] == {"x": 111, "y": 999}
+        assert got[2] == {"x": 20, "y": 200}
+
+    def test_update_missing_field_null_fills(self, spark, tmp_path):
+        t = self._tbl(spark, tmp_path)
+        delta = spark.createDataFrame([(2, 0)], "id bigint, dummy int")
+        t.merge(
+            delta,
+            on=["id"],
+            when_matched_update={"s": F.struct(F.lit(7).alias("y"))},
+        )
+        assert {r["id"]: r["s"].asDict() for r in t.read().collect()}[2] == {
+            "x": None, "y": 7,
+        }
+
+    def test_update_extra_field_errors_with_path(self, spark, tmp_path):
+        t = self._tbl(spark, tmp_path)
+        delta = spark.createDataFrame([(1, 0)], "id bigint, dummy int")
+        with pytest.raises(MergeError, match="'s.zzz' is not in the column"):
+            t.merge(
+                delta,
+                on=["id"],
+                when_matched_update={
+                    "s": F.struct(
+                        F.lit(1).alias("x"),
+                        F.lit(2).alias("y"),
+                        F.lit(3).alias("zzz"),
+                    )
+                },
+            )
+
+    def test_insert_mapping_struct_by_name(self, spark, tmp_path):
+        t = self._tbl(spark, tmp_path)
+        delta = spark.createDataFrame([(9, 0)], "id bigint, dummy int")
+        t.merge(
+            delta,
+            on=["id"],
+            when_not_matched_insert={
+                "id": F.col("id"),
+                "s": F.struct(F.lit(5).alias("y"), F.lit(4).alias("x")),
+            },
+        )
+        assert {r["id"]: r["s"].asDict() for r in t.read().collect()}[9] == {
+            "x": 4, "y": 5,
+        }
+
+    def test_update_where_set_struct_by_name(self, spark, tmp_path):
+        t = self._tbl(spark, tmp_path)
+        t.update_where(
+            F.col("id") == 2,
+            {"s": F.struct((F.col("s.y") + 1).alias("y"), F.col("s.x").alias("x"))},
+        )
+        assert {r["id"]: r["s"].asDict() for r in t.read().collect()}[2] == {
+            "x": 20, "y": 201,
+        }

@@ -356,12 +356,10 @@ class TestRound2PlanShapes:
         projection fuses into the survivor join (no extra exchange between
         the gate and the final aggregate beyond the join/agg shuffles)."""
         plan = plan_of(registry.queries()["training_corpus_pipeline"](spark, sf_dir))
-        import re as _re
-
         # count physical exchange operators (formatted explain lists each
         # node twice — tree + detail — so match the numbered detail form),
         # excluding broadcast exchanges (those are the cheap dim sends)
-        n_shuffles = len(_re.findall(r"\(\d+\) Exchange", plan))
+        n_shuffles = len(re.findall(r"\(\d+\) Exchange", plan))
         assert n_shuffles <= 6, plan
 
 
@@ -714,8 +712,6 @@ class TestWidenedReadPlans:
         explicit wide schema — pushdown and column pruning must survive
         that: the filter lands in PushedFilters and ReadSchema carries
         the WIDE type even though most files are physically narrow."""
-        import re as _re
-
         from pyspark.sql import functions as F
 
         from hbase_to_mongo_export_spark.operators.merge import (
@@ -736,12 +732,12 @@ class TestWidenedReadPlans:
         plan = plan_of(df)
         assert "PushedFilters: [" in plan, plan
         assert "GreaterThanOrEqual(id,90)" in plan, plan
-        mm = _re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        mm = re.search(r"ReadSchema: struct<([^>]*)>", plan)
         assert mm and "id:bigint" in mm.group(1), plan
         # projection pruning through the wide schema: one column read
         narrow = t.read().select("v")
         plan2 = plan_of(narrow)
-        mm2 = _re.search(r"ReadSchema: struct<([^>]*)>", plan2)
+        mm2 = re.search(r"ReadSchema: struct<([^>]*)>", plan2)
         assert mm2, plan2
         assert {c.split(":")[0] for c in mm2.group(1).split(",") if c} == {"v"}, plan2
 
@@ -756,8 +752,6 @@ class TestNestedEvolutionPlans:
         a query touching only s.x reads struct<s:struct<x:bigint>> (not
         the whole evolved struct) and its filter lands in PushedFilters
         as s.x."""
-        import re as _re
-
         from hbase_to_mongo_export_spark.operators.merge import (
             ParquetMergeTable,
             src,

@@ -50,7 +50,7 @@ DOC_WORDS = [
     "join", "merge", "group", "filter", "shuffle", "read", "write", "plan",
     "key", "row", "file", "page", "block", "index", "cache",
 ]
-ORDERDATE_DAYS = 2404  # 1995-01-01 .. 2001-08-01
+ORDERDATE_DAYS = 2405  # 1995-01-01 .. 2001-08-01 INCLUSIVE (2405 offsets)
 EMB_DIM = 64
 
 

@@ -28,6 +28,7 @@ import argparse
 import json
 import math
 import os
+import statistics
 import sys
 import time
 
@@ -99,8 +100,7 @@ def main() -> None:
         fn = qmap[name]
         lo = timed(fn, args.lo_dir)
         hi = timed(fn, args.hi_dir)
-        lo_m = sorted(lo)[len(lo) // 2] if len(lo) % 2 else sum(sorted(lo)[len(lo)//2-1:len(lo)//2+1]) / 2
-        hi_m = sorted(hi)[len(hi) // 2] if len(hi) % 2 else sum(sorted(hi)[len(hi)//2-1:len(hi)//2+1]) / 2
+        lo_m, hi_m = statistics.median(lo), statistics.median(hi)
         out[name] = {
             "lo": lo,
             "hi": hi,
