@@ -665,7 +665,10 @@ def _parquet_file_meta(path: str) -> tuple[int, dict]:
     stats_parsed / Iceberg manifests) carries, at the cost of one footer
     read per NEWLY ADDED file per commit. Covers int/float/bool, date,
     timestamp (normalized to the naive-UTC timeline — Spark writes
-    UTC-adjusted micros) and strings (truncated per ``_enc_bound``).
+    UTC-adjusted micros) and strings (truncated per ``_enc_bound``),
+    at the TOP level and on nested STRUCT leaves ("s.x" — Delta
+    collects nested stats too; paths under a repeated group are
+    per-element and never skip).
     A column's stats are kept ONLY when every row group contributed
     min/max: a row group without statistics (legal parquet, e.g. some
     non-Spark writers, or INT96 timestamps) would make the recorded
@@ -679,6 +682,17 @@ def _parquet_file_meta(path: str) -> tuple[int, dict]:
     mins: dict[str, object] = {}
     maxs: dict[str, object] = {}
     seen: dict[str, int] = {}
+    # nested STRUCT leaves participate in skipping (Delta collects
+    # nested stats too): a pure struct chain like "s.x" has
+    # max_repetition_level 0; anything under a repeated group (array
+    # element, map key/value — "arr.list.element.q") is per-ELEMENT,
+    # not per-row, so a row-level interval check over it is
+    # meaningless and those stay excluded.
+    repeated = {
+        md.schema.column(i).path
+        for i in range(md.num_columns)
+        if md.schema.column(i).max_repetition_level > 0
+    }
     for rg in range(md.num_row_groups):
         row_group = md.row_group(rg)
         for ci in range(row_group.num_columns):
@@ -687,7 +701,7 @@ def _parquet_file_meta(path: str) -> tuple[int, dict]:
             if st is None or not st.has_min_max:
                 continue
             name = col.path_in_schema
-            if "." in name:  # nested fields don't participate in skipping
+            if name in repeated:
                 continue
             lo, hi = st.min, st.max
             try:
@@ -1785,11 +1799,18 @@ class ParquetMergeTable:
         """Rewrite skip-conjunct column names logical → physical: the
         manifest's per-file stats are keyed by the footer's (physical)
         names, so data skipping keeps working across renames with no
-        stats rebuild."""
+        stats rebuild. For a NESTED path ("s.x") only the top-level
+        segment maps — nested fields keep identity physical names (the
+        rename/drop API is top-level only)."""
         if not mapping:
             return skip
         md = dict(mapping)
-        return [(md.get(c, c), op, val) for c, op, val in skip]
+
+        def phys(c: str) -> str:
+            head, dot, rest = c.partition(".")
+            return md.get(head, head) + dot + rest
+
+        return [(phys(c), op, val) for c, op, val in skip]
 
     # -- idempotent-writer (txnAppId/txnVersion) plumbing --------------------
     @staticmethod
@@ -2137,11 +2158,29 @@ class ParquetMergeTable:
 
         from pyspark.sql.types import TimestampNTZType
 
+        from pyspark.sql.types import StructType
+
+        def _leaf_type(path: str):
+            """Resolve a (possibly dotted struct) path to its leaf type;
+            None when the schema is untracked or the path doesn't
+            resolve (then the conjunct just compiles type-unaware)."""
+            if schema is None:
+                return None
+            t = schema
+            for seg in path.split("."):
+                if not isinstance(t, StructType):
+                    return None
+                try:
+                    t = t[seg].dataType
+                except KeyError:
+                    return None
+            return t
+
         ntz_cols = (
             {
-                f.name
-                for f in schema.fields
-                if isinstance(f.dataType, TimestampNTZType)
+                c
+                for c, _op, _v in where
+                if isinstance(_leaf_type(c), TimestampNTZType)
             }
             if schema is not None
             else set()

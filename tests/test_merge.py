@@ -4153,3 +4153,54 @@ class TestStoreAssignByName:
         assert {r["id"]: r["s"].asDict() for r in t.read().collect()}[2] == {
             "x": 20, "y": 201,
         }
+
+
+class TestNestedDataSkipping:
+    """Footer stats on nested STRUCT leaves (Delta collects these too):
+    a ("s.x", op, lit) conjunct prunes files without opening them,
+    array-element/map-value paths never participate (per-element stats
+    are meaningless for a row-level interval check), and a top-level
+    RENAME keeps nested skipping alive via the physical head segment."""
+
+    def _tbl(self, spark, tmp_path):
+        t = ParquetMergeTable(spark, str(tmp_path / "tbl"))
+        rows = [(i, (i * 10, f"y{i}"), [(i,)]) for i in range(100)]
+        t.create(
+            spark.createDataFrame(
+                rows,
+                "id bigint, s struct<x:int,y:string>, "
+                "arr array<struct<q:int>>",
+            ).repartitionByRange(4, F.col("id")).sortWithinPartitions("id")
+        )
+        return t
+
+    def test_nested_leaf_stats_recorded_repeated_paths_not(
+        self, spark, tmp_path
+    ):
+        t = self._tbl(spark, tmp_path)
+        m = t._manifest(t.current_version())
+        stats = m["file_stats"][m["files"][0]]
+        assert "s.x" in stats and "s.y" in stats and "id" in stats
+        assert not any(k.startswith("arr") for k in stats)
+
+    def test_nested_predicate_skips_files_and_stays_exact(
+        self, spark, tmp_path
+    ):
+        t = self._tbl(spark, tmp_path)
+        got = {r["id"] for r in t.read(where=[("s.x", ">=", 900)]).collect()}
+        assert got == {i for i in range(100) if i * 10 >= 900}
+        # the tuple-form delete reports its pruned scan: the clustered
+        # layout (s.x correlates with the range-cluster key) means the
+        # top-range conjunct opens a strict subset of the 4 files
+        stats = t.delete_where([("s.x", ">=", 900)])
+        assert stats["rows_deleted"] == 10
+        assert stats["files_scanned"] < 4
+
+    def test_nested_skipping_survives_top_level_rename(self, spark, tmp_path):
+        t = self._tbl(spark, tmp_path)
+        t.rename_column("s", "info")
+        got = {r["id"] for r in t.read(where=[("info.x", "<", 100)]).collect()}
+        assert got == set(range(10))
+        stats = t.delete_where([("info.x", "<", 100)])
+        assert stats["rows_deleted"] == 10
+        assert stats["files_scanned"] < 4
