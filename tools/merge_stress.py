@@ -96,7 +96,7 @@ def _proc_writer(
                 F.col("id").alias("l_partkey"),
                 F.lit(1.0).alias("l_quantity"),
                 F.lit(1.0).alias("l_extendedprice"),
-                F.col("id").alias("key"),
+                F.col("id").cast("int").alias("key"),
             )
             h.append(df, txn_app_id=f"w{w}", txn_version=b)
     finally:
@@ -369,7 +369,7 @@ def main() -> None:
                                 F.col("id").alias("l_partkey"),
                                 F.lit(1.0).alias("l_quantity"),
                                 F.lit(1.0).alias("l_extendedprice"),
-                                F.col("id").alias("key"),
+                                F.col("id").cast("int").alias("key"),
                             )
                             h.append(df, txn_app_id=f"w{w}", txn_version=b)
                     except Exception as e:  # pragma: no cover
