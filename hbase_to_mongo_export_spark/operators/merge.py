@@ -693,15 +693,23 @@ def _parquet_file_meta(path: str) -> tuple[int, dict]:
         for i in range(md.num_columns)
         if md.schema.column(i).max_repetition_level > 0
     }
+    nulls: dict[str, int] = {}
+    nulls_seen: dict[str, int] = {}
     for rg in range(md.num_row_groups):
         row_group = md.row_group(rg)
         for ci in range(row_group.num_columns):
             col = row_group.column(ci)
             st = col.statistics
-            if st is None or not st.has_min_max:
-                continue
             name = col.path_in_schema
-            if name in repeated:
+            if name in repeated or st is None:
+                continue
+            # null counts power IS [NOT] NULL skipping (Delta's
+            # nullCount) — tracked independently of min/max, because an
+            # ALL-NULL column has no bounds but the strongest null info
+            if st.has_null_count:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+                nulls_seen[name] = nulls_seen.get(name, 0) + 1
+            if not st.has_min_max:
                 continue
             lo, hi = st.min, st.max
             try:
@@ -719,11 +727,23 @@ def _parquet_file_meta(path: str) -> tuple[int, dict]:
         hi = _enc_bound(maxs[c], is_max=True)
         if lo is not None and hi is not None:
             stats[c] = [lo, hi]
+    # entry shapes: [lo, hi] (no null info — legacy and partial
+    # coverage), [lo, hi, has_nulls, all_null], or
+    # [None, None, True, True] for an all-null column (no bounds exist,
+    # but a notnull conjunct can drop the whole file)
+    for c, total in nulls.items():
+        if nulls_seen.get(c) != md.num_row_groups:
+            continue  # partial null coverage → counts under-cover
+        has_nulls, all_null = total > 0, total == md.num_rows
+        if c in stats:
+            stats[c] = stats[c] + [has_nulls, all_null]
+        elif all_null:
+            stats[c] = [None, None, True, True]
     return md.num_rows, stats
 
 
 #: data-skipping conjunct operators → (uses_min, uses_max) can-match rule
-_SKIP_OPS = {"=", "<", "<=", ">", ">=", "in"}
+_SKIP_OPS = {"=", "<", "<=", ">", ">=", "in", "isnull", "notnull"}
 
 
 def _file_can_match(stats: dict | None, conjuncts: list[tuple]) -> bool:
@@ -737,6 +757,16 @@ def _file_can_match(stats: dict | None, conjuncts: list[tuple]) -> bool:
     for col, op, val in conjuncts:
         rng = stats.get(col)
         if rng is None:
+            continue
+        if op in ("isnull", "notnull"):
+            # null-count rule (Delta nullCount skipping): entries
+            # without the [has_nulls, all_null] suffix (legacy manifests
+            # or partial footer coverage) never prune
+            if len(rng) >= 4:
+                if op == "isnull" and rng[2] is False:
+                    return False  # zero nulls — IS NULL can't match
+                if op == "notnull" and rng[3] is True:
+                    return False  # all null — IS NOT NULL can't match
             continue
         lo, hi = _dec_bound(rng[0]), _dec_bound(rng[1])
         if lo is None or hi is None:
@@ -2190,6 +2220,9 @@ class ParquetMergeTable:
             raise MergeError(f"unsupported data-skipping operator(s): {bad}")
         skip = []
         for c, op, val in where:
+            if op in ("isnull", "notnull"):
+                skip.append((c, op, None))
+                continue
             lit_of = (
                 self._skip_literal_ntz if c in ntz_cols else self._skip_literal
             )
@@ -2219,6 +2252,10 @@ class ParquetMergeTable:
             return F.lit(v)
 
         def _residual_of(c, op, val):
+            if op == "isnull":
+                return F.col(c).isNull()
+            if op == "notnull":
+                return F.col(c).isNotNull()
             if op == "in":
                 if not val:
                     return F.lit(False)
@@ -2241,9 +2278,10 @@ class ParquetMergeTable:
         as_of_timestamp: float | None = None,
     ) -> DataFrame:
         """Read a version. ``where`` — an optional conjunction of
-        ``(column, op, literal)`` tuples, op in {=, <, <=, >, >=, in}
-        (``in`` takes a list literal: the multi-tenant / blocked-topics
-        predicate shape) — turns on DATA SKIPPING: files whose manifest
+        ``(column, op, literal)`` tuples, op in {=, <, <=, >, >=, in,
+        isnull, notnull} (``in`` takes a list literal: the multi-tenant
+        / blocked-topics predicate shape; the unary null ops take a
+        None literal and skip on footer null counts — Delta nullCount) — turns on DATA SKIPPING: files whose manifest
         [min, max] stats
         cannot satisfy every conjunct are dropped from the scan WITHOUT
         opening them (Delta stats-based pruning / Iceberg manifest

@@ -1273,8 +1273,9 @@ class TestTypedDataSkipping:
         _, stats = _parquet_file_meta(p)
         assert "y" in stats
         # a NaN bound poisons interval logic → the column must not skip
+        # bounds live at [0:2]; [2:] is the null-flag suffix (booleans)
         assert "x" not in stats or all(
-            isinstance(b, float) and b == b for b in stats["x"]
+            isinstance(b, float) and b == b for b in stats["x"][:2]
         )
 
 
@@ -4204,3 +4205,71 @@ class TestNestedDataSkipping:
         stats = t.delete_where([("info.x", "<", 100)])
         assert stats["rows_deleted"] == 10
         assert stats["files_scanned"] < 4
+
+
+class TestNullCountSkipping:
+    """IS [NOT] NULL data skipping via footer null counts (Delta's
+    nullCount stats): a no-nulls file prunes for isnull, an all-null
+    column prunes for notnull (even though it has NO min/max bounds),
+    and legacy 2-element stat entries never prune for null ops."""
+
+    def _tbl(self, spark, tmp_path):
+        t = ParquetMergeTable(spark, str(tmp_path / "tbl"))
+        # file A (ids 0-49): v fully populated; file B (ids 50-99):
+        # v entirely NULL — written as two range-clustered files
+        rows = [(i, float(i) if i < 50 else None) for i in range(100)]
+        t.create(
+            spark.createDataFrame(rows, "id bigint, v double")
+            .repartitionByRange(2, F.col("id"))
+            .sortWithinPartitions("id")
+        )
+        return t
+
+    def test_stats_carry_null_flags(self, spark, tmp_path):
+        t = self._tbl(spark, tmp_path)
+        m = t._manifest(t.current_version())
+        by_file = [m["file_stats"][f].get("v") for f in sorted(m["files"])]
+        shapes = sorted(
+            (None if e is None else (e[2], e[3])) for e in by_file
+        )
+        # one file: no nulls; the other: all null (bounds None but flags
+        # present)
+        assert shapes == [(False, False), (True, True)]
+
+    def test_isnull_and_notnull_prune_and_stay_exact(self, spark, tmp_path):
+        t = self._tbl(spark, tmp_path)
+        assert {
+            r["id"] for r in t.read(where=[("v", "isnull", None)]).collect()
+        } == set(range(50, 100))
+        assert {
+            r["id"] for r in t.read(where=[("v", "notnull", None)]).collect()
+        } == set(range(50))
+        # pruning is observable through the tuple-form delete scan
+        s1 = t.delete_where([("v", "isnull", None)])
+        assert s1["rows_deleted"] == 50 and s1["files_scanned"] == 1
+        s2 = t.delete_where([("v", "notnull", None)])
+        assert s2["rows_deleted"] == 50 and s2["files_scanned"] == 1
+
+    def test_legacy_two_element_stats_never_prune_null_ops(
+        self, spark, tmp_path
+    ):
+        from hbase_to_mongo_export_spark.operators.merge import (
+            _file_can_match,
+        )
+
+        legacy = {"v": [1.0, 9.0]}
+        assert _file_can_match(legacy, [("v", "isnull", None)])
+        assert _file_can_match(legacy, [("v", "notnull", None)])
+
+    def test_nested_leaf_null_skipping(self, spark, tmp_path):
+        t = ParquetMergeTable(spark, str(tmp_path / "ntbl"))
+        rows = [
+            (i, (i, None) if i >= 50 else (i, f"y{i}")) for i in range(100)
+        ]
+        t.create(
+            spark.createDataFrame(rows, "id bigint, s struct<x:int,y:string>")
+            .repartitionByRange(2, F.col("id"))
+            .sortWithinPartitions("id")
+        )
+        stats = t.delete_where([("s.y", "notnull", None)])
+        assert stats["rows_deleted"] == 50 and stats["files_scanned"] == 1
