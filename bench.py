@@ -96,6 +96,9 @@ BENCH_QUERIES = [
     # round 8: type widening — carried narrow files read through the
     # parquet reader's native promotion under the manifest schema
     "merge_type_widening",
+    # round 10: WHEN NOT MATCHED BY SOURCE — the one-commit sync shape
+    # (matched update + insert + tuple-pruned by-source delete/update)
+    "merge_sync_not_matched_by_source",
 ]
 
 

@@ -124,6 +124,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     block_col: str | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """EXACT pairwise Jaccard over word n-gram shingle sets, computed via an
     inverted-index self-join: explode shingles, equi-join on (block,
@@ -133,6 +134,18 @@ def ngram_jaccard_pairs(
     Σ_shingle df(shingle)² instead of |block|². High-document-frequency
     shingles (boilerplate) are the skew hazard at 100 TB; AQE skew-join
     splits them, and near-universal shingles should be stop-listed upstream.
+
+    ``max_df`` is that stop-list, in-operator and ABSOLUTE: postings for
+    shingles whose document frequency (within a block) exceeds it are
+    dropped BEFORE the self-join, bounding each shingle's join
+    contribution to max_df² — the guard that keeps a boilerplate-
+    degenerate shard (every doc sharing a header shingle: df ∝ N,
+    join rows ∝ N²) from going super-linear. The intersection count can
+    only UNDERCOUNT on capped shingles while |A|/|B| stay full, so the
+    reported jaccard is a lower bound: pairs never false-positive, and
+    recall loss is confined to pairs whose overlap is mostly
+    boilerplate (measured at a sweep point in SCALE_EVIDENCE.md §4).
+    Default ``None`` (off) stays exact for oracle parity.
     """
     assert threshold > 0.0, "inverted-index formulation requires threshold > 0"
     block = block_col or "__block"
@@ -148,7 +161,19 @@ def ngram_jaccard_pairs(
     # observed failure mode in SCALE_EVIDENCE.md §1).
     inv = base.select(
         F.col(id_col), F.col(block), F.explode("sh").alias("s")
-    ).hint("merge")
+    )
+    if max_df is not None:
+        # shingles are distinct per doc, so the posting count IS the
+        # document frequency; one aggregate + semi-join drops the
+        # ubiquitous shingles' postings (both sides of the self-join)
+        rare = (
+            inv.groupBy(block, "s")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= int(max_df))
+            .select(block, "s")
+        )
+        inv = inv.join(rare.hint("merge"), [block, "s"], "semi")
+    inv = inv.hint("merge")
     a, b = inv.alias("a"), inv.alias("b")
     common = (
         a.join(

@@ -36,7 +36,12 @@ behavior with Spark primitives so its mechanics are visible and testable:
   corpus-sized broadcast (the OOM class SCALE_EVIDENCE.md §1 measured).
 - **row-level semantics** (SQL:2003 MERGE / Delta MERGE INTO):
   WHEN MATCHED [AND cond] THEN UPDATE / DELETE,
-  WHEN NOT MATCHED THEN INSERT. Duplicate source keys are rejected
+  WHEN NOT MATCHED THEN INSERT, and WHEN NOT MATCHED BY SOURCE
+  [AND cond] THEN UPDATE / DELETE (Delta's third clause family —
+  target rows with no source match; conditions see TARGET columns
+  only, which makes a single atomic MERGE the sync-from-snapshot /
+  retention shape that otherwise needs a merge + delete_where pair).
+  Duplicate source keys are rejected
   (the same multi-match ambiguity Delta raises as an error). Join keys
   compare with plain (null-unsafe) equality — Delta's ON semantics — so
   the matched set, the pruning semi-join, and the insert anti-join all
@@ -291,10 +296,15 @@ def _merge_types(
     widens the table type; a struct field present only in the source is
     ADDED at the end of the table struct — both gated on
     ``allow_evolution`` (merge/append ``schema_evolution=True``). A
-    struct field present only in the TABLE stays (the source fills it
-    with NULL). Arrays recurse on the element, maps on the value (keys
-    must match exactly — the parquet reader promotes values, not keys).
-    Incompatible leaves raise with the full nested path.
+    struct field present only in the TABLE also gates on
+    ``allow_evolution``: with it, the source NULL-fills the field
+    (Delta autoMerge); without it, the omission raises — an ungated
+    NULL-fill would let a source that silently dropped a nested field
+    erase existing data through an ``UPDATE SET s = src(s)`` with no
+    error at the point of cause. Arrays recurse on the element, maps on
+    the value (keys must match exactly — the parquet reader promotes
+    values, not keys). Incompatible leaves raise with the full nested
+    path.
 
     Nested fields keep IDENTITY physical names even under a top-level
     column mapping: this table's rename/drop API is top-level only, so
@@ -310,6 +320,12 @@ def _merge_types(
         fields = []
         for f in tbl_t.fields:
             st = src_map.pop(f.name, None)
+            if st is None and not allow_evolution:
+                raise MergeError(
+                    f"{context}: source omits nested field '{path}.{f.name}' "
+                    f"({f.dataType.simpleString()}) — writing it would "
+                    f"silently NULL the field; include it or {hint}"
+                )
             nt = (
                 f.dataType
                 if st is None
@@ -416,11 +432,17 @@ def _conform_expr(col: Column, src_t, tgt_t) -> Column:
     return col.cast(tgt_t)
 
 
-def _assert_assignable(src_t, tgt_t, context: str, path: str) -> None:
+def _assert_assignable(
+    src_t, tgt_t, context: str, path: str, allow_missing: bool = False
+) -> None:
     """Reject a nested store-assignment that would silently DROP data:
     a source struct field the target lacks has nowhere to go (ANSI
     store assignment errors on unknown fields; schema evolution is the
-    explicit opt-in path for new fields, not an update expression)."""
+    explicit opt-in path for new fields, not an update expression) —
+    and, unless ``allow_missing``, a TARGET field the expression lacks
+    would silently NULL existing data (Delta/ANSI store assignment
+    errors on omitted nested fields; ``schema_evolution=True`` is the
+    autoMerge opt-in that NULL-fills instead)."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     if isinstance(src_t, StructType) and isinstance(tgt_t, StructType):
@@ -433,20 +455,35 @@ def _assert_assignable(src_t, tgt_t, context: str, path: str) -> None:
                     "store assignment cannot drop or add fields"
                 )
             _assert_assignable(
-                f.dataType, tgt_map[f.name], context, f"{path}.{f.name}"
+                f.dataType, tgt_map[f.name], context, f"{path}.{f.name}",
+                allow_missing,
             )
+        if not allow_missing:
+            src_names = {f.name for f in src_t.fields}
+            for f in tgt_t.fields:
+                if f.name not in src_names:
+                    raise MergeError(
+                        f"{context}: expression omits nested field "
+                        f"'{path}.{f.name}' — the assignment would "
+                        "silently NULL existing data; include the field "
+                        "or pass schema_evolution=True to NULL-fill "
+                        "(Delta autoMerge semantics)"
+                    )
     elif isinstance(src_t, ArrayType) and isinstance(tgt_t, ArrayType):
         _assert_assignable(
-            src_t.elementType, tgt_t.elementType, context, f"{path}[]"
+            src_t.elementType, tgt_t.elementType, context, f"{path}[]",
+            allow_missing,
         )
     elif isinstance(src_t, MapType) and isinstance(tgt_t, MapType):
         _assert_assignable(
-            src_t.valueType, tgt_t.valueType, context, f"{path}{{}}"
+            src_t.valueType, tgt_t.valueType, context, f"{path}{{}}",
+            allow_missing,
         )
 
 
 def _store_assign_expr(scope_df: DataFrame, expr: Column, tgt_t,
-                       context: str, path: str) -> Column:
+                       context: str, path: str,
+                       allow_missing: bool = False) -> Column:
     """ANSI store-assignment of an arbitrary expression to a column's
     (possibly evolved) type — BY NAME for nested shapes. A bare
     ``expr.cast(struct)`` pairs struct fields POSITIONALLY: an update
@@ -455,9 +492,12 @@ def _store_assign_expr(scope_df: DataFrame, expr: Column, tgt_t,
     pre-evolution arity would fail with an opaque cast error. This
     derives the expression's type from an analysis-only select (driver
     cost, no job), errors on fields the target lacks (naming the full
-    nested path), NULL-fills target fields the expression lacks, and
-    rebuilds structs by name; scalars keep the plain ANSI cast (an
-    unsafe narrowing still fails loudly at runtime)."""
+    nested path), and rebuilds structs by name; scalars keep the plain
+    ANSI cast (an unsafe narrowing still fails loudly at runtime).
+    Target fields the expression LACKS are gated by ``allow_missing``
+    (the caller's ``schema_evolution`` flag — Delta autoMerge): gated
+    off, the omission raises naming the nested path; gated on, the
+    field NULL-fills."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     src_t = scope_df.select(expr.alias("__sa")).schema[0].dataType
@@ -466,7 +506,7 @@ def _store_assign_expr(scope_df: DataFrame, expr: Column, tgt_t,
     if isinstance(tgt_t, (StructType, ArrayType, MapType)) and isinstance(
         src_t, (StructType, ArrayType, MapType)
     ):
-        _assert_assignable(src_t, tgt_t, context, path)
+        _assert_assignable(src_t, tgt_t, context, path, allow_missing)
         return _conform_expr(expr, src_t, tgt_t)
     return expr.cast(tgt_t)
 
@@ -729,16 +769,19 @@ def _parquet_file_meta(path: str) -> tuple[int, dict]:
             stats[c] = [lo, hi]
     # entry shapes: [lo, hi] (no null info — legacy and partial
     # coverage), [lo, hi, has_nulls, all_null], or
-    # [None, None, True, True] for an all-null column (no bounds exist,
-    # but a notnull conjunct can drop the whole file)
+    # [None, None, has_nulls, all_null] when null coverage is complete
+    # but no usable bounds exist (all-null column, oversized-string
+    # bounds _enc_bound refuses, partial min/max coverage): a
+    # has_nulls=False file still prunes IS NULL, an all_null file
+    # still prunes IS NOT NULL — null skipping never needed bounds
     for c, total in nulls.items():
         if nulls_seen.get(c) != md.num_row_groups:
             continue  # partial null coverage → counts under-cover
         has_nulls, all_null = total > 0, total == md.num_rows
         if c in stats:
             stats[c] = stats[c] + [has_nulls, all_null]
-        elif all_null:
-            stats[c] = [None, None, True, True]
+        else:
+            stats[c] = [None, None, has_nulls, all_null]
     return md.num_rows, stats
 
 
@@ -975,6 +1018,24 @@ class ConditionalPutLogStore(LogStore):
         self._rtt()
         with open(path, "rb") as f:
             return f.read()
+
+
+def _reject_dotted(names, context: str) -> None:
+    """Dotted TOP-LEVEL column names are rejected at every point a name
+    enters the table schema (create / evolution / rename): per-file
+    stats key nested leaves by their parquet dot-joined path ("s.x"),
+    so a top-level column literally named "s.x" would be
+    indistinguishable from a nested leaf and data skipping could
+    misroute its conjuncts (resolve the head segment "s" instead).
+    Rejecting at the boundary keeps the stats keyspace unambiguous."""
+    bad = sorted(n for n in names if "." in n)
+    if bad:
+        raise MergeError(
+            f"{context}: top-level column name(s) {bad} contain '.' — "
+            "dotted names collide with the nested-leaf stats keyspace "
+            "(file stats address struct leaves as 'parent.child'); "
+            "rename the column without a dot"
+        )
 
 
 def src(name: str) -> Column:
@@ -1488,12 +1549,14 @@ class ParquetMergeTable:
         """Align an incoming dataframe's column types with the table's,
         recursing into struct/array/map (Delta mergeSchema nesting): a
         source leaf safely NARROWER than the table upcasts silently
-        (lossless — Delta's implicit assignment cast) and a nested field
-        the source LACKS fills with NULL — both ungated; a source leaf
-        safely WIDER (type widening) or a nested field the TABLE lacks
-        (nested add) evolves the table type when ``allow_widening``,
-        else raises naming the nested path and the fix; incompatible
-        types always raise. Returns ``(coerced_df, widen_map)`` where
+        (lossless — Delta's implicit assignment cast, ungated); a
+        nested field the source LACKS NULL-fills only under
+        ``allow_widening`` (Delta autoMerge — ungated it would silently
+        erase nested data through an update clause), else raises; a
+        source leaf safely WIDER (type widening) or a nested field the
+        TABLE lacks (nested add) evolves the table type when
+        ``allow_widening``, else raises naming the nested path and the
+        fix; incompatible types always raise. Returns ``(coerced_df, widen_map)`` where
         ``widen_map`` is {column: new evolved DataType} for the table to
         record — an entry may be a widened scalar OR a struct with
         added/widened nested fields; carried files read through the
@@ -1749,6 +1812,7 @@ class ParquetMergeTable:
             raise MergeError(f"no such column: '{old}'")
         if new in logical:
             raise MergeError(f"column '{new}' already exists")
+        _reject_dotted([new], "rename_column")
         refs = self._constraint_references(m.get("constraints", {}), old)
         if refs:
             raise MergeError(
@@ -1875,6 +1939,7 @@ class ParquetMergeTable:
 
     # -- public API --------------------------------------------------------
     def create(self, df: DataFrame, max_records_per_file: int | None = None) -> int:
+        _reject_dotted(df.columns, "create")
         files = self._stage_files(df, max_records_per_file)
         return self._commit(
             None, files, "create", {"files_written": len(files)},
@@ -1933,6 +1998,8 @@ class ParquetMergeTable:
                 f"column(s) {lacking}"
             )
         extra = [c for c in df.columns if c not in set(table_cols)]
+        if extra and schema_evolution:
+            _reject_dotted(extra, "append schema evolution")
         if extra and not schema_evolution:
             raise MergeError(
                 f"append schema mismatch: dataframe has new column(s) "
@@ -2563,6 +2630,9 @@ class ParquetMergeTable:
         when_matched_update_condition: Column | None = None,
         insert_condition: Column | None = None,
         when_not_matched_insert: dict[str, Column] | None = None,
+        when_not_matched_by_source_update: dict[str, Column] | None = None,
+        when_not_matched_by_source_update_condition: Column | list | None = None,
+        when_not_matched_by_source_delete: Column | list | None = None,
         txn_app_id: str | None = None,
         txn_version: int | None = None,
     ) -> dict:
@@ -2582,6 +2652,26 @@ class ParquetMergeTable:
         (...)``) — both evaluate over the PLAIN source columns (no
         ``src()`` prefix): insert clauses see the source relation itself,
         not a join. Returns commit stats.
+
+        ``WHEN NOT MATCHED BY SOURCE`` (Delta's third clause family —
+        the sync-from-snapshot / retention shape): TARGET rows with no
+        source match first check ``when_not_matched_by_source_delete``
+        (a boolean condition over TARGET columns only — ``F.lit(True)``
+        deletes every unmatched target row, the full-snapshot sync);
+        survivors with ``when_not_matched_by_source_update`` apply the
+        mapping (target-column expressions only), gated by
+        ``when_not_matched_by_source_update_condition``. Source columns
+        are rejected at analysis time (Delta's rule — they are
+        definitionally NULL for these rows). Both conditions also
+        accept the ``(col, op, literal)`` tuple-conjunction shape
+        (``delete_where``'s): the tuple form DATA-SKIPS the victim
+        scan — files whose manifest stats cannot contain a firing row
+        are never opened, so a retention merge over a date-clustered
+        100 TB table opens the stale slice, not the table. An opaque
+        Column (or an unconditional clause) scans every candidate file
+        once, key-columns-only, to find the files that actually need
+        rewriting. CDF: by-source deletes emit ``delete`` rows,
+        by-source updates pre/post-image pairs, same as matched.
 
         ``schema_evolution`` (Delta ``autoMerge``): source columns absent
         from the table become new table columns — rewritten/inserted
@@ -2658,15 +2748,150 @@ class ParquetMergeTable:
         n_src_keys = key_stats["n_keys"] or 0
         small_src = n_src_keys <= self.BROADCAST_MAX_SOURCE_ROWS
 
+        # -- WHEN NOT MATCHED BY SOURCE prep ------------------------------
+        bs_update = when_not_matched_by_source_update
+        bs_delete = when_not_matched_by_source_delete
+        bs_upd_cond = when_not_matched_by_source_update_condition
+        by_source = bs_update is not None or bs_delete is not None
+        if bs_upd_cond is not None and bs_update is None:
+            raise MergeError(
+                "merge: when_not_matched_by_source_update_condition given "
+                "without when_not_matched_by_source_update"
+            )
+        # tuple-conjunction conditions compile to (residual, skip) like
+        # delete_where: the residual is the exact row filter, the skip
+        # conjuncts prune the victim scan's candidate files by stats.
+        # An opaque Column (or an unconditional update clause) can't be
+        # introspected, so that clause's candidates are ALL files.
+        bs_prunable = by_source
+        bs_skip_lists: list[list] = []
+        if bs_delete is not None:
+            if isinstance(bs_delete, (list, tuple)):
+                bs_delete, _skip = self._predicate(
+                    list(bs_delete), self._table_schema(m)
+                )
+                bs_skip_lists.append(_skip)
+            else:
+                bs_prunable = False
+        if bs_update is not None:
+            if isinstance(bs_upd_cond, (list, tuple)):
+                bs_upd_cond, _skip = self._predicate(
+                    list(bs_upd_cond), self._table_schema(m)
+                )
+                bs_skip_lists.append(_skip)
+            else:
+                bs_prunable = False
+        if by_source:
+            # Delta's rule: by-source clauses see TARGET columns only
+            # (source columns are definitionally NULL for these rows) —
+            # enforced at analysis time against a schema-only frame, so
+            # a src() reference fails loudly here instead of silently
+            # evaluating NULL per-row.
+            from pyspark.sql.types import StructField, StructType
+
+            _bs_new = (
+                [c for c in source.columns if c not in read_schema.fieldNames()]
+                if schema_evolution
+                else []
+            )
+            _src_t = {f.name: f.dataType for f in source.schema.fields}
+            bs_scope = spark.createDataFrame(
+                [],
+                StructType(
+                    list(read_schema.fields)
+                    + [StructField(c, _src_t[c], True) for c in _bs_new]
+                ),
+            )
+            _bs_exprs = [
+                ("when_not_matched_by_source_update", e)
+                for e in (bs_update or {}).values()
+            ]
+            if bs_delete is not None:
+                _bs_exprs.append(("when_not_matched_by_source_delete", bs_delete))
+            if bs_upd_cond is not None:
+                _bs_exprs.append(
+                    ("when_not_matched_by_source_update_condition", bs_upd_cond)
+                )
+            for _label, _e in _bs_exprs:
+                try:
+                    bs_scope.select(_e)
+                except Exception as exc:
+                    raise MergeError(
+                        f"merge: {_label} must reference target columns "
+                        "only — source columns are NULL for rows with no "
+                        f"source match (Delta's rule): {exc}"
+                    ) from None
+
         # 2) file pruning: which data files contain matched LIVE keys?
         # Reads only the key columns (+ hidden position cols); pending
         # deletion vectors are applied so a MoR-deleted row can't match.
+        # A merge with NO matched clause skips this pass entirely — its
+        # matched rows carry unchanged, so rewriting their files would
+        # be an identity rewrite (the by-source-delete-only sync shape
+        # must not rewrite the matched bulk of the table).
         abs_to_orig = {os.path.abspath(f): f for f in all_files}
         live = self._live_scan(m)
-        touched = sorted(
-            abs_to_orig.get(r["_file"], r["_file"])
-            for r in self._pruning_df(live, source, on, small_src).collect()
-        )
+        if when_matched_update or when_matched_delete is not None:
+            touched = sorted(
+                abs_to_orig.get(r["_file"], r["_file"])
+                for r in self._pruning_df(live, source, on, small_src).collect()
+            )
+        else:
+            touched = []
+
+        # 2b) by-source victim detection: files holding a LIVE target
+        # row with no source match that fires a by-source clause.
+        # Stats-level first (tuple conditions skip files like
+        # delete_where), then one row-level pass over the survivors —
+        # Catalyst prunes its ReadSchema to key + condition columns,
+        # since only `_file` is selected.
+        if by_source:
+            if bs_prunable:
+                fstats = m["file_stats"]
+                cand: list[str] = []
+                for f in all_files:
+                    if any(
+                        _file_can_match(
+                            fstats.get(f),
+                            self._physical_conjuncts(s, mapping),
+                        )
+                        for s in bs_skip_lists
+                    ):
+                        cand.append(f)
+            else:
+                cand = list(all_files)
+            stats_bs_candidates = len(cand)
+            cand = [f for f in cand if f not in set(touched)]
+            if cand:
+                fire_parts = []
+                if bs_delete is not None:
+                    fire_parts.append(F.coalesce(bs_delete, F.lit(False)))
+                if bs_update is not None:
+                    fire_parts.append(
+                        F.coalesce(bs_upd_cond, F.lit(False))
+                        if bs_upd_cond is not None
+                        else F.lit(True)
+                    )
+                fire_any = fire_parts[0]
+                for p in fire_parts[1:]:
+                    fire_any = fire_any | p
+                bs_live = self._scan(
+                    cand, pending_dels, was_mixed, m["delete_rows_total"],
+                    schema=read_schema, mapping=mapping,
+                )
+                src_keys = source.select(*on)
+                key_side = (
+                    F.broadcast(src_keys) if small_src else src_keys.hint("merge")
+                )
+                bs_victim_files = sorted(
+                    abs_to_orig.get(r["_file"], r["_file"])
+                    for r in bs_live.join(key_side, on, "anti")
+                    .filter(fire_any)
+                    .select("_file")
+                    .distinct()
+                    .collect()
+                )
+                touched = sorted(set(touched) | set(bs_victim_files))
         untouched = [f for f in all_files if f not in set(touched)]
 
         def _parts(d: str) -> list[str]:
@@ -2683,6 +2908,10 @@ class ParquetMergeTable:
             "files_touched": len(touched),
             "files_carried": len(untouched),
         }
+        if by_source:
+            # victim-scan pruning observability: how many files the
+            # stats-level cut left for the row-level detection pass
+            stats["files_by_source_candidates"] = stats_bs_candidates
         new_files: list[str] = list(untouched)
         target_cols = [f.name for f in read_schema.fields]
         tgt_types = {f.name: f.dataType for f in read_schema.fields}
@@ -2693,6 +2922,7 @@ class ParquetMergeTable:
             if schema_evolution
             else []
         )
+        _reject_dotted(new_cols, "merge schema evolution")
         src_types = {f.name: f.dataType for f in source.schema.fields}
         out_target_cols = target_cols + new_cols
         now_mixed = was_mixed or (
@@ -2750,13 +2980,31 @@ class ParquetMergeTable:
                 if when_matched_delete is not None
                 else F.lit(False)
             )
-            keep = ~del_fires
+            # by-source clauses: TARGET rows the join left unmatched.
+            # Delete first, then update — mirroring the matched family's
+            # clause order; both fold NULL conditions to FALSE.
+            bs_del_fires = (
+                ~matched & F.coalesce(bs_delete, F.lit(False))
+                if bs_delete is not None
+                else F.lit(False)
+            )
+            keep = ~del_fires & ~bs_del_fires
             # conditional update: WHEN MATCHED [AND cond] THEN UPDATE —
             # a matched row failing the condition carries unchanged
             upd_fires = (
                 matched & F.coalesce(when_matched_update_condition, F.lit(False))
                 if when_matched_update_condition is not None
                 else matched
+            )
+            bs_upd_fires = (
+                ~matched
+                & (
+                    F.coalesce(bs_upd_cond, F.lit(False))
+                    if bs_upd_cond is not None
+                    else F.lit(True)
+                )
+                if bs_update is not None
+                else F.lit(False)
             )
             # every update expression CASTS to its column's (possibly
             # widened) type — Delta's ANSI store-assignment: without it
@@ -2767,31 +3015,55 @@ class ParquetMergeTable:
             out_cols = []
             for c in target_cols:
                 upd = (when_matched_update or {}).get(c)
-                if upd is not None:
-                    upd = _store_assign_expr(
-                        joined, upd, tgt_types[c], "merge", c
-                    )
-                    out_cols.append(
-                        F.when(upd_fires, upd)
-                        .otherwise(F.col(c))
-                        .alias(c)
-                    )
-                else:
+                bs_upd = (bs_update or {}).get(c)
+                if upd is None and bs_upd is None:
                     out_cols.append(F.col(c))
+                    continue
+                w = None
+                if upd is not None:
+                    w = F.when(
+                        upd_fires,
+                        _store_assign_expr(
+                            joined, upd, tgt_types[c], "merge", c,
+                            allow_missing=schema_evolution,
+                        ),
+                    )
+                if bs_upd is not None:
+                    bexpr = _store_assign_expr(
+                        joined, bs_upd, tgt_types[c], "merge", c,
+                        allow_missing=schema_evolution,
+                    )
+                    w = (
+                        w.when(bs_upd_fires, bexpr)
+                        if w is not None
+                        else F.when(bs_upd_fires, bexpr)
+                    )
+                out_cols.append(w.otherwise(F.col(c)).alias(c))
             for c in new_cols:
                 upd = (when_matched_update or {}).get(c)
+                bs_upd = (bs_update or {}).get(c)
                 null = F.lit(None).cast(src_types[c])
+                w = None
+                if upd is not None:
+                    w = F.when(
+                        upd_fires,
+                        _store_assign_expr(
+                            joined, upd, src_types[c], "merge", c,
+                            allow_missing=schema_evolution,
+                        ),
+                    )
+                if bs_upd is not None:
+                    bexpr = _store_assign_expr(
+                        joined, bs_upd, src_types[c], "merge", c,
+                        allow_missing=schema_evolution,
+                    )
+                    w = (
+                        w.when(bs_upd_fires, bexpr)
+                        if w is not None
+                        else F.when(bs_upd_fires, bexpr)
+                    )
                 out_cols.append(
-                    (
-                        F.when(
-                            upd_fires,
-                            _store_assign_expr(
-                                joined, upd, src_types[c], "merge", c
-                            ),
-                        ).otherwise(null)
-                        if upd is not None
-                        else null
-                    ).alias(c)
+                    (w.otherwise(null) if w is not None else null).alias(c)
                 )
             rewritten = joined.filter(keep).select(*out_cols)
             new_files += self._stage_files(
@@ -2802,15 +3074,19 @@ class ParquetMergeTable:
             # touched files only, so the extra passes never scan the
             # carried bulk of the table.
             pieces: list[DataFrame] = []
-            if when_matched_delete is not None:
+            if when_matched_delete is not None or bs_delete is not None:
                 pieces.append(
-                    joined.filter(del_fires)
+                    joined.filter(del_fires | bs_del_fires)
                     .select(*target_cols)
                     .withColumn(CHANGE_TYPE, F.lit("delete"))
                 )
-            if when_matched_update:
-                # change rows only for rows the update actually touched
-                upd_rows = joined.filter(upd_fires & keep)
+            if when_matched_update or bs_update:
+                # change rows only for rows an update actually touched —
+                # matched and by-source fire conditions are disjoint
+                # (matched vs not), so one filtered pass covers both
+                m_upd = upd_fires if when_matched_update else F.lit(False)
+                b_upd = bs_upd_fires if bs_update else F.lit(False)
+                upd_rows = joined.filter((m_upd | b_upd) & keep)
                 pieces.append(
                     upd_rows.select(*target_cols)
                     .withColumn(CHANGE_TYPE, F.lit("update_preimage"))
@@ -2862,7 +3138,8 @@ class ParquetMergeTable:
                     # not drift the staged files from the schema; nested
                     # shapes assign BY NAME (_store_assign_expr)
                     return _store_assign_expr(
-                        unmatched, ins_map[c], col_t, "merge insert", c
+                        unmatched, ins_map[c], col_t, "merge insert", c,
+                        allow_missing=schema_evolution,
                     ).alias(c)
                 if c in source.columns:
                     return F.col(c)

@@ -360,6 +360,7 @@ def tfidf_cosine_pairs(
     threshold: float = 0.3,
     max_df_ratio: float = 0.5,
     n: int = 1,
+    max_df_count: int | None = None,
 ) -> DataFrame:
     """Sparse TF-IDF cosine similarity join via an inverted index, with
     EXACT-DECIMAL dot products so the result is bit-stable across
@@ -386,7 +387,19 @@ def tfidf_cosine_pairs(
 
     ``n`` sets the term granularity: n=1 scores shared vocabulary, n>=2
     scores shared phrasing (and keeps dfs small when the base vocabulary
-    is tiny, which also keeps the index join cheap)."""
+    is tiny, which also keeps the index join cheap).
+
+    ``max_df_count`` is the SCALE guard the fractional cut cannot be: a
+    fraction still admits terms with df ∝ N, whose df² join blow-up is
+    what makes a degenerate shard (closed vocabulary, boilerplate)
+    super-linear — the measured sf1 exponent 1.12 on the closed-vocab
+    synthetic corpus (SCALE_EVIDENCE.md §4). An ABSOLUTE cap bounds
+    every term's join contribution to max_df_count², so total cost is
+    ≤ vocab × cap² — linear in corpus when vocabulary growth is
+    sublinear. Pairs that share ONLY capped terms are lost (recall
+    cost, measured in SCALE_EVIDENCE.md §4); surviving cosines change
+    only by the capped terms' near-zero idf weight. Default ``None``
+    (off) keeps exact oracle parity."""
     from .dedup import word_ngrams
 
     tok = df.filter(F.trim(F.col(text_col)) != "").select(
@@ -402,13 +415,15 @@ def tfidf_cosine_pairs(
     # n-grams at 100 TB), so it must NOT be broadcast: the join is already
     # keyed on `t`, and a shuffle join / AQE handles any size. n_docs is a
     # single row — broadcast is correct there.
+    df_gate = F.col("df").cast("double") <= F.lit(max_df_ratio) * F.col(
+        "n"
+    ).cast("double")
+    if max_df_count is not None:
+        df_gate = df_gate & (F.col("df") <= F.lit(int(max_df_count)))
     weights = (
         tf.join(dfreq, "t")
         .join(F.broadcast(n_docs))
-        .filter(
-            F.col("df").cast("double")
-            <= F.lit(max_df_ratio) * F.col("n").cast("double")
-        )
+        .filter(df_gate)
         .select(
             F.col(id_col),
             F.col("t"),

@@ -47,7 +47,11 @@ def register(
     """``require_rows=True`` marks a query whose Spark/oracle comparison is
     only meaningful when the result is non-empty — a 0==0 match would pass
     vacuously (e.g. a hard-coded predicate literal drifting outside the
-    data's domain). The local oracle mirror asserts >0 rows for these."""
+    data's domain). Consumers of the annotation: the EXTERNAL grading
+    driver (which reads the registry), and
+    tests/test_queries_oracle.py's sf0.01 DuckDB non-vacuity check —
+    the mirror-sf (sf0.001) floor is registry-wide and does not consult
+    this flag."""
 
     def deco(fn: SparkQuery) -> SparkQuery:
         _QUERIES[name] = fn

@@ -139,6 +139,63 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "merge_sync_not_matched_by_source",
+    oracle=f"""
+    WITH {_TARGET_CTE},
+    synced AS (
+      SELECT t.o_orderkey, t.o_custkey, d.o_orderstatus, d.o_totalprice
+      FROM target t JOIN delta d ON t.o_orderkey = d.o_orderkey
+      UNION ALL
+      SELECT t.o_orderkey, t.o_custkey,
+             CASE WHEN t.o_orderstatus = 'F' THEN 'S'
+                  ELSE t.o_orderstatus END AS o_orderstatus,
+             t.o_totalprice
+      FROM target t
+      WHERE NOT EXISTS (SELECT 1 FROM delta d
+                        WHERE d.o_orderkey = t.o_orderkey)
+        AND t.o_orderstatus <> 'O'
+      UNION ALL
+      SELECT d.o_orderkey, d.o_custkey, d.o_orderstatus, d.o_totalprice
+      FROM delta d
+      WHERE NOT EXISTS (SELECT 1 FROM target t
+                        WHERE t.o_orderkey = d.o_orderkey)
+    )
+    """
+    + _STATUS_AGG_SQL.format(rel="synced"),
+    require_rows=True,
+)
+def merge_sync_not_matched_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ONE atomic MERGE with all three Delta clause families — the
+    sync-from-snapshot shape the reference's full re-export implies
+    (HBaseReader.kt:34-60: every export is a complete snapshot, so
+    target rows absent from today's feed are stale): matched rows take
+    the feed's status+price, unmatched feed rows insert, and target
+    rows NOT MATCHED BY SOURCE either DELETE (open orders — tuple-form
+    condition, so the victim scan data-skips on file stats) or UPDATE
+    to a 'S'(tale) flag (fulfilled orders). Conditions see target
+    columns only (Delta's rule, enforced at analysis time). Before this
+    clause family the same sync needed a merge + delete_where pair —
+    two commits with a visible gap; the oracle recomputes the final
+    state relationally, so a row deleted/updated/carried by the wrong
+    clause shifts the aggregate and fails the hash."""
+    t = _orders_table(spark, sf_dir, "sync")
+    t.merge(
+        _delta(spark, sf_dir),
+        on=["o_orderkey"],
+        when_matched_update={
+            "o_orderstatus": src("o_orderstatus"),
+            "o_totalprice": src("o_totalprice"),
+        },
+        when_not_matched_by_source_delete=[("o_orderstatus", "=", "O")],
+        when_not_matched_by_source_update={"o_orderstatus": F.lit("S")},
+        when_not_matched_by_source_update_condition=[("o_orderstatus", "=", "F")],
+    )
+    return _status_agg(t.read())
+
+
+@register(
     "merge_mor_delete_orders",
     oracle="WITH "
     + """

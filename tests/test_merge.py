@@ -144,6 +144,188 @@ class TestConditionalClauses:
         assert _as_dict(table.read())[300] == ("N", 10.0)
 
 
+class TestNotMatchedBySource:
+    """Delta's third clause family: WHEN NOT MATCHED BY SOURCE [AND
+    cond] THEN UPDATE / DELETE — target rows with no source match;
+    conditions see TARGET columns only. Reference analogue: the
+    full-snapshot re-export (HBaseReader.kt:34-60) collapses to ONE
+    atomic MERGE instead of a merge + delete_where pair."""
+
+    def _src(self, spark, ids):
+        return spark.createDataFrame(
+            [(i, f"src{i}", float(i)) for i in ids],
+            "id bigint, name string, amount double",
+        )
+
+    def test_full_snapshot_sync(self, spark, table):
+        """matched→update, not-matched→insert, not-matched-by-source→
+        delete: after the merge the table IS the snapshot."""
+        snap = self._src(spark, [5, 6, 7, 150])
+        stats = table.merge(
+            snap, on=["id"],
+            when_matched_update={"name": src("name"), "amount": src("amount")},
+            when_not_matched_by_source_delete=F.lit(True),
+        )
+        got = _as_dict(table.read())
+        assert got == {i: (f"src{i}", float(i)) for i in [5, 6, 7, 150]}
+        assert stats["rows_deleted"] == 97  # 100 target - 3 matched
+        assert stats["rows_inserted"] == 1
+
+    def test_conditional_delete_and_update(self, spark, table):
+        """delete stale small rows, re-flag the remaining stale ones —
+        matched rows and non-firing unmatched rows carry unchanged."""
+        stats = table.merge(
+            self._src(spark, [50]), on=["id"],
+            when_matched_update={"name": src("name")},
+            insert_not_matched=False,
+            when_not_matched_by_source_delete=F.col("amount") < 30.0,
+            when_not_matched_by_source_update={"name": F.lit("stale")},
+            when_not_matched_by_source_update_condition=F.col("amount") >= 900.0,
+        )
+        got = _as_dict(table.read())
+        assert set(got) == set(range(3, 100))  # ids 0,1,2 deleted (<30.0)
+        assert got[50] == ("src50", 500.0)  # matched update
+        assert got[95] == ("stale", 950.0)  # by-source update fired
+        assert got[40] == ("name40", 400.0)  # unmatched, no clause fired
+        assert stats["rows_deleted"] == 3
+        assert stats["rows_updated"] == 1 + 10  # matched + ids 90..99
+
+    def test_delete_clause_wins_over_update(self, spark, table):
+        """Clause order mirrors the matched family: delete first — a row
+        satisfying both conditions is deleted, not updated."""
+        table.merge(
+            self._src(spark, [50]), on=["id"], insert_not_matched=False,
+            when_matched_update={"name": src("name")},
+            when_not_matched_by_source_delete=F.col("id") >= 95,
+            when_not_matched_by_source_update={"name": F.lit("u")},
+            when_not_matched_by_source_update_condition=F.col("id") >= 90,
+        )
+        got = _as_dict(table.read())
+        assert all(i not in got for i in range(95, 100))
+        assert all(got[i][0] == "u" for i in range(90, 95))
+
+    def test_conditions_see_target_columns_only(self, spark, table):
+        """Delta's rule: a src() reference in a by-source clause fails at
+        analysis time (source columns are NULL for these rows)."""
+        s = self._src(spark, [5])
+        with pytest.raises(MergeError, match="target columns only"):
+            table.merge(s, on=["id"], insert_not_matched=False,
+                        when_not_matched_by_source_delete=src("amount") > 0)
+        with pytest.raises(MergeError, match="target columns only"):
+            table.merge(s, on=["id"], insert_not_matched=False,
+                        when_not_matched_by_source_update={"name": src("name")})
+        with pytest.raises(MergeError, match="without"):
+            table.merge(s, on=["id"], insert_not_matched=False,
+                        when_not_matched_by_source_update_condition=F.lit(True))
+
+    def test_null_condition_never_fires(self, spark, table):
+        """SQL 3VL: a NULL by-source condition must not delete the row."""
+        nullable = ParquetMergeTable(spark, table.path + "_nul")
+        nullable.create(spark.createDataFrame(
+            [(1, None), (2, 5.0)], "id bigint, amount double"))
+        nullable.merge(
+            spark.createDataFrame([(9, 1.0)], "id bigint, amount double"),
+            on=["id"], insert_not_matched=False,
+            when_not_matched_by_source_delete=F.col("amount") > 2.0,
+        )
+        assert sorted(r["id"] for r in nullable.read().collect()) == [1]
+
+    def test_tuple_predicate_data_skips_victim_scan(self, spark, table):
+        """The tuple-form delete condition prunes the victim scan with
+        file stats (same machinery as delete_where) AND keeps untouched
+        files carried by reference."""
+        stats = table.merge(
+            self._src(spark, [5]), on=["id"], insert_not_matched=False,
+            when_matched_update={"name": src("name")},
+            when_not_matched_by_source_delete=[("id", ">=", 90)],
+        )
+        # 10 range files of 10 ids: only the id∈[90,100) file can fire
+        assert stats["files_by_source_candidates"] == 1
+        assert stats["rows_deleted"] == 10
+        # touched = the matched file (id 5) + the victim file
+        assert stats["files_touched"] == 2
+        assert stats["files_carried"] == 8
+        assert len(_as_dict(table.read())) == 90
+
+    def test_delete_only_sync_never_rewrites_matched_files(
+        self, spark, table
+    ):
+        """With NO matched clause, matched rows carry unchanged — their
+        files must not be identity-rewritten (the retention shape must
+        stay O(victims), not O(matched))."""
+        v0_files = set(table._manifest(0)["files"])
+        # source = ids 0..89 → victims are exactly the id∈[90,100) file
+        stats = table.merge(
+            self._src(spark, range(90)).select("id"), on=["id"],
+            insert_not_matched=False,
+            when_not_matched_by_source_delete=F.lit(True),
+        )
+        assert stats["rows_deleted"] == 10
+        assert stats["files_touched"] == 1
+        m = table._manifest(stats["version"])
+        assert len(set(m["files"]) & v0_files) == 9  # 9 carried by ref
+
+    def test_cdf_and_replay(self, spark, table):
+        """By-source deletes emit `delete` rows, by-source updates
+        pre/post pairs — and replaying the feed over v0 reproduces v1
+        exactly (the CDF-replay pin)."""
+        stats = table.merge(
+            self._src(spark, [5, 150]), on=["id"],
+            when_matched_update={"name": src("name")},
+            when_not_matched_by_source_delete=F.col("id").between(20, 29),
+            when_not_matched_by_source_update={"amount": F.col("amount") + 1},
+            when_not_matched_by_source_update_condition=F.col("id") >= 95,
+        )
+        v1 = stats["version"]
+        feed = table.read_changes(from_version=v1, to_version=v1)
+        by_type = {
+            r["_change_type"]: r["n"]
+            for r in feed.groupBy("_change_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert by_type == {
+            "delete": 10,
+            "update_preimage": 6,  # id 5 (matched) + ids 95..99
+            "update_postimage": 6,
+            "insert": 1,  # id 150
+        }
+        # replay: v0 − deletes − preimages + postimages + inserts == v1
+        rows = feed.collect()
+        deleted = {r["id"] for r in rows if r["_change_type"] == "delete"}
+        pre = {r["id"] for r in rows if r["_change_type"] == "update_preimage"}
+        post = {
+            r["id"]: (r["name"], r["amount"])
+            for r in rows
+            if r["_change_type"] in ("update_postimage", "insert")
+        }
+        v0 = _as_dict(table.read(version=0))
+        replayed = {
+            i: v for i, v in v0.items() if i not in deleted and i not in pre
+        }
+        replayed.update(post)
+        assert replayed == _as_dict(table.read(version=v1))
+
+    def test_composes_with_schema_evolution(self, spark, table):
+        """New source columns evolve the schema; a by-source update can
+        set the evolved column (target-side literal) on unmatched rows."""
+        snap = spark.createDataFrame(
+            [(5, "u5", 5.0, "fresh")],
+            "id bigint, name string, amount double, state string",
+        )
+        table.merge(
+            snap, on=["id"], schema_evolution=True,
+            when_matched_update={"name": src("name"), "state": src("state")},
+            insert_not_matched=False,
+            when_not_matched_by_source_update={"state": F.lit("stale")},
+            when_not_matched_by_source_update_condition=F.col("id") >= 99,
+        )
+        got = {r["id"]: r["state"] for r in table.read().collect()}
+        assert got[5] == "fresh"
+        assert got[99] == "stale"
+        assert got[50] is None  # unmatched, condition false → typed NULL
+
+
 class TestCopyOnWrite:
     def test_untouched_files_carried_by_reference(self, spark, table):
         v0_files = set(table._manifest(0)["files"])
@@ -3862,21 +4044,30 @@ class TestNestedSchemaEvolution:
         assert st["arr"] == "array<struct<q:int,r:string>>"
         assert st["mp"] == "map<string,struct<m:bigint>>"
 
-    def test_source_missing_nested_field_null_fills_ungated(
+    def test_source_missing_nested_field_gated_on_evolution(
         self, spark, tmp_path
     ):
-        """A source struct LACKING a table field is the narrower side —
-        no gate (Delta inserts NULL), and other fields keep values."""
+        """A source struct LACKING a table field NULL-fills only under
+        schema_evolution (Delta autoMerge): ungated, the omission raises
+        naming the nested path — an update writing src(s) would
+        otherwise silently erase s.y on every matched row (the advisor-
+        flagged silent-data-loss direction)."""
         t = self._tbl(spark, tmp_path)
         slim = spark.createDataFrame(
             [(4, (44,))], "id bigint, s struct<x:int>"
         )
-        t.merge(slim, on=["id"], when_matched_update={"s": src("s")})
+        with pytest.raises(MergeError, match="omits nested field 's.y'"):
+            t.merge(slim, on=["id"], when_matched_update={"s": src("s")})
+        t.merge(
+            slim, on=["id"], when_matched_update={"s": src("s")},
+            schema_evolution=True,
+        )
         got = {r["id"]: r for r in t.read().collect()}
         assert got[4]["s"].asDict() == {"x": 44, "y": None}
         # struct-level NULL stays NULL (not a struct of NULLs)
         nul = spark.createDataFrame([(5, None)], "id bigint, s struct<x:int>")
-        t.merge(nul, on=["id"], when_matched_update={"s": src("s")})
+        t.merge(nul, on=["id"], when_matched_update={"s": src("s")},
+                schema_evolution=True)
         assert {r["id"]: r["s"] for r in t.read().collect()}[5] is None
 
     def test_incompatible_nested_and_map_key_raise(self, spark, tmp_path):
@@ -4102,13 +4293,23 @@ class TestStoreAssignByName:
         assert got[1] == {"x": 111, "y": 999}
         assert got[2] == {"x": 20, "y": 200}
 
-    def test_update_missing_field_null_fills(self, spark, tmp_path):
+    def test_update_missing_field_gated_on_evolution(self, spark, tmp_path):
+        """An update expression omitting a nested field raises unless
+        schema_evolution opts into the NULL-fill (ADVICE r9: ungated,
+        `s = struct(y=7)` silently erased s.x on every matched row)."""
         t = self._tbl(spark, tmp_path)
         delta = spark.createDataFrame([(2, 0)], "id bigint, dummy int")
+        with pytest.raises(MergeError, match="omits nested field 's.x'"):
+            t.merge(
+                delta,
+                on=["id"],
+                when_matched_update={"s": F.struct(F.lit(7).alias("y"))},
+            )
         t.merge(
             delta,
             on=["id"],
             when_matched_update={"s": F.struct(F.lit(7).alias("y"))},
+            schema_evolution=True,
         )
         assert {r["id"]: r["s"].asDict() for r in t.read().collect()}[2] == {
             "x": None, "y": 7,
@@ -4273,3 +4474,63 @@ class TestNullCountSkipping:
         )
         stats = t.delete_where([("s.y", "notnull", None)])
         assert stats["rows_deleted"] == 50 and stats["files_scanned"] == 1
+
+
+class TestBoundsFreeNullStats:
+    """ADVICE r9: a column with COMPLETE null counts but no usable
+    min/max bounds (e.g. decimal — _enc_bound returns None) must still
+    record [None, None, has_nulls, all_null] so IS [NOT] NULL pruning
+    works; previously only the all-null case got an entry."""
+
+    def test_boundless_column_still_prunes_is_null(self, spark, tmp_path):
+        t = ParquetMergeTable(spark, str(tmp_path / "dec"))
+        rows = [(i, None if i >= 50 else i) for i in range(100)]
+        df = spark.createDataFrame(rows, "id bigint, v bigint").select(
+            "id", F.col("v").cast("decimal(20,2)").alias("v")
+        )
+        t.create(
+            df.repartitionByRange(2, F.col("id")).sortWithinPartitions("id")
+        )
+        m = t._manifest(0)
+        ent = {
+            e
+            for f in m["files"]
+            for c, e in map(
+                lambda kv: (kv[0], tuple(kv[1])),
+                m["file_stats"][f].items(),
+            )
+            if c == "v"
+        }
+        # decimal bounds are un-encodable, null coverage is complete:
+        # the no-null half records has_nulls=False (NEW — previously no
+        # entry at all), the all-null half keeps its all_null shape
+        assert ent == {(None, None, False, False), (None, None, True, True)}
+        s = t.delete_where([("v", "isnull", None)])
+        assert s["rows_deleted"] == 50 and s["files_scanned"] == 1
+
+
+class TestDottedColumnNames:
+    """ADVICE r9: a top-level name containing '.' is indistinguishable
+    from a nested stats path — rejected at every schema boundary."""
+
+    def test_create_rejects_dotted(self, spark, tmp_path):
+        t = ParquetMergeTable(spark, str(tmp_path / "dot"))
+        df = spark.createDataFrame([(1,)], "id bigint").withColumnRenamed(
+            "id", "s.x"
+        )
+        with pytest.raises(MergeError, match="contain '.'"):
+            t.create(df)
+
+    def test_evolution_rejects_dotted(self, spark, table):
+        bad = spark.createDataFrame(
+            [(5, "n", 1.0, 7)], "id bigint, name string, amount double, x int"
+        ).withColumnRenamed("x", "a.b")
+        with pytest.raises(MergeError, match="contain '.'"):
+            table.merge(bad, on=["id"], schema_evolution=True,
+                        when_matched_update={"name": src("name")})
+        with pytest.raises(MergeError, match="contain '.'"):
+            table.append(bad, schema_evolution=True)
+
+    def test_rename_rejects_dotted(self, spark, table):
+        with pytest.raises(MergeError, match="contain '.'"):
+            table.rename_column("name", "na.me")

@@ -93,8 +93,36 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
         model.clear()
         model.update(history[v])
 
-    ops = [do_merge, do_delete, do_update, do_append, do_compact, do_restore]
-    weights = [4, 3, 3, 2, 2, 1]
+    def do_merge_by_source():
+        # the sync shape: matched update + by-source delete/update with
+        # target-only conditions (insert toggles randomly) — the model
+        # applies the same clause ladder: delete first, then update
+        ks = rng.sample(range(KEYSPACE), rng.randint(4, 16))
+        delta = {k: (f"s{k}_{len(history)}", rng.uniform(-100, 100)) for k in ks}
+        cut = rng.uniform(-100, 100)
+        mark = f"bs{len(history)}"
+        do_insert = rng.random() < 0.5
+        t.merge(
+            _df(spark, delta),
+            on=["id"],
+            when_matched_update={"name": src("name"), "amount": src("amount")},
+            insert_not_matched=do_insert,
+            when_not_matched_by_source_delete=F.col("amount") < cut,
+            when_not_matched_by_source_update={"name": F.lit(mark)},
+        )
+        for k in list(model):
+            if k in delta:
+                model[k] = delta[k]
+            elif model[k][1] < cut:
+                del model[k]
+            else:
+                model[k] = (mark, model[k][1])
+        if do_insert:
+            model.update({k: v for k, v in delta.items() if k not in model})
+
+    ops = [do_merge, do_delete, do_update, do_append, do_compact,
+           do_restore, do_merge_by_source]
+    weights = [4, 3, 3, 2, 2, 1, 3]
     for _ in range(12):
         rng.choices(ops, weights=weights, k=1)[0]()
         history.append(dict(model))
@@ -308,7 +336,10 @@ def test_random_ops_with_nested_evolution_match_model(spark, tmp_path, seed):
     sequence: the table starts with ``s struct<x:int,y:string>``;
     evolving merges/appends arrive mid-sequence with the struct WIDENED
     (x int→bigint) and EXTENDED (new field z); later narrow writes
-    conform up (missing z NULL-fills); restore can rewind PAST the
+    conform up under ``schema_evolution=True`` (missing z NULL-fills —
+    the round-10 gating makes the UNGATED narrow-after-evolution write
+    raise instead of silently NULLing, pinned in
+    TestStoreAssignByName); restore can rewind PAST the
     nested evolution (the struct schema reverts) and the sequence
     re-evolves. The model tracks (x, y, z) with z=None wherever no
     evolved write supplied it — which must equal both a carried file's
@@ -348,6 +379,9 @@ def test_random_ops_with_nested_evolution_match_model(spark, tmp_path, seed):
             ),
             on=["id"],
             when_matched_update={"s": src("s")},
+            # post-evolution the source omits z: NULL-fill is the
+            # autoMerge opt-in (ungated it raises — round-10 gating)
+            schema_evolution=True,
         )
         # narrow writes conform up: z NULL-fills on updated rows too
         model.update({k: (x, y, None) for k, (x, y) in delta.items()})

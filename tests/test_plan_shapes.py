@@ -691,6 +691,33 @@ class TestRound7bLakehousePlans:
         read_cols = {c.split(":")[0] for c in mm.group(1).split(",") if c}
         assert read_cols == {"id"}, plan
 
+    def test_by_source_victim_scan_prunes_to_key_and_condition(
+        self, spark, tmp_path
+    ):
+        """The WHEN NOT MATCHED BY SOURCE victim-detection pass (live
+        scan → anti-join source keys → filter condition → select _file
+        distinct — the exact sub-plan merge() builds) must read ONLY the
+        join key + condition columns: the clause family examines the
+        complement of the matched set, so an unpruned detection scan
+        would read the full width of ~the whole table."""
+        from pyspark.sql import functions as F
+
+        t = self._table(spark, tmp_path)
+        m = t._manifest(0)
+        live = t._scan(m["files"], [], False, 0)
+        keys = spark.createDataFrame([(1,)], "id bigint")
+        detection = (
+            live.join(F.broadcast(keys), ["id"], "anti")
+            .filter(F.coalesce(F.col("amount") < 10.0, F.lit(False)))
+            .select("_file")
+            .distinct()
+        )
+        plan = plan_of(detection)
+        mm = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert mm, plan
+        read_cols = {c.split(":")[0] for c in mm.group(1).split(",") if c}
+        assert read_cols == {"id", "amount"}, plan
+
     def test_mapped_read_still_pushes_residual_filter(self, spark, tmp_path):
         """After a rename, read(where=...) must still push the residual
         predicate into the parquet scan (PushedFilters on the PHYSICAL

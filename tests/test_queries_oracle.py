@@ -111,3 +111,33 @@ def test_demo_query_runs_rows_only(spark, name):
     sdf = registry.demo_queries()[name](spark, SF_DIR)
     assert sdf.count() >= 0
     assert sdf.columns
+
+
+@pytest.mark.parametrize("name", sorted(registry.require_rows()))
+def test_require_rows_oracles_nonvacuous_at_driver_sf(name):
+    """The registry-wide non-vacuity floor above runs at the MIRROR sf
+    (sf0.001); the DRIVER grades at sf0.01. A predicate edit could stay
+    non-empty at sf0.001 yet go empty where the driver actually
+    compares (round-9 verdict, residual nit #2) — so the queries
+    explicitly annotated ``require_rows=True`` (the ones whose oracle
+    comparison is only meaningful non-empty; this gate and the external
+    driver are the annotation's two consumers) get a DuckDB-only
+    non-vacuity check at sf0.01 too. Oracle-side only: seconds of
+    runtime, no Spark session."""
+    sf001 = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf001):
+        pytest.skip("driver sf0.01 fixtures not present")
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{os.path.join(sf001, t + '.parquet')}'"
+            )
+        rows = con.execute(registry.oracle_sql()[name]).fetchall()
+        assert len(rows) > 0, (
+            f"{name}: require_rows oracle is EMPTY at sf0.01 — vacuous "
+            "at the scale the driver grades"
+        )
+    finally:
+        con.close()

@@ -22,6 +22,12 @@ Every column derives from xxhash64(id, salt) — fully distributed
 column expressions, no driver-side loops, no RNG state: the output is
 identical for a given (sf, seed) regardless of partitioning.
 
+KNOWN DIVERGENCE (round-9 verdict nit #3): embeddings scale LINEARLY
+here (20k·sf → 200 rows at sf0.01) while the DRIVER's embeddings table
+has a 500-row floor at small sfs. Harmless for the like-with-like
+sweep (both points generated), but do NOT compare generated-sf≤0.025
+embedding-query timings or row counts against driver fixtures.
+
 Usage: python tools/gen_sf.py SF OUTDIR [--seed 42] [--partitions N]
 """
 

@@ -112,7 +112,8 @@ def main() -> None:
     ap.add_argument(
         "--shapes", default="clustered,scattered",
         help="comma list of clustered|scattered|full|bigdelete|cdfspool|"
-             "vectorpurge|contended|contended-proc|ckptcrash|colmap|clone",
+             "vectorpurge|contended|contended-proc|ckptcrash|nestedevo|"
+             "colmap|clone",
     )
     ap.add_argument(
         "--log-store", default="local", choices=["local", "cput"],
@@ -454,6 +455,166 @@ def main() -> None:
                         f"w{w}": final.last_txn_version(f"w{w}")
                         for w in range(n_writers)
                     },
+                    "sec": sec,
+                }
+                continue
+            if shape == "nestedevo":
+                # CONTENDED DIVERGENT NESTED EVOLUTION (round-10 ask):
+                # N writers race appends that each evolve the SAME
+                # struct column differently — add s.a / add s.b / widen
+                # s.x int→bigint / add s.c — through per-writer LogStore
+                # handles. The append-rebase reconciliation (unit-tested
+                # in r9) must produce the UNION struct schema with zero
+                # lost updates; the model check recomputes every
+                # writer's field aggregates from its deterministic key
+                # ranges, plus the base rows' preserved s.x sum.
+                import threading
+
+                n_writers, n_batches, batch_rows = (
+                    args.writers, args.batches, 1000
+                )
+                nt = ParquetMergeTable(spark, os.path.join(root, shape + "_t"))
+                base_df = li.withColumn(
+                    "s",
+                    F.struct((F.col("key") % 1000).cast("int").alias("x")),
+                )
+                nt.create(
+                    base_df.repartitionByRange(
+                        args.files, F.col("key")
+                    ).sortWithinPartitions("key")
+                )
+                base_rows = nt.read().count()
+                base_x_sum = (
+                    nt.read().agg(F.sum("s.x")).first()[0]
+                )
+                top = nt.read().agg(F.max("key")).first()[0]
+                errors: list = []
+
+                def evo_writer(w: int) -> None:
+                    try:
+                        h = ParquetMergeTable(
+                            spark, nt.path,
+                            log_store=_make_store(
+                                args.log_store, args.latency_ms / 1000.0
+                            ),
+                        )
+                        variant = w % 4
+                        for b in range(n_batches):
+                            lo = top + 1 + (w * n_batches + b) * batch_rows
+                            ids = spark.range(lo, lo + batch_rows)
+                            x = (F.col("id") % 1000).cast("int")
+                            if variant == 0:
+                                s = F.struct(
+                                    x.alias("x"),
+                                    (F.col("id") % 7).cast("int").alias("a"),
+                                )
+                            elif variant == 1:
+                                s = F.struct(
+                                    x.alias("x"),
+                                    F.concat(
+                                        F.lit("w"), (F.col("id") % 5)
+                                    ).alias("b"),
+                                )
+                            elif variant == 2:
+                                # widen-only: s.x arrives as bigint
+                                s = F.struct(
+                                    (F.col("id") % 1000).alias("x")
+                                )
+                            else:
+                                s = F.struct(
+                                    x.alias("x"),
+                                    (F.col("id") * 0.5).alias("c"),
+                                )
+                            df = ids.select(
+                                F.col("id").alias("l_orderkey"),
+                                F.col("id").alias("l_partkey"),
+                                F.lit(1.0).alias("l_quantity"),
+                                F.lit(1.0).alias("l_extendedprice"),
+                                F.col("id").cast("int").alias("key"),
+                                s.alias("s"),
+                            )
+                            h.append(
+                                df, txn_app_id=f"w{w}", txn_version=b,
+                                schema_evolution=True,
+                            )
+                    except Exception as e:  # pragma: no cover
+                        errors.append(repr(e))
+
+                t0 = time.perf_counter()
+                threads = [
+                    threading.Thread(target=evo_writer, args=(w,))
+                    for w in range(n_writers)
+                ]
+                for th in threads:
+                    th.start()
+                for th in threads:
+                    th.join()
+                sec = round(time.perf_counter() - t0, 2)
+                final = ParquetMergeTable(spark, nt.path)
+                fdf = final.read()
+                s_fields = {
+                    f.name: f.dataType.simpleString()
+                    for f in fdf.schema["s"].dataType.fields
+                }
+                # model: every (w, b) batch is the deterministic range
+                # [lo, lo+batch_rows) — recompute field aggregates in
+                # exact Python integer arithmetic
+                exp_a = exp_c2 = exp_b_rows = 0
+                for w in range(n_writers):
+                    for b in range(n_batches):
+                        lo = top + 1 + (w * n_batches + b) * batch_rows
+                        rng_ = range(lo, lo + batch_rows)
+                        if w % 4 == 0:
+                            exp_a += sum(i % 7 for i in rng_)
+                        elif w % 4 == 1:
+                            exp_b_rows += batch_rows
+                        elif w % 4 == 3:
+                            exp_c2 += sum(i for i in rng_)  # c = i * 0.5
+                agg = fdf.agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.sum("s.a").alias("a_sum"),
+                    F.count("s.b").alias("b_rows"),
+                    F.sum(F.col("s.c") * 2).alias("c2_sum"),
+                    F.sum(
+                        F.when(F.col("key") <= top, F.col("s.x"))
+                    ).alias("base_x"),
+                ).first()
+                expect = base_rows + n_writers * n_batches * batch_rows
+                out[shape] = {
+                    "writers": n_writers,
+                    "batches_per_writer": n_batches,
+                    "log_store": args.log_store,
+                    "latency_ms": args.latency_ms,
+                    "errors": errors,
+                    "versions": final.current_version(),
+                    "expected_versions": n_writers * n_batches,
+                    "rows": agg["rows"],
+                    "expected_rows": expect,
+                    "lost_updates": expect - agg["rows"],
+                    "s_fields": s_fields,
+                    "s_fields_ok": (
+                        s_fields.get("x")
+                        == (
+                            "bigint"
+                            if any(w % 4 == 2 for w in range(n_writers))
+                            else "int"
+                        )
+                        and ("a" in s_fields) == any(
+                            w % 4 == 0 for w in range(n_writers)
+                        )
+                        and ("b" in s_fields) == any(
+                            w % 4 == 1 for w in range(n_writers)
+                        )
+                        and ("c" in s_fields) == any(
+                            w % 4 == 3 for w in range(n_writers)
+                        )
+                    ),
+                    "model_ok": (
+                        agg["a_sum"] == exp_a
+                        and agg["b_rows"] == exp_b_rows
+                        and int(agg["c2_sum"]) == exp_c2
+                        and agg["base_x"] == base_x_sum
+                    ),
                     "sec": sec,
                 }
                 continue
