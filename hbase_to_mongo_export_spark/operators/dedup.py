@@ -117,6 +117,21 @@ def jaccard(a: Column, b: Column) -> Column:
     )
 
 
+def _cap_postings(inv: DataFrame, block: str, max_df: int) -> DataFrame:
+    """Drop inverted-index postings for shingles whose per-block
+    document frequency exceeds ``max_df`` (shingles are distinct per
+    doc, so the posting count IS the df). One aggregate + semi-join;
+    shared by the Jaccard and containment joins so the cap semantics
+    can never diverge between them."""
+    rare = (
+        inv.groupBy(block, "s")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= int(max_df))
+        .select(block, "s")
+    )
+    return inv.join(rare.hint("merge"), [block, "s"], "semi")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -163,16 +178,7 @@ def ngram_jaccard_pairs(
         F.col(id_col), F.col(block), F.explode("sh").alias("s")
     )
     if max_df is not None:
-        # shingles are distinct per doc, so the posting count IS the
-        # document frequency; one aggregate + semi-join drops the
-        # ubiquitous shingles' postings (both sides of the self-join)
-        rare = (
-            inv.groupBy(block, "s")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") <= int(max_df))
-            .select(block, "s")
-        )
-        inv = inv.join(rare.hint("merge"), [block, "s"], "semi")
+        inv = _cap_postings(inv, block, max_df)
     inv = inv.hint("merge")
     a, b = inv.alias("a"), inv.alias("b")
     common = (
@@ -794,6 +800,7 @@ def ngram_containment_pairs(
     n: int = 3,
     threshold: float = 0.5,
     block_col: str | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """EXACT pairwise shingle CONTAINMENT |A∩B| / |A| (both directions)
     via the same inverted-index join as ngram_jaccard_pairs — the
@@ -802,7 +809,11 @@ def ngram_containment_pairs(
     quote/boilerplate/sub-document duplication Jaccard misses (Broder's
     containment measure). Emits pairs where EITHER direction clears the
     threshold, with both containments and the Jaccard for triage.
-    Cost model identical to the Jaccard join: ∝ Σ_shingle df²."""
+    Cost model identical to the Jaccard join: ∝ Σ_shingle df² — and the
+    same ABSOLUTE ``max_df`` posting cut applies (see
+    ngram_jaccard_pairs): intersections undercount on capped shingles
+    while sizes stay full, so containments/jaccard become lower bounds;
+    default ``None`` stays exact."""
     assert threshold > 0.0, "inverted-index formulation requires threshold > 0"
     block = block_col or "__block"
     base = _fan_out(df).select(
@@ -817,7 +828,10 @@ def ngram_containment_pairs(
     # observed failure mode in SCALE_EVIDENCE.md §1).
     inv = base.select(
         F.col(id_col), F.col(block), F.explode("sh").alias("s")
-    ).hint("merge")
+    )
+    if max_df is not None:
+        inv = _cap_postings(inv, block, max_df)
+    inv = inv.hint("merge")
     a, b = inv.alias("a"), inv.alias("b")
     common = (
         a.join(

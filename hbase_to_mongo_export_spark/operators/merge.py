@@ -288,6 +288,7 @@ def _merge_types(
     context: str,
     path: str,
     hint: str = "pass schema_evolution=True to evolve the table",
+    missing_hint: str | None = None,
 ):
     """The table type ``tbl_t`` after aligning with an incoming source
     type ``src_t`` — Delta mergeSchema recursion. A source leaf safely
@@ -324,14 +325,15 @@ def _merge_types(
                 raise MergeError(
                     f"{context}: source omits nested field '{path}.{f.name}' "
                     f"({f.dataType.simpleString()}) — writing it would "
-                    f"silently NULL the field; include it or {hint}"
+                    f"silently NULL the field; include it or "
+                    f"{missing_hint or hint}"
                 )
             nt = (
                 f.dataType
                 if st is None
                 else _merge_types(
                     f.dataType, st, allow_evolution, context,
-                    f"{path}.{f.name}", hint,
+                    f"{path}.{f.name}", hint, missing_hint,
                 )
             )
             fields.append(StructField(f.name, nt, True))
@@ -344,6 +346,16 @@ def _merge_types(
                     f"({f.dataType.simpleString()}) is not in the table "
                     f"schema — {hint}"
                 )
+            if "." in f.name:
+                # the stats keyspace addresses nested leaves by their
+                # dot-joined parquet path — a field literally named
+                # with a dot would collide (same rule as _reject_dotted
+                # at the top level)
+                raise MergeError(
+                    f"{context}: nested field name '{path}.{f.name}' "
+                    "contains '.' — dotted names collide with the "
+                    "nested-leaf stats keyspace"
+                )
             fields.append(StructField(f.name, f.dataType, True))
         return StructType(fields)
     if isinstance(tbl_t, ArrayType) and isinstance(src_t, ArrayType):
@@ -355,6 +367,7 @@ def _merge_types(
                 context,
                 f"{path}[]",
                 hint,
+                missing_hint,
             ),
             True,
         )
@@ -374,6 +387,7 @@ def _merge_types(
                 context,
                 f"{path}{{}}",
                 hint,
+                missing_hint,
             ),
             True,
         )
@@ -433,7 +447,8 @@ def _conform_expr(col: Column, src_t, tgt_t) -> Column:
 
 
 def _assert_assignable(
-    src_t, tgt_t, context: str, path: str, allow_missing: bool = False
+    src_t, tgt_t, context: str, path: str, allow_missing: bool = False,
+    missing_hint: str | None = None,
 ) -> None:
     """Reject a nested store-assignment that would silently DROP data:
     a source struct field the target lacks has nowhere to go (ANSI
@@ -456,34 +471,37 @@ def _assert_assignable(
                 )
             _assert_assignable(
                 f.dataType, tgt_map[f.name], context, f"{path}.{f.name}",
-                allow_missing,
+                allow_missing, missing_hint,
             )
         if not allow_missing:
             src_names = {f.name for f in src_t.fields}
+            fix = missing_hint or (
+                "include the field or pass schema_evolution=True to "
+                "NULL-fill (Delta autoMerge semantics)"
+            )
             for f in tgt_t.fields:
                 if f.name not in src_names:
                     raise MergeError(
                         f"{context}: expression omits nested field "
                         f"'{path}.{f.name}' — the assignment would "
-                        "silently NULL existing data; include the field "
-                        "or pass schema_evolution=True to NULL-fill "
-                        "(Delta autoMerge semantics)"
+                        f"silently NULL existing data; {fix}"
                     )
     elif isinstance(src_t, ArrayType) and isinstance(tgt_t, ArrayType):
         _assert_assignable(
             src_t.elementType, tgt_t.elementType, context, f"{path}[]",
-            allow_missing,
+            allow_missing, missing_hint,
         )
     elif isinstance(src_t, MapType) and isinstance(tgt_t, MapType):
         _assert_assignable(
             src_t.valueType, tgt_t.valueType, context, f"{path}{{}}",
-            allow_missing,
+            allow_missing, missing_hint,
         )
 
 
 def _store_assign_expr(scope_df: DataFrame, expr: Column, tgt_t,
                        context: str, path: str,
-                       allow_missing: bool = False) -> Column:
+                       allow_missing: bool = False,
+                       missing_hint: str | None = None) -> Column:
     """ANSI store-assignment of an arbitrary expression to a column's
     (possibly evolved) type — BY NAME for nested shapes. A bare
     ``expr.cast(struct)`` pairs struct fields POSITIONALLY: an update
@@ -506,7 +524,8 @@ def _store_assign_expr(scope_df: DataFrame, expr: Column, tgt_t,
     if isinstance(tgt_t, (StructType, ArrayType, MapType)) and isinstance(
         src_t, (StructType, ArrayType, MapType)
     ):
-        _assert_assignable(src_t, tgt_t, context, path, allow_missing)
+        _assert_assignable(src_t, tgt_t, context, path, allow_missing,
+                           missing_hint)
         return _conform_expr(expr, src_t, tgt_t)
     return expr.cast(tgt_t)
 
@@ -1021,21 +1040,40 @@ class ConditionalPutLogStore(LogStore):
 
 
 def _reject_dotted(names, context: str) -> None:
-    """Dotted TOP-LEVEL column names are rejected at every point a name
-    enters the table schema (create / evolution / rename): per-file
-    stats key nested leaves by their parquet dot-joined path ("s.x"),
-    so a top-level column literally named "s.x" would be
-    indistinguishable from a nested leaf and data skipping could
+    """Dotted column names are rejected at every point a name enters
+    the table schema (create / evolution / rename): per-file stats key
+    nested leaves by their parquet dot-joined path ("s.x"), so a column
+    — or a nested struct FIELD — literally named with a dot would be
+    indistinguishable from a deeper nested leaf and data skipping could
     misroute its conjuncts (resolve the head segment "s" instead).
     Rejecting at the boundary keeps the stats keyspace unambiguous."""
     bad = sorted(n for n in names if "." in n)
     if bad:
         raise MergeError(
-            f"{context}: top-level column name(s) {bad} contain '.' — "
+            f"{context}: column/field name(s) {bad} contain '.' — "
             "dotted names collide with the nested-leaf stats keyspace "
             "(file stats address struct leaves as 'parent.child'); "
-            "rename the column without a dot"
+            "rename without a dot"
         )
+
+
+def _dotted_nested_names(dtype, prefix: str = "") -> list[str]:
+    """All struct field names under ``dtype`` (any nesting depth, incl.
+    array elements / map values) that contain a literal dot."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad: list[str] = []
+    if isinstance(dtype, StructType):
+        for f in dtype.fields:
+            label = f"{prefix}{f.name}"
+            if "." in f.name:
+                bad.append(label)
+            bad.extend(_dotted_nested_names(f.dataType, label + "."))
+    elif isinstance(dtype, ArrayType):
+        bad.extend(_dotted_nested_names(dtype.elementType, prefix + "[]."))
+    elif isinstance(dtype, MapType):
+        bad.extend(_dotted_nested_names(dtype.valueType, prefix + "{}."))
+    return bad
 
 
 def src(name: str) -> Column:
@@ -1545,6 +1583,7 @@ class ParquetMergeTable:
         context: str,
         allow_widening: bool,
         widen_hint: str = "",
+        missing_hint: str | None = None,
     ):
         """Align an incoming dataframe's column types with the table's,
         recursing into struct/array/map (Delta mergeSchema nesting): a
@@ -1572,7 +1611,8 @@ class ParquetMergeTable:
             if t is None or f.dataType == t:
                 continue
             evolved = _merge_types(
-                t, f.dataType, allow_widening, context, f.name, hint
+                t, f.dataType, allow_widening, context, f.name, hint,
+                missing_hint,
             )
             if evolved != t:
                 widen[f.name] = evolved
@@ -1940,6 +1980,9 @@ class ParquetMergeTable:
     # -- public API --------------------------------------------------------
     def create(self, df: DataFrame, max_records_per_file: int | None = None) -> int:
         _reject_dotted(df.columns, "create")
+        for f in df.schema.fields:  # nested fields collide the same way
+            _reject_dotted(_dotted_nested_names(f.dataType, f.name + "."),
+                           "create")
         files = self._stage_files(df, max_records_per_file)
         return self._commit(
             None, files, "create", {"files_written": len(files)},
@@ -2000,6 +2043,12 @@ class ParquetMergeTable:
         extra = [c for c in df.columns if c not in set(table_cols)]
         if extra and schema_evolution:
             _reject_dotted(extra, "append schema evolution")
+            types_of = {f.name: f.dataType for f in df.schema.fields}
+            for c in extra:
+                _reject_dotted(
+                    _dotted_nested_names(types_of[c], c + "."),
+                    "append schema evolution",
+                )
         if extra and not schema_evolution:
             raise MergeError(
                 f"append schema mismatch: dataframe has new column(s) "
@@ -2749,7 +2798,10 @@ class ParquetMergeTable:
         small_src = n_src_keys <= self.BROADCAST_MAX_SOURCE_ROWS
 
         # -- WHEN NOT MATCHED BY SOURCE prep ------------------------------
-        bs_update = when_not_matched_by_source_update
+        # an EMPTY update mapping normalizes to absent, matching the
+        # matched family's {}-is-a-no-op semantics — otherwise {} would
+        # mark every unmatched file a victim and identity-rewrite it
+        bs_update = when_not_matched_by_source_update or None
         bs_delete = when_not_matched_by_source_delete
         bs_upd_cond = when_not_matched_by_source_update_condition
         by_source = bs_update is not None or bs_delete is not None
@@ -2782,26 +2834,14 @@ class ParquetMergeTable:
             else:
                 bs_prunable = False
         if by_source:
-            # Delta's rule: by-source clauses see TARGET columns only
-            # (source columns are definitionally NULL for these rows) —
+            # Delta's rule: by-source clauses see EXISTING TARGET
+            # columns only (source columns are definitionally NULL for
+            # these rows, and evolution-added columns don't exist on the
+            # target yet — they may be ASSIGNED to, but not read) —
             # enforced at analysis time against a schema-only frame, so
-            # a src() reference fails loudly here instead of silently
-            # evaluating NULL per-row.
-            from pyspark.sql.types import StructField, StructType
-
-            _bs_new = (
-                [c for c in source.columns if c not in read_schema.fieldNames()]
-                if schema_evolution
-                else []
-            )
-            _src_t = {f.name: f.dataType for f in source.schema.fields}
-            bs_scope = spark.createDataFrame(
-                [],
-                StructType(
-                    list(read_schema.fields)
-                    + [StructField(c, _src_t[c], True) for c in _bs_new]
-                ),
-            )
+            # a src() or new-column reference fails loudly here instead
+            # of crashing the victim scan or rewrite mid-merge.
+            bs_scope = spark.createDataFrame([], read_schema)
             _bs_exprs = [
                 ("when_not_matched_by_source_update", e)
                 for e in (bs_update or {}).values()
@@ -2817,9 +2857,11 @@ class ParquetMergeTable:
                     bs_scope.select(_e)
                 except Exception as exc:
                     raise MergeError(
-                        f"merge: {_label} must reference target columns "
-                        "only — source columns are NULL for rows with no "
-                        f"source match (Delta's rule): {exc}"
+                        f"merge: {_label} must reference existing target "
+                        "columns only — source columns are NULL for rows "
+                        "with no source match (Delta's rule), and "
+                        "evolution-added columns can be assigned but not "
+                        f"read by by-source clauses: {exc}"
                     ) from None
 
         # 2) file pruning: which data files contain matched LIVE keys?
@@ -2861,7 +2903,8 @@ class ParquetMergeTable:
             else:
                 cand = list(all_files)
             stats_bs_candidates = len(cand)
-            cand = [f for f in cand if f not in set(touched)]
+            _touched_set = set(touched)
+            cand = [f for f in cand if f not in _touched_set]
             if cand:
                 fire_parts = []
                 if bs_delete is not None:
@@ -2924,6 +2967,11 @@ class ParquetMergeTable:
         )
         _reject_dotted(new_cols, "merge schema evolution")
         src_types = {f.name: f.dataType for f in source.schema.fields}
+        for c in new_cols:
+            _reject_dotted(
+                _dotted_nested_names(src_types[c], c + "."),
+                "merge schema evolution",
+            )
         out_target_cols = target_cols + new_cols
         now_mixed = was_mixed or (
             (bool(new_cols) or bool(widen)) and bool(untouched)
@@ -3270,6 +3318,8 @@ class ParquetMergeTable:
             allow_widening=False,
             widen_hint="widen the table via merge(schema_evolution=True) "
             "or append first",
+            missing_hint="stage the replacement with every nested field "
+            "present (overwrite_where has no NULL-fill opt-in)",
         )
         bad = replacement.filter(~cond_true).limit(1).count()
         if bad:
@@ -3452,6 +3502,9 @@ class ParquetMergeTable:
                             _store_assign_expr(
                                 tgt, set_map[c], col_types[c],
                                 "update_where", c,
+                                missing_hint="include every nested field "
+                                "in the SET expression (update_where has "
+                                "no NULL-fill opt-in)",
                             ),
                         )
                         .otherwise(F.col(c))

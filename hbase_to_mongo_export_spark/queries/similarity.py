@@ -294,6 +294,24 @@ def tfidf_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@register_demo("tfidf_cosine_pairs_maxdf50")
+def tfidf_cosine_pairs_maxdf50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tfidf_cosine_pairs scale variant with the ABSOLUTE df cap on
+    (max_df_count=50): bounds every term's inverted-index join
+    contribution to 50² rows, the guard that keeps a degenerate corpus
+    (df ∝ N ⇒ join rows ∝ N² — the measured sf1 exponent 1.12 in
+    SCALE_EVIDENCE §4) sub-quadratic. At sf0.1 the 3-gram dfs max out
+    at ~25, so the cap does not bind and the result equals the oracled
+    query's; at sf1 it prunes the commonest grams (recall vs the uncut
+    result measured in SCALE_EVIDENCE §4). Demo-registered: the capped
+    result is scale-dependent by design, so it is not value-oracled —
+    the exact twin above is."""
+    docs = _t(spark, sf_dir, "documents")
+    return sim_mod.tfidf_cosine_pairs(
+        docs, "doc_id", "text", threshold=0.85, n=3, max_df_count=50
+    ).orderBy("id_a", "id_b")
+
+
 @register("kmeans_lloyd_iteration", oracle=_kmeans_oracle(rounds=1))
 def kmeans_lloyd_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One synchronous Lloyd (k-means) round in EXACT integer arithmetic

@@ -306,6 +306,36 @@ class TestNotMatchedBySource:
         replayed.update(post)
         assert replayed == _as_dict(table.read(version=v1))
 
+    def test_evolved_column_readable_by_no_clause(self, spark, table):
+        """A by-source expression READING an evolution-added source
+        column is rejected at analysis time (the column doesn't exist
+        on target rows yet) — review fix: previously the gate's scope
+        included it and the merge crashed mid-victim-scan instead."""
+        snap = spark.createDataFrame(
+            [(5, "u5", 5.0, "fresh")],
+            "id bigint, name string, amount double, state string",
+        )
+        with pytest.raises(MergeError, match="existing target columns"):
+            table.merge(
+                snap, on=["id"], schema_evolution=True,
+                insert_not_matched=False,
+                when_not_matched_by_source_delete=F.col("state").isNull(),
+            )
+
+    def test_empty_update_dict_is_noop_not_full_rewrite(self, spark, table):
+        """when_not_matched_by_source_update={} normalizes to absent
+        (matching the matched family's {}-is-a-no-op) — review fix:
+        previously {} marked every unmatched file a victim and
+        identity-rewrote the table with zero CDF rows."""
+        stats = table.merge(
+            self._src(spark, [5]), on=["id"], insert_not_matched=False,
+            when_matched_update={"name": src("name")},
+            when_not_matched_by_source_update={},
+        )
+        assert "files_by_source_candidates" not in stats
+        assert stats["files_touched"] == 1  # just the matched file
+        assert _as_dict(table.read())[50] == ("name50", 500.0)
+
     def test_composes_with_schema_evolution(self, spark, table):
         """New source columns evolve the schema; a by-source update can
         set the evolved column (target-side literal) on unmatched rows."""
@@ -4534,3 +4564,32 @@ class TestDottedColumnNames:
     def test_rename_rejects_dotted(self, spark, table):
         with pytest.raises(MergeError, match="contain '.'"):
             table.rename_column("name", "na.me")
+
+    def test_nested_dotted_field_rejected(self, spark, tmp_path):
+        """A nested struct FIELD named with a dot collides with the
+        dot-joined stats keyspace exactly like a top-level one (review
+        finding): rejected at create and at evolution-add."""
+        t = ParquetMergeTable(spark, str(tmp_path / "ndot"))
+        from pyspark.sql.types import (
+            IntegerType, LongType, StructField, StructType,
+        )
+
+        bad_schema = StructType([
+            StructField("id", LongType()),
+            StructField("s", StructType([StructField("a.b", IntegerType())])),
+        ])
+        bad = spark.createDataFrame([], bad_schema)
+        with pytest.raises(MergeError, match="contain '.'"):
+            t.create(bad)
+        # evolution-add of a dotted nested field is rejected too
+        t.create(spark.createDataFrame(
+            [(1, (2,))], "id bigint, s struct<x:int>"))
+        evil = spark.createDataFrame([], StructType([
+            StructField("id", LongType()),
+            StructField("s", StructType([
+                StructField("x", IntegerType()),
+                StructField("y.z", IntegerType()),
+            ])),
+        ]))
+        with pytest.raises(MergeError, match="contains '.'"):
+            t.append(evil, schema_evolution=True)

@@ -144,6 +144,45 @@ class TestDedup:
         assert r.jaccard < 0.2              # which is why Jaccard misses it
         assert (0, 2) not in pairs and (1, 2) not in pairs
 
+    def test_max_df_cap_is_lower_bound_and_drops_ubiquitous(self, spark):
+        """The absolute max_df posting cut (round-10 scale guard): capped
+        scores are LOWER BOUNDS of exact (no false positives), pairs
+        sharing only over-cap shingles vanish, and the cap leaves
+        rare-shingle pairs intact."""
+        rows = [
+            (i, f"common header line alpha beta tail{i // 2} word{i // 2}")
+            for i in range(6)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        exact = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(
+                docs, "doc_id", "text", n=2, threshold=0.01
+            ).collect()
+        }
+        capped = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(
+                docs, "doc_id", "text", n=2, threshold=0.01, max_df=2
+            ).collect()
+        }
+        assert set(capped) <= set(exact)  # never a false positive
+        for k, v in capped.items():
+            assert v <= exact[k] + 1e-9  # lower bound
+        # the (2i, 2i+1) twins share rare tailN/wordN shingles (df=2) —
+        # those pairs survive; cross-twin pairs shared only the df=6
+        # header shingles and vanish
+        assert {(0, 1), (2, 3), (4, 5)} <= set(capped)
+        assert all(b - a == 1 for a, b in capped)
+        # containment variant: same cut, same lower-bound property
+        cont = {
+            (r.id_a, r.id_b)
+            for r in dedup.ngram_containment_pairs(
+                docs, "doc_id", "text", n=2, threshold=0.3, max_df=2
+            ).collect()
+        }
+        assert cont and all(b - a == 1 for a, b in cont)
+
     def test_minhash_lsh_agrees_with_exact_on_high_jaccard(self, spark, docs):
         lsh = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(
             docs, "doc_id", "text", n=3, threshold=0.5
@@ -857,6 +896,45 @@ class TestTfidfCosine:
         # and still links docs 2 and 3
         assert (0, 3) not in out2 and (1, 3) not in out2
         assert (2, 3) in out2
+
+    def test_max_df_count_is_absolute_scale_guard(self, spark):
+        """The ABSOLUTE cap (round-10): unlike the fractional cut, a
+        count cap binds regardless of corpus size — terms with df above
+        it never enter the index join, and surviving pairs' cosines are
+        over the PRUNED vectors (norms after the cut)."""
+        # 'common' in 5/6 docs (df=5, idf ln(6/5) > 0 — a df=6 term
+        # would idf to 0 and never link anything); tokenN rare (df=3)
+        rows = [
+            (i, ("common " if i < 5 else "") + f"token{i % 2}")
+            for i in range(6)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        full = {
+            (r.id_a, r.id_b)
+            for r in similarity.tfidf_cosine_pairs(
+                docs, "doc_id", "text", threshold=0.01, max_df_ratio=1.0
+            ).collect()
+        }
+        # 'common' links every pair within 0..4; doc 5 links only via
+        # its parity token
+        assert full == {
+            (a, b) for a in range(6) for b in range(a + 1, 6)
+            if (a < 5 and b < 5) or a % 2 == b % 2
+        }
+        # cap 3: the df=5 term is cut, df=3 parity tokens survive — only
+        # same-parity pairs remain, at cosine 1.0 of the pruned vectors
+        capped = {
+            (r.id_a, r.id_b): r.cosine
+            for r in similarity.tfidf_cosine_pairs(
+                docs, "doc_id", "text", threshold=0.01, max_df_ratio=1.0,
+                max_df_count=3,
+            ).collect()
+        }
+        assert set(capped) == {
+            (a, b) for a in range(6) for b in range(a + 1, 6)
+            if a % 2 == b % 2
+        }
+        assert all(c == 1.0 for c in capped.values())
 
 
 class TestPagerank:

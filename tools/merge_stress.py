@@ -570,15 +570,28 @@ def main() -> None:
                             exp_b_rows += batch_rows
                         elif w % 4 == 3:
                             exp_c2 += sum(i for i in rng_)  # c = i * 0.5
-                agg = fdf.agg(
+                # aggregate only over fields the raced writer set
+                # actually created (--writers < 4 runs fewer variants)
+                agg_cols = [
                     F.count(F.lit(1)).alias("rows"),
-                    F.sum("s.a").alias("a_sum"),
-                    F.count("s.b").alias("b_rows"),
-                    F.sum(F.col("s.c") * 2).alias("c2_sum"),
                     F.sum(
                         F.when(F.col("key") <= top, F.col("s.x"))
                     ).alias("base_x"),
-                ).first()
+                ]
+                if "a" in s_fields:
+                    agg_cols.append(F.sum("s.a").alias("a_sum"))
+                if "b" in s_fields:
+                    agg_cols.append(F.count("s.b").alias("b_rows"))
+                if "c" in s_fields:
+                    agg_cols.append(F.sum(F.col("s.c") * 2).alias("c2_sum"))
+                agg_row = fdf.agg(*agg_cols).first().asDict()
+                agg = {
+                    "rows": agg_row["rows"],
+                    "base_x": agg_row["base_x"],
+                    "a_sum": agg_row.get("a_sum", 0) or 0,
+                    "b_rows": agg_row.get("b_rows", 0) or 0,
+                    "c2_sum": agg_row.get("c2_sum", 0) or 0,
+                }
                 expect = base_rows + n_writers * n_batches * batch_rows
                 out[shape] = {
                     "writers": n_writers,

@@ -72,6 +72,9 @@ DEFAULT_QUERIES = [
     "training_corpus_pipeline",
     "merge_upsert_orders",
     "bpe_train_3rounds",
+    # the absolute-df-cap variant of the one measured super-linear
+    # query — its exponent with the cut ON is the round-10 item-2 proof
+    "tfidf_cosine_pairs_maxdf50",
     # lakehouse beyond the upsert: MoR delete path, predicate-pruned
     # update, CDF spool + streaming replay, by-source sync
     "merge_mor_delete_orders",
@@ -93,7 +96,9 @@ def _child(name: str, sf_dir: str, runs: int) -> None:
     spark = get_spark("scale_sweep_child")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
-    fn = registry.queries()[name]
+    # demo queries (CLI-runnable, un-oracled scale variants like the
+    # max_df-capped tfidf) are sweepable too
+    fn = {**registry.queries(), **registry.demo_queries()}[name]
 
     def run() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
