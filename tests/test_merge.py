@@ -336,6 +336,40 @@ class TestNotMatchedBySource:
         assert stats["files_touched"] == 1  # just the matched file
         assert _as_dict(table.read())[50] == ("name50", 500.0)
 
+    def test_mor_deleted_rows_never_fire_by_source(self, spark, table):
+        """A row already MoR-deleted is not live — the by-source victim
+        scan applies pending deletion vectors, so the clause can't
+        double-delete it (and its CDF delete row isn't re-emitted)."""
+        table.delete_where(F.col("id") >= 95)  # v1: MoR delete 95..99
+        stats = table.merge(
+            self._src(spark, range(90)).select("id"), on=["id"],
+            insert_not_matched=False,
+            when_not_matched_by_source_delete=F.lit(True),
+        )
+        # only the 5 still-live unmatched rows (90..94) fire
+        assert stats["rows_deleted"] == 5
+        assert sorted(_as_dict(table.read())) == list(range(90))
+
+    def test_by_source_after_rename_resolves_logical_names(
+        self, spark, table
+    ):
+        """Column mapping composes: after RENAME, by-source conditions
+        and update expressions address the LOGICAL name while the scan
+        reads stable physical names underneath."""
+        table.rename_column("amount", "price")
+        stats = table.merge(
+            self._src(spark, [5]).withColumnRenamed("amount", "price"),
+            on=["id"], insert_not_matched=False,
+            when_matched_update={"name": src("name")},
+            when_not_matched_by_source_delete=F.col("price") >= 950.0,
+            when_not_matched_by_source_update={"name": F.lit("low")},
+            when_not_matched_by_source_update_condition=F.col("price") < 20.0,
+        )
+        assert stats["rows_deleted"] == 5  # ids 95..99
+        got = {r["id"]: (r["name"], r["price"]) for r in table.read().collect()}
+        assert got[1] == ("low", 10.0) and got[5] == ("src5", 50.0)
+        assert got[50] == ("name50", 500.0)
+
     def test_composes_with_schema_evolution(self, spark, table):
         """New source columns evolve the schema; a by-source update can
         set the evolved column (target-side literal) on unmatched rows."""
