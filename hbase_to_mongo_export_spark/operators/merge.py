@@ -4680,6 +4680,7 @@ def scd2_apply(
     valid_to: str = "_valid_to",
     current: str = "_is_current",
     delete_keys: DataFrame | None = None,
+    close_missing: bool = False,
 ) -> dict:
     """SCD Type 2 in ONE atomic MERGE commit (the lakehouse
     dimension-history pattern): for each update row whose TRACKED
@@ -4704,6 +4705,18 @@ def scd2_apply(
     ``delete_keys`` (rows carrying just ``key_cols``) CLOSES those keys'
     current versions at ``ts`` with no successor — the member-retired
     case: history stays queryable, nothing is physically deleted.
+
+    ``close_missing=True`` is the FULL-SNAPSHOT mode (the classic
+    NOT MATCHED BY SOURCE use): ``updates`` is today's complete
+    dimension snapshot, and any key with a current version but ABSENT
+    from it retires (closed at ``ts``, no successor) in the same
+    atomic commit. Unchanged snapshot keys ride as gate-failing "keep"
+    rows so the by-source clause fires exactly for vanished keys; the
+    retire condition is the tuple form ``(current, '=', True)``, so
+    the victim scan data-skips files that hold only closed history.
+    Replay stays a no-op (retired keys are no longer current). The
+    source is snapshot-sized in this mode — inherent to
+    sync-from-snapshot; leave it off for delta feeds.
 
     Preconditions checked UP FRONT with named errors (both would
     otherwise surface as a confusing duplicate-source-key failure from
@@ -4807,6 +4820,29 @@ def scd2_apply(
             )
         )
         close_rows = close_rows.unionByName(retire_rows)
+    bs_kwargs: dict = {}
+    if close_missing:
+        # full-snapshot mode: every snapshot key must appear in the
+        # source so "not matched by source" means exactly "absent from
+        # the snapshot" — unchanged keys ride as keep rows that match
+        # their current version and fail every clause gate
+        keep_rows = joined.filter(~no_cur & ~differs).select(
+            *[_u(c).alias(c) for c in key_cols],
+            F.col(f"t.{valid_from}").alias(valid_from),
+            F.lit("keep").alias("_scd_action"),
+        )
+        close_rows = close_rows.unionByName(keep_rows)
+        bs_kwargs = {
+            "when_not_matched_by_source_update": {
+                valid_to: F.lit(float(ts)),
+                current: F.lit(False),
+            },
+            # tuple form: the retire scan stats-prunes files holding
+            # only closed history (current = False everywhere)
+            "when_not_matched_by_source_update_condition": [
+                (current, "=", True)
+            ],
+        }
     # align the two shapes: close rows only need the join key + marker;
     # missing data columns ride as typed NULLs (never read by a clause)
     source = insert_rows.unionByName(close_rows, allowMissingColumns=True)
@@ -4818,6 +4854,7 @@ def scd2_apply(
             current: F.lit(False),
         },
         when_matched_update_condition=src("_scd_action") == "close",
+        **bs_kwargs,
     )
     return {
         "rows_closed": stats.get("rows_updated", 0),

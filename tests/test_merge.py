@@ -3010,6 +3010,92 @@ class TestScd2:
             )
 
 
+class TestScd2FullSnapshot:
+    """close_missing=True — SCD2 driven by a COMPLETE snapshot (the
+    classic NOT MATCHED BY SOURCE use): keys absent from today's feed
+    retire in the same atomic commit, unchanged keys carry, replay is
+    a no-op."""
+
+    def _dim(self, spark, tmp_path):
+        from hbase_to_mongo_export_spark.operators.merge import scd2_prepare
+
+        t = ParquetMergeTable(spark, str(tmp_path / "dim"))
+        t.create(
+            scd2_prepare(
+                spark.createDataFrame(
+                    [(1, "a"), (2, "b"), (3, "c"), (4, "d")],
+                    "cust bigint, addr string",
+                ),
+                ts=0.0,
+            )
+        )
+        return t
+
+    def test_vanished_keys_retire_atomically(self, spark, tmp_path):
+        from hbase_to_mongo_export_spark.operators.merge import scd2_apply
+
+        t = self._dim(spark, tmp_path)
+        # snapshot: 1 changed, 2 unchanged, 5 new — 3 and 4 vanished
+        snap = spark.createDataFrame(
+            [(1, "a2"), (2, "b"), (5, "e")], "cust bigint, addr string"
+        )
+        r = scd2_apply(
+            t, snap, ["cust"], ["addr"], ts=5.0, close_missing=True
+        )
+        assert r["rows_closed"] == 3  # cust 1 (changed) + 3, 4 (vanished)
+        assert r["rows_inserted"] == 2  # cust 1's successor + new cust 5
+        rows = {(x["cust"], x["_valid_from"]): x for x in t.read().collect()}
+        for k in (3, 4):
+            gone = rows[(k, 0.0)]
+            assert gone["_is_current"] is False and gone["_valid_to"] == 5.0
+            assert (k, 5.0) not in rows  # no successor
+        assert rows[(2, 0.0)]["_is_current"] is True  # unchanged carries
+        assert rows[(1, 5.0)]["addr"] == "a2"
+        assert rows[(5, 5.0)]["_is_current"] is True
+
+    def test_replay_and_history_are_untouched(self, spark, tmp_path):
+        from hbase_to_mongo_export_spark.operators.merge import scd2_apply
+
+        t = self._dim(spark, tmp_path)
+        snap = spark.createDataFrame(
+            [(1, "a2"), (2, "b")], "cust bigint, addr string"
+        )
+        scd2_apply(t, snap, ["cust"], ["addr"], ts=5.0, close_missing=True)
+        before = sorted(map(tuple, t.read().collect()))
+        # replay the SAME snapshot: retired keys are no longer current
+        # (by-source condition fails), re-sent inserts match themselves,
+        # unchanged keys keep — byte-identical state
+        r = scd2_apply(
+            t, snap, ["cust"], ["addr"], ts=5.0, close_missing=True
+        )
+        assert r["rows_closed"] == 0 and r["rows_inserted"] == 0
+        assert sorted(map(tuple, t.read().collect())) == before
+        # cust 1's CLOSED v0 row (historical, key still in snapshot)
+        # was never touched by the by-source clause
+        rows = {(x["cust"], x["_valid_from"]): x for x in t.read().collect()}
+        assert rows[(1, 0.0)]["_valid_to"] == 5.0
+
+    def test_composes_with_delete_keys(self, spark, tmp_path):
+        from hbase_to_mongo_export_spark.operators.merge import scd2_apply
+
+        t = self._dim(spark, tmp_path)
+        snap = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "cust bigint, addr string"
+        )
+        dels = spark.createDataFrame([(3,)], "cust bigint")
+        r = scd2_apply(
+            t, snap, ["cust"], ["addr"], ts=5.0,
+            delete_keys=dels, close_missing=True,
+        )
+        # cust 3 retires via delete_keys (matched close), cust 4 via
+        # close_missing (by-source) — one commit, both closed
+        assert r["rows_closed"] == 2 and r["rows_inserted"] == 0
+        rows = {(x["cust"], x["_valid_from"]): x for x in t.read().collect()}
+        assert rows[(3, 0.0)]["_is_current"] is False
+        assert rows[(4, 0.0)]["_is_current"] is False
+        assert rows[(1, 0.0)]["_is_current"] is True
+
+
 class TestScd2Deletes:
     def test_delete_keys_close_without_successor(self, spark, tmp_path):
         from hbase_to_mongo_export_spark.operators.merge import (
