@@ -363,13 +363,15 @@ def minhash_lsh_pairs(
     Plan shape: narrow shingle/signature projection → explode to one row
     per band (×bands) → shuffle on (band, band_hash) self-join → distinct
     candidate pairs → one more join back to shingles → exact verify."""
-    candidates = _lsh_candidates(
-        _minhash_sig_cols(df, id_col, text_col, n, num_hashes, hash_fn),
-        id_col,
-        num_hashes,
-        bands,
-        hash_fn,
+    # sig feeds BOTH sides of the banded self-join — cache it once (the
+    # minhash_estimate_pairs pattern) instead of re-exploding and
+    # re-hashing every shingle per join side; the signature frame is
+    # num_hashes longs per document, far smaller than the shingle stream
+    # it derives from
+    sig = _cache.track(
+        _minhash_sig_cols(df, id_col, text_col, n, num_hashes, hash_fn).cache()
     )
+    candidates = _lsh_candidates(sig, id_col, num_hashes, bands, hash_fn)
 
     # hint("merge"): the shingle side is corpus-sized — never a broadcast
     # candidate, whatever the static estimate says (see _lsh_candidates).

@@ -106,6 +106,8 @@ from functools import lru_cache
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import _cache as _op_cache
+
 
 class MergeError(ValueError):
     pass
@@ -2507,13 +2509,14 @@ class ParquetMergeTable:
         )
         data_cols = [c for c in live.columns if c not in ("_file", "_pos")]
 
-        # one pass over the table: stage victims (data cols + position)
-        stage = os.path.join(self.path, f"_deletes/victims-{uuid.uuid4().hex[:12]}")
-        live.filter(condition).write.mode("overwrite").parquet(stage)
-        victims = self.spark.read.parquet(stage)
+        # one pass over the table: victims (data cols + position) are
+        # materialized in executor memory+disk rather than round-tripped
+        # through a scratch parquet dir (the old shape paid one write
+        # plus three re-reads of the same rows); the two derived
+        # artifacts below stream straight from the checkpoint
+        victims = live.filter(condition).localCheckpoint(eager=True)
         n_victims = victims.count()
         if n_victims == 0:
-            shutil.rmtree(stage, ignore_errors=True)
             new_v = self._commit(
                 m, files, "delete",
                 {"rows_deleted": 0, "files_scanned": len(scanned)},
@@ -2543,7 +2546,6 @@ class ParquetMergeTable:
         def _parts(d: str) -> list[str]:
             return [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
 
-        shutil.rmtree(stage, ignore_errors=True)  # scratch; both artifacts written
         stats = {
             "rows_deleted": n_victims,
             "files_scanned": len(scanned),
@@ -3016,7 +3018,20 @@ class ParquetMergeTable:
             src_side = (
                 F.broadcast(src_aliased) if small_src else src_aliased.hint("merge")
             )
-            joined = tgt.join(src_side, join_cond, "left")
+            # ONE computed pass over touched ⋈ source: the rewrite
+            # write, the CDF delete/update extracts, the CDF counts and
+            # the insert anti-join's matched-key set all consume this
+            # frame — previously each re-scanned the touched files and
+            # re-ran the join (three scan+join passes per MERGE; guide
+            # §1.2 step 1 / §5: reuse beats recompute when the reused
+            # frame is delta-proportional, which the touched set is by
+            # construction). The consumers are SEQUENTIAL actions, so a
+            # lazy persist is populated by the first one (the rewrite
+            # write) with no extra materialization job; unpersisted
+            # after the commit below.
+            joined = _op_cache.track(
+                tgt.join(src_side, join_cond, "left").persist()
+            )
             matched = F.col("_src__matched").isNotNull()
             # delete clause under SQL three-valued logic: a condition
             # evaluating to NULL must NOT fire (otherwise the row would
@@ -3149,32 +3164,62 @@ class ParquetMergeTable:
                     # pre-images keep the pre-evolution schema; missing
                     # new columns become NULL in the change file
                     chg = chg.unionByName(p, allowMissingColumns=True)
-                chg_dir = os.path.join(
-                    self.path, f"_changes/chg-{uuid.uuid4().hex[:12]}"
-                )
-                chg.write.mode("overwrite").parquet(chg_dir)
+                # counts from the materialized join (chg derives from the
+                # checkpointed frame, so this aggregate re-reads memory,
+                # not parquet); the change file write is skipped entirely
+                # when no clause fired — the old path wrote an empty dir
+                # it then never referenced
                 counts = {
                     r[CHANGE_TYPE]: r["count"]
-                    for r in spark.read.parquet(chg_dir)
-                    .groupBy(CHANGE_TYPE)
-                    .count()
-                    .collect()
+                    for r in chg.groupBy(CHANGE_TYPE).count().collect()
                 }
                 stats["rows_updated"] = counts.get("update_postimage", 0)
                 stats["rows_deleted"] = counts.get("delete", 0)
                 if counts:
+                    chg_dir = os.path.join(
+                        self.path, f"_changes/chg-{uuid.uuid4().hex[:12]}"
+                    )
+                    chg.write.mode("overwrite").parquet(chg_dir)
                     change_files = _parts(chg_dir)
 
         # 5) inserts: source rows matching NO live target key anywhere
         # (a MoR-deleted key is insertable again)
         insert_files: list[str] = []
         if insert_not_matched:
-            live_keys = live.select(*on).dropDuplicates(on)
-            if m["rows_total"] > self.BROADCAST_MAX_SOURCE_ROWS:
-                # the manifest KNOWS the table is too big to broadcast —
-                # don't let a Catalyst misestimate hand it to the driver
-                live_keys = live_keys.hint("merge")
-            unmatched = source.join(live_keys, on, "anti")
+            if when_matched_update or when_matched_delete is not None:
+                # the matched-pruning pass already proved every matched
+                # live key lives in a touched file (same null-unsafe join
+                # predicate), so "source rows matching no live key" ==
+                # "source rows unmatched in the materialized touched
+                # join": anti-join against the delta-proportional matched
+                # key set instead of re-scanning EVERY live file's keys —
+                # at 100 TB that replaces a full-table key scan with a
+                # delta-sized one. With no touched files there are no
+                # matched keys anywhere and every source row inserts.
+                if touched:
+                    matched_keys = (
+                        joined.filter(F.col("_src__matched").isNotNull())
+                        .select(*on)
+                        .dropDuplicates(on)
+                    )
+                    key_side = (
+                        F.broadcast(matched_keys)
+                        if small_src
+                        else matched_keys.hint("merge")
+                    )
+                    unmatched = source.join(key_side, on, "anti")
+                else:
+                    unmatched = source
+            else:
+                # no matched clause ⇒ no pruning pass ran; fall back to
+                # the full live-key anti-join
+                live_keys = live.select(*on).dropDuplicates(on)
+                if m["rows_total"] > self.BROADCAST_MAX_SOURCE_ROWS:
+                    # the manifest KNOWS the table is too big to
+                    # broadcast — don't let a Catalyst misestimate hand
+                    # it to the driver
+                    live_keys = live_keys.hint("merge")
+                unmatched = source.join(live_keys, on, "anti")
             if insert_condition is not None:
                 unmatched = unmatched.filter(insert_condition)
             ins_map = when_not_matched_insert or {}
@@ -3248,6 +3293,9 @@ class ParquetMergeTable:
             column_mapping=out_mapping,
             schema_json=_schema_json_of(out_schema),
         )
+        if touched:
+            # prompt release (tracked as a safety net for error paths)
+            joined.unpersist()
         stats["version"] = new_v
         return stats
 
@@ -3483,10 +3531,20 @@ class ParquetMergeTable:
         change_files: list[str] = []
         rows_updated = 0
         if touched:
-            tgt = self._scan(
-                touched, pending_dels, mixed, m["delete_rows_total"],
-                schema=full_schema, mapping=mapping,
-            ).select(*target_cols)
+            # computed once: the rewrite write and the CDF pre/post
+            # extracts below otherwise each re-scan the touched files
+            # (two scans per UPDATE); the consumers are sequential
+            # actions, so a lazy persist is populated by the first (the
+            # rewrite write) with no extra materialization job. The
+            # frame is touched-file-sized — proportional to the
+            # update's footprint, not the table. Unpersisted at return;
+            # tracked as a safety net for error paths.
+            tgt = _op_cache.track(
+                self._scan(
+                    touched, pending_dels, mixed, m["delete_rows_total"],
+                    schema=full_schema, mapping=mapping,
+                ).select(*target_cols).persist()
+            )
 
             col_types = {f.name: f.dataType for f in full_schema.fields}
 
@@ -3570,6 +3628,8 @@ class ParquetMergeTable:
             mixed_schema=mixed,
             txn=txn,
         )
+        if touched:
+            tgt.unpersist()
         stats["version"] = new_v
         return stats
 
@@ -4227,25 +4287,18 @@ class ParquetMergeTable:
                 ],
                 CHANGE_TYPE,
             )
-        # stage once, size the final change files from the exact staged
-        # count (the delete_where pattern) — a restore that flips a
-        # large fraction of the table never funnels through one task
-        scratch = os.path.join(self.path, f"_changes/restore-{uuid.uuid4().hex[:12]}")
-        diff.write.mode("overwrite").parquet(scratch)
-        scratch_parts = [
-            os.path.join(scratch, f)
-            for f in os.listdir(scratch)
-            if f.endswith(".parquet")
-        ]
-        counts: dict[str, int] = {}
-        if scratch_parts:
-            staged = self.spark.read.parquet(*scratch_parts)
-            counts = {
-                r[CHANGE_TYPE]: r["n"]
-                for r in staged.groupBy(CHANGE_TYPE).agg(
-                    F.count(F.lit(1)).alias("n")
-                ).collect()
-            }
+        # materialize once, size the final change files from the exact
+        # materialized count (the delete_where pattern) — a restore that
+        # flips a large fraction of the table never funnels through one
+        # task. localCheckpoint replaces the old scratch-parquet round
+        # trip (one write + three re-reads of the same diff rows).
+        staged = diff.localCheckpoint(eager=True)
+        counts = {
+            r[CHANGE_TYPE]: r["n"]
+            for r in staged.groupBy(CHANGE_TYPE).agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
         n_del = counts.get("delete", 0)
         n_ins = counts.get("insert", 0)
         if n_del + n_ins:
@@ -4259,7 +4312,6 @@ class ParquetMergeTable:
                     .count()
                 )
                 if bad:
-                    shutil.rmtree(scratch, ignore_errors=True)
                     raise ConstraintViolation(
                         f"CHECK constraint '{name}' ({expr}) is violated "
                         f"by rows version {version} would resurrect — "
@@ -4276,7 +4328,6 @@ class ParquetMergeTable:
                 for f in os.listdir(chg_dir)
                 if f.endswith(".parquet")
             ]
-        shutil.rmtree(scratch, ignore_errors=True)
 
         stats = {
             "restored_version": version,

@@ -555,7 +555,10 @@ def kmeans_lloyd(
         upd = (
             assign.join(expl, "vec_id")
             .groupBy("cid", "pos")
-            .agg(F.expr("CAST(SUM(val) div COUNT(*) AS INT)").alias("cval"))
+            .agg(
+                F.expr("CAST(SUM(val) div COUNT(*) AS INT)").alias("cval"),
+                F.count(F.lit(1)).alias("n"),
+            )
         )
         cents = upd.groupBy("cid").agg(
             F.transform(
@@ -563,7 +566,14 @@ def kmeans_lloyd(
                 lambda s: s["cval"],
             ).alias("cv")
         )
-    sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    # n_members = the (cid,pos) count at any one pos — read it off the
+    # final round's update aggregate instead of re-aggregating the final
+    # assignment (which re-ran the whole last round: ReuseExchange can
+    # dedupe identical exchanges but the old sizes subtree diverged from
+    # upd's at the aggregate, so the assignment join was computed twice)
+    sizes = upd.filter(F.col("pos") == 1).select(
+        "cid", F.col("n").alias("n_members")
+    )
     return (
         cents.join(sizes, "cid")
         .select(

@@ -421,8 +421,15 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     ws = F.split(norm, " ")
     base = docs.select("doc_id", "lang", norm.alias("norm"), ws.alias("ws"))
-    canon = base.groupBy("norm").agg(
-        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    # the dedup aggregate feeds two consumers (survivor join + dup
+    # count); materialize only its (keep_id, n_copies) projection — the
+    # heavy `norm` group key stays out of the materialized frame, and
+    # the tokenize+hash-agg pass runs once instead of twice
+    canon = _mat(
+        base.groupBy("norm").agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        ).select("keep_id", "n_copies")
     )
     survivors = base.join(
         canon.select(F.col("keep_id").alias("doc_id"), F.lit(1).alias("__k")),
@@ -974,6 +981,10 @@ def theil_inequality_decomposition(spark: SparkSession, sf_dir: str) -> DataFram
             lambda a, x: a + x,
         ).alias("sg"),
     )
+    # per_region (5 rows) feeds the grand-total aggregate AND the
+    # per-region term projection — materialize once so the per-customer
+    # hash-agg + dimension joins run a single time per invocation
+    per_region = _mat(per_region)
     fold_by_rg = lambda colname: F.aggregate(  # noqa: E731
         F.transform(
             F.array_sort(F.collect_list(F.struct("rg", F.col(colname)))),

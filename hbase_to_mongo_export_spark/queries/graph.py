@@ -365,11 +365,19 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cur_edges = e
         for r in range(rounds + 1):
+            # ONE degree aggregate per round: deg previously fed two
+            # consumers (the stats row and the survivor filter) and was
+            # recomputed for each — checkpointing deg halves the
+            # per-round shuffled work; the stats aggregate and the
+            # survivor filter then read the materialized vertex-sized
+            # frame (the filter is cheap enough to recompute for both
+            # semi-join sides)
             deg = (
                 cur_edges.select(F.col("u").alias("node"))
                 .unionAll(cur_edges.select(F.col("v").alias("node")))
                 .groupBy("node")
                 .agg(F.count(F.lit(1)).alias("deg"))
+                .localCheckpoint(eager=True)
             )
             row = deg.agg(
                 F.count(F.lit(1)).alias("n"),
@@ -378,11 +386,7 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             stats.append((r, int(row.n), int(row.m)))
             if r == rounds:
                 break
-            cur_nodes = (
-                deg.filter(F.col("deg") >= k)
-                .select("node")
-                .localCheckpoint(eager=True)
-            )
+            cur_nodes = deg.filter(F.col("deg") >= k).select("node")
             a = cur_nodes.withColumnRenamed("node", "u")
             b = cur_nodes.withColumnRenamed("node", "v")
             cur_edges = e.join(a, "u", "left_semi").join(b, "v", "left_semi")

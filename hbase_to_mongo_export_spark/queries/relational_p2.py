@@ -969,7 +969,11 @@ def matrix_profile_weekly_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    ser = (
+    # ser (365 rows) feeds the moment windows AND both sides of the
+    # lag-product join; wv and pairs fan out further. Materializing the
+    # three reused frames makes the orders scan+daily agg run ONCE per
+    # invocation instead of six times (guide §1.2 step 1).
+    ser = _mat(
         cal.join(cnt, "day", "left")
         .select("t", F.coalesce("c", F.lit(0)).alias("x"))
     )
@@ -980,9 +984,11 @@ def matrix_profile_weekly_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).over(w7).alias("s2"),
         F.count(F.lit(1)).over(w7).alias("m"),
     )
-    wv = win.filter(
-        (F.col("m") == 7) & (7 * F.col("s2") - F.col("s") * F.col("s") > 0)
-    ).select("i", "s", "s2")
+    wv = _mat(
+        win.filter(
+            (F.col("m") == 7) & (7 * F.col("s2") - F.col("s") * F.col("s") > 0)
+        ).select("i", "s", "s2")
+    )
     a = ser.alias("a")
     b = ser.alias("b")
     prod = a.join(F.broadcast(b), F.col("b.t") > F.col("a.t")).select(
@@ -1032,6 +1038,7 @@ def matrix_profile_weekly_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dist"),
         )
     )
+    pairs = _mat(pairs)  # reused by motif AND the discord nn aggregate
     motif = pairs.orderBy("dist", "i", "j").limit(1)
     nn = (
         pairs.select(F.col("i").alias("k"), "dist")

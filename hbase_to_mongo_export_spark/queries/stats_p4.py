@@ -2168,7 +2168,10 @@ def kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("g"),
         F.col("l_quantity").cast("bigint").alias("q"),
     )
-    cnt = li.groupBy("q").agg(F.count(F.lit(1)).alias("c"))
+    # the 50-row value histogram feeds BOTH the rank window and the tie
+    # aggregate — materialize once so the lineitem scan behind it runs
+    # once, not twice
+    cnt = _mat(li.groupBy("q").agg(F.count(F.lit(1)).alias("c")))
     wq = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
     ranked = cnt.select(
         "q",
@@ -3322,7 +3325,15 @@ def ransac_line_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass per the two stages — no quadratic work anywhere."""
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
-    pts = (
+    # pts feeds FOUR consumers (hash sweep, score join, refit join, the
+    # total count) — without materialization the orders⋈lineitem
+    # aggregate runs four times per invocation (guide §1.2 step 1). The
+    # explicit repartition spreads the downstream 16-way md5 sweep (the
+    # query's dominant compute) across all cores: AQE coalesces the
+    # small aggregate to ONE partition, and materializing that froze
+    # the sweep single-threaded (guide §2.5 — input skew after a
+    # coalesced intermediate).
+    pts = _mat(
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy(F.col("o_orderkey").alias("ok"))
         .agg(
@@ -3331,6 +3342,7 @@ def ransac_line_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("y"),
         )
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     ks = spark.range(1, 17).select(F.col("id").cast("int").alias("k"))
     h = (

@@ -1404,11 +1404,14 @@ def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "w", "i", stop.alias("stop"), F.sum(stop).over(wcum).alias("pid")
     )
     members = marked.filter(F.col("stop") == 0).select("doc_id", "pid", "w", "i")
-    plen = members.groupBy("doc_id", "pid").agg(
-        F.count(F.lit(1)).alias("n_words")
-    )
+    # phrase length as a window over the member stream: the old
+    # groupBy(doc_id,pid)+join-back shape recomputed the whole
+    # explode+cumsum chain a second time AND paid an extra join exchange
+    # (guide §2.4 — a window keyed like the aggregation shares one
+    # partitioning); count over the phrase partition is the same value
+    wplen = Window.partitionBy("doc_id", "pid")
     wstats = (
-        members.join(plen, ["doc_id", "pid"])
+        members.withColumn("n_words", F.count(F.lit(1)).over(wplen))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"), F.sum("n_words").alias("deg"))
     )
