@@ -3164,23 +3164,40 @@ class ParquetMergeTable:
                     # pre-images keep the pre-evolution schema; missing
                     # new columns become NULL in the change file
                     chg = chg.unionByName(p, allowMissingColumns=True)
-                # counts from the materialized join (chg derives from the
-                # checkpointed frame, so this aggregate re-reads memory,
-                # not parquet); the change file write is skipped entirely
-                # when no clause fired — the old path wrote an empty dir
-                # it then never referenced
-                counts = {
-                    r[CHANGE_TYPE]: r["count"]
-                    for r in chg.groupBy(CHANGE_TYPE).count().collect()
-                }
-                stats["rows_updated"] = counts.get("update_postimage", 0)
-                stats["rows_deleted"] = counts.get("delete", 0)
-                if counts:
-                    chg_dir = os.path.join(
-                        self.path, f"_changes/chg-{uuid.uuid4().hex[:12]}"
-                    )
-                    chg.write.mode("overwrite").parquet(chg_dir)
+                # counts ride the change-file write as Observation
+                # metrics (a CollectMetrics node on the write plan):
+                # ONE pass over the delta-sized change frame produces
+                # both the files and the per-type counts, where the old
+                # shape paid a separate groupBy+collect job first. A
+                # no-op merge (stats-level pruning false positive, no
+                # clause fired) leaves an empty dir that is removed and
+                # never referenced — the update_where pattern.
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                chg = chg.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(
+                        F.when(
+                            F.col(CHANGE_TYPE) == "update_postimage", 1
+                        ).otherwise(0)
+                    ).alias("n_upd"),
+                    F.sum(
+                        F.when(F.col(CHANGE_TYPE) == "delete", 1).otherwise(0)
+                    ).alias("n_del"),
+                )
+                chg_dir = os.path.join(
+                    self.path, f"_changes/chg-{uuid.uuid4().hex[:12]}"
+                )
+                chg.write.mode("overwrite").parquet(chg_dir)
+                got = obs.get
+                stats["rows_updated"] = int(got["n_upd"] or 0)
+                stats["rows_deleted"] = int(got["n_del"] or 0)
+                if got["n_rows"]:
                     change_files = _parts(chg_dir)
+                else:
+                    shutil.rmtree(chg_dir, ignore_errors=True)
 
         # 5) inserts: source rows matching NO live target key anywhere
         # (a MoR-deleted key is insertable again)
@@ -4269,13 +4286,40 @@ class ParquetMergeTable:
             empty = self.spark.createDataFrame([], enc_schema)
         else:
             empty = self.spark.createDataFrame([], diff_schema)
-        deletes = (cur_rows or empty).exceptAll(tgt_rows or empty)
-        inserts = (tgt_rows or empty).exceptAll(cur_rows or empty)
+        # one-pass symmetric diff: tag each side with ±1, group once over
+        # the row identity, and the net count per distinct row IS the
+        # multiset difference both ways — n>0 ⇒ n 'delete' rows (cur has
+        # n more copies than tgt), n<0 ⇒ |n| 'insert' rows. The previous
+        # deletes.exceptAll(inserts)-style pair paid TWO aggregate
+        # shuffles over the same two scans (Spark rewrites each EXCEPT
+        # ALL into its own union+aggregate+replicate); this shape scans
+        # each side once and shuffles once. Grouping and exceptAll share
+        # Spark's normalized key semantics (NULLs equal, NaN equal, -0.0
+        # == 0.0), so the emitted multiset is identical.
+        sign = "__restore_sign"
+        while sign in cols:
+            sign += "_"
+        both = (cur_rows or empty).withColumn(sign, F.lit(1)).unionByName(
+            (tgt_rows or empty).withColumn(sign, F.lit(-1))
+        )
+        net = (
+            both.groupBy(*cols)
+            .agg(F.sum(sign).alias(sign))
+            .filter(F.col(sign) != 0)
+        )
 
         change_files: list[str] = []
         n_del = n_ins = 0
-        diff = deletes.withColumn(CHANGE_TYPE, F.lit("delete")).unionByName(
-            inserts.withColumn(CHANGE_TYPE, F.lit("insert"))
+        diff = net.select(
+            *cols,
+            F.explode(
+                F.array_repeat(
+                    F.when(F.col(sign) > 0, F.lit("delete")).otherwise(
+                        F.lit("insert")
+                    ),
+                    F.abs(F.col(sign)).cast("int"),
+                )
+            ).alias(CHANGE_TYPE),
         )
         if map_cols:
             diff = diff.select(

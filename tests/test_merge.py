@@ -2547,6 +2547,35 @@ class TestRestore:
         with pytest.raises((MergeError, FileNotFoundError)):
             table.restore(0)
 
+    def test_restore_diff_multiplicity_of_duplicate_rows(self, spark, tmp_path):
+        """The CDF diff is a MULTISET difference: identical rows whose
+        copy-count differs between the versions must emit one change row
+        per surplus copy (the net-count diff replicates by |count|, not
+        by distinct row)."""
+        t = ParquetMergeTable(spark, str(tmp_path / "dup"))
+        base = [(1, "a", 1.0)] * 3 + [(2, "b", 2.0)]
+        schema = "id bigint, name string, amount double"
+        t.create(spark.createDataFrame(base, schema))
+        # v1 appends two MORE identical copies of row (1,) and one of (2,)
+        t.append(
+            spark.createDataFrame([(1, "a", 1.0)] * 2 + [(2, "b", 2.0)], schema)
+        )
+        stats = t.restore(0)
+        assert stats["rows_restore_deleted"] == 3
+        assert stats["rows_restore_inserted"] == 0
+        chg = t.read_changes(from_version=2, to_version=2).collect()
+        got = sorted(
+            (r["id"], r["name"], r["amount"], r["_change_type"]) for r in chg
+        )
+        assert got == [
+            (1, "a", 1.0, "delete"),
+            (1, "a", 1.0, "delete"),
+            (2, "b", 2.0, "delete"),
+        ]
+        assert sorted(
+            map(tuple, t.read().select("id", "name", "amount").collect())
+        ) == sorted(base)
+
 
 class TestUpdateWhere:
     """Row-level SQL UPDATE: copy-on-write over touched files only,
