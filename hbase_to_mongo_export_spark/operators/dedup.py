@@ -690,14 +690,33 @@ def connected_components(
         node_df = nodes.select(F.col(nodes.columns[0]).alias("id")).distinct()
     labels = node_df.withColumn("component", F.col("id"))
     labels.cache()
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
         neighbor_min = (
             und.join(labels, und.v == labels.id)
             .groupBy("u")
             .agg(F.min("component").alias("nmin"))
         )
+        # convergence probe rides the checkpoint's materialization pass:
+        # a label changes iff nmin < component (NULL nmin → unchanged),
+        # observable on the joined frame BEFORE the select — the old
+        # shape paid a separate new-vs-old join + count job per round
+        # over the node-sized label frames (guide §1.2 step 1).
+        obs = Observation()
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.u, "left")
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("nmin") < F.col("component"), 1
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
+                ).alias("n_changed"),
+            )
             .select(
                 "id",
                 F.least(
@@ -706,13 +725,7 @@ def connected_components(
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        changed = int(obs.get["n_changed"])
         labels.unpersist()
         labels = new_labels
         if changed == 0:

@@ -63,7 +63,13 @@ def pagerank(
 
     r = nodes.withColumn("rank", F.lit(SCALE // n).cast("long"))
     for _ in range(iterations):
-        contrib = (
+        # no nodes re-join: und is SYMMETRIC, so distinct(v) == distinct(u)
+        # == the node set — every node receives at least one contribution
+        # (its neighbors all carry a rank), so the per-round
+        # left-join-back onto `nodes` was a no-op join costing one
+        # node-scale exchange per round (guide §2.4). COALESCE(s, 0) is
+        # likewise dead: a SUM group is never NULL.
+        r = (
             und_deg.join(r, und_deg.u == r.node)
             .select(
                 F.col("v"),
@@ -73,12 +79,10 @@ def pagerank(
             )
             .groupBy("v")
             .agg(F.sum("c").alias("s"))
-        )
-        r = nodes.join(contrib, nodes.node == contrib.v, "left").select(
-            "node",
-            (F.lit(base).cast("long") + F.coalesce(F.col("s"), F.lit(0))).alias(
-                "rank"
-            ),
+            .select(
+                F.col("v").alias("node"),
+                (F.lit(base).cast("long") + F.col("s")).alias("rank"),
+            )
         )
         # materialize each round's node-sized rank vector: leaving the
         # rounds lazily nested made every AQE stage re-optimize a plan
@@ -178,8 +182,15 @@ def bfs_hops(
         new = neighbors.join(dist, "node", "left_anti").withColumn(
             "hops", F.lit(h)
         )
-        new = new.localCheckpoint(eager=True)  # cut lineage per round
-        if new.isEmpty():
+        # frontier emptiness rides the lineage-cutting checkpoint pass
+        # (Observation count) — the old isEmpty() was a second job per hop
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        new = new.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(
+            eager=True
+        )
+        if int(obs.get["n"]) == 0:
             break
         dist = dist.unionByName(new)
         frontier = new
@@ -220,9 +231,21 @@ def connected_components_two_phase(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    e = e.localCheckpoint(eager=True)
+    # edge-set counts ride each checkpoint's materialization pass as
+    # Observation metrics: the convergence probe's per-round count job
+    # (plus the initial one) folds into the pass that materializes the
+    # round's edge set anyway (guide §1.2 step 1 — one pass, not two).
+    from pyspark.sql import Observation
 
-    def _phase(cur: DataFrame, large: bool) -> DataFrame:
+    _obs0 = Observation()
+    e = e.observe(_obs0, F.count(F.lit(1)).alias("n")).localCheckpoint(
+        eager=True
+    )
+    prev_count = int(_obs0.get["n"])
+
+    def _phase(
+        cur: DataFrame, large: bool, obs: Observation | None = None
+    ) -> DataFrame:
         # m(u) = min over u's closed neighborhood, attached per edge row.
         # A window partitioned by u computes-and-attaches in ONE exchange
         # where the previous groupBy("u")+join("u") shape paid an
@@ -272,16 +295,18 @@ def connected_components_two_phase(
         sym = out.union(
             out.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).distinct()
+        if obs is not None:
+            sym = sym.observe(obs, F.count(F.lit(1)).alias("n"))
         return sym.localCheckpoint(eager=True)
 
-    prev_count = e.count()
     for _ in range(max_iter):
         prev = e
         e = _phase(e, large=True)
-        e = _phase(e, large=False)
+        _obs = Observation()
+        e = _phase(e, large=False, obs=_obs)
         # both sets are distinct, so |e| == |prev| plus e ⊆ prev-or-empty
         # difference proves equality — one exceptAll probe, not two
-        cur_count = e.count()
+        cur_count = int(_obs.get["n"])
         if cur_count == prev_count and e.exceptAll(prev).limit(1).isEmpty():
             break
         prev_count = cur_count
@@ -342,25 +367,34 @@ def fm_neighborhood_function(
             f"ELSE {m} & (-{m}) END"
         )
 
+    # per-hop stats ride each checkpoint's materialization pass as
+    # Observation metrics (CollectMetrics on the checkpointed plan):
+    # ONE pass over the node-sized sketch frame both persists it and
+    # produces (n_nodes, sum_r2), where the old shape paid a separate
+    # aggregate job per hop over the same rows (guide §1.2 step 1 —
+    # one pass, not two).
+    _rv = " + ".join(f"((b{t} + 1) & ~b{t})" for t in range(n_hashes))
+
+    def _ckpt_with_stats(s: DataFrame, hop: int):
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        s = s.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.expr(f"cast({_rv} as bigint)"))
+            .cast("bigint")
+            .alias("sum_r2"),
+        ).localCheckpoint(eager=True)
+        got = obs.get
+        return s, (hop, got["n_nodes"], got["sum_r2"])
+
     sk = nodes.select(
         "id",
         *[F.expr(bit_expr(t)).alias(f"b{t}") for t in range(n_hashes)],
     )
-    sk = sk.localCheckpoint(eager=True)
-
-    def hop_stats(s: DataFrame, hop: int):
-        rv = " + ".join(
-            f"((b{t} + 1) & ~b{t})" for t in range(n_hashes)
-        )
-        row = s.select(
-            F.expr(f"cast({rv} as bigint)").alias("rv")
-        ).agg(
-            F.count(F.lit(1)).alias("n_nodes"),
-            F.sum("rv").cast("bigint").alias("sum_r2"),
-        ).collect()[0]
-        return (hop, row["n_nodes"], row["sum_r2"])
-
-    out_rows = [hop_stats(sk, 0)]
+    sk, row0 = _ckpt_with_stats(sk, 0)
+    out_rows = [row0]
     for h in range(1, hops + 1):
         nb = (
             sym.join(sk, sym.v == sk.id)
@@ -386,8 +420,8 @@ def fm_neighborhood_function(
                 ],
             )
         )
-        sk = sk.localCheckpoint(eager=True)
-        out_rows.append(hop_stats(sk, h))
+        sk, row_h = _ckpt_with_stats(sk, h)
+        out_rows.append(row_h)
 
     spark = edges.sparkSession
     # the estimate is the ONLY float — computed in Spark SQL (HALF_UP

@@ -2513,9 +2513,19 @@ class ParquetMergeTable:
         # materialized in executor memory+disk rather than round-tripped
         # through a scratch parquet dir (the old shape paid one write
         # plus three re-reads of the same rows); the two derived
-        # artifacts below stream straight from the checkpoint
-        victims = live.filter(condition).localCheckpoint(eager=True)
-        n_victims = victims.count()
+        # artifacts below stream straight from the checkpoint. The
+        # victim count rides the same pass as an Observation metric —
+        # the old post-checkpoint .count() was a second (cheap but
+        # whole-frame) job per delete commit.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        victims = (
+            live.filter(condition)
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        n_victims = int(obs.get["n"])
         if n_victims == 0:
             new_v = self._commit(
                 m, files, "delete",
@@ -3430,12 +3440,19 @@ class ParquetMergeTable:
             chg_dir = os.path.join(
                 self.path, f"_changes/chg-{uuid.uuid4().hex[:12]}"
             )
+            # the removed-row count rides the change-file write as an
+            # Observation metric (the merge/update_where pattern) — the
+            # old shape re-read the freshly written parquet just to
+            # count it
+            from pyspark.sql import Observation
+
+            obs = Observation()
             tgt.filter(cond_true).withColumn(
                 CHANGE_TYPE, F.lit("delete")
-            ).write.mode("overwrite").parquet(chg_dir)
-            n_removed = (
-                spark.read.parquet(chg_dir).count()
-            )
+            ).observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+                "overwrite"
+            ).parquet(chg_dir)
+            n_removed = int(obs.get["n"])
             if n_removed:
                 change_files = _parts(chg_dir)
 
@@ -4335,16 +4352,31 @@ class ParquetMergeTable:
         # materialized count (the delete_where pattern) — a restore that
         # flips a large fraction of the table never funnels through one
         # task. localCheckpoint replaces the old scratch-parquet round
-        # trip (one write + three re-reads of the same diff rows).
-        staged = diff.localCheckpoint(eager=True)
-        counts = {
-            r[CHANGE_TYPE]: r["n"]
-            for r in staged.groupBy(CHANGE_TYPE).agg(
-                F.count(F.lit(1)).alias("n")
-            ).collect()
-        }
-        n_del = counts.get("delete", 0)
-        n_ins = counts.get("insert", 0)
+        # trip (one write + three re-reads of the same diff rows), and
+        # the per-type counts ride the SAME pass as Observation metrics
+        # (the old post-checkpoint groupBy+collect was a second job per
+        # restore over the freshly materialized diff).
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        staged = diff.observe(
+            obs,
+            F.coalesce(
+                F.sum(
+                    F.when(F.col(CHANGE_TYPE) == "delete", 1).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("n_del"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col(CHANGE_TYPE) == "insert", 1).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("n_ins"),
+        ).localCheckpoint(eager=True)
+        got = obs.get
+        n_del = int(got["n_del"])
+        n_ins = int(got["n_ins"])
         if n_del + n_ins:
             # constraints added after `version` must hold for the rows
             # this restore RESURRECTS (carried rows were already valid)
@@ -4714,6 +4746,30 @@ def stream_apply_changes(
                 F.col("_s._cdf_ct").alias("_cdf_ct"),
             )
         )
+        # materialize the terminal-change reduction ONCE per batch: the
+        # two emptiness probes and the two MERGEs below each re-derived
+        # the groupBy over the raw batch (up to four aggregate passes);
+        # the checkpoint pays one, and the side counts ride it as
+        # Observation metrics. The frame is batch-sized.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        latest = (
+            latest.observe(
+                obs,
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("_cdf_ct") == "delete", 1).otherwise(0)
+                    ),
+                    F.lit(0),
+                ).alias("n_del"),
+                F.count(F.lit(1)).alias("n_all"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        got = obs.get
+        n_del = int(got["n_del"])
+        n_ups = int(got["n_all"]) - n_del
         dels = latest.filter(F.col("_cdf_ct") == "delete").select(*on, *others)
         ups = latest.filter(F.col("_cdf_ct") != "delete").select(*on, *others)
         # schema_evolution=True: a replica FOLLOWS the source table's
@@ -4721,14 +4777,14 @@ def stream_apply_changes(
         # column), the replayed batch arrives wide and the replica must
         # widen with it rather than reject the batch (Delta's CDC-apply
         # behavior)
-        if not ups.isEmpty():
+        if n_ups:
             replica.merge(
                 ups,
                 on=on,
                 when_matched_update={c: src(c) for c in others},
                 schema_evolution=True,
             )
-        if not dels.isEmpty():
+        if n_del:
             replica.merge(
                 dels,
                 on=on,

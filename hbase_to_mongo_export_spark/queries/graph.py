@@ -372,18 +372,28 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             # survivor filter then read the materialized vertex-sized
             # frame (the filter is cheap enough to recompute for both
             # semi-join sides)
+            # the (|V|, |E|) stats ride the checkpoint's materialization
+            # pass as Observation metrics — one pass over the
+            # vertex-sized degree frame both persists it and produces
+            # the round's stats row, where the old shape paid a separate
+            # aggregate job per round (guide §1.2 step 1)
+            from pyspark.sql import Observation
+
+            obs = Observation()
             deg = (
                 cur_edges.select(F.col("u").alias("node"))
                 .unionAll(cur_edges.select(F.col("v").alias("node")))
                 .groupBy("node")
                 .agg(F.count(F.lit(1)).alias("deg"))
+                .observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n"),
+                    F.coalesce(F.expr("sum(deg) div 2"), F.lit(0)).alias("m"),
+                )
                 .localCheckpoint(eager=True)
             )
-            row = deg.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(F.expr("sum(deg) div 2"), F.lit(0)).alias("m"),
-            ).collect()[0]
-            stats.append((r, int(row.n), int(row.m)))
+            row = obs.get
+            stats.append((r, int(row["n"]), int(row["m"])))
             if r == rounds:
                 break
             cur_nodes = deg.filter(F.col("deg") >= k).select("node")

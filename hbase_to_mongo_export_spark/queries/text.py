@@ -1593,12 +1593,24 @@ def bpe_train_3rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"THEN concat(substr(acc2, 1, length(acc2) - {len(a)}), '{a}{b}') "
             "ELSE concat(acc2, '|', s) END)"
         )
-        state = state.select(
-            "w", "freq", F.expr(fold).alias("acc")
-        ).localCheckpoint(eager=True)
-        tot = state.agg(
-            F.sum(F.col("freq") * F.size(F.split("acc", r"\|"))).alias("t")
-        ).collect()[0]["t"]
+        # the corpus-symbols total rides the merged state's checkpoint
+        # pass as an Observation metric — one pass over the vocab frame
+        # both persists the round's state and produces the total, where
+        # the old shape paid a separate aggregate job per round
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        state = (
+            state.select("w", "freq", F.expr(fold).alias("acc"))
+            .observe(
+                obs,
+                F.sum(
+                    F.col("freq") * F.size(F.split("acc", r"\|"))
+                ).alias("t"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        tot = obs.get["t"]
         rows.append((rnd, a, b, a + b, n, int(tot)))
     return spark.createDataFrame(
         rows,
