@@ -169,13 +169,21 @@ def ngram_jaccard_pairs(
         word_shingles(F.col(text_col), n).alias("sh"),
         *([F.col(block_col)] if block_col else [F.lit(1).alias("__block")]),
     )
-    sizes = base.select(F.col(id_col), F.size("sh").alias("sz"))
     # hint("merge"): the inverted index is corpus-sized on BOTH sides and
     # the static size estimate of an explode chain is unreliable — a
     # mis-planned broadcast collects the corpus to the driver (the
     # observed failure mode in SCALE_EVIDENCE.md §1).
+    #
+    # |A| rides every posting as an int (``sz``, computed BEFORE any
+    # max_df cap so it is always the full set size): the pair aggregate
+    # then has both set sizes in hand via min(), which removes the old
+    # separate ``sizes`` branch — one extra corpus tokenize pass plus
+    # two post-aggregation joins — for ~4 bytes per posting through the
+    # (block, shingle) exchange. sz is functionally dependent on the id
+    # grouping keys, so min() is exact reconstruction, not an estimate.
     inv = base.select(
-        F.col(id_col), F.col(block), F.explode("sh").alias("s")
+        F.col(id_col), F.col(block), F.size("sh").alias("sz"),
+        F.explode("sh").alias("s"),
     )
     if max_df is not None:
         inv = _cap_postings(inv, block, max_df)
@@ -191,22 +199,20 @@ def ngram_jaccard_pairs(
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    out = (
-        common.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("inter").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-                6,
-            ).alias("jaccard"),
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.min("a.sz").alias("sz_a"),
+            F.min("b.sz").alias("sz_b"),
         )
+    )
+    out = common.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+            6,
+        ).alias("jaccard"),
     )
     return out.filter(F.col("jaccard") >= threshold)
 
@@ -435,7 +441,12 @@ def simhash_pairs(
     Blocking: split the 64-bit signature into ``bands`` chunks — any pair
     within distance (bands-1) shares at least one exact chunk (pigeonhole),
     so candidates come from equi-joins on (chunk index, chunk value)."""
-    sigs = simhash(df, id_col, text_col, hash_fn=hash_fn)
+    # sigs feeds BOTH sides of the chunk self-join — cache it once (the
+    # minhash_lsh_pairs pattern; ReuseExchange does not dedupe the two
+    # sides): one (id, long) row per doc, so the cache is node-scale
+    # while the recompute it removes is the corpus tokenize + 64-vote
+    # aggregate.
+    sigs = _cache.track(simhash(df, id_col, text_col, hash_fn=hash_fn).cache())
     chunk_bits = 64 // bands
     chunked = sigs.select(
         id_col,
@@ -836,13 +847,18 @@ def ngram_containment_pairs(
         word_shingles(F.col(text_col), n).alias("sh"),
         *([F.col(block_col)] if block_col else [F.lit(1).alias("__block")]),
     )
-    sizes = base.select(F.col(id_col), F.size("sh").alias("sz"))
     # hint("merge"): the inverted index is corpus-sized on BOTH sides and
     # the static size estimate of an explode chain is unreliable — a
     # mis-planned broadcast collects the corpus to the driver (the
     # observed failure mode in SCALE_EVIDENCE.md §1).
+    #
+    # As in ngram_jaccard_pairs, |A| rides the postings as ``sz``
+    # (computed before any max_df cap, reconstructed exactly by min()
+    # in the pair aggregate), replacing the separate ``sizes`` scan +
+    # two joins with one int per posting.
     inv = base.select(
-        F.col(id_col), F.col(block), F.explode("sh").alias("s")
+        F.col(id_col), F.col(block), F.size("sh").alias("sz"),
+        F.explode("sh").alias("s"),
     )
     if max_df is not None:
         inv = _cap_postings(inv, block, max_df)
@@ -858,28 +874,26 @@ def ngram_containment_pairs(
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    out = (
-        common.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("inter").cast("double") / F.col("sz_a"), 6
-            ).alias("containment_ab"),
-            F.round(
-                F.col("inter").cast("double") / F.col("sz_b"), 6
-            ).alias("containment_ba"),
-            F.round(
-                F.col("inter").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-                6,
-            ).alias("jaccard"),
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.min("a.sz").alias("sz_a"),
+            F.min("b.sz").alias("sz_b"),
         )
+    )
+    out = common.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("inter").cast("double") / F.col("sz_a"), 6
+        ).alias("containment_ab"),
+        F.round(
+            F.col("inter").cast("double") / F.col("sz_b"), 6
+        ).alias("containment_ba"),
+        F.round(
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+            6,
+        ).alias("jaccard"),
     )
     return out.filter(
         (F.col("containment_ab") >= threshold)

@@ -157,6 +157,12 @@ def label_propagation(
                 F.coalesce("new_label", "label").alias("label"),
             )
         )
+        # cur feeds TWO consumers next round (the neighbor join AND the
+        # carry-forward join), so without materialization round r's work
+        # runs 2^(rounds-r) times and the lazily nested plan grows per
+        # round (the pagerank lesson, guide §1.2/§5). The label map is
+        # node-sized.
+        cur = cur.localCheckpoint(eager=True)
     return cur
 
 

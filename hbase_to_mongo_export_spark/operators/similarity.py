@@ -123,11 +123,26 @@ def _hyperplanes(dim: int, n_planes: int, seed: str = "lsh") -> list[list[float]
     return planes
 
 
+def _lit_vec(xs) -> Column:
+    """Literal double array built as ONE parsed expression.
+
+    ``F.array(*[F.lit(x) ...])`` costs one py4j round-trip per element;
+    a dim-64 plane set built that way spends seconds of pure DRIVER
+    latency constructing the query (measured: similarity_lsh_topk spent
+    6-9 s in DataFrame build vs 1.8 s executing). One ``F.expr`` string
+    is a single round-trip; the server-side parse of a flat literal
+    array is microseconds. repr() round-trips doubles exactly and
+    CAST(string AS DOUBLE) is correctly rounded, so the folded literals
+    are bit-identical to the F.lit form."""
+    vals = ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in xs)
+    return F.expr(f"array({vals})")
+
+
 def bucket_id(vec, planes: list[list[float]]):
     """Sign-bit bucket id for a vector column given literal hyperplanes."""
     bits = []
     for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        lit_plane = _lit_vec(plane)
         bits.append(
             F.when(_dot(vec, lit_plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         )
@@ -180,13 +195,31 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    probes = []
-    for t, tp in enumerate(tables):
-        base = bucket_id(F.col("q_vec"), tp) + F.lit(t << n_planes)
-        probes.append(base)
-        if multiprobe >= 1:
-            probes += [base.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
-    q = q.withColumn("bucket", F.explode(F.array(*probes)))
+    # Each table's base bucket is computed ONCE and the multiprobe
+    # variants are derived from the computed value by XOR inside a
+    # transform lambda. The naive form (one expression per probe)
+    # duplicated the full bucket_id tree — n_planes dot products over
+    # dim-length literal arrays — (1 + n_planes) times per table:
+    # 56 copies at the defaults, a ~340 KB physical plan that the
+    # optimizer re-walks on every AQE replan, and (1 + n_planes)× the
+    # per-row hashing work. Same probe multiset, so results are
+    # identical.
+    bases = F.array(
+        *[
+            bucket_id(F.col("q_vec"), tp) + F.lit(t << n_planes)
+            for t, tp in enumerate(tables)
+        ]
+    )
+    if multiprobe >= 1:
+        flips = F.array(F.lit(0), *[F.lit(1 << i) for i in range(n_planes)])
+        probe_arr = F.flatten(
+            F.transform(
+                bases, lambda b: F.transform(flips, lambda m: b.bitwiseXOR(m))
+            )
+        )
+    else:
+        probe_arr = bases
+    q = q.withColumn("bucket", F.explode(probe_arr))
 
     joined = c.join(F.broadcast(q), "bucket")
     if exclude_self:
@@ -274,7 +307,7 @@ def ivf_topk(
         dists = F.array(
             *[
                 F.struct(
-                    (-cosine(vec, F.array(*[F.lit(float(x)) for x in c]))).alias("d"),
+                    (-cosine(vec, _lit_vec(c))).alias("d"),
                     F.lit(i).alias("cid"),
                 )
                 for i, c in enumerate(centroids)

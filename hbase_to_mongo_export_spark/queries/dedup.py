@@ -742,13 +742,21 @@ def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     while LSH does not, so recall can exceed what banding alone implies;
     the oracle composes the two already-checked pipelines verbatim."""
     docs = _t(spark, sf_dir, "documents")
-    exact = dedup_mod.ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.2, block_col="lang"
-    ).select("id_a", "id_b")
-    lsh = dedup_mod.minhash_lsh_pairs(
-        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.2,
-        hash_fn="md5",
-    ).select(F.col("id_a").alias("la"), F.col("id_b").alias("lb"))
+    # Both pair frames feed TWO consumers each (the hit join + their own
+    # count); without materialization the whole inverted-index self-join
+    # and the whole banded LSH pipeline would run twice (guide §1.2 —
+    # Spark does no cross-branch CSE). The pair frames are node-scale.
+    exact = _mat(
+        dedup_mod.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.2, block_col="lang"
+        ).select("id_a", "id_b")
+    )
+    lsh = _mat(
+        dedup_mod.minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, num_hashes=64, bands=16,
+            threshold=0.2, hash_fn="md5",
+        ).select(F.col("id_a").alias("la"), F.col("id_b").alias("lb"))
+    )
     hit = exact.join(
         lsh, (F.col("id_a") == F.col("la")) & (F.col("id_b") == F.col("lb"))
     )
@@ -832,7 +840,11 @@ def dedup_incremental_index_update(spark: SparkSession, sf_dir: str) -> DataFram
     delta = docs.filter(F.col("doc_id") >= cut)
     sig_base = _minhash_sig_cols(base, "doc_id", "text", 3, 64, "md5")
     sig_delta = _minhash_sig_cols(delta, "doc_id", "text", 3, 64, "md5")
-    sig = sig_base.unionByName(sig_delta)
+    # The banded candidate join consumes sig on BOTH sides — cache the
+    # signature table (doc_id + 64 ints, node-scale) so the corpus
+    # tokenize+hash pass runs once, the same pattern minhash_lsh_pairs
+    # uses (guide §1.2).
+    sig = op_cache.track(sig_base.unionByName(sig_delta).cache())
     candidates = _lsh_candidates(sig, "doc_id", 64, 16, "md5")
     sh = docs.select(
         F.col("doc_id"), word_shingles(F.col("text"), 3).alias("sh")

@@ -460,9 +460,18 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
     ed = e.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    # Both orientations come out of ONE pass over ed via explode instead
+    # of a self-union that rebuilds the degree joins twice (guide §1.2).
+    # The moment sums are over exact integers, so any evaluation order
+    # gives bit-identical sums.
     pairs = ed.select(
-        F.col("du").alias("dx"), F.col("dv").alias("dy")
-    ).unionAll(ed.select(F.col("dv").alias("dx"), F.col("du").alias("dy")))
+        F.explode(
+            F.array(
+                F.struct(F.col("du").alias("dx"), F.col("dv").alias("dy")),
+                F.struct(F.col("dv").alias("dx"), F.col("du").alias("dy")),
+            )
+        ).alias("p")
+    ).select("p.dx", "p.dy")
     s = pairs.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("dx").cast("double").alias("sx"),
@@ -1105,7 +1114,10 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c")
         .agg(F.sum(F.col("w") * F.col("a")).alias("h"))
     )
-    a2 = (
+    # a2 feeds TWO consumers (h2 and the authority top-10); materialize
+    # it (node-scale) so the a1→h1→a2 join-aggregate chain over the
+    # cached edge list runs once (guide §1.2).
+    a2 = _mat(
         edges.join(h1, "c")
         .groupBy("s")
         .agg(F.sum(F.col("w") * F.col("h")).alias("a"))

@@ -375,7 +375,10 @@ def multimodal_image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFra
     LSH. The hash table is media-sized, so the pair join is the small
     diagnostic form; production pairing buckets on hash prefixes."""
     media = mm_mod.synthetic_ppm_media(spark, n=50)
-    hashes = mm_mod.ppm_image_dhash(media)
+    # Both sides of the pair join consume the dHash table; materialize
+    # it (3 ints per image, node-scale) so the P6 decode+hash kernel
+    # runs once instead of once per side (guide §1.2).
+    hashes = _mat(mm_mod.ppm_image_dhash(media))
     a = hashes.select(
         F.col("media_id").alias("ida"),
         F.col("dhash_hi").alias("ha"),

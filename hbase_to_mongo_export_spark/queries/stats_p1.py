@@ -2824,7 +2824,11 @@ def tree_depth2_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("d", "val", "n_correct", "n_node")
         )
 
-    root = stump(q)
+    # root feeds THREE consumers (both branch filters via rootb + the
+    # output union); without materialization the root-level explode +
+    # aggregate over the cached corpus runs three times (guide §1.2).
+    # The stump result is one row.
+    root = _mat(stump(q))
     rootb = F.broadcast(
         root.select(F.col("d").alias("rd"), F.col("val").alias("rv"))
     )

@@ -2509,12 +2509,17 @@ def cochran_q_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     division. n_users counts informative blocks (R >= 1). Shape: two
     hash-aggs + a per-user join, no row-level sorts."""
     ev = _t(spark, sf_dir, "events")
-    k = ev.agg(F.countDistinct("event_type").alias("k"))
-    cnt = ev.groupBy("user_id", "event_type").agg(
-        F.count(F.lit(1)).alias("c")
+    # k is consumed twice (the over-representation filter and the final
+    # projection) and each build would re-scan events; cnt feeds tot AND
+    # the join; x feeds both marginal aggregates. Materializing the three
+    # bounded frames (1 row / users×types / ≤users×types) keeps every
+    # events-scale pass single (guide §1.2).
+    k = _mat(ev.agg(F.countDistinct("event_type").alias("k")))
+    cnt = _mat(
+        ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
     )
     tot = cnt.groupBy("user_id").agg(F.sum("c").alias("t"))
-    x = (
+    x = _mat(
         cnt.join(tot, "user_id")
         .crossJoin(F.broadcast(k))
         .filter(F.col("k") * F.col("c") > F.col("t"))
