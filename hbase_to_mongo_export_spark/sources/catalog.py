@@ -49,11 +49,36 @@ def read_export_source(spark: SparkSession, path: str) -> DataFrame:
     return _read_parquet_nanos_safe(spark, path)
 
 
+# Per-session memo of the fixture-table DataFrames. ``spark.read.parquet``
+# re-resolves schema and file listing on EVERY call — pure driver latency
+# that a query pays once per build (a 6-table join re-resolves 6 tables,
+# and the bench rebuilds each query 4×). Spark itself caches file listings
+# per session for exactly this reason (guide §6); this extends that to
+# the resolved relation. The memo holds LOGICAL PLANS, not data: every
+# action still scans the parquet inputs, and the memo dies with the
+# session/process (nothing persists across bench/oracle invocations).
+# Safe because fixture dirs are immutable within a session (nothing in
+# the repo writes to a path it later load_table()s in the same session).
+_TABLE_MEMO: dict[int, dict[tuple[str, str], DataFrame]] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    df = _read_parquet_nanos_safe(spark, path)
-    if name == "events":
-        df = normalize_event_ts(df)
+    # key by the JVM session's hash (stable per SparkSession, and a
+    # stopped/replaced session gets a fresh entry); prune dead sessions
+    # so a long pytest run with many sessions cannot grow the memo.
+    skey = spark._jsparkSession.hashCode()
+    per = _TABLE_MEMO.get(skey)
+    if per is None:
+        _TABLE_MEMO.clear()
+        per = _TABLE_MEMO.setdefault(skey, {})
+    key = (os.path.abspath(sf_dir), name)
+    df = per.get(key)
+    if df is None:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        df = _read_parquet_nanos_safe(spark, path)
+        if name == "events":
+            df = normalize_event_ts(df)
+        per[key] = df
     return df
 
 
