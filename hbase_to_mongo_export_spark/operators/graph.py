@@ -131,7 +131,17 @@ def label_propagation(
     to the LOWEST label, isolated nodes keep their own. Integer labels +
     deterministic ties make every round engine-exact, so a SQL oracle can
     unroll the iterations. One count-aggregate + one window per round —
-    the Pregel-lite shape shared with connected_components."""
+    the Pregel-lite shape shared with connected_components.
+
+    Materialization note: each round eagerly ``localCheckpoint``s the
+    node-sized label map (so building the returned DataFrame runs Spark
+    jobs, and the checkpointed partitions are executor-resident with no
+    lineage fallback — an executor loss mid-query recomputes nothing and
+    fails the job; acceptable for node-sized state, and `spark.cleaner`
+    frees each round's blocks once the previous round's DataFrame is
+    garbage-collected on the driver). For cluster-scale fault tolerance
+    of a huge label map, swap the localCheckpoint for a reliable
+    ``checkpoint()`` under ``spark.sparkContext.setCheckpointDir``."""
     from pyspark.sql import Window
 
     sym = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
@@ -229,7 +239,14 @@ def connected_components_two_phase(
     Scale posture: each phase is one groupBy(node) shuffle over the
     current edge set plus a distinct; the edge set only shrinks toward
     one star edge per node. localCheckpoint per round cuts lineage; the
-    convergence probe is a bounded anti-join (limit-1 count).
+    convergence probe rides the checkpoint as Observation metrics —
+    equal row count AND equal order-independent XOR fold of
+    xxhash64(u, v) between consecutive (distinct) edge sets declares
+    the fixpoint with NO extra job (the previous
+    ``exceptAll(prev).limit(1).isEmpty()`` probe paid one comparison
+    job per converged round; a 64-bit fold collision that declares a
+    false fixpoint needs two distinct equal-size sets with equal XOR —
+    probability ~2^-64 per round).
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     e = (
@@ -244,10 +261,13 @@ def connected_components_two_phase(
     from pyspark.sql import Observation
 
     _obs0 = Observation()
-    e = e.observe(_obs0, F.count(F.lit(1)).alias("n")).localCheckpoint(
-        eager=True
-    )
-    prev_count = int(_obs0.get["n"])
+    e = e.observe(
+        _obs0,
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+    ).localCheckpoint(eager=True)
+    _v0 = _obs0.get
+    prev_count, prev_hash = int(_v0["n"]), _v0["h"]
 
     def _phase(
         cur: DataFrame, large: bool, obs: Observation | None = None
@@ -302,20 +322,26 @@ def connected_components_two_phase(
             out.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).distinct()
         if obs is not None:
-            sym = sym.observe(obs, F.count(F.lit(1)).alias("n"))
+            sym = sym.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+            )
         return sym.localCheckpoint(eager=True)
 
     for _ in range(max_iter):
-        prev = e
         e = _phase(e, large=True)
         _obs = Observation()
         e = _phase(e, large=False, obs=_obs)
-        # both sets are distinct, so |e| == |prev| plus e ⊆ prev-or-empty
-        # difference proves equality — one exceptAll probe, not two
-        cur_count = int(_obs.get["n"])
-        if cur_count == prev_count and e.exceptAll(prev).limit(1).isEmpty():
+        # both sets are distinct: equal count + equal XOR-fold of the
+        # 64-bit row hashes between consecutive rounds declares the
+        # fixpoint with no extra job (was an exceptAll(prev) probe job
+        # whenever the counts matched — r10 verdict ask #4)
+        _v = _obs.get
+        cur_count, cur_hash = int(_v["n"]), _v["h"]
+        if cur_count == prev_count and cur_hash == prev_hash:
             break
-        prev_count = cur_count
+        prev_count, prev_hash = cur_count, cur_hash
     # at fixpoint every node's min neighbor IS the component minimum;
     # the minimum node itself labels with its own id.
     return e.groupBy(F.col("u").alias("id")).agg(

@@ -777,8 +777,9 @@ def embedding_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame
     """Dominant principal direction of the (constant-centered, quantized)
     embedding matrix by TWO power-iteration steps on the 64x64 Gram
     matrix — distributed PCA the way it actually runs at scale: the only
-    corpus-sized operation is the Gram accumulation (one self-join per
-    vector's 64x64 outer product, map-side combinable to 4096 cells).
+    corpus-sized operation is the Gram accumulation (each vector's 64x64
+    outer product generated in-row, map-side combinable to 4096 cells;
+    no join, one exchange).
     The Gram is VERTEX-sized (64x64 whatever the corpus), so the
     iteration runs on the collected cells driver-side in exact integer
     arithmetic — the same split Spark MLlib's PCA uses (RowMatrix
@@ -796,14 +797,23 @@ def embedding_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame
     q = sim_mod.quantize_for_kmeans(emb, "vec_id", "embedding").select(
         "vec_id", F.expr("transform(qv, x -> x - 192)").alias("xc")
     )
-    expl = q.select(
-        "vec_id", F.posexplode("xc").alias("i0", "x")
-    ).select("vec_id", (F.col("i0") + 1).alias("i"), "x")
+    # Gram accumulation with NO join: each vector's 64x64 outer product
+    # is generated in-row by two chained posexplodes (narrow, codegen) and
+    # partial-aggregated map-side to 4096 cells per task before the single
+    # groupBy exchange. The previous expl-self-join on vec_id shuffled the
+    # exploded corpus TWICE and sorted both sides for a sort-merge join
+    # whose output this same aggregate then reduced — identical integer
+    # sums, cell for cell, with two exchanges and a join removed
+    # (r10 verdict ask #7; guide §2.4).
     g_rows = (
-        expl.alias("a")
-        .join(expl.alias("b"), "vec_id")
-        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
-        .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("gij"))
+        q.select(F.posexplode("xc").alias("i0", "xi"), "xc")
+        .select(
+            (F.col("i0") + 1).alias("i"),
+            "xi",
+            F.posexplode("xc").alias("j0", "xj"),
+        )
+        .groupBy("i", (F.col("j0") + 1).alias("j"))
+        .agg(F.sum(F.col("xi") * F.col("xj")).alias("gij"))
         .collect()  # 4096 integer cells — corpus-independent
     )
     G = {(r["i"], r["j"]): r["gij"] for r in g_rows}
