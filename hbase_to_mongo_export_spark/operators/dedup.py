@@ -770,6 +770,12 @@ def jaccard_prefix_filter_pairs(
     base = _fan_out(df).select(
         F.col(id_col), word_shingles(F.col(text_col), n).alias("sh")
     ).filter(F.size("sh") > 0)
+    # base feeds FIVE consumers (dfreq, the prefix explode, both verify
+    # sides); Spark re-tokenizes the corpus for each. The frame is
+    # corpus-scale WITH the shingle arrays — caching it is the §5
+    # residency anti-pattern — so spill it once to temp parquet and
+    # stream it back into every consumer (guide §6; r10 verdict ask #6).
+    base = _cache.spill_parquet(base, "jacpfx_base")
     dfreq = (
         base.select(F.explode("sh").alias("s"))
         .groupBy("s")

@@ -866,23 +866,29 @@ def _band_sweep_oracle() -> str:
 # same value-oracle discipline as the relational core.
 # ---------------------------------------------------------------------------
 
+import threading as _threading
+
 _QSTAGE_ROOT: str | None = None
+_QSTAGE_LOCK = _threading.Lock()
 
 
 def _qstage(sub: str) -> str:
     """Per-process staging dir for queries that must materialize an
     alternative physical layout (bucketed / partitioned / re-encoded)
     before reading it back. One mkdtemp per process, one subdir per
-    query, overwritten on re-run — concurrent processes never collide."""
+    query, overwritten on re-run — concurrent processes never collide,
+    and the root init is locked so concurrent THREADS (the oracle
+    mirror builds queries from a pool) share one root."""
     global _QSTAGE_ROOT
     import atexit
     import os
     import shutil
     import tempfile
 
-    if _QSTAGE_ROOT is None:
-        _QSTAGE_ROOT = tempfile.mkdtemp(prefix="htme_qstage_")
-        atexit.register(shutil.rmtree, _QSTAGE_ROOT, True)
+    with _QSTAGE_LOCK:
+        if _QSTAGE_ROOT is None:
+            _QSTAGE_ROOT = tempfile.mkdtemp(prefix="htme_qstage_")
+            atexit.register(shutil.rmtree, _QSTAGE_ROOT, True)
     return os.path.join(_QSTAGE_ROOT, sub)
 
 

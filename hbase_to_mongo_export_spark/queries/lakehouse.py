@@ -71,17 +71,19 @@ def _delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _status_agg(df: DataFrame) -> DataFrame:
-    return (
-        df.groupBy("o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2)
-            .cast("double")
-            .alias("total_price"),
-        )
-        .orderBy("o_orderstatus")
+def _status_agg(df: DataFrame, ordered: bool = True) -> DataFrame:
+    # ordered=False for branches that a composite re-sorts after a union:
+    # Catalyst does NOT eliminate a sort below Union below Sort, so each
+    # branch's orderBy would pay a useless global range-exchange + sort
+    # (guide §2.4 — an orderBy used only to make output deterministic is
+    # an accidental shuffle when a later orderBy governs anyway).
+    agg = df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2)
+        .cast("double")
+        .alias("total_price"),
     )
+    return agg.orderBy("o_orderstatus") if ordered else agg
 
 
 _TARGET_CTE = """
@@ -789,10 +791,12 @@ def merge_restore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.delete_where(F.col("o_orderstatus") == "U")                  # v2
     t.restore(0)                                                   # v3
     t.merge(delta, on=["o_orderkey"], when_matched_update=upd)     # v4
-    restored = _status_agg(t.read(version=3)).withColumn(
+    restored = _status_agg(t.read(version=3), ordered=False).withColumn(
         "stage", F.lit("a_restored")
     )
-    remerged = _status_agg(t.read()).withColumn("stage", F.lit("b_remerged"))
+    remerged = _status_agg(t.read(), ordered=False).withColumn(
+        "stage", F.lit("b_remerged")
+    )
     return (
         restored.unionByName(remerged)
         .select("stage", "o_orderstatus", "n_orders", "total_price")
@@ -928,8 +932,12 @@ def merge_shallow_clone_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice": src("o_totalprice"),
         },
     )
-    clone_agg = _status_agg(c.read()).withColumn("stage", F.lit("a_clone_merged"))
-    src_agg = _status_agg(t.read()).withColumn("stage", F.lit("b_source_intact"))
+    clone_agg = _status_agg(c.read(), ordered=False).withColumn(
+        "stage", F.lit("a_clone_merged")
+    )
+    src_agg = _status_agg(t.read(), ordered=False).withColumn(
+        "stage", F.lit("b_source_intact")
+    )
     return (
         clone_agg.unionByName(src_agg)
         .select("stage", "o_orderstatus", "n_orders", "total_price")
