@@ -125,28 +125,42 @@ def main() -> None:
 
     spreads: dict[str, list[float]] = {}
 
+    from hbase_to_mongo_export_spark.operators import _cache as op_cache
+    from hbase_to_mongo_export_spark.sources import catalog as _catalog
+
     def timed(build, name: str) -> float:
         # median of 3 timed runs after one warm-up: the r4 audit saw a
         # uniform ~11% drift on unchanged queries that a single sample
         # cannot distinguish from regression; the min/max spread is
         # reported alongside so a reviewer can see the noise floor.
+        #
+        # Cold-run contract (r10 verdict ask #2): op-caches built during
+        # one run are released BEFORE the next, so every timed run pays
+        # its query's full computation — a .cache() built in the warm-up
+        # (Spark's CacheManager matches by canonicalized plan) would
+        # otherwise serve all three timed runs and overstate any
+        # cache-introducing optimization. The measurement-methodology
+        # change lands alongside a documented same-code before/after in
+        # OPTIMIZATION_r11.md.
         run(build())
+        op_cache.release_all()
         samples = []
         for _ in range(3):
             t0 = time.perf_counter()
             run(build())
             samples.append(time.perf_counter() - t0)
+            op_cache.release_all()
         samples.sort()
         spreads[name] = [round(samples[0], 3), round(samples[-1], 3)]
         return round(samples[1], 3)
 
-    from hbase_to_mongo_export_spark.operators import _cache as op_cache
-
     for name in BENCH_QUERIES:
         fn = qmap[name]
+        # cold relation resolution per query: the first (warm-up) build
+        # re-resolves its tables; repeat builds share the session memo
+        # the way a long-lived production session would
+        _catalog.clear_table_memo()
         timings[name] = timed(lambda: fn(spark, sf_dir), name)
-        # free cached intermediates (tfidf weights, minhash sigs, ...) so
-        # storage doesn't accumulate across the 24-query session
         op_cache.release_all()
 
     # Restore-only timing (round-8 verdict ask #2): the composite

@@ -57,20 +57,40 @@ def read_export_source(spark: SparkSession, path: str) -> DataFrame:
 # the resolved relation. The memo holds LOGICAL PLANS, not data: every
 # action still scans the parquet inputs, and the memo dies with the
 # session/process (nothing persists across bench/oracle invocations).
-# Safe because fixture dirs are immutable within a session (nothing in
-# the repo writes to a path it later load_table()s in the same session).
-_TABLE_MEMO: dict[int, dict[tuple[str, str], DataFrame]] = {}
+# Safe because fixture dirs are immutable within a session — the contract
+# is that NOTHING may write to a path later passed to load_table() in the
+# same session (all lakehouse/staging writes go to _qstage mkdtemp dirs,
+# never into sf_dir). Keyed on the PySpark session OBJECT via weak
+# references: identity keying cannot collide across sessions (the JVM
+# hashCode it previously used is not unique), entries die with their
+# session, and two concurrently live sessions each keep their own dict
+# instead of thrashing a shared one.
+import weakref
+
+_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def clear_table_memo() -> None:
+    """Drop every memoized relation (all sessions). Bench hygiene hook:
+    bench.py clears the memo between queries so each query's first build
+    pays full relation resolution (cold driver), while the query's own
+    repeat builds within one measurement share it the way a long-lived
+    production session would."""
+    _TABLE_MEMO.clear()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # key by the JVM session's hash (stable per SparkSession, and a
-    # stopped/replaced session gets a fresh entry); prune dead sessions
-    # so a long pytest run with many sessions cannot grow the memo.
-    skey = spark._jsparkSession.hashCode()
-    per = _TABLE_MEMO.get(skey)
-    if per is None:
-        _TABLE_MEMO.clear()
-        per = _TABLE_MEMO.setdefault(skey, {})
+    try:
+        per = _TABLE_MEMO.get(spark)
+        if per is None:
+            per = {}
+            _TABLE_MEMO[spark] = per
+    except TypeError:
+        # session implementation that is unhashable or rejects weakrefs
+        # (e.g. a future Connect session) — skip memoization, stay correct
+        per = {}
     key = (os.path.abspath(sf_dir), name)
     df = per.get(key)
     if df is None:

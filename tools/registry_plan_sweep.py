@@ -10,9 +10,16 @@ the scale-relevant smells from the optimization guide:
 - parquet scans with no PushedFilters while a Filter sits above them
 - exchange count outliers
 
-Prints one JSON line per flagged query plus a summary. Plan-only: the
-DataFrame is never executed (though some lakehouse builders commit table
-versions while constructing, which is their normal behaviour).
+Prints one JSON line per flagged query plus a summary. Mostly plan-only:
+the RETURNED DataFrame is never executed, but queries that materialize
+intermediates during construction (``_mat``/``localCheckpoint``, the
+per-round checkpoints of iterative operators, lakehouse builders
+committing table versions) do run Spark jobs at build time, and their
+checkpointed partitions are not covered by ``op_cache.release_all()`` —
+they free asynchronously when the driver-side DataFrames are
+garbage-collected. At the sweep's sf0.001 default that residency is
+trivial; re-running at a larger sf, add a periodic
+``spark.catalog.clearCache()`` / gc.collect() between queries.
 
 Usage: python tools/registry_plan_sweep.py [sf_dir] [out.json]
 """
