@@ -38,6 +38,7 @@ def _snap(table, version=None):
     }
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
 def test_random_op_sequences_match_model(spark, tmp_path, seed):
     rng = random.Random(seed)
@@ -151,6 +152,7 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
     assert got == model, "CDF replay diverged from final state"
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [10, 11])
 def test_random_ops_with_renames_match_model(spark, tmp_path, seed):
     """Same model net with RENAME COLUMN woven through the sequence:
@@ -237,6 +239,7 @@ def test_random_ops_with_renames_match_model(spark, tmp_path, seed):
         assert snap(version=v) == rows, f"time travel diverged at v{v}"
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [20, 21])
 def test_random_ops_with_type_widening_match_model(spark, tmp_path, seed):
     """The model net with TYPE WIDENING woven through the sequence: the
@@ -330,6 +333,7 @@ def test_random_ops_with_type_widening_match_model(spark, tmp_path, seed):
         assert snap(version=v) == s, f"time travel diverged at v{v}"
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [0, 1])
 def test_random_ops_with_nested_evolution_match_model(spark, tmp_path, seed):
     """The model net with NESTED schema evolution woven through the

@@ -28,6 +28,9 @@ EMPTY_OK: frozenset[str] = frozenset()
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
+    # bound the db-wide worker pool: 8 oracle cursors run concurrently
+    # (oracle_results below) and each would otherwise assume all cores
+    con.execute("SET threads TO 16")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(SF_DIR, t + '.parquet')}'"
@@ -62,15 +65,98 @@ def _release_cached():
     op_cache.release_all()
 
 
-@pytest.mark.parametrize("name", WITH_ORACLE)
-def test_query_matches_oracle(spark, duck, name):
-    sdf = registry.queries()[name](spark, SF_DIR)
-    spark_rows = [tuple(r) for r in sdf.collect()]
-    spark_cols = sdf.columns
+def _is_streaming(name: str) -> bool:
+    # Structured Streaming drains scope session confs (state-store
+    # provider, shuffle partitions) around query START — running two
+    # concurrently can start one under the other's scoped provider, so
+    # the streaming family executes sequentially below.
+    fn = registry.queries()[name]
+    return "stream" in name or fn.__module__.endswith(".streaming")
 
-    res = duck.execute(registry.oracle_sql()[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+
+@pytest.fixture(scope="module")
+def oracle_results(spark, duck, request):
+    """Execute every oracle query — BOTH engines — ONCE, concurrently.
+
+    The mirror's wall time was ~600 sequential (Spark + DuckDB) query
+    pairs at sf0.001, nearly all scheduler/driver latency on the Spark
+    side plus a few very expensive DuckDB oracles (the unrolled-iteration
+    graph SQL) — the exact workload guide §2.6 says to overlap:
+    independent jobs submitted from a thread pool back-fill the executor
+    while another query's tail finishes, and both engines release the
+    GIL while executing. Results (or the per-query exception) land in a
+    dict; the parametrized tests below keep per-query reporting
+    granularity, so a failure still names exactly the query that broke.
+    Waves bound op-cache residency: tracked caches release only after
+    every query of the wave finished. DuckDB runs through per-thread
+    cursors of the shared in-memory database (the documented
+    connection-per-thread pattern; the views live in the db catalog).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from hbase_to_mongo_export_spark.operators import _cache as op_cache
+
+    qmap = registry.queries()
+    omap = registry.oracle_sql()
+    results: dict[str, dict] = {}
+
+    def run_one(name: str) -> dict:
+        out: dict = {}
+        try:
+            sdf = qmap[name](spark, SF_DIR)
+            out["spark"] = (sdf.columns, [tuple(r) for r in sdf.collect()])
+        except Exception as exc:  # surfaced by the query's own test
+            out["spark"] = exc
+        try:
+            cur = duck.cursor()
+            try:
+                res = cur.execute(omap[name])
+                out["duck"] = (
+                    [d[0] for d in res.description],
+                    res.fetchall(),
+                )
+            finally:
+                cur.close()
+        except Exception as exc:
+            out["duck"] = exc
+        return out
+
+    # compute only the queries this pytest invocation actually selected
+    # (a -k filtered run stays targeted; a full run covers all)
+    wanted: set[str] = set()
+    for item in request.session.items:
+        if getattr(item, "originalname", "") == "test_query_matches_oracle":
+            try:
+                wanted.add(item.callspec.params["name"])
+            except Exception:
+                pass
+    names = [n for n in WITH_ORACLE if n in wanted] if wanted else list(
+        WITH_ORACLE
+    )
+    par = [n for n in names if not _is_streaming(n)]
+    seq = [n for n in names if _is_streaming(n)]
+    WAVE = 64
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for start in range(0, len(par), WAVE):
+            wave = par[start : start + WAVE]
+            for n, res in zip(wave, pool.map(run_one, wave)):
+                results[n] = res
+            op_cache.release_all()
+    for n in seq:
+        results[n] = run_one(n)
+        op_cache.release_all()
+    return results
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_query_matches_oracle(oracle_results, name):
+    got = oracle_results[name]
+    if isinstance(got["spark"], Exception):
+        raise got["spark"]
+    if isinstance(got["duck"], Exception):
+        raise got["duck"]
+    spark_cols, spark_rows = got["spark"]
+    duck_cols, duck_rows = got["duck"]
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch {spark_cols} vs {duck_cols}"
