@@ -5,6 +5,28 @@ from ._core import *  # noqa: F401,F403
 
 
 
+def _so_pairs(so, count_alias: str = "c"):
+    """Supplier co-order pairs (u, v, count) with u < v, from the distinct
+    (s, o) incidence frame. Generated IN-ROW: group each order's suppliers
+    into a sorted array and emit the array's ordered pairs via two chained
+    posexplodes — one exchange of the incidence set plus the pair
+    aggregate, no join. The previous so⋈so self-join on the order key
+    shuffled/sorted the incidence set on both sides before the same
+    aggregate; pairs and counts are identical pair for pair (the sorted
+    array reproduces a.s < b.s exactly, one row per shared order). The
+    in-row expansion is bounded by per-order supplier count (order size),
+    the same bound the join's per-key fan-out had — skew identical,
+    exchanges fewer (guide §2.4)."""
+    g = so.groupBy("o").agg(F.sort_array(F.collect_list("s")).alias("ss"))
+    d1 = g.select("ss", F.posexplode("ss").alias("i", "u"))
+    return (
+        d1.select("u", "i", F.posexplode("ss").alias("j", "v"))
+        .filter(F.col("j") > F.col("i"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias(count_alias))
+    )
+
+
 @register(
     "graph_weighted_path_counts",
     oracle="""
@@ -136,12 +158,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     so = li.select(
         F.col("l_suppkey").alias("s"), F.col("l_orderkey").alias("o")
     ).distinct()
-    w = (
-        so.alias("a")
-        .join(so.alias("b"), (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
-        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    w = _so_pairs(so)
     # e is vertex-sized (≤ 3|V| edges) and feeds four consumers (three
     # triangle-join sides + the edge count) — materialize once instead of
     # re-running the corpus-scale co-order join per consumer
@@ -182,12 +199,7 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("l_suppkey").alias("s"), F.col("l_orderkey").alias("o")
     ).distinct()
     deg = so.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
-    common = (
-        so.alias("a")
-        .join(so.alias("b"), (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
-        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    common = _so_pairs(so)
     du = F.broadcast(deg.select(F.col("s").alias("u"), F.col("n").alias("nu")))
     dv = F.broadcast(deg.select(F.col("s").alias("v"), F.col("n").alias("nv")))
     return (
@@ -221,12 +233,7 @@ def graph_label_propagation_communities(spark: SparkSession, sf_dir: str) -> Dat
     so = li.select(
         F.col("l_suppkey").alias("s"), F.col("l_orderkey").alias("o")
     ).distinct()
-    pairs = (
-        so.alias("a")
-        .join(so.alias("b"), (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
-        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    pairs = _so_pairs(so)
     edges = op_cache.track(
         graph_mod.top_k_cooccurrence_edges(pairs, k=3).cache()
     )
@@ -270,12 +277,7 @@ def graph_bfs_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     so = li.select(
         F.col("l_suppkey").alias("s"), F.col("l_orderkey").alias("o")
     ).distinct()
-    pairs = (
-        so.alias("a")
-        .join(so.alias("b"), (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
-        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    pairs = _so_pairs(so)
     edges = op_cache.track(graph_mod.top_k_cooccurrence_edges(pairs, k=3).cache())
     source = edges.agg(F.min("u")).first()[0]
     dist = graph_mod.bfs_hops(edges, source=int(source), max_hops=4)
@@ -304,12 +306,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     so = li.select(
         F.col("l_suppkey").alias("s"), F.col("l_orderkey").alias("o")
     ).distinct()
-    pairs = (
-        so.alias("a")
-        .join(so.alias("b"), (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
-        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    pairs = _so_pairs(so)
     edges = graph_mod.top_k_cooccurrence_edges(pairs, k=3)
     sym = edges.select(F.col("u").alias("node")).unionAll(
         edges.select(F.col("v").alias("node"))
@@ -337,12 +334,7 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     so = li.select(
         F.col("l_suppkey").alias("s"), F.col("l_orderkey").alias("o")
     ).distinct()
-    w = (
-        so.alias("a")
-        .join(so.alias("b"), (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
-        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    w = _so_pairs(so)
     # Iterative-algorithm hygiene (same pattern as connected_components):
     # the edge list is localCheckpoint'ed ONCE into a LogicalRDD leaf and
     # every round's survivor set is checkpoint'ed too — checkpoints
@@ -444,12 +436,7 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     so = li.select(
         F.col("l_suppkey").alias("s"), F.col("l_orderkey").alias("o")
     ).distinct()
-    w = (
-        so.alias("a")
-        .join(so.alias("b"), (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
-        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    w = _so_pairs(so)
     e = op_cache.track(graph_mod.top_k_cooccurrence_edges(w, k=3).cache())
     deg = (
         e.select(F.col("u").alias("node"))
@@ -568,15 +555,7 @@ def graph_neighborhood_function_fm(spark: SparkSession, sf_dir: str) -> DataFram
     so = li.select(
         F.col("l_suppkey").alias("s"), F.col("l_orderkey").alias("o")
     ).distinct()
-    w = (
-        so.alias("a")
-        .join(
-            so.alias("b"),
-            (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")),
-        )
-        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    w = _so_pairs(so)
     edges = graph_mod.top_k_cooccurrence_edges(w, k=3)
     return graph_mod.fm_neighborhood_function(
         edges, "u", "v", hops=3, n_hashes=4
@@ -597,15 +576,7 @@ def graph_sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
     so = li.select(
         F.col("l_suppkey").alias("s"), F.col("l_orderkey").alias("o")
     ).distinct()
-    w = (
-        so.alias("a")
-        .join(
-            so.alias("b"),
-            (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")),
-        )
-        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    w = _so_pairs(so)
     e = graph_mod.top_k_cooccurrence_edges(w, k=3)
     ew = e.join(w, ["u", "v"]).select(
         "u", "v", (F.lit(1) + F.expr("1000 div c")).alias("wt")
@@ -652,15 +623,7 @@ def graph_deterministic_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     so = li.select(
         F.col("l_suppkey").alias("s"), F.col("l_orderkey").alias("o")
     ).distinct()
-    wdf = (
-        so.alias("a")
-        .join(
-            so.alias("b"),
-            (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")),
-        )
-        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    wdf = _so_pairs(so)
     e = graph_mod.top_k_cooccurrence_edges(wdf, k=3)
     und = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -810,15 +773,7 @@ def graph_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     so = li.select(
         F.col("l_suppkey").alias("s"), F.col("l_orderkey").alias("o")
     ).distinct()
-    wdf = (
-        so.alias("a")
-        .join(
-            so.alias("b"),
-            (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")),
-        )
-        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    wdf = _so_pairs(so)
     e = graph_mod.top_k_cooccurrence_edges(wdf, k=3)
     e = e.localCheckpoint(eager=True)
     n_initial = e.count()
@@ -889,15 +844,7 @@ def graph_densest_subgraph_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     so = li.select(
         F.col("l_suppkey").alias("s"), F.col("l_orderkey").alias("o")
     ).distinct()
-    wdf = (
-        so.alias("a")
-        .join(
-            so.alias("b"),
-            (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")),
-        )
-        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    wdf = _so_pairs(so)
     e = graph_mod.top_k_cooccurrence_edges(wdf, k=3)
     e = e.localCheckpoint(eager=True)
     rows = []
@@ -994,15 +941,7 @@ def graph_local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     so = li.select(
         F.col("l_suppkey").alias("s"), F.col("l_orderkey").alias("o")
     ).distinct()
-    wdf = (
-        so.alias("a")
-        .join(
-            so.alias("b"),
-            (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")),
-        )
-        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    wdf = _so_pairs(so)
     e = op_cache.track(graph_mod.top_k_cooccurrence_edges(wdf, k=3).cache())
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (

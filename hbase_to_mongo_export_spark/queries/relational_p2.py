@@ -2,6 +2,7 @@
 by tools/split_queries.py; bodies verbatim, shared registry in _core)."""
 
 from ._core import *  # noqa: F401,F403
+from .graph import _so_pairs
 
 
 
@@ -739,15 +740,7 @@ def surprising_edges_null_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     so = li.select(
         F.col("l_suppkey").alias("s"), F.col("l_orderkey").alias("o")
     ).distinct()
-    w = (
-        so.alias("a")
-        .join(
-            so.alias("b"),
-            (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")),
-        )
-        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .agg(F.count(F.lit(1)).alias("obs"))
-    )
+    w = _so_pairs(so, count_alias="obs")
     w = op_cache.track(w.cache())
     deg = (
         w.select(F.col("u").alias("s"), "obs")
